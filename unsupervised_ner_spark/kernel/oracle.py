@@ -1,0 +1,123 @@
+"""Single-process end-to-end parity oracle (v2 batched semantics).
+
+Runs one sentence through the full reference dataflow — span detection, CS
+mask + CI probe, descriptor fetch, signature join, typing aggregation, CI+CS
+pooling, top-1 selection, BIO emission — entirely in Python. This is the
+golden oracle the distributed Spark pipeline must match token-for-token
+(query lifecycle traced in SURVEY.md §3.1; reference entrypoint
+``tag_sentence`` batched_main_NER.py:258-325).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from unsupervised_ner_spark.kernel import spans as S
+from unsupervised_ner_spark.kernel import typing as T
+from unsupervised_ner_spark.kernel.bio import emit_bio
+from unsupervised_ner_spark.kernel.constants import END_TOKENS, UNTAGGED_LABEL
+
+
+def add_term_punct(sent: str) -> str:
+    """End sentences with ' . ' when not already punctuated
+    (add_term_punct, ensemble/aggregate_server_json.py:39-46)."""
+    if len(sent) > 1 and sent[-1] not in END_TOKENS:
+        return sent + " . "
+    return sent
+
+
+@dataclass
+class MentionResult:
+    begin_tok: int
+    end_tok: int
+    surface: str
+    masked_sentence: str
+    ci_probe: str
+    ci_entities: list[str] = field(default_factory=list)
+    ci_confidences: list[float] = field(default_factory=list)
+    cs_entities: list[str] = field(default_factory=list)
+    cs_confidences: list[float] = field(default_factory=list)
+    pooled: list = field(default_factory=list)
+    prediction: str = "OTHER"
+
+
+@dataclass
+class SentenceResult:
+    text: str
+    words: list[str]
+    span_arr: list[int]
+    mentions: list[MentionResult]
+    tags: list[str]
+
+
+class OracleTagger:
+    def __init__(
+        self,
+        provider,
+        entity_map: dict[str, str],
+        signatures: dict[str, tuple[tuple[str, ...], tuple[int, ...]]],
+        common_descs: frozenset[str] = frozenset(),
+        suppress_untagged: bool = True,
+        punct_terminate: bool = True,
+    ):
+        self.provider = provider
+        self.entity_map = entity_map
+        self.signatures = signatures
+        self.common_descs = common_descs
+        self.suppress_untagged = suppress_untagged
+        self.punct_terminate = punct_terminate
+
+    def _signature(self, desc: str):
+        """J1 descriptor-term -> signature; misses are UNTAGGED with count 1
+        (contract at batched_main_NER.py:704-709)."""
+        sig = self.signatures.get(desc.lower())
+        if sig is None:
+            return ([UNTAGGED_LABEL], [1])
+        return (list(sig[0]), list(sig[1]))
+
+    def _type_side(self, descs):
+        sigs = [self._signature(d) for d, _ in descs]
+        return T.aggregate_entities(
+            descs, sigs, self.entity_map, self.suppress_untagged
+        )
+
+    def tag_sentence(self, text: str) -> SentenceResult:
+        sent = add_term_punct(text) if self.punct_terminate else text
+        tokens = S.parse_tokens(sent)
+        words = [t.word for t in tokens]
+        mentions_raw = S.detect_mentions(tokens)
+        mentions_kept = S.filter_common_spans(tokens, mentions_raw, self.common_descs)
+        # rebuilt bitmap reflects the common-span filter zeroing
+        # (filter_common_noun_spans, ensemble/utils/common.py:82-113)
+        span_arr = [0] * len(tokens)
+        for m in mentions_kept:
+            for i in range(m.begin_tok, m.end_tok + 1):
+                span_arr[i] = 1
+        blank = S.is_blank_probe(sent)
+        results: list[MentionResult] = []
+        predictions: list[str] = []
+        for m in mentions_kept:
+            mr = MentionResult(
+                begin_tok=m.begin_tok,
+                end_tok=m.end_tok,
+                surface=m.surface,
+                masked_sentence=S.masked_sentence(tokens, m),
+                ci_probe=S.ci_probe(m.surface),
+            )
+            ci_descs = self.provider.descriptors(m.surface, "ci")
+            cs_descs = self.provider.descriptors(m.surface, "cs")
+            mr.ci_entities, mr.ci_confidences, ci_subtypes = self._type_side(ci_descs)
+            if cs_descs:
+                mr.cs_entities, mr.cs_confidences, cs_subtypes = self._type_side(cs_descs)
+            else:  # find_cs_entities empty-descs branch (batched_main_NER.py:436-441)
+                cs_subtypes = {}
+            mr.pooled = T.pool_confidences(
+                mr.ci_entities, mr.ci_confidences, ci_subtypes,
+                mr.cs_entities, mr.cs_confidences, cs_subtypes,
+                blank_probe=blank,
+            )
+            mr.prediction = T.top_prediction(mr.pooled)
+            results.append(mr)
+            predictions.append(mr.prediction)
+        tags = emit_bio(span_arr, predictions)
+        return SentenceResult(sent, words, span_arr, results, tags)

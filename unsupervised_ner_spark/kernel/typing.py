@@ -1,0 +1,182 @@
+"""Entity-typing math kernel (v2 "batched" semantics).
+
+From-scratch re-expression of the reference's typing math; every step cites
+the behavior it replicates in ``/root/reference/batched_main_NER.py``:
+
+- ``softmax``                      :27-30   (max-subtracted, axis=0)
+- ``aggregate_entities``           :602-657 (per-descriptor softmax of label
+                                             counts, weighted by MLM score,
+                                             summed per consolidated group)
+- ``map_entities``                 :686-702 (subtype accumulation w/ raw counts)
+- ``sort_subtypes``                :660-665
+- ``update_entities_with_subtypes``:667-678 ("GROUP[sub1,sub2,...]")
+- ``convert_positive_nums_to_dist``:579-590 (normalize, np.round 4dp,
+                                             zero-sum -> first factor 1)
+- ``skip_untagged``                :680-683
+- ``pool_confidences``             :165-233 (CI+CS pooling incl. blank-probe
+                                             CI skip :158-173)
+- ``fill_detected_entities``       :457-467 (argmax type + top subtype)
+
+Deliberately preserved quirks:
+- the dead ``curr_counts_sum`` variable (:622-623) is NOT replicated — only
+  the live accumulation path (:628-632) is.
+- dict insertion order breaks sort ties (Python's ``sorted`` is stable), so
+  tie order == first-encountered order while scanning descriptors in rank
+  order and each signature's labels in file order. The Spark SQL twin orders
+  by (score DESC, first_seen ASC) which is equivalent by construction.
+- normalization uses numpy round (banker's rounding), same as the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from unsupervised_ner_spark.kernel.constants import (
+    OTHER_LABEL,
+    UNTAGGED_LABEL,
+)
+
+# type aliases
+Descs = list[tuple[str, float]]            # [(desc_term, mlm_score), ...] rank order
+Signature = tuple[list[str], list[int]]    # (labels, cluster_counts), parallel
+Dist = list[tuple[str, float]]             # [(entity, confidence), ...] sorted desc
+
+
+def softmax(x: np.ndarray) -> np.ndarray:
+    """Max-subtracted softmax (batched_main_NER.py:27-30)."""
+    e_x = np.exp(x - np.max(x))
+    return e_x / e_x.sum(axis=0)
+
+
+def normalize_round(values: list[float]) -> list[float]:
+    """convert_positive_nums_to_dist (batched_main_NER.py:579-590): divide by
+    total (zero total -> first factor forced to 1), numpy round to 4dp."""
+    factors = [float(v) for v in values]
+    total = float(sum(factors))
+    if total == 0:
+        total = 1
+        factors[0] = 1
+    arr = np.array(factors) / total
+    return [float(v) for v in np.round(arr, 4)]
+
+
+def skip_untagged(label: str, suppress_untagged: bool) -> bool:
+    """batched_main_NER.py:680-683."""
+    return suppress_untagged and label in (OTHER_LABEL, UNTAGGED_LABEL)
+
+
+def aggregate_entities(
+    descs: Descs,
+    signatures: list[Signature],
+    entity_map: dict[str, str],
+    suppress_untagged: bool = True,
+):
+    """Per-mention, per-side (CI or CS) signature aggregation.
+
+    For descriptor i with signature (labels, counts): map each label through
+    the consolidation map, drop suppressed ones, softmax the surviving counts,
+    then add softmax_count[j] * desc_score[i] into the group accumulator
+    (batched_main_NER.py:602-657). Subtypes accumulate RAW counts across
+    descriptors (:694-701).
+
+    Returns (decorated_entities, confidences, subtypes) where
+    decorated_entities are "GROUP[sub1,sub2,...]" strings sorted by pooled
+    score desc (ties: first-encountered), confidences the normalized rounded
+    distribution, and subtypes the raw {group: {subtype: count}} map.
+    """
+    assert len(descs) == len(signatures)
+    agg: dict[str, float] = {}
+    subtypes: dict[str, dict[str, int]] = {}
+    for (_desc, score), (labels, counts) in zip(descs, signatures):
+        # map_entities (:686-702): skip suppressed subtype labels, map to
+        # group, accumulate raw counts into the subtype dict
+        trunc_groups: list[str] = []
+        trunc_counts: list[int] = []
+        for label, count in zip(labels, counts):
+            if skip_untagged(label, suppress_untagged):
+                continue
+            group = entity_map[label]
+            trunc_groups.append(group)
+            trunc_counts.append(int(count))
+            sub = subtypes.setdefault(group, {})
+            sub[label] = sub.get(label, 0) + int(count)
+        if not trunc_groups:
+            continue
+        soft = softmax(np.array(trunc_counts, dtype=np.float64))
+        for j, group in enumerate(trunc_groups):
+            if skip_untagged(group, suppress_untagged):
+                continue
+            agg[group] = agg.get(group, 0.0) + float(soft[j]) * float(score)
+    # stable sort by value desc; insertion order breaks ties (:636)
+    ordered = sorted(agg.items(), key=lambda kv: kv[1], reverse=True)
+    if not ordered:  # all terms suppressed (:637-639)
+        ordered = [(OTHER_LABEL, 1.0)]
+        subtypes[OTHER_LABEL] = {OTHER_LABEL: 1}
+    confidences = normalize_round([v for _, v in ordered])
+    groups = [g for g, _ in ordered]
+    # sort_subtypes (:660-665) + update_entities_with_subtypes (:667-678)
+    decorated = []
+    for g in groups:
+        if g in subtypes:
+            subs = sorted(subtypes[g].items(), key=lambda kv: kv[1], reverse=True)
+            decorated.append(g + "[" + ",".join(s for s, _ in subs) + "]")
+        else:
+            decorated.append(g)
+    return decorated, confidences, subtypes
+
+
+def pool_confidences(
+    ci_entities: list[str],
+    ci_confidences: list[float],
+    ci_subtypes: dict[str, dict[str, int]],
+    cs_entities: list[str],
+    cs_confidences: list[float],
+    cs_subtypes: dict[str, dict[str, int]],
+    blank_probe: bool,
+):
+    """CI+CS pooling (batched_main_NER.py:165-233).
+
+    Sums CI and CS confidences per base type (decoration stripped at '['),
+    skipping CI entirely for blank-probe sentences (:172-173); pools subtype
+    factors CS-first then CI (:191-211); re-normalizes + rounds both levels.
+
+    Returns an ordered list of (entity, confidence, [(subtype, factor), ...]).
+    """
+    main: dict[str, float] = {}
+    if not blank_probe:
+        for e, c in zip(ci_entities, ci_confidences):
+            main[e.split("[")[0]] = float(c)
+    for e, c in zip(cs_entities, cs_confidences):
+        base = e.split("[")[0]
+        main[base] = main.get(base, 0.0) + float(c)
+    ordered = sorted(main.items(), key=lambda kv: kv[1], reverse=True)
+    dist = normalize_round([v for _, v in ordered])
+    # subtype pooling: CS first, then CI unless blank probe (:191-211)
+    pooled: list[tuple[str, float, list[tuple[str, float]]]] = []
+    for (e_class, _), conf in zip(ordered, dist):
+        factors: dict[str, float] = {}
+        if e_class in cs_subtypes:
+            for st, v in cs_subtypes[e_class].items():
+                factors[st] = factors.get(st, 0.0) + v
+        if not blank_probe and e_class in ci_subtypes:
+            for st, v in ci_subtypes[e_class].items():
+                factors[st] = factors.get(st, 0.0) + v
+        st_ordered = sorted(factors.items(), key=lambda kv: kv[1], reverse=True)
+        st_dist = normalize_round([v for _, v in st_ordered]) if st_ordered else []
+        pooled.append(
+            (e_class, conf, list(zip([s for s, _ in st_ordered], st_dist)))
+        )
+    return pooled
+
+
+def top_prediction(pooled) -> str:
+    """Argmax type + its top subtype -> "TYPE[SUBTYPE]" or bare type; empty
+    -> OTHER (fill_detected_entities, batched_main_NER.py:457-467)."""
+    if not pooled:
+        return OTHER_LABEL
+    e_class, _conf, st = pooled[0]
+    if st:
+        top_st = st[0][0]
+        if top_st != e_class:
+            return f"{e_class}[{top_st}]"
+    return e_class
