@@ -115,8 +115,10 @@ def parse_tokens(sentence: str) -> list[Token]:
     marked tokens are nounish, all others are not (RESET)."""
     words = tokenize(sentence)
     if any(w.endswith(INPUT_MASK_TAG) for w in words):
+        # NB: the reference strips via str.replace, i.e. ALL occurrences of
+        # the marker anywhere in the token (common.py:74), not just the suffix
         return [
-            Token(w[: -len(INPUT_MASK_TAG)], True)
+            Token(w.replace(INPUT_MASK_TAG, ""), True)
             if w.endswith(INPUT_MASK_TAG)
             else Token(w, False)
             for w in words

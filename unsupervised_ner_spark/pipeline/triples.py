@@ -1,0 +1,63 @@
+"""Predicate extraction: typed mentions -> (subj, pred, obj) candidate
+triples (new per north rule; SURVEY.md §7.1 stage 5).
+
+Semantics: within one sentence, each ADJACENT pair of typed mentions (both
+predictions != OTHER) yields one triple. The predicate is the lowercased
+join of the tokens strictly between the two spans; an empty gap (adjacent
+spans are impossible by run-maximality, but a gap of pure punctuation isn't)
+falls back to 'related_to'.
+
+Implemented as pure column expressions over the nested tagged rows — still
+narrow / zero-shuffle; the exchange only appears when triples feed ER.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tagged_to_triples(tagged: DataFrame) -> DataFrame:
+    """tagged (pipeline/tagging.TAGGED_SCHEMA) -> triples(url, sent_idx,
+    subj, subj_type, pred, obj, obj_type, conf)."""
+    ms = F.filter(F.col("mentions"), lambda m: m["prediction"] != F.lit("OTHER"))
+    n = F.size(ms)
+    words = F.col("words")
+
+    def pair_at(i):
+        m1 = F.element_at(ms, i + 1)
+        m2 = F.element_at(ms, i + 2)
+        gap = F.transform(
+            F.slice(
+                words,
+                m1["end_tok"] + 2,
+                F.greatest(m2["begin_tok"] - m1["end_tok"] - 1, F.lit(0)),
+            ),
+            lambda t: F.lower(t),
+        )
+        pred = F.array_join(F.filter(gap, lambda t: t.rlike("[a-z0-9]")), " ")
+        return F.struct(
+            m1["surface"].alias("subj"),
+            F.split(m1["prediction"], r"\[")[0].alias("subj_type"),
+            F.when(pred == "", F.lit("related_to")).otherwise(pred).alias("pred"),
+            m2["surface"].alias("obj"),
+            F.split(m2["prediction"], r"\[")[0].alias("obj_type"),
+            F.element_at(m1["pooled"], 1)["confidence"].alias("subj_conf"),
+            F.element_at(m2["pooled"], 1)["confidence"].alias("obj_conf"),
+        )
+
+    pairs = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(0), n - 2), pair_at)
+    ).otherwise(F.array().cast("array<struct<subj:string,subj_type:string,pred:string,obj:string,obj_type:string,subj_conf:double,obj_conf:double>>"))
+
+    df = tagged.select("url", "sent_idx", F.explode(pairs).alias("t"))
+    return df.select(
+        "url",
+        "sent_idx",
+        F.col("t.subj").alias("subj"),
+        F.col("t.subj_type").alias("subj_type"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_type").alias("obj_type"),
+        F.least("t.subj_conf", "t.obj_conf").alias("conf"),
+    )
