@@ -1,38 +1,380 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` provides the
+DuckDB twin (built in unsupervised_ner_spark/oracle_sql.py) run side-by-side
+by the driver at sf=0.01.
+
+Conventions shared by both engines:
+- all integer outputs are 64-bit; floats never appear in hashed columns
+  (ranks/ids/counts carry the information);
+- hash primitive is md5 (identical in Spark and DuckDB);
+- deterministic tie-breaks everywhere (documented per query).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from unsupervised_ner_spark import oracle_sql as O  # noqa: E402
+from unsupervised_ner_spark.ops import dedup, multimodal, simsearch, textstats  # noqa: E402
+from unsupervised_ner_spark.pipeline import mentions as M  # noqa: E402
+from unsupervised_ner_spark.pipeline.runner import run_pipeline  # noqa: E402
+from unsupervised_ner_spark.pipeline.text import pages_to_sentences  # noqa: E402
+from unsupervised_ner_spark.pipeline.typing_sql import typed_mentions_relational  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, ...) -> pages-shaped input for the KG
+    chain (url:string, html:binary NULL, text, lang)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def _sentences(spark, sf_dir):
+    return pages_to_sentences(_docs_as_pages(spark, sf_dir)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+
+
+def _mentions(spark, sf_dir):
+    s = _sentences(spark, sf_dir)
+    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
+    return m.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "surface",
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG chain queries (documents table as the page corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_sentences(spark, sf_dir):
+    return _sentences(spark, sf_dir)
+
+
+def q_kg_mentions(spark, sf_dir):
+    return _mentions(spark, sf_dir)
+
+
+def q_kg_masks(spark, sf_dir):
+    s = _sentences(spark, sf_dir)
+    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
+    out = M.with_masks(m, s)
+    return out.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        "surface",
+        "masked_sent",
+        "ci_probe",
+    )
+
+
+def q_kg_typed_mentions(spark, sf_dir):
+    s = _sentences(spark, sf_dir)
+    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
+    typed = typed_mentions_relational(m, s, spark)
+    return typed.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "surface",
+        "pred_group",
+        "prediction",
+    )
+
+
+def q_kg_bio_tags(spark, sf_dir):
+    """Production-path token tags (Arrow-batched kernel UDF); oracle is the
+    independent relational SQL replication — the strongest correctness gate
+    in this suite."""
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tags = stages["tags"]
+    return tags.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("token_idx").cast("long").alias("token_idx"),
+        "word",
+        "tag",
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    """Production-path triples vs independent relational SQL oracle."""
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return stages["triples"].select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj",
+        "subj_type",
+        "pred",
+        "obj",
+        "obj_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def _long(df, *cols):
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def q_txt_stats(spark, sf_dir):
+    return _long(
+        textstats.doc_stats(_t(spark, sf_dir, "documents")),
+        "n_chars", "n_tokens", "n_distinct_tokens", "n_stopword_tokens",
+        "n_punct_chars", "n_bpe_tokens",
+    )
+
+
+def q_txt_quality(spark, sf_dir):
+    return textstats.quality_class(textstats.doc_stats(_t(spark, sf_dir, "documents")))
+
+
+def q_txt_langid(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return _long(dedup.exact_dup_groups(_t(spark, sf_dir, "documents")), "n_docs")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return _long(
+        dedup.jaccard_candidates(_t(spark, sf_dir, "documents")),
+        "n_common", "n_a", "n_b",
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.lsh_bucket_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return _long(
+        simsearch.cosine_topk_bruteforce(_t(spark, sf_dir, "embeddings")), "rank"
+    )
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    return simsearch.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_mm_media_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    meta = multimodal.media_metadata(multimodal.synth_media(docs))
+    return _long(meta, "n_bytes", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (scan/filter/agg/join/window/set/rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_agg_scan(spark, sf_dir):
+    """S1/P3/A8: filtered scan + hash aggregate (pushdown-friendly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_rel_join_topk(spark, sf_dir):
+    """J1-style broadcast join + O1/O2 top-k per group (rank<=3 by
+    totalprice desc, orderkey asc)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", F.col("rank").cast("long").alias("rank"), "o_orderkey")
+    )
+
+
+def q_rel_window_sessions(spark, sf_dir):
+    """W-family: sessionization (gaps-and-islands over time)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    gap = epoch - F.lag(epoch).over(w)
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    df = e.withColumn("ns", newsess)
+    return df.groupBy("user_id").agg(
+        F.sum("ns").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_rel_set_union(spark, sf_dir):
+    """2.8 set ops: UNION DISTINCT."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_rel_rollup(spark, sf_dir):
+    """grouping sets / rollup (free in Spark SQL; absent in the reference)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (pages -> ... -> triples) over sf0.001
+    documents treated as the page corpus."""
+    return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_sentences": q_kg_sentences,
+        "kg_mentions": q_kg_mentions,
+        "kg_masks": q_kg_masks,
+        "kg_typed_mentions": q_kg_typed_mentions,
+        "kg_bio_tags": q_kg_bio_tags,
+        "kg_triples": q_kg_triples,
+        "txt_stats": q_txt_stats,
+        "txt_quality": q_txt_quality,
+        "txt_langid": q_txt_langid,
+        "txt_fingerprint": q_txt_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "mm_media_meta": q_mm_media_meta,
+        "rel_agg_scan": q_rel_agg_scan,
+        "rel_join_topk": q_rel_join_topk,
+        "rel_window_sessions": q_rel_window_sessions,
+        "rel_set_union": q_rel_set_union,
+        "rel_rollup": q_rel_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_sentences": O.kg_sentences(),
+        "kg_mentions": O.kg_mentions(),
+        "kg_masks": O.kg_masks(),
+        "kg_typed_mentions": O.kg_typed_mentions(),
+        "kg_bio_tags": O.kg_bio_tags(),
+        "kg_triples": O.kg_triples(),
+        "txt_stats": O.txt_stats(),
+        "txt_quality": O.txt_quality(),
+        "txt_langid": O.txt_langid(),
+        "txt_fingerprint": O.txt_fingerprint(),
+        "dedup_exact": O.dedup_exact(),
+        "dedup_jaccard": O.dedup_jaccard(),
+        "dedup_minhash_lsh": O.dedup_minhash_lsh(),
+        "dedup_simhash": O.dedup_simhash(),
+        "ann_bruteforce": O.ann_bruteforce(),
+        "ann_ivf_assign": O.ann_ivf_assign(),
+        "mm_media_meta": O.mm_media_meta(),
+        "rel_agg_scan": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_join_topk": """
+            SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey
+            FROM (
+                SELECT c.c_mktsegment, o.o_orderkey,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rank <= 3
+        """,
+        "rel_window_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "rel_set_union": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            UNION
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+        """,
+        "rel_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
+    }

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the heavy operators: full KG pipeline (production path) over
+a synthetic page corpus (the engine's real workload, measured as docs/sec),
+the relational KG chain, dedup family, ANN, and the relational aggregates.
+Each query is fully materialized via a count-style action (no driver
+collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry  # noqa: E402
+from unsupervised_ner_spark.pipeline.runner import run_pipeline  # noqa: E402
+from unsupervised_ner_spark.pipeline.synth import synth_pages  # noqa: E402
+from unsupervised_ner_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_sentences",
+    "kg_mentions",
+    "kg_typed_mentions",
+    "kg_bio_tags",
+    "kg_triples",
+    "txt_stats",
+    "txt_langid",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "ann_ivf_assign",
+    "mm_media_meta",
+    "rel_agg_scan",
+    "rel_join_topk",
+    "rel_window_sessions",
+]
+
+SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))
+
+
+def materialize(df) -> None:
+    # noop sink: full evaluation of every column, nothing to the driver
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # full production KG pipeline over a synthetic page corpus: docs/sec
+    t0 = time.time()
+    pages = synth_pages(spark, SYNTH_PAGES).repartition(cpus * 2)
+    stages = run_pipeline(pages, lang_filter="en")
+    materialize(stages["triples"])
+    kg_secs = time.time() - t0
+    times["kg_pipeline_synth"] = round(kg_secs, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "synth_pages": SYNTH_PAGES,
+                "synth_docs_per_sec": round(SYNTH_PAGES / kg_secs, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

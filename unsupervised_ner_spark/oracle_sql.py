@@ -1,0 +1,530 @@
+"""ANSI/DuckDB oracle SQL for every driver-facing query.
+
+Each function returns a DuckDB-runnable SQL string that replays the exact
+semantics of the matching Spark implementation (same hash primitives — md5,
+same tie-breaks, same quantization). Shared fragments are built once so the
+two engines cannot drift apart silently.
+
+The KG-chain oracles re-derive the whole pipeline (sentences -> tokens ->
+mentions -> typing -> BIO -> triples) in pure SQL from the committed fixture
+parquet — a fully independent replication of the reference semantics used as
+the correctness gate (CORRECTNESS_r{N}.json).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from unsupervised_ner_spark.descriptors import OOV_DESCS
+from unsupervised_ner_spark.kernel.spans import FUNCTION_WORDS
+from unsupervised_ner_spark.ops.textstats import EN_STOPWORDS, LANG_STOPWORDS
+
+FIXTURES = Path(__file__).resolve().parent / "resources" / "fixtures"
+
+_FUNCWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(FUNCTION_WORDS)) + "]"
+_OOV_SQL = (
+    "["
+    + ", ".join("{'desc': '%s', 'score': %s}" % (d, float(s)) for d, s in OOV_DESCS)
+    + "]"
+)
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# sentences over the documents table (doc texts are the page bodies; one
+# sentence per newline-delimited line, P3 blank filter, P9 punct-termination)
+SENTS_CTE = """
+sents AS (
+    SELECT url, sent_idx,
+           CASE WHEN substr(s0, length(s0), 1) IN ('!', ',', '.', ':', ';', '?')
+                THEN s0 ELSE s0 || ' . ' END AS sent
+    FROM (
+        SELECT CAST(doc_id AS VARCHAR) AS url, i - 1 AS sent_idx, trim(parts[i]) AS s0
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+             UNNEST(generate_series(1, len(parts))) AS u(i)
+    )
+    WHERE length(s0) > 1
+)
+"""
+
+_NOUNISH = """(
+    NOT list_contains({funcwords}, lower({w}))
+    AND regexp_matches(lower({w}), '[a-z0-9]')
+    AND NOT ({w} = lower({w}) AND lower({w}) <> upper({w}) AND regexp_matches({w}, 'ly$'))
+    AND NOT ({w} = lower({w}) AND lower({w}) <> upper({w}) AND length({w}) > 4
+             AND regexp_matches({w}, '(ed|ing)$'))
+)"""
+
+
+def nounish_sql(w: str) -> str:
+    return _NOUNISH.format(w=w, funcwords=_FUNCWORDS_SQL)
+
+
+TOKENS_CTE = f"""
+stoks AS (
+    SELECT url, sent_idx, sent,
+           list_filter(regexp_split_to_array(sent, '\\s+'), t -> t <> '') AS toks
+    FROM sents
+),
+smode AS (
+    SELECT *, len(list_filter(toks, t -> ends_with(t, ':__entity__'))) > 0 AS marker_mode
+    FROM stoks
+),
+tokens AS (
+    SELECT url, sent_idx, i - 1 AS token_idx,
+           replace(toks[i], ':__entity__', '') AS word,
+           CASE WHEN marker_mode THEN ends_with(toks[i], ':__entity__')
+                ELSE {nounish_sql('toks[i]')} END AS nounish
+    FROM smode, UNNEST(generate_series(1, len(toks))) AS u(i)
+)
+"""
+
+MENTIONS_CTE = """
+m1 AS (
+    SELECT *, CASE WHEN nounish AND NOT coalesce(
+        lag(nounish) OVER (PARTITION BY url, sent_idx ORDER BY token_idx), FALSE)
+        THEN 1 ELSE 0 END AS st
+    FROM tokens
+),
+m2 AS (
+    SELECT *, sum(st) OVER (PARTITION BY url, sent_idx ORDER BY token_idx
+                            ROWS UNBOUNDED PRECEDING) AS grp
+    FROM m1
+),
+mentions AS (
+    SELECT url, sent_idx, CAST(grp - 1 AS BIGINT) AS mention_idx,
+           CAST(min(token_idx) AS BIGINT) AS begin_tok,
+           CAST(max(token_idx) AS BIGINT) AS end_tok,
+           string_agg(word, ' ' ORDER BY token_idx) AS surface
+    FROM m2 WHERE nounish
+    GROUP BY url, sent_idx, grp
+)
+"""
+
+
+def _typed_cte(model: str = "a100") -> str:
+    fix = FIXTURES / f"descriptor_fixture_{model}.parquet"
+    sig = FIXTURES / f"entity_signatures_{model}.parquet"
+    emap = FIXTURES / "entity_map.parquet"
+    return f"""
+base AS (
+    SELECT m.*, s.sent,
+           lower(list_extract(string_split(m.surface, ' '),
+                 len(string_split(m.surface, ' ')))) AS head,
+           len(list_filter(string_split(m.surface, ' '),
+                 t -> NOT regexp_matches(t, '^[0-9]+$'))) = 0 AS is_num,
+           ends_with(s.sent, ' :__entity__') AS blank,
+           m.url || '#' || CAST(m.sent_idx AS VARCHAR) || '#' || CAST(m.mention_idx AS VARCHAR) AS mkey
+    FROM mentions m JOIN sents s USING (url, sent_idx)
+),
+numeric_m AS (
+    SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface,
+           'MEASURE' AS pred_group, 'MEASURE[NUMBER]' AS prediction
+    FROM base WHERE is_num
+),
+fixt AS (SELECT * FROM read_parquet('{fix}')),
+sigt AS (SELECT * FROM read_parquet('{sig}')),
+emapt AS (SELECT * FROM read_parquet('{emap}')),
+jf AS (
+    SELECT b.*, f.ci_descs, f.cs_descs
+    FROM base b LEFT JOIN fixt f ON b.head = f.term
+    WHERE NOT b.is_num
+),
+sides AS (
+    SELECT mkey, 'ci' AS side, coalesce(ci_descs, {_OOV_SQL}) AS descs FROM jf WHERE NOT blank
+    UNION ALL
+    SELECT mkey, 'cs' AS side, coalesce(cs_descs, {_OOV_SQL}) AS descs FROM jf
+),
+drows AS (
+    SELECT mkey, side, i - 1 AS rnk,
+           lower(descs[i]['desc']) AS dterm, descs[i]['score'] AS score
+    FROM sides, UNNEST(generate_series(1, len(descs))) AS u(i)
+),
+sj AS (
+    SELECT d.mkey, d.side, d.rnk, d.score,
+           coalesce(s.labels, ['UNTAGGED_ENTITY']) AS labels,
+           coalesce(s.counts, [1]) AS counts
+    FROM drows d LEFT JOIN sigt s ON d.dterm = s.term
+),
+lab0 AS (
+    SELECT mkey, side, rnk, score, labels[i] AS label,
+           CAST(counts[i] AS DOUBLE) AS cnt
+    FROM sj, UNNEST(generate_series(1, len(labels))) AS u(i)
+    WHERE labels[i] NOT IN ('OTHER', 'UNTAGGED_ENTITY')
+),
+lab AS (
+    SELECT l.*, e.grp FROM lab0 l JOIN emapt e ON l.label = e.subtype
+),
+sm1 AS (SELECT *, max(cnt) OVER (PARTITION BY mkey, side, rnk) AS mx FROM lab),
+sm2 AS (SELECT *, exp(cnt - mx) AS ex FROM sm1),
+sm3 AS (SELECT *, ex / sum(ex) OVER (PARTITION BY mkey, side, rnk) AS soft FROM sm2),
+sidegrp AS (
+    SELECT mkey, side, grp, sum(soft * score) AS s
+    FROM sm3 GROUP BY mkey, side, grp
+),
+sideconf AS (
+    SELECT *, s / sum(s) OVER (PARTITION BY mkey, side) AS conf FROM sidegrp
+),
+missing AS (
+    SELECT sd.mkey, sd.side
+    FROM (SELECT DISTINCT mkey, side FROM sides) sd
+    LEFT JOIN (SELECT DISTINCT mkey, side FROM sideconf) x USING (mkey, side)
+    WHERE x.mkey IS NULL
+),
+allconf AS (
+    SELECT mkey, side, grp, conf FROM sideconf
+    UNION ALL
+    SELECT mkey, side, 'OTHER' AS grp, 1.0 AS conf FROM missing
+),
+pooled AS (
+    SELECT mkey, grp, round(sum(conf), 9) AS p FROM allconf GROUP BY mkey, grp
+),
+topg AS (
+    SELECT mkey, grp AS pred_group FROM (
+        SELECT *, row_number() OVER (PARTITION BY mkey ORDER BY p DESC, grp ASC) AS rn
+        FROM pooled) WHERE rn = 1
+),
+subs AS (
+    SELECT mkey, grp, label, sum(cnt) AS c FROM lab GROUP BY mkey, grp, label
+),
+topsub AS (
+    SELECT mkey, grp, label AS top_subtype FROM (
+        SELECT *, row_number() OVER (PARTITION BY mkey, grp ORDER BY c DESC, label ASC) AS rn
+        FROM subs) WHERE rn = 1
+),
+typed0 AS (
+    SELECT t.mkey, t.pred_group,
+           CASE WHEN ts.top_subtype IS NOT NULL AND ts.top_subtype <> t.pred_group
+                THEN t.pred_group || '[' || ts.top_subtype || ']'
+                ELSE t.pred_group END AS prediction
+    FROM topg t LEFT JOIN topsub ts ON t.mkey = ts.mkey AND t.pred_group = ts.grp
+),
+typed AS (
+    SELECT b.url, b.sent_idx, b.mention_idx, b.begin_tok, b.end_tok, b.surface,
+           t.pred_group, t.prediction
+    FROM base b JOIN typed0 t ON b.mkey = t.mkey
+    UNION ALL
+    SELECT * FROM numeric_m
+)
+"""
+
+
+def _kg_prefix(model: str = "a100") -> str:
+    return (
+        "WITH " + SENTS_CTE.strip().rstrip(",")
+        + ", " + TOKENS_CTE.strip()
+        + ", " + MENTIONS_CTE.strip()
+        + ", " + _typed_cte(model).strip().lstrip()
+    )
+
+
+def kg_sentences() -> str:
+    return f"WITH {SENTS_CTE.strip()} SELECT url, sent_idx, sent FROM sents"
+
+
+def kg_mentions() -> str:
+    return (
+        f"WITH {SENTS_CTE.strip()}, {TOKENS_CTE.strip()}, {MENTIONS_CTE.strip()} "
+        "SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface FROM mentions"
+    )
+
+
+def kg_masks() -> str:
+    """CS masked sentence + CI probe per mention (T1/T2)."""
+    return (
+        f"WITH {SENTS_CTE.strip()}, {TOKENS_CTE.strip()}, {MENTIONS_CTE.strip()}, "
+        """
+stoks2 AS (
+    SELECT url, sent_idx,
+           list_transform(
+             list_filter(regexp_split_to_array(sent, '\\s+'), t -> t <> ''),
+             t -> replace(t, ':__entity__', '')) AS toks
+    FROM sents
+),
+mm AS (
+    SELECT m.*, s.toks FROM mentions m JOIN stoks2 s USING (url, sent_idx)
+)
+SELECT url, sent_idx, mention_idx, surface,
+       array_to_string(
+         list_concat(list_concat(toks[1:begin_tok], ['__entity__']),
+                     toks[end_tok + 2:len(toks)]), ' ') AS masked_sent,
+       array_to_string(
+         list_transform(string_split(surface, ' '),
+           t -> CASE WHEN regexp_matches(t, '^[a-z][a-z]')
+                     THEN upper(substr(t, 1, 1)) || substr(t, 2, length(t) - 1)
+                     ELSE t END), ' ') || ' is a entity' AS ci_probe
+FROM mm
+"""
+    )
+
+
+def kg_typed_mentions(model: str = "a100") -> str:
+    return (
+        _kg_prefix(model)
+        + " SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface,"
+        " pred_group, prediction FROM typed"
+    )
+
+
+def kg_bio_tags(model: str = "a100") -> str:
+    return (
+        _kg_prefix(model)
+        + """
+, expanded AS (
+    SELECT t.url, t.sent_idx, CAST(u.ti AS BIGINT) AS token_idx, t.begin_tok, t.prediction
+    FROM typed t, UNNEST(generate_series(t.begin_tok, t.end_tok)) AS u(ti)
+)
+SELECT tok.url, tok.sent_idx, CAST(tok.token_idx AS BIGINT) AS token_idx, tok.word,
+       CASE WHEN e.prediction IS NULL THEN 'O'
+            WHEN tok.token_idx = e.begin_tok THEN 'B_' || e.prediction
+            ELSE 'I_' || e.prediction END AS tag
+FROM tokens tok
+LEFT JOIN expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
+                     AND tok.token_idx = e.token_idx
+"""
+    )
+
+
+def kg_triples(model: str = "a100") -> str:
+    return (
+        _kg_prefix(model)
+        + """
+, typed_f AS (
+    SELECT *, row_number() OVER (PARTITION BY url, sent_idx ORDER BY begin_tok) AS rn
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+pairs AS (
+    SELECT a.url, a.sent_idx,
+           a.surface AS subj, a.pred_group AS subj_type,
+           b.surface AS obj, b.pred_group AS obj_type,
+           a.end_tok AS ae, b.begin_tok AS bb
+    FROM typed_f a JOIN typed_f b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND b.rn = a.rn + 1
+),
+gaps AS (
+    SELECT p.url, p.sent_idx, p.subj, p.subj_type, p.obj, p.obj_type,
+           string_agg(lower(t.word), ' ' ORDER BY t.token_idx) AS gap_txt
+    FROM pairs p
+    LEFT JOIN tokens t
+      ON t.url = p.url AND t.sent_idx = p.sent_idx
+     AND t.token_idx > p.ae AND t.token_idx < p.bb
+     AND regexp_matches(lower(t.word), '[a-z0-9]')
+    GROUP BY ALL
+)
+SELECT url, sent_idx, subj, subj_type,
+       coalesce(nullif(gap_txt, ''), 'related_to') AS pred,
+       obj, obj_type
+FROM gaps
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# text stats / dedup / similarity / multimodal oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+_LOWTOKS = f"list_transform({_TOKS}, t -> lower(t))"
+_EN_SW = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def txt_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_LOWTOKS})) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_filter({_LOWTOKS}, t -> list_contains({_EN_SW}, t))) AS BIGINT) AS n_stopword_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct_chars,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def txt_quality() -> str:
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_LOWTOKS})) AS n_distinct_tokens,
+           len(list_filter({_LOWTOKS}, t -> list_contains({_EN_SW}, t))) AS n_stopword_tokens
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tokens < 5 THEN 'short'
+            WHEN n_stopword_tokens * 100 < n_tokens * 3 THEN 'boilerplate'
+            WHEN n_distinct_tokens * 100 < n_tokens * 40 THEN 'lowlex'
+            ELSE 'good' END AS quality
+FROM s
+"""
+
+
+def txt_langid() -> str:
+    parts = []
+    for lang, sw in sorted(LANG_STOPWORDS.items()):
+        sw_sql = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+        parts.append(
+            f"len(list_filter({_LOWTOKS}, t -> list_contains({sw_sql}, t))) AS h_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    # sort structs (neg-hits asc, lang asc) == (hits desc, lang asc)
+    pairs = ", ".join(f"{{'nh': -h_{l}, 'lang': '{l}'}}" for l in langs)
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(parts)} FROM documents),
+c AS (SELECT doc_id, list_sort([{pairs}]) AS srt FROM h)
+SELECT doc_id,
+       CASE WHEN srt[1]['nh'] < 0 THEN srt[1]['lang'] ELSE 'und' END AS lang_guess
+FROM c
+"""
+
+
+def txt_fingerprint() -> str:
+    return f"""
+SELECT doc_id, md5(array_to_string({_LOWTOKS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact() -> str:
+    return f"""
+WITH fp AS (
+    SELECT doc_id, md5(array_to_string({_LOWTOKS}, ' ')) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS rep_doc
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+_SHINGLES_CTE = f"""
+sh0 AS (
+    SELECT doc_id, {_LOWTOKS} AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN md5(array_to_string(toks[i:i+2], ' '))
+                ELSE md5(array_to_string(toks, ' ')) END AS shingle
+    FROM sh0, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)
+)
+"""
+
+
+def dedup_jaccard(min_overlap: int = 2) -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_overlap}
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+def dedup_minhash_lsh(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+sizes_ok AS (
+    SELECT band_id, band_hash FROM bands
+    GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket}
+),
+ok AS (
+    SELECT b.* FROM bands b JOIN sizes_ok s USING (band_id, band_hash)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ok a JOIN ok b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+def dedup_simhash(bits: int = 16) -> str:
+    bit_sql = []
+    for j in range(bits):
+        nib = f"CAST(('0x' || substr(md5(tok), {1 + j // 4}, 1)) AS INT)"
+        bit_sql.append(
+            f"sum(CASE WHEN (({nib}) // {2 ** (3 - j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    sim = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH tk AS (
+    SELECT doc_id, unnest({_LOWTOKS}) AS tok FROM documents
+),
+votes AS (SELECT doc_id, {', '.join(bit_sql)} FROM tk GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def ann_bruteforce(n_queries: int = 5, k: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(e.v, q.qv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rank <= {k}
+"""
+
+
+def ann_ivf_assign(n_centroids: int = 16) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+d AS (
+    SELECT e.vec_id, c.centroid_id,
+           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+    FROM e CROSS JOIN c
+),
+r AS (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+    FROM d
+)
+SELECT vec_id, centroid_id FROM r WHERE rn = 1
+"""
+
+
+def mm_media_meta() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 31) % 433 AS BIGINT) AS height,
+       'image/fake' AS media_type
+FROM documents
+"""

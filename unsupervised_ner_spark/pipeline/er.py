@@ -1,0 +1,180 @@
+"""Cross-document entity resolution + canonicalization (SURVEY.md §7.1
+stage 5; north rule "entity linking, canonicalization").
+
+Stages:
+1. ``entity_occurrences``  — typed mentions -> normalized surfaces (narrow).
+2. ``exact_canonical``     — deterministic canonical key per
+   (norm_surface, type): md5 — one hash-aggregate, the 80% case.
+3. ``fuzzy_edges``         — MinHash-LSH over character 3-gram shingles of
+   the normalized surface, band self-join (bucket-capped against hot-key
+   blowup, e.g. "covid" appearing in millions of pages), exact Jaccard
+   verify >= threshold.
+4. ``connected_components``— iterative min-label propagation over the edge
+   set (large-star/small-star style alternation is unnecessary at these
+   densities; plain neighbor-min converges in O(diameter) rounds). Each
+   iteration localCheckpoints to cut lineage; iteration count is logged —
+   deterministic and resumable.
+5. ``canonical_entities``/``canonicalize_triples`` — final graph tables.
+
+Skew note: the band join salts implicitly through banding (a hot surface
+shares all bands only with true near-duplicates); residual skew is handled
+by the bucket cap + AQE skew-join (session default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_occurrences(typed_mentions: DataFrame) -> DataFrame:
+    """typed mentions (url, sent_idx, mention_idx, surface, pred_group) ->
+    occurrences with normalized surface + deterministic occurrence id."""
+    norm = F.regexp_replace(F.lower(F.col("surface")), r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return typed_mentions.select(
+        F.md5(
+            F.concat_ws("#", "url", F.col("sent_idx").cast("string"),
+                        F.col("mention_idx").cast("string"))
+        ).alias("occurrence_id"),
+        "url",
+        "surface",
+        norm.alias("norm_surface"),
+        F.col("pred_group").alias("etype"),
+    ).filter((F.col("etype") != "OTHER") & (F.length("norm_surface") > 0))
+
+
+def exact_canonical(occurrences: DataFrame) -> DataFrame:
+    """(norm_surface, etype) -> canonical node key + stats (hash agg)."""
+    return (
+        occurrences.groupBy("norm_surface", "etype")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.min("surface").alias("canonical_surface"),
+        )
+        .withColumn("node_id", F.md5(F.concat_ws("|", "norm_surface", "etype")))
+    )
+
+
+def _char_shingles(col, k: int = 3):
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    n = F.length(padded)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(k)),
+        )
+    )
+
+
+def fuzzy_edges(
+    nodes: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """LSH band self-join on surface shingles within the same etype ->
+    verified edges (node_a, node_b)."""
+    sh = nodes.select(
+        "node_id", "etype", F.explode(_char_shingles(F.col("norm_surface"))).alias("sh")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("node_id", "etype").agg(*mins)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_id"),
+                              F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+    ex = sig.select("node_id", "etype", F.explode(F.array(*bands)).alias("b")).select(
+        "node_id", "etype", "b.band_id", "b.band_hash"
+    )
+    sizes = ex.groupBy("etype", "band_id", "band_hash").agg(F.count("*").alias("n"))
+    ok = ex.join(
+        sizes.filter(F.col("n") <= max_bucket).drop("n"),
+        ["etype", "band_id", "band_hash"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.etype") == F.col("b.etype"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(F.col("a.node_id").alias("node_a"), F.col("b.node_id").alias("node_b"))
+        .distinct()
+    )
+    # exact Jaccard verify on the candidate pairs
+    shs = nodes.select("node_id", _char_shingles(F.col("norm_surface")).alias("shs"))
+    v = (
+        cand.join(shs.withColumnRenamed("node_id", "node_a").withColumnRenamed("shs", "sa"), "node_a")
+        .join(shs.withColumnRenamed("node_id", "node_b").withColumnRenamed("shs", "sb"), "node_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return v.filter(inter >= union * F.lit(jaccard_threshold)).select("node_a", "node_b")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> tuple[DataFrame, int]:
+    """Min-label propagation: returns (node_id -> component_id, iterations).
+
+    Driver-side loop over DataFrames; each round localCheckpoints so lineage
+    stays bounded (SURVEY.md §4.3 item 3). Deterministic: labels are md5
+    strings, min is total order."""
+    labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    sym = edges.select("node_a", "node_b").union(
+        edges.select(F.col("node_b").alias("node_a"), F.col("node_a").alias("node_b"))
+    )
+    iterations = 0
+    for _ in range(max_iter):
+        iterations += 1
+        neighbor_min = (
+            sym.join(labels, sym.node_b == labels.node_id)
+            .groupBy("node_a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node_id == neighbor_min.node_a, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, iterations
+
+
+def canonical_entities(occurrences: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Full ER: exact grouping -> fuzzy LSH edges -> connected components ->
+    entities(entity_id, canonical_surface, etype, n_mentions)."""
+    nodes = exact_canonical(occurrences)
+    edges = fuzzy_edges(nodes)
+    labels, _iters = connected_components(nodes.select("node_id"), edges, max_iter)
+    merged = nodes.join(labels, "node_id")
+    return (
+        merged.groupBy("component", "etype")
+        .agg(
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+            F.min_by("canonical_surface", F.struct(F.col("n_mentions") * -1, F.col("canonical_surface"))).alias("canonical_surface"),
+        )
+        .withColumnRenamed("component", "entity_id")
+    )
