@@ -10,8 +10,9 @@ gated by ``table_format()``. The resume algebra is format-agnostic:
   ``bucket(64, url)`` partitioning in FIXTURES.md §1);
 - a stage write appends one lineage row per bucket:
   (stage, pbucket, row_count, checksum) where checksum is an
-  order-independent SUM of per-row xxhash64 — cheap, associative,
-  partition-parallel;
+  order-independent XOR of per-row xxhash64 (paired with row_count so
+  cancellation needs identical duplicate rows) — cheap, associative,
+  partition-parallel, overflow-free under ANSI mode;
 - resume = anti-join the input's buckets against the lineage table's
   completed buckets for that stage, recompute only the gap
   (reference analog: append-only logs + per-sentence flush,
@@ -60,7 +61,7 @@ def write_stage(
         out.groupBy("pbucket")
         .agg(
             F.count("*").alias("row_count"),
-            F.sum(F.xxhash64(*_checksum_cols(df))).alias("checksum"),
+            F.bit_xor(F.xxhash64(*_checksum_cols(df))).alias("checksum"),
         )
         .withColumn("stage", F.lit(stage))
     )
