@@ -148,6 +148,38 @@ def q_kg_triples(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_er_exact_canonical(spark, sf_dir):
+    """Exact entity canonicalization over the relational typed mentions."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = q_kg_typed_mentions(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    nodes = er.exact_canonical(occ)
+    return nodes.select(
+        "node_id", "norm_surface", "etype",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        "canonical_surface",
+    )
+
+
+def q_er_components(spark, sf_dir):
+    """Full ER incl. LSH edges + iterative connected components (rows-only:
+    the iteration is not single-statement-SQL-expressible)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = q_kg_typed_mentions(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    ents = er.canonical_entities(occ)
+    return ents.select(
+        "entity_id", "etype", "canonical_surface",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
+
+
 def _long(df, *cols):
     out = df
     for c in cols:
@@ -310,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_assign": q_ann_ivf_assign,
         "mm_media_meta": q_mm_media_meta,
+        "er_exact_canonical": q_er_exact_canonical,
+        "er_components": q_er_components,
         "rel_agg_scan": q_rel_agg_scan,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_sessions": q_rel_window_sessions,
@@ -337,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": O.ann_bruteforce(),
         "ann_ivf_assign": O.ann_ivf_assign(),
         "mm_media_meta": O.mm_media_meta(),
+        "er_exact_canonical": O.er_exact_canonical(),
         "rel_agg_scan": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -26,7 +26,7 @@ def pages(spark):
 
 @pytest.fixture(scope="module")
 def stages(pages):
-    return run_pipeline(pages, lang_filter=None)
+    return run_pipeline(pages, lang_filter=None, detail=True)
 
 
 @pytest.fixture(scope="module")

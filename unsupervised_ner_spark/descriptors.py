@@ -82,6 +82,17 @@ class FixtureDescriptorProvider:
             return list(OOV_DESCS)
         return entry[side]
 
+    def cache_key(self, surface: str) -> str | None:
+        """Typing-result memoization key: this provider's descriptors are a
+        pure function of the head term (numeric/OOV collapse to sentinels),
+        so per-mention typing results can be cached per key. Context-
+        sensitive providers (real MLM) must return None."""
+        toks = surface.split()
+        if toks and all(is_integer_token(t) for t in toks):
+            return "\x00num"
+        t = head_term(surface)
+        return t if t in self.table else "\x00oov"
+
 
 class HFBertDescriptorProvider:
     """HuggingFace masked-LM top-k descriptors (production / GPU path).

@@ -66,6 +66,10 @@ class OracleTagger:
         self.common_descs = common_descs
         self.suppress_untagged = suppress_untagged
         self.punct_terminate = punct_terminate
+        # typing-result memo: valid only when the provider declares its
+        # descriptors a pure function of the surface (cache_key != None).
+        # Zipfian surface distributions make this the tagging hot-path win.
+        self._memo: dict = {}
 
     def _signature(self, desc: str):
         """J1 descriptor-term -> signature; misses are UNTAGGED with count 1
@@ -96,6 +100,7 @@ class OracleTagger:
         blank = S.is_blank_probe(sent)
         results: list[MentionResult] = []
         predictions: list[str] = []
+        cache_key_fn = getattr(self.provider, "cache_key", lambda s: None)
         for m in mentions_kept:
             mr = MentionResult(
                 begin_tok=m.begin_tok,
@@ -104,19 +109,31 @@ class OracleTagger:
                 masked_sentence=S.masked_sentence(tokens, m),
                 ci_probe=S.ci_probe(m.surface),
             )
-            ci_descs = self.provider.descriptors(m.surface, "ci")
-            cs_descs = self.provider.descriptors(m.surface, "cs")
-            mr.ci_entities, mr.ci_confidences, ci_subtypes = self._type_side(ci_descs)
-            if cs_descs:
-                mr.cs_entities, mr.cs_confidences, cs_subtypes = self._type_side(cs_descs)
-            else:  # find_cs_entities empty-descs branch (batched_main_NER.py:436-441)
-                cs_subtypes = {}
-            mr.pooled = T.pool_confidences(
-                mr.ci_entities, mr.ci_confidences, ci_subtypes,
-                mr.cs_entities, mr.cs_confidences, cs_subtypes,
-                blank_probe=blank,
-            )
-            mr.prediction = T.top_prediction(mr.pooled)
+            ck = cache_key_fn(m.surface)
+            memo_key = (ck, blank) if ck is not None else None
+            hit = self._memo.get(memo_key) if memo_key is not None else None
+            if hit is not None:
+                (mr.ci_entities, mr.ci_confidences, mr.cs_entities,
+                 mr.cs_confidences, mr.pooled, mr.prediction) = hit
+            else:
+                ci_descs = self.provider.descriptors(m.surface, "ci")
+                cs_descs = self.provider.descriptors(m.surface, "cs")
+                mr.ci_entities, mr.ci_confidences, ci_subtypes = self._type_side(ci_descs)
+                if cs_descs:
+                    mr.cs_entities, mr.cs_confidences, cs_subtypes = self._type_side(cs_descs)
+                else:  # find_cs_entities empty-descs branch (batched_main_NER.py:436-441)
+                    cs_subtypes = {}
+                mr.pooled = T.pool_confidences(
+                    mr.ci_entities, mr.ci_confidences, ci_subtypes,
+                    mr.cs_entities, mr.cs_confidences, cs_subtypes,
+                    blank_probe=blank,
+                )
+                mr.prediction = T.top_prediction(mr.pooled)
+                if memo_key is not None:
+                    self._memo[memo_key] = (
+                        mr.ci_entities, mr.ci_confidences, mr.cs_entities,
+                        mr.cs_confidences, mr.pooled, mr.prediction,
+                    )
             results.append(mr)
             predictions.append(mr.prediction)
         tags = emit_bio(span_arr, predictions)

@@ -518,6 +518,28 @@ SELECT vec_id, centroid_id FROM r WHERE rn = 1
 """
 
 
+def er_exact_canonical(model: str = "a100") -> str:
+    """Exact canonicalization over the typed mentions of the KG chain:
+    (norm_surface, etype) -> node_id + stats (pipeline/er.py twin)."""
+    return (
+        _kg_prefix(model)
+        + """
+, occ AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface,
+           pred_group AS etype, surface
+    FROM typed WHERE pred_group <> 'OTHER'
+)
+SELECT md5(norm_surface || '|' || etype) AS node_id,
+       norm_surface, etype,
+       count(*) AS n_mentions,
+       min(surface) AS canonical_surface
+FROM occ WHERE length(norm_surface) > 0
+GROUP BY norm_surface, etype
+"""
+    )
+
+
 def mm_media_meta() -> str:
     return """
 SELECT doc_id,

@@ -99,8 +99,8 @@ def ensemble_tags(
 ) -> DataFrame:
     """sentences -> ensembled token-level BIO tags (url, sent_idx, token_idx,
     word, tag)."""
-    ta = tag_sentences(sentences, model=model_a)
-    tb = tag_sentences(sentences, model=model_b)
+    ta = tag_sentences(sentences, model=model_a, detail=True)
+    tb = tag_sentences(sentences, model=model_b, detail=True)
     resolved = resolve_ensemble(_mention_rows(ta, "a"), _mention_rows(tb, "b"))
     # W2/W3: copy the resolution across the span, B_ on the head
     span_toks = resolved.select(

@@ -22,6 +22,7 @@ def run_pipeline(
     pages: DataFrame,
     model: str = "a100",
     lang_filter: str | None = "en",
+    detail: bool = False,
     **tag_kwargs,
 ) -> dict[str, DataFrame]:
     """Returns the lazily-planned stage DataFrames keyed by stage name."""
@@ -29,7 +30,7 @@ def run_pipeline(
         # partition-prunable predicate at the scan (SURVEY.md §4.2)
         pages = pages.filter(F.col("lang") == lang_filter)
     sentences = pages_to_sentences(pages)
-    tagged = tag_sentences(sentences, model=model, **tag_kwargs)
+    tagged = tag_sentences(sentences, model=model, detail=detail, **tag_kwargs)
     return {
         "pages": pages,
         "sentences": sentences,

@@ -54,17 +54,33 @@ MENTION = T.StructType(
         T.StructField("pooled", T.ArrayType(POOLED)),
     ]
 )
-TAGGED_SCHEMA = T.StructType(
+# slim variant for the hot path: Arrow conversion of deeply nested structs
+# dominates the tagging stage cost, and tags/triples only need these fields
+MENTION_SLIM = T.StructType(
     [
-        T.StructField("url", T.StringType()),
-        T.StructField("sent_idx", T.IntegerType()),
-        T.StructField("sent", T.StringType()),
-        T.StructField("words", T.ArrayType(T.StringType())),
-        T.StructField("span_arr", T.ArrayType(T.IntegerType())),
-        T.StructField("tags", T.ArrayType(T.StringType())),
-        T.StructField("mentions", T.ArrayType(MENTION)),
+        T.StructField("begin_tok", T.IntegerType()),
+        T.StructField("end_tok", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("prediction", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
     ]
 )
+def _tagged_schema(mention_type):
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("sent_idx", T.IntegerType()),
+            T.StructField("sent", T.StringType()),
+            T.StructField("words", T.ArrayType(T.StringType())),
+            T.StructField("span_arr", T.ArrayType(T.IntegerType())),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("mentions", T.ArrayType(mention_type)),
+        ]
+    )
+
+
+TAGGED_SCHEMA = _tagged_schema(MENTION)
+TAGGED_SCHEMA_SLIM = _tagged_schema(MENTION_SLIM)
 
 
 def tag_sentences(
@@ -73,6 +89,7 @@ def tag_sentences(
     suppress_untagged: bool = True,
     common_descs: frozenset[str] = frozenset(),
     provider_factory: Callable[[], object] | None = None,
+    detail: bool = True,
 ) -> DataFrame:
     """sentences(url, sent_idx, sent) -> tagged sentences (TAGGED_SCHEMA).
 
@@ -115,30 +132,45 @@ def tag_sentences(
                 out["words"].append(r.words)
                 out["span_arr"].append(r.span_arr)
                 out["tags"].append(r.tags)
-                out["mentions"].append(
-                    [
-                        {
-                            "begin_tok": m.begin_tok,
-                            "end_tok": m.end_tok,
-                            "surface": m.surface,
-                            "masked_sent": m.masked_sentence,
-                            "ci_probe": m.ci_probe,
-                            "prediction": m.prediction,
-                            "pooled": [
-                                {
-                                    "e": e,
-                                    "confidence": c,
-                                    "stypes": [{"st": s, "factor": f} for s, f in st],
-                                }
-                                for e, c, st in m.pooled
-                            ],
-                        }
-                        for m in r.mentions
-                    ]
-                )
+                if detail:
+                    out["mentions"].append(
+                        [
+                            {
+                                "begin_tok": m.begin_tok,
+                                "end_tok": m.end_tok,
+                                "surface": m.surface,
+                                "masked_sent": m.masked_sentence,
+                                "ci_probe": m.ci_probe,
+                                "prediction": m.prediction,
+                                "pooled": [
+                                    {
+                                        "e": e,
+                                        "confidence": c,
+                                        "stypes": [{"st": s, "factor": f} for s, f in st],
+                                    }
+                                    for e, c, st in m.pooled
+                                ],
+                            }
+                            for m in r.mentions
+                        ]
+                    )
+                else:
+                    out["mentions"].append(
+                        [
+                            {
+                                "begin_tok": m.begin_tok,
+                                "end_tok": m.end_tok,
+                                "surface": m.surface,
+                                "prediction": m.prediction,
+                                "conf": m.pooled[0][1] if m.pooled else 1.0,
+                            }
+                            for m in r.mentions
+                        ]
+                    )
             yield pd.DataFrame(out)
 
-    return sentences.select("url", "sent_idx", "sent").mapInPandas(run, TAGGED_SCHEMA)
+    schema = TAGGED_SCHEMA if detail else TAGGED_SCHEMA_SLIM
+    return sentences.select("url", "sent_idx", "sent").mapInPandas(run, schema)
 
 
 def tagged_to_token_tags(tagged: DataFrame) -> DataFrame:

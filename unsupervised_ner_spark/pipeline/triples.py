@@ -20,9 +20,15 @@ from pyspark.sql import functions as F
 def tagged_to_triples(tagged: DataFrame) -> DataFrame:
     """tagged (pipeline/tagging.TAGGED_SCHEMA) -> triples(url, sent_idx,
     subj, subj_type, pred, obj, obj_type, conf)."""
+    slim = "conf" in [
+        f.name for f in tagged.schema["mentions"].dataType.elementType.fields
+    ]
     ms = F.filter(F.col("mentions"), lambda m: m["prediction"] != F.lit("OTHER"))
     n = F.size(ms)
     words = F.col("words")
+
+    def conf_of(m):
+        return m["conf"] if slim else F.element_at(m["pooled"], 1)["confidence"]
 
     def pair_at(i):
         m1 = F.element_at(ms, i + 1)
@@ -42,8 +48,8 @@ def tagged_to_triples(tagged: DataFrame) -> DataFrame:
             F.when(pred == "", F.lit("related_to")).otherwise(pred).alias("pred"),
             m2["surface"].alias("obj"),
             F.split(m2["prediction"], r"\[")[0].alias("obj_type"),
-            F.element_at(m1["pooled"], 1)["confidence"].alias("subj_conf"),
-            F.element_at(m2["pooled"], 1)["confidence"].alias("obj_conf"),
+            conf_of(m1).alias("subj_conf"),
+            conf_of(m2).alias("obj_conf"),
         )
 
     pairs = F.when(
