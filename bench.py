@@ -65,6 +65,7 @@ def main() -> None:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     # full production KG pipeline over a synthetic page corpus: docs/sec
     t0 = time.time()

@@ -1,0 +1,87 @@
+"""Capture physical plans for the flagship pipelines into PLANS.md, with
+assertions on the properties that matter at 100 TB:
+
+- the KG tagging chain is narrow (no Exchange before the sink);
+- parquet scans carry PushedFilters + pruned ReadSchema;
+- dimension joins are BroadcastHashJoin, never sort-merge;
+- Python stages are ArrowEvalPython/MapInPandas (vectorized), wrapped in
+  WholeStageCodegen relational glue.
+
+Usage: python scripts/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from unsupervised_ner_spark.ops import dedup  # noqa: E402
+from unsupervised_ner_spark.pipeline.runner import run_pipeline  # noqa: E402
+from unsupervised_ner_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    spark = get_spark("plans", cores=8, shuffle_partitions=8)
+    sections = []
+    checks = []
+
+    # 1. production KG chain: pages -> token tags
+    pages = entry._docs_as_pages(spark, SF)
+    stages = run_pipeline(pages, lang_filter="en")
+    p1 = plan_of(stages["tags"])
+    sections.append(("KG production chain (pages -> BIO tags)", p1))
+    checks.append(("narrow tagging chain: no Exchange", "Exchange" not in p1))
+    checks.append(("vectorized Python stage present", "MapInPandas" in p1))
+    checks.append((
+        "lang filter pushed to parquet scan",
+        "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p1.replace("'", ""),
+    ))
+
+    # 2. filtered relational aggregate: pushdown + codegen
+    p2 = plan_of(entry.q_rel_agg_scan(spark, SF))
+    sections.append(("Filtered aggregate (rel_agg_scan)", p2))
+    checks.append(("shipdate filter pushed down", "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate," in p2))
+    checks.append(("column-pruned scan", "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp" in p2))
+    checks.append(("whole-stage codegen", "WholeStageCodegen" in p2))
+
+    # 3. broadcast join for the dimension side
+    p3 = plan_of(entry.q_rel_join_topk(spark, SF))
+    sections.append(("Broadcast join + windowed top-k (rel_join_topk)", p3))
+    checks.append(("customer dim broadcast", "BroadcastHashJoin" in p3))
+
+    # 4. LSH dedup: band join shape
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p4 = plan_of(dedup.lsh_bucket_pairs(docs))
+    sections.append(("MinHash-LSH candidate pairs (dedup)", p4))
+    checks.append(("bucket-cap join broadcast", "BroadcastHashJoin" in p4))
+
+    failed = [name for name, ok in checks if not ok]
+    lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
+    lines.append("Checked properties (scripts/capture_plans.py):")
+    for name, ok in checks:
+        lines.append(f"- [{'x' if ok else ' '}] {name}")
+    lines.append("")
+    for title, plan in sections:
+        lines.append(f"## {title}\n\n```\n{plan.strip()}\n```\n")
+    (REPO / "PLANS.md").write_text("\n".join(lines))
+    print("wrote PLANS.md;", "ALL CHECKS PASS" if not failed else f"FAILED: {failed}")
+    spark.stop()
+    raise SystemExit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

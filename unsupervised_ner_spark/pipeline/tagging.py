@@ -82,6 +82,26 @@ def _tagged_schema(mention_type):
 TAGGED_SCHEMA = _tagged_schema(MENTION)
 TAGGED_SCHEMA_SLIM = _tagged_schema(MENTION_SLIM)
 
+# broadcast registry: the fixture table (~30 MB pickled) and dims ship to
+# executors ONCE per SparkContext per model, not once per tag_sentences call
+# (repeated broadcasts bloat driver memory and degrade long sessions)
+_BC_CACHE: dict = {}
+_TABLE_CACHE: dict = {}
+
+
+def _get_broadcasts(spark, model: str):
+    key = (id(spark.sparkContext), model)
+    if key not in _BC_CACHE:
+        if model not in _TABLE_CACHE:
+            _TABLE_CACHE[model] = FixtureDescriptorProvider.load(model).table
+        _BC_CACHE[key] = (
+            spark.sparkContext.broadcast(_TABLE_CACHE[model]),
+            spark.sparkContext.broadcast(
+                (dims.load_entity_map(), dims.load_signatures(model))
+            ),
+        )
+    return _BC_CACHE[key]
+
 
 def tag_sentences(
     sentences: DataFrame,
@@ -97,20 +117,14 @@ def tag_sentences(
     the in-UDF tagger runs with punct_terminate=False (idempotence).
     """
     spark = sentences.sparkSession
+    bc_table, bc_dims = _get_broadcasts(spark, model)
     if provider_factory is None:
-        table = FixtureDescriptorProvider.load(model).table
-        provider_factory = lambda tbl=table: FixtureDescriptorProvider(tbl)  # noqa: E731
-        bc_provider_state = spark.sparkContext.broadcast(table)
 
         def make_provider():
-            return FixtureDescriptorProvider(bc_provider_state.value)
+            return FixtureDescriptorProvider(bc_table.value)
 
     else:
         make_provider = provider_factory
-
-    bc_dims = spark.sparkContext.broadcast(
-        (dims.load_entity_map(), dims.load_signatures(model))
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         entity_map, signatures = bc_dims.value

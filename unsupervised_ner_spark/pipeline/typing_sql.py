@@ -107,27 +107,44 @@ def typed_mentions_relational(
         F.coalesce("labels", F.array(F.lit("UNTAGGED_ENTITY"))).alias("labels"),
         F.coalesce("counts", F.array(F.lit(1).cast("int"))).alias("counts"),
     )
-    lab = sj.select(
-        "mkey", "side", "rank", "score",
-        F.posexplode(F.arrays_zip("labels", "counts")).alias("lab_pos", "lc"),
-    ).select(
-        "mkey", "side", "rank", "score", "lab_pos",
-        F.col("lc.labels").alias("label"),
-        F.col("lc.counts").cast("double").alias("cnt"),
+    # suppression BEFORE softmax (map_entities, batched_main_NER.py:686-702),
+    # then the per-descriptor softmax (batched_main_NER.py:621, max-
+    # subtracted) computed AT ARRAY LEVEL — no window, stays narrow; the
+    # first exchange in this plan is the per-mention aggregate below.
+    kept = F.filter(
+        F.arrays_zip("labels", "counts"),
+        lambda lc: ~lc["labels"].isin(*SUPPRESSED),
     )
-    # suppression BEFORE softmax (map_entities, batched_main_NER.py:686-702)
-    lab = lab.filter(~F.col("label").isin(*SUPPRESSED))
+    cnts = F.transform(kept, lambda lc: lc["counts"].cast("double"))
+    mx = F.array_max(cnts)
+    exps = F.transform(cnts, lambda c: F.exp(c - mx))
+    tot = F.aggregate(exps, F.lit(0.0), lambda a, v: a + v)
+    softp = F.zip_with(
+        kept, exps,
+        lambda lc, e: F.struct(
+            lc["labels"].alias("label"),
+            lc["counts"].cast("double").alias("cnt"),
+            (e / tot).alias("soft"),
+        ),
+    )
+    lab = sj.select(
+        "mkey", "side", "score", F.explode(softp).alias("ls")
+    ).select(
+        "mkey", "side", "score",
+        F.col("ls.label").alias("label"),
+        F.col("ls.cnt").alias("cnt"),
+        (F.col("ls.soft") * F.col("score")).alias("contrib"),
+    )
     # J2 subtype -> group
     lab = lab.join(F.broadcast(emap), lab.label == emap.subtype).drop("subtype")
 
-    # per-descriptor softmax (batched_main_NER.py:621, max-subtracted)
-    wdesc = Window.partitionBy("mkey", "side", "rank")
-    ex = F.exp(F.col("cnt") - F.max("cnt").over(wdesc))
-    lab = lab.withColumn("soft", ex / F.sum(ex).over(wdesc))
-    lab = lab.withColumn("contrib", F.col("soft") * F.col("score"))
+    # single wide->narrow aggregate; everything downstream is tiny
+    g1 = lab.groupBy("mkey", "side", "grp", "label").agg(
+        F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
+    )
 
     # A1: sum per (mention, side, group)
-    side_grp = lab.groupBy("mkey", "side", "grp").agg(F.sum("contrib").alias("s"))
+    side_grp = g1.groupBy("mkey", "side", "grp").agg(F.sum("sc").alias("s"))
     wside = Window.partitionBy("mkey", "side")
     side_grp = side_grp.withColumn("conf", F.col("s") / F.sum("s").over(wside))
 
@@ -145,7 +162,7 @@ def typed_mentions_relational(
     )
 
     # A2 subtype: raw counts summed across surviving sides, per (mention, grp, label)
-    subs = lab.groupBy("mkey", "grp", "label").agg(F.sum("cnt").alias("c"))
+    subs = g1.groupBy("mkey", "grp", "label").agg(F.sum("c").alias("c"))
     wsub = Window.partitionBy("mkey", "grp").orderBy(F.desc("c"), F.asc("label"))
     top_sub = subs.withColumn("rn", F.row_number().over(wsub)).filter("rn = 1").select(
         "mkey", F.col("grp").alias("sgrp"), F.col("label").alias("top_subtype")
