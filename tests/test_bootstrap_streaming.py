@@ -1,0 +1,78 @@
+"""Tests for bootstrap-vocabulary ops (S10/A7/A8/A9/W4) and streaming
+incremental ingest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.ops import bootstrap as B
+from unsupervised_ner_spark.pipeline.runner import run_pipeline
+from unsupervised_ner_spark.pipeline.synth import synth_pages
+from unsupervised_ner_spark.pipeline.tagging import tag_sentences
+
+
+def test_merge_label_files_semantics(spark):
+    # construct_bs.py: lowercase, dedupe, UNTAGGED stripped when others exist
+    f1 = spark.createDataFrame(
+        [("Aspirin", "DRUG"), ("bone", "UNTAGGED_ENTITY")], "term string, label string"
+    )
+    f2 = spark.createDataFrame(
+        [("aspirin", "CHEMICAL_SUBSTANCE"), ("bone", "DISEASE"), ("solo", "UNTAGGED_ENTITY")],
+        "term string, label string",
+    )
+    out = {r.term: r.labels for r in B.merge_label_files([f1, f2]).collect()}
+    assert out["aspirin"] == ["DRUG", "CHEMICAL_SUBSTANCE"]
+    assert out["bone"] == ["DISEASE"]          # UNTAGGED stripped
+    assert out["solo"] == ["UNTAGGED_ENTITY"]  # kept when alone
+
+
+def test_label_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")], "term string, label string"
+    )
+    rows = B.label_histogram(df).collect()
+    assert [(r.label, r.n) for r in rows] == [("X", 2), ("Y", 1)]
+
+
+def test_dedupe_lines_first_occurrence(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], "line string")
+    assert B.dedupe_lines(df).count() == 2
+
+
+def test_harvest_ci_candidates(spark):
+    sents = spark.createDataFrame(
+        [
+            ("u1", 0, "Mesothelioma :__entity__"),
+            ("u1", 1, "Mesothelioma:__entity__ is a disease ."),
+        ],
+        "url string, sent_idx int, sent string",
+    )
+    tagged = tag_sentences(sents, detail=True)
+    got = B.harvest_ci_candidates(tagged).collect()
+    # only the blank-probe sentence harvests
+    assert len(got) == 1
+    assert got[0].surface == "Mesothelioma"
+    assert got[0].harvested_label == "DISEASE"
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    from unsupervised_ner_spark.pipeline import checkpoint as cp
+    from unsupervised_ner_spark.streaming import stream_pages
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out")
+    synth_pages(spark, 20).write.parquet(src)
+    q = stream_pages(spark, src, out, lang_filter=None)
+    q.awaitTermination(120)
+    tags = spark.read.parquet(f"{out}/tags")
+    assert tags.count() > 0
+    # second batch of new files -> only new data appended
+    n1 = tags.count()
+    synth_pages(spark, 40).filter("pmod(xxhash64(url), 2) = 0").write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_pages(spark, src, out, lang_filter=None)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(f"{out}/tags").count()
+    assert n2 > n1
+    m = cp.stage_metrics(spark, out)
+    assert m.filter(F.col("stage") == "tags").count() > 0

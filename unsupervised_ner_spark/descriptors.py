@@ -58,19 +58,30 @@ class FixtureDescriptorProvider:
         self.table = table
 
     @classmethod
-    def load(cls, model: str = "a100") -> "FixtureDescriptorProvider":
+    def _load_parquet(cls, model: str) -> dict:
         import pyarrow.parquet as pq
 
         path = FIXTURES_DIR / f"descriptor_fixture_{model}.parquet"
         t = pq.read_table(path).to_pylist()
-        table = {
+        return {
             row["term"]: {
                 "ci": [(d["desc"], d["score"]) for d in row["ci_descs"]],
                 "cs": [(d["desc"], d["score"]) for d in row["cs_descs"]],
             }
             for row in t
         }
-        return cls(table)
+
+    @classmethod
+    def load(cls, model: str = "a100") -> "FixtureDescriptorProvider":
+        """Fast path: the committed pickle bundle (cold-start-critical for
+        executor workers); fallback: rebuild from the parquet fixture."""
+        import pickle
+
+        bundle = FIXTURES_DIR / f"bundle_{model}.pkl"
+        if bundle.exists():
+            with open(bundle, "rb") as fp:
+                return cls(pickle.load(fp)["table"])
+        return cls(cls._load_parquet(model))
 
     def descriptors(self, surface: str, side: str) -> list[tuple[str, float]]:
         assert side in ("ci", "cs")

@@ -10,9 +10,10 @@ Scale notes (SURVEY.md §4.3):
 - This is a NARROW transformation: a 1000-executor run over 10^12 pages has
   no exchange until the cross-document ER stage.
 - Dimension data (descriptor fixture, signature vocab, entity map — tens of
-  MB) ships once per executor via ``SparkContext.broadcast``, mirroring the
-  reference's singleton model server (BatchedNerServer.py:27-29). The
-  tagger is constructed once per partition, not per row.
+  MB) loads once per WORKER PROCESS from the packaged resource files (they
+  ship with the code, like model weights via --py-files), mirroring the
+  reference's singleton model server (BatchedNerServer.py:27-29); see
+  ``_worker_tagger`` for why this beats SparkContext.broadcast here.
 - Swapping ``provider_factory`` to the HF BERT provider turns this same
   stage into the GPU inference stage — batch size governed by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
@@ -82,25 +83,45 @@ def _tagged_schema(mention_type):
 TAGGED_SCHEMA = _tagged_schema(MENTION)
 TAGGED_SCHEMA_SLIM = _tagged_schema(MENTION_SLIM)
 
-# broadcast registry: the fixture table (~30 MB pickled) and dims ship to
-# executors ONCE per SparkContext per model, not once per tag_sentences call
-# (repeated broadcasts bloat driver memory and degrade long sessions)
-_BC_CACHE: dict = {}
-_TABLE_CACHE: dict = {}
+# Worker-process-level tagger cache. Measured: shipping the ~30 MB fixture
+# dict via SparkContext.broadcast serializes every python worker through the
+# JVM's broadcast server (init up to 26 s/task at local[32] while the actual
+# tagging work is 0.3 s). Loading from the PACKAGED resource files instead —
+# they ship with the code via --py-files exactly like real model weights —
+# is embarrassingly parallel and cached once per worker process, surviving
+# across tasks AND stages (so the typing memo stays warm too). This is the
+# moral equivalent of the reference's lazy singleton model server
+# (BatchedNerServer.py:27-29).
+_WORKER_TAGGER_CACHE: dict = {}
 
 
-def _get_broadcasts(spark, model: str):
-    key = (id(spark.sparkContext), model)
-    if key not in _BC_CACHE:
-        if model not in _TABLE_CACHE:
-            _TABLE_CACHE[model] = FixtureDescriptorProvider.load(model).table
-        _BC_CACHE[key] = (
-            spark.sparkContext.broadcast(_TABLE_CACHE[model]),
-            spark.sparkContext.broadcast(
-                (dims.load_entity_map(), dims.load_signatures(model))
-            ),
+def _worker_tagger(
+    model: str, suppress_untagged: bool, common_descs: frozenset[str]
+) -> OracleTagger:
+    key = (model, suppress_untagged, common_descs)
+    if key not in _WORKER_TAGGER_CACHE:
+        import pickle
+
+        from unsupervised_ner_spark.descriptors import FIXTURES_DIR
+
+        bundle_path = FIXTURES_DIR / f"bundle_{model}.pkl"
+        if bundle_path.exists():  # fast cold start (see gen_fixtures.py)
+            with open(bundle_path, "rb") as fp:
+                b = pickle.load(fp)
+            provider = FixtureDescriptorProvider(b["table"])
+            emap, sigs = b["entity_map"], b["signatures"]
+        else:
+            provider = FixtureDescriptorProvider.load(model)
+            emap, sigs = dims.load_entity_map(), dims.load_signatures(model)
+        _WORKER_TAGGER_CACHE[key] = OracleTagger(
+            provider,
+            emap,
+            sigs,
+            common_descs=common_descs,
+            suppress_untagged=suppress_untagged,
+            punct_terminate=False,
         )
-    return _BC_CACHE[key]
+    return _WORKER_TAGGER_CACHE[key]
 
 
 def tag_sentences(
@@ -116,26 +137,18 @@ def tag_sentences(
     ``sent`` is assumed already punct-terminated by pages_to_sentences, so
     the in-UDF tagger runs with punct_terminate=False (idempotence).
     """
-    spark = sentences.sparkSession
-    bc_table, bc_dims = _get_broadcasts(spark, model)
-    if provider_factory is None:
-
-        def make_provider():
-            return FixtureDescriptorProvider(bc_table.value)
-
-    else:
-        make_provider = provider_factory
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        entity_map, signatures = bc_dims.value
-        tagger = OracleTagger(
-            make_provider(),
-            entity_map,
-            signatures,
-            common_descs=common_descs,
-            suppress_untagged=suppress_untagged,
-            punct_terminate=False,
-        )
+        if provider_factory is not None:
+            tagger = OracleTagger(
+                provider_factory(),
+                dims.load_entity_map(),
+                dims.load_signatures(model),
+                common_descs=common_descs,
+                suppress_untagged=suppress_untagged,
+                punct_terminate=False,
+            )
+        else:
+            tagger = _worker_tagger(model, suppress_untagged, common_descs)
         for pdf in batches:
             out = {k: [] for k in ("url", "sent_idx", "sent", "words", "span_arr", "tags", "mentions")}
             for url, sent_idx, sent in zip(pdf["url"], pdf["sent_idx"], pdf["sent"]):
