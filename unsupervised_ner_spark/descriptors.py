@@ -83,26 +83,44 @@ class FixtureDescriptorProvider:
                 return cls(pickle.load(fp)["table"])
         return cls(cls._load_parquet(model))
 
-    def descriptors(self, surface: str, side: str) -> list[tuple[str, float]]:
-        assert side in ("ci", "cs")
-        toks = surface.split()
-        if toks and all(is_integer_token(t) for t in toks):
-            return list(DUMMY_DESCS)
-        entry = self.table.get(head_term(surface))
-        if entry is None:
-            return list(OOV_DESCS)
-        return entry[side]
+    @staticmethod
+    def _context_key(context: str | None) -> str:
+        """Bare-marker mentions (blank probes, "... :__entity__") have an
+        empty surface; the reference's MLM predicts the masked position from
+        sentence context (batched_main_NER.py:158-163 flow). Stand-in: key
+        on the last word before the mask in the CS masked sentence."""
+        if not context:
+            return ""
+        toks = context.split()
+        for i, t in enumerate(toks):
+            if t == "__entity__" and i > 0:
+                return toks[i - 1].lower()
+        return ""
 
-    def cache_key(self, surface: str) -> str | None:
-        """Typing-result memoization key: this provider's descriptors are a
-        pure function of the head term (numeric/OOV collapse to sentinels),
-        so per-mention typing results can be cached per key. Context-
-        sensitive providers (real MLM) must return None."""
+    def _key(self, surface: str, context: str | None) -> str:
         toks = surface.split()
         if toks and all(is_integer_token(t) for t in toks):
             return "\x00num"
-        t = head_term(surface)
+        t = head_term(surface) if toks else self._context_key(context)
         return t if t in self.table else "\x00oov"
+
+    def descriptors(
+        self, surface: str, side: str, context: str | None = None
+    ) -> list[tuple[str, float]]:
+        assert side in ("ci", "cs")
+        key = self._key(surface, context)
+        if key == "\x00num":
+            return list(DUMMY_DESCS)
+        if key == "\x00oov":
+            return list(OOV_DESCS)
+        return self.table[key][side]
+
+    def cache_key(self, surface: str, context: str | None = None) -> str | None:
+        """Typing-result memoization key: this provider's descriptors are a
+        pure function of the derived key (numeric/OOV collapse to
+        sentinels), so per-mention typing results can be cached. Context-
+        sensitive providers (real MLM) must return None."""
+        return self._key(surface, context)
 
 
 class HFBertDescriptorProvider:

@@ -100,7 +100,7 @@ class OracleTagger:
         blank = S.is_blank_probe(sent)
         results: list[MentionResult] = []
         predictions: list[str] = []
-        cache_key_fn = getattr(self.provider, "cache_key", lambda s: None)
+        cache_key_fn = getattr(self.provider, "cache_key", lambda s, context=None: None)
         for m in mentions_kept:
             mr = MentionResult(
                 begin_tok=m.begin_tok,
@@ -109,15 +109,19 @@ class OracleTagger:
                 masked_sentence=S.masked_sentence(tokens, m),
                 ci_probe=S.ci_probe(m.surface),
             )
-            ck = cache_key_fn(m.surface)
+            ck = cache_key_fn(m.surface, context=mr.masked_sentence)
             memo_key = (ck, blank) if ck is not None else None
             hit = self._memo.get(memo_key) if memo_key is not None else None
             if hit is not None:
                 (mr.ci_entities, mr.ci_confidences, mr.cs_entities,
                  mr.cs_confidences, mr.pooled, mr.prediction) = hit
             else:
-                ci_descs = self.provider.descriptors(m.surface, "ci")
-                cs_descs = self.provider.descriptors(m.surface, "cs")
+                ci_descs = self.provider.descriptors(
+                    m.surface, "ci", context=mr.ci_probe
+                )
+                cs_descs = self.provider.descriptors(
+                    m.surface, "cs", context=mr.masked_sentence
+                )
                 mr.ci_entities, mr.ci_confidences, ci_subtypes = self._type_side(ci_descs)
                 if cs_descs:
                     mr.cs_entities, mr.cs_confidences, cs_subtypes = self._type_side(cs_descs)

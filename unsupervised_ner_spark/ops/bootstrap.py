@@ -83,11 +83,17 @@ def harvest_ci_candidates(tagged: DataFrame) -> DataFrame:
     its surface + base predicted group."""
     is_blank = F.col("sent").endswith(" :__entity__")
     m = tagged.filter(is_blank).select(
-        "url", "sent_idx", F.explode("mentions").alias("m")
+        "url", "sent_idx", "words", F.explode("mentions").alias("m")
     )
+    # bare-marker mentions have empty surfaces; the harvested term is the
+    # word preceding the marker (ret_dict[count-2]["term"],
+    # batched_main_NER.py:152)
+    surface = F.when(
+        F.col("m.surface") != "", F.col("m.surface")
+    ).otherwise(F.element_at("words", F.col("m.begin_tok")))
     return m.select(
         "url",
         "sent_idx",
-        F.col("m.surface").alias("surface"),
+        surface.alias("surface"),
         F.split(F.col("m.prediction"), r"\[")[0].alias("harvested_label"),
-    ).filter(F.col("harvested_label") != "OTHER")
+    ).filter((F.col("harvested_label") != "OTHER") & F.col("surface").isNotNull())
