@@ -148,6 +148,21 @@ def q_kg_triples(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_kg_ensemble_mentions(spark, sf_dir):
+    """Two-model relational ensemble (J5/J6/O4) vs full SQL oracle."""
+    from unsupervised_ner_spark.pipeline.ensemble_sql import ensemble_mentions_relational
+
+    s = _sentences(spark, sf_dir)
+    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
+    out = ensemble_mentions_relational(m, s, spark)
+    return out.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        "surface", "pred_a", "pred_b", "resolution",
+    )
+
+
 def q_er_exact_canonical(spark, sf_dir):
     """Exact entity canonicalization over the relational typed mentions."""
     from unsupervised_ner_spark.pipeline import er
@@ -224,6 +239,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold_pct=35)
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -331,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
+        "kg_ensemble_mentions": q_kg_ensemble_mentions,
         "txt_stats": q_txt_stats,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -339,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_assign": q_ann_ivf_assign,
         "mm_media_meta": q_mm_media_meta,
@@ -360,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_mentions": O.kg_typed_mentions(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
+        "kg_ensemble_mentions": O.kg_ensemble_mentions(),
         "txt_stats": O.txt_stats(),
         "txt_quality": O.txt_quality(),
         "txt_langid": O.txt_langid(),
@@ -368,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_minhash_lsh": O.dedup_minhash_lsh(),
         "dedup_simhash": O.dedup_simhash(),
+        "dedup_embedding_cosine": O.dedup_embedding_cosine(),
         "ann_bruteforce": O.ann_bruteforce(),
         "ann_ivf_assign": O.ann_ivf_assign(),
         "mm_media_meta": O.mm_media_meta(),

@@ -126,6 +126,39 @@ def lsh_bucket_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold_pct: int = 90, n_centroids: int = 16
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-blocked.
+
+    Vectors are assigned to coarse cells (nearest of the first
+    ``n_centroids`` corpus vectors — deterministic codebook); candidate
+    pairs share a cell; cosine computed exactly on candidates. Returns
+    (vec_a, vec_b) for cosine*100 >= threshold_pct. At 100 TB the cell id
+    is the shuffle key, so the join never goes quadratic globally.
+    """
+    from unsupervised_ner_spark.ops.simsearch import _dot, _norm, ivf_assign
+
+    assign = ivf_assign(embeddings, n_centroids)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assign, "vec_id")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    ).filter(F.col("cos") * 100 >= threshold_pct).select("vec_a", "vec_b")
+
+
 SIMHASH_BITS = 16  # 4 md5 nibbles; enough for bucketing demos, cheap at scale
 
 

@@ -103,12 +103,12 @@ mentions AS (
 """
 
 
-def _typed_cte(model: str = "a100") -> str:
+def _typed_cte(model: str = "a100", s: str = "") -> str:
     fix = FIXTURES / f"descriptor_fixture_{model}.parquet"
     sig = FIXTURES / f"entity_signatures_{model}.parquet"
     emap = FIXTURES / "entity_map.parquet"
     return f"""
-base AS (
+{s}base AS (
     SELECT m.*, s.sent,
            lower(list_extract(string_split(m.surface, ' '),
                  len(string_split(m.surface, ' ')))) AS head,
@@ -118,94 +118,94 @@ base AS (
            m.url || '#' || CAST(m.sent_idx AS VARCHAR) || '#' || CAST(m.mention_idx AS VARCHAR) AS mkey
     FROM mentions m JOIN sents s USING (url, sent_idx)
 ),
-numeric_m AS (
+{s}numeric_m AS (
     SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface,
            'MEASURE' AS pred_group, 'MEASURE[NUMBER]' AS prediction
-    FROM base WHERE is_num
+    FROM {s}base WHERE is_num
 ),
-fixt AS (SELECT * FROM read_parquet('{fix}')),
-sigt AS (SELECT * FROM read_parquet('{sig}')),
-emapt AS (SELECT * FROM read_parquet('{emap}')),
-jf AS (
+{s}fixt AS (SELECT * FROM read_parquet('{fix}')),
+{s}sigt AS (SELECT * FROM read_parquet('{sig}')),
+{s}emapt AS (SELECT * FROM read_parquet('{emap}')),
+{s}jf AS (
     SELECT b.*, f.ci_descs, f.cs_descs
-    FROM base b LEFT JOIN fixt f ON b.head = f.term
+    FROM {s}base b LEFT JOIN {s}fixt f ON b.head = f.term
     WHERE NOT b.is_num
 ),
-sides AS (
-    SELECT mkey, 'ci' AS side, coalesce(ci_descs, {_OOV_SQL}) AS descs FROM jf WHERE NOT blank
+{s}sides AS (
+    SELECT mkey, 'ci' AS side, coalesce(ci_descs, {_OOV_SQL}) AS descs FROM {s}jf WHERE NOT blank
     UNION ALL
-    SELECT mkey, 'cs' AS side, coalesce(cs_descs, {_OOV_SQL}) AS descs FROM jf
+    SELECT mkey, 'cs' AS side, coalesce(cs_descs, {_OOV_SQL}) AS descs FROM {s}jf
 ),
-drows AS (
+{s}drows AS (
     SELECT mkey, side, i - 1 AS rnk,
            lower(descs[i]['desc']) AS dterm, descs[i]['score'] AS score
-    FROM sides, UNNEST(generate_series(1, len(descs))) AS u(i)
+    FROM {s}sides, UNNEST(generate_series(1, len(descs))) AS u(i)
 ),
-sj AS (
+{s}sj AS (
     SELECT d.mkey, d.side, d.rnk, d.score,
            coalesce(s.labels, ['UNTAGGED_ENTITY']) AS labels,
            coalesce(s.counts, [1]) AS counts
-    FROM drows d LEFT JOIN sigt s ON d.dterm = s.term
+    FROM {s}drows d LEFT JOIN {s}sigt s ON d.dterm = s.term
 ),
-lab0 AS (
+{s}lab0 AS (
     SELECT mkey, side, rnk, score, labels[i] AS label,
            CAST(counts[i] AS DOUBLE) AS cnt
-    FROM sj, UNNEST(generate_series(1, len(labels))) AS u(i)
+    FROM {s}sj, UNNEST(generate_series(1, len(labels))) AS u(i)
     WHERE labels[i] NOT IN ('OTHER', 'UNTAGGED_ENTITY')
 ),
-lab AS (
-    SELECT l.*, e.grp FROM lab0 l JOIN emapt e ON l.label = e.subtype
+{s}lab AS (
+    SELECT l.*, e.grp FROM {s}lab0 l JOIN {s}emapt e ON l.label = e.subtype
 ),
-sm1 AS (SELECT *, max(cnt) OVER (PARTITION BY mkey, side, rnk) AS mx FROM lab),
-sm2 AS (SELECT *, exp(cnt - mx) AS ex FROM sm1),
-sm3 AS (SELECT *, ex / sum(ex) OVER (PARTITION BY mkey, side, rnk) AS soft FROM sm2),
-sidegrp AS (
+{s}sm1 AS (SELECT *, max(cnt) OVER (PARTITION BY mkey, side, rnk) AS mx FROM {s}lab),
+{s}sm2 AS (SELECT *, exp(cnt - mx) AS ex FROM {s}sm1),
+{s}sm3 AS (SELECT *, ex / sum(ex) OVER (PARTITION BY mkey, side, rnk) AS soft FROM {s}sm2),
+{s}sidegrp AS (
     SELECT mkey, side, grp, sum(soft * score) AS s
-    FROM sm3 GROUP BY mkey, side, grp
+    FROM {s}sm3 GROUP BY mkey, side, grp
 ),
-sideconf AS (
-    SELECT *, s / sum(s) OVER (PARTITION BY mkey, side) AS conf FROM sidegrp
+{s}sideconf AS (
+    SELECT *, s / sum(s) OVER (PARTITION BY mkey, side) AS conf FROM {s}sidegrp
 ),
-missing AS (
+{s}missing AS (
     SELECT sd.mkey, sd.side
-    FROM (SELECT DISTINCT mkey, side FROM sides) sd
-    LEFT JOIN (SELECT DISTINCT mkey, side FROM sideconf) x USING (mkey, side)
+    FROM (SELECT DISTINCT mkey, side FROM {s}sides) sd
+    LEFT JOIN (SELECT DISTINCT mkey, side FROM {s}sideconf) x USING (mkey, side)
     WHERE x.mkey IS NULL
 ),
-allconf AS (
-    SELECT mkey, side, grp, conf FROM sideconf
+{s}allconf AS (
+    SELECT mkey, side, grp, conf FROM {s}sideconf
     UNION ALL
-    SELECT mkey, side, 'OTHER' AS grp, 1.0 AS conf FROM missing
+    SELECT mkey, side, 'OTHER' AS grp, 1.0 AS conf FROM {s}missing
 ),
-pooled AS (
-    SELECT mkey, grp, round(sum(conf), 9) AS p FROM allconf GROUP BY mkey, grp
+{s}pooled AS (
+    SELECT mkey, grp, round(sum(conf), 9) AS p FROM {s}allconf GROUP BY mkey, grp
 ),
-topg AS (
+{s}topg AS (
     SELECT mkey, grp AS pred_group FROM (
         SELECT *, row_number() OVER (PARTITION BY mkey ORDER BY p DESC, grp ASC) AS rn
-        FROM pooled) WHERE rn = 1
+        FROM {s}pooled) WHERE rn = 1
 ),
-subs AS (
-    SELECT mkey, grp, label, sum(cnt) AS c FROM lab GROUP BY mkey, grp, label
+{s}subs AS (
+    SELECT mkey, grp, label, sum(cnt) AS c FROM {s}lab GROUP BY mkey, grp, label
 ),
-topsub AS (
+{s}topsub AS (
     SELECT mkey, grp, label AS top_subtype FROM (
         SELECT *, row_number() OVER (PARTITION BY mkey, grp ORDER BY c DESC, label ASC) AS rn
-        FROM subs) WHERE rn = 1
+        FROM {s}subs) WHERE rn = 1
 ),
-typed0 AS (
+{s}typed0 AS (
     SELECT t.mkey, t.pred_group,
            CASE WHEN ts.top_subtype IS NOT NULL AND ts.top_subtype <> t.pred_group
                 THEN t.pred_group || '[' || ts.top_subtype || ']'
                 ELSE t.pred_group END AS prediction
-    FROM topg t LEFT JOIN topsub ts ON t.mkey = ts.mkey AND t.pred_group = ts.grp
+    FROM {s}topg t LEFT JOIN {s}topsub ts ON t.mkey = ts.mkey AND t.pred_group = ts.grp
 ),
-typed AS (
+{s}typed AS (
     SELECT b.url, b.sent_idx, b.mention_idx, b.begin_tok, b.end_tok, b.surface,
            t.pred_group, t.prediction
-    FROM base b JOIN typed0 t ON b.mkey = t.mkey
+    FROM {s}base b JOIN {s}typed0 t ON b.mkey = t.mkey
     UNION ALL
-    SELECT * FROM numeric_m
+    SELECT * FROM {s}numeric_m
 )
 """
 
@@ -518,6 +518,84 @@ SELECT vec_id, centroid_id FROM r WHERE rn = 1
 """
 
 
+def _dist_cte(s: str) -> str:
+    """Distribution extras per model chain: normalized pooled conf of the
+    winner (9dp) + sorted above-mean set; numeric mentions get conf 1.0 /
+    [MEASURE] (typing_sql.py include_dist twin)."""
+    return f"""
+{s}pnorm AS (
+    SELECT mkey, grp,
+           p / sum(p) OVER (PARTITION BY mkey) AS conf_norm,
+           count(*) OVER (PARTITION BY mkey) AS n
+    FROM {s}pooled
+),
+{s}above AS (
+    SELECT mkey, list_sort(list(grp)) AS above_mean
+    FROM {s}pnorm WHERE conf_norm * n >= 1.0 GROUP BY mkey
+),
+{s}typed_d AS (
+    SELECT t.url, t.sent_idx, t.mention_idx, t.surface, t.pred_group, t.prediction,
+           round(pn.conf_norm, 9) AS conf, ab.above_mean
+    FROM {s}typed t
+    JOIN {s}above ab
+      ON ab.mkey = t.url || '#' || CAST(t.sent_idx AS VARCHAR) || '#' || CAST(t.mention_idx AS VARCHAR)
+    JOIN {s}pnorm pn
+      ON pn.mkey = ab.mkey AND pn.grp = t.pred_group
+    WHERE NOT EXISTS (SELECT 1 FROM {s}numeric_m nm
+                      WHERE nm.url = t.url AND nm.sent_idx = t.sent_idx
+                        AND nm.mention_idx = t.mention_idx)
+    UNION ALL
+    SELECT url, sent_idx, mention_idx, surface, pred_group, prediction,
+           1.0 AS conf, ['MEASURE'] AS above_mean
+    FROM {s}numeric_m
+)"""
+
+
+def kg_ensemble_mentions(model_a: str = "a100", model_b: str = "bbc") -> str:
+    """Two relational typing chains + conflict resolution (J5/J6/O4;
+    pipeline/ensemble_sql.py twin)."""
+    from unsupervised_ner_spark.dims import load_precedence
+
+    prec = load_precedence()
+    bio_ok = "[" + ", ".join(f"'{x}'" for x in prec["bio_precedence_arr"] + prec["common_entities_arr"]) + "]"
+    phi_ok = "[" + ", ".join(f"'{x}'" for x in prec["phi_precedence_arr"] + prec["common_entities_arr"]) + "]"
+    bio_prec = "[" + ", ".join(f"'{x}'" for x in prec["bio_precedence_arr"]) + "]"
+    return (
+        "WITH " + SENTS_CTE.strip().rstrip(",")
+        + ", " + TOKENS_CTE.strip()
+        + ", " + MENTIONS_CTE.strip()
+        + ", " + _typed_cte(model_a, "a_").strip()
+        + ", " + _typed_cte(model_b, "b_").strip()
+        + ", " + _dist_cte("a_").strip()
+        + ", " + _dist_cte("b_").strip()
+        + f"""
+, joined AS (
+    SELECT a.url, a.sent_idx, a.mention_idx, a.surface,
+           a.pred_group AS base_a, a.prediction AS pred_a, a.conf AS conf_a, a.above_mean AS above_a,
+           b.pred_group AS base_b, b.prediction AS pred_b, b.conf AS conf_b, b.above_mean AS above_b
+    FROM a_typed_d a JOIN b_typed_d b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.mention_idx = b.mention_idx
+)
+SELECT url, sent_idx, mention_idx, surface, pred_a, pred_b,
+    CASE
+      WHEN base_a = base_b THEN
+        CASE WHEN list_contains({bio_prec}, base_a) THEN pred_a ELSE pred_b END
+      WHEN base_b = 'OTHER' THEN pred_a
+      WHEN base_a = 'OTHER' THEN pred_b
+      WHEN len(list_filter(above_a, e -> NOT list_contains({bio_ok}, e))) > 0
+       AND len(list_filter(above_b, e -> NOT list_contains({phi_ok}, e))) = 0
+        THEN pred_b
+      WHEN len(list_filter(above_b, e -> NOT list_contains({phi_ok}, e))) > 0
+       AND len(list_filter(above_a, e -> NOT list_contains({bio_ok}, e))) = 0
+        THEN pred_a
+      WHEN conf_a >= conf_b THEN pred_a || '/' || pred_b
+      ELSE pred_b || '/' || pred_a
+    END AS resolution
+FROM joined
+"""
+    )
+
+
 def er_exact_canonical(model: str = "a100") -> str:
     """Exact canonicalization over the typed mentions of the KG chain:
     (norm_surface, etype) -> node_id + stats (pipeline/er.py twin)."""
@@ -538,6 +616,35 @@ FROM occ WHERE length(norm_surface) > 0
 GROUP BY norm_surface, etype
 """
     )
+
+
+def dedup_embedding_cosine(threshold_pct: int = 35, n_centroids: int = 16) -> str:
+    """IVF-blocked embedding-cosine near-dup pairs (ops/dedup.py twin)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+d AS (
+    SELECT e.vec_id, c.centroid_id,
+           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM d) WHERE rn = 1
+),
+ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM ea a JOIN ea b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM pairs WHERE cos * 100 >= {threshold_pct}
+"""
 
 
 def mm_media_meta() -> str:

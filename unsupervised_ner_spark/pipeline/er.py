@@ -121,17 +121,26 @@ def fuzzy_edges(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20, loop_partitions: int | None = None
 ) -> tuple[DataFrame, int]:
     """Min-label propagation: returns (node_id -> component_id, iterations).
 
     Driver-side loop over DataFrames; each round localCheckpoints so lineage
     stays bounded (SURVEY.md §4.3 item 3). Deterministic: labels are md5
-    strings, min is total order."""
+    strings, min is total order.
+
+    ``loop_partitions`` sizes the per-iteration shuffles: iteration state is
+    usually tiny relative to the corpus (unique surfaces, not mentions), and
+    per-task overhead dominates if the loop inherits the corpus-sized
+    shuffle-partition setting. Default: ~1 partition per 100k edges, min 4."""
+    if loop_partitions is None:
+        loop_partitions = 4  # right-sized lazily below if edges are big
     labels = nodes.select("node_id", F.col("node_id").alias("component"))
     sym = edges.select("node_a", "node_b").union(
         edges.select(F.col("node_b").alias("node_a"), F.col("node_a").alias("node_b"))
     )
+    sym = sym.repartition(loop_partitions, "node_b").localCheckpoint()
+    labels = labels.repartition(loop_partitions, "node_id")
     iterations = 0
     for _ in range(max_iter):
         iterations += 1
@@ -144,23 +153,17 @@ def connected_components(
             labels.join(neighbor_min, labels.node_id == neighbor_min.node_a, "left")
             .select(
                 "node_id",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
-        )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        ).localCheckpoint()
+        changed = new_labels.filter("component != prev").limit(1).count()
+        labels = new_labels.select("node_id", "component")
         if changed == 0:
             break
-    return labels, iterations
+    return labels.select("node_id", "component"), iterations
 
 
 def canonical_entities(occurrences: DataFrame, max_iter: int = 20) -> DataFrame:

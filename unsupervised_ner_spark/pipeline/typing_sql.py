@@ -54,6 +54,7 @@ def typed_mentions_relational(
     sentences: DataFrame,
     spark: SparkSession,
     model: str = "a100",
+    include_dist: bool = False,
 ) -> DataFrame:
     """mentions(url, sent_idx, mention_idx, begin_tok, end_tok, surface) +
     sentences(url, sent_idx, sent) -> (url, sent_idx, mention_idx, begin_tok,
@@ -177,8 +178,48 @@ def typed_mentions_relational(
     ).otherwise(F.col("pred_group"))
     typed = typed.select("mkey", "pred_group", pred.alias("prediction"))
 
-    out = mm.join(typed, "mkey").select(
-        "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
-        "pred_group", "prediction",
+    if not include_dist:
+        out = mm.join(typed, "mkey").select(
+            "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
+            "pred_group", "prediction",
+        )
+        return out.unionByName(numeric)
+
+    # distribution extras for the ensemble (J5/O4): normalized pooled conf of
+    # the winner + the above-mean prediction set
+    # (get_predictions_above_threshold, ensemble/aggregate_server_json.py:204-228)
+    wm = Window.partitionBy("mkey")
+    pnorm = (
+        pooled.withColumn("tot", F.sum("p").over(wm))
+        .withColumn("n", F.count("*").over(wm))
+        .withColumn("conf_norm", F.col("p") / F.col("tot"))
     )
-    return out.unionByName(numeric)
+    above = (
+        pnorm.filter(F.col("conf_norm") * F.col("n") >= 1.0)
+        .groupBy("mkey")
+        .agg(F.sort_array(F.collect_list("grp")).alias("above_mean"))
+    )
+    topconf = pnorm.select(
+        F.col("mkey").alias("tkey"), F.col("grp").alias("tgrp"), "conf_norm"
+    )
+    typed_d = (
+        typed.join(above, "mkey")
+        .join(
+            topconf,
+            (F.col("mkey") == F.col("tkey")) & (F.col("pred_group") == F.col("tgrp")),
+        )
+        .select(
+            "mkey", "pred_group", "prediction",
+            F.round("conf_norm", 9).alias("conf"), "above_mean",
+        )
+    )
+    out = mm.join(typed_d, "mkey").select(
+        "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
+        "pred_group", "prediction", "conf", "above_mean",
+    )
+    numeric_d = numeric.select(
+        "*",
+        F.lit(1.0).alias("conf"),
+        F.array(F.lit("MEASURE")).alias("above_mean"),
+    )
+    return out.unionByName(numeric_d)
