@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_bruteforce",
     "ann_ivf_assign",
+    "dedup_embedding_cosine",
     "mm_media_meta",
     "rel_agg_scan",
     "rel_join_topk",
@@ -60,6 +61,11 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
     qs = entry.queries()
+    # warm worker processes (dimension bundles, codegen) outside the timed
+    # windows — steady-state throughput is the metric (see BENCH.md)
+    materialize(
+        run_pipeline(synth_pages(spark, cpus * 32).repartition(cpus), lang_filter="en")["triples"]
+    )
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

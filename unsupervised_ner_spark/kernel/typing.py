@@ -50,7 +50,13 @@ def softmax(x: np.ndarray) -> np.ndarray:
 
 def normalize_round(values: list[float]) -> list[float]:
     """convert_positive_nums_to_dist (batched_main_NER.py:579-590): divide by
-    total (zero total -> first factor forced to 1), numpy round to 4dp."""
+    total (zero total -> first factor forced to 1), numpy round to 4dp.
+
+    Empty input returns [] — the reference would raise IndexError here
+    (:585 factors[0] on an empty list); unreachable in its flow (CI side is
+    never empty) and guarded in ours for robustness."""
+    if not values:
+        return []
     factors = [float(v) for v in values]
     total = float(sum(factors))
     if total == 0:
