@@ -1,0 +1,57 @@
+"""End-to-end canonical graph: typed mentions -> ER -> salted occurrence
+link -> canonicalized triples (the north-rule deliverable)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.pipeline import er
+from unsupervised_ner_spark.pipeline.runner import run_pipeline
+from unsupervised_ner_spark.pipeline.synth import synth_pages
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages = synth_pages(spark, 80).cache()
+    stages = run_pipeline(pages, lang_filter=None)
+    m = stages["tagged"].select(
+        "url", "sent_idx", F.posexplode("mentions").alias("mention_idx", "m")
+    ).select(
+        "url", "sent_idx", "mention_idx",
+        F.col("m.surface").alias("surface"),
+        F.split(F.col("m.prediction"), r"\[")[0].alias("pred_group"),
+    )
+    occ = er.entity_occurrences(m).cache()
+    entities, membership = er.resolve_entities(occ)
+    return {
+        "occ": occ,
+        "entities": entities.cache(),
+        "membership": membership.cache(),
+        "triples": stages["triples"].cache(),
+    }
+
+
+def test_salted_link_covers_all_occurrences(spark, graph):
+    linked = er.salted_occurrence_link(graph["occ"], graph["membership"])
+    # every occurrence links to exactly one entity (salt replication must
+    # neither drop nor duplicate)
+    assert linked.count() == graph["occ"].count()
+    assert linked.groupBy("occurrence_id").count().filter("count > 1").count() == 0
+    # linked entity ids are all known
+    known = {r.entity_id for r in graph["entities"].select("entity_id").collect()}
+    sample = linked.select("entity_id").distinct().collect()
+    assert all(r.entity_id in known for r in sample)
+
+
+def test_canonical_triples(spark, graph):
+    ct = er.canonicalize_triples(graph["triples"], graph["membership"])
+    rows = ct.collect()
+    assert len(rows) > 0
+    known = {r.entity_id for r in graph["entities"].select("entity_id").collect()}
+    for r in rows[:100]:
+        assert r.subj_id in known and r.obj_id in known
+        assert r.pred
+    # duplicated sentences across pages canonicalize to the SAME entity pair
+    pair_counts = (
+        ct.groupBy("subj_id", "pred", "obj_id").count().filter("count > 1").count()
+    )
+    assert pair_counts > 0, "cross-document duplicates should merge onto shared entities"

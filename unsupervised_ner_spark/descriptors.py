@@ -126,22 +126,80 @@ class FixtureDescriptorProvider:
 class HFBertDescriptorProvider:
     """HuggingFace masked-LM top-k descriptors (production / GPU path).
 
-    Not usable in this container (no transformers/torch); the Spark stage
-    that wraps it (pipeline/typing.py: ``mlm_descriptors_mapinpandas``)
-    is real and tested with the fixture provider swapped in.
+    The real analogue of the reference's descriptor service: a pretrained
+    BERT (no fine-tuning) scores the masked position, top-k vocab terms with
+    logits become the (desc, score) pairs (contract at
+    batched_main_NER.py:380-391,557-562). Import-gated — transformers/torch
+    are not in this container — but the code below is the complete executor
+    body: construct one provider per worker process (the tagging stage's
+    ``provider_factory`` hook) and every call batches through the tokenizer.
+
+    Batching note: ``tag_sentences`` drives this per mention; for true GPU
+    efficiency override ``descriptors_batch`` from a custom mapInPandas that
+    groups an Arrow batch's masked sentences into one forward pass (the
+    plumbing shape is identical, only the loop body moves).
     """
 
-    def __init__(self, model_name: str = "bert-base-cased", top_k: int = TOP_K_DESCS):
-        try:
-            import torch  # noqa: F401
-            from transformers import AutoModelForMaskedLM, AutoTokenizer  # noqa: F401
-        except ImportError as e:  # pragma: no cover - not in container
+    def __init__(
+        self,
+        model_name: str = "bert-base-cased",
+        top_k: int = TOP_K_DESCS,
+        device: str | None = None,
+    ):
+        try:  # pragma: no cover - not installable in this container
+            import torch
+            from transformers import AutoModelForMaskedLM, AutoTokenizer
+        except ImportError as e:
             raise NotImplementedError(
                 "transformers/torch not available in this environment; "
                 "use FixtureDescriptorProvider"
             ) from e
-        self.model_name = model_name
+        self._torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModelForMaskedLM.from_pretrained(model_name)
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.model.to(self.device).eval()
         self.top_k = top_k
 
-    def descriptors(self, surface: str, side: str):  # pragma: no cover
-        raise NotImplementedError
+    def cache_key(self, surface: str, context: str | None = None):
+        return None  # context-sensitive: typing results must not be memoized
+
+    def descriptors_batch(
+        self, masked_sentences: list[str]
+    ) -> list[list[tuple[str, float]]]:  # pragma: no cover
+        torch = self._torch
+        texts = [
+            s.replace("__entity__", self.tokenizer.mask_token)
+            for s in masked_sentences
+        ]
+        enc = self.tokenizer(
+            texts, return_tensors="pt", padding=True, truncation=True, max_length=128
+        ).to(self.device)
+        with torch.no_grad():
+            logits = self.model(**enc).logits
+        mask_id = self.tokenizer.mask_token_id
+        out = []
+        for i in range(len(texts)):
+            pos = (enc["input_ids"][i] == mask_id).nonzero()
+            if len(pos) == 0:
+                out.append([])
+                continue
+            row = logits[i, int(pos[0])]
+            top = torch.topk(row, self.top_k)
+            out.append(
+                [
+                    (self.tokenizer.convert_ids_to_tokens(int(t)), float(v))
+                    for v, t in zip(top.values, top.indices)
+                ]
+            )
+        return out
+
+    def descriptors(
+        self, surface: str, side: str, context: str | None = None
+    ) -> list[tuple[str, float]]:  # pragma: no cover
+        from unsupervised_ner_spark.kernel.spans import ci_probe
+
+        sent = context if context else (
+            ci_probe(surface) if side == "ci" else surface + " __entity__"
+        )
+        return self.descriptors_batch([sent])[0]

@@ -27,11 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def norm_surface_col(col):
+    """Shared surface normalization: lowercase, strip non-alnum, collapse."""
+    n = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(n, r"\s+", " "))
+
+
 def entity_occurrences(typed_mentions: DataFrame) -> DataFrame:
     """typed mentions (url, sent_idx, mention_idx, surface, pred_group) ->
     occurrences with normalized surface + deterministic occurrence id."""
-    norm = F.regexp_replace(F.lower(F.col("surface")), r"[^a-z0-9 ]", "")
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    norm = norm_surface_col(F.col("surface"))
     return typed_mentions.select(
         F.md5(
             F.concat_ws("#", "url", F.col("sent_idx").cast("string"),
@@ -166,18 +171,93 @@ def connected_components(
     return labels.select("node_id", "component"), iterations
 
 
-def canonical_entities(occurrences: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Full ER: exact grouping -> fuzzy LSH edges -> connected components ->
-    entities(entity_id, canonical_surface, etype, n_mentions)."""
+def salted_occurrence_link(
+    occurrences: DataFrame, entities: DataFrame, salt: int = 8
+) -> DataFrame:
+    """Link every mention occurrence to its canonical entity id — the skewed
+    join of the pipeline (north rule: "salted repartitioning for skewed hot
+    entities"; SURVEY §4.2: "COVID-19 appears in millions of pages").
+
+    The occurrence side gets a uniform salt from its own id; the (small,
+    post-ER) entity side is replicated across all salt values via an
+    exploded sequence, so one hot ``norm_surface`` spreads over ``salt``
+    reducers instead of one. AQE skew-join remains on as backstop; this is
+    the explicit-salt variant the north rule asks for when the dimension
+    side is too large to broadcast.
+
+    Returns occurrences + entity_id.
+    """
+    occ = occurrences.withColumn(
+        "salt", F.pmod(F.xxhash64("occurrence_id"), F.lit(salt))
+    )
+    ent = entities.select(
+        "entity_id", "norm_surface", "etype",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt"),
+    )
+    return occ.join(ent, ["norm_surface", "etype", "salt"]).drop("salt")
+
+
+def resolve_entities(
+    occurrences: DataFrame, max_iter: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """Full ER: exact grouping -> fuzzy LSH edges -> connected components.
+
+    Returns (entities, membership):
+    - entities(entity_id, etype, canonical_surface, n_mentions)
+    - membership(norm_surface, etype, entity_id) — the surface->entity map
+      used to canonicalize occurrences and triples.
+    """
     nodes = exact_canonical(occurrences)
     edges = fuzzy_edges(nodes)
     labels, _iters = connected_components(nodes.select("node_id"), edges, max_iter)
     merged = nodes.join(labels, "node_id")
-    return (
+    entities = (
         merged.groupBy("component", "etype")
         .agg(
             F.sum("n_mentions").cast("long").alias("n_mentions"),
             F.min_by("canonical_surface", F.struct(F.col("n_mentions") * -1, F.col("canonical_surface"))).alias("canonical_surface"),
         )
         .withColumnRenamed("component", "entity_id")
+    )
+    membership = merged.select(
+        "norm_surface", "etype", F.col("component").alias("entity_id")
+    )
+    return entities, membership
+
+
+def canonical_entities(occurrences: DataFrame, max_iter: int = 20) -> DataFrame:
+    """entities table only (see resolve_entities)."""
+    return resolve_entities(occurrences, max_iter)[0]
+
+
+def canonicalize_triples(triples: DataFrame, membership: DataFrame, salt: int = 8) -> DataFrame:
+    """Map triple subjects/objects to canonical entity ids — the final KG
+    graph table (north rule: canonicalized (subj, pred, obj)). Both joins
+    are salted (skewed hot surfaces; see salted_occurrence_link)."""
+    m = membership
+    subj_m = m.select(
+        F.col("norm_surface").alias("subj_norm"),
+        F.col("etype").alias("subj_type"),
+        F.col("entity_id").alias("subj_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("ssalt"),
+    )
+    obj_m = m.select(
+        F.col("norm_surface").alias("obj_norm"),
+        F.col("etype").alias("obj_type"),
+        F.col("entity_id").alias("obj_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("osalt"),
+    )
+    t = triples.withColumn("subj_norm", norm_surface_col(F.col("subj"))).withColumn(
+        "obj_norm", norm_surface_col(F.col("obj"))
+    )
+    t = t.withColumn(
+        "ssalt", F.pmod(F.xxhash64("url", "sent_idx", "subj"), F.lit(salt))
+    ).withColumn("osalt", F.pmod(F.xxhash64("url", "sent_idx", "obj"), F.lit(salt)))
+    out = (
+        t.join(subj_m, ["subj_norm", "subj_type", "ssalt"])
+        .join(obj_m, ["obj_norm", "obj_type", "osalt"])
+    )
+    return out.select(
+        "subj_id", "pred", "obj_id", "url", "sent_idx",
+        "subj", "subj_type", "obj", "obj_type",
     )
