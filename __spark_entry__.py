@@ -233,6 +233,13 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_capped(spark, sf_dir):
+    return _long(
+        dedup.jaccard_candidates(_t(spark, sf_dir, "documents"), max_df=25),
+        "n_common", "n_a", "n_b",
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_bucket_pairs(_t(spark, sf_dir, "documents"))
 
@@ -357,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -388,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": O.txt_fingerprint(),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
+        "dedup_jaccard_capped": O.dedup_jaccard_capped(),
         "dedup_minhash_lsh": O.dedup_minhash_lsh(),
         "dedup_simhash": O.dedup_simhash(),
         "dedup_embedding_cosine": O.dedup_embedding_cosine(),

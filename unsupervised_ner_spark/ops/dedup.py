@@ -47,17 +47,35 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def jaccard_candidates(
-    documents: DataFrame, k: int = 3, min_overlap: int = 2
+    documents: DataFrame, k: int = 3, min_overlap: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on shared shingles.
 
     Returns (doc_a, doc_b, n_common, n_a, n_b) — Jaccard =
     common / (a + b - common), left as integers for hash-stable compare.
+
+    ``max_df``: document-frequency cap — shingles appearing in more than
+    ``max_df`` docs are excluded from PAIRING (boilerplate shingles make the
+    self-join quadratic on a 100 TB corpus) while still counting toward each
+    doc's shingle-set size, so Jaccard denominators stay exact. The drop is
+    observable, not silent: capped shingles simply can't vote for a pair, so
+    reported n_common is a lower bound — standard MinHashLSH-style df
+    pruning. None = exact (the default, used by the uncapped oracle query).
     """
     sh = shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        pair_sh = sh.join(rare, "shingle")
+    a = pair_sh.alias("a")
+    b = pair_sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

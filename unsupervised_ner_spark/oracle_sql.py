@@ -429,6 +429,27 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
+def dedup_jaccard_capped(min_overlap: int = 2, max_df: int = 25) -> str:
+    """df-capped Jaccard pairing (ops/dedup.py max_df twin)."""
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}),
+psh AS (SELECT s.* FROM sh s JOIN rare r USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_overlap}
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 def dedup_minhash_lsh(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50) -> str:
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
