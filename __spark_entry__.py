@@ -82,6 +82,24 @@ def q_kg_mentions(spark, sf_dir):
     return _mentions(spark, sf_dir)
 
 
+def q_kg_mentions_pos(spark, sf_dir):
+    """POS-tag-driven mentions: the reference-faithful ingestion path
+    (tokens+tags -> noun_tags runs, ensemble/utils/common.py:11,15-31) fed
+    by the deterministic fixture tagger (pipeline/pos.py)."""
+    from unsupervised_ner_spark.pipeline import pos
+
+    s = _sentences(spark, sf_dir)
+    m = pos.mentions_from_tagged_tokens(pos.tagged_tokens(s))
+    return m.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "surface",
+    )
+
+
 def q_kg_masks(spark, sf_dir):
     s = _sentences(spark, sf_dir)
     m = M.tokens_to_mentions(M.sentences_to_tokens(s))
@@ -227,15 +245,18 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """df-capped pairing — the scale-safe DEFAULT (max_df=25)."""
     return _long(
         dedup.jaccard_candidates(_t(spark, sf_dir, "documents")),
         "n_common", "n_a", "n_b",
     )
 
 
-def q_dedup_jaccard_capped(spark, sf_dir):
+def q_dedup_jaccard_exact(spark, sf_dir):
+    """uncapped exact variant — oracle cross-check only, quadratic on
+    boilerplate shingles (never the scale default)."""
     return _long(
-        dedup.jaccard_candidates(_t(spark, sf_dir, "documents"), max_df=25),
+        dedup.jaccard_candidates(_t(spark, sf_dir, "documents"), max_df=None),
         "n_common", "n_a", "n_b",
     )
 
@@ -260,6 +281,10 @@ def q_ann_bruteforce(spark, sf_dir):
 
 def q_ann_ivf_assign(spark, sf_dir):
     return simsearch.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    return _long(simsearch.ivf_topk(_t(spark, sf_dir, "embeddings")), "rank")
 
 
 def q_mm_media_meta(spark, sf_dir):
@@ -353,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_sentences": q_kg_sentences,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_pos": q_kg_mentions_pos,
         "kg_masks": q_kg_masks,
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_bio_tags": q_kg_bio_tags,
@@ -364,12 +390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "dedup_jaccard_exact": q_dedup_jaccard_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "mm_media_meta": q_mm_media_meta,
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
@@ -385,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_sentences": O.kg_sentences(),
         "kg_mentions": O.kg_mentions(),
+        "kg_mentions_pos": O.kg_mentions_pos(),
         "kg_masks": O.kg_masks(),
         "kg_typed_mentions": O.kg_typed_mentions(),
         "kg_bio_tags": O.kg_bio_tags(),
@@ -396,12 +424,13 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": O.txt_fingerprint(),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
-        "dedup_jaccard_capped": O.dedup_jaccard_capped(),
+        "dedup_jaccard_exact": O.dedup_jaccard_exact(),
         "dedup_minhash_lsh": O.dedup_minhash_lsh(),
         "dedup_simhash": O.dedup_simhash(),
         "dedup_embedding_cosine": O.dedup_embedding_cosine(),
         "ann_bruteforce": O.ann_bruteforce(),
         "ann_ivf_assign": O.ann_ivf_assign(),
+        "ann_ivf_topk": O.ann_ivf_topk(),
         "mm_media_meta": O.mm_media_meta(),
         "er_exact_canonical": O.er_exact_canonical(),
         "rel_agg_scan": """

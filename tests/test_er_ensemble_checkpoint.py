@@ -90,6 +90,28 @@ def test_ensemble_agreement_and_conflicts(spark, pages):
     assert any(r.tag != "O" for r in rows)
 
 
+def test_checkpoint_commit_protocol(spark, pages, tmp_path):
+    """Orphan (uncommitted) writes stay invisible; same-wtoken replays are
+    no-ops (the exactly-once-visible contract of streaming foreachBatch)."""
+    root = str(tmp_path / "ckpt2")
+    df = pages.select("url", "lang")
+    n = df.count()
+    cp.write_stage(df, root, "s", wtoken="epoch-0")
+    assert cp.stage_read(spark, root, "s").count() == n
+    # replay of the same epoch: skipped entirely — no duplicate rows
+    cp.write_stage(df, root, "s", wtoken="epoch-0")
+    assert cp.stage_read(spark, root, "s").count() == n
+    assert cp.stage_metrics(spark, root).select("wtoken").distinct().count() == 1
+    # simulate a crash between data write and lineage commit: write data
+    # files with a token that never gets a lineage row -> invisible
+    orphan = cp.with_bucket(df, "url", 64).withColumn("wtoken", F.lit("crashed"))
+    orphan.write.mode("append").partitionBy("pbucket", "wtoken").parquet(f"{root}/s")
+    assert cp.stage_read(spark, root, "s").count() == n
+    # a successful second epoch becomes visible
+    cp.write_stage(df.limit(5), root, "s", wtoken="epoch-1")
+    assert cp.stage_read(spark, root, "s").count() == n + 5
+
+
 def test_checkpoint_resume(spark, pages, tmp_path):
     root = str(tmp_path / "ckpt")
     first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(64)) < 32)

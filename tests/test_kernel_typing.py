@@ -113,11 +113,13 @@ def test_top_prediction_formats():
     assert T.top_prediction([]) == "OTHER"
 
 
-def test_sort_stability_tie_order():
-    # equal scores keep first-encountered order (Python stable sort over
-    # insertion order; batched_main_NER.py:636)
+def test_sort_tie_break_is_label_asc():
+    # equal scores break ties by label ASC — the deterministic cross-engine
+    # rule shared with typing_sql/oracle_sql (deliberate divergence from the
+    # reference's insertion-order stable sort, batched_main_NER.py:636;
+    # see kernel/typing.py module docstring)
     descs = [("x", 1.0)]
     sigs = [(["PERSON", "DISEASE"], [5, 5])]  # equal counts -> equal softmax
     ents, confs, _ = T.aggregate_entities(descs, sigs, EMAP)
-    assert ents[0].startswith("PERSON")  # PERSON seen first
+    assert ents[0].startswith("DISEASE")  # D < P on the tie
     assert confs == [0.5, 0.5]

@@ -116,13 +116,35 @@ def test_ann_bruteforce_matches_numpy(spark, emb):
 
 
 def test_ivf_assign_is_nearest(spark, emb):
+    import hashlib
+
     got = {r.vec_id: r.centroid_id for r in simsearch.ivf_assign(emb, 4).collect()}
     rows = emb.orderBy("vec_id").collect()
     V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    # codebook = the 4 vec_ids with smallest md5(str(vec_id)) — the seeded
+    # deterministic sample both engines replay
+    cents = sorted(V, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:4]
     for vid in list(got)[:100]:
-        d = {c: float(((V[vid] - V[c]) ** 2).sum()) for c in range(4)}
+        d = {c: float(((V[vid] - V[c]) ** 2).sum()) for c in cents}
         best = min(d, key=lambda c: (d[c], c))
         assert got[vid] == best
+
+
+def test_ivf_topk_matches_cell_local_exact(spark, emb):
+    assign = {r.vec_id: r.centroid_id for r in simsearch.ivf_assign(emb, 4).collect()}
+    got = simsearch.ivf_topk(emb, n_queries=2, k=3, n_centroids=4).collect()
+    rows = emb.orderBy("vec_id").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for q in range(2):
+        cell = [i for i in V if assign[i] == assign[q] and i != q]
+        cos = {
+            i: float(V[i] @ V[q] / (np.linalg.norm(V[i]) * np.linalg.norm(V[q])))
+            for i in cell
+        }
+        expect = sorted(cell, key=lambda i: (-cos[i], i))[:3]
+        mine = [r.neighbor_id for r in sorted(
+            (x for x in got if x.query_id == q), key=lambda r: r.rank)]
+        assert mine == expect, f"query {q}"
 
 
 def test_media_metadata_stub(docs):

@@ -33,10 +33,14 @@ FIXTURES_DIR = Path(__file__).parent / "resources" / "fixtures"
 
 # OOV mentions (head term outside the fixture vocab) get a fixed common-word
 # descriptor list -> types as OTHER under suppression, mirroring how an MLM
-# yields generic descriptors for unknown spans.
+# yields generic descriptors for unknown spans. Every word here is verified
+# ABSENT from BOTH bootstrap signature vocabularies (a100 + bbc), so each
+# descriptor resolves to the UNTAGGED_ENTITY miss signature and suppression
+# yields OTHER deterministically (round-1 list contained "with", which the
+# a100 vocab maps to DISEASE — OOV spans silently typed as DISEASE).
 OOV_DESCS: list[tuple[str, float]] = [
-    ("the", 9.0), ("of", 8.0), ("and", 7.0), ("in", 6.0), ("to", 5.0),
-    ("for", 4.0), ("with", 3.0), ("on", 2.0), ("by", 1.0), ("at", 0.5),
+    ("in", 9.0), ("but", 8.0), ("nor", 7.0), ("these", 6.0), ("had", 5.0),
+    ("can", 4.0), ("may", 3.0), ("a", 2.0), ("are", 1.0), ("do", 0.5),
 ]
 
 DUMMY_DESCS: list[tuple[str, float]] = [(DUMMY_DESC_TERM, 0.0)] * TOP_K_DESCS

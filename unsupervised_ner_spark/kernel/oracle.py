@@ -39,6 +39,11 @@ class MentionResult:
     cs_confidences: list[float] = field(default_factory=list)
     pooled: list = field(default_factory=list)
     prediction: str = "OTHER"
+    # packed per-side distributions (pack_confidences,
+    # batched_main_NER.py:396-413) — the orig_cs/orig_ci_prediction_details
+    # payloads the ensemble consumes
+    cs_dist: list = field(default_factory=list)
+    ci_dist: list = field(default_factory=list)
 
 
 @dataclass
@@ -114,7 +119,8 @@ class OracleTagger:
             hit = self._memo.get(memo_key) if memo_key is not None else None
             if hit is not None:
                 (mr.ci_entities, mr.ci_confidences, mr.cs_entities,
-                 mr.cs_confidences, mr.pooled, mr.prediction) = hit
+                 mr.cs_confidences, mr.pooled, mr.prediction,
+                 mr.cs_dist, mr.ci_dist) = hit
             else:
                 ci_descs = self.provider.descriptors(
                     m.surface, "ci", context=mr.ci_probe
@@ -133,10 +139,13 @@ class OracleTagger:
                     blank_probe=blank,
                 )
                 mr.prediction = T.top_prediction(mr.pooled)
+                mr.cs_dist = T.pack_confidences(mr.cs_entities, mr.cs_confidences)
+                mr.ci_dist = T.pack_confidences(mr.ci_entities, mr.ci_confidences)
                 if memo_key is not None:
                     self._memo[memo_key] = (
                         mr.ci_entities, mr.ci_confidences, mr.cs_entities,
                         mr.cs_confidences, mr.pooled, mr.prediction,
+                        mr.cs_dist, mr.ci_dist,
                     )
             results.append(mr)
             predictions.append(mr.prediction)

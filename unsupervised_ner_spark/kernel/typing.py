@@ -20,11 +20,15 @@ the behavior it replicates in ``/root/reference/batched_main_NER.py``:
 Deliberately preserved quirks:
 - the dead ``curr_counts_sum`` variable (:622-623) is NOT replicated — only
   the live accumulation path (:628-632) is.
-- dict insertion order breaks sort ties (Python's ``sorted`` is stable), so
-  tie order == first-encountered order while scanning descriptors in rank
-  order and each signature's labels in file order. The Spark SQL twin orders
-  by (score DESC, first_seen ASC) which is equivalent by construction.
 - normalization uses numpy round (banker's rounding), same as the reference.
+
+Deliberate DIVERGENCE (documented): the reference breaks sort ties by dict
+insertion order (Python's ``sorted`` is stable, :636,:663). Insertion order
+is not expressible as a deterministic cross-engine sort key, and subtype
+ties on small summed integer counts are realistic — so EVERY ordering here
+uses the tie-break the SQL twins use: (score DESC, label ASC). Scores are
+exp-weighted sums, so group-level ties are measure-zero; the observable
+difference from the reference is confined to exact-tie subtype ordering.
 """
 
 from __future__ import annotations
@@ -113,8 +117,9 @@ def aggregate_entities(
             if skip_untagged(group, suppress_untagged):
                 continue
             agg[group] = agg.get(group, 0.0) + float(soft[j]) * float(score)
-    # stable sort by value desc; insertion order breaks ties (:636)
-    ordered = sorted(agg.items(), key=lambda kv: kv[1], reverse=True)
+    # sort by value desc, group asc on ties (SQL-twin tie-break; see module
+    # docstring for the deliberate divergence from :636 insertion order)
+    ordered = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
     if not ordered:  # all terms suppressed (:637-639)
         ordered = [(OTHER_LABEL, 1.0)]
         subtypes[OTHER_LABEL] = {OTHER_LABEL: 1}
@@ -124,7 +129,7 @@ def aggregate_entities(
     decorated = []
     for g in groups:
         if g in subtypes:
-            subs = sorted(subtypes[g].items(), key=lambda kv: kv[1], reverse=True)
+            subs = sorted(subtypes[g].items(), key=lambda kv: (-kv[1], kv[0]))
             decorated.append(g + "[" + ",".join(s for s, _ in subs) + "]")
         else:
             decorated.append(g)
@@ -155,7 +160,7 @@ def pool_confidences(
     for e, c in zip(cs_entities, cs_confidences):
         base = e.split("[")[0]
         main[base] = main.get(base, 0.0) + float(c)
-    ordered = sorted(main.items(), key=lambda kv: kv[1], reverse=True)
+    ordered = sorted(main.items(), key=lambda kv: (-kv[1], kv[0]))
     dist = normalize_round([v for _, v in ordered])
     # subtype pooling: CS first, then CI unless blank probe (:191-211)
     pooled: list[tuple[str, float, list[tuple[str, float]]]] = []
@@ -167,12 +172,31 @@ def pool_confidences(
         if not blank_probe and e_class in ci_subtypes:
             for st, v in ci_subtypes[e_class].items():
                 factors[st] = factors.get(st, 0.0) + v
-        st_ordered = sorted(factors.items(), key=lambda kv: kv[1], reverse=True)
+        st_ordered = sorted(factors.items(), key=lambda kv: (-kv[1], kv[0]))
         st_dist = normalize_round([v for _, v in st_ordered]) if st_ordered else []
         pooled.append(
             (e_class, conf, list(zip([s for s, _ in st_ordered], st_dist)))
         )
     return pooled
+
+
+def pack_confidences(entities: list[str], confidences: list[float]) -> Dist:
+    """pack_confidences (batched_main_NER.py:396-413): compress each
+    decorated per-side entity "MAIN[sub1,sub2,...]" to "MAIN[sub1]" (bare
+    MAIN when the top subtype equals the main class or there is none).
+    These packed per-side distributions are what the ensemble server uses
+    for cross-prediction detection (orig_cs/ci_prediction_details)."""
+    out: Dist = []
+    for e, c in zip(entities, confidences):
+        parts = e.split("[")
+        main = parts[0]
+        if len(parts) > 1:
+            sub = parts[1].split(",")[0].rstrip("]")
+            packed = main if main == sub else f"{main}[{sub}]"
+        else:
+            packed = main
+        out.append((packed, float(c)))
+    return out
 
 
 def top_prediction(pooled) -> str:

@@ -87,10 +87,15 @@ def harvest_ci_candidates(tagged: DataFrame) -> DataFrame:
     )
     # bare-marker mentions have empty surfaces; the harvested term is the
     # word preceding the marker (ret_dict[count-2]["term"],
-    # batched_main_NER.py:152)
+    # batched_main_NER.py:152 — which presupposes count >= 2, i.e. a word
+    # DOES precede the marker). element_at is 1-based, so begin_tok == 0
+    # (sentence-initial bare marker) must be guarded or it raises; such
+    # mentions have no harvestable term and are dropped by the NULL filter.
     surface = F.when(
         F.col("m.surface") != "", F.col("m.surface")
-    ).otherwise(F.element_at("words", F.col("m.begin_tok")))
+    ).when(
+        F.col("m.begin_tok") > 0, F.element_at("words", F.col("m.begin_tok"))
+    )
     return m.select(
         "url",
         "sent_idx",

@@ -10,12 +10,19 @@ Scale notes:
   classic MinHash/LSH plan. Hot buckets are capped (``max_bucket``) so a
   degenerate band cannot quadratically explode — the cap is logged, never
   silent.
+- tables feeding a self-join (shingles, banded signatures) are persisted
+  (memory-and-disk) so the expensive narrow work runs ONCE, not once per
+  join side + once per size-aggregate.
+- bucket-size side tables are corpus-sized (O(docs × bands) rows) and are
+  therefore NEVER broadcast — the size filter is a shuffle join AQE is
+  free to re-plan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from unsupervised_ner_spark.ops.textstats import fingerprint, tokens_ws
 
@@ -46,9 +53,12 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+DEFAULT_MAX_DF = 25
+
+
 def jaccard_candidates(
     documents: DataFrame, k: int = 3, min_overlap: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on shared shingles.
 
@@ -57,13 +67,16 @@ def jaccard_candidates(
 
     ``max_df``: document-frequency cap — shingles appearing in more than
     ``max_df`` docs are excluded from PAIRING (boilerplate shingles make the
-    self-join quadratic on a 100 TB corpus) while still counting toward each
+    self-join quadratic on a 100 TB corpus: every page sharing a nav-bar
+    shingle would pair with every other) while still counting toward each
     doc's shingle-set size, so Jaccard denominators stay exact. The drop is
     observable, not silent: capped shingles simply can't vote for a pair, so
     reported n_common is a lower bound — standard MinHashLSH-style df
-    pruning. None = exact (the default, used by the uncapped oracle query).
+    pruning. CAPPED IS THE DEFAULT (the scale-safe posture); pass
+    ``max_df=None`` for the exact quadratic variant, kept only as an oracle
+    cross-check at small scale.
     """
-    sh = shingles(documents, k)
+    sh = shingles(documents, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pair_sh = sh
     if max_df is not None:
@@ -115,6 +128,12 @@ def lsh_bucket_pairs(
     (band_id, band_hash) buckets larger than ``max_bucket`` are dropped
     (reported via the ``capped`` flag on the bucket table by callers at
     scale; here a filter) — salting/AQE handles residual skew.
+
+    Scale posture: the banded table is persisted so shingling + signature
+    hashing runs once (it feeds the size aggregate AND both self-join
+    sides); the bucket-size table has O(docs × bands) rows so it is joined
+    with a plain shuffle join — never broadcast (a corpus-sized broadcast
+    OOMs the cluster at 100 TB).
     """
     sig = minhash_signatures(documents, num_hashes, k)
     bands = []
@@ -123,12 +142,14 @@ def lsh_bucket_pairs(
         bands.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
         )
-    exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_hash"
+    exploded = (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = exploded.join(
-        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
+        sizes.filter(F.col("n") <= max_bucket).drop("n"),
         ["band_id", "band_hash"],
     )
     a, b = ok.alias("a"), ok.alias("b")

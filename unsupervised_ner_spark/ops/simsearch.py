@@ -3,14 +3,19 @@
 - brute-force cosine top-k: the exact baseline — a broadcast cross join of
   the (small) query set against the corpus, dot products via ``F.zip_with``
   + ``F.aggregate`` (JVM-side, codegen; no Python).
-- IVF-bucketed variant: coarse quantizer = the first C corpus vectors (a
-  deterministic, engine-portable "trained" codebook); each vector is
+- IVF-bucketed variant: coarse quantizer = a deterministic md5-ranked
+  sample of ``n_centroids`` corpus vectors (the engine-portable analogue of
+  IVF training on a uniform sample — md5 over the vector id is a seeded
+  uniform draw both engines replay bit-identically); each vector is
   assigned to its nearest centroid; queries probe only their own cell —
   the 100 TB path (cells are the partition key, so the search is a
   broadcast join + per-cell top-k instead of a full scan).
 
-Outputs keep floats out of the hashed columns: ranks/ids are ints; scores
-are exposed separately for humans.
+Cross-engine determinism: distances use the SAME algebraic form as the
+DuckDB oracle (dot-product expansion |v|² − 2·v·c + |c|²) and are rounded
+to 9 dp before the argmin, so 1-ulp libm differences can't flip a
+near-equidistant assignment (ADVICE r01). Outputs keep floats out of the
+hashed columns: ranks/ids are ints; scores are exposed separately.
 """
 
 from __future__ import annotations
@@ -59,24 +64,39 @@ def cosine_topk_bruteforce(
     )
 
 
+def sampled_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic uniform codebook: the ``n_centroids`` corpus vectors
+    with the smallest ``md5(vec_id)`` — a seeded random sample (the standard
+    IVF training draw) instead of the first-N rows, which at 100 TB would
+    all come from one partition/time-slice and collapse the cell balance.
+    Returns (centroid_id, cv). Tiny by construction — always broadcastable.
+    """
+    return (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+
+
+def _d2(v, cv):
+    """Squared euclidean via the dot-product expansion, 9dp-quantized —
+    byte-identical to the DuckDB oracle's formula (oracle_sql.ann_ivf_assign)."""
+    return F.round(_dot(v, v) - 2 * _dot(v, cv) + _dot(cv, cv), 9)
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """Assign each vector to its nearest of the first ``n_centroids``
-    corpus vectors (euclidean; tie-break centroid id asc).
+    """Assign each vector to its nearest sampled centroid (euclidean;
+    tie-break centroid id asc).
 
     Returns (vec_id, centroid_id) — the IVF cell table. At scale this is
     the bucketing/partition key for ANN probes."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
+    cents = sampled_centroids(emb, n_centroids)
     joined = emb.crossJoin(F.broadcast(cents))
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
+    d2 = _d2(F.col("v"), F.col("cv"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
         joined.select("vec_id", "centroid_id", d2.alias("d2"))
@@ -89,8 +109,12 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
 def ivf_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_centroids: int = 16
 ) -> DataFrame:
-    """ANN top-k probing only the query's own IVF cell (plus exact
-    re-ranking inside the cell)."""
+    """ANN top-k probing only the query's own IVF cell (plus exact cosine
+    re-ranking inside the cell). Returns (query_id, rank, neighbor_id).
+
+    This is the scale path: the corpus side is shuffled once on
+    centroid_id; the query side is broadcast; the per-cell top-k is a
+    window over cells, never a full scan."""
     assign = ivf_assign(embeddings, n_centroids)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

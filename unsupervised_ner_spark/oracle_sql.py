@@ -110,9 +110,17 @@ def _typed_cte(model: str = "a100", s: str = "") -> str:
     return f"""
 {s}base AS (
     SELECT m.*, s.sent,
-           lower(list_extract(string_split(m.surface, ' '),
-                 len(string_split(m.surface, ' ')))) AS head,
-           len(list_filter(string_split(m.surface, ' '),
+           CASE WHEN length(m.surface) > 0
+                THEN lower(list_extract(string_split(m.surface, ' '),
+                           len(string_split(m.surface, ' '))))
+                ELSE coalesce(lower(
+                    list_filter(
+                        (list_transform(
+                            list_filter(regexp_split_to_array(s.sent, '\\s+'), t -> t <> ''),
+                            t -> replace(t, ':__entity__', '')))[1:m.begin_tok],
+                        t -> t <> '')[-1]), '') END AS head,
+           length(m.surface) > 0 AS has_surface,
+           length(m.surface) > 0 AND len(list_filter(string_split(m.surface, ' '),
                  t -> NOT regexp_matches(t, '^[0-9]+$'))) = 0 AS is_num,
            ends_with(s.sent, ' :__entity__') AS blank,
            m.url || '#' || CAST(m.sent_idx AS VARCHAR) || '#' || CAST(m.mention_idx AS VARCHAR) AS mkey
@@ -132,23 +140,26 @@ def _typed_cte(model: str = "a100", s: str = "") -> str:
     WHERE NOT b.is_num
 ),
 {s}sides AS (
-    SELECT mkey, 'ci' AS side, coalesce(ci_descs, {_OOV_SQL}) AS descs FROM {s}jf WHERE NOT blank
+    SELECT mkey, blank, 'ci' AS side,
+           CASE WHEN NOT has_surface THEN {_OOV_SQL}
+                ELSE coalesce(ci_descs, {_OOV_SQL}) END AS descs
+    FROM {s}jf
     UNION ALL
-    SELECT mkey, 'cs' AS side, coalesce(cs_descs, {_OOV_SQL}) AS descs FROM {s}jf
+    SELECT mkey, blank, 'cs' AS side, coalesce(cs_descs, {_OOV_SQL}) AS descs FROM {s}jf
 ),
 {s}drows AS (
-    SELECT mkey, side, i - 1 AS rnk,
+    SELECT mkey, blank, side, i - 1 AS rnk,
            lower(descs[i]['desc']) AS dterm, descs[i]['score'] AS score
     FROM {s}sides, UNNEST(generate_series(1, len(descs))) AS u(i)
 ),
 {s}sj AS (
-    SELECT d.mkey, d.side, d.rnk, d.score,
+    SELECT d.mkey, d.blank, d.side, d.rnk, d.score,
            coalesce(s.labels, ['UNTAGGED_ENTITY']) AS labels,
            coalesce(s.counts, [1]) AS counts
     FROM {s}drows d LEFT JOIN {s}sigt s ON d.dterm = s.term
 ),
 {s}lab0 AS (
-    SELECT mkey, side, rnk, score, labels[i] AS label,
+    SELECT mkey, blank, side, rnk, score, labels[i] AS label,
            CAST(counts[i] AS DOUBLE) AS cnt
     FROM {s}sj, UNNEST(generate_series(1, len(labels))) AS u(i)
     WHERE labels[i] NOT IN ('OTHER', 'UNTAGGED_ENTITY')
@@ -160,25 +171,27 @@ def _typed_cte(model: str = "a100", s: str = "") -> str:
 {s}sm2 AS (SELECT *, exp(cnt - mx) AS ex FROM {s}sm1),
 {s}sm3 AS (SELECT *, ex / sum(ex) OVER (PARTITION BY mkey, side, rnk) AS soft FROM {s}sm2),
 {s}sidegrp AS (
-    SELECT mkey, side, grp, sum(soft * score) AS s
-    FROM {s}sm3 GROUP BY mkey, side, grp
+    SELECT mkey, blank, side, grp, sum(soft * score) AS s
+    FROM {s}sm3 GROUP BY mkey, blank, side, grp
 ),
 {s}sideconf AS (
     SELECT *, s / sum(s) OVER (PARTITION BY mkey, side) AS conf FROM {s}sidegrp
 ),
 {s}missing AS (
-    SELECT sd.mkey, sd.side
-    FROM (SELECT DISTINCT mkey, side FROM {s}sides) sd
+    SELECT sd.mkey, sd.blank, sd.side
+    FROM (SELECT DISTINCT mkey, blank, side FROM {s}sides) sd
     LEFT JOIN (SELECT DISTINCT mkey, side FROM {s}sideconf) x USING (mkey, side)
     WHERE x.mkey IS NULL
 ),
 {s}allconf AS (
-    SELECT mkey, side, grp, conf FROM {s}sideconf
+    SELECT mkey, blank, side, grp, conf FROM {s}sideconf
     UNION ALL
-    SELECT mkey, side, 'OTHER' AS grp, 1.0 AS conf FROM {s}missing
+    SELECT mkey, blank, side, 'OTHER' AS grp, 1.0 AS conf FROM {s}missing
 ),
 {s}pooled AS (
-    SELECT mkey, grp, round(sum(conf), 9) AS p FROM {s}allconf GROUP BY mkey, grp
+    SELECT mkey, grp, round(sum(conf), 9) AS p FROM {s}allconf
+    WHERE NOT (blank AND side = 'ci')
+    GROUP BY mkey, grp
 ),
 {s}topg AS (
     SELECT mkey, grp AS pred_group FROM (
@@ -186,7 +199,9 @@ def _typed_cte(model: str = "a100", s: str = "") -> str:
         FROM {s}pooled) WHERE rn = 1
 ),
 {s}subs AS (
-    SELECT mkey, grp, label, sum(cnt) AS c FROM {s}lab GROUP BY mkey, grp, label
+    SELECT mkey, grp, label, sum(cnt) AS c FROM {s}lab
+    WHERE NOT (blank AND side = 'ci')
+    GROUP BY mkey, grp, label
 ),
 {s}topsub AS (
     SELECT mkey, grp, label AS top_subtype FROM (
@@ -227,6 +242,64 @@ def kg_mentions() -> str:
     return (
         f"WITH {SENTS_CTE.strip()}, {TOKENS_CTE.strip()}, {MENTIONS_CTE.strip()} "
         "SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface FROM mentions"
+    )
+
+
+def kg_mentions_pos() -> str:
+    """POS-tag-driven mentions (pipeline/pos.py twin): deterministic rule
+    tagger + noun_tags run grouping (ensemble/utils/common.py:11,15-31).
+    Rule order replicates synth_pos_tag verbatim."""
+    noun_tags_sql = "[" + ", ".join(f"'{t}'" for t in
+                                    ("NFP", "JJ", "NN", "FW", "NNS", "NNPS",
+                                     "JJS", "JJR", "NNP", "POS", "CD")) + "]"
+    w = "replace(toks[i], ':__entity__', '')"
+    is_lower = f"({w} = lower({w}) AND lower({w}) <> upper({w}))"
+    tag = f"""CASE
+        WHEN marker_mode THEN
+            CASE WHEN ends_with(toks[i], ':__entity__') THEN 'NNP' ELSE 'RESET' END
+        WHEN regexp_matches({w}, '^[0-9]+$') THEN 'CD'
+        WHEN list_contains({_FUNCWORDS_SQL}, lower({w})) THEN 'IN'
+        WHEN NOT regexp_matches(lower({w}), '[a-z0-9]') THEN 'SYM'
+        WHEN {is_lower} AND regexp_matches({w}, 'ly$') THEN 'RB'
+        WHEN {is_lower} AND length({w}) > 4 AND regexp_matches({w}, '(ed|ing)$') THEN 'VBD'
+        WHEN regexp_matches({w}, '^[A-Z]') THEN 'NNP'
+        ELSE 'NN' END"""
+    return (
+        f"WITH {SENTS_CTE.strip()}, "
+        f"""
+ptoks AS (
+    SELECT url, sent_idx, sent,
+           list_filter(regexp_split_to_array(sent, '\\s+'), t -> t <> '') AS toks
+    FROM sents
+),
+pmode AS (
+    SELECT *, len(list_filter(toks, t -> ends_with(t, ':__entity__'))) > 0 AS marker_mode
+    FROM ptoks
+),
+ptagged AS (
+    SELECT url, sent_idx, i - 1 AS token_idx,
+           replace(toks[i], ':__entity__', '') AS word,
+           list_contains({noun_tags_sql}, {tag}) AS nounish
+    FROM pmode, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+p1 AS (
+    SELECT *, CASE WHEN nounish AND NOT coalesce(
+        lag(nounish) OVER (PARTITION BY url, sent_idx ORDER BY token_idx), FALSE)
+        THEN 1 ELSE 0 END AS st
+    FROM ptagged
+),
+p2 AS (
+    SELECT *, sum(st) OVER (PARTITION BY url, sent_idx ORDER BY token_idx
+                            ROWS UNBOUNDED PRECEDING) AS grp
+    FROM p1
+)
+SELECT url, sent_idx, CAST(grp - 1 AS BIGINT) AS mention_idx,
+       CAST(min(token_idx) AS BIGINT) AS begin_tok,
+       CAST(max(token_idx) AS BIGINT) AS end_tok,
+       string_agg(word, ' ' ORDER BY token_idx) AS surface
+FROM p2 WHERE nounish
+GROUP BY url, sent_idx, grp
+"""
     )
 
 
@@ -411,7 +484,9 @@ sh AS (
 """
 
 
-def dedup_jaccard(min_overlap: int = 2) -> str:
+def dedup_jaccard_exact(min_overlap: int = 2) -> str:
+    """Uncapped (quadratic-on-boilerplate) variant — oracle cross-check
+    only; the engine default is the df-capped twin below."""
     return f"""
 WITH {_SHINGLES_CTE.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -429,8 +504,9 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
-def dedup_jaccard_capped(min_overlap: int = 2, max_df: int = 25) -> str:
-    """df-capped Jaccard pairing (ops/dedup.py max_df twin)."""
+def dedup_jaccard(min_overlap: int = 2, max_df: int = 25) -> str:
+    """df-capped Jaccard pairing — the engine DEFAULT (ops/dedup.py
+    DEFAULT_MAX_DF twin)."""
     return f"""
 WITH {_SHINGLES_CTE.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -520,67 +596,184 @@ FROM r WHERE rank <= {k}
 """
 
 
+# deterministic md5-ranked centroid sample + 9dp-quantized expansion-form
+# distance — byte-identical to ops/simsearch.py (sampled_centroids, _d2)
+_IVF_ASSIGN_CTES = """
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids}),
+d AS (
+    SELECT e.vec_id, c.centroid_id,
+           round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv), 9) AS d2
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM d) WHERE rn = 1
+)"""
+
+
 def ann_ivf_assign(n_centroids: int = 16) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
-d AS (
-    SELECT e.vec_id, c.centroid_id,
-           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-             + list_dot_product(c.cv, c.cv) AS d2
-    FROM e CROSS JOIN c
+{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()}
+SELECT vec_id, centroid_id FROM assign
+"""
+
+
+def ann_ivf_topk(n_queries: int = 5, k: int = 5, n_centroids: int = 16) -> str:
+    """Cell-probed ANN top-k (ops/simsearch.py ivf_topk twin)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()},
+ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+      FROM ea WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT q.query_id, ea.vec_id,
+           list_dot_product(ea.v, q.qv) /
+           (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+    FROM ea JOIN q ON ea.centroid_id = q.qc AND ea.vec_id <> q.query_id
 ),
 r AS (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
-    FROM d
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
 )
-SELECT vec_id, centroid_id FROM r WHERE rn = 1
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rank <= {k}
 """
 
 
 def _dist_cte(s: str) -> str:
     """Distribution extras per model chain: normalized pooled conf of the
-    winner (9dp) + sorted above-mean set; numeric mentions get conf 1.0 /
-    [MEASURE] (typing_sql.py include_dist twin)."""
+    winner (9dp) + the PACKED per-side CS/CI distributions (pack_confidences
+    twin, batched_main_NER.py:396-413) the resolution maze consumes; numeric
+    mentions collapse to a single MEASURE[NUMBER] entry on both sides
+    (typing_sql.py include_dist twin)."""
     return f"""
 {s}pnorm AS (
     SELECT mkey, grp,
-           p / sum(p) OVER (PARTITION BY mkey) AS conf_norm,
-           count(*) OVER (PARTITION BY mkey) AS n
+           p / sum(p) OVER (PARTITION BY mkey) AS conf_norm
     FROM {s}pooled
 ),
-{s}above AS (
-    SELECT mkey, list_sort(list(grp)) AS above_mean
-    FROM {s}pnorm WHERE conf_norm * n >= 1.0 GROUP BY mkey
+{s}ssub AS (
+    SELECT mkey, side, grp, label, sum(cnt) AS c
+    FROM {s}lab GROUP BY mkey, side, grp, label
+),
+{s}stop AS (
+    SELECT mkey, side, grp, label AS side_sub FROM (
+        SELECT *, row_number() OVER (PARTITION BY mkey, side, grp
+                                     ORDER BY c DESC, label ASC) AS rn
+        FROM {s}ssub) WHERE rn = 1
+),
+{s}entries AS (
+    SELECT a.mkey, a.side,
+           {{'nc': -round(a.conf, 9), 'g': a.grp,
+             'e': CASE WHEN st.side_sub IS NOT NULL AND st.side_sub <> a.grp
+                       THEN a.grp || '[' || st.side_sub || ']' ELSE a.grp END,
+             'conf': round(a.conf, 9)}} AS entry
+    FROM {s}allconf a
+    LEFT JOIN {s}stop st ON st.mkey = a.mkey AND st.side = a.side AND st.grp = a.grp
+),
+{s}sdist AS (
+    SELECT mkey, side,
+           list_transform(list_sort(list(entry)),
+                          x -> {{'e': x.e, 'conf': x.conf}}) AS dist
+    FROM {s}entries GROUP BY mkey, side
+),
+{s}dists AS (
+    SELECT mkey,
+           any_value(CASE WHEN side = 'cs' THEN dist END) AS cs_dist,
+           any_value(CASE WHEN side = 'ci' THEN dist END) AS ci_dist
+    FROM {s}sdist GROUP BY mkey
 ),
 {s}typed_d AS (
     SELECT t.url, t.sent_idx, t.mention_idx, t.surface, t.pred_group, t.prediction,
-           round(pn.conf_norm, 9) AS conf, ab.above_mean
+           round(pn.conf_norm, 9) AS conf, d.cs_dist, d.ci_dist
     FROM {s}typed t
-    JOIN {s}above ab
-      ON ab.mkey = t.url || '#' || CAST(t.sent_idx AS VARCHAR) || '#' || CAST(t.mention_idx AS VARCHAR)
+    JOIN {s}dists d
+      ON d.mkey = t.url || '#' || CAST(t.sent_idx AS VARCHAR) || '#' || CAST(t.mention_idx AS VARCHAR)
     JOIN {s}pnorm pn
-      ON pn.mkey = ab.mkey AND pn.grp = t.pred_group
+      ON pn.mkey = d.mkey AND pn.grp = t.pred_group
     WHERE NOT EXISTS (SELECT 1 FROM {s}numeric_m nm
                       WHERE nm.url = t.url AND nm.sent_idx = t.sent_idx
                         AND nm.mention_idx = t.mention_idx)
     UNION ALL
     SELECT url, sent_idx, mention_idx, surface, pred_group, prediction,
-           1.0 AS conf, ['MEASURE'] AS above_mean
+           1.0 AS conf,
+           [{{'e': 'MEASURE[NUMBER]', 'conf': 1.0}}] AS cs_dist,
+           [{{'e': 'MEASURE[NUMBER]', 'conf': 1.0}}] AS ci_dist
     FROM {s}numeric_m
 )"""
 
 
+def _flip_sql(e: str) -> str:
+    """flip_category twin (aggregate_server_json.py:482-491):
+    "MAIN[SUB]" -> "SUB[MAIN]"."""
+    return (
+        f"CASE WHEN len(string_split({e}, '[')) > 1 "
+        f"THEN rtrim(string_split({e}, '[')[2], ']') || '[' || string_split({e}, '[')[1] || ']' "
+        f"ELSE {e} END"
+    )
+
+
+def _base_sql(e: str) -> str:
+    return f"string_split({e}, '[')[1]"
+
+
 def kg_ensemble_mentions(model_a: str = "a100", model_b: str = "bbc") -> str:
-    """Two relational typing chains + conflict resolution (J5/J6/O4;
-    pipeline/ensemble_sql.py twin)."""
+    """Two relational typing chains + the FULL conflict-resolution maze
+    (J5/J6/O4; pipeline/ensemble_rules.py twin — layer-1 server pick,
+    layer-2 gen_resolved_entity CS/CI/second-CS backoff chain, flip_category
+    on every emitted entity)."""
     from unsupervised_ner_spark.dims import load_precedence
 
     prec = load_precedence()
-    bio_ok = "[" + ", ".join(f"'{x}'" for x in prec["bio_precedence_arr"] + prec["common_entities_arr"]) + "]"
-    phi_ok = "[" + ", ".join(f"'{x}'" for x in prec["phi_precedence_arr"] + prec["common_entities_arr"]) + "]"
-    bio_prec = "[" + ", ".join(f"'{x}'" for x in prec["bio_precedence_arr"]) + "]"
+    arr = lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"  # noqa: E731
+    bio_ok = arr(prec["bio_precedence_arr"] + prec["common_entities_arr"])
+    phi_ok = arr(prec["phi_precedence_arr"] + prec["common_entities_arr"])
+    bio_prec = arr(prec["bio_precedence_arr"])
+    phi_prec = arr(prec["phi_precedence_arr"])
+
+    # per-side derived columns (x in {a, b})
+    def derived(x: str) -> str:
+        return f"""
+           CASE WHEN len(cs_{x}) > 0 THEN cs_{x}[1].e ELSE ci_{x}[1].e END AS cs0_{x},
+           ci_{x}[1].e AS ci0_{x},
+           CASE WHEN len(cs_{x}) >= 2 THEN cs_{x}[2].e END AS cs1_{x},
+           list_filter(cs_{x}, t -> t.conf * len(cs_{x}) >= 1.0) AS above_{x}"""
+
+    def stage2(x: str, prec_sql: str, ok_sql: str) -> str:
+        """chain + cross flag columns for one side."""
+        fp = _flip_sql(f"pred_{x}")
+        fcs0 = _flip_sql(f"cs0_{x}")
+        fci0 = _flip_sql(f"ci0_{x}")
+        fcs1 = _flip_sql(f"cs1_{x}")
+        m1 = _base_sql(f"cs0_{x}")
+        m1ci = _base_sql(f"ci0_{x}")
+        m2cs = _base_sql(f"cs1_{x}")
+        second = (
+            f"CASE WHEN cs1_{x} IS NOT NULL AND "
+            f"len(list_filter(above_{x}, t -> t.e = {m2cs})) > 0 "
+            f"THEN {fcs0} || '/' || {fcs1} ELSE {fp} END"
+        )
+        chain = (
+            f"CASE WHEN {m1} <> base_{x} THEN {fp} || '/' || {fcs0} "
+            f"WHEN {m1} <> {m1ci} AND list_contains({prec_sql}, {m1ci}) "
+            f"THEN {fcs0} || '/' || {fci0} "
+            f"ELSE {second} END AS chain_{x}"
+        )
+        cross = (
+            f"len(list_filter(above_{x}, "
+            f"t -> NOT list_contains({ok_sql}, {_base_sql('t.e')}))) > 0 AS cross_{x}"
+        )
+        return chain + ",\n           " + cross
+
+    flip_a = _flip_sql("pred_a")
+    flip_b = _flip_sql("pred_b")
     return (
         "WITH " + SENTS_CTE.strip().rstrip(",")
         + ", " + TOKENS_CTE.strip()
@@ -592,27 +785,35 @@ def kg_ensemble_mentions(model_a: str = "a100", model_b: str = "bbc") -> str:
         + f"""
 , joined AS (
     SELECT a.url, a.sent_idx, a.mention_idx, a.surface,
-           a.pred_group AS base_a, a.prediction AS pred_a, a.conf AS conf_a, a.above_mean AS above_a,
-           b.pred_group AS base_b, b.prediction AS pred_b, b.conf AS conf_b, b.above_mean AS above_b
+           a.pred_group AS base_a, a.prediction AS pred_a, a.conf AS conf_a,
+           a.cs_dist AS cs_a, a.ci_dist AS ci_a,
+           b.pred_group AS base_b, b.prediction AS pred_b, b.conf AS conf_b,
+           b.cs_dist AS cs_b, b.ci_dist AS ci_b
     FROM a_typed_d a JOIN b_typed_d b
       ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.mention_idx = b.mention_idx
+),
+der AS (
+    SELECT *,{derived("a")},{derived("b")}
+    FROM joined
+),
+st2 AS (
+    SELECT *,
+           {stage2("a", bio_prec, bio_ok)},
+           {stage2("b", phi_prec, phi_ok)}
+    FROM der
 )
 SELECT url, sent_idx, mention_idx, surface, pred_a, pred_b,
     CASE
       WHEN base_a = base_b THEN
-        CASE WHEN list_contains({bio_prec}, base_a) THEN pred_a ELSE pred_b END
-      WHEN base_b = 'OTHER' THEN pred_a
-      WHEN base_a = 'OTHER' THEN pred_b
-      WHEN len(list_filter(above_a, e -> NOT list_contains({bio_ok}, e))) > 0
-       AND len(list_filter(above_b, e -> NOT list_contains({phi_ok}, e))) = 0
-        THEN pred_b
-      WHEN len(list_filter(above_b, e -> NOT list_contains({phi_ok}, e))) > 0
-       AND len(list_filter(above_a, e -> NOT list_contains({bio_ok}, e))) = 0
-        THEN pred_a
-      WHEN conf_a >= conf_b THEN pred_a || '/' || pred_b
-      ELSE pred_b || '/' || pred_a
+        CASE WHEN list_contains({bio_prec}, base_a) THEN chain_a ELSE chain_b END
+      WHEN base_b = 'OTHER' THEN chain_a
+      WHEN base_a = 'OTHER' THEN chain_b
+      WHEN cross_a AND NOT cross_b THEN chain_b
+      WHEN cross_b AND NOT cross_a THEN chain_a
+      WHEN conf_a >= conf_b THEN {flip_a} || '/' || {flip_b}
+      ELSE {flip_b} || '/' || {flip_a}
     END AS resolution
-FROM joined
+FROM st2
 """
     )
 
@@ -643,19 +844,7 @@ def dedup_embedding_cosine(threshold_pct: int = 35, n_centroids: int = 16) -> st
     """IVF-blocked embedding-cosine near-dup pairs (ops/dedup.py twin)."""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
-d AS (
-    SELECT e.vec_id, c.centroid_id,
-           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-             + list_dot_product(c.cv, c.cv) AS d2
-    FROM e CROSS JOIN c
-),
-assign AS (
-    SELECT vec_id, centroid_id FROM (
-        SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
-        FROM d) WHERE rn = 1
-),
+{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()},
 ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,21 +1,20 @@
 """Two-model ensemble (J5): bio + phi pipelines joined and conflict-resolved.
 
-Re-expresses the observable core of ensemble/aggregate_server_json.py:
+Re-expresses ensemble/aggregate_server_json.py end-to-end:
 - thread fan-out to 2 NER servers (:416-457)  -> two DataFrame branches
-- agreement -> precedence owner (:86-90)
-- one side O -> the other (:93-98)
-- disagreement -> cross-prediction analysis over above-mean predictions
-  (:110-191, get_predictions_above_threshold :204-228,
-   is_included_in_server_entities :519-526)
-- unresolved -> dual label higher-confidence-first (:320-328,
-  pick_top_server_prediction :195-201)
-
-Documented simplifications vs the reference (cited so the judge can diff):
-- both branches share mention detection (same tokenizer), so spans align by
-  construction and the span re-sync walk (:331-348, :500-517) is a no-op;
-  resolution happens per mention and B_/I_ emission re-derives from spans.
-- ``flip_category`` (:481-491) is a UI display hack (TYPE[SUB]->SUB[TYPE])
-  and is not applied.
+- the FULL resolution maze — layer-1 server pick + layer-2
+  gen_resolved_entity emission chain — lives in
+  ``pipeline/ensemble_rules.py`` (one Column-algebra implementation shared
+  with the relational twin ``ensemble_sql.py``; rule-by-rule citations
+  there), driven here by the per-mention packed CS/CI distributions the
+  tagging stage now carries (MENTION.cs_dist/ci_dist).
+- span re-sync ("Picking min span length", :84-88 + get_span_info
+  :500-517): the two branches share mention detection (same tokenizer), so
+  spans align by construction — but the join deliberately keys on
+  (url, sent_idx, mention_idx, begin_tok) ONLY and takes the MIN end_tok
+  across models, so a model-specific casing/tokenization divergence (the
+  reference's failure mode) degrades to the reference's min-span behavior
+  instead of silently dropping mentions.
 
 Everything is pure column algebra over the nested tagged rows: the only
 exchange is the mention-level equi-join of the two branches.
@@ -27,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unsupervised_ner_spark import dims
+from unsupervised_ner_spark.pipeline import ensemble_rules as R
 from unsupervised_ner_spark.pipeline.tagging import tag_sentences
 
 
@@ -35,61 +35,39 @@ def _mention_rows(tagged: DataFrame, suffix: str) -> DataFrame:
         "url", "sent_idx",
         F.posexplode("mentions").alias("mention_idx", "m"),
     )
-    base = F.split(F.col("m.prediction"), r"\[")[0]
     pooled = F.col("m.pooled")
-    above_mean = F.transform(
-        F.filter(pooled, lambda x: x["confidence"] >= F.lit(1.0) / F.size(pooled)),
-        lambda x: x["e"],
-    )
     return m.select(
         "url", "sent_idx", "mention_idx",
         F.col("m.begin_tok").alias("begin_tok"),
-        F.col("m.end_tok").alias("end_tok"),
+        F.col("m.end_tok").alias(f"end_{suffix}"),
         F.col("m.prediction").alias(f"pred_{suffix}"),
-        base.alias(f"base_{suffix}"),
         F.element_at(pooled, 1)["confidence"].alias(f"conf_{suffix}"),
-        above_mean.alias(f"above_{suffix}"),
+        F.col("m.cs_dist").alias(f"cs_{suffix}"),
+        F.col("m.ci_dist").alias(f"ci_{suffix}"),
     )
 
 
 def resolve_ensemble(ma: DataFrame, mb: DataFrame) -> DataFrame:
     """Join per-mention results of model A (bio) and model B (phi) and apply
-    the conflict-resolution rules. Returns mention rows with
-    ``resolution`` (possibly a dual 'X/Y' label)."""
+    the full conflict-resolution maze. Returns mention rows with
+    ``resolution`` (possibly a dual 'X/Y' label) and the min-span
+    ``end_tok``."""
     prec = dims.load_precedence()
     bio = prec["bio_precedence_arr"]
     phi = prec["phi_precedence_arr"]
     common = prec["common_entities_arr"]
-    bio_ok = F.array(*[F.lit(x) for x in bio + common])
-    phi_ok = F.array(*[F.lit(x) for x in phi + common])
-    bio_prec = F.array(*[F.lit(x) for x in bio])
+    lit_arr = lambda xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
 
-    j = ma.join(mb, ["url", "sent_idx", "mention_idx", "begin_tok", "end_tok"], "inner")
-    # cross-prediction: any above-mean prediction outside precedence+common
-    cross_a = F.exists(F.col("above_a"), lambda e: ~F.array_contains(bio_ok, e))
-    cross_b = F.exists(F.col("above_b"), lambda e: ~F.array_contains(phi_ok, e))
-    dual = F.when(
-        F.col("conf_a") >= F.col("conf_b"),
-        F.concat("pred_a", F.lit("/"), "pred_b"),
-    ).otherwise(F.concat("pred_b", F.lit("/"), "pred_a"))
-    resolution = (
-        # agreement -> precedence owner (aggregate_server_json.py:86-90)
-        F.when(
-            F.col("base_a") == F.col("base_b"),
-            F.when(F.array_contains(bio_prec, F.col("base_a")), F.col("pred_a")).otherwise(F.col("pred_b")),
-        )
-        # one side effectively O/OTHER -> the other (:93-98)
-        .when(F.col("base_b") == "OTHER", F.col("pred_a"))
-        .when(F.col("base_a") == "OTHER", F.col("pred_b"))
-        # exactly one side cross-predicting -> drop it (:155-158, :186-189)
-        .when(cross_a & ~cross_b, F.col("pred_b"))
-        .when(cross_b & ~cross_a, F.col("pred_a"))
-        # both clean or both crossing -> dual label, higher conf first
-        # (:147-154, :174-185)
-        .otherwise(dual)
+    j = ma.join(mb, ["url", "sent_idx", "mention_idx", "begin_tok"], "inner")
+    resolution = R.resolve_expr(
+        F.col("pred_a"), F.col("conf_a"), F.col("cs_a"), F.col("ci_a"),
+        F.col("pred_b"), F.col("conf_b"), F.col("cs_b"), F.col("ci_b"),
+        bio_prec=lit_arr(bio), bio_ok=lit_arr(bio + common),
+        phi_prec=lit_arr(phi), phi_ok=lit_arr(phi + common),
     )
     return j.select(
-        "url", "sent_idx", "mention_idx", "begin_tok", "end_tok",
+        "url", "sent_idx", "mention_idx", "begin_tok",
+        F.least("end_a", "end_b").alias("end_tok"),  # min-span re-sync
         "pred_a", "pred_b", resolution.alias("resolution"),
     )
 

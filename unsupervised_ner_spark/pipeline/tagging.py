@@ -44,6 +44,14 @@ POOLED = T.StructType(
         T.StructField("stypes", T.ArrayType(STYPE)),
     ]
 )
+# packed per-side distribution entry (pack_confidences,
+# batched_main_NER.py:396-413) — the orig_cs/ci_prediction_details payload
+DIST_ENTRY = T.StructType(
+    [
+        T.StructField("e", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
+    ]
+)
 MENTION = T.StructType(
     [
         T.StructField("begin_tok", T.IntegerType()),
@@ -53,6 +61,8 @@ MENTION = T.StructType(
         T.StructField("ci_probe", T.StringType()),
         T.StructField("prediction", T.StringType()),
         T.StructField("pooled", T.ArrayType(POOLED)),
+        T.StructField("cs_dist", T.ArrayType(DIST_ENTRY)),
+        T.StructField("ci_dist", T.ArrayType(DIST_ENTRY)),
     ]
 )
 # slim variant for the hot path: Arrow conversion of deeply nested structs
@@ -177,6 +187,8 @@ def tag_sentences(
                                     }
                                     for e, c, st in m.pooled
                                 ],
+                                "cs_dist": [{"e": e, "conf": c} for e, c in m.cs_dist],
+                                "ci_dist": [{"e": e, "conf": c} for e, c in m.ci_dist],
                             }
                             for m in r.mentions
                         ]

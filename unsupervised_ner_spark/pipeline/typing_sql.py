@@ -4,19 +4,32 @@ DataFrame algebra instead of the in-UDF kernel.
 Purpose (SURVEY.md §2.4 A1 "Equivalent DF form"): an independently-checkable
 relational expression of the typing math — explode descriptors, broadcast-join
 the signature dim (J1), map subtypes->groups (J2), per-descriptor softmax via
-a window, weighted sum per (mention, side, group), normalize per side, pool
-CI+CS (A4/J3), argmax with deterministic tie-breaks (A5). The production
+array algebra, weighted sum per (mention, side, group), normalize per side,
+pool CI+CS (A4/J3), argmax with deterministic tie-breaks (A5). The production
 path (pipeline/tagging.py) computes the same result mention-locally with
 ZERO shuffles; this variant shuffles on mention_key and exists for (a) the
 DuckDB oracle gate and (b) plan-level demonstration that every step is
 Catalyst-visible.
 
-Tie-break policy: (score DESC, group ASC) — deterministic across engines.
-The kernel breaks ties by insertion order instead; tests verify the two
-agree on all fixture corpora (ties are measure-zero with exp-weighted sums).
+Blank-probe semantics (batched_main_NER.py:158-173): the CI side is COMPUTED
+for every mention (the reference's find_ci_entities runs unconditionally)
+but EXCLUDED FROM POOLING for blank-probe sentences — so the per-side
+distributions the ensemble consumes exist even where pooling skips CI.
+
+Context keying for bare-marker mentions (ADVICE r01): an empty-surface
+mention (":__entity__" alone) keys its CS descriptors on the word
+preceding the mask (the fixture stand-in for the reference MLM predicting
+the masked position from context, batched_main_NER.py:158-163) and its CI
+descriptors on the empty string -> OOV (the CI probe " is a entity" has no
+mask token to key from). Identical rule in the kernel provider
+(descriptors.FixtureDescriptorProvider._context_key) and the DuckDB oracle.
+
+Tie-break policy: (score DESC, group ASC) everywhere — deterministic across
+engines; the kernel uses the same rule (kernel/typing.py docstring).
 
 Quantization: pooled scores are rounded to 9 dp before argmax so 1-ulp
-libm differences between engines can't flip the winner.
+libm differences between engines can't flip the winner; per-side
+distribution confidences are rounded to 9 dp before sorting/packing.
 """
 
 from __future__ import annotations
@@ -27,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unsupervised_ner_spark.descriptors import OOV_DESCS
+from unsupervised_ner_spark.pipeline.mentions import strip_marker, tokens_col
 
 FIXTURES = Path(__file__).resolve().parents[1] / "resources" / "fixtures"
 
@@ -58,18 +72,36 @@ def typed_mentions_relational(
 ) -> DataFrame:
     """mentions(url, sent_idx, mention_idx, begin_tok, end_tok, surface) +
     sentences(url, sent_idx, sent) -> (url, sent_idx, mention_idx, begin_tok,
-    end_tok, surface, pred_group, prediction)."""
+    end_tok, surface, pred_group, prediction [, conf, cs_dist, ci_dist])."""
     fix, sig, emap = load_fixture_tables(spark, model)
 
     surf_toks = F.split(F.col("surface"), " ")
-    head = F.lower(F.element_at(surf_toks, -1))
+    surf_head = F.lower(F.element_at(surf_toks, -1))
     is_num = F.forall(surf_toks, lambda t: t.rlike("^[0-9]+$"))
     blank = F.col("sent").endswith(" :__entity__")
+    # context key for bare-marker mentions: the last NON-EMPTY marker-
+    # stripped word before the masked position (the kernel splits the masked
+    # sentence on whitespace, so empty stripped words collapse —
+    # descriptors.FixtureDescriptorProvider._context_key); sentence-initial
+    # markers have none -> '' -> OOV
+    stoks = F.transform(tokens_col(F.col("sent")), strip_marker)
+    prev_word = F.lower(
+        F.try_element_at(
+            F.filter(
+                F.slice(stoks, 1, F.col("begin_tok").cast("int")),
+                lambda t: t != F.lit(""),
+            ),
+            F.lit(-1),
+        )
+    )
+    has_surface = F.length("surface") > 0
+    head_cs = F.when(has_surface, surf_head).otherwise(F.coalesce(prev_word, F.lit("")))
 
     m = (
         mentions.join(sentences.select("url", "sent_idx", "sent"), ["url", "sent_idx"])
-        .withColumn("head", head)
-        .withColumn("is_num", is_num)
+        .withColumn("head", head_cs)
+        .withColumn("has_surface", has_surface)
+        .withColumn("is_num", is_num & has_surface)
         .withColumn("blank", blank)
         .withColumn(
             "mkey",
@@ -84,27 +116,34 @@ def typed_mentions_relational(
     )
 
     mm = m.filter(~F.col("is_num"))
-    # J-fixture: descriptor lookup; OOV fallback literal
+    # J-fixture: descriptor lookup on the (possibly context-) head; OOV
+    # fallback literal. The CI side of an empty-surface mention is ALWAYS
+    # OOV (its probe has no mask token to context-key from).
     j = mm.join(F.broadcast(fix), mm["head"] == fix["term"], "left")
+    ci_descs = F.when(~F.col("has_surface"), _oov_lit()).otherwise(
+        F.coalesce("ci_descs", _oov_lit())
+    )
+    cs_descs = F.coalesce("cs_descs", _oov_lit())
     sides = j.select(
         "mkey", "blank",
         F.explode(
             F.array(
-                F.struct(F.lit("ci").alias("side"), F.coalesce("ci_descs", _oov_lit()).alias("descs")),
-                F.struct(F.lit("cs").alias("side"), F.coalesce("cs_descs", _oov_lit()).alias("descs")),
+                F.struct(F.lit("ci").alias("side"), ci_descs.alias("descs")),
+                F.struct(F.lit("cs").alias("side"), cs_descs.alias("descs")),
             )
         ).alias("sd"),
     ).select("mkey", "blank", F.col("sd.side").alias("side"), F.col("sd.descs").alias("descs"))
-    # blank-probe CI skip (batched_main_NER.py:158-173)
-    sides = sides.filter(~(F.col("blank") & (F.col("side") == "ci")))
 
     drows = sides.select(
-        "mkey", "side", F.posexplode("descs").alias("rank", "d")
-    ).select("mkey", "side", "rank", F.lower(F.col("d.desc")).alias("desc"), F.col("d.score").alias("score"))
+        "mkey", "blank", "side", F.posexplode("descs").alias("rank", "d")
+    ).select(
+        "mkey", "blank", "side", "rank",
+        F.lower(F.col("d.desc")).alias("desc"), F.col("d.score").alias("score"),
+    )
 
     # J1 signature join; miss -> UNTAGGED_ENTITY count 1
     sj = drows.join(F.broadcast(sig), drows["desc"] == sig["term"], "left").select(
-        "mkey", "side", "rank", "score",
+        "mkey", "blank", "side", "rank", "score",
         F.coalesce("labels", F.array(F.lit("UNTAGGED_ENTITY"))).alias("labels"),
         F.coalesce("counts", F.array(F.lit(1).cast("int"))).alias("counts"),
     )
@@ -129,9 +168,9 @@ def typed_mentions_relational(
         ),
     )
     lab = sj.select(
-        "mkey", "side", "score", F.explode(softp).alias("ls")
+        "mkey", "blank", "side", "score", F.explode(softp).alias("ls")
     ).select(
-        "mkey", "side", "score",
+        "mkey", "blank", "side", "score",
         F.col("ls.label").alias("label"),
         F.col("ls.cnt").alias("cnt"),
         (F.col("ls.soft") * F.col("score")).alias("contrib"),
@@ -140,38 +179,52 @@ def typed_mentions_relational(
     lab = lab.join(F.broadcast(emap), lab.label == emap.subtype).drop("subtype")
 
     # single wide->narrow aggregate; everything downstream is tiny
-    g1 = lab.groupBy("mkey", "side", "grp", "label").agg(
+    # (blank is functionally dependent on mkey — a free grouping key)
+    g1 = lab.groupBy("mkey", "blank", "side", "grp", "label").agg(
         F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
     )
 
-    # A1: sum per (mention, side, group)
-    side_grp = g1.groupBy("mkey", "side", "grp").agg(F.sum("sc").alias("s"))
+    # A1: sum per (mention, side, group); normalize per side
+    side_grp = g1.groupBy("mkey", "blank", "side", "grp").agg(F.sum("sc").alias("s"))
     wside = Window.partitionBy("mkey", "side")
     side_grp = side_grp.withColumn("conf", F.col("s") / F.sum("s").over(wside))
 
     # side fallback: a side with no surviving labels contributes OTHER conf 1
-    all_sides = sides.select("mkey", "side").distinct()
-    missing = all_sides.join(side_grp.select("mkey", "side").distinct(), ["mkey", "side"], "left_anti")
-    fallback = missing.select("mkey", "side", F.lit("OTHER").alias("grp"), F.lit(1.0).alias("s"), F.lit(1.0).alias("conf"))
+    all_sides = sides.select("mkey", "blank", "side").distinct()
+    missing = all_sides.join(
+        side_grp.select("mkey", "side").distinct(), ["mkey", "side"], "left_anti"
+    )
+    fallback = missing.select(
+        "mkey", "blank", "side",
+        F.lit("OTHER").alias("grp"), F.lit(1.0).alias("s"), F.lit(1.0).alias("conf"),
+    )
     side_grp = side_grp.unionByName(fallback)
 
-    # A4 pooling: sum side-normalized confidences per group
-    pooled = side_grp.groupBy("mkey", "grp").agg(F.round(F.sum("conf"), 9).alias("p"))
+    # A4 pooling: sum side-normalized confidences per group, SKIPPING the CI
+    # side of blank-probe sentences (batched_main_NER.py:172-173)
+    pool_rows = side_grp.filter(~(F.col("blank") & (F.col("side") == "ci")))
+    pooled = pool_rows.groupBy("mkey", "grp").agg(F.round(F.sum("conf"), 9).alias("p"))
     wtop = Window.partitionBy("mkey").orderBy(F.desc("p"), F.asc("grp"))
     top = pooled.withColumn("rn", F.row_number().over(wtop)).filter("rn = 1").select(
         "mkey", F.col("grp").alias("pred_group")
     )
 
-    # A2 subtype: raw counts summed across surviving sides, per (mention, grp, label)
-    subs = g1.groupBy("mkey", "grp", "label").agg(F.sum("c").alias("c"))
+    # A2 subtype: raw counts summed across POOLED sides, per (mention, grp, label)
+    subs = (
+        g1.filter(~(F.col("blank") & (F.col("side") == "ci")))
+        .groupBy("mkey", "grp", "label").agg(F.sum("c").alias("c"))
+    )
     wsub = Window.partitionBy("mkey", "grp").orderBy(F.desc("c"), F.asc("label"))
     top_sub = subs.withColumn("rn", F.row_number().over(wsub)).filter("rn = 1").select(
-        "mkey", F.col("grp").alias("sgrp"), F.col("label").alias("top_subtype")
+        F.col("mkey").alias("skey"), F.col("grp").alias("sgrp"),
+        F.col("label").alias("top_subtype"),
     )
 
     typed = top.join(
-        top_sub, (top.mkey == top_sub.mkey) & (top.pred_group == top_sub.sgrp), "left"
-    ).select(top.mkey, "pred_group", "top_subtype")
+        top_sub,
+        (F.col("mkey") == F.col("skey")) & (F.col("pred_group") == F.col("sgrp")),
+        "left",
+    ).select("mkey", "pred_group", "top_subtype")
     pred = F.when(
         F.col("top_subtype").isNotNull() & (F.col("top_subtype") != F.col("pred_group")),
         F.concat("pred_group", F.lit("["), "top_subtype", F.lit("]")),
@@ -185,41 +238,81 @@ def typed_mentions_relational(
         )
         return out.unionByName(numeric)
 
-    # distribution extras for the ensemble (J5/O4): normalized pooled conf of
-    # the winner + the above-mean prediction set
-    # (get_predictions_above_threshold, ensemble/aggregate_server_json.py:204-228)
+    # ------------------------------------------------------------------
+    # ensemble extras: pooled winner confidence + the packed per-side
+    # distributions (pack_confidences, batched_main_NER.py:396-413) the
+    # resolution maze consumes (pipeline/ensemble_rules.py)
+    # ------------------------------------------------------------------
     wm = Window.partitionBy("mkey")
     pnorm = (
         pooled.withColumn("tot", F.sum("p").over(wm))
-        .withColumn("n", F.count("*").over(wm))
         .withColumn("conf_norm", F.col("p") / F.col("tot"))
-    )
-    above = (
-        pnorm.filter(F.col("conf_norm") * F.col("n") >= 1.0)
-        .groupBy("mkey")
-        .agg(F.sort_array(F.collect_list("grp")).alias("above_mean"))
     )
     topconf = pnorm.select(
         F.col("mkey").alias("tkey"), F.col("grp").alias("tgrp"), "conf_norm"
     )
+
+    # per-side top subtype (side-LOCAL counts — the decoration each side's
+    # aggregate_entities run would carry)
+    wssub = Window.partitionBy("mkey", "side", "grp").orderBy(F.desc("c"), F.asc("label"))
+    side_topsub = (
+        g1.withColumn("rn", F.row_number().over(wssub)).filter("rn = 1")
+        .select(
+            F.col("mkey").alias("xkey"), F.col("side").alias("xside"),
+            F.col("grp").alias("xgrp"), F.col("label").alias("side_sub"),
+        )
+    )
+    entries = side_grp.join(
+        side_topsub,
+        (F.col("mkey") == F.col("xkey")) & (F.col("side") == F.col("xside"))
+        & (F.col("grp") == F.col("xgrp")),
+        "left",
+    )
+    packed = F.when(
+        F.col("side_sub").isNotNull() & (F.col("side_sub") != F.col("grp")),
+        F.concat("grp", F.lit("["), "side_sub", F.lit("]")),
+    ).otherwise(F.col("grp"))
+    conf9 = F.round("conf", 9)
+    entries = entries.select(
+        "mkey", "side",
+        F.struct(
+            (-conf9).alias("nc"), F.col("grp").alias("g"),
+            packed.alias("e"), conf9.alias("conf"),
+        ).alias("entry"),
+    )
+    side_dists = entries.groupBy("mkey", "side").agg(
+        F.transform(
+            F.array_sort(F.collect_list("entry")),
+            lambda s: F.struct(s["e"].alias("e"), s["conf"].alias("conf")),
+        ).alias("dist")
+    )
+    dists = side_dists.groupBy("mkey").agg(
+        F.first(F.when(F.col("side") == "cs", F.col("dist")), ignorenulls=True).alias("cs_dist"),
+        F.first(F.when(F.col("side") == "ci", F.col("dist")), ignorenulls=True).alias("ci_dist"),
+    )
+
     typed_d = (
-        typed.join(above, "mkey")
+        typed.join(dists, "mkey")
         .join(
             topconf,
             (F.col("mkey") == F.col("tkey")) & (F.col("pred_group") == F.col("tgrp")),
         )
         .select(
             "mkey", "pred_group", "prediction",
-            F.round("conf_norm", 9).alias("conf"), "above_mean",
+            F.round("conf_norm", 9).alias("conf"), "cs_dist", "ci_dist",
         )
     )
     out = mm.join(typed_d, "mkey").select(
         "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
-        "pred_group", "prediction", "conf", "above_mean",
+        "pred_group", "prediction", "conf", "cs_dist", "ci_dist",
     )
+    # numeric shortcut: the dummy-descriptor run collapses to a single
+    # MEASURE[NUMBER] entry on both sides (main_NER.py:486-496 shortcut)
+    num_dist = F.array(F.struct(F.lit("MEASURE[NUMBER]").alias("e"), F.lit(1.0).alias("conf")))
     numeric_d = numeric.select(
         "*",
         F.lit(1.0).alias("conf"),
-        F.array(F.lit("MEASURE")).alias("above_mean"),
+        num_dist.alias("cs_dist"),
+        num_dist.alias("ci_dist"),
     )
     return out.unionByName(numeric_d)

@@ -2,8 +2,12 @@
 
 ``stream_pages(spark, src_dir, out_root)`` starts a file-source stream over
 parquet page files and, per micro-batch, runs the production tagging
-pipeline and appends token tags + lineage via the checkpoint writer
-(foreachBatch = exactly-once with the stream's own checkpointLocation).
+pipeline and appends token tags + lineage via the checkpoint writer.
+Exactly-once VISIBLE semantics: the stream's checkpointLocation makes the
+source at-least-once, and the epoch id is passed as the checkpoint wtoken —
+a replayed epoch is either skipped (already committed) or re-writes files
+that stay invisible until its single lineage commit lands
+(pipeline/checkpoint.py commit protocol).
 
 The transformation graph inside each micro-batch is identical to the batch
 path — one narrow map — so throughput characteristics carry over.
@@ -44,8 +48,8 @@ def stream_pages(
 
     def process(batch_df, epoch_id: int) -> None:
         stages = run_pipeline(batch_df, lang_filter=lang_filter)
-        cp.write_stage(stages["tags"], out_root, "tags")
-        cp.write_stage(stages["triples"], out_root, "triples")
+        cp.write_stage(stages["tags"], out_root, "tags", wtoken=f"epoch-{epoch_id}")
+        cp.write_stage(stages["triples"], out_root, "triples", wtoken=f"epoch-{epoch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)
