@@ -198,8 +198,9 @@ def q_er_exact_canonical(spark, sf_dir):
 
 
 def q_er_components(spark, sf_dir):
-    """Full ER incl. LSH edges + iterative connected components (rows-only:
-    the iteration is not single-statement-SQL-expressible)."""
+    """Full ER incl. LSH edges + iterative connected components; the DuckDB
+    oracle replays the iteration's fixpoint with a RECURSIVE CTE (min
+    reachable node id), upgrading this from rows-only to hash-matched."""
     from unsupervised_ner_spark.pipeline import er
 
     typed = q_kg_typed_mentions(spark, sf_dir)
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": O.ann_ivf_topk(),
         "mm_media_meta": O.mm_media_meta(),
         "er_exact_canonical": O.er_exact_canonical(),
+        "er_components": O.er_components(),
         "rel_agg_scan": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -28,9 +28,13 @@ from unsupervised_ner_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "kg_sentences",
     "kg_mentions",
+    "kg_mentions_pos",
     "kg_typed_mentions",
     "kg_bio_tags",
     "kg_triples",
+    "kg_ensemble_mentions",
+    "er_exact_canonical",
+    "er_components",
     "txt_stats",
     "txt_langid",
     "dedup_exact",
@@ -39,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_bruteforce",
     "ann_ivf_assign",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "mm_media_meta",
     "rel_agg_scan",

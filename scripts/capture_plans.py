@@ -68,11 +68,26 @@ def main() -> None:
     sections.append(("Broadcast join + windowed top-k (rel_join_topk)", p3))
     checks.append(("customer dim broadcast", "BroadcastHashJoin" in p3))
 
-    # 4. LSH dedup: band join shape
+    # 4. LSH dedup: band join shape. Scale posture (VERDICT r01): the banded
+    # signature table is persisted so shingling+minhash runs ONCE — every
+    # InMemoryTableScan in the plan points at the SAME InMemoryRelation
+    # (one distinct "Scan parquet" node id) — and no join side carries a
+    # FORCED broadcast hint (a ResolvedHint in the logical plan). Stats-
+    # based BroadcastExchange at sf0.01 is fine: the bucket table really is
+    # small here, and the same cost model picks a shuffle join when the
+    # estimate crosses the threshold at scale.
+    import re
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    p4 = plan_of(dedup.lsh_bucket_pairs(docs))
+    lsh = dedup.lsh_bucket_pairs(docs)
+    p4 = plan_of(lsh)
     sections.append(("MinHash-LSH candidate pairs (dedup)", p4))
-    checks.append(("bucket-cap join broadcast", "BroadcastHashJoin" in p4))
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", p4))
+    checks.append(("banded signatures persisted (single signature computation)",
+                   "InMemoryRelation" in p4 and len(scan_ids) == 1))
+    analyzed = lsh._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    checks.append(("no forced broadcast hint on the bucket join",
+                   "ResolvedHint" not in analyzed))
 
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]

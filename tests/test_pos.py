@@ -61,8 +61,10 @@ def test_marker_dispatch_bypasses_pos(spark):
         ("the", "IN"),
         (",", "SYM"),
         ("slowly", "RB"),
-        ("treated", "VBD"),
-        ("running", "VBD"),
+        ("treated", "VBG"),   # suffix rule
+        ("running", "VBG"),
+        ("flew", "VBD"),      # verb lexicon: bare past POS-lite misses
+        ("beginning", "NN"),  # -ing noun exception
         ("Paris", "NNP"),
         ("disease", "NN"),
         ("red", "NN"),       # short -ed word: len <= 4 keeps NN

@@ -149,19 +149,29 @@ class HFBertDescriptorProvider:
         model_name: str = "bert-base-cased",
         top_k: int = TOP_K_DESCS,
         device: str | None = None,
+        torch_mod=None,
+        tokenizer=None,
+        model=None,
     ):
-        try:  # pragma: no cover - not installable in this container
-            import torch
-            from transformers import AutoModelForMaskedLM, AutoTokenizer
-        except ImportError as e:
-            raise NotImplementedError(
-                "transformers/torch not available in this environment; "
-                "use FixtureDescriptorProvider"
-            ) from e
-        self._torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        self.model = AutoModelForMaskedLM.from_pretrained(model_name)
-        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        """``torch_mod``/``tokenizer``/``model`` are an injection seam: pass
+        them to run the IDENTICAL plumbing against a stand-in (the contract
+        test uses unsupervised_ner_spark.testing.fake_hf); omitted, the real
+        HuggingFace stack is imported and the pretrained weights load."""
+        if torch_mod is None or tokenizer is None or model is None:
+            try:
+                import torch as torch_mod
+                from transformers import AutoModelForMaskedLM, AutoTokenizer
+            except ImportError as e:
+                raise NotImplementedError(
+                    "transformers/torch not available in this environment; "
+                    "use FixtureDescriptorProvider or inject a stand-in"
+                ) from e
+            tokenizer = AutoTokenizer.from_pretrained(model_name)
+            model = AutoModelForMaskedLM.from_pretrained(model_name)
+        self._torch = torch_mod
+        self.tokenizer = tokenizer
+        self.model = model
+        self.device = device or ("cuda" if torch_mod.cuda.is_available() else "cpu")
         self.model.to(self.device).eval()
         self.top_k = top_k
 
@@ -170,7 +180,7 @@ class HFBertDescriptorProvider:
 
     def descriptors_batch(
         self, masked_sentences: list[str]
-    ) -> list[list[tuple[str, float]]]:  # pragma: no cover
+    ) -> list[list[tuple[str, float]]]:
         torch = self._torch
         texts = [
             s.replace("__entity__", self.tokenizer.mask_token)
@@ -200,10 +210,19 @@ class HFBertDescriptorProvider:
 
     def descriptors(
         self, surface: str, side: str, context: str | None = None
-    ) -> list[tuple[str, float]]:  # pragma: no cover
+    ) -> list[tuple[str, float]]:
+        import re
+
         from unsupervised_ner_spark.kernel.spans import ci_probe
 
-        sent = context if context else (
-            ci_probe(surface) if side == "ci" else surface + " __entity__"
-        )
+        if side == "ci":
+            # CI probe: "<Capitalized span> is a entity" where the trailing
+            # template word "entity" IS the masked position — the reference
+            # dispatches with DISPATCH_MASK_TAG = "entity" (main_NER.py:15,
+            # :502), i.e. BERT sees "<span> is a [MASK]" and the predictions
+            # are the span's context-free descriptors.
+            probe = context if context else ci_probe(surface)
+            sent = re.sub(r" entity$", " __entity__", probe)
+        else:
+            sent = context if context else surface + " __entity__"
         return self.descriptors_batch([sent])[0]

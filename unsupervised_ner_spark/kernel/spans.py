@@ -54,7 +54,7 @@ FUNCTION_WORDS = frozenset(
     am is are was were be been being do does did doing have has had having
     will would shall should can could may might must ought
     not never also just only even still too very quite rather almost
-    of to in on at by for with about against between into through during without
+    of to in on at by for from with about against between into through during without
     within along across behind beyond plus except up down out off over under
     below above beneath toward towards upon onto via per amid among
     again further then once here there why how all more most other another

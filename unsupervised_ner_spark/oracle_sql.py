@@ -22,6 +22,16 @@ from unsupervised_ner_spark.ops.textstats import EN_STOPWORDS, LANG_STOPWORDS
 FIXTURES = Path(__file__).resolve().parent / "resources" / "fixtures"
 
 _FUNCWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(FUNCTION_WORDS)) + "]"
+
+
+def _materialize(sql: str, *cte_names: str) -> str:
+    """Force DuckDB to materialize multi-referenced CTEs (``name AS
+    MATERIALIZED (``): without the hint DuckDB may inline a CTE once per
+    reference, re-running the whole upstream chain (measured 3-4x slowdown
+    on the ER/ensemble oracles)."""
+    for name in cte_names:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return sql
 _OOV_SQL = (
     "["
     + ", ".join("{'desc': '%s', 'score': %s}" % (d, float(s)) for d, s in OOV_DESCS)
@@ -248,20 +258,29 @@ def kg_mentions() -> str:
 def kg_mentions_pos() -> str:
     """POS-tag-driven mentions (pipeline/pos.py twin): deterministic rule
     tagger + noun_tags run grouping (ensemble/utils/common.py:11,15-31).
-    Rule order replicates synth_pos_tag verbatim."""
-    noun_tags_sql = "[" + ", ".join(f"'{t}'" for t in
-                                    ("NFP", "JJ", "NN", "FW", "NNS", "NNPS",
-                                     "JJS", "JJR", "NNP", "POS", "CD")) + "]"
+    Rule order replicates synth_pos_tag verbatim; word lists are imported
+    from the same module so the twins cannot drift."""
+    from unsupervised_ner_spark.pipeline.pos import (
+        CLOSED_CLASS,
+        ING_NOUNS,
+        VERB_LEXICON,
+    )
+
+    arr = lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"  # noqa: E731
+    noun_tags_sql = arr(("NFP", "JJ", "NN", "FW", "NNS", "NNPS",
+                         "JJS", "JJR", "NNP", "POS", "CD"))
     w = "replace(toks[i], ':__entity__', '')"
     is_lower = f"({w} = lower({w}) AND lower({w}) <> upper({w}))"
     tag = f"""CASE
         WHEN marker_mode THEN
             CASE WHEN ends_with(toks[i], ':__entity__') THEN 'NNP' ELSE 'RESET' END
         WHEN regexp_matches({w}, '^[0-9]+$') THEN 'CD'
-        WHEN list_contains({_FUNCWORDS_SQL}, lower({w})) THEN 'IN'
+        WHEN list_contains({arr(CLOSED_CLASS)}, lower({w})) THEN 'IN'
+        WHEN {is_lower} AND list_contains({arr(VERB_LEXICON)}, lower({w})) THEN 'VBD'
         WHEN NOT regexp_matches(lower({w}), '[a-z0-9]') THEN 'SYM'
+        WHEN {is_lower} AND list_contains({arr(ING_NOUNS)}, lower({w})) THEN 'NN'
         WHEN {is_lower} AND regexp_matches({w}, 'ly$') THEN 'RB'
-        WHEN {is_lower} AND length({w}) > 4 AND regexp_matches({w}, '(ed|ing)$') THEN 'VBD'
+        WHEN {is_lower} AND length({w}) > 4 AND regexp_matches({w}, '(ed|ing)$') THEN 'VBG'
         WHEN regexp_matches({w}, '^[A-Z]') THEN 'NNP'
         ELSE 'NN' END"""
     return (
@@ -774,7 +793,12 @@ def kg_ensemble_mentions(model_a: str = "a100", model_b: str = "bbc") -> str:
 
     flip_a = _flip_sql("pred_a")
     flip_b = _flip_sql("pred_b")
-    return (
+    mat = ["sents", "tokens", "mentions"] + [
+        p + n
+        for p in ("a_", "b_")
+        for n in ("base", "jf", "sides", "lab", "allconf", "pooled", "typed", "numeric_m")
+    ]
+    return _materialize(
         "WITH " + SENTS_CTE.strip().rstrip(",")
         + ", " + TOKENS_CTE.strip()
         + ", " + MENTIONS_CTE.strip()
@@ -814,7 +838,8 @@ SELECT url, sent_idx, mention_idx, surface, pred_a, pred_b,
       ELSE {flip_b} || '/' || {flip_a}
     END AS resolution
 FROM st2
-"""
+""",
+        *mat,
     )
 
 
@@ -837,6 +862,109 @@ SELECT md5(norm_surface || '|' || etype) AS node_id,
 FROM occ WHERE length(norm_surface) > 0
 GROUP BY norm_surface, etype
 """
+    )
+
+
+def er_components(
+    model: str = "a100",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 100,
+) -> str:
+    """Full ER twin (pipeline/er.py resolve_entities): exact canonical nodes
+    -> char-3-gram MinHash-LSH candidate edges (per-etype bands, bucket cap)
+    -> exact Jaccard verify -> connected components via a RECURSIVE CTE
+    (min reachable node id == the min-label-propagation fixpoint the Spark
+    loop converges to) -> entity aggregation."""
+    shingle = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(padded) - 2, 1)), "
+        "i -> substr(padded, i, 3)))"
+    )
+    mat = ("typed", "nodes2", "shs", "bok")
+    mins = ", ".join(
+        f"min(md5('{i}:' || sh)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_rows.append(
+            f"SELECT node_id, etype, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    prefix = _kg_prefix(model).replace("WITH ", "WITH RECURSIVE ", 1)
+    return _materialize(
+        prefix
+        + f"""
+, occ2 AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface,
+           pred_group AS etype, surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+nodes2 AS (
+    SELECT md5(norm_surface || '|' || etype) AS node_id,
+           norm_surface, etype,
+           count(*) AS n_mentions,
+           min(surface) AS canonical_surface
+    FROM occ2 WHERE length(norm_surface) > 0
+    GROUP BY norm_surface, etype
+),
+shs AS (
+    SELECT node_id, etype, {shingle} AS shset
+    FROM (SELECT node_id, etype, '^' || norm_surface || '$' AS padded FROM nodes2)
+),
+shx AS (SELECT node_id, etype, unnest(shset) AS sh FROM shs),
+sig AS (SELECT node_id, etype, {mins} FROM shx GROUP BY node_id, etype),
+bands AS ({bands_sql}),
+bsizes AS (
+    SELECT etype, band_id, band_hash FROM bands
+    GROUP BY etype, band_id, band_hash HAVING count(*) <= {max_bucket}
+),
+bok AS (SELECT b.* FROM bands b JOIN bsizes s USING (etype, band_id, band_hash)),
+cand AS (
+    SELECT DISTINCT a.node_id AS node_a, b.node_id AS node_b
+    FROM bok a JOIN bok b
+      ON a.etype = b.etype AND a.band_id = b.band_id
+     AND a.band_hash = b.band_hash AND a.node_id < b.node_id
+),
+vedges AS (
+    SELECT c.node_a, c.node_b
+    FROM cand c
+    JOIN shs sa ON sa.node_id = c.node_a
+    JOIN shs sb ON sb.node_id = c.node_b
+    WHERE len(list_filter(sa.shset, x -> list_contains(sb.shset, x)))
+          >= (len(sa.shset) + len(sb.shset)
+              - len(list_filter(sa.shset, x -> list_contains(sb.shset, x))))
+             * {jaccard_threshold}
+),
+esym AS (
+    SELECT node_a AS a, node_b AS b FROM vedges
+    UNION ALL
+    SELECT node_b AS a, node_a AS b FROM vedges
+),
+reach AS (
+    SELECT node_id AS node, node_id AS lab FROM nodes2
+    UNION
+    SELECT e.b AS node, r.lab FROM reach r JOIN esym e ON e.a = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+merged AS (
+    SELECT n.*, c.component FROM nodes2 n JOIN comp c ON c.node = n.node_id
+),
+ranked AS (
+    SELECT component AS entity_id, etype, canonical_surface, n_mentions,
+           row_number() OVER (PARTITION BY component, etype
+                              ORDER BY n_mentions DESC, canonical_surface ASC) AS rn,
+           sum(n_mentions) OVER (PARTITION BY component, etype) AS total_mentions
+    FROM merged
+)
+SELECT entity_id, etype, canonical_surface,
+       CAST(total_mentions AS BIGINT) AS n_mentions
+FROM ranked WHERE rn = 1
+""",
+        *mat,
     )
 
 

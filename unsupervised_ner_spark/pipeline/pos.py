@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unsupervised_ner_spark.kernel.constants import NOUN_TAGS, RESET_POS_TAG
-from unsupervised_ner_spark.kernel.spans import FUNCTION_WORDS
 from unsupervised_ner_spark.pipeline.mentions import (
     is_marked,
     strip_marker,
@@ -42,7 +41,53 @@ from unsupervised_ner_spark.pipeline.mentions import (
     tokens_to_mentions,
 )
 
-_FUNCTION_WORDS = sorted(FUNCTION_WORDS)
+# TRUE closed-class words only (determiners, conjunctions, prepositions,
+# pronouns, auxiliaries, qualifiers) — deliberately NOT kernel.spans
+# FUNCTION_WORDS, which additionally blacklists ~40 open-class verbs
+# ("felt", "treats", "causes", ...) as a heuristic hack. A tagger knows
+# verbs morphologically/lexically, so this path keeps the closed class pure
+# and routes verbs through VERB_LEXICON below — making the two mention
+# paths genuinely divergent where POS-lite errs (see POS_DIVERGENCE.md).
+CLOSED_CLASS = sorted(
+    """
+    a an the this that these those some any each every no such
+    and or but nor so yet either neither both whether because although though
+    while if unless until since when whenever where wherever after before as
+    i you he she it we they me him her us them my your his its our their mine
+    yours hers ours theirs myself yourself himself herself itself ourselves
+    themselves who whom whose which what
+    am is are was were be been being do does did doing have has had having
+    will would shall should can could may might must ought
+    not never also just only even still too very quite rather almost
+    of to in on at by for from with about against between into through during without
+    within along across behind beyond plus except up down out off over under
+    below above beneath toward towards upon onto via per amid among
+    again further then once here there why how all more most other another
+    """.split()
+)
+
+# Common verb forms a lexical tagger resolves that POS-lite's suffix rules
+# miss: bare/irregular pasts and 3rd-person forms with no -ed/-ing marker.
+VERB_LEXICON = sorted(
+    """
+    felt said says say take takes took make makes made get gets got
+    went goes go come comes came give gives gave win wins won lose loses lost
+    indicate indicates treat treats suffer suffers cause causes beat beats
+    flew fly flies rode ride rides died dies led lead leads works work
+    ran run runs saw see sees sought brought bought taught thought told tell
+    tells kept keep keeps held hold holds met meet meets paid pay pays
+    """.split()
+)
+
+# Lowercase -ing/-ed words that are NOUNS (gerund-derived or lexicalized) —
+# a real tagger tags these NN where a suffix rule would call them verbal.
+ING_NOUNS = sorted(
+    """
+    beginning morning evening building wedding ring king spring string
+    thing something nothing anything everything ceiling feeling meeting
+    painting drawing clothing lightning
+    """.split()
+)
 
 
 def synth_pos_tag(word: Column) -> Column:
@@ -53,10 +98,12 @@ def synth_pos_tag(word: Column) -> Column:
     is_lower = (word == w) & (w != F.upper(word))  # str.islower()
     return (
         F.when(word.rlike("^[0-9]+$"), F.lit("CD"))
-        .when(w.isin(*_FUNCTION_WORDS), F.lit("IN"))
+        .when(w.isin(*CLOSED_CLASS), F.lit("IN"))
+        .when(is_lower & w.isin(*VERB_LEXICON), F.lit("VBD"))
         .when(~w.rlike("[a-z0-9]"), F.lit("SYM"))
+        .when(is_lower & w.isin(*ING_NOUNS), F.lit("NN"))
         .when(is_lower & word.rlike("ly$"), F.lit("RB"))
-        .when(is_lower & (F.length(word) > 4) & word.rlike("(ed|ing)$"), F.lit("VBD"))
+        .when(is_lower & (F.length(word) > 4) & word.rlike("(ed|ing)$"), F.lit("VBG"))
         .when(word.rlike("^[A-Z]"), F.lit("NNP"))
         .otherwise(F.lit("NN"))
     )
