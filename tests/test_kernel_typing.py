@@ -123,3 +123,60 @@ def test_sort_tie_break_is_label_asc():
     ents, confs, _ = T.aggregate_entities(descs, sigs, EMAP)
     assert ents[0].startswith("DISEASE")  # D < P on the tie
     assert confs == [0.5, 0.5]
+
+
+# ---------------------------------------------------------------------------
+# v1 (per-mention, main_NER.py) aggregation semantics
+# ---------------------------------------------------------------------------
+
+
+def test_v1_count_fraction_weighting():
+    # one descriptor, score 2.0, labels DISEASE/PERSON counts 10/30:
+    # weights = (10/40)*2, (30/40)*2 (main_NER.py:541-572)
+    descs = [("x", 2.0)]
+    sigs = [(["DISEASE", "PERSON"], [10, 30])]
+    ents, confs, subs = T.aggregate_entities_v1(descs, sigs, EMAP)
+    # PERSON 1.5 > DISEASE 0.5 -> normalized [0.75, 0.25]
+    assert ents == ["PERSON[PERSON]", "DISEASE[DISEASE]"]
+    assert confs == [0.75, 0.25]
+    # subtype counting is OCCURRENCES (1 per descriptor), not cluster counts
+    assert subs == {"DISEASE": {"DISEASE": 1}, "PERSON": {"PERSON": 1}}
+
+
+def test_v1_denominator_includes_suppressed_counts():
+    # total = 5 + 15 = 20 even though OTHER is suppressed (:558 sums before
+    # filtering); DISEASE gets the ALIGNMENT QUIRK weight curr_counts[0]=5
+    # (filtered index) -> (5/20)*1.0
+    descs = [("x", 1.0)]
+    sigs = [(["OTHER", "DISEASE"], [5, 15])]
+    ents, confs, subs = T.aggregate_entities_v1(descs, sigs, EMAP)
+    assert ents == ["DISEASE[DISEASE]"]
+    assert confs == [1.0]  # single entity normalizes to 1 regardless
+    # the quirk is observable with TWO kept labels after one suppressed:
+    sigs2 = [(["OTHER", "DISEASE", "PERSON"], [8, 2, 10])]
+    ents2, confs2, _ = T.aggregate_entities_v1(descs, sigs2, EMAP)
+    # kept = [DISEASE, PERSON]; quirk weights use counts[0]=8, counts[1]=2
+    # -> DISEASE (8/20), PERSON (2/20) -> DISEASE ranks first
+    assert ents2[0].startswith("DISEASE")
+    assert confs2 == [0.8, 0.2]
+
+
+def test_v1_subtype_occurrence_counting_across_descriptors():
+    descs = [("a", 1.0), ("b", 1.0)]
+    sigs = [
+        (["DRUG"], [100]),
+        (["DRUG", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"], [1, 1]),
+    ]
+    _, _, subs = T.aggregate_entities_v1(descs, sigs, EMAP)
+    grp = "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"
+    assert subs[grp]["DRUG"] == 2  # once per descriptor, NOT 101
+    assert subs[grp][grp] == 1
+
+
+def test_v1_all_suppressed_falls_back_to_other():
+    descs = [("x", 1.0)]
+    sigs = [(["OTHER", "UNTAGGED_ENTITY"], [3, 4])]
+    ents, confs, subs = T.aggregate_entities_v1(descs, sigs, EMAP)
+    assert ents == ["OTHER[OTHER]"]
+    assert confs == [1.0]
+    assert subs == {"OTHER": {"OTHER": 1}}

@@ -44,6 +44,9 @@ class MentionResult:
     # payloads the ensemble consumes
     cs_dist: list = field(default_factory=list)
     ci_dist: list = field(default_factory=list)
+    # raw descriptor term lists (cs/ci_prediction_details "descs" payload)
+    cs_descs: list = field(default_factory=list)
+    ci_descs: list = field(default_factory=list)
 
 
 @dataclass
@@ -64,13 +67,20 @@ class OracleTagger:
         common_descs: frozenset[str] = frozenset(),
         suppress_untagged: bool = True,
         punct_terminate: bool = True,
+        typing_version: str = "v2",
     ):
+        """``typing_version``: "v2" (batched semantics — softmax-weighted,
+        the parity oracle) or "v1" (per-mention main_NER semantics —
+        count-fraction weighting + subtype occurrence counting; see
+        kernel/typing.py:aggregate_entities_v1)."""
+        assert typing_version in ("v1", "v2")
         self.provider = provider
         self.entity_map = entity_map
         self.signatures = signatures
         self.common_descs = common_descs
         self.suppress_untagged = suppress_untagged
         self.punct_terminate = punct_terminate
+        self.typing_version = typing_version
         # typing-result memo: valid only when the provider declares its
         # descriptors a pure function of the surface (cache_key != None).
         # Zipfian surface distributions make this the tagging hot-path win.
@@ -86,9 +96,12 @@ class OracleTagger:
 
     def _type_side(self, descs):
         sigs = [self._signature(d) for d, _ in descs]
-        return T.aggregate_entities(
-            descs, sigs, self.entity_map, self.suppress_untagged
+        fn = (
+            T.aggregate_entities
+            if self.typing_version == "v2"
+            else T.aggregate_entities_v1
         )
+        return fn(descs, sigs, self.entity_map, self.suppress_untagged)
 
     def tag_sentence(self, text: str) -> SentenceResult:
         sent = add_term_punct(text) if self.punct_terminate else text
@@ -120,7 +133,7 @@ class OracleTagger:
             if hit is not None:
                 (mr.ci_entities, mr.ci_confidences, mr.cs_entities,
                  mr.cs_confidences, mr.pooled, mr.prediction,
-                 mr.cs_dist, mr.ci_dist) = hit
+                 mr.cs_dist, mr.ci_dist, mr.cs_descs, mr.ci_descs) = hit
             else:
                 ci_descs = self.provider.descriptors(
                     m.surface, "ci", context=mr.ci_probe
@@ -141,11 +154,13 @@ class OracleTagger:
                 mr.prediction = T.top_prediction(mr.pooled)
                 mr.cs_dist = T.pack_confidences(mr.cs_entities, mr.cs_confidences)
                 mr.ci_dist = T.pack_confidences(mr.ci_entities, mr.ci_confidences)
+                mr.cs_descs = [d for d, _ in cs_descs]
+                mr.ci_descs = [d for d, _ in ci_descs]
                 if memo_key is not None:
                     self._memo[memo_key] = (
                         mr.ci_entities, mr.ci_confidences, mr.cs_entities,
                         mr.cs_confidences, mr.pooled, mr.prediction,
-                        mr.cs_dist, mr.ci_dist,
+                        mr.cs_dist, mr.ci_dist, mr.cs_descs, mr.ci_descs,
                     )
             results.append(mr)
             predictions.append(mr.prediction)

@@ -136,6 +136,65 @@ def aggregate_entities(
     return decorated, confidences, subtypes
 
 
+def aggregate_entities_v1(
+    descs: Descs,
+    signatures: list[Signature],
+    entity_map: dict[str, str],
+    suppress_untagged: bool = True,
+):
+    """v1 (per-mention, main_NER.py) aggregation semantics — the alternative
+    to the v2 softmax path for users replaying v1 outputs:
+
+    - COUNT-FRACTION weighting (main_NER.py:541-572): descriptor i's label j
+      contributes (count[j] / sum(ALL counts of descriptor i)) * desc_score_i
+      — the denominator includes SUPPRESSED labels' counts (:558 sums
+      curr_counts before filtering);
+    - PRESERVED QUIRK (:560-566): after map_entities drops suppressed
+      labels, the weight lookup indexes counts by the FILTERED position
+      (``curr_counts[j]`` for filtered ``curr_e[j]``), so when a suppressed
+      label precedes a kept one the kept label gets the SUPPRESSED label's
+      count. Replicated bit-for-bit; do not "fix".
+    - subtype OCCURRENCE counting (:632): each descriptor contributes 1 per
+      subtype (not its cluster count) — "to avoid cluster context
+      overwhelming the current sentence context".
+
+    Returns (decorated_entities, confidences, subtypes) like
+    ``aggregate_entities`` (v2); ties break (score DESC, label ASC) per the
+    module-wide cross-engine rule.
+    """
+    assert len(descs) == len(signatures)
+    agg: dict[str, float] = {}
+    subtypes: dict[str, dict[str, int]] = {}
+    for (_desc, score), (labels, counts) in zip(descs, signatures):
+        kept_groups: list[str] = []
+        for label in labels:  # map_entities (:619-637), occurrence counting
+            if skip_untagged(label, suppress_untagged):
+                continue
+            group = entity_map[label]
+            kept_groups.append(group)
+            sub = subtypes.setdefault(group, {})
+            sub[label] = sub.get(label, 0) + 1
+        total = sum(int(c) for c in counts)  # ALL counts, pre-filter (:558)
+        total = 1 if total == 0 else total
+        for j, group in enumerate(kept_groups):
+            # QUIRK: counts indexed by filtered position j (:560-566)
+            w = (float(counts[j]) / total) * float(score)
+            agg[group] = agg.get(group, 0.0) + w
+    ordered = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    if not ordered:  # all labels suppressed (:570-572)
+        ordered = [(OTHER_LABEL, 1.0)]
+        subtypes[OTHER_LABEL] = {OTHER_LABEL: 1}
+    confidences = normalize_round([v for _, v in ordered])
+    decorated = []
+    for g, _ in ordered:
+        if g in subtypes:
+            subs = sorted(subtypes[g].items(), key=lambda kv: (-kv[1], kv[0]))
+            decorated.append(g + "[" + ",".join(s for s, _ in subs) + "]")
+        else:
+            decorated.append(g)
+    return decorated, confidences, subtypes
+
+
 def pool_confidences(
     ci_entities: list[str],
     ci_confidences: list[float],

@@ -106,9 +106,10 @@ _WORKER_TAGGER_CACHE: dict = {}
 
 
 def _worker_tagger(
-    model: str, suppress_untagged: bool, common_descs: frozenset[str]
+    model: str, suppress_untagged: bool, common_descs: frozenset[str],
+    typing_version: str = "v2",
 ) -> OracleTagger:
-    key = (model, suppress_untagged, common_descs)
+    key = (model, suppress_untagged, common_descs, typing_version)
     if key not in _WORKER_TAGGER_CACHE:
         import pickle
 
@@ -130,6 +131,7 @@ def _worker_tagger(
             common_descs=common_descs,
             suppress_untagged=suppress_untagged,
             punct_terminate=False,
+            typing_version=typing_version,
         )
     return _WORKER_TAGGER_CACHE[key]
 
@@ -141,11 +143,14 @@ def tag_sentences(
     common_descs: frozenset[str] = frozenset(),
     provider_factory: Callable[[], object] | None = None,
     detail: bool = True,
+    typing_version: str = "v2",
 ) -> DataFrame:
     """sentences(url, sent_idx, sent) -> tagged sentences (TAGGED_SCHEMA).
 
     ``sent`` is assumed already punct-terminated by pages_to_sentences, so
     the in-UDF tagger runs with punct_terminate=False (idempotence).
+    ``typing_version``: "v2" (batched, parity oracle) | "v1" (per-mention
+    count-fraction semantics, kernel/typing.py:aggregate_entities_v1).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if provider_factory is not None:
@@ -156,9 +161,10 @@ def tag_sentences(
                 common_descs=common_descs,
                 suppress_untagged=suppress_untagged,
                 punct_terminate=False,
+                typing_version=typing_version,
             )
         else:
-            tagger = _worker_tagger(model, suppress_untagged, common_descs)
+            tagger = _worker_tagger(model, suppress_untagged, common_descs, typing_version)
         for pdf in batches:
             out = {k: [] for k in ("url", "sent_idx", "sent", "words", "span_arr", "tags", "mentions")}
             for url, sent_idx, sent in zip(pdf["url"], pdf["sent_idx"], pdf["sent"]):
