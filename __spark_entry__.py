@@ -294,6 +294,22 @@ def q_mm_media_meta(spark, sf_dir):
     return _long(meta, "n_bytes", "width", "height")
 
 
+def q_mm_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _long(
+        multimodal.frame_sample(multimodal.synth_media(docs)),
+        "frame_idx", "n_bytes",
+    )
+
+
+def q_mm_thumbnail(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _long(
+        multimodal.resize_thumbnail(multimodal.synth_media(docs)),
+        "thumb_w", "thumb_h",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operator coverage (scan/filter/agg/join/window/set/rollup)
 # ---------------------------------------------------------------------------
@@ -399,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "mm_media_meta": q_mm_media_meta,
+        "mm_frames": q_mm_frames,
+        "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
         "rel_agg_scan": q_rel_agg_scan,
@@ -433,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": O.ann_ivf_assign(),
         "ann_ivf_topk": O.ann_ivf_topk(),
         "mm_media_meta": O.mm_media_meta(),
+        "mm_frames": O.mm_frames(),
+        "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),
         "er_components": O.er_components(),
         "rel_agg_scan": """

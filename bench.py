@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "mm_media_meta",
+    "mm_frames",
     "rel_agg_scan",
     "rel_join_topk",
     "rel_window_sessions",

@@ -76,3 +76,37 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert n2 > n1
     m = cp.stage_metrics(spark, out)
     assert m.filter(F.col("stage") == "tags").count() > 0
+
+
+def test_stateful_entity_counts_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState running counts: operator state persists through
+    the checkpoint across two availableNow runs (SURVEY §2.10 engine extra)."""
+    from unsupervised_ner_spark.streaming.stateful import (
+        current_counts,
+        stream_entity_counts,
+    )
+
+    src = str(tmp_path / "mentions_in")
+    out = str(tmp_path / "counts_out")
+    ckpt = str(tmp_path / "state_ckpt")
+    rows1 = [("u1", "DISEASE", "mesothelioma"), ("u2", "DISEASE", "mesothelioma"),
+             ("u3", "PERSON", "john doe")]
+    spark.createDataFrame(rows1, "url string, etype string, norm_surface string") \
+        .write.parquet(src)
+    q = stream_entity_counts(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {(r.etype, r.norm_surface): r.n_mentions
+            for r in current_counts(spark, out).collect()}
+    assert got1[("DISEASE", "mesothelioma")] == 2
+    assert got1[("PERSON", "john doe")] == 1
+    # second batch of files; restart resumes state from the checkpoint
+    rows2 = [("u4", "DISEASE", "mesothelioma"), ("u5", "LOCATION", "paris")]
+    spark.createDataFrame(rows2, "url string, etype string, norm_surface string") \
+        .write.mode("append").parquet(src)
+    q2 = stream_entity_counts(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = {(r.etype, r.norm_surface): r.n_mentions
+            for r in current_counts(spark, out).collect()}
+    assert got2[("DISEASE", "mesothelioma")] == 3  # 2 + 1, via persisted state
+    assert got2[("LOCATION", "paris")] == 1
+    assert got2[("PERSON", "john doe")] == 1  # untouched keys keep their total

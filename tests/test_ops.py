@@ -157,3 +157,32 @@ def test_media_metadata_stub(docs):
         assert 64 <= r.width < 64 + 577
     with pytest.raises(NotImplementedError):
         multimodal.MediaDecodeStub.pixels(b"xx")
+
+
+def test_frame_sample_chunking(spark):
+    import hashlib
+
+    text = "x" * 1000  # 1000 bytes -> 4 chunks of 256/256/256/232
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    frames = multimodal.frame_sample(multimodal.synth_media(df), chunk_bytes=256, every_k=2).collect()
+    by_idx = {r.frame_idx: r for r in frames}
+    assert sorted(by_idx) == [0, 2]  # every 2nd of 4 frames
+    assert by_idx[0].n_bytes == 256 and by_idx[2].n_bytes == 256
+    chunk0 = text.encode()[0:256]
+    assert by_idx[0].frame_md5 == hashlib.md5(chunk0.hex().upper().encode()).hexdigest()
+    # short payload: exactly one frame
+    one = multimodal.frame_sample(
+        multimodal.synth_media(spark.createDataFrame([(2, "hi")], "doc_id long, text string"))
+    ).collect()
+    assert len(one) == 1 and one[0].frame_idx == 0 and one[0].n_bytes == 2
+
+
+def test_resize_thumbnail_aspect(spark):
+    df = spark.createDataFrame([(1, "y" * 513)], "doc_id long, text string")
+    rows = multimodal.resize_thumbnail(multimodal.synth_media(df), max_side=32).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    w, h = multimodal.MediaDecodeStub.decode(b"y" * 513)
+    scale = 32 / max(w, h)
+    assert (r.thumb_w, r.thumb_h) == (max(int(w * scale), 1), max(int(h * scale), 1))
+    assert max(r.thumb_w, r.thumb_h) <= 32

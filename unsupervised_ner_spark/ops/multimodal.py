@@ -59,6 +59,90 @@ class MediaDecodeStub:
         raise NotImplementedError("real image decoding unavailable in this container")
 
 
+FRAME = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, chunk_bytes: int = 256, every_k: int = 4) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: treat the
+    payload as fixed-size chunks ("frames"), emit every k-th one with a
+    content hash — the exact plumbing shape of ffmpeg keyframe extraction
+    (binary in, one row per sampled frame out, batch-iterator UDF), with the
+    codec replaced by deterministic byte slicing so both engines replay it.
+
+    Scale: narrow flatMap; output rows/doc = ceil(n_bytes/chunk)/k. A real
+    decoder slots into the loop body; partition sizing and schema carry over
+    unchanged.
+
+    Hash convention: md5 over the UPPERCASE HEX of the chunk (not the raw
+    bytes) — DuckDB has no blob md5/substring, so both engines hash the hex
+    projection; still a content fingerprint.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max((len(b) + chunk_bytes - 1) // chunk_bytes, 1)
+                for fi in range(0, n_frames, every_k):
+                    chunk = b[fi * chunk_bytes : (fi + 1) * chunk_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_thumbnail(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image-resize plumbing: compute the aspect-preserving thumbnail
+    dimensions from the (stub-decoded) source dims and a deterministic
+    stand-in for the resampled bytes (md5 of payload + target dims — a real
+    PIL ``Image.thumbnail`` slots into the same loop; the Spark-side
+    contract is identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = MediaDecodeStub()
+        for pdf in batches:
+            out = {"doc_id": [], "thumb_w": [], "thumb_h": [], "thumb_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = decoder.decode(b)
+                scale = max_side / max(w, h)
+                tw = max(int(w * scale), 1)
+                th = max(int(h * scale), 1)
+                out["doc_id"].append(doc_id)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                # hex-projection hashing (see frame_sample hash convention)
+                out["thumb_md5"].append(
+                    hashlib.md5((b.hex().upper() + f":{tw}x{th}").encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZED)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads.
 

@@ -985,6 +985,48 @@ SELECT vec_a, vec_b FROM pairs WHERE cos * 100 >= {threshold_pct}
 """
 
 
+def mm_frames(chunk_bytes: int = 256, every_k: int = 4) -> str:
+    """Frame-sampling twin (ops/multimodal.py frame_sample): payload =
+    UTF-8 bytes of text, fixed-size byte chunks, every k-th frame hashed."""
+    return f"""
+WITH m AS (
+    SELECT doc_id, upper(hex(encode(text))) AS phex,
+           greatest((octet_length(encode(text)) + {chunk_bytes} - 1) // {chunk_bytes}, 1) AS n_frames
+    FROM documents
+)
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       md5(substring(phex, fi * {2 * chunk_bytes} + 1, {2 * chunk_bytes})) AS frame_md5,
+       CAST(length(substring(phex, fi * {2 * chunk_bytes} + 1, {2 * chunk_bytes})) // 2 AS BIGINT) AS n_bytes
+FROM m, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), {every_k})) AS u(fi)
+"""
+
+
+def mm_thumbnail(max_side: int = 32) -> str:
+    """Resize-plumbing twin (ops/multimodal.py resize_thumbnail): stub dims
+    from payload length, aspect-preserving target dims (float truncation),
+    md5 of payload + ':WxH'."""
+    return f"""
+WITH m AS (
+    SELECT doc_id, upper(hex(encode(text))) AS phex, octet_length(encode(text)) AS n
+    FROM documents
+),
+d AS (
+    SELECT doc_id, phex,
+           64 + n % 577 AS w, 64 + (n * 31) % 433 AS h
+    FROM m
+),
+t AS (
+    SELECT doc_id, phex,
+           greatest(CAST(trunc(w * ({max_side}.0 / greatest(w, h))) AS INT), 1) AS thumb_w,
+           greatest(CAST(trunc(h * ({max_side}.0 / greatest(w, h))) AS INT), 1) AS thumb_h
+    FROM d
+)
+SELECT doc_id, CAST(thumb_w AS BIGINT) AS thumb_w, CAST(thumb_h AS BIGINT) AS thumb_h,
+       md5(phex || ':' || thumb_w || 'x' || thumb_h) AS thumb_md5
+FROM t
+"""
+
+
 def mm_media_meta() -> str:
     return """
 SELECT doc_id,

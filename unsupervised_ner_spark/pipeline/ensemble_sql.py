@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from unsupervised_ner_spark import dims
 from unsupervised_ner_spark.pipeline import ensemble_rules as R
@@ -24,6 +25,10 @@ def ensemble_mentions_relational(
     model_a: str = "a100",
     model_b: str = "bbc",
 ) -> DataFrame:
+    # both model chains consume the same mention/sentence scaffold — persist
+    # so the window-heavy mention detection runs once, not once per model
+    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
     ta = typed_mentions_relational(mentions, sentences, spark, model_a, include_dist=True)
     tb = typed_mentions_relational(mentions, sentences, spark, model_b, include_dist=True)
     a = ta.select(

@@ -38,6 +38,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from unsupervised_ner_spark.descriptors import OOV_DESCS
 from unsupervised_ner_spark.pipeline.mentions import strip_marker, tokens_col
@@ -97,6 +98,11 @@ def typed_mentions_relational(
     has_surface = F.length("surface") > 0
     head_cs = F.when(has_surface, surf_head).otherwise(F.coalesce(prev_word, F.lit("")))
 
+    # persist the mention-joined base: it feeds numeric-shortcut, fixture
+    # join, and the final output joins — without it Catalyst re-evaluates
+    # the upstream mention-detection window once per consumer (the analogue
+    # of the DuckDB MATERIALIZED hints in oracle_sql; mention-scale rows, so
+    # memory-and-disk is safe at any SF where this relational twin is used)
     m = (
         mentions.join(sentences.select("url", "sent_idx", "sent"), ["url", "sent_idx"])
         .withColumn("head", head_cs)
@@ -107,7 +113,7 @@ def typed_mentions_relational(
             "mkey",
             F.concat_ws("#", "url", F.col("sent_idx").cast("string"), F.col("mention_idx").cast("string")),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     numeric = m.filter("is_num").select(
         "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
@@ -180,9 +186,12 @@ def typed_mentions_relational(
 
     # single wide->narrow aggregate; everything downstream is tiny
     # (blank is functionally dependent on mkey — a free grouping key)
+    # g1 is the wide->narrow pinch point: everything upstream (descriptor
+    # explode + softmax algebra) is expensive, everything downstream tiny.
+    # Persist so the 3-4 downstream aggregates share one evaluation.
     g1 = lab.groupBy("mkey", "blank", "side", "grp", "label").agg(
         F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # A1: sum per (mention, side, group); normalize per side
     side_grp = g1.groupBy("mkey", "blank", "side", "grp").agg(F.sum("sc").alias("s"))
