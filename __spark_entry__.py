@@ -197,6 +197,29 @@ def q_er_exact_canonical(spark, sf_dir):
     )
 
 
+def q_kg_canonical_triples(spark, sf_dir):
+    """The north-rule end table: triples with subjects/objects resolved to
+    canonical entity ids (exact + LSH + connected-components ER, salted
+    membership joins). Oracle: the er_components RECURSIVE-CTE chain
+    extended with the triple join."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    triples = stages["triples"]
+    typed = q_kg_typed_mentions(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    _entities, membership = er.resolve_entities(occ)
+    out = er.canonicalize_triples(triples, membership)
+    return out.select(
+        "subj_id", "pred", "obj_id", "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj", "subj_type", "obj", "obj_type",
+    )
+
+
 def q_er_components(spark, sf_dir):
     """Full ER incl. LSH edges + iterative connected components; the DuckDB
     oracle replays the iteration's fixpoint with a RECURSIVE CTE (min
@@ -387,7 +410,9 @@ def q_rel_rollup(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (pages -> ... -> triples) over sf0.001
-    documents treated as the page corpus."""
+    documents treated as the page corpus. (The north-rule end table with
+    ER-canonicalized subject/object ids is the gated ``kg_canonical_triples``
+    query — entry stays the fast zero-shuffle chain for smoke checks.)"""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
@@ -419,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
+        "kg_canonical_triples": q_kg_canonical_triples,
         "rel_agg_scan": q_rel_agg_scan,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_sessions": q_rel_window_sessions,
@@ -455,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),
         "er_components": O.er_components(),
+        "kg_canonical_triples": O.kg_canonical_triples(),
         "rel_agg_scan": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

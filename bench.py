@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "kg_ensemble_mentions",
     "er_exact_canonical",
     "er_components",
+    "kg_canonical_triples",
     "txt_stats",
     "txt_langid",
     "dedup_exact",

@@ -865,18 +865,19 @@ GROUP BY norm_surface, etype
     )
 
 
-def er_components(
+def _er_chain(
     model: str = "a100",
     num_hashes: int = 6,
     band_size: int = 2,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 100,
 ) -> str:
-    """Full ER twin (pipeline/er.py resolve_entities): exact canonical nodes
-    -> char-3-gram MinHash-LSH candidate edges (per-etype bands, bucket cap)
-    -> exact Jaccard verify -> connected components via a RECURSIVE CTE
-    (min reachable node id == the min-label-propagation fixpoint the Spark
-    loop converges to) -> entity aggregation."""
+    """Shared ER CTE chain (pipeline/er.py resolve_entities twin): exact
+    canonical nodes -> char-3-gram MinHash-LSH candidate edges (per-etype
+    bands, bucket cap) -> exact Jaccard verify -> connected components via a
+    RECURSIVE CTE (min reachable node id == the min-label-propagation
+    fixpoint the Spark loop converges to). Ends at ``merged`` (nodes +
+    component); callers append their aggregation/join tail."""
     shingle = (
         "list_distinct(list_transform("
         "generate_series(1, greatest(length(padded) - 2, 1)), "
@@ -952,8 +953,17 @@ reach AS (
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
 merged AS (
     SELECT n.*, c.component FROM nodes2 n JOIN comp c ON c.node = n.node_id
-),
-ranked AS (
+)""",
+        *mat,
+    )
+
+
+def er_components(model: str = "a100") -> str:
+    """Entity table tail over the shared ER chain."""
+    return (
+        _er_chain(model)
+        + """
+, ranked AS (
     SELECT component AS entity_id, etype, canonical_surface, n_mentions,
            row_number() OVER (PARTITION BY component, etype
                               ORDER BY n_mentions DESC, canonical_surface ASC) AS rn,
@@ -963,8 +973,60 @@ ranked AS (
 SELECT entity_id, etype, canonical_surface,
        CAST(total_mentions AS BIGINT) AS n_mentions
 FROM ranked WHERE rn = 1
+"""
+    )
+
+
+def kg_canonical_triples(model: str = "a100") -> str:
+    """North-rule end table twin: triples (kg_triples chain) with subjects/
+    objects resolved to canonical entity ids via the ER membership map
+    (pipeline/er.py canonicalize_triples)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return _materialize(
+        _er_chain(model)
+        + f"""
+, memb AS (
+    SELECT norm_surface, etype, component AS entity_id FROM merged
+),
+ctyped_f AS (
+    SELECT *, row_number() OVER (PARTITION BY url, sent_idx ORDER BY begin_tok) AS rn
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+cpairs AS (
+    SELECT a.url, a.sent_idx,
+           a.surface AS subj, a.pred_group AS subj_type,
+           b.surface AS obj, b.pred_group AS obj_type,
+           a.end_tok AS ae, b.begin_tok AS bb
+    FROM ctyped_f a JOIN ctyped_f b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND b.rn = a.rn + 1
+),
+cgaps AS (
+    SELECT p.url, p.sent_idx, p.subj, p.subj_type, p.obj, p.obj_type,
+           string_agg(lower(t.word), ' ' ORDER BY t.token_idx) AS gap_txt
+    FROM cpairs p
+    LEFT JOIN tokens t
+      ON t.url = p.url AND t.sent_idx = p.sent_idx
+     AND t.token_idx > p.ae AND t.token_idx < p.bb
+     AND regexp_matches(lower(t.word), '[a-z0-9]')
+    GROUP BY ALL
+),
+ctrip AS (
+    SELECT url, sent_idx, subj, subj_type,
+           coalesce(nullif(gap_txt, ''), 'related_to') AS pred,
+           obj, obj_type
+    FROM cgaps
+)
+SELECT m1.entity_id AS subj_id, t.pred, m2.entity_id AS obj_id,
+       t.url, CAST(t.sent_idx AS BIGINT) AS sent_idx,
+       t.subj, t.subj_type, t.obj, t.obj_type
+FROM ctrip t
+JOIN memb m1 ON {norm.format(c='t.subj')} = m1.norm_surface AND t.subj_type = m1.etype
+JOIN memb m2 ON {norm.format(c='t.obj')} = m2.norm_surface AND t.obj_type = m2.etype
 """,
-        *mat,
+        "memb",
     )
 
 
