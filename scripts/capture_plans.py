@@ -89,6 +89,40 @@ def main() -> None:
     checks.append(("no forced broadcast hint on the bucket join",
                    "ResolvedHint" not in analyzed))
 
+    # 5. salted occurrence->entity link: the explicit-salt skew join the
+    # north rule asks for — occurrence side salted by its own id, entity
+    # side replicated via an exploded salt sequence, so a hot surface
+    # ("covid") spreads over `salt` reducers.
+    from unsupervised_ner_spark.pipeline import er as ER
+
+    occ = spark.createDataFrame(
+        [("o1", "u1", "Covid", "covid", "DISEASE")],
+        "occurrence_id string, url string, surface string, norm_surface string, etype string",
+    )
+    ents = spark.createDataFrame(
+        [("e1", "covid", "DISEASE")], "entity_id string, norm_surface string, etype string"
+    )
+    p5 = plan_of(ER.salted_occurrence_link(occ, ents, salt=8))
+    sections.append(("Salted occurrence->entity link (hot-key skew)", p5))
+    # the salt sequence constant-folds to a literal array; the Generate node
+    # still shows the explode producing the salt column
+    checks.append(("salt replication via explode on the entity side",
+                   "Generate" in p5 and "false, [salt#" in p5))
+    checks.append(("join shuffles on (norm_surface, etype, salt)",
+                   "salt" in p5 and "Join" in p5))
+
+    # 6. ER fuzzy-edge LSH: banded signatures persisted (single upstream
+    # evaluation), no forced broadcast — same posture as dedup LSH.
+    nodes = spark.createDataFrame(
+        [("n1", "mesothelioma", "DISEASE", 3, "Mesothelioma")],
+        "node_id string, norm_surface string, etype string, n_mentions long, canonical_surface string",
+    )
+    p6 = plan_of(ER.fuzzy_edges(nodes))
+    sections.append(("ER fuzzy edges (char-shingle MinHash-LSH)", p6))
+    checks.append(("banded node signatures persisted", "InMemoryRelation" in p6))
+    checks.append(("no forced broadcast hint in ER band join",
+                   "ResolvedHint" not in p6))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
