@@ -21,6 +21,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entry  # noqa: E402
+from unsupervised_ner_spark.caching import cache_scope  # noqa: E402
 from unsupervised_ner_spark.pipeline.runner import run_pipeline  # noqa: E402
 from unsupervised_ner_spark.pipeline.synth import synth_pages  # noqa: E402
 from unsupervised_ner_spark.session import get_spark  # noqa: E402
@@ -33,6 +34,8 @@ BENCH_QUERIES = [
     "kg_bio_tags",
     "kg_triples",
     "kg_ensemble_mentions",
+    "kg_ensemble_v1_tags",
+    "kg_ensemble_reconciled",
     "er_exact_canonical",
     "er_components",
     "kg_canonical_triples",
@@ -76,7 +79,13 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
+        # cache_scope releases every library persist taken inside this query
+        # after its terminal action; clearCache sweeps anything else so no
+        # timed window inherits the previous query's evicted-block churn
+        # (round-2 pathology: 42 s for a single-scan 17 MB query)
+        with cache_scope():
+            materialize(qs[name](spark, sf_dir))
+        spark.catalog.clearCache()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 

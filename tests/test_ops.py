@@ -130,6 +130,20 @@ def test_ivf_assign_is_nearest(spark, emb):
         assert got[vid] == best
 
 
+def test_adaptive_n_centroids_sizing_rule():
+    """√N sizing with the 16-cell floor and 65536 cap (VERDICT r02 item 4):
+    cells stay ~√N-sized so within-cell pairing never goes quadratic."""
+    f = simsearch.adaptive_n_centroids
+    assert f(0) == 16 and f(1) == 16
+    assert f(256) == 16  # exactly at the floor
+    assert f(500) == 23  # ceil(sqrt(500))
+    assert f(1_000_000) == 1000
+    assert f(10**12) == 65536  # capped
+    # monotone non-decreasing across scales
+    sizes = [f(10**e) for e in range(13)]
+    assert sizes == sorted(sizes)
+
+
 def test_ivf_topk_matches_cell_local_exact(spark, emb):
     assign = {r.vec_id: r.centroid_id for r in simsearch.ivf_assign(emb, 4).collect()}
     got = simsearch.ivf_topk(emb, n_queries=2, k=3, n_centroids=4).collect()

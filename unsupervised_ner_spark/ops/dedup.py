@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from unsupervised_ner_spark.caching import scoped_persist
 from unsupervised_ner_spark.ops.textstats import fingerprint, tokens_ws
 
 
@@ -76,7 +76,7 @@ def jaccard_candidates(
     ``max_df=None`` for the exact quadratic variant, kept only as an oracle
     cross-check at small scale.
     """
-    sh = shingles(documents, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(shingles(documents, k))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pair_sh = sh
     if max_df is not None:
@@ -142,10 +142,9 @@ def lsh_bucket_pairs(
         bands.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
         )
-    exploded = (
+    exploded = scoped_persist(
         sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = exploded.join(
@@ -166,15 +165,17 @@ def lsh_bucket_pairs(
 
 
 def embedding_cosine_pairs(
-    embeddings: DataFrame, threshold_pct: int = 90, n_centroids: int = 16
+    embeddings: DataFrame, threshold_pct: int = 90, n_centroids: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-blocked.
 
-    Vectors are assigned to coarse cells (nearest of the first
-    ``n_centroids`` corpus vectors — deterministic codebook); candidate
-    pairs share a cell; cosine computed exactly on candidates. Returns
-    (vec_a, vec_b) for cosine*100 >= threshold_pct. At 100 TB the cell id
-    is the shuffle key, so the join never goes quadratic globally.
+    Vectors are assigned to coarse cells (nearest of a deterministic
+    md5-sampled codebook); candidate pairs share a cell; cosine computed
+    exactly on candidates. Returns (vec_a, vec_b) for cosine*100 >=
+    threshold_pct. At 100 TB the cell id is the shuffle key, so the join
+    never goes quadratic globally; ``n_centroids=None`` sizes the codebook
+    ~√N (simsearch.adaptive_n_centroids) so cells stay ~√N-sized at any
+    corpus scale instead of 1/16th of it.
     """
     from unsupervised_ner_spark.ops.simsearch import _dot, _norm, ivf_assign
 

@@ -71,49 +71,62 @@ def nounish_sql(w: str) -> str:
     return _NOUNISH.format(w=w, funcwords=_FUNCWORDS_SQL)
 
 
-TOKENS_CTE = f"""
-stoks AS (
+def tokens_cte(s: str = "", sents: str = "sents") -> str:
+    """Token CTE chain, optionally name-prefixed (``s``) and reading from an
+    alternative sentence CTE — used by the divergent-tokenizer branch of
+    kg_ensemble_reconciled."""
+    return f"""
+{s}stoks AS (
     SELECT url, sent_idx, sent,
            list_filter(regexp_split_to_array(sent, '\\s+'), t -> t <> '') AS toks
-    FROM sents
+    FROM {sents}
 ),
-smode AS (
+{s}smode AS (
     SELECT *, len(list_filter(toks, t -> ends_with(t, ':__entity__'))) > 0 AS marker_mode
-    FROM stoks
+    FROM {s}stoks
 ),
-tokens AS (
+{s}tokens AS (
     SELECT url, sent_idx, i - 1 AS token_idx,
            replace(toks[i], ':__entity__', '') AS word,
            CASE WHEN marker_mode THEN ends_with(toks[i], ':__entity__')
                 ELSE {nounish_sql('toks[i]')} END AS nounish
-    FROM smode, UNNEST(generate_series(1, len(toks))) AS u(i)
+    FROM {s}smode, UNNEST(generate_series(1, len(toks))) AS u(i)
 )
 """
 
-MENTIONS_CTE = """
-m1 AS (
+
+def mentions_cte(s: str = "") -> str:
+    return f"""
+{s}m1 AS (
     SELECT *, CASE WHEN nounish AND NOT coalesce(
         lag(nounish) OVER (PARTITION BY url, sent_idx ORDER BY token_idx), FALSE)
         THEN 1 ELSE 0 END AS st
-    FROM tokens
+    FROM {s}tokens
 ),
-m2 AS (
+{s}m2 AS (
     SELECT *, sum(st) OVER (PARTITION BY url, sent_idx ORDER BY token_idx
                             ROWS UNBOUNDED PRECEDING) AS grp
-    FROM m1
+    FROM {s}m1
 ),
-mentions AS (
+{s}mentions AS (
     SELECT url, sent_idx, CAST(grp - 1 AS BIGINT) AS mention_idx,
            CAST(min(token_idx) AS BIGINT) AS begin_tok,
            CAST(max(token_idx) AS BIGINT) AS end_tok,
            string_agg(word, ' ' ORDER BY token_idx) AS surface
-    FROM m2 WHERE nounish
+    FROM {s}m2 WHERE nounish
     GROUP BY url, sent_idx, grp
 )
 """
 
 
-def _typed_cte(model: str = "a100", s: str = "") -> str:
+TOKENS_CTE = tokens_cte()
+MENTIONS_CTE = mentions_cte()
+
+
+def _typed_cte(
+    model: str = "a100", s: str = "",
+    mentions_src: str = "mentions", sents_src: str = "sents",
+) -> str:
     fix = FIXTURES / f"descriptor_fixture_{model}.parquet"
     sig = FIXTURES / f"entity_signatures_{model}.parquet"
     emap = FIXTURES / "entity_map.parquet"
@@ -134,7 +147,7 @@ def _typed_cte(model: str = "a100", s: str = "") -> str:
                  t -> NOT regexp_matches(t, '^[0-9]+$'))) = 0 AS is_num,
            ends_with(s.sent, ' :__entity__') AS blank,
            m.url || '#' || CAST(m.sent_idx AS VARCHAR) || '#' || CAST(m.mention_idx AS VARCHAR) AS mkey
-    FROM mentions m JOIN sents s USING (url, sent_idx)
+    FROM {mentions_src} m JOIN {sents_src} s USING (url, sent_idx)
 ),
 {s}numeric_m AS (
     SELECT url, sent_idx, mention_idx, begin_tok, end_tok, surface,
@@ -616,10 +629,17 @@ FROM r WHERE rank <= {k}
 
 
 # deterministic md5-ranked centroid sample + 9dp-quantized expansion-form
-# distance — byte-identical to ops/simsearch.py (sampled_centroids, _d2)
+# distance — byte-identical to ops/simsearch.py (sampled_centroids, _d2).
+# The codebook size replays simsearch.adaptive_n_centroids:
+# clamp(ceil(sqrt(count(*))), 16, 65536) — ceil(sqrt(·)) is IEEE-double in
+# both engines so the adaptive cell count is engine-identical.
 _IVF_ASSIGN_CTES = """
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids}),
+c AS (SELECT centroid_id, cv FROM (
+        SELECT vec_id AS centroid_id, v AS cv,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk,
+               count(*) OVER () AS n_vecs
+        FROM e)
+      WHERE rk <= {n_centroids}),
 d AS (
     SELECT e.vec_id, c.centroid_id,
            round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
@@ -634,19 +654,27 @@ assign AS (
 )"""
 
 
-def ann_ivf_assign(n_centroids: int = 16) -> str:
+def _n_centroids_sql(n_centroids: int | None) -> str:
+    """None -> the adaptive √N rule (simsearch.adaptive_n_centroids twin);
+    an int -> that literal (unit fixtures)."""
+    if n_centroids is None:
+        return "greatest(16, least(65536, CAST(ceil(sqrt(n_vecs)) AS BIGINT)))"
+    return str(n_centroids)
+
+
+def ann_ivf_assign(n_centroids: int | None = None) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()}
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()}
 SELECT vec_id, centroid_id FROM assign
 """
 
 
-def ann_ivf_topk(n_queries: int = 5, k: int = 5, n_centroids: int = 16) -> str:
+def ann_ivf_topk(n_queries: int = 5, k: int = 5, n_centroids: int | None = None) -> str:
     """Cell-probed ANN top-k (ops/simsearch.py ivf_topk twin)."""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()},
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
 ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
 q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
       FROM ea WHERE vec_id < {n_queries}),
@@ -843,6 +871,150 @@ FROM st2
     )
 
 
+def _v1_pick_sql(pred_a: str, pred_b: str, bio_prec: str, phi_prec: str) -> str:
+    """v1 precedence pick (aggregate_server.py:105-131 + override quirks
+    :90-103) — pipeline/ensemble_v1.v1_pick_expr twin."""
+    ga, gb = _base_sql(pred_a), _base_sql(pred_b)
+    return f"""CASE WHEN list_contains({bio_prec}, {ga}) THEN
+             CASE WHEN {gb} IN ('SOCIAL_CIRCUMSTANCES', 'ORGANIZATION')
+                  THEN {gb} || '/' || {ga}
+                  WHEN {ga} = 'MEASURE' AND list_contains({phi_prec}, {gb})
+                  THEN {pred_b}
+                  ELSE {pred_a} END
+           WHEN list_contains({phi_prec}, {gb}) THEN {pred_b}
+           ELSE {pred_b} END"""
+
+
+def _prec_sql() -> tuple[str, str]:
+    """The v1 server's OWN hard-coded precedence arrays
+    (aggregate_server.py:15-37) — not the v2 config lists."""
+    from unsupervised_ner_spark.pipeline.ensemble_v1 import (
+        V1_BIO_PRECEDENCE,
+        V1_PHI_PRECEDENCE,
+    )
+
+    arr = lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"  # noqa: E731
+    return arr(V1_BIO_PRECEDENCE), arr(V1_PHI_PRECEDENCE)
+
+
+_TYPED_HEAVY = ("base", "jf", "sides", "lab", "allconf", "pooled", "typed", "numeric_m")
+
+
+def kg_ensemble_v1_tags(model_a: str = "a100", model_b: str = "bbc") -> str:
+    """v1 text-mode ensemble (pipeline/ensemble_v1.ensemble_v1_tags twin):
+    two typing chains over the SAME tokenization, per-mention v1 precedence
+    pick, min-span, gen_ensembled_sentence-style BIO emission
+    (aggregate_server.py:87-163)."""
+    bio_prec, phi_prec = _prec_sql()
+    pick = _v1_pick_sql("a.prediction", "b.prediction", bio_prec, phi_prec)
+    mat = ["sents", "tokens", "mentions"] + [
+        p + n for p in ("a_", "b_") for n in _TYPED_HEAVY
+    ]
+    return _materialize(
+        "WITH " + SENTS_CTE.strip().rstrip(",")
+        + ", " + TOKENS_CTE.strip()
+        + ", " + MENTIONS_CTE.strip()
+        + ", " + _typed_cte(model_a, "a_").strip()
+        + ", " + _typed_cte(model_b, "b_").strip()
+        + f"""
+, picked AS (
+    SELECT a.url, a.sent_idx, a.begin_tok,
+           least(a.end_tok, b.end_tok) AS end_tok,
+           {pick} AS resolution
+    FROM a_typed a JOIN b_typed b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.mention_idx = b.mention_idx
+),
+expanded AS (
+    SELECT p.url, p.sent_idx, CAST(u.ti AS BIGINT) AS token_idx,
+           p.begin_tok, p.resolution
+    FROM picked p, UNNEST(generate_series(p.begin_tok, p.end_tok)) AS u(ti)
+)
+SELECT tok.url, CAST(tok.sent_idx AS BIGINT) AS sent_idx,
+       CAST(tok.token_idx AS BIGINT) AS token_idx, tok.word,
+       CASE WHEN e.resolution IS NULL THEN 'O'
+            WHEN tok.token_idx = e.begin_tok THEN 'B_' || e.resolution
+            ELSE 'I_' || e.resolution END AS tag
+FROM tokens tok
+LEFT JOIN expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
+                     AND tok.token_idx = e.token_idx
+""",
+        *mat,
+    )
+
+
+def kg_ensemble_reconciled(model_a: str = "a100", model_b: str = "bbc") -> str:
+    """Tokenization-divergence reconciliation
+    (pipeline/ensemble_v1.reconciled_token_tags twin): branch B re-tokenizes
+    with max-piece-length-6 chunking (``regexp_replace(sent, '(\\S{6})',
+    '\\1 ', 'g')`` — deliberately divergent token counts), positions beyond
+    min(n_a, n_b) are dropped via the inner token join
+    (confirm_same_size_responses, aggregate_server_json.py:331-348), and
+    surviving positions resolve via the v1 pick on stripped predictions."""
+    bio_prec, phi_prec = _prec_sql()
+    strip = lambda t: f"regexp_replace({t}, '^[BI]_', '')"  # noqa: E731
+    pa, pb = strip("tag_a"), strip("tag_b")
+    pick = _v1_pick_sql(pa, pb, bio_prec, phi_prec)
+    mat = (
+        ["sents", "bsents", "tokens", "btokens", "mentions", "bmentions"]
+        + [p + n for p in ("a_", "b_") for n in _TYPED_HEAVY]
+    )
+    return _materialize(
+        "WITH " + SENTS_CTE.strip().rstrip(",")
+        + """
+, bsents AS (
+    SELECT url, sent_idx,
+           trim(regexp_replace(sent, '(\\S{6})', '\\1 ', 'g')) AS sent
+    FROM sents
+)"""
+        + ", " + tokens_cte().strip()
+        + ", " + mentions_cte().strip()
+        + ", " + tokens_cte("b", "bsents").strip()
+        + ", " + mentions_cte("b").strip()
+        + ", " + _typed_cte(model_a, "a_").strip()
+        + ", " + _typed_cte(model_b, "b_", "bmentions", "bsents").strip()
+        + f"""
+, a_expanded AS (
+    SELECT t.url, t.sent_idx, CAST(u.ti AS BIGINT) AS token_idx,
+           t.begin_tok, t.prediction
+    FROM a_typed t, UNNEST(generate_series(t.begin_tok, t.end_tok)) AS u(ti)
+),
+a_tags AS (
+    SELECT tok.url, tok.sent_idx, tok.token_idx, tok.word AS word_a,
+           CASE WHEN e.prediction IS NULL THEN 'O'
+                WHEN tok.token_idx = e.begin_tok THEN 'B_' || e.prediction
+                ELSE 'I_' || e.prediction END AS tag_a
+    FROM tokens tok
+    LEFT JOIN a_expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
+                           AND tok.token_idx = e.token_idx
+),
+b_expanded AS (
+    SELECT t.url, t.sent_idx, CAST(u.ti AS BIGINT) AS token_idx,
+           t.begin_tok, t.prediction
+    FROM b_typed t, UNNEST(generate_series(t.begin_tok, t.end_tok)) AS u(ti)
+),
+b_tags AS (
+    SELECT tok.url, tok.sent_idx, tok.token_idx, tok.word AS word_b,
+           CASE WHEN e.prediction IS NULL THEN 'O'
+                WHEN tok.token_idx = e.begin_tok THEN 'B_' || e.prediction
+                ELSE 'I_' || e.prediction END AS tag_b
+    FROM btokens tok
+    LEFT JOIN b_expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
+                           AND tok.token_idx = e.token_idx
+)
+SELECT a.url, CAST(a.sent_idx AS BIGINT) AS sent_idx,
+       CAST(a.token_idx AS BIGINT) AS token_idx,
+       a.word_a, b.word_b, a.tag_a, b.tag_b,
+       CASE WHEN tag_a = 'O' AND tag_b = 'O' THEN 'O'
+            WHEN tag_a = 'O' THEN {pb}
+            WHEN tag_b = 'O' THEN {pa}
+            ELSE {pick} END AS resolution
+FROM a_tags a JOIN b_tags b
+  ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.token_idx = b.token_idx
+""",
+        *mat,
+    )
+
+
 def er_exact_canonical(model: str = "a100") -> str:
     """Exact canonicalization over the typed mentions of the KG chain:
     (norm_surface, etype) -> node_id + stats (pipeline/er.py twin)."""
@@ -1030,11 +1202,11 @@ JOIN memb m2 ON {norm.format(c='t.obj')} = m2.norm_surface AND t.obj_type = m2.e
     )
 
 
-def dedup_embedding_cosine(threshold_pct: int = 35, n_centroids: int = 16) -> str:
+def dedup_embedding_cosine(threshold_pct: int = 35, n_centroids: int | None = None) -> str:
     """IVF-blocked embedding-cosine near-dup pairs (ops/dedup.py twin)."""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-{_IVF_ASSIGN_CTES.format(n_centroids=n_centroids).strip()},
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
 ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

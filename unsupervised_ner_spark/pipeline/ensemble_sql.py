@@ -11,9 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from unsupervised_ner_spark import dims
+from unsupervised_ner_spark.caching import scoped_persist
 from unsupervised_ner_spark.pipeline import ensemble_rules as R
 from unsupervised_ner_spark.pipeline.typing_sql import typed_mentions_relational
 
@@ -25,10 +25,12 @@ def ensemble_mentions_relational(
     model_a: str = "a100",
     model_b: str = "bbc",
 ) -> DataFrame:
-    # both model chains consume the same mention/sentence scaffold — persist
-    # so the window-heavy mention detection runs once, not once per model
-    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-    sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
+    # both model chains consume the same mention/sentence scaffold —
+    # materialize (lazy localCheckpoint: raw blocks, no columnar encode —
+    # measured in caching.scoped_persist) so the window-heavy mention
+    # detection runs once, not once per model
+    mentions = scoped_persist(mentions, how="checkpoint")
+    sentences = scoped_persist(sentences, how="checkpoint")
     ta = typed_mentions_relational(mentions, sentences, spark, model_a, include_dist=True)
     tb = typed_mentions_relational(mentions, sentences, spark, model_b, include_dist=True)
     a = ta.select(

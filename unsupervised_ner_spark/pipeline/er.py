@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from unsupervised_ner_spark.caching import scoped_persist
 
 
 def norm_surface_col(col):
@@ -98,9 +99,11 @@ def fuzzy_edges(
     # persist the banded table: it feeds the bucket-size aggregate AND both
     # self-join sides — without it the shingle+minhash work runs 4× (the
     # round-1 LSH-plan recompute bug, VERDICT "What's wrong" 2)
-    ex = sig.select("node_id", "etype", F.explode(F.array(*bands)).alias("b")).select(
-        "node_id", "etype", "b.band_id", "b.band_hash"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = scoped_persist(
+        sig.select("node_id", "etype", F.explode(F.array(*bands)).alias("b")).select(
+            "node_id", "etype", "b.band_id", "b.band_hash"
+        )
+    )
     sizes = ex.groupBy("etype", "band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = ex.join(
         sizes.filter(F.col("n") <= max_bucket).drop("n"),
@@ -223,7 +226,7 @@ def resolve_entities(
     # nodes feed 4 consumers (LSH signatures, Jaccard-verify shingles, the
     # label join, the final stats agg) — persist so the upstream typed-
     # mention pipeline runs once
-    nodes = exact_canonical(occurrences).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = scoped_persist(exact_canonical(occurrences))
     edges = fuzzy_edges(nodes)
     labels, _iters = connected_components(nodes.select("node_id"), edges, max_iter)
     merged = nodes.join(labels, "node_id")

@@ -38,3 +38,28 @@ def run_pipeline(
         "tags": tagged_to_token_tags(tagged),
         "triples": tagged_to_triples(tagged),
     }
+
+
+def typed_mentions_from_tagged(tagged: DataFrame) -> DataFrame:
+    """Flatten the production tagged output to the typed-mention table
+    (url, sent_idx, mention_idx, begin_tok, end_tok, surface, pred_group,
+    prediction) — the same shape typing_sql.typed_mentions_relational emits.
+
+    Purpose: downstream consumers (ER, the canonical-triple end table) can
+    feed off the SINGLE narrow tagging pass instead of re-deriving the whole
+    mention/typing chain through the shuffle-heavy relational twin (VERDICT
+    r02 "What's wrong" 2 — kg_canonical_triples ran the corpus twice).
+    Narrow: one posexplode, no exchange."""
+    m = tagged.select(
+        "url", "sent_idx", F.posexplode("mentions").alias("mention_idx", "m")
+    )
+    return m.select(
+        "url",
+        "sent_idx",
+        "mention_idx",
+        F.col("m.begin_tok").alias("begin_tok"),
+        F.col("m.end_tok").alias("end_tok"),
+        F.col("m.surface").alias("surface"),
+        F.split(F.col("m.prediction"), r"\[")[0].alias("pred_group"),
+        F.col("m.prediction").alias("prediction"),
+    )

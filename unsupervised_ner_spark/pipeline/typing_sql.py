@@ -38,8 +38,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from unsupervised_ner_spark.caching import scoped_persist
 from unsupervised_ner_spark.descriptors import OOV_DESCS
 from unsupervised_ner_spark.pipeline.mentions import strip_marker, tokens_col
 
@@ -98,12 +98,24 @@ def typed_mentions_relational(
     has_surface = F.length("surface") > 0
     head_cs = F.when(has_surface, surf_head).otherwise(F.coalesce(prev_word, F.lit("")))
 
-    # persist the mention-joined base: it feeds numeric-shortcut, fixture
-    # join, and the final output joins — without it Catalyst re-evaluates
-    # the upstream mention-detection window once per consumer (the analogue
-    # of the DuckDB MATERIALIZED hints in oracle_sql; mention-scale rows, so
-    # memory-and-disk is safe at any SF where this relational twin is used)
-    m = (
+    # Materialization policy (measured, VERDICT r02 items 2-3): the mention
+    # scaffold ``m`` and the wide->narrow aggregate ``g1`` each feed 2-4
+    # consumers, but for the single-output path (include_dist=False)
+    # recomputing the narrow column algebra is 2× CHEAPER than a columnar
+    # persist (29.1 s vs 66.6 s at sf0.1) — so no persistence there. The
+    # ensemble path (include_dist=True) consumes g1/m across two model
+    # chains and many more aggregates; without materialization it explodes
+    # (283 s vs 23.4 s) — so it takes a lazy localCheckpoint (raw block
+    # write, no columnar encode; see caching.scoped_persist).
+    # ``sent`` is dropped BEFORE materializing: it exists only to derive
+    # head/blank (computed here) and duplicating every sentence string per
+    # mention made the round-2 cached copy several times the useful data.
+    _mat = (
+        (lambda df: scoped_persist(df, how="checkpoint"))
+        if include_dist
+        else (lambda df: df)
+    )
+    m = _mat(
         mentions.join(sentences.select("url", "sent_idx", "sent"), ["url", "sent_idx"])
         .withColumn("head", head_cs)
         .withColumn("has_surface", has_surface)
@@ -113,7 +125,8 @@ def typed_mentions_relational(
             "mkey",
             F.concat_ws("#", "url", F.col("sent_idx").cast("string"), F.col("mention_idx").cast("string")),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("sent")
+    )
 
     numeric = m.filter("is_num").select(
         "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
@@ -188,10 +201,12 @@ def typed_mentions_relational(
     # (blank is functionally dependent on mkey — a free grouping key)
     # g1 is the wide->narrow pinch point: everything upstream (descriptor
     # explode + softmax algebra) is expensive, everything downstream tiny.
-    # Persist so the 3-4 downstream aggregates share one evaluation.
-    g1 = lab.groupBy("mkey", "blank", "side", "grp", "label").agg(
-        F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialized only on the multi-consumer ensemble path (see _mat note).
+    g1 = _mat(
+        lab.groupBy("mkey", "blank", "side", "grp", "label").agg(
+            F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
+        )
+    )
 
     # A1: sum per (mention, side, group); normalize per side
     side_grp = g1.groupBy("mkey", "blank", "side", "grp").agg(F.sum("sc").alias("s"))
