@@ -212,11 +212,23 @@ def q_kg_ensemble_reconciled(spark, sf_dir):
     )
 
 
+def _typed_production(spark, sf_dir):
+    """Typed mentions from the narrow production tagging pass — the ER
+    queries feed off this instead of a relational typing re-derivation
+    (equivalence of the two chains is itself hash-proven by
+    kg_typed_mentions + kg_bio_tags)."""
+    from unsupervised_ner_spark.pipeline.runner import typed_mentions_from_tagged
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return typed_mentions_from_tagged(stages["tagged"])
+
+
 def q_er_exact_canonical(spark, sf_dir):
-    """Exact entity canonicalization over the relational typed mentions."""
+    """Exact entity canonicalization over the production typed mentions."""
     from unsupervised_ner_spark.pipeline import er
 
-    typed = q_kg_typed_mentions(spark, sf_dir)
+    typed = _typed_production(spark, sf_dir)
     occ = er.entity_occurrences(
         typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
     )
@@ -267,7 +279,7 @@ def q_er_components(spark, sf_dir):
     reachable node id), upgrading this from rows-only to hash-matched."""
     from unsupervised_ner_spark.pipeline import er
 
-    typed = q_kg_typed_mentions(spark, sf_dir)
+    typed = _typed_production(spark, sf_dir)
     occ = er.entity_occurrences(
         typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
     )

@@ -137,10 +137,17 @@ def main() -> None:
     lo_dps = [p["lo"]["docs_per_sec"] for p in pairs]
     hi_dps = [p["hi"]["docs_per_sec"] for p in pairs]
     med_eff = statistics.median(effs)
+    # ratio-of-medians: with the VM's bimodal phases, a pair inherits
+    # whichever phase one of its two windows landed in; the per-level median
+    # over all runs rejects the minority phase on EACH side independently,
+    # so this estimator is the more phase-robust of the two. Both are
+    # printed; neither is a best-pair.
+    rom_eff = statistics.median(lo_secs) / statistics.median(hi_secs) / factor
     result = {
         "lo_cores": lo_cores, "hi_cores": hi_cores,
         "pairs": pairs,
         "median_eff": round(med_eff, 3),
+        "ratio_of_medians_eff": round(rom_eff, 3),
         "eff_min": min(effs), "eff_max": max(effs),
         "cold": {"lo": cold_lo, "hi": cold_hi},
         "calibration": cal,
@@ -163,6 +170,10 @@ can physically honor.
 
 - per-pair efficiency ((t_N/t_4N)/4), median: **{med_eff:.3f}**
   (min {min(effs):.3f}, max {max(effs):.3f}; pairs: {', '.join(f'{e:.3f}' for e in effs)})
+- ratio-of-medians efficiency (median t_N / median t_4N / 4):
+  **{rom_eff:.3f}** — per-level medians reject the VM's minority phase on
+  each side independently, where a pair inherits whichever phase either of
+  its two windows landed in; both estimators printed, neither is best-pair.
 - raw-CPU calibration (pure busy-loops, zero coordination), same levels:
   parallel efficiency **{cal['raw_parallel_eff']:.3f}** — the hardware
   ceiling any job on this box can reach; measured immediately before the

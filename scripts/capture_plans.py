@@ -123,6 +123,29 @@ def main() -> None:
     checks.append(("no forced broadcast hint in ER band join",
                    "ResolvedHint" not in p6))
 
+    # 7. kg_canonical_triples end-to-end (VERDICT r02 item 1b): ONE tagging
+    # pass feeds both the triple flattening and the ER occurrence chain —
+    # the round-2 version ran the corpus twice (production chain + a second
+    # relational typing pass). In the final plan every branch reads the
+    # persisted tagged table (InMemoryTableScan); at most one MapInPandas
+    # may appear where the explain expands the cached relation's definition.
+    from unsupervised_ner_spark.caching import cache_scope
+
+    with cache_scope():
+        q7 = entry.q_kg_canonical_triples(spark, SF)
+        p7 = plan_of(q7)
+        sections.append(("North-rule end table (kg_canonical_triples), single derivation", p7))
+        # the cached relation's defining plan is re-printed under every
+        # InMemoryTableScan reference, so count DISTINCT MapInPandas node
+        # ids — exactly one means exactly one tagging stage in the query
+        mip_ids = set(re.findall(r"MapInPandas(?: |\s*\()(\d+)\)?", p7))
+        checks.append(("single tagging pass: branches read the cached tagged table",
+                       "InMemoryTableScan" in p7 and len(mip_ids) <= 1))
+        checks.append(("salted subj/obj membership joins",
+                       "ssalt" in p7 and "osalt" in p7))
+        checks.append(("CC labels materialized (lineage cut): ExistingRDD scan",
+                       "ExistingRDD" in p7))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

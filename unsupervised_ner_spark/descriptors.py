@@ -28,8 +28,9 @@ from unsupervised_ner_spark.kernel.constants import (
     TOP_K_DESCS,
 )
 from unsupervised_ner_spark.kernel.spans import is_integer_token
+from unsupervised_ner_spark.respath import resources_root
 
-FIXTURES_DIR = Path(__file__).parent / "resources" / "fixtures"
+FIXTURES_DIR = resources_root() / "fixtures"
 
 # OOV mentions (head term outside the fixture vocab) get a fixed common-word
 # descriptor list -> types as OTHER under suppression, mirroring how an MLM

@@ -26,8 +26,9 @@ from functools import lru_cache
 from pathlib import Path
 
 from unsupervised_ner_spark.kernel.constants import UNTAGGED_LABEL
+from unsupervised_ner_spark.respath import resources_root
 
-RESOURCES = Path(__file__).parent / "resources"
+RESOURCES = resources_root()
 
 
 @lru_cache(maxsize=None)

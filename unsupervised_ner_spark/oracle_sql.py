@@ -19,7 +19,9 @@ from unsupervised_ner_spark.descriptors import OOV_DESCS
 from unsupervised_ner_spark.kernel.spans import FUNCTION_WORDS
 from unsupervised_ner_spark.ops.textstats import EN_STOPWORDS, LANG_STOPWORDS
 
-FIXTURES = Path(__file__).resolve().parent / "resources" / "fixtures"
+from unsupervised_ner_spark.respath import resources_root
+
+FIXTURES = resources_root() / "fixtures"
 
 _FUNCWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(FUNCTION_WORDS)) + "]"
 

@@ -77,7 +77,13 @@ def ensemble_tags(
 ) -> DataFrame:
     """sentences -> ensembled token-level BIO tags (url, sent_idx, token_idx,
     word, tag)."""
-    ta = tag_sentences(sentences, model=model_a, detail=True)
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    # branch A feeds both the mention join and the token emission (two
+    # consumers) -> lazy localCheckpoint; branch B is single-consumer
+    ta = scoped_persist(
+        tag_sentences(sentences, model=model_a, detail=True), how="checkpoint"
+    )
     tb = tag_sentences(sentences, model=model_b, detail=True)
     resolved = resolve_ensemble(_mention_rows(ta, "a"), _mention_rows(tb, "b"))
     # W2/W3: copy the resolution across the span, B_ on the head

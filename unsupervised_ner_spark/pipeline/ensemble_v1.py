@@ -129,7 +129,14 @@ def ensemble_v1_tags(
             F.col("m.prediction").alias(f"pred_{x}"),
         )
 
-    ta = tag_sentences(sentences, model=model_a, detail=False)
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    # branch A feeds BOTH the mention join and the token emission — two
+    # consumers, so it takes a lazy localCheckpoint (caching policy); branch
+    # B is single-consumer and stays unmaterialized
+    ta = scoped_persist(
+        tag_sentences(sentences, model=model_a, detail=False), how="checkpoint"
+    )
     tb = tag_sentences(sentences, model=model_b, detail=False)
     j = mention_rows(ta, "a").join(
         mention_rows(tb, "b"), ["url", "sent_idx", "mention_idx"]

@@ -187,6 +187,97 @@ def connected_components(
     return labels.select("node_id", "component"), iterations
 
 
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50,
+    loop_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SOCC'14 — a public
+    algorithm, also the basis of GraphFrames' CC).
+
+    Converges in O(log n) ROUNDS regardless of graph diameter, vs min-label
+    propagation's O(diameter): a 10^12-doc corpus can chain near-identical
+    surfaces into long paths ("covid" ~ "covid1" ~ ... ), where per-round
+    full-edge shuffles × diameter rounds would dominate the job. Labels are
+    component minima — identical to ``connected_components``'s output, so
+    the two are drop-in interchangeable (asserted by tests and the
+    er_components hash gate).
+
+    Rounds (u, v are md5-string node ids; min is total lexicographic order):
+    - large-star: per node u with neighborhood Γ(u), m = min(Γ(u) ∪ {u});
+      emit (v, m) for every v ∈ Γ(u) with v > u.
+    - small-star: per node u over its ≤-neighbors N = {v ∈ Γ(u): v < u},
+      m = min(N ∪ {u}); emit (v, m) for v ∈ N ∪ {u}, v ≠ m.
+    Terminates when the (distinct, canonicalized) edge set is stable —
+    detected by an O(1) (count, hash-sum) aggregate, not a set compare.
+    Each round localCheckpoints to keep lineage bounded."""
+    sym = edges.select("node_a", "node_b").union(
+        edges.select(F.col("node_b").alias("node_a"), F.col("node_a").alias("node_b"))
+    ).filter("node_a != node_b")
+    sym = sym.localCheckpoint()
+    if loop_partitions is None:
+        n_edges = sym.count()
+        max_par = 4 * sym.sparkSession.sparkContext.defaultParallelism
+        loop_partitions = min(max(4, -(-n_edges // 100_000)), max_par)
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected canonical form (small, large), deduped
+        return e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).filter("a != b").distinct()
+
+    def both_dirs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent, overflow-free (ANSI mode forbids a
+        # long SUM of 64-bit hashes); E is distinct so xor can't cancel dups
+        [row] = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).collect()
+        return (row.n, row.h)
+
+    E = canon(sym.select(F.col("node_a").alias("a"), F.col("node_b").alias("b")))
+    E = E.repartition(loop_partitions, "a").localCheckpoint()
+    fp = fingerprint(E)
+    iterations = 0
+    for _ in range(max_iter):
+        iterations += 1
+        # large-star
+        g = both_dirs(E)
+        mins = g.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        large = (
+            g.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+        )
+        E1 = canon(large)
+        # small-star over the ≤-oriented edges of E1
+        g2 = both_dirs(E1).filter(F.col("v") < F.col("u"))
+        mins2 = g2.groupBy("u").agg(F.min("v").alias("mv"))
+        small = g2.join(mins2, "u").select(
+            F.col("v").alias("a"), F.col("mv").alias("b")
+        ).union(
+            mins2.select(F.col("u").alias("a"), F.col("mv").alias("b"))
+        )
+        E = canon(small).repartition(loop_partitions, "a").localCheckpoint()
+        new_fp = fingerprint(E)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # stars: every edge is (member, root=component min); roots and isolated
+    # nodes label themselves
+    member = E.select(F.col("b").alias("node_id"), F.col("a").alias("component"))
+    labels = nodes.select("node_id").join(member, "node_id", "left").select(
+        "node_id", F.coalesce("component", F.col("node_id")).alias("component")
+    )
+    return labels, iterations
+
+
 def salted_occurrence_link(
     occurrences: DataFrame, entities: DataFrame, salt: int = 8
 ) -> DataFrame:
@@ -214,9 +305,14 @@ def salted_occurrence_link(
 
 
 def resolve_entities(
-    occurrences: DataFrame, max_iter: int = 20
+    occurrences: DataFrame, max_iter: int = 20, cc_algorithm: str = "star"
 ) -> tuple[DataFrame, DataFrame]:
     """Full ER: exact grouping -> fuzzy LSH edges -> connected components.
+
+    ``cc_algorithm``: "star" (default — large/small-star, O(log n) rounds,
+    diameter-proof at 10^12 docs) or "minlabel" (O(diameter) neighbor-min
+    propagation; kept for cross-checking — both label components by their
+    min node_id, so outputs are identical).
 
     Returns (entities, membership):
     - entities(entity_id, etype, canonical_surface, n_mentions)
@@ -228,7 +324,8 @@ def resolve_entities(
     # mention pipeline runs once
     nodes = scoped_persist(exact_canonical(occurrences))
     edges = fuzzy_edges(nodes)
-    labels, _iters = connected_components(nodes.select("node_id"), edges, max_iter)
+    cc = connected_components_star if cc_algorithm == "star" else connected_components
+    labels, _iters = cc(nodes.select("node_id"), edges, max_iter)
     merged = nodes.join(labels, "node_id")
     entities = (
         merged.groupBy("component", "etype")

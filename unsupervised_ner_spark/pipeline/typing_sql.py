@@ -42,8 +42,9 @@ from pyspark.sql import functions as F
 from unsupervised_ner_spark.caching import scoped_persist
 from unsupervised_ner_spark.descriptors import OOV_DESCS
 from unsupervised_ner_spark.pipeline.mentions import strip_marker, tokens_col
+from unsupervised_ner_spark.respath import resources_root
 
-FIXTURES = Path(__file__).resolve().parents[1] / "resources" / "fixtures"
+FIXTURES = resources_root() / "fixtures"
 
 SUPPRESSED = ("OTHER", "UNTAGGED_ENTITY")
 
