@@ -342,6 +342,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_bucket_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH pairs -> star-CC duplicate clusters + canonical representative
+    (the "keep one per dup group" primitive); RECURSIVE-CTE oracle."""
+    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -489,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
@@ -528,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),
         "dedup_minhash_lsh": O.dedup_minhash_lsh(),
+        "dedup_clusters": O.dedup_clusters(),
         "dedup_simhash": O.dedup_simhash(),
         "dedup_embedding_cosine": O.dedup_embedding_cosine(),
         "ann_bruteforce": O.ann_bruteforce(),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_bruteforce",
     "ann_ivf_assign",

@@ -84,6 +84,17 @@ def test_minhash_lsh_candidates_superset_of_exact_dups(spark):
     assert not any(a >= 10 or b >= 10 for a, b in cand)
 
 
+def test_dedup_clusters_representative_is_min_doc_id(spark):
+    """LSH pairs -> star-CC clusters: the 4 identical docs form ONE cluster
+    labeled by its min doc_id; distinct docs never appear."""
+    rows = [(i, "an exactly repeated document body with many tokens") for i in range(4)]
+    rows += [(10, "zebra quantum harvest molecule twelve"),
+             (11, "guitar nebula fortress yesterday cobalt")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.cluster_id, r.n_docs) for r in dedup.dedup_clusters(df).collect()}
+    assert got == {(i, 0, 4) for i in range(4)}
+
+
 def test_simhash_close_for_near_dups(spark):
     df = spark.createDataFrame(
         [

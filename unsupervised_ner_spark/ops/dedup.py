@@ -164,6 +164,42 @@ def lsh_bucket_pairs(
     )
 
 
+def dedup_clusters(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs -> connected
+    components (large/small-star, pipeline/er.py) -> cluster stats. This is
+    the training-data-pipeline "keep one document per duplicate group"
+    primitive: ``cluster_id`` (the cluster's min doc_id) is the canonical
+    representative; filtering ``doc_id != cluster_id`` drops the duplicates.
+
+    Returns (doc_id, cluster_id, n_docs) for clusters of n_docs >= 2.
+    Scale: pairing is the capped LSH bucket join (never all-pairs); the CC
+    runs O(log n) star rounds over pair-sized edges, so a 100 TB corpus
+    costs the LSH join plus a few edge-sized shuffles."""
+    from unsupervised_ner_spark.pipeline.er import connected_components_star
+
+    pairs = lsh_bucket_pairs(documents, num_hashes, band_size, k, max_bucket)
+    edges = pairs.select(
+        F.col("doc_a").alias("node_a"), F.col("doc_b").alias("node_b")
+    )
+    nodes = documents.select(F.col("doc_id").alias("node_id"))
+    labels, _iters = connected_components_star(nodes, edges)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n_docs"))
+    return (
+        labels.join(sizes.filter(F.col("n_docs") >= 2), "component")
+        .select(
+            F.col("node_id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame, threshold_pct: int = 90, n_centroids: int | None = None
 ) -> DataFrame:

@@ -593,6 +593,59 @@ SELECT doc_a, doc_b FROM cand
 """
 
 
+def dedup_clusters(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50) -> str:
+    """Near-dup clusters (ops/dedup.py dedup_clusters twin): the LSH pair
+    chain + a RECURSIVE-CTE reachability fixpoint (min reachable doc_id ==
+    the star-CC component label the Spark loop converges to)."""
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return _materialize(
+        f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+sizes_ok AS (
+    SELECT band_id, band_hash FROM bands
+    GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket}
+),
+ok AS (
+    SELECT b.* FROM bands b JOIN sizes_ok s USING (band_id, band_hash)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ok a JOIN ok b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+esym AS (
+    SELECT doc_a AS a, doc_b AS b FROM cand
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM cand
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS lab FROM documents
+    UNION
+    SELECT e.b AS node, r.lab FROM reach r JOIN esym e ON e.a = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, count(*) AS n_docs FROM comp GROUP BY component)
+SELECT c.node AS doc_id, c.component AS cluster_id,
+       CAST(s.n_docs AS BIGINT) AS n_docs
+FROM comp c JOIN csizes s USING (component)
+WHERE s.n_docs >= 2
+""",
+        "sh", "cand", "esym", "comp",
+    )
+
+
 def dedup_simhash(bits: int = 16) -> str:
     bit_sql = []
     for j in range(bits):
