@@ -181,6 +181,26 @@ def q_kg_ensemble_mentions(spark, sf_dir):
     )
 
 
+def q_kg_ensemble_mentions_prod(spark, sf_dir):
+    """Production-path ensemble: two detail-mode kernel tagging passes +
+    the SHARED resolution-maze Column implementation, gated against the
+    SAME full SQL oracle as kg_ensemble_mentions — a three-way
+    cross-validation (kernel / relational twin / DuckDB) of J5."""
+    from unsupervised_ner_spark.pipeline import ensemble as E
+    from unsupervised_ner_spark.pipeline.tagging import tag_sentences
+
+    s = _sentences(spark, sf_dir)
+    ta = tag_sentences(s, model="a100", detail=True)
+    tb = tag_sentences(s, model="bbc", detail=True)
+    out = E.resolve_ensemble(E._mention_rows(ta, "a"), E._mention_rows(tb, "b"))
+    return out.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        "surface", "pred_a", "pred_b", "resolution",
+    )
+
+
 def q_kg_ensemble_v1_tags(spark, sf_dir):
     """v1 text-mode ensemble (aggregate_server.py:87-163): per-mention
     precedence pick over two production tagging branches, BIO emission.
@@ -485,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_ensemble_mentions": q_kg_ensemble_mentions,
+        "kg_ensemble_mentions_prod": q_kg_ensemble_mentions_prod,
         "kg_ensemble_v1_tags": q_kg_ensemble_v1_tags,
         "kg_ensemble_reconciled": q_kg_ensemble_reconciled,
         "txt_stats": q_txt_stats,
@@ -525,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_ensemble_mentions": O.kg_ensemble_mentions(),
+        "kg_ensemble_mentions_prod": O.kg_ensemble_mentions(),
         "kg_ensemble_v1_tags": O.kg_ensemble_v1_tags(),
         "kg_ensemble_reconciled": O.kg_ensemble_reconciled(),
         "txt_stats": O.txt_stats(),

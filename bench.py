@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "kg_bio_tags",
     "kg_triples",
     "kg_ensemble_mentions",
+    "kg_ensemble_mentions_prod",
     "kg_ensemble_v1_tags",
     "kg_ensemble_reconciled",
     "er_exact_canonical",

@@ -38,6 +38,7 @@ def _mention_rows(tagged: DataFrame, suffix: str) -> DataFrame:
     pooled = F.col("m.pooled")
     return m.select(
         "url", "sent_idx", "mention_idx",
+        F.col("m.surface").alias(f"surface_{suffix}"),
         F.col("m.begin_tok").alias("begin_tok"),
         F.col("m.end_tok").alias(f"end_{suffix}"),
         F.col("m.prediction").alias(f"pred_{suffix}"),
@@ -66,7 +67,8 @@ def resolve_ensemble(ma: DataFrame, mb: DataFrame) -> DataFrame:
         phi_prec=lit_arr(phi), phi_ok=lit_arr(phi + common),
     )
     return j.select(
-        "url", "sent_idx", "mention_idx", "begin_tok",
+        "url", "sent_idx", "mention_idx",
+        F.col("surface_a").alias("surface"), "begin_tok",
         F.least("end_a", "end_b").alias("end_tok"),  # min-span re-sync
         "pred_a", "pred_b", resolution.alias("resolution"),
     )
