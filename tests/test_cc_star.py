@@ -102,6 +102,30 @@ def test_star_equals_minlabel_labels(spark):
     assert star == minl
 
 
+def test_star_matches_union_find_property(spark):
+    """Property: on arbitrary small graphs (hypothesis-generated edge lists,
+    shrinking on failure), star CC labels == union-find labels. Guards the
+    operator now that it is the ER/dedup default."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=0, max_size=20,
+        )
+    )
+    def check(raw_pairs):
+        ids = [f"h{i:02d}" for i in range(15)]
+        pairs = [(ids[a], ids[b]) for a, b in raw_pairs if a != b]
+        nodes, edges = _dfs(spark, ids, pairs)
+        got = _labels(connected_components_star(nodes, edges)[0])
+        assert got == _union_find(ids, pairs)
+
+    check()
+
+
 def test_star_isolated_nodes_and_self_pairs(spark):
     ids = ["a", "b", "c", "d"]
     pairs = [("a", "b"), ("a", "b")]  # duplicate edge; c, d isolated
