@@ -60,10 +60,23 @@ BENCH_QUERIES = [
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))
 
+# The sandbox hypervisor is strongly bimodal (VERDICT r03 "What's wrong" 1:
+# 12.5 s vs 320.3 s for identical back-to-back runs of the same query) — a
+# single timing reads the VM phase, not the plan. Each query is therefore
+# timed BENCH_REPS times and the MEDIAN is reported; the headline total is
+# the sum of medians (one effective pass).
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "3"))
+
 
 def materialize(df) -> None:
     # noop sink: full evaluation of every column, nothing to the driver
     df.write.format("noop").mode("overwrite").save()
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -79,25 +92,39 @@ def main() -> None:
         run_pipeline(synth_pages(spark, cpus * 32).repartition(cpus), lang_filter="en")["triples"]
     )
     times: dict[str, float] = {}
+    reps_all: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        # cache_scope releases every library persist taken inside this query
-        # after its terminal action; clearCache sweeps anything else so no
-        # timed window inherits the previous query's evicted-block churn
-        # (round-2 pathology: 42 s for a single-scan 17 MB query)
-        with cache_scope():
-            materialize(qs[name](spark, sf_dir))
-        spark.catalog.clearCache()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        reps: list[float] = []
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            # cache_scope releases every library persist taken inside this
+            # query after its terminal action; clearCache sweeps anything
+            # else so no timed window inherits the previous query's
+            # evicted-block churn (round-2 pathology: 42 s for a
+            # single-scan 17 MB query)
+            with cache_scope():
+                materialize(qs[name](spark, sf_dir))
+            spark.catalog.clearCache()
+            reps.append(round(time.time() - t0, 3))
+        reps_all[name] = reps
+        times[name] = round(median(reps), 3)
+        print(f"# {name}: {times[name]}s (reps: {reps})", file=sys.stderr, flush=True)
 
     # full production KG pipeline over a synthetic page corpus: docs/sec
-    t0 = time.time()
-    pages = synth_pages(spark, SYNTH_PAGES).repartition(cpus * 2)
-    stages = run_pipeline(pages, lang_filter="en")
-    materialize(stages["triples"])
-    kg_secs = time.time() - t0
+    kg_reps: list[float] = []
+    for _ in range(BENCH_REPS):
+        t0 = time.time()
+        with cache_scope():
+            pages = synth_pages(spark, SYNTH_PAGES).repartition(cpus * 2)
+            stages = run_pipeline(pages, lang_filter="en")
+            materialize(stages["triples"])
+        spark.catalog.clearCache()
+        kg_reps.append(round(time.time() - t0, 3))
+    reps_all["kg_pipeline_synth"] = kg_reps
+    kg_secs = median(kg_reps)
     times["kg_pipeline_synth"] = round(kg_secs, 3)
+    print(f"# kg_pipeline_synth: {times['kg_pipeline_synth']}s (reps: {kg_reps})",
+          file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     print(
@@ -107,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "reps": reps_all,
+                "bench_reps": BENCH_REPS,
                 "sf": sf,
                 "synth_pages": SYNTH_PAGES,
                 "synth_docs_per_sec": round(SYNTH_PAGES / kg_secs, 1),

@@ -12,18 +12,25 @@ returning a lazy DataFrame — so ownership is inverted:
   correctness harness, which calls ``queries()[name]`` and runs the action
   itself) keeps intra-query reuse.
 - ``cache_scope()``: context manager; everything registered inside is
-  unpersisted (non-blocking) at exit. ``bench.py`` wraps each timed query in
+  released (non-blocking) at exit. ``bench.py`` wraps each timed query in
   one, so no query's cached blocks survive into the next timed window — the
   round-2 bench showed 42 s for a 17 MB single-scan query purely from
-  evicted-block churn.
+  evicted-block churn. Checkpoint handles (``how="checkpoint"``) are
+  registered too (ADVICE r03): ``unpersist()``/``clearCache()`` do NOT free
+  localCheckpoint RDD blocks — they live until the JVM Dataset ref is GC'd,
+  which py4j defers indefinitely — so the scope releases them explicitly by
+  unpersisting the checkpointed RDD inside the plan's ``LogicalRDD``
+  (verified: ``getRDDStorageInfo`` empty after release).
 
 Thread-local so parallel test workers can't release each other's handles.
 """
 
 from __future__ import annotations
 
+import os
 import threading
 from contextlib import contextmanager
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -31,58 +38,82 @@ from pyspark.storagelevel import StorageLevel
 _LOCAL = threading.local()
 
 
+def _release_persist(df: DataFrame) -> None:
+    df.unpersist(blocking=False)
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    # A lazy localCheckpoint plan is a LogicalRDD over the checkpointed
+    # RDD[InternalRow]; unpersisting THAT rdd frees the blocks immediately
+    # (df.unpersist() is a no-op for checkpoints, and df.rdd would build a
+    # fresh deserialized RDD, not the cached one).
+    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
+def _register(df: DataFrame, release: Callable[[DataFrame], None]) -> None:
+    scopes = getattr(_LOCAL, "scopes", None)
+    if scopes:
+        scopes[-1].append((df, release))
+
+
 def scoped_persist(
     df: DataFrame,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     how: str = "persist",
+    tunable: bool = False,
 ) -> DataFrame:
     """Persist ``df`` and hand ownership to the active cache scope (if any).
 
     ``how``: "persist" (columnar SQL cache — pays an encode cost, releasable
     via unpersist/clearCache) or "checkpoint" (lazy ``localCheckpoint`` —
     raw block write, measured 2× cheaper for string-heavy mention-scale
-    intermediates; blocks are GC-cleaned via the ContextCleaner, and lineage
-    truncation is acceptable for these bounded intermediates — an executor
-    loss costs a stage retry, the standard iterative-algorithm tradeoff).
+    intermediates; lineage truncation is acceptable for these bounded
+    intermediates — an executor loss costs a stage retry, the standard
+    iterative-algorithm tradeoff).
 
     Measured at sf0.1 (r03 experiment, VERDICT r02 item 2):
     kg_typed_mentions persist/off/checkpoint = 66.6/29.1/33.0 s;
     kg_ensemble_mentions = 32.5/283.0/23.4 s — so single-consumer chains
     skip persistence entirely and multi-consumer chains checkpoint.
 
-    ``TYPED_PERSIST_MODE`` (env) globally overrides to "off"/"checkpoint"
-    for measurement; production leaves it unset."""
-    import os
-
-    mode = os.environ.get("TYPED_PERSIST_MODE", how)
+    ``tunable=True`` opts this call site into the ``TYPED_PERSIST_MODE``
+    env override ("off"/"checkpoint"/"persist") used by the measurement
+    harness. Sites whose persistence is a correctness/scale invariant (the
+    LSH banded table, ER node canonicalization — a 4× recompute without it)
+    leave it False so a typing measurement can't silently degrade unrelated
+    operators in the same session (ADVICE r03)."""
+    mode = os.environ.get("TYPED_PERSIST_MODE", how) if tunable else how
     if mode == "off":
         return df
     if mode == "checkpoint":
-        return df.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=False)
+        _register(df, _release_checkpoint)
+        return df
     df = df.persist(level)
-    scopes = getattr(_LOCAL, "scopes", None)
-    if scopes:
-        scopes[-1].append(df)
+    _register(df, _release_persist)
     return df
 
 
 @contextmanager
 def cache_scope():
-    """Unpersists every ``scoped_persist`` handle registered inside on exit.
+    """Releases every ``scoped_persist`` handle registered inside on exit.
 
     Yields the (mutable) handle list so callers can register extra handles
-    (e.g. a ``.persist()`` taken directly in query code)."""
+    as ``(df, release_fn)`` pairs (e.g. a ``.persist()`` taken directly in
+    query code paired with ``DataFrame.unpersist``)."""
     scopes = getattr(_LOCAL, "scopes", None)
     if scopes is None:
         scopes = _LOCAL.scopes = []
-    handles: list[DataFrame] = []
+    handles: list[tuple[DataFrame, Callable[[DataFrame], None]]] = []
     scopes.append(handles)
     try:
         yield handles
     finally:
         scopes.pop()
-        for df in reversed(handles):
+        for df, release in reversed(handles):
             try:
-                df.unpersist(blocking=False)
+                release(df)
             except Exception:
+                # best-effort cleanup: a released SparkContext / already
+                # -freed handle must not mask the caller's own exception
                 pass

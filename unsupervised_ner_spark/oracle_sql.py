@@ -30,9 +30,17 @@ def _materialize(sql: str, *cte_names: str) -> str:
     """Force DuckDB to materialize multi-referenced CTEs (``name AS
     MATERIALIZED (``): without the hint DuckDB may inline a CTE once per
     reference, re-running the whole upstream chain (measured 3-4x slowdown
-    on the ER/ensemble oracles)."""
+    on the ER/ensemble oracles).
+
+    Anchored on a word boundary and asserted to hit exactly once (ADVICE
+    r03: a plain substring replace also rewrote ``bsents AS (`` when
+    materializing ``sents``, and a missing CTE became a silent no-op)."""
+    import re
+
     for name in cte_names:
-        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(name)} AS \(")
+        sql, n = pat.subn(f"{name} AS MATERIALIZED (", sql)
+        assert n == 1, f"CTE {name!r} matched {n} times (expected exactly 1)"
     return sql
 _OOV_SQL = (
     "["

@@ -84,23 +84,13 @@ def ensemble_tags(
     # branch A feeds both the mention join and the token emission (two
     # consumers) -> lazy localCheckpoint; branch B is single-consumer
     ta = scoped_persist(
-        tag_sentences(sentences, model=model_a, detail=True), how="checkpoint"
+        tag_sentences(sentences, model=model_a, detail=True), how="checkpoint", tunable=True
     )
     tb = tag_sentences(sentences, model=model_b, detail=True)
     resolved = resolve_ensemble(_mention_rows(ta, "a"), _mention_rows(tb, "b"))
-    # W2/W3: copy the resolution across the span, B_ on the head
-    span_toks = resolved.select(
-        "url", "sent_idx", "begin_tok", "resolution",
-        F.explode(F.sequence("begin_tok", "end_tok")).alias("token_idx"),
-    )
-    tokens = ta.select(
-        "url", "sent_idx",
-        F.posexplode("words").alias("token_idx", "word"),
-    )
-    out = tokens.join(span_toks, ["url", "sent_idx", "token_idx"], "left")
-    tag = (
-        F.when(F.col("resolution").isNull(), "O")
-        .when(F.col("token_idx") == F.col("begin_tok"), F.concat(F.lit("B_"), "resolution"))
-        .otherwise(F.concat(F.lit("I_"), "resolution"))
-    )
-    return out.select("url", "sent_idx", "token_idx", "word", tag.alias("tag"))
+    # W2/W3: copy the resolution across the span, B_ on the head —
+    # sentence-level emission (see emit_resolved_span_tags: no token-level
+    # exchange)
+    from unsupervised_ner_spark.pipeline.tagging import emit_resolved_span_tags
+
+    return emit_resolved_span_tags(ta, resolved)

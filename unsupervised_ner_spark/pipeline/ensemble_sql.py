@@ -29,8 +29,8 @@ def ensemble_mentions_relational(
     # materialize (lazy localCheckpoint: raw blocks, no columnar encode —
     # measured in caching.scoped_persist) so the window-heavy mention
     # detection runs once, not once per model
-    mentions = scoped_persist(mentions, how="checkpoint")
-    sentences = scoped_persist(sentences, how="checkpoint")
+    mentions = scoped_persist(mentions, how="checkpoint", tunable=True)
+    sentences = scoped_persist(sentences, how="checkpoint", tunable=True)
     ta = typed_mentions_relational(mentions, sentences, spark, model_a, include_dist=True)
     tb = typed_mentions_relational(mentions, sentences, spark, model_b, include_dist=True)
     a = ta.select(

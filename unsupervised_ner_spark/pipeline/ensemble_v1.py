@@ -135,7 +135,7 @@ def ensemble_v1_tags(
     # consumers, so it takes a lazy localCheckpoint (caching policy); branch
     # B is single-consumer and stays unmaterialized
     ta = scoped_persist(
-        tag_sentences(sentences, model=model_a, detail=False), how="checkpoint"
+        tag_sentences(sentences, model=model_a, detail=False), how="checkpoint", tunable=True
     )
     tb = tag_sentences(sentences, model=model_b, detail=False)
     j = mention_rows(ta, "a").join(
@@ -150,20 +150,10 @@ def ensemble_v1_tags(
             "resolution"
         ),
     )
-    span_toks = picked.select(
-        "url", "sent_idx", "begin_tok", "resolution",
-        F.explode(F.sequence("begin_tok", "end_tok")).alias("token_idx"),
-    )
-    tokens = ta.select(
-        "url", "sent_idx", F.posexplode("words").alias("token_idx", "word")
-    )
-    out = tokens.join(span_toks, ["url", "sent_idx", "token_idx"], "left")
-    tag = (
-        F.when(F.col("resolution").isNull(), "O")
-        .when(F.col("token_idx") == F.col("begin_tok"), F.concat(F.lit("B_"), "resolution"))
-        .otherwise(F.concat(F.lit("I_"), "resolution"))
-    )
-    return out.select("url", "sent_idx", "token_idx", "word", tag.alias("tag"))
+    # sentence-level emission: no token-level exchange (VERDICT r03 item 4)
+    from unsupervised_ner_spark.pipeline.tagging import emit_resolved_span_tags
+
+    return emit_resolved_span_tags(ta, picked)
 
 
 # ---------------------------------------------------------------------------

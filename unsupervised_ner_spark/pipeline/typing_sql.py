@@ -112,7 +112,7 @@ def typed_mentions_relational(
     # head/blank (computed here) and duplicating every sentence string per
     # mention made the round-2 cached copy several times the useful data.
     _mat = (
-        (lambda df: scoped_persist(df, how="checkpoint"))
+        (lambda df: scoped_persist(df, how="checkpoint", tunable=True))
         if include_dist
         else (lambda df: df)
     )
