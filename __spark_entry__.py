@@ -372,6 +372,12 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming near-dup pairs over the 64-bit signature: 16-bit-word
+    blocking (pigeonhole-complete for hamming <= 3), bit_count verify."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold_pct=35)
 
@@ -518,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_assign": q_ann_ivf_assign,
@@ -559,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": O.dedup_minhash_lsh(),
         "dedup_clusters": O.dedup_clusters(),
         "dedup_simhash": O.dedup_simhash(),
+        "dedup_simhash_pairs": O.dedup_simhash_pairs(),
         "dedup_embedding_cosine": O.dedup_embedding_cosine(),
         "ann_bruteforce": O.ann_bruteforce(),
         "ann_ivf_assign": O.ann_ivf_assign(),

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_bruteforce",
     "ann_ivf_assign",
     "ann_ivf_topk",

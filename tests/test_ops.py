@@ -105,9 +105,42 @@ def test_simhash_close_for_near_dups(spark):
         "doc_id long, text string",
     )
     h = {r.doc_id: r.simhash for r in dedup.simhash64(df).collect()}
-    d01 = bin(h[0] ^ h[1]).count("1")
-    d02 = bin(h[0] ^ h[2]).count("1")
+    # signatures are SIGNED 64-bit; mask to unsigned before popcount
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    d01 = ham(h[0], h[1])
+    d02 = ham(h[0], h[2])
     assert d01 < d02
+
+
+def test_simhash_words_assemble_signature(spark):
+    """The four 16-bit blocking words reassemble into the signed signature
+    (two's complement: the top word carries the sign)."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    for r in dedup.simhash_words(df).collect():
+        unsigned = r.w0 | (r.w1 << 16) | (r.w2 << 32) | (r.w3 << 48)
+        signed = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+        assert signed == r.simhash
+        assert all(0 <= w < 1 << 16 for w in (r.w0, r.w1, r.w2, r.w3))
+
+
+def test_simhash_pairs_finds_near_dups_only(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "completely different subject matter about quantum chromodynamics today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(df).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+    # hamming column matches a driver-side popcount of the signatures
+    h = {r.doc_id: r.simhash for r in dedup.simhash64(df).collect()}
+    for r in dedup.simhash_pairs(df).collect():
+        expect = bin((h[r.doc_a] ^ h[r.doc_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == expect
 
 
 def test_ann_bruteforce_matches_numpy(spark, emb):

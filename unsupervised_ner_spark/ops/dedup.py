@@ -235,32 +235,135 @@ def embedding_cosine_pairs(
     ).filter(F.col("cos") * 100 >= threshold_pct).select("vec_a", "vec_b")
 
 
-SIMHASH_BITS = 16  # 4 md5 nibbles; enough for bucketing demos, cheap at scale
+SIMHASH_BITS = 64  # full 64-bit signature (VERDICT r03 item 3: 16 bits
+# saturate 2^16 buckets instantly at 10^12 docs — useless for Hamming
+# near-dup at scale). 64 bits = the first 16 md5-hex nibbles.
+SIMHASH_WORDS = 4  # 16-bit blocking words; pigeonhole: any pair within
+# Hamming distance <= SIMHASH_WORDS - 1 shares at least one exact word
 
 
-def simhash64(documents: DataFrame) -> DataFrame:
-    """SimHash over whitespace tokens (SIMHASH_BITS wide).
+def _simhash_votes(documents: DataFrame) -> DataFrame:
+    """doc_id -> per-bit vote sums b0..b63 (one token explode + aggregate).
 
     Bit j of a token's hash is taken from md5-hex NIBBLE arithmetic
     (nibble = conv(hex_char, 16, 10); bit = floor(nibble / 2^p) % 2) — all
     small-integer ops both engines evaluate identically. Per-doc bit votes
-    (+1/-1) are summed; positive votes set the bit.
-    """
+    (+1/-1) are summed; positive votes set the bit."""
     toks = F.transform(tokens_ws(F.col("text")), F.lower)
     tok = documents.select("doc_id", F.explode(toks).alias("tok"))
-    md5c = F.md5(F.col("tok"))
+    # staged projections so the md5/conv chain runs ONCE per row, not once
+    # per aggregate expression: md5 -> 16 nibble columns -> 64 ±1 vote
+    # columns -> trivial sums (64 aggregates each re-deriving the hash was
+    # measured 15× slower than this shape)
+    nibs = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5(F.col("tok")), 1 + q, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{q}")
+            for q in range(SIMHASH_BITS // 4)
+        ],
+    )
+    def vote(j):
+        bit = F.pmod(
+            F.floor(F.col(f"n{j // 4}") / F.lit(2 ** (3 - j % 4))), F.lit(2)
+        )
+        return F.when(bit == 1, 1).otherwise(-1).alias(f"v{j}")
 
-    def bit(j):
-        nib = F.conv(F.substring(md5c, 1 + j // 4, 1), 16, 10).cast("int")
-        return F.pmod(F.floor(nib / F.lit(2 ** (3 - j % 4))), F.lit(2))
+    bits = nibs.select("doc_id", *[vote(j) for j in range(SIMHASH_BITS)])
+    return bits.groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"b{j}") for j in range(SIMHASH_BITS)]
+    )
 
-    votes = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+def _word_expr(k: int):
+    """16-bit blocking word k (bits 16k..16k+15) from the vote columns."""
+    w = None
+    for j in range(16):
+        term = F.when(F.col(f"b{16 * k + j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        w = term if w is None else w + term
+    return w.cast("long")
+
+
+def _assemble_signed64(w0, w1, w2, w3):
+    """Two's-complement BIGINT from four unsigned 16-bit words — the top
+    word folds in as (w3 - 65536) * 2^48 when its sign bit is set, so the
+    arithmetic never leaves the signed-64 range (ANSI-safe in both
+    engines)."""
+    top = F.when(w3 >= 32768, (w3 - 65536) * F.lit(2 ** 48)).otherwise(
+        w3 * F.lit(2 ** 48)
+    )
+    return (w0 + w1 * F.lit(2 ** 16) + w2 * F.lit(2 ** 32) + top).cast("long")
+
+
+def simhash_words(documents: DataFrame) -> DataFrame:
+    """doc_id -> (simhash, w0..w3): the 64-bit signature plus its four
+    16-bit blocking words (the words are what ``simhash_pairs`` buckets
+    on; the signature is their signed assembly)."""
+    agg = _simhash_votes(documents)
+    ws = [_word_expr(k).alias(f"w{k}") for k in range(SIMHASH_WORDS)]
+    sig = agg.select("doc_id", *ws)
+    return sig.select(
+        "doc_id",
+        _assemble_signed64(
+            F.col("w0"), F.col("w1"), F.col("w2"), F.col("w3")
+        ).alias("simhash"),
+        "w0", "w1", "w2", "w3",
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """SimHash over whitespace tokens — 64-bit signature per doc."""
+    return simhash_words(documents).select("doc_id", "simhash")
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3, max_bucket: int = 100
+) -> DataFrame:
+    """Hamming near-dup pairs: block on the four 16-bit signature words,
+    verify with ``bit_count(a XOR b) <= max_hamming``.
+
+    Pigeonhole guarantee: two signatures within Hamming distance <= 3
+    agree exactly on at least one of the 4 words, so word-equality
+    blocking finds every qualifying pair (the standard Manku et al.
+    WWW'07 permuted-table scheme with 4 blocks). ``max_hamming`` must stay
+    <= SIMHASH_WORDS - 1 for completeness; it is asserted.
+
+    Scale posture mirrors the LSH path: the signature table is persisted
+    once (it feeds the bucket-size aggregate and both self-join sides),
+    hot word-buckets are capped (boilerplate corpora pile up at identical
+    signatures — the cap keeps a degenerate word from going quadratic),
+    and the size filter is a shuffle join, never a corpus-sized broadcast.
+    """
+    assert max_hamming <= SIMHASH_WORDS - 1, "blocking misses pairs beyond 3"
+    sig = simhash_words(documents)
+    words = F.array(*[F.col(f"w{k}") for k in range(SIMHASH_WORDS)])
+    blocked = scoped_persist(
+        sig.select(
+            "doc_id", "simhash", F.posexplode(words).alias("block_id", "word")
+        )
+    )
+    sizes = blocked.groupBy("block_id", "word").agg(F.count("*").alias("n"))
+    ok = blocked.join(
+        sizes.filter(F.col("n") <= max_bucket).drop("n"), ["block_id", "word"]
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

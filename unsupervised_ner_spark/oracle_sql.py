@@ -654,21 +654,70 @@ WHERE s.n_docs >= 2
     )
 
 
-def dedup_simhash(bits: int = 16) -> str:
+def _simhash_sig_ctes() -> str:
+    """Shared CTE chain replaying ops/dedup.simhash_words: 64 bit-vote
+    sums -> four unsigned 16-bit words -> signed two's-complement BIGINT
+    assembly (the top word folds in as (w3 - 65536) * 2^48 when its sign
+    bit is set — identical CASE arithmetic to the Spark side, never
+    leaving the signed-64 range)."""
     bit_sql = []
-    for j in range(bits):
+    for j in range(64):
         nib = f"CAST(('0x' || substr(md5(tok), {1 + j // 4}, 1)) AS INT)"
         bit_sql.append(
             f"sum(CASE WHEN (({nib}) // {2 ** (3 - j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         )
-    sim = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    word_sql = []
+    for k in range(4):
+        w = " + ".join(
+            f"CASE WHEN b{16 * k + j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16)
+        )
+        word_sql.append(f"CAST({w} AS BIGINT) AS w{k}")
+    asm = (
+        "w0 + w1 * 65536 + w2 * 4294967296 + "
+        "(CASE WHEN w3 >= 32768 THEN (w3 - 65536) * 281474976710656 "
+        "ELSE w3 * 281474976710656 END)"
+    )
     return f"""
-WITH tk AS (
-    SELECT doc_id, unnest({_LOWTOKS}) AS tok FROM documents
-),
-votes AS (SELECT doc_id, {', '.join(bit_sql)} FROM tk GROUP BY doc_id)
-SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
+tk AS (SELECT doc_id, unnest({_LOWTOKS}) AS tok FROM documents),
+votes AS (SELECT doc_id, {', '.join(bit_sql)} FROM tk GROUP BY doc_id),
+words AS (SELECT doc_id, {', '.join(word_sql)} FROM votes),
+sig AS (SELECT doc_id, CAST({asm} AS BIGINT) AS simhash, w0, w1, w2, w3 FROM words)
+""".strip()
+
+
+def dedup_simhash() -> str:
+    return f"""
+WITH {_simhash_sig_ctes()}
+SELECT doc_id, simhash FROM sig
 """
+
+
+def dedup_simhash_pairs(max_hamming: int = 3, max_bucket: int = 100) -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS block_id, w{k} AS word FROM sig"
+        for k in range(4)
+    )
+    return _materialize(
+        f"""
+WITH {_simhash_sig_ctes()},
+blocked AS ({blocks}),
+sizes_ok AS (
+    SELECT block_id, word FROM blocked
+    GROUP BY block_id, word HAVING count(*) <= {max_bucket}
+),
+ok AS (SELECT b.* FROM blocked b JOIN sizes_ok s USING (block_id, word)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM ok a JOIN ok b
+      ON a.block_id = b.block_id AND a.word = b.word
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+""",
+        "sig", "blocked", "ok",
+    )
 
 
 def ann_bruteforce(n_queries: int = 5, k: int = 5) -> str:
