@@ -174,6 +174,20 @@ def test_ivf_assign_is_nearest(spark, emb):
         assert got[vid] == best
 
 
+def test_adaptive_max_bucket_sizing_rule():
+    """Cube-root LSH bucket cap with the 50 floor / 5000 ceiling (VERDICT
+    r03 item 6): worst-case candidate volume grows ~N^(2/3) per band
+    instead of being pinned by a demo-scale constant."""
+    f = dedup.adaptive_max_bucket
+    assert f(0) == 50 and f(1) == 50
+    assert f(5000) == 50  # sf0.1 corpus stays on the round-3 cap
+    assert f(117_649) == 50  # 49^3 + eps: last corpus on the floor is 50^3
+    assert f(1_000_000) == 100
+    assert f(10**12) == 5000  # capped
+    sizes = [f(10**e) for e in range(14)]
+    assert sizes == sorted(sizes)
+
+
 def test_adaptive_n_centroids_sizing_rule():
     """√N sizing with the 16-cell floor and 65536 cap (VERDICT r02 item 4):
     cells stay ~√N-sized so within-cell pairing never goes quadratic."""

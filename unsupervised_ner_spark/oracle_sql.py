@@ -568,7 +568,19 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
-def dedup_minhash_lsh(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50) -> str:
+def _lsh_bucket_cap(max_bucket: int | None) -> tuple[str, str]:
+    """(extra CTE, HAVING bound) for the LSH bucket cap. ``None`` replays
+    ops/dedup.adaptive_max_bucket from ``count(*)`` inside the query —
+    clamp(ceil(pow(N, 1/3)), 50, 5000), IEEE-double in both engines."""
+    if max_bucket is None:
+        return (
+            "mbt AS (SELECT GREATEST(50, LEAST(5000, CAST(ceil(pow(count(*), 1.0/3)) AS BIGINT))) AS mb FROM documents)",
+            "(SELECT mb FROM mbt)",
+        )
+    return "", str(max_bucket)
+
+
+def dedup_minhash_lsh(num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None) -> str:
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
     )
@@ -580,13 +592,16 @@ def dedup_minhash_lsh(num_hashes: int = 8, band_size: int = 2, max_bucket: int =
             f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
+    cap_cte, cap_bound = _lsh_bucket_cap(max_bucket)
+    cap_cte = f"{cap_cte}," if cap_cte else ""
     return f"""
 WITH {_SHINGLES_CTE.strip()},
+{cap_cte}
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands_sql}),
 sizes_ok AS (
     SELECT band_id, band_hash FROM bands
-    GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket}
+    GROUP BY band_id, band_hash HAVING count(*) <= {cap_bound}
 ),
 ok AS (
     SELECT b.* FROM bands b JOIN sizes_ok s USING (band_id, band_hash)
@@ -615,14 +630,17 @@ def dedup_clusters(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50
             f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
+    cap_cte, cap_bound = _lsh_bucket_cap(max_bucket)
+    cap_cte = f"{cap_cte}," if cap_cte else ""
     return _materialize(
         f"""
 WITH RECURSIVE {_SHINGLES_CTE.strip()},
+{cap_cte}
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands_sql}),
 sizes_ok AS (
     SELECT band_id, band_hash FROM bands
-    GROUP BY band_id, band_hash HAVING count(*) <= {max_bucket}
+    GROUP BY band_id, band_hash HAVING count(*) <= {cap_bound}
 ),
 ok AS (
     SELECT b.* FROM bands b JOIN sizes_ok s USING (band_id, band_hash)
