@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main() -> None:
@@ -88,6 +89,11 @@ def main() -> None:
         ckpt.write_stage(
             ckpt.resume_filter(typed, root, "typed_mentions"), root, "typed_mentions"
         )
+        if os.environ.get("KG_JOB_FAULT") == "between_page_stages":
+            # crash-injection hook (tests/test_spark_submit_job.py): dies
+            # AFTER the typed_mentions commit, BEFORE page_triples — the
+            # exact window the two-stage commit protocol claims is safe
+            raise SystemExit(17)
         ckpt.write_stage(
             ckpt.resume_filter(triples, root, "page_triples"), root, "page_triples"
         )

@@ -52,7 +52,10 @@ def _build_pages_parquet(dest: Path) -> int:
     return n
 
 
-def _run_job(tmp: Path, out: Path, env: dict, resume: bool = False) -> dict:
+def _run_job(
+    tmp: Path, out: Path, env: dict, resume: bool = False,
+    fault: str | None = None, expect_rc: int = 0,
+) -> dict | None:
     cmd = [
         _spark_submit(),
         "--master", "local[8]",
@@ -68,34 +71,45 @@ def _run_job(tmp: Path, out: Path, env: dict, resume: bool = False) -> dict:
     ]
     if resume:
         cmd.append("--resume")
+    env = dict(env)
+    if fault is not None:
+        env["KG_JOB_FAULT"] = fault
     r = subprocess.run(
         cmd, cwd=str(tmp), env=env, capture_output=True, text=True, timeout=540
     )
-    assert r.returncode == 0, f"spark-submit failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}"
+    assert r.returncode == expect_rc, (
+        f"spark-submit rc={r.returncode} (wanted {expect_rc}):\n"
+        f"{r.stdout[-2000:]}\n{r.stderr[-4000:]}"
+    )
+    if expect_rc != 0:
+        return None
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
-def test_spark_submit_py_files_end_to_end(tmp_path):
-    # package: code zip WITHOUT resources (proves imports come from the zip
-    # and data from the archives path, as on a real cluster)
+def _package(tmp_path: Path) -> dict:
+    """Build the --py-files zip + --archives stand-in + pages parquet;
+    return the subprocess env."""
     zpath = tmp_path / "uns.zip"
     pkg = REPO / "unsupervised_ner_spark"
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
         for f in pkg.rglob("*.py"):
             z.write(f, f.relative_to(REPO))
-    # the --archives extraction stand-in
     res_dir = tmp_path / "nerres"
     shutil.copytree(pkg / "resources", res_dir / "resources")
-
     n_pages = _build_pages_parquet(tmp_path / "pages.parquet")
     assert n_pages > 0
-
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env["PYTHONPATH"] = ""  # repo must NOT be importable except via the zip
     env["UNSUPERVISED_NER_RESOURCES"] = str(res_dir / "resources")
     env.setdefault("PYSPARK_PYTHON", sys.executable)
+    return env
 
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    # package: code zip WITHOUT resources (proves imports come from the zip
+    # and data from the archives path, as on a real cluster)
+    env = _package(tmp_path)
     out = tmp_path / "kg_out"
     first = _run_job(tmp_path, out, env)
     assert first["counts"]["typed_mentions"] > 0
@@ -108,3 +122,28 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     second = _run_job(tmp_path, out, env, resume=True)
     assert second["counts"] == first["counts"]
     assert second["lineage_rows"] == first["lineage_rows"]
+
+
+def test_crash_between_page_stage_commits_resumes_exactly(tmp_path):
+    """Crash injection for the two-stage per-page commit (VERDICT r03 item
+    5): the job dies AFTER the typed_mentions commit and BEFORE
+    page_triples (KG_JOB_FAULT hook), then re-runs with --resume. The
+    protocol's claim — a crash between the two writes can duplicate
+    neither stage — is proven by comparing counts AND lineage rows against
+    an uninterrupted run."""
+    env = _package(tmp_path)
+
+    baseline = _run_job(tmp_path, tmp_path / "kg_base", env)
+
+    out = tmp_path / "kg_crash"
+    _run_job(tmp_path, out, env, fault="between_page_stages", expect_rc=17)
+    # post-crash state: typed_mentions committed, page_triples absent
+    lineage = pq.read_table(out / "_lineage").to_pydict()
+    stages_committed = set(lineage["stage"])
+    assert "typed_mentions" in stages_committed
+    assert "page_triples" not in stages_committed
+
+    recovered = _run_job(tmp_path, out, env, resume=True)
+    assert recovered["counts"] == baseline["counts"]
+    assert recovered["lineage_rows"] == baseline["lineage_rows"]
+    assert recovered["committed_stage_buckets"] == baseline["committed_stage_buckets"]
