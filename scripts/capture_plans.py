@@ -146,6 +146,20 @@ def main() -> None:
         checks.append(("CC labels materialized (lineage cut): ExistingRDD scan",
                        "ExistingRDD" in p7))
 
+    # 8. ensemble BIO emission (VERDICT r03 item 4): resolved spans joined
+    # back at SENTENCE granularity — the plan must contain NO exchange
+    # keyed on token_idx (the round-3 version exploded both sides to token
+    # granularity and shuffled the full token table).
+    with cache_scope():
+        p8 = plan_of(entry.q_kg_ensemble_v1_tags(spark, SF))
+        sections.append(("Ensemble BIO emission (sentence-level, kg_ensemble_v1_tags)", p8))
+        tok_exchanges = [
+            m for m in re.findall(r"Exchange hashpartitioning\([^)]*\)", p8)
+            if "token_idx" in m
+        ]
+        checks.append(("no exchange keyed on token_idx in ensemble emission",
+                       not tok_exchanges and "Exchange" in p8))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
