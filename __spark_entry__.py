@@ -396,6 +396,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _long(simsearch.ivf_topk(_t(spark, sf_dir, "embeddings")), "rank")
 
 
+
+def q_ann_ivf_topk_probe(spark, sf_dir):
+    """Multi-probe IVF: each query searches its 2 nearest cells — the
+    recall knob single-cell probing lacks (near-boundary queries)."""
+    return _long(
+        simsearch.ivf_topk_probe(_t(spark, sf_dir, "embeddings"), nprobe=2),
+        "rank",
+    )
+
 def q_mm_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     meta = multimodal.media_metadata(multimodal.synth_media(docs))
@@ -529,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_probe": q_ann_ivf_topk_probe,
         "mm_media_meta": q_mm_media_meta,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
@@ -571,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": O.ann_bruteforce(),
         "ann_ivf_assign": O.ann_ivf_assign(),
         "ann_ivf_topk": O.ann_ivf_topk(),
+        "ann_ivf_topk_probe": O.ann_ivf_topk_probe(),
         "mm_media_meta": O.mm_media_meta(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),

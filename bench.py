@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_ivf_assign",
     "ann_ivf_topk",
+    "ann_ivf_topk_probe",
     "dedup_embedding_cosine",
     "mm_media_meta",
     "mm_frames",

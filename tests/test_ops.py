@@ -174,6 +174,46 @@ def test_ivf_assign_is_nearest(spark, emb):
         assert got[vid] == best
 
 
+def test_ivf_topk_probe_matches_numpy_and_beats_single_probe(spark, emb):
+    """Multi-probe IVF: (a) nprobe=1 reproduces ivf_topk exactly; (b) the
+    nprobe=2 candidate set per query is exactly the vectors assigned to
+    that query's 2 nearest cells (numpy replay); (c) recall vs brute-force
+    never drops when nprobe grows."""
+    import hashlib
+
+    single = {(r.query_id, r.rank, r.neighbor_id)
+              for r in simsearch.ivf_topk(emb, n_queries=3, k=5, n_centroids=4).collect()}
+    probe1 = {(r.query_id, r.rank, r.neighbor_id)
+              for r in simsearch.ivf_topk_probe(emb, n_queries=3, k=5, nprobe=1, n_centroids=4).collect()}
+    assert probe1 == single
+
+    rows = emb.orderBy("vec_id").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cents = sorted(V, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:4]
+
+    def d2(a, c):
+        return round(float(a @ a - 2 * (a @ c) + c @ c), 9)
+
+    assign = {
+        vid: min(cents, key=lambda c: (d2(V[vid], V[c]), c)) for vid in V
+    }
+    got2 = simsearch.ivf_topk_probe(emb, n_queries=3, k=1000, nprobe=2, n_centroids=4).collect()
+    for q in range(3):
+        probed = sorted(cents, key=lambda c: (d2(V[q], V[c]), c))[:2]
+        expect = {vid for vid in V if assign[vid] in probed and vid != q}
+        mine = {r.neighbor_id for r in got2 if r.query_id == q}
+        assert mine == expect, f"query {q}"
+
+    # recall against brute-force is monotone in nprobe
+    brute = simsearch.cosine_topk_bruteforce(emb, n_queries=3, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    r1 = {(r.query_id, r.neighbor_id)
+          for r in simsearch.ivf_topk_probe(emb, n_queries=3, k=5, nprobe=1, n_centroids=4).collect()}
+    r2 = {(r.query_id, r.neighbor_id)
+          for r in simsearch.ivf_topk_probe(emb, n_queries=3, k=5, nprobe=2, n_centroids=4).collect()}
+    assert len(r2 & truth) >= len(r1 & truth)
+
+
 def test_adaptive_max_bucket_sizing_rule():
     """Cube-root LSH bucket cap with the 50 floor / 5000 ceiling (VERDICT
     r03 item 6): worst-case candidate volume grows ~N^(2/3) per band

@@ -136,6 +136,54 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int | None = None) -> DataFra
     )
 
 
+def ivf_topk_probe(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+    nprobe: int = 2, n_centroids: int | None = None,
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query searches its ``nprobe`` NEAREST
+    cells (not just its own), the standard recall knob of IVF indexes —
+    single-cell probing misses any neighbor whose vector was quantized
+    into an adjacent cell, which is exactly what happens to near-boundary
+    queries. Returns (query_id, rank, neighbor_id).
+
+    Plan shape (unchanged from single-probe at 100 TB): the corpus is
+    shuffled once on its cell assignment; the probe table is queries ×
+    nprobe rows — still tiny, still broadcast; candidates are ~nprobe/√N
+    of the corpus per query. Cells are disjoint, so no candidate dedup is
+    needed. ``nprobe=1`` reproduces ``ivf_topk`` exactly."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = sampled_centroids(emb, n_centroids)
+    d2 = _d2(F.col("v"), F.col("cv"))
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "centroid_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+        )
+    )
+    cand = emb.join(assign, "vec_id").join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5,
     n_centroids: int | None = None,

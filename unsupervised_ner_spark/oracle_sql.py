@@ -824,6 +824,46 @@ FROM r WHERE rank <= {k}
 """
 
 
+def ann_ivf_topk_probe(
+    n_queries: int = 5, k: int = 5, nprobe: int = 2,
+    n_centroids: int | None = None,
+) -> str:
+    """Multi-probe IVF ANN (ops/simsearch.py ivf_topk_probe twin): each
+    query searches its ``nprobe`` nearest cells; the ``d`` CTE already
+    holds every (vector, centroid) distance, so the probe set is a second
+    window over it."""
+    return _materialize(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
+ea AS (SELECT e.vec_id, e.v, a.centroid_id FROM e JOIN assign a USING (vec_id)),
+probe AS (
+    SELECT vec_id AS query_id, centroid_id AS qc FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM d WHERE vec_id < {n_queries})
+    WHERE rn <= {nprobe}
+),
+q AS (SELECT p.query_id, e.v AS qv, p.qc
+      FROM probe p JOIN e ON e.vec_id = p.query_id),
+scored AS (
+    SELECT q.query_id, ea.vec_id,
+           list_dot_product(ea.v, q.qv) /
+           (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+    FROM ea JOIN q ON ea.centroid_id = q.qc AND ea.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rank <= {k}
+""",
+        "d",
+    )
+
+
 def _dist_cte(s: str) -> str:
     """Distribution extras per model chain: normalized pooled conf of the
     winner (9dp) + the PACKED per-side CS/CI distributions (pack_confidences
