@@ -277,32 +277,63 @@ def _simhash_votes(documents: DataFrame) -> DataFrame:
     Bit j of a token's hash is taken from md5-hex NIBBLE arithmetic
     (nibble = conv(hex_char, 16, 10); bit = floor(nibble / 2^p) % 2) — all
     small-integer ops both engines evaluate identically. Per-doc bit votes
-    (+1/-1) are summed; positive votes set the bit."""
+    (+1/-1) are summed; positive votes set the bit.
+
+    Execution shape (3 staged projections + 1 aggregate; 64 aggregates
+    each re-deriving the md5 chain was measured 15× slower, and 64
+    separate ±1 sums still cost ~8.5 s at sf0.1): per token the md5 runs
+    once into 16 nibble columns, the 64 ones-bits are PACKED into 16 longs
+    of four 16-bit lanes (lane value = the bit, 0/1), and the per-doc
+    aggregate is 16 lane-parallel sums + one count. Lanes cannot carry
+    into each other (and the signed top lane cannot overflow) while a doc
+    has < 32 768 tokens — far beyond any page-sized document this pipeline
+    processes (reference corpora are sentence/paragraph scale; a
+    pathological longer doc should be chunked upstream, as Common-Crawl
+    page extracts are — and ANSI mode makes an overflow a loud error, not
+    a silent corruption). The unpack restores the
+    EXACT vote sums: votes_j = 2·ones_j − n_tokens (ties ⇒ bit 0, same as
+    the ±1 formulation), so the DuckDB oracle's per-bit replay is
+    unchanged."""
     toks = F.transform(tokens_ws(F.col("text")), F.lower)
     tok = documents.select("doc_id", F.explode(toks).alias("tok"))
-    # staged projections so the md5/conv chain runs ONCE per row, not once
-    # per aggregate expression: md5 -> 16 nibble columns -> 64 ±1 vote
-    # columns -> trivial sums (64 aggregates each re-deriving the hash was
-    # measured 15× slower than this shape)
     nibs = tok.select(
         "doc_id",
         *[
             F.conv(F.substring(F.md5(F.col("tok")), 1 + q, 1), 16, 10)
-            .cast("int")
+            .cast("long")
             .alias(f"n{q}")
             for q in range(SIMHASH_BITS // 4)
         ],
     )
-    def vote(j):
-        bit = F.pmod(
+
+    def bit(j):
+        return F.pmod(
             F.floor(F.col(f"n{j // 4}") / F.lit(2 ** (3 - j % 4))), F.lit(2)
         )
-        return F.when(bit == 1, 1).otherwise(-1).alias(f"v{j}")
 
-    bits = nibs.select("doc_id", *[vote(j) for j in range(SIMHASH_BITS)])
-    return bits.groupBy("doc_id").agg(
-        *[F.sum(f"v{j}").alias(f"b{j}") for j in range(SIMHASH_BITS)]
+    def pack(k):  # bits 4k..4k+3 -> four 16-bit lanes of one long
+        lanes = [bit(4 * k + i) * F.lit(2 ** (16 * i)) for i in range(4)]
+        return sum(lanes[1:], lanes[0]).alias(f"p{k}")
+
+    packed = nibs.select("doc_id", *[pack(k) for k in range(SIMHASH_BITS // 4)])
+    agg = packed.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(f"p{k}").alias(f"s{k}") for k in range(SIMHASH_BITS // 4)],
     )
+    # lane extraction MUST be integer shift+mask: `/` on longs is DOUBLE
+    # division in Spark, and packed sums exceed 2^53, silently losing the
+    # low lanes to float rounding
+    votes = [
+        (
+            2
+            * F.shiftrightunsigned(
+                F.col(f"s{j // 4}"), 16 * (j % 4)
+            ).bitwiseAND(F.lit(65535))
+            - F.col("n_tok")
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return agg.select("doc_id", *votes)
 
 
 def _word_expr(k: int):
