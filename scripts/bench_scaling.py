@@ -121,17 +121,27 @@ def main() -> None:
 
     pairs = []
     for i in range(repeats):
+        # SAME-PHASE ceiling: calibrate immediately before each pair, so a
+        # hypervisor storm that throttles the 4N level is measured by the
+        # busy-loops too (the single session-start calibration missed
+        # storms that arrived later — 2026-08-17 batch B measured job
+        # pairs at 0.23-0.43 while its session-start ceiling read 0.949)
+        pcal = calibrate(lo_cores, hi_cores)
         lo = run_level(lo_cores, n_pages)
         hi = run_level(hi_cores, n_pages)
         eff = lo["secs"] / hi["secs"] / factor
-        pairs.append({"i": i, "lo": lo, "hi": hi, "eff": round(eff, 3)})
-        print(f"# pair {i}: {lo_cores}c={lo['secs']}s {hi_cores}c={hi['secs']}s eff={eff:.3f}",
+        norm = min(eff / pcal["raw_parallel_eff"], 1.0)
+        pairs.append({"i": i, "lo": lo, "hi": hi, "eff": round(eff, 3),
+                      "cal": pcal, "norm_eff": round(norm, 3)})
+        print(f"# pair {i}: {lo_cores}c={lo['secs']}s {hi_cores}c={hi['secs']}s "
+              f"eff={eff:.3f} ceiling={pcal['raw_parallel_eff']:.3f} norm={norm:.3f}",
               flush=True)
     cold_lo = run_level(lo_cores, cold_pages, "cold")
     cold_hi = run_level(hi_cores, cold_pages, "cold")
     print(f"# cold: {lo_cores}c={cold_lo['secs']}s {hi_cores}c={cold_hi['secs']}s", flush=True)
 
     effs = [p["eff"] for p in pairs]
+    norm_effs = [p["norm_eff"] for p in pairs]
     lo_secs = [p["lo"]["secs"] for p in pairs]
     hi_secs = [p["hi"]["secs"] for p in pairs]
     lo_dps = [p["lo"]["docs_per_sec"] for p in pairs]
@@ -148,6 +158,7 @@ def main() -> None:
         "pairs": pairs,
         "median_eff": round(med_eff, 3),
         "ratio_of_medians_eff": round(rom_eff, 3),
+        "median_norm_eff": round(statistics.median(norm_effs), 3),
         "eff_min": min(effs), "eff_max": max(effs),
         "cold": {"lo": cold_lo, "hi": cold_hi},
         "calibration": cal,
@@ -179,9 +190,13 @@ can physically honor.
   ceiling any job on this box can reach; measured immediately before the
   pairs. 8→32-core raw efficiency measured ~0.4-0.68 across sessions, which
   is why 8/32 is not a usable protocol here.
-- hardware-normalized efficiency (job median / raw-CPU ceiling):
-  **{med_eff / cal['raw_parallel_eff']:.3f}** — the scaling loss
-  attributable to the ENGINE rather than the hypervisor.
+- PER-PAIR hypervisor-normalized efficiency (each pair / the raw-CPU
+  ceiling measured immediately before it), median:
+  **{statistics.median(norm_effs):.3f}**
+  (pairs: {', '.join(f'{e:.3f}' for e in norm_effs)}) — the scaling loss
+  attributable to the ENGINE rather than to what the hypervisor was
+  delivering during that pair's window. Session-start ceiling for
+  reference: {cal['raw_parallel_eff']:.3f}.
 
 ## Cold vs warm (driver-bench reconciliation)
 

@@ -377,42 +377,112 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return simhash_words(documents).select("doc_id", "simhash")
 
 
+def _simhash_block_spans(n_blocks: int) -> list[tuple[int, int]]:
+    """Split the 64 signature bits into ``n_blocks`` contiguous spans as
+    (start, width); widths differ by at most 1."""
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    spans, pos = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        spans.append((pos, w))
+        pos += w
+    return spans
+
+
+def adaptive_n_sim_blocks(
+    n_docs: int, max_hamming: int = 3, max_bucket: int = 100
+) -> int:
+    """Smallest block count in {4, 6, 8} whose WORST-case expected bucket
+    size N / 2^key_bits stays within ``max_bucket`` (key_bits = summed
+    widths of the narrowest (n − k) blocks).
+
+    This is the Manku et al. WWW'07 table-count knob: with n blocks, two
+    signatures within Hamming distance k agree on some (n − k)-block
+    combination, so blocking keys are those combinations. 4 blocks give
+    16-bit keys — at 10^12 docs EVERY bucket would hold ~10^7 docs and the
+    cap would drop essentially all of them (silent recall collapse); 6
+    blocks give ~31-bit keys (fine to ~10^9); 8 blocks give 40-bit keys
+    (fine past 10^13). The cost of more blocks is more combinations per
+    doc (C(4,1)=4 → C(6,3)=20 → C(8,5)=56 blocking rows), the algorithm's
+    standard recall/cost trade."""
+    for n in (4, 6, 8):
+        widths = sorted(w for _, w in _simhash_block_spans(n))[: n - max_hamming]
+        if n_docs / (2 ** sum(widths)) <= max_bucket:
+            return n
+    return 8
+
+
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 3, max_bucket: int = 100
+    documents: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Hamming near-dup pairs: block on the four 16-bit signature words,
-    verify with ``bit_count(a XOR b) <= max_hamming``.
+    """Hamming near-dup pairs: block on (n_blocks − max_hamming)-sized
+    combinations of signature blocks, verify with
+    ``bit_count(a XOR b) <= max_hamming`` (Manku et al. WWW'07).
 
-    Pigeonhole guarantee: two signatures within Hamming distance <= 3
-    agree exactly on at least one of the 4 words, so word-equality
-    blocking finds every qualifying pair (the standard Manku et al.
-    WWW'07 permuted-table scheme with 4 blocks). ``max_hamming`` must stay
-    <= SIMHASH_WORDS - 1 for completeness; it is asserted.
+    Pigeonhole guarantee: within Hamming distance k at most k blocks
+    differ, so at least (n − k) blocks agree — and the combination made of
+    exactly those blocks matches. ``n_blocks=None`` sizes the block count
+    from the corpus (``adaptive_n_sim_blocks``): 4 at demo scale (single-
+    word keys, as round 4 shipped initially), 6/8 as the corpus forces
+    wider keys — without this, 16-bit keys at 10^12 docs put ~10^7 docs in
+    every bucket and the cap silently drops them all.
 
-    Scale posture mirrors the LSH path: the signature table is persisted
+    Scale posture mirrors the LSH path: the blocking table is persisted
     once (it feeds the bucket-size aggregate and both self-join sides),
-    hot word-buckets are capped (boilerplate corpora pile up at identical
-    signatures — the cap keeps a degenerate word from going quadratic),
+    hot buckets are capped (boilerplate corpora pile up at identical
+    signatures — the cap keeps a degenerate key from going quadratic),
     and the size filter is a shuffle join, never a corpus-sized broadcast.
     """
-    assert max_hamming <= SIMHASH_WORDS - 1, "blocking misses pairs beyond 3"
-    sig = simhash_words(documents)
-    words = F.array(*[F.col(f"w{k}") for k in range(SIMHASH_WORDS)])
-    blocked = scoped_persist(
-        sig.select(
-            "doc_id", "simhash", F.posexplode(words).alias("block_id", "word")
-        )
+    import itertools
+
+    if n_blocks is None:
+        n_blocks = adaptive_n_sim_blocks(documents.count(), max_hamming, max_bucket)
+    assert max_hamming < n_blocks, "need at least one agreeing block"
+    spans = _simhash_block_spans(n_blocks)
+    agg = _simhash_votes(documents)
+
+    def block_word(k):
+        start, width = spans[k]
+        terms = [
+            F.when(F.col(f"b{start + i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+            for i in range(width)
+        ]
+        return sum(terms[1:], terms[0]).cast("long").alias(f"bw{k}")
+
+    sig = agg.select(
+        "doc_id",
+        _assemble_signed64(*[_word_expr(k) for k in range(SIMHASH_WORDS)]).alias(
+            "simhash"
+        ),
+        *[block_word(k) for k in range(n_blocks)],
     )
-    sizes = blocked.groupBy("block_id", "word").agg(F.count("*").alias("n"))
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - max_hamming))
+    entries = [
+        F.struct(
+            F.lit(ci).alias("combo_id"),
+            F.concat_ws(
+                "|", *[F.col(f"bw{k}").cast("string") for k in combo]
+            ).alias("key"),
+        )
+        for ci, combo in enumerate(combos)
+    ]
+    blocked = scoped_persist(
+        sig.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "simhash", "e.combo_id", "e.key")
+    )
+    sizes = blocked.groupBy("combo_id", "key").agg(F.count("*").alias("n"))
     ok = blocked.join(
-        sizes.filter(F.col("n") <= max_bucket).drop("n"), ["block_id", "word"]
+        sizes.filter(F.col("n") <= max_bucket).drop("n"), ["combo_id", "key"]
     )
     a, b = ok.alias("a"), ok.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.word") == F.col("b.word"))
+            (F.col("a.combo_id") == F.col("b.combo_id"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

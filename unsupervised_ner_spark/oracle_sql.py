@@ -711,6 +711,14 @@ SELECT doc_id, simhash FROM sig
 
 
 def dedup_simhash_pairs(max_hamming: int = 3, max_bucket: int = 100) -> str:
+    """Replays ops/dedup.simhash_pairs for the 4-block regime: with
+    n_blocks=4 and k=3 the blocking combinations are single 16-bit words,
+    so (block_id, word) grouping here is row-for-row identical to the
+    engine's (combo_id, key) table. The adaptive rule
+    (dedup.adaptive_n_sim_blocks) selects 4 blocks for any corpus below
+    ~6.5M docs — every oracle scale — so this SQL is exact for the gated
+    query; the 6/8-block regimes are unit-tested against a driver-side
+    brute force instead (tests/test_ops.py)."""
     blocks = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {k} AS block_id, w{k} AS word FROM sig"
         for k in range(4)
