@@ -110,3 +110,33 @@ def test_stateful_entity_counts_accumulate_across_restarts(spark, tmp_path):
     assert got2[("DISEASE", "mesothelioma")] == 3  # 2 + 1, via persisted state
     assert got2[("LOCATION", "paris")] == 1
     assert got2[("PERSON", "john doe")] == 1  # untouched keys keep their total
+
+
+def test_streaming_first_seen_dedup_across_restarts(spark, tmp_path):
+    """Streaming exact dedup: one survivor per fingerprint for the stream's
+    LIFETIME — a restart must not re-admit content seen before the
+    interruption (state via checkpointLocation)."""
+    from unsupervised_ner_spark.streaming.stateful import stream_first_seen
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    batch1 = [(3, "shared body text"), (1, "shared body text"),
+              (5, "unique first text")]
+    spark.createDataFrame(batch1, "doc_id long, text string").write.parquet(src)
+    q = stream_first_seen(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 5}  # min doc_id wins within the admitting batch
+
+    # restart with a re-crawl of seen content + one new doc
+    batch2 = [(9, "shared body text"), (2, "unique first text"),
+              (7, "brand new text")]
+    spark.createDataFrame(batch2, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    q2 = stream_first_seen(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got2 = {r.doc_id for r in rows}
+    assert got2 == {1, 5, 7}  # nothing seen re-admitted, new doc admitted
+    assert len(rows) == 3  # and no duplicate output rows either

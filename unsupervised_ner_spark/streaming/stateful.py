@@ -114,3 +114,86 @@ def current_counts(spark: Any, out_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("etype", "norm_surface", "n_mentions")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming first-seen dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+    ]
+)
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("rep_doc", T.LongType())])
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _dedup_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # fingerprint already admitted in an earlier micro-batch: every
+        # arrival is a duplicate — emit nothing, keep the original owner
+        return
+    ids = pd.concat(list(pdfs))["doc_id"]
+    rep = int(ids.min())  # deterministic within the admitting batch
+    state.update((rep,))
+    yield pd.DataFrame({"doc_id": [rep], "fingerprint": [key[0]]})
+
+
+def first_seen_docs(fingerprinted: DataFrame) -> DataFrame:
+    """Streaming (doc_id, fingerprint) -> exactly ONE row per distinct
+    fingerprint over the stream's lifetime: the first-seen document (min
+    doc_id within the admitting micro-batch). The training-data-pipeline
+    "drop already-seen documents on ingest" primitive — the streaming twin
+    of ops/dedup.exact_dup_groups's representative choice.
+
+    Scale posture: state is one long per DISTINCT fingerprint (bounded by
+    unique content, not corpus size), partitioned on the same key the
+    batch dedup aggregate shuffles on; a hot fingerprint (viral boilerplate
+    re-crawled 10^6 times) is a single state row consulted per batch, not
+    a shuffle-skew key."""
+    return fingerprinted.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_first_seen(
+    spark: Any,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """File-source stream of documents -> fingerprint (same md5-normalized
+    key as the batch path) -> first-seen filter -> parquet append. Returns
+    the started StreamingQuery; the seen-set survives restarts through
+    ``checkpoint_dir``, so a re-run admits no duplicate of anything
+    admitted before the interruption."""
+    from unsupervised_ner_spark.ops.textstats import fingerprint
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+    survivors = first_seen_docs(fingerprint(stream))
+    return (
+        survivors.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
