@@ -106,7 +106,7 @@ LSH_MIN_BUCKET = 50
 LSH_MAX_BUCKET = 5000
 
 
-def adaptive_max_bucket(n_docs: int) -> int:
+def adaptive_max_bucket(n_docs: int, lo: int = LSH_MIN_BUCKET) -> int:
     """LSH bucket cap sized to the corpus: ``clamp(ceil(N^(1/3)), 50, 5000)``
     (the IVF ``adaptive_n_centroids`` precedent, VERDICT r03 item 6).
 
@@ -121,7 +121,7 @@ def adaptive_max_bucket(n_docs: int) -> int:
     import math
 
     return max(
-        LSH_MIN_BUCKET,
+        lo,
         min(LSH_MAX_BUCKET, math.ceil(pow(max(n_docs, 1), 1.0 / 3.0))),
     )
 

@@ -616,7 +616,7 @@ SELECT doc_a, doc_b FROM cand
 """
 
 
-def dedup_clusters(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 50) -> str:
+def dedup_clusters(num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None) -> str:
     """Near-dup clusters (ops/dedup.py dedup_clusters twin): the LSH pair
     chain + a RECURSIVE-CTE reachability fixpoint (min reachable doc_id ==
     the star-CC component label the Spark loop converges to)."""
@@ -1220,7 +1220,7 @@ def _er_chain(
     num_hashes: int = 6,
     band_size: int = 2,
     jaccard_threshold: float = 0.7,
-    max_bucket: int = 100,
+    max_bucket: int | None = None,
 ) -> str:
     """Shared ER CTE chain (pipeline/er.py resolve_entities twin): exact
     canonical nodes -> char-3-gram MinHash-LSH candidate edges (per-etype
@@ -1244,6 +1244,14 @@ def _er_chain(
             f"SELECT node_id, etype, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
+    # fuzzy_edges adaptive-cap twin: clamp(ceil(pow(n_nodes, 1/3)), 100,
+    # 5000) over the nodes CTE (nodes = distinct canonical surfaces)
+    cap_bound = (
+        str(max_bucket)
+        if max_bucket is not None
+        else "(SELECT GREATEST(100, LEAST(5000, "
+             "CAST(ceil(pow(count(*), 1.0/3)) AS BIGINT))) FROM nodes2)"
+    )
     prefix = _kg_prefix(model).replace("WITH ", "WITH RECURSIVE ", 1)
     return _materialize(
         prefix
@@ -1271,7 +1279,7 @@ sig AS (SELECT node_id, etype, {mins} FROM shx GROUP BY node_id, etype),
 bands AS ({bands_sql}),
 bsizes AS (
     SELECT etype, band_id, band_hash FROM bands
-    GROUP BY etype, band_id, band_hash HAVING count(*) <= {max_bucket}
+    GROUP BY etype, band_id, band_hash HAVING count(*) <= {cap_bound}
 ),
 bok AS (SELECT b.* FROM bands b JOIN bsizes s USING (etype, band_id, band_hash)),
 cand AS (

@@ -79,10 +79,22 @@ def fuzzy_edges(
     num_hashes: int = 6,
     band_size: int = 2,
     jaccard_threshold: float = 0.7,
-    max_bucket: int = 100,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH band self-join on surface shingles within the same etype ->
-    verified edges (node_a, node_b)."""
+    verified edges (node_a, node_b).
+
+    ``max_bucket=None`` derives the cap from the NODE count (distinct
+    canonical surfaces — bounded by unique content, not corpus size) via
+    ``dedup.adaptive_max_bucket`` with a 100 floor: identical behavior at
+    test scale, cube-root growth past 10^6 nodes instead of a demo-scale
+    constant. The count is one action on the (caller-persisted) node
+    table, the IVF-codebook precedent; the DuckDB oracle replays the cap
+    from ``count(*)`` over its nodes CTE."""
+    if max_bucket is None:
+        from unsupervised_ner_spark.ops.dedup import adaptive_max_bucket
+
+        max_bucket = adaptive_max_bucket(nodes.count(), lo=100)
     sh = nodes.select(
         "node_id", "etype", F.explode(_char_shingles(F.col("norm_surface"))).alias("sh")
     )
