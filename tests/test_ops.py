@@ -345,3 +345,41 @@ def test_resize_thumbnail_aspect(spark):
     scale = 32 / max(w, h)
     assert (r.thumb_w, r.thumb_h) == (max(int(w * scale), 1), max(int(h * scale), 1))
     assert max(r.thumb_w, r.thumb_h) <= 32
+
+
+def test_simhash_blocking_pigeonhole_property():
+    """Pure-math property behind simhash_pairs: ANY two 64-bit values
+    within Hamming distance 3 agree on at least one (n_blocks - 3)-sized
+    block combination, for every supported block count (hypothesis over
+    random signatures and random <=3-bit flips)."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sig=st.integers(min_value=0, max_value=(1 << 64) - 1),
+        flips=st.lists(st.integers(min_value=0, max_value=63),
+                       min_size=0, max_size=3, unique=True),
+        n_blocks=st.sampled_from([4, 6, 8]),
+    )
+    def check(sig, flips, n_blocks):
+        other = sig
+        for j in flips:
+            other ^= 1 << j
+        spans = dedup._simhash_block_spans(n_blocks)
+
+        def words(v):
+            return [
+                (v >> start) & ((1 << width) - 1) for start, width in spans
+            ]
+
+        wa, wb = words(sig), words(other)
+        agree = [k for k in range(n_blocks) if wa[k] == wb[k]]
+        combos = itertools.combinations(range(n_blocks), n_blocks - 3)
+        assert any(set(c) <= set(agree) for c in combos), (
+            sig, flips, n_blocks
+        )
+
+    check()
