@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+from statistics import median
 import sys
 import time
 from pathlib import Path
@@ -67,18 +68,12 @@ SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))
 # single timing reads the VM phase, not the plan. Each query is therefore
 # timed BENCH_REPS times and the MEDIAN is reported; the headline total is
 # the sum of medians (one effective pass).
-BENCH_REPS = int(os.environ.get("BENCH_REPS", "3"))
+BENCH_REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
 
 def materialize(df) -> None:
     # noop sink: full evaluation of every column, nothing to the driver
     df.write.format("noop").mode("overwrite").save()
-
-
-def median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:

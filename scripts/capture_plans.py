@@ -150,13 +150,14 @@ def main() -> None:
     # bucket-size aggregate AND both self-join sides), no forced broadcast
     # — same posture as the minhash LSH plan.
     with cache_scope():
-        p7b = plan_of(dedup.simhash_pairs(docs))
+        sp = dedup.simhash_pairs(docs)
+        p7b = plan_of(sp)
         sections.append(("SimHash Hamming pairs (multi-block blocking)", p7b))
         checks.append(("simhash blocking table persisted once",
                        "InMemoryRelation" in p7b))
         checks.append(("no forced broadcast in simhash block join",
-                       "ResolvedHint" not in dedup.simhash_pairs(docs)
-                       ._jdf.queryExecution().analyzed().toString()))
+                       "ResolvedHint" not in
+                       sp._jdf.queryExecution().analyzed().toString()))
 
     # 8. ensemble BIO emission (VERDICT r03 item 4): resolved spans joined
     # back at SENTENCE granularity — the plan must contain NO exchange

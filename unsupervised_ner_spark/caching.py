@@ -110,9 +110,15 @@ def cache_scope():
         yield handles
     finally:
         scopes.pop()
-        for df, release in reversed(handles):
+        for h in reversed(handles):
             try:
-                release(df)
+                # documented extension point: callers may append either a
+                # (df, release_fn) pair or a bare persisted DataFrame
+                if isinstance(h, tuple):
+                    df, release = h
+                    release(df)
+                else:
+                    h.unpersist(blocking=False)
             except Exception:
                 # best-effort cleanup: a released SparkContext / already
                 # -freed handle must not mask the caller's own exception
