@@ -130,6 +130,17 @@ def q_kg_typed_mentions(spark, sf_dir):
     )
 
 
+def q_kg_cooccurrence(spark, sf_dir):
+    """Sentence-level entity co-occurrence edges over canonical entities
+    (the predicate-less KG graph product)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    s = _sentences(spark, sf_dir)
+    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
+    typed = typed_mentions_relational(m, s, spark)
+    return er.cooccurrence_edges(typed)
+
+
 def q_kg_bio_tags(spark, sf_dir):
     """Production-path token tags (Arrow-batched kernel UDF); oracle is the
     independent relational SQL replication — the strongest correctness gate
@@ -517,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_pos": q_kg_mentions_pos,
         "kg_masks": q_kg_masks,
         "kg_typed_mentions": q_kg_typed_mentions,
+        "kg_cooccurrence": q_kg_cooccurrence,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_ensemble_mentions": q_kg_ensemble_mentions,
@@ -560,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_pos": O.kg_mentions_pos(),
         "kg_masks": O.kg_masks(),
         "kg_typed_mentions": O.kg_typed_mentions(),
+        "kg_cooccurrence": O.kg_cooccurrence(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_ensemble_mentions": O.kg_ensemble_mentions(),

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "kg_mentions",
     "kg_mentions_pos",
     "kg_typed_mentions",
+    "kg_cooccurrence",
     "kg_bio_tags",
     "kg_triples",
     "kg_ensemble_mentions",

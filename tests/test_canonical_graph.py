@@ -55,3 +55,28 @@ def test_canonical_triples(spark, graph):
         ct.groupBy("subj_id", "pred", "obj_id").count().filter("count > 1").count()
     )
     assert pair_counts > 0, "cross-document duplicates should merge onto shared entities"
+
+
+def test_cooccurrence_edges_counts(spark):
+    """Two entities in the same sentence across two docs: one edge with
+    n_sents=3, n_docs=2; within-sentence duplicates collapse first; pair
+    ordering is the lexicographic ent|etype key."""
+    from unsupervised_ner_spark.pipeline.er import cooccurrence_edges
+
+    rows = [
+        # url, sent_idx, surface, pred_group (covid + vaccine twice in s0)
+        ("u1", 0, "Covid", "DISEASE"), ("u1", 0, "Vaccine", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),
+        ("u1", 0, "covid", "DISEASE"),  # dup mention, same sentence
+        ("u1", 1, "Covid", "DISEASE"), ("u1", 1, "Vaccine", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),
+        ("u2", 0, "covid", "DISEASE"), ("u2", 0, "vaccine", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),
+        ("u2", 1, "Paris", "LOCATION"),  # alone in its sentence: no edge
+        ("u3", 0, "Ignored", "OTHER"), ("u3", 0, "covid", "DISEASE"),  # OTHER filtered
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sent_idx long, surface string, pred_group string"
+    )
+    got = {(r.ent_a, r.type_a, r.ent_b, r.type_b): (r.n_sents, r.n_docs)
+           for r in cooccurrence_edges(df).collect()}
+    assert got == {
+        ("covid", "DISEASE", "vaccine", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"): (3, 2),
+    }

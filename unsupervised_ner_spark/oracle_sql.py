@@ -1215,6 +1215,40 @@ GROUP BY norm_surface, etype
     )
 
 
+def kg_cooccurrence(model: str = "a100") -> str:
+    """Sentence-level entity co-occurrence edges (pipeline/er.py
+    cooccurrence_edges twin): distinct normalized entities per sentence,
+    lexicographic "ent|etype" pair ordering (ASCII-safe), corpus-wide
+    sentence and document counts."""
+    return _materialize(
+        _kg_prefix(model)
+        + """
+, ent AS (
+    SELECT DISTINCT url, sent_idx,
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS ent,
+           pred_group AS etype
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+ent2 AS (
+    SELECT * FROM ent WHERE length(ent) > 0
+),
+cpairs AS (
+    SELECT a.url, a.ent AS ent_a, a.etype AS type_a,
+           b.ent AS ent_b, b.etype AS type_b
+    FROM ent2 a JOIN ent2 b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx
+     AND (a.ent || '|' || a.etype) < (b.ent || '|' || b.etype)
+)
+SELECT ent_a, type_a, ent_b, type_b,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM cpairs GROUP BY ent_a, type_a, ent_b, type_b
+""",
+        "ent2",
+    )
+
+
 def _er_chain(
     model: str = "a100",
     num_hashes: int = 6,

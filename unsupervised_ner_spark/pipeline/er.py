@@ -389,3 +389,45 @@ def canonicalize_triples(triples: DataFrame, membership: DataFrame, salt: int = 
         "subj_id", "pred", "obj_id", "url", "sent_idx",
         "subj", "subj_type", "obj", "obj_type",
     )
+
+
+def cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
+    """Sentence-level entity co-occurrence edges — the predicate-less KG
+    graph product: canonical (normalized) entities that appear in the same
+    sentence, counted across the corpus. Returns (ent_a, type_a, ent_b,
+    type_b, n_sents, n_docs) with the pair ordered by the lexicographic
+    "ent|etype" key (ASCII-only after normalization, so Spark and DuckDB
+    compare identically).
+
+    Scale: entities are DISTINCT per sentence first (a narrow aggregate),
+    the pairing is an equi-join on (url, sent_idx) — co-partitioned, never
+    corpus-quadratic (sentences hold a handful of mentions) — and the edge
+    aggregate map-side combines; a hot pair is one reducer key, standard
+    agg skew. The distinct-entity table feeds both join sides, so it is
+    persisted once."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    norm = norm_surface_col(F.col("surface"))
+    ents = scoped_persist(
+        typed_mentions.select(
+            "url", "sent_idx",
+            norm.alias("ent"), F.col("pred_group").alias("etype"),
+        )
+        .filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
+        .distinct()
+    )
+    a = ents.select(
+        "url", "sent_idx",
+        F.col("ent").alias("ent_a"), F.col("etype").alias("type_a"),
+        F.concat_ws("|", "ent", "etype").alias("ka"),
+    )
+    b = ents.select(
+        "url", "sent_idx",
+        F.col("ent").alias("ent_b"), F.col("etype").alias("type_b"),
+        F.concat_ws("|", "ent", "etype").alias("kb"),
+    )
+    pairs = a.join(b, ["url", "sent_idx"]).filter(F.col("ka") < F.col("kb"))
+    return pairs.groupBy("ent_a", "type_a", "ent_b", "type_b").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )
