@@ -261,6 +261,35 @@ def test_simhash_pairs_multiblock_matches_bruteforce(spark):
         assert got == truth, f"n_blocks={n_blocks}"
 
 
+def test_icbrt_ceil_exact_and_oracle_parity():
+    """ADVICE r04: the bucket cap's cube root must be the EXACT integer
+    ceiling cube root on both engines — float ceil(pow(N,1/3)) can flip at
+    exact-cube boundaries depending on libm. Brute-force parity in Python
+    and DuckDB-replay parity of the SQL twin."""
+    import duckdb
+
+    from unsupervised_ner_spark.oracle_sql import _icbrt_ceil_sql
+
+    def truth(n):
+        c = 1
+        while c**3 < max(n, 1):
+            c += 1
+        return c
+
+    boundary = [k**3 + d for k in (1, 2, 10, 100, 1000, 10**4) for d in (-1, 0, 1)]
+    cases = sorted(set(list(range(1, 200)) + boundary + [10**6, 10**12, 10**15]))
+    con = duckdb.connect()
+    for n in cases:
+        want = truth(n)
+        assert dedup.icbrt_ceil(n) == want, n
+        sql = (
+            f"SELECT {_icbrt_ceil_sql()} FROM (SELECT CAST({n} AS BIGINT) AS n, "
+            f"CAST(round(pow({n}, 1.0/3), 0) AS BIGINT) AS c)"
+        )
+        assert con.execute(sql).fetchone()[0] == want, n
+    con.close()
+
+
 def test_adaptive_max_bucket_sizing_rule():
     """Cube-root LSH bucket cap with the 50 floor / 5000 ceiling (VERDICT
     r03 item 6): worst-case candidate volume grows ~N^(2/3) per band

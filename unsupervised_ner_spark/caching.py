@@ -47,6 +47,15 @@ def _release_checkpoint(df: DataFrame) -> None:
     # RDD[InternalRow]; unpersisting THAT rdd frees the blocks immediately
     # (df.unpersist() is a no-op for checkpoints, and df.rdd would build a
     # fresh deserialized RDD, not the cached one).
+    #
+    # OWNERSHIP (ADVICE r04): localCheckpoint TRUNCATES lineage, so unlike
+    # the unpersist path a released checkpoint handle cannot recompute — a
+    # consumer touching it after its cache_scope exits fails with an opaque
+    # "checkpoint block not found". Checkpoint handles must therefore never
+    # escape their scope: every query builds and materializes inside ONE
+    # cache_scope (bench.py / check_correctness wrap each query that way),
+    # and library code never returns a checkpointed handle to a caller
+    # outside the scope that created it.
     df._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
 

@@ -106,8 +106,27 @@ LSH_MIN_BUCKET = 50
 LSH_MAX_BUCKET = 5000
 
 
+def icbrt_ceil(n: int) -> int:
+    """Exact integer ceiling cube root: the smallest c with c**3 >= n.
+
+    Float ``ceil(pow(n, 1/3))`` is libm-dependent — at exact-cube
+    boundaries (n = 10^6) a one-ULP pow difference flips ceil, and the
+    engine and DuckDB oracle would apply DIFFERENT bucket caps (ADVICE
+    r04). Start from the rounded float estimate (within +-1 of truth for
+    any n in long range) and adjust with exact integer comparisons; the
+    oracle replays the identical construction in SQL, so the two sides
+    agree for every n regardless of libm rounding."""
+    n = max(n, 1)
+    c = max(1, int(round(pow(n, 1.0 / 3.0))))
+    while c > 1 and (c - 1) ** 3 >= n:
+        c -= 1
+    while c**3 < n:
+        c += 1
+    return c
+
+
 def adaptive_max_bucket(n_docs: int, lo: int = LSH_MIN_BUCKET) -> int:
-    """LSH bucket cap sized to the corpus: ``clamp(ceil(N^(1/3)), 50, 5000)``
+    """LSH bucket cap sized to the corpus: ``clamp(icbrt_ceil(N), 50, 5000)``
     (the IVF ``adaptive_n_centroids`` precedent, VERDICT r03 item 6).
 
     Pairing cost within a capped bucket is O(max_bucket²), so with a cube-
@@ -116,14 +135,10 @@ def adaptive_max_bucket(n_docs: int, lo: int = LSH_MIN_BUCKET) -> int:
     50 silently under-pairs boilerplate-heavy corpora at 10^12 docs; an
     uncapped bucket goes quadratic). The 50 floor keeps demo/test corpora on
     the round-3 behavior (N < 117 649 ⇒ 50), so the small-sf oracles are
-    stable; ``ceil(pow(N, 1/3))`` is IEEE-double in both engines so the
-    DuckDB oracle replays the same cap from ``count(*)``."""
-    import math
-
-    return max(
-        lo,
-        min(LSH_MAX_BUCKET, math.ceil(pow(max(n_docs, 1), 1.0 / 3.0))),
-    )
+    stable; the cube root is the EXACT integer one on both sides (see
+    ``icbrt_ceil``) so the DuckDB oracle replays the same cap from
+    ``count(*)`` at every corpus size, including exact-cube boundaries."""
+    return max(lo, min(LSH_MAX_BUCKET, icbrt_ceil(n_docs)))
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
@@ -289,8 +304,10 @@ def _simhash_votes(documents: DataFrame) -> DataFrame:
     has < 32 768 tokens — far beyond any page-sized document this pipeline
     processes (reference corpora are sentence/paragraph scale; a
     pathological longer doc should be chunked upstream, as Common-Crawl
-    page extracts are — and ANSI mode makes an overflow a loud error, not
-    a silent corruption). The unpack restores the
+    page extracts are — and an explicit ``raise_error`` guard on n_tok >=
+    32768 makes any breach a loud per-doc error; ANSI alone only catches
+    the signed top lane, not a silent lower-lane carry). The unpack
+    restores the
     EXACT vote sums: votes_j = 2·ones_j − n_tokens (ties ⇒ bit 0, same as
     the ±1 formulation), so the DuckDB oracle's per-bit replay is
     unchanged."""
@@ -319,6 +336,24 @@ def _simhash_votes(documents: DataFrame) -> DataFrame:
     agg = packed.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
         *[F.sum(f"p{k}").alias(f"s{k}") for k in range(SIMHASH_BITS // 4)],
+    )
+    # Explicit lane-capacity guard (ADVICE r04): ANSI overflow only trips
+    # when the SIGNED TOP lane's ones-count reaches 32768 — a doc with
+    # >= 65536 tokens whose top-lane count stays lower would silently
+    # carry a lower lane into its neighbor. Fail loudly on any doc at or
+    # past the 32768-token lane capacity instead of relying on ANSI.
+    agg = agg.withColumn(
+        "n_tok",
+        F.when(F.col("n_tok") < F.lit(32768), F.col("n_tok")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "simhash lane overflow: doc %s has %s tokens (>= 32768"
+                    " lane capacity); chunk the document upstream",
+                    F.col("doc_id").cast("string"),
+                    F.col("n_tok").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     # lane extraction MUST be integer shift+mask: `/` on longs is DOUBLE
     # division in Spark, and packed sums exceed 2^53, silently losing the

@@ -568,13 +568,27 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
+def _icbrt_ceil_sql(n: str = "n", c: str = "c") -> str:
+    """Exact integer ceiling cube root in SQL — the twin of
+    ``ops/dedup.icbrt_ceil`` (ADVICE r04: float ceil(pow(N,1/3)) is
+    libm-dependent at exact-cube boundaries). ``c`` must be the rounded
+    float estimate CAST(round(pow(n,1.0/3),0) AS BIGINT), which is within
+    +-1 of the true cube root for any BIGINT; the CASE then corrects with
+    exact integer arithmetic, so both engines agree for every N."""
+    return (
+        f"GREATEST(1, CASE WHEN ({c}-1)*({c}-1)*({c}-1) >= {n} THEN {c}-1 "
+        f"WHEN {c}*{c}*{c} >= {n} THEN {c} ELSE {c}+1 END)"
+    )
+
+
 def _lsh_bucket_cap(max_bucket: int | None) -> tuple[str, str]:
     """(extra CTE, HAVING bound) for the LSH bucket cap. ``None`` replays
     ops/dedup.adaptive_max_bucket from ``count(*)`` inside the query —
-    clamp(ceil(pow(N, 1/3)), 50, 5000), IEEE-double in both engines."""
+    clamp(icbrt_ceil(N), 50, 5000), exact-integer on both sides."""
     if max_bucket is None:
         return (
-            "mbt AS (SELECT GREATEST(50, LEAST(5000, CAST(ceil(pow(count(*), 1.0/3)) AS BIGINT))) AS mb FROM documents)",
+            "mbt0 AS (SELECT count(*) AS n, CAST(round(pow(count(*), 1.0/3), 0) AS BIGINT) AS c FROM documents), "
+            f"mbt AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS mb FROM mbt0)",
             "(SELECT mb FROM mbt)",
         )
     return "", str(max_bucket)
@@ -1278,13 +1292,16 @@ def _er_chain(
             f"SELECT node_id, etype, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
-    # fuzzy_edges adaptive-cap twin: clamp(ceil(pow(n_nodes, 1/3)), 100,
-    # 5000) over the nodes CTE (nodes = distinct canonical surfaces)
+    # fuzzy_edges adaptive-cap twin: clamp(icbrt_ceil(n_nodes), 100, 5000)
+    # over the nodes CTE (nodes = distinct canonical surfaces); exact
+    # integer cube root, same construction as the engine (ADVICE r04)
     cap_bound = (
         str(max_bucket)
         if max_bucket is not None
         else "(SELECT GREATEST(100, LEAST(5000, "
-             "CAST(ceil(pow(count(*), 1.0/3)) AS BIGINT))) FROM nodes2)"
+             + _icbrt_ceil_sql()
+             + ")) FROM (SELECT count(*) AS n, "
+             "CAST(round(pow(count(*), 1.0/3), 0) AS BIGINT) AS c FROM nodes2))"
     )
     prefix = _kg_prefix(model).replace("WITH ", "WITH RECURSIVE ", 1)
     return _materialize(

@@ -237,8 +237,17 @@ def emit_resolved_span_tags(tagged: DataFrame, resolved: DataFrame) -> DataFrame
     if the model branches ever misalign) matches no token here — exactly
     the DuckDB twin's empty ``generate_series`` — closing the ADVICE r03
     note about ``F.sequence`` emitting a DESCENDING range on the Spark side
-    only."""
-    spans = resolved.groupBy("url", "sent_idx").agg(
+    only.
+
+    A span whose ``resolution`` is NULL is dropped from the collected
+    array so its tokens emit 'O' — matching the oracle's CASE WHEN
+    resolution IS NULL THEN 'O' instead of concat-propagating NULL into
+    the tag (ADVICE r04). Resolved spans are produced by min-span re-sync
+    over per-sentence mention runs, which cannot overlap by construction
+    (each token belongs to at most one mention run); under that invariant
+    the first-covering-span lookup here and the oracle's one-row-per-
+    covering-span token join coincide."""
+    spans = resolved.filter(F.col("resolution").isNotNull()).groupBy("url", "sent_idx").agg(
         F.array_sort(
             F.collect_list(F.struct("begin_tok", "end_tok", "resolution"))
         ).alias("spans")
