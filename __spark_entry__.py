@@ -169,9 +169,20 @@ def q_kg_triples(spark, sf_dir):
         "subj",
         "subj_type",
         "pred",
+        "pred_norm",
         "obj",
         "obj_type",
     )
+
+
+def q_kg_predicates(spark, sf_dir):
+    """KG-schema induction: top normalized predicates per entity-type pair
+    (one aggregate + a window over the bounded histogram)."""
+    from unsupervised_ner_spark.pipeline.triples import predicate_histogram
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return predicate_histogram(stages["triples"])
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
+        "kg_predicates": q_kg_predicates,
         "kg_ensemble_mentions": q_kg_ensemble_mentions,
         "kg_ensemble_mentions_prod": q_kg_ensemble_mentions_prod,
         "kg_ensemble_v1_tags": q_kg_ensemble_v1_tags,
@@ -577,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": O.kg_cooccurrence(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
+        "kg_predicates": O.kg_predicates(),
         "kg_ensemble_mentions": O.kg_ensemble_mentions(),
         "kg_ensemble_mentions_prod": O.kg_ensemble_mentions(),
         "kg_ensemble_v1_tags": O.kg_ensemble_v1_tags(),

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "kg_cooccurrence",
     "kg_bio_tags",
     "kg_triples",
+    "kg_predicates",
     "kg_ensemble_mentions",
     "kg_ensemble_mentions_prod",
     "kg_ensemble_v1_tags",

@@ -64,3 +64,41 @@ def test_triple_precision_recall(spark):
     assert recall >= 0.95, (recall, len(engine), len(golden))
     # with the shared kernel they should in fact be identical
     assert engine == golden
+
+
+def test_pred_norm_and_histogram(spark):
+    """pred_norm = gap tokens minus EN stopwords, capped at 4, falling back
+    to 'related_to' (VERDICT r04 item 5) — golden replay in pure Python;
+    the histogram ranks are deterministic and capped at top_k."""
+    from unsupervised_ner_spark.ops.textstats import EN_STOPWORDS
+    from unsupervised_ner_spark.pipeline.triples import (
+        PRED_NORM_MAX_TOKENS,
+        predicate_histogram,
+    )
+
+    pages = synth_pages(spark, N_PAGES).cache()
+    stages = run_pipeline(pages, lang_filter=None)
+    rows = stages["triples"].collect()
+    sw = set(EN_STOPWORDS)
+    for r in rows:
+        if r.pred == "related_to":
+            assert r.pred_norm == "related_to"
+            continue
+        toks = [t for t in r.pred.split(" ") if t not in sw][:PRED_NORM_MAX_TOKENS]
+        assert r.pred_norm == (" ".join(toks) or "related_to"), (r.pred, r.pred_norm)
+    # a stopword-only gap must not leak the raw function word
+    assert all(r.pred_norm not in sw for r in rows)
+
+    hist = predicate_histogram(stages["triples"], top_k=3).collect()
+    assert hist and all(1 <= h.rank <= 3 for h in hist)
+    # rank is dense per type pair and ordered by support then string
+    from collections import defaultdict
+
+    by_pair = defaultdict(list)
+    for h in hist:
+        by_pair[(h.subj_type, h.obj_type)].append(h)
+    for pair_rows in by_pair.values():
+        pair_rows.sort(key=lambda h: h.rank)
+        assert [h.rank for h in pair_rows] == list(range(1, len(pair_rows) + 1))
+        keys = [(-h.n_triples, h.pred_norm) for h in pair_rows]
+        assert keys == sorted(keys)

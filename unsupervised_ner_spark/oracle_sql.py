@@ -404,7 +404,7 @@ LEFT JOIN expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
 def kg_triples(model: str = "a100") -> str:
     return (
         _kg_prefix(model)
-        + """
+        + f"""
 , typed_f AS (
     SELECT *, row_number() OVER (PARTITION BY url, sent_idx ORDER BY begin_tok) AS rn
     FROM typed WHERE pred_group <> 'OTHER'
@@ -419,7 +419,12 @@ pairs AS (
 ),
 gaps AS (
     SELECT p.url, p.sent_idx, p.subj, p.subj_type, p.obj, p.obj_type,
-           string_agg(lower(t.word), ' ' ORDER BY t.token_idx) AS gap_txt
+           string_agg(lower(t.word), ' ' ORDER BY t.token_idx) AS gap_txt,
+           array_to_string(list_slice(
+               list(lower(t.word) ORDER BY t.token_idx)
+                   FILTER (WHERE t.word IS NOT NULL
+                           AND NOT list_contains({_EN_SW}, lower(t.word))),
+               1, 4), ' ') AS norm_txt
     FROM pairs p
     LEFT JOIN tokens t
       ON t.url = p.url AND t.sent_idx = p.sent_idx
@@ -429,10 +434,32 @@ gaps AS (
 )
 SELECT url, sent_idx, subj, subj_type,
        coalesce(nullif(gap_txt, ''), 'related_to') AS pred,
+       coalesce(nullif(norm_txt, ''), 'related_to') AS pred_norm,
        obj, obj_type
 FROM gaps
 """
     )
+
+
+def kg_predicates(model: str = "a100", top_k: int = 10) -> str:
+    """Top normalized predicates per (subj_type, obj_type) — the KG-schema
+    induction histogram (VERDICT r04 item 5). Built on the kg_triples
+    chain; rank is deterministic because pred_norm is a group key of the
+    histogram (ties break on the string)."""
+    return f"""
+WITH trip AS ({kg_triples(model)})
+, hist AS (
+    SELECT subj_type, obj_type, pred_norm,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+    FROM trip GROUP BY ALL
+)
+SELECT subj_type, obj_type, pred_norm, n_triples, n_docs,
+       CAST(row_number() OVER (PARTITION BY subj_type, obj_type
+                               ORDER BY n_triples DESC, pred_norm) AS BIGINT) AS rank
+FROM hist
+QUALIFY rank <= {top_k}
+"""
 
 
 # ---------------------------------------------------------------------------
