@@ -130,6 +130,16 @@ def q_kg_typed_mentions(spark, sf_dir):
     )
 
 
+def q_kg_cooccurrence_npmi(spark, sf_dir):
+    """Weighted co-occurrence edges: integer NPMI sufficient statistics
+    (n_pair, marginals, sentence universe) — the float score is a derived
+    column (er.with_npmi), kept out of the hashed surface."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.cooccurrence_weighted_edges(typed)
+
+
 def q_kg_cooccurrence(spark, sf_dir):
     """Sentence-level entity co-occurrence edges over canonical entities
     (the predicate-less KG graph product). Feeds off the narrow production
@@ -542,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_masks": q_kg_masks,
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_cooccurrence_npmi": q_kg_cooccurrence_npmi,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
@@ -587,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_masks": O.kg_masks(),
         "kg_typed_mentions": O.kg_typed_mentions(),
         "kg_cooccurrence": O.kg_cooccurrence(),
+        "kg_cooccurrence_npmi": O.kg_cooccurrence_npmi(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),

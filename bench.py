@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "kg_masks",
     "kg_typed_mentions",
     "kg_cooccurrence",
+    "kg_cooccurrence_npmi",
     "kg_bio_tags",
     "kg_triples",
     "kg_predicates",

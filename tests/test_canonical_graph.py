@@ -80,3 +80,38 @@ def test_cooccurrence_edges_counts(spark):
     assert got == {
         ("covid", "DISEASE", "vaccine", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"): (3, 2),
     }
+
+
+def test_cooccurrence_npmi_statistics(spark):
+    """Weighted edges carry exact integer sufficient statistics and
+    with_npmi derives ln(p_ab/(p_a p_b)) / -ln(p_ab) over the sentence
+    universe (1.0 at the p_ab=1 degeneracy)."""
+    import math
+
+    from unsupervised_ner_spark.pipeline.er import (
+        cooccurrence_weighted_edges,
+        with_npmi,
+    )
+
+    rows = [
+        ("u1", 0, "Covid", "DISEASE"), ("u1", 0, "Vaccine", "DRUG"),
+        ("u1", 1, "Covid", "DISEASE"),
+        ("u2", 0, "Covid", "DISEASE"), ("u2", 0, "Vaccine", "DRUG"),
+        ("u2", 1, "Paris", "LOCATION"), ("u2", 1, "Vaccine", "DRUG"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sent_idx long, surface string, pred_group string"
+    )
+    got = {(r.ent_a, r.ent_b): r.asDict()
+           for r in with_npmi(cooccurrence_weighted_edges(df)).collect()}
+    # universe: 4 sentences with >=1 entity; covid in 3, vaccine in 3,
+    # paris in 1; (covid, vaccine) co-occur in 2, (paris, vaccine) in 1
+    cv = got[("covid", "vaccine")]
+    assert (cv["n_pair"], cv["n_a"], cv["n_b"], cv["n_total"], cv["n_docs"]) == (2, 3, 3, 4, 2)
+    p_ab, p_a, p_b = 2 / 4, 3 / 4, 3 / 4
+    assert cv["npmi"] == pytest.approx(
+        math.log(p_ab / (p_a * p_b)) / -math.log(p_ab)
+    )
+    pv = got[("paris", "vaccine")]
+    assert (pv["n_pair"], pv["n_a"], pv["n_b"], pv["n_total"]) == (1, 1, 3, 4)
+    assert len(got) == 2

@@ -1290,6 +1290,57 @@ FROM cpairs GROUP BY ent_a, type_a, ent_b, type_b
     )
 
 
+def kg_cooccurrence_npmi(model: str = "a100") -> str:
+    """Weighted co-occurrence twin (pipeline/er.py
+    cooccurrence_weighted_edges): edges + integer NPMI sufficient
+    statistics — n_pair, the n_a/n_b entity marginals, and the sentence
+    universe n_total. Log-free: the float NPMI is a derived column on the
+    engine side (er.with_npmi) and never enters the hashed surface."""
+    return _materialize(
+        _kg_prefix(model)
+        + """
+, ent AS (
+    SELECT DISTINCT url, sent_idx,
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS ent,
+           pred_group AS etype
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+ent2 AS (
+    SELECT * FROM ent WHERE length(ent) > 0
+),
+cpairs AS (
+    SELECT a.url, a.ent AS ent_a, a.etype AS type_a,
+           b.ent AS ent_b, b.etype AS type_b
+    FROM ent2 a JOIN ent2 b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx
+     AND (a.ent || '|' || a.etype) < (b.ent || '|' || b.etype)
+),
+edges AS (
+    SELECT ent_a, type_a, ent_b, type_b,
+           CAST(count(*) AS BIGINT) AS n_pair,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+    FROM cpairs GROUP BY ent_a, type_a, ent_b, type_b
+),
+marg AS (
+    SELECT ent, etype, CAST(count(*) AS BIGINT) AS n_ent
+    FROM ent2 GROUP BY ent, etype
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total
+    FROM (SELECT DISTINCT url, sent_idx FROM ent2)
+)
+SELECT e.ent_a, e.type_a, e.ent_b, e.type_b,
+       e.n_pair, ma.n_ent AS n_a, mb.n_ent AS n_b, t.n_total, e.n_docs
+FROM edges e
+JOIN marg ma ON ma.ent = e.ent_a AND ma.etype = e.type_a
+JOIN marg mb ON mb.ent = e.ent_b AND mb.etype = e.type_b
+CROSS JOIN tot t
+""",
+        "ent2",
+    )
+
+
 def _er_chain(
     model: str = "a100",
     num_hashes: int = 6,

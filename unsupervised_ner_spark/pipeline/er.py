@@ -391,24 +391,16 @@ def canonicalize_triples(triples: DataFrame, membership: DataFrame, salt: int = 
     )
 
 
-def cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
-    """Sentence-level entity co-occurrence edges — the predicate-less KG
-    graph product: canonical (normalized) entities that appear in the same
-    sentence, counted across the corpus. Returns (ent_a, type_a, ent_b,
-    type_b, n_sents, n_docs) with the pair ordered by the lexicographic
-    "ent|etype" key (ASCII-only after normalization, so Spark and DuckDB
-    compare identically).
-
-    Scale: entities are DISTINCT per sentence first (a narrow aggregate),
-    the pairing is an equi-join on (url, sent_idx) — co-partitioned, never
-    corpus-quadratic (sentences hold a handful of mentions) — and the edge
-    aggregate map-side combines; a hot pair is one reducer key, standard
-    agg skew. The distinct-entity table feeds both join sides, so it is
-    persisted once."""
+def _sentence_entities(typed_mentions: DataFrame) -> DataFrame:
+    """Distinct normalized (url, sent_idx, ent, etype) — the per-sentence
+    entity event table both co-occurrence products are built on. One
+    narrow aggregate; callers persist it once (it feeds multiple
+    consumers: both pair sides, and for the weighted variant the marginal
+    and universe aggregates too)."""
     from unsupervised_ner_spark.caching import scoped_persist
 
     norm = norm_surface_col(F.col("surface"))
-    ents = scoped_persist(
+    return scoped_persist(
         typed_mentions.select(
             "url", "sent_idx",
             norm.alias("ent"), F.col("pred_group").alias("etype"),
@@ -416,6 +408,13 @@ def cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
         .filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
         .distinct()
     )
+
+
+def _entity_pairs(ents: DataFrame) -> DataFrame:
+    """Within-sentence unordered entity pairs, ordered by the
+    lexicographic "ent|etype" key (ASCII-only after normalization, so
+    Spark and DuckDB compare identically). Equi-join on (url, sent_idx) —
+    co-partitioned, sentence-local, never corpus-quadratic."""
     a = ents.select(
         "url", "sent_idx",
         F.col("ent").alias("ent_a"), F.col("etype").alias("type_a"),
@@ -426,8 +425,90 @@ def cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
         F.col("ent").alias("ent_b"), F.col("etype").alias("type_b"),
         F.concat_ws("|", "ent", "etype").alias("kb"),
     )
-    pairs = a.join(b, ["url", "sent_idx"]).filter(F.col("ka") < F.col("kb"))
+    return a.join(b, ["url", "sent_idx"]).filter(F.col("ka") < F.col("kb"))
+
+
+def cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
+    """Sentence-level entity co-occurrence edges — the predicate-less KG
+    graph product: canonical (normalized) entities that appear in the same
+    sentence, counted across the corpus. Returns (ent_a, type_a, ent_b,
+    type_b, n_sents, n_docs).
+
+    Scale: entities are DISTINCT per sentence first (a narrow aggregate),
+    the pairing is an equi-join on (url, sent_idx) — co-partitioned, never
+    corpus-quadratic (sentences hold a handful of mentions) — and the edge
+    aggregate map-side combines; a hot pair is one reducer key, standard
+    agg skew. The distinct-entity table feeds both join sides, so it is
+    persisted once."""
+    pairs = _entity_pairs(_sentence_entities(typed_mentions))
     return pairs.groupBy("ent_a", "type_a", "ent_b", "type_b").agg(
         F.count("*").cast("long").alias("n_sents"),
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
+
+
+def cooccurrence_weighted_edges(typed_mentions: DataFrame) -> DataFrame:
+    """Co-occurrence edges + the INTEGER sufficient statistics for NPMI
+    scoring (VERDICT r04 item 6): per edge, n_pair (sentences containing
+    both entities), n_a / n_b (sentences containing each entity — the
+    marginals), and n_total (sentences containing at least one typed
+    entity — the event universe all probabilities are over). The float
+    NPMI itself is derived by ``with_npmi`` and deliberately kept OUT of
+    this table so the hash gate compares integers only (the dedup_jaccard
+    precedent: the gated surface carries log-free sufficient statistics;
+    the score is a cheap derived column).
+
+    Scale shape: the edge table and the marginal table are both aggregates
+    bounded by distinct content (pairs / entities), not corpus size; the
+    marginal joins are entity-keyed shuffle joins between those bounded
+    tables (no broadcast of anything corpus-sized), and the 1-row total
+    joins as a broadcast cross join. The distinct-entity table feeds four
+    consumers (both pair sides + marginals + total), so the persisted-once
+    posture pays off 4x here."""
+    ents = _sentence_entities(typed_mentions)
+    edges = _entity_pairs(ents).groupBy("ent_a", "type_a", "ent_b", "type_b").agg(
+        F.count("*").cast("long").alias("n_pair"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )
+    marg = ents.groupBy("ent", "etype").agg(
+        F.count("*").cast("long").alias("n_ent")
+    )
+    total = ents.select(
+        F.countDistinct("url", "sent_idx").cast("long").alias("n_total")
+    )
+    out = (
+        edges.join(
+            marg.select(
+                F.col("ent").alias("ent_a"), F.col("etype").alias("type_a"),
+                F.col("n_ent").alias("n_a"),
+            ),
+            ["ent_a", "type_a"],
+        )
+        .join(
+            marg.select(
+                F.col("ent").alias("ent_b"), F.col("etype").alias("type_b"),
+                F.col("n_ent").alias("n_b"),
+            ),
+            ["ent_b", "type_b"],
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "ent_a", "type_a", "ent_b", "type_b",
+        "n_pair", "n_a", "n_b", "n_total", "n_docs",
+    )
+
+
+def with_npmi(weighted_edges: DataFrame) -> DataFrame:
+    """Derive the float NPMI column from the integer sufficient statistics:
+    npmi = ln(p_ab / (p_a * p_b)) / -ln(p_ab) over the sentence universe,
+    1.0 at the p_ab = 1 degeneracy (perfect association by convention).
+    Kept separate from the gated integer table — floats never enter hashed
+    columns."""
+    p_ab = F.col("n_pair") / F.col("n_total")
+    p_a = F.col("n_a") / F.col("n_total")
+    p_b = F.col("n_b") / F.col("n_total")
+    npmi = F.when(F.col("n_pair") == F.col("n_total"), F.lit(1.0)).otherwise(
+        F.log(p_ab / (p_a * p_b)) / -F.log(p_ab)
+    )
+    return weighted_edges.withColumn("npmi", npmi)
