@@ -153,6 +153,32 @@ def q_kg_cooccurrence(spark, sf_dir):
     return er.cooccurrence_edges(typed)
 
 
+def q_kg_entity_degree(spark, sf_dir):
+    """Per-entity co-occurrence graph degree over the canonical entity
+    edges (symmetrized aggregated edge table -> one entity-keyed agg)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.entity_degree(er.cooccurrence_edges(typed))
+
+
+def q_txt_sample_hash(spark, sf_dir):
+    """Deterministic hash sample: stateless md5-prefix filter (1024/4096
+    buckets), no shuffle — the reproducible-subset primitive."""
+    from unsupervised_ner_spark.ops import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, keep_buckets=1024).select("doc_id", "lang")
+
+
+def q_txt_sample_balanced(spark, sf_dir):
+    """Exact per-language balanced downsample to the smallest stratum, in
+    md5 order (deterministic, content-uncorrelated)."""
+    from unsupervised_ner_spark.ops import sampling
+
+    return sampling.balanced_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_bio_tags(spark, sf_dir):
     """Production-path token tags (Arrow-batched kernel UDF); oracle is the
     independent relational SQL replication — the strongest correctness gate
@@ -553,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_cooccurrence_npmi": q_kg_cooccurrence_npmi,
+        "kg_entity_degree": q_kg_entity_degree,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
@@ -564,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_sample_hash": q_txt_sample_hash,
+        "txt_sample_balanced": q_txt_sample_balanced,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
@@ -599,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_mentions": O.kg_typed_mentions(),
         "kg_cooccurrence": O.kg_cooccurrence(),
         "kg_cooccurrence_npmi": O.kg_cooccurrence_npmi(),
+        "kg_entity_degree": O.kg_entity_degree(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),
@@ -610,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_quality": O.txt_quality(),
         "txt_langid": O.txt_langid(),
         "txt_fingerprint": O.txt_fingerprint(),
+        "txt_sample_hash": O.txt_sample_hash(),
+        "txt_sample_balanced": O.txt_sample_balanced(),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),

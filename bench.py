@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "kg_typed_mentions",
     "kg_cooccurrence",
     "kg_cooccurrence_npmi",
+    "kg_entity_degree",
     "kg_bio_tags",
     "kg_triples",
     "kg_predicates",
@@ -51,6 +52,8 @@ BENCH_QUERIES = [
     "txt_quality",
     "txt_langid",
     "txt_fingerprint",
+    "txt_sample_hash",
+    "txt_sample_balanced",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_jaccard_exact",

@@ -82,6 +82,29 @@ def test_cooccurrence_edges_counts(spark):
     }
 
 
+def test_entity_degree(spark):
+    """Degree = distinct neighbors; co-mention mass sums the symmetrized
+    edge weights."""
+    from unsupervised_ner_spark.pipeline.er import cooccurrence_edges, entity_degree
+
+    rows = [
+        ("u1", 0, "Covid", "DISEASE"), ("u1", 0, "Vaccine", "DRUG"),
+        ("u1", 1, "Covid", "DISEASE"), ("u1", 1, "Paris", "LOCATION"),
+        ("u2", 0, "Covid", "DISEASE"), ("u2", 0, "Vaccine", "DRUG"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sent_idx long, surface string, pred_group string"
+    )
+    got = {(r.ent, r.etype): (r.degree, r.n_cooc_sents, r.n_cooc_docs)
+           for r in entity_degree(cooccurrence_edges(df)).collect()}
+    # covid-vaccine edge: n_sents=2 (u1s0, u2s0), n_docs=2; covid-paris: 1,1
+    assert got == {
+        ("covid", "DISEASE"): (2, 3, 3),
+        ("vaccine", "DRUG"): (1, 2, 2),
+        ("paris", "LOCATION"): (1, 1, 1),
+    }
+
+
 def test_cooccurrence_npmi_statistics(spark):
     """Weighted edges carry exact integer sufficient statistics and
     with_npmi derives ln(p_ab/(p_a p_b)) / -ln(p_ab) over the sentence

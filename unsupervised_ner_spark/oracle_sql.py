@@ -1341,6 +1341,52 @@ CROSS JOIN tot t
     )
 
 
+def kg_entity_degree(model: str = "a100") -> str:
+    """Per-entity co-occurrence degree (pipeline/er.py entity_degree
+    twin): symmetrize the aggregated edge table, one entity-keyed
+    aggregate — all integers."""
+    return f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a AS ent, type_a AS etype, n_sents, n_docs FROM eg
+    UNION ALL
+    SELECT ent_b AS ent, type_b AS etype, n_sents, n_docs FROM eg
+)
+SELECT ent, etype,
+       CAST(count(*) AS BIGINT) AS degree,
+       CAST(sum(n_sents) AS BIGINT) AS n_cooc_sents,
+       CAST(sum(n_docs) AS BIGINT) AS n_cooc_docs
+FROM sym GROUP BY ent, etype
+"""
+
+
+def txt_sample_hash(keep_buckets: int = 1024) -> str:
+    """Deterministic hash sample (ops/sampling.py hash_sample twin): keep
+    docs whose 3-hex-char md5 prefix sorts below the bucket threshold —
+    string comparison over ASCII hex, identical in both engines."""
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{keep_buckets:03x}'
+"""
+
+
+def txt_sample_balanced() -> str:
+    """Exact balanced downsampling twin (ops/sampling.py balanced_sample):
+    every language stratum cut to the smallest stratum's size in md5
+    order."""
+    return """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT CAST(min(n) AS BIGINT) AS min_n FROM c),
+r AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+    FROM documents
+)
+SELECT doc_id, lang, rank FROM r, m WHERE rank <= min_n
+"""
+
+
 def _er_chain(
     model: str = "a100",
     num_hashes: int = 6,

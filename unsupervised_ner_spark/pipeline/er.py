@@ -499,6 +499,33 @@ def cooccurrence_weighted_edges(typed_mentions: DataFrame) -> DataFrame:
     )
 
 
+def entity_degree(edges: DataFrame) -> DataFrame:
+    """Per-entity co-occurrence graph degree — the first KG analytics a
+    user asks of the entity graph: how connected is each canonical entity,
+    and how much co-mention mass does it carry. Input is the
+    ``cooccurrence_edges`` table (distinct unordered pairs); output is
+    (ent, etype, degree, n_cooc_sents, n_cooc_docs), all integers.
+
+    Scale shape: symmetrize by a union of two projections of the ALREADY
+    AGGREGATED edge table (bounded by distinct pairs, not corpus size),
+    then one map-side-combining aggregate keyed on the entity. A hub
+    entity ("covid") is one reducer key — standard agg skew, no join
+    involved."""
+    a = edges.select(
+        F.col("ent_a").alias("ent"), F.col("type_a").alias("etype"),
+        "n_sents", "n_docs",
+    )
+    b = edges.select(
+        F.col("ent_b").alias("ent"), F.col("type_b").alias("etype"),
+        "n_sents", "n_docs",
+    )
+    return a.unionByName(b).groupBy("ent", "etype").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.sum("n_sents").cast("long").alias("n_cooc_sents"),
+        F.sum("n_docs").cast("long").alias("n_cooc_docs"),
+    )
+
+
 def with_npmi(weighted_edges: DataFrame) -> DataFrame:
     """Derive the float NPMI column from the integer sufficient statistics:
     npmi = ln(p_ab / (p_a * p_b)) / -ln(p_ab) over the sentence universe,
