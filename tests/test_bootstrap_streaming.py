@@ -112,6 +112,49 @@ def test_stateful_entity_counts_accumulate_across_restarts(spark, tmp_path):
     assert got2[("PERSON", "john doe")] == 1  # untouched keys keep their total
 
 
+def test_windowed_counts_watermark_and_late_drop(spark, tmp_path):
+    """Watermarked event-time windows (streaming/windowed.py): append mode
+    emits a window exactly once after the watermark passes its end; a row
+    later than the watermark for a closed window is dropped, not merged;
+    the watermark itself survives a restart through the checkpoint."""
+    from datetime import datetime
+
+    from unsupervised_ner_spark.streaming.windowed import (
+        DOCS_SCHEMA,
+        stream_windowed_counts,
+    )
+
+    def ts(h, m):
+        return datetime(2026, 1, 1, h, m)
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    # window A = [00:00, 00:10): three en docs; the 03:00 horizon doc moves
+    # the watermark to 02:30 at end of run 1, closing (and emitting) A
+    batch1 = [
+        ("d1", "en", ts(0, 1)), ("d2", "en", ts(0, 4)), ("d3", "en", ts(0, 8)),
+        ("h1", "de", ts(3, 0)),
+    ]
+    spark.createDataFrame(batch1, DOCS_SCHEMA).write.parquet(src)
+    q = stream_windowed_counts(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {(r.win_start, r.lang): r.n_docs for r in spark.read.parquet(out).collect()}
+    assert got1 == {(ts(0, 0), "en"): 3}, got1
+    # restart: a LATE en doc at 00:02 (behind the persisted 02:30
+    # watermark — dropped) plus a 04:00 doc that pushes the watermark to
+    # 03:30, closing the horizon window [03:00, 03:10)
+    batch2 = [("late", "en", ts(0, 2)), ("h2", "fr", ts(4, 0))]
+    spark.createDataFrame(batch2, DOCS_SCHEMA).write.mode("append").parquet(src)
+    q2 = stream_windowed_counts(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = {(r.win_start, r.lang): r.n_docs for r in spark.read.parquet(out).collect()}
+    assert got2 == {
+        (ts(0, 0), "en"): 3,   # closed window NOT re-emitted or grown by the late row
+        (ts(3, 0), "de"): 1,   # horizon window finalized by the new watermark
+    }, got2
+
+
 def test_streaming_first_seen_dedup_across_restarts(spark, tmp_path):
     """Streaming exact dedup: one survivor per fingerprint for the stream's
     LIFETIME — a restart must not re-admit content seen before the
