@@ -397,6 +397,33 @@ def q_txt_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition numerators (top-bigram count via
+    explode + doc-keyed max, dup-trigram count as a narrow expression)."""
+    return _long(
+        textstats.repetition_stats(_t(spark, sf_dir, "documents")),
+        "n_tokens", "n_bigrams", "top_bigram_n", "n_dup_trigrams",
+    )
+
+
+def q_txt_contamination(spark, sf_dir):
+    """Eval-set contamination screen: 5-gram shingle overlap of train docs
+    against a broadcast-sized deterministic eval sample."""
+    return _long(
+        textstats.contamination_screen(_t(spark, sf_dir, "documents")),
+        "n_hit_shingles", "n_eval_docs",
+    )
+
+
+def q_txt_source_stats(spark, sf_dir):
+    """Per-(source, lang) corpus rollup: docs, tokens, good-quality docs,
+    distinct content fingerprints — the domain curation table."""
+    return _long(
+        textstats.source_stats(_t(spark, sf_dir, "documents")),
+        "n_docs", "n_tokens", "n_good_docs", "n_distinct_fingerprints",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return _long(dedup.exact_dup_groups(_t(spark, sf_dir, "documents")), "n_docs")
 
@@ -591,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_repetition": q_txt_repetition,
+        "txt_contamination": q_txt_contamination,
+        "txt_source_stats": q_txt_source_stats,
         "txt_sample_hash": q_txt_sample_hash,
         "txt_sample_balanced": q_txt_sample_balanced,
         "dedup_exact": q_dedup_exact,
@@ -640,6 +670,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_quality": O.txt_quality(),
         "txt_langid": O.txt_langid(),
         "txt_fingerprint": O.txt_fingerprint(),
+        "txt_repetition": O.txt_repetition(),
+        "txt_contamination": O.txt_contamination(),
+        "txt_source_stats": O.txt_source_stats(),
         "txt_sample_hash": O.txt_sample_hash(),
         "txt_sample_balanced": O.txt_sample_balanced(),
         "dedup_exact": O.dedup_exact(),

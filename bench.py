@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "txt_quality",
     "txt_langid",
     "txt_fingerprint",
+    "txt_repetition",
+    "txt_contamination",
+    "txt_source_stats",
     "txt_sample_hash",
     "txt_sample_balanced",
     "dedup_exact",
@@ -98,6 +101,9 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
     qs = entry.queries()
+    # fail loudly if a newly gated query is not in the perf record
+    missing = sorted(set(qs) - set(BENCH_QUERIES))
+    assert not missing, f"bench set missing gated queries: {missing}"
     # warm worker processes (dimension bundles, codegen) outside the timed
     # windows — steady-state throughput is the metric (see BENCH.md)
     materialize(

@@ -412,3 +412,76 @@ def test_simhash_blocking_pigeonhole_property():
         )
 
     check()
+
+
+def test_repetition_stats_edges_and_values(spark):
+    """Hand-computed repetition numerators, incl. the <2 and <3 token
+    edges (no bigrams/trigrams -> zeros, never nulls) and a doc whose
+    repeated bigram and trigram counts differ."""
+    two = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab,ba,ab,ba -> top 2; tris: aba,bab,aba -> 1 dup
+            (2, "x"),              # single token
+            (3, "x y"),            # one bigram, no trigram
+            (4, "w w w w"),        # bigrams all 'w w' -> top 3; tris: www,www -> 1 dup
+            (5, ""),               # empty text -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textstats.repetition_stats(two).collect()}
+    assert (r[1].n_tokens, r[1].n_bigrams, r[1].top_bigram_n, r[1].n_dup_trigrams) == (5, 4, 2, 1)
+    assert (r[2].n_tokens, r[2].n_bigrams, r[2].top_bigram_n, r[2].n_dup_trigrams) == (1, 0, 0, 0)
+    assert (r[3].n_tokens, r[3].n_bigrams, r[3].top_bigram_n, r[3].n_dup_trigrams) == (2, 1, 1, 0)
+    assert (r[4].n_tokens, r[4].n_bigrams, r[4].top_bigram_n, r[4].n_dup_trigrams) == (4, 3, 3, 1)
+    assert (r[5].n_tokens, r[5].n_bigrams, r[5].top_bigram_n, r[5].n_dup_trigrams) == (0, 0, 0, 0)
+
+
+def test_contamination_screen_finds_copied_eval_text(spark):
+    """A train doc copying >=5 consecutive tokens from an eval doc is
+    flagged; disjoint docs are not; eval docs never appear on the left."""
+    from unsupervised_ner_spark.ops.sampling import HASH_BUCKETS
+
+    # choose ids so bucket membership is deterministic: probe md5 prefixes
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16)
+
+    eval_id = next(i for i in range(1000) if bucket(i) < 256)
+    train_hit = next(i for i in range(1000) if bucket(i) >= 256)
+    train_miss = next(i for i in range(1000) if bucket(i) >= 256 and i != train_hit)
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (eval_id, f"held out {shared} tail words here"),
+            (train_hit, f"prefix {shared} suffix"),
+            (train_miss, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {x.doc_id: x for x in textstats.contamination_screen(docs).collect()}
+    assert train_hit in got and train_miss not in got and eval_id not in got
+    # shared run of 6 tokens -> two 5-gram shingles in common
+    assert got[train_hit].n_hit_shingles == 2
+    assert got[train_hit].n_eval_docs == 1
+
+
+def test_source_stats_rollup(spark):
+    """Rollup counts: dup fingerprints collapse in n_distinct_fingerprints;
+    quality classes and token sums aggregate per (source, lang)."""
+    good = "the cat and the dog ran to the big house with a ball in it"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "siteA"),
+            (2, good.upper(), "en", "siteA"),   # same fingerprint as 1
+            (3, "tiny", "en", "siteA"),          # short
+            (4, good, "de", "siteB"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = {(x.source, x.lang): x for x in textstats.source_stats(docs).collect()}
+    a = r[("siteA", "en")]
+    assert (a.n_docs, a.n_good_docs, a.n_distinct_fingerprints) == (3, 2, 2)
+    assert a.n_tokens == 2 * len(good.split()) + 1
+    b = r[("siteB", "de")]
+    assert (b.n_docs, b.n_good_docs, b.n_distinct_fingerprints) == (1, 1, 1)

@@ -99,3 +99,149 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     whitespace-collapsed) — the exact-dedup key."""
     norm = F.array_join(F.transform(tokens_ws(F.col("text")), F.lower), " ")
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def _bigrams(low_toks: Column) -> Column:
+    # slice THROWS on negative length under ANSI — clamp for 0/1-token docs
+    m = F.greatest(F.size(low_toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(low_toks, F.lit(1), m),
+        F.slice(low_toks, F.lit(2), m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals, integer-valued:
+    per doc ``n_tokens``, ``n_bigrams``, ``top_bigram_n`` (occurrences of
+    the most frequent token bigram — the "top n-gram fraction" numerator),
+    and ``n_dup_trigrams`` (trigram instances beyond their first
+    occurrence — the "duplicate n-gram fraction" numerator). Ratios are
+    derivable downstream; keeping integers keeps the surface hash-stable
+    across engines.
+
+    Scale shape: the dup-trigram side is a pure narrow map (size −
+    size(distinct)). The top-bigram side deliberately EXPLODES bigrams and
+    aggregates (map-side combine on (doc_id, bigram), then a doc-keyed
+    max) instead of the O(distinct × n) higher-order-function scan — on a
+    10k-token web page the expression form is quadratic per row, while the
+    explode is linear and partially aggregated before the shuffle. Docs
+    with < 2 tokens produce no bigram rows and rejoin with 0."""
+    low = F.transform(tokens_ws(F.col("text")), F.lower)
+    base = documents.select(
+        "doc_id",
+        low.alias("toks"),
+        F.size(low).alias("n_tokens"),
+        F.greatest(F.size(low) - 1, F.lit(0)).alias("n_bigrams"),
+    )
+    # both zip_with sides sized n-2 (clamped): zip_with pads the SHORTER
+    # side with nulls, and a null-concat trigram would pollute
+    # array_distinct; negative slice lengths throw under ANSI
+    m2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(_bigrams(F.col("toks")), F.lit(1), m2),
+        F.slice(F.col("toks"), F.lit(3), m2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    narrow = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        (
+            F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
+            - F.when(F.size(F.col("toks")) >= 3, F.size(F.array_distinct(tri))).otherwise(0)
+        ).alias("n_dup_trigrams"),
+    )
+    top_bg = (
+        base.select("doc_id", F.explode(_bigrams(F.col("toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return (
+        narrow.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_bigrams",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            "n_dup_trigrams",
+        )
+    )
+
+
+def _shingles5(low_toks: Column) -> Column:
+    """Distinct md5 5-token shingles; docs shorter than 5 tokens collapse
+    to one whole-doc shingle (the jaccard 3-gram fallback precedent)."""
+    n = F.size(low_toks)
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(low_toks, i, F.lit(5)), " ")),
+    )
+    whole = F.array(F.md5(F.array_join(low_toks, " ")))
+    return F.array_distinct(F.when(n >= 5, win).otherwise(whole))
+
+
+def contamination_screen(
+    documents: DataFrame, eval_keep_buckets: int = 256
+) -> DataFrame:
+    """Benchmark-contamination screen: which training documents share
+    5-token shingles with a (deterministic) held-out eval set. The eval
+    set is the md5-bucket sample (``ops/sampling.hash_sample`` idiom —
+    first ``eval_keep_buckets``/4096 buckets of md5(doc_id)); in a real
+    pipeline it is the benchmark suite. Output per contaminated TRAIN doc:
+    ``n_hit_shingles`` (distinct shingles shared with any eval doc) and
+    ``n_eval_docs`` (distinct eval docs sharing ≥ 1 shingle).
+
+    Scale shape: the eval side is small by construction (a benchmark is
+    KBs–MBs against a 100 TB corpus), so its distinct (eval_doc, shingle)
+    table is BROADCAST — the train-side scan never shuffles on shingle;
+    the only exchange is the final per-doc aggregate. At 10^12 docs this
+    is one narrow scan + one doc-keyed agg."""
+    from unsupervised_ner_spark.ops.sampling import _bucket_col
+
+    thr = F.lit(f"{eval_keep_buckets:03x}")
+    low = F.transform(tokens_ws(F.col("text")), F.lower)
+    with_sh = documents.select(
+        "doc_id",
+        (_bucket_col(F.col("doc_id")) < thr).alias("is_eval"),
+        F.explode(_shingles5(low)).alias("shingle"),
+    )
+    eval_sh = (
+        with_sh.filter("is_eval")
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+        .distinct()
+    )
+    train_sh = with_sh.filter(~F.col("is_eval")).select("doc_id", "shingle")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus rollup — the C4/RefinedWeb-style domain
+    quality table a curation pass filters on: document count, total
+    whitespace tokens, count of 'good'-quality docs, and distinct content
+    fingerprints (docs surviving exact dedup). One hash aggregate over a
+    narrow scan; at 100 TB the partial aggregation collapses each
+    partition to O(#sources × #langs) before the shuffle."""
+    q = quality_class(doc_stats(documents)).withColumnRenamed("doc_id", "qdoc")
+    fp = fingerprint(documents)
+    enriched = (
+        documents.select(
+            "doc_id", "source", "lang",
+            F.size(tokens_ws(F.col("text"))).alias("n_toks"),
+        )
+        .join(q, F.col("doc_id") == F.col("qdoc"))
+        .join(fp, "doc_id")
+    )
+    return enriched.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.when(F.col("quality") == "good", 1).otherwise(0)).alias("n_good_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
+    )

@@ -528,6 +528,97 @@ FROM documents
 """
 
 
+def txt_repetition() -> str:
+    """ops/textstats.repetition_stats twin: Gopher-style repetition
+    numerators — top-bigram occurrence count (unnest + group + max, the
+    explode path's relational mirror) and duplicate-trigram instances
+    (n_trigrams − distinct trigrams, pure list expressions)."""
+    bg = "list_transform(generate_series(1, n - 1), i -> toks[i] || ' ' || toks[i+1])"
+    tri = (
+        "list_transform(generate_series(1, n - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_LOWTOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+narrow AS (
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(greatest(n - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(greatest(n - 2, 0)
+                - CASE WHEN n >= 3 THEN len(list_distinct({tri})) ELSE 0 END
+                AS BIGINT) AS n_dup_trigrams
+    FROM n
+),
+bg AS (SELECT doc_id, unnest({bg}) AS bg FROM n WHERE n >= 2),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY ALL),
+top AS (SELECT doc_id, max(c) AS top_bigram_n FROM cnt GROUP BY doc_id)
+SELECT narrow.doc_id, n_tokens, n_bigrams,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       n_dup_trigrams
+FROM narrow LEFT JOIN top ON narrow.doc_id = top.doc_id
+"""
+
+
+def txt_contamination(eval_keep_buckets: int = 256) -> str:
+    """ops/textstats.contamination_screen twin: eval set = md5-bucket
+    sample of doc_id (hash_sample idiom); distinct 5-token md5 shingles
+    (whole-doc fallback under 5 tokens); per train doc, distinct shared
+    shingles and distinct eval docs hit."""
+    sh5 = (
+        "CASE WHEN len(toks) >= 5 THEN "
+        "list_transform(generate_series(1, len(toks) - 4), "
+        "i -> md5(array_to_string(toks[i:i+4], ' '))) "
+        "ELSE [md5(array_to_string(toks, ' '))] END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_LOWTOKS} AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{eval_keep_buckets:03x}' AS is_eval,
+           unnest(list_distinct({sh5})) AS shingle
+    FROM t
+),
+ev AS (SELECT DISTINCT doc_id AS eval_doc_id, shingle FROM sh WHERE is_eval),
+tr AS (SELECT doc_id, shingle FROM sh WHERE NOT is_eval)
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT ev.eval_doc_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+"""
+
+
+def txt_source_stats() -> str:
+    """ops/textstats.source_stats twin: per-(source, lang) rollup with the
+    txt_quality CASE inlined and the fingerprint as the distinct-content
+    key."""
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, source, lang,
+           len({_TOKS}) AS n_toks,
+           len(list_distinct({_LOWTOKS})) AS n_distinct_tokens,
+           len(list_filter({_LOWTOKS}, t -> list_contains({_EN_SW}, t))) AS n_stopword_tokens,
+           md5(array_to_string({_LOWTOKS}, ' ')) AS fp
+    FROM documents
+),
+q AS (
+    SELECT *,
+           CASE WHEN n_toks < 5 THEN 'short'
+                WHEN n_stopword_tokens * 100 < n_toks * 3 THEN 'boilerplate'
+                WHEN n_distinct_tokens * 100 < n_toks * 40 THEN 'lowlex'
+                ELSE 'good' END AS quality
+    FROM per_doc
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN quality = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fingerprints
+FROM q GROUP BY source, lang
+"""
+
+
 def dedup_exact() -> str:
     return f"""
 WITH fp AS (
