@@ -567,6 +567,30 @@ def q_rel_window_sessions(spark, sf_dir):
     )
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """Distributed as-of join (ops/asof.py): every click event joins the
+    most recent at-or-before view event of the same user — one hash
+    exchange + sort, never a range join. The hashed surface carries event
+    ids and the tz-invariant microsecond gap (absolute timestamps are
+    session-timezone-sensitive across engines; a difference is not)."""
+    from unsupervised_ner_spark.ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    j = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        left_cols=["event_id", "ts"], right_cols=["event_id", "ts"],
+        right_tie="event_id",
+    )
+    return j.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("click_event_id"),
+        F.col("r_event_id").cast("long").alias("view_event_id"),
+        F.expr("timestampdiff(MICROSECOND, r_ts, ts)").cast("long").alias("gap_us"),
+    )
+
+
 def q_rel_set_union(spark, sf_dir):
     """2.8 set ops: UNION DISTINCT."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
@@ -644,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg_scan": q_rel_agg_scan,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_sessions": q_rel_window_sessions,
+        "rel_asof_join": q_rel_asof_join,
         "rel_set_union": q_rel_set_union,
         "rel_rollup": q_rel_rollup,
     }
@@ -723,6 +748,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "rel_asof_join": """
+            WITH ev AS (
+                SELECT event_id, ts, user_id,
+                       CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+                FROM events WHERE event_type IN ('view', 'click')
+            ),
+            x AS (
+                SELECT *,
+                       last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                           OVER w AS view_event_id,
+                       last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                           OVER w AS view_ts
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, side,
+                                      CASE WHEN side = 0 THEN event_id END
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS click_event_id,
+                   CAST(view_event_id AS BIGINT) AS view_event_id,
+                   CAST(date_diff('microsecond', view_ts, ts) AS BIGINT) AS gap_us
+            FROM x WHERE side = 1
         """,
         "rel_set_union": """
             SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "rel_agg_scan",
     "rel_join_topk",
     "rel_window_sessions",
+    "rel_asof_join",
     "rel_set_union",
     "rel_rollup",
 ]

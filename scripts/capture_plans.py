@@ -197,6 +197,43 @@ def main() -> None:
                        "ResolvedHint" not in
                        q9._jdf.queryExecution().analyzed().toString()))
 
+    # 10. contamination screen: the eval-shingle side must be the
+    # BROADCAST side of the join (a benchmark is tiny vs a 100 TB corpus);
+    # the train-side scan must not shuffle on shingle.
+    q10 = entry.q_txt_contamination(spark, SF)
+    p10 = plan_of(q10)
+    sections.append(("Contamination screen (txt_contamination)", p10))
+    checks.append(("eval shingles broadcast", "BroadcastHashJoin" in p10))
+    shingle_exch = [
+        m for m in re.findall(r"Exchange hashpartitioning\([^)]*\)", p10)
+        if "shingle" in m
+    ]
+    checks.append(("no train-side shuffle on shingle",
+                   len(shingle_exch) <= 1))  # eval-side distinct only
+
+    # 11. as-of join: one hash exchange on the join key + sort + window —
+    # never a nested-loop/cartesian range join.
+    q11 = entry.q_rel_asof_join(spark, SF)
+    p11 = plan_of(q11)
+    sections.append(("As-of join (rel_asof_join)", p11))
+    checks.append(("asof plans as window, not range join",
+                   "Window" in p11
+                   and "BroadcastNestedLoopJoin" not in p11
+                   and "CartesianProduct" not in p11))
+    # formatted plans put the partitioning on the node's Arguments line —
+    # require exactly ONE hash partitioning in the whole plan, on user_id
+    checks.append(("asof: single exchange, keyed on user_id",
+                   len(re.findall(r"hashpartitioning\(\w+", p11)) == 1
+                   and len(re.findall(r"hashpartitioning\(user_id#\d+", p11)) == 1))
+
+    # 12. repetition stats: the top-bigram aggregate must partially
+    # aggregate before its exchange (map-side combine on (doc_id, bg)).
+    q12 = entry.q_txt_repetition(spark, SF)
+    p12 = plan_of(q12)
+    sections.append(("Repetition signals (txt_repetition)", p12))
+    checks.append(("bigram count partially aggregated pre-shuffle",
+                   "partial_count" in p12 or "Partial" in p12))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
