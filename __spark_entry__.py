@@ -353,6 +353,58 @@ def q_kg_canonical_triples(spark, sf_dir):
     )
 
 
+def q_kg_triple_support(spark, sf_dir):
+    """Cross-document triple support (er.triple_support): the canonical
+    graph edge table with redundancy counts — one additional bounded
+    aggregate on top of the kg_canonical_triples chain."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.triple_support(q_kg_canonical_triples(spark, sf_dir))
+
+
+def q_kg_ntriples(spark, sf_dir):
+    """RDF N-Triples serialization of the canonical graph (er.to_ntriples)
+    — the interchange materialization; a narrow projection over the
+    kg_canonical_triples chain."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.to_ntriples(q_kg_canonical_triples(spark, sf_dir))
+
+
+def q_er_entity_aliases(spark, sf_dir):
+    """Alias table per canonical entity (er.entity_aliases): distinct raw
+    surface forms with counts and deterministic dominance rank.
+
+    The occurrence table feeds TWO consumers (the ER chain's exact
+    canonicalization and the alias forms aggregate), so the production
+    tagging pass it flattens is persisted once — without it the second
+    consumer re-runs the whole corpus tagging chain (measured 175 s vs
+    ~50 s for the ER chain alone at sf0.001)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import er
+    from unsupervised_ner_spark.pipeline.runner import typed_mentions_from_tagged
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tagged = scoped_persist(stages["tagged"])
+    typed = typed_mentions_from_tagged(tagged)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    _entities, membership = er.resolve_entities(occ)
+    return er.entity_aliases(occ, membership)
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Triangle enumeration on the entity co-occurrence graph
+    (er.triangles): two-join node-iterator over the aggregated edge
+    table, canonical a<b<c orientation."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.triangles(er.cooccurrence_edges(typed))
+
+
 def q_er_components(spark, sf_dir):
     """Full ER incl. LSH edges + iterative connected components; the DuckDB
     oracle replays the iteration's fixpoint with a RECURSIVE CTE (min
@@ -422,6 +474,26 @@ def q_txt_source_stats(spark, sf_dir):
         textstats.source_stats(_t(spark, sf_dir, "documents")),
         "n_docs", "n_tokens", "n_good_docs", "n_distinct_fingerprints",
     )
+
+
+def q_txt_redact(spark, sf_dir):
+    """PII redaction (textstats.redact_pii): emails -> <EMAIL>, phone-shaped
+    runs -> <PHONE>, residual digit runs -> <NUM>, with per-doc match
+    counts. The sf corpus is digit-free by construction, so the query
+    prepends a DETERMINISTIC synthetic contact header derived from doc_id
+    (same expression replayed by the oracle) — the gate then proves the
+    redaction transforms on real hits, not just the no-op passthrough."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat_ws(
+        " ",
+        F.concat(F.lit("user"), did, F.lit("@mail.example.com")),
+        F.concat(F.lit("555-01"), F.pmod(F.col("doc_id"), 100).cast("string")),
+        F.concat(F.lit("ref "), (F.col("doc_id") * 7 + 13).cast("string")),
+        F.col("text"),
+    )
+    red = textstats.redact_pii(d.select("doc_id", dirty.alias("text")))
+    return red.select("doc_id", "red_text", "n_emails", "n_phones", "n_nums")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -645,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": q_txt_repetition,
         "txt_contamination": q_txt_contamination,
         "txt_source_stats": q_txt_source_stats,
+        "txt_redact": q_txt_redact,
         "txt_sample_hash": q_txt_sample_hash,
         "txt_sample_balanced": q_txt_sample_balanced,
         "dedup_exact": q_dedup_exact,
@@ -664,7 +737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
+        "er_entity_aliases": q_er_entity_aliases,
         "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_triple_support": q_kg_triple_support,
+        "kg_ntriples": q_kg_ntriples,
+        "kg_triangles": q_kg_triangles,
         "rel_agg_scan": q_rel_agg_scan,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_sessions": q_rel_window_sessions,
@@ -698,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_repetition": O.txt_repetition(),
         "txt_contamination": O.txt_contamination(),
         "txt_source_stats": O.txt_source_stats(),
+        "txt_redact": O.txt_redact(),
         "txt_sample_hash": O.txt_sample_hash(),
         "txt_sample_balanced": O.txt_sample_balanced(),
         "dedup_exact": O.dedup_exact(),
@@ -717,7 +795,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),
         "er_components": O.er_components(),
+        "er_entity_aliases": O.er_entity_aliases(),
         "kg_canonical_triples": O.kg_canonical_triples(),
+        "kg_triple_support": O.kg_triple_support(),
+        "kg_ntriples": O.kg_ntriples(),
+        "kg_triangles": O.kg_triangles(),
         "rel_agg_scan": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

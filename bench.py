@@ -47,7 +47,11 @@ BENCH_QUERIES = [
     "kg_ensemble_reconciled",
     "er_exact_canonical",
     "er_components",
+    "er_entity_aliases",
     "kg_canonical_triples",
+    "kg_triple_support",
+    "kg_ntriples",
+    "kg_triangles",
     "txt_stats",
     "txt_quality",
     "txt_langid",
@@ -55,6 +59,7 @@ BENCH_QUERIES = [
     "txt_repetition",
     "txt_contamination",
     "txt_source_stats",
+    "txt_redact",
     "txt_sample_hash",
     "txt_sample_balanced",
     "dedup_exact",

@@ -234,6 +234,39 @@ def main() -> None:
     checks.append(("bigram count partially aggregated pre-shuffle",
                    "partial_count" in p12 or "Partial" in p12))
 
+    # 13. triangle enumeration: the edge-key table is persisted ONCE and
+    # feeds all THREE join sides of the node-iterator (wedge join on the
+    # middle node + closing join on the (a, c) pair); no forced broadcast.
+    with cache_scope():
+        q13 = entry.q_kg_triangles(spark, SF)
+        p13 = plan_of(q13)
+        sections.append(("Triangle enumeration (kg_triangles)", p13))
+        checks.append(("triangle edge table persisted once, 3 consumers",
+                       "InMemoryRelation" in p13
+                       and p13.count("InMemoryTableScan") >= 3))
+        checks.append(("no forced broadcast in triangle chain",
+                       "ResolvedHint" not in
+                       q13._jdf.queryExecution().analyzed().toString()))
+
+    # 14. triple support: one aggregate over the canonical triple stream —
+    # must partially aggregate (map-side combine) before its exchange, so
+    # a hot triple ships one partial row per map task, not its raw stream.
+    with cache_scope():
+        q14 = entry.q_kg_triple_support(spark, SF)
+        p14 = plan_of(q14)
+        sections.append(("Triple support aggregation (kg_triple_support)", p14))
+        checks.append(("triple support partially aggregated pre-shuffle",
+                       "partial_count" in p14 or "Partial" in p14))
+
+    # 15. PII redaction: pure narrow map — no exchange anywhere, no Python.
+    q15 = entry.q_txt_redact(spark, SF)
+    p15 = plan_of(q15)
+    sections.append(("PII redaction (txt_redact)", p15))
+    checks.append(("redaction is a narrow JVM-only map stage",
+                   "Exchange" not in p15
+                   and "Python" not in p15
+                   and "ReadSchema: struct<doc_id:bigint,text:string>" in p15))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -245,3 +245,42 @@ def source_stats(documents: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("quality") == "good", 1).otherwise(0)).alias("n_good_docs"),
         F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
     )
+
+
+# PII redaction patterns — shared verbatim by the DuckDB oracle (imported,
+# not copied, so the twins cannot drift). Kept to the regex subset where
+# Java regex (Spark) and RE2 (DuckDB) agree: character classes with
+# trailing '-', bounded/unbounded {m,} quantifiers, no backrefs/lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{2,}"
+NUM_RE = r"[0-9]+"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data pipelines: emails -> <EMAIL>, then
+    phone-shaped digit runs -> <PHONE>, then residual digit runs -> <NUM>,
+    in that order (each stage sees the previous stage's output, so an
+    email's digits are never double-counted as numbers). Adds
+    ``red_text`` plus per-doc match counts ``n_emails``/``n_phones``/
+    ``n_nums`` (counted on the pre-stage string, so counts == replacements
+    made).
+
+    Pure column expressions — JVM regex inside whole-stage codegen, one
+    narrow scan, no Python. At 100 TB this is a map-only stage."""
+    t = F.col(text_col)
+    # idx=0 = the whole match (Spark's default idx is capture group 1,
+    # which these group-free patterns don't have)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    s1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(s1, F.lit(PHONE_RE), F.lit(0)))
+    s2 = F.regexp_replace(s1, PHONE_RE, "<PHONE>")
+    n_nums = F.size(F.regexp_extract_all(s2, F.lit(NUM_RE), F.lit(0)))
+    red = F.regexp_replace(s2, NUM_RE, "<NUM>")
+    return df.withColumns(
+        {
+            "red_text": red,
+            "n_emails": n_emails.cast("long"),
+            "n_phones": n_phones.cast("long"),
+            "n_nums": n_nums.cast("long"),
+        }
+    )

@@ -1723,3 +1723,124 @@ SELECT doc_id,
        'image/fake' AS media_type
 FROM documents
 """
+
+
+def kg_triple_support(model: str = "a100") -> str:
+    """Cross-document triple support twin (pipeline/er.py triple_support):
+    one aggregate over the composed kg_canonical_triples chain. subj_type/
+    obj_type are functionally dependent on the ids (node ids hash the
+    etype) so min() is exact on both engines."""
+    return f"""
+WITH ct AS ({kg_canonical_triples(model)})
+SELECT subj_id, pred, obj_id,
+       min(subj_type) AS subj_type, min(obj_type) AS obj_type,
+       CAST(count(*) AS BIGINT) AS n_support,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+       min(subj) AS subj_repr, min(obj) AS obj_repr
+FROM ct GROUP BY subj_id, pred, obj_id
+"""
+
+
+def kg_ntriples(model: str = "a100") -> str:
+    """RDF N-Triples serialization twin (pipeline/er.py to_ntriples):
+    predicate slugged to [a-z0-9_] (bytes outside [a-z0-9 ] dropped,
+    then trim + whitespace runs -> '_', empty -> 'related_to'); ids are
+    md5 hex (URI-safe)."""
+    slug = (
+        "regexp_replace(trim(regexp_replace(pred, '[^a-z0-9 ]', '', 'g')),"
+        " '\\s+', '_', 'g')"
+    )
+    return f"""
+WITH ct AS ({kg_canonical_triples(model)})
+SELECT '<urn:kg:e:' || subj_id || '> <urn:kg:r:' ||
+       coalesce(nullif({slug}, ''), 'related_to') ||
+       '> <urn:kg:e:' || obj_id || '> .' AS ntriple,
+       url, CAST(sent_idx AS BIGINT) AS sent_idx
+FROM ct
+"""
+
+
+def er_entity_aliases(model: str = "a100") -> str:
+    """Alias-table twin (pipeline/er.py entity_aliases): distinct raw
+    surface forms per canonical entity with mention counts and the
+    (count desc, surface asc) dominance rank."""
+    return (
+        _er_chain(model)
+        + """
+, forms AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface,
+           pred_group AS etype, surface,
+           CAST(count(*) AS BIGINT) AS n_mentions
+    FROM typed WHERE pred_group <> 'OTHER'
+    GROUP BY ALL
+)
+SELECT m.component AS entity_id, f.etype, f.surface AS alias, f.n_mentions,
+       CAST(row_number() OVER (
+            PARTITION BY m.component
+            ORDER BY f.n_mentions DESC, f.surface ASC) AS BIGINT) AS rank
+FROM forms f
+JOIN merged m ON m.norm_surface = f.norm_surface AND m.etype = f.etype
+WHERE length(f.norm_surface) > 0
+"""
+    )
+
+
+def kg_triangles(model: str = "a100") -> str:
+    """Triangle-enumeration twin (pipeline/er.py triangles): node-iterator
+    two-join over the aggregated co-occurrence edge table; the stored
+    ka < kb edge orientation makes a < b < c canonical, so each triangle
+    appears exactly once."""
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+)
+SELECT string_split(e1.ka, '|')[1] AS ent_a, string_split(e1.ka, '|')[2] AS type_a,
+       string_split(e1.kb, '|')[1] AS ent_b, string_split(e1.kb, '|')[2] AS type_b,
+       string_split(e2.kb, '|')[1] AS ent_c, string_split(e2.kb, '|')[2] AS type_c
+FROM ek e1
+JOIN ek e2 ON e2.ka = e1.kb
+JOIN ek e3 ON e3.ka = e1.ka AND e3.kb = e2.kb
+""",
+        "ek",
+    )
+
+
+def txt_redact() -> str:
+    """PII-redaction twin (ops/textstats.py redact_pii): the deterministic
+    synthetic contact header (same doc_id-derived expression as the Spark
+    query), then email -> phone -> number redaction in stage order with
+    pre-stage match counts. Patterns are imported from the engine module —
+    the twins share one definition."""
+    from unsupervised_ner_spark.ops.textstats import EMAIL_RE, NUM_RE, PHONE_RE
+
+    return f"""
+WITH dirty AS (
+    SELECT doc_id,
+           concat_ws(' ',
+               'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+               '555-01' || CAST(doc_id % 100 AS VARCHAR),
+               'ref ' || CAST(doc_id * 7 + 13 AS VARCHAR),
+               text) AS t
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+    FROM dirty
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t
+    FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '{NUM_RE}', '<NUM>', 'g') AS red_text,
+       n_emails, n_phones,
+       CAST(len(regexp_extract_all(t, '{NUM_RE}')) AS BIGINT) AS n_nums
+FROM s2
+"""

@@ -539,3 +539,165 @@ def with_npmi(weighted_edges: DataFrame) -> DataFrame:
         F.log(p_ab / (p_a * p_b)) / -F.log(p_ab)
     )
     return weighted_edges.withColumn("npmi", npmi)
+
+
+def triple_support(canon_triples: DataFrame) -> DataFrame:
+    """Cross-document triple support aggregation — the KG confidence
+    primitive (redundancy across independent pages, the signal open-IE
+    systems rank extractions by): one map-side-combining aggregate keyed
+    on the canonical graph edge (subj_id, pred, obj_id).
+
+    Returns (subj_id, pred, obj_id, subj_type, obj_type, n_support,
+    n_docs, subj_repr, obj_repr) — ``n_support`` counts extraction events,
+    ``n_docs`` distinct source pages, and the ``*_repr`` columns are the
+    deterministic min raw surface (a human-readable label independent of
+    which page is read first).
+
+    Scale shape: input is the canonicalized triple stream (corpus-sized);
+    output is bounded by distinct graph edges. A hot triple ("covid" —
+    "causes" — "pneumonia" on millions of pages) is ONE reducer key after
+    partial aggregation — standard agg skew, no join involved. subj_type/
+    obj_type are functionally dependent on the entity ids (node ids hash
+    the etype), so min() is exact, not a choice."""
+    return canon_triples.groupBy("subj_id", "pred", "obj_id").agg(
+        F.min("subj_type").alias("subj_type"),
+        F.min("obj_type").alias("obj_type"),
+        F.count("*").cast("long").alias("n_support"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+        F.min("subj").alias("subj_repr"),
+        F.min("obj").alias("obj_repr"),
+    )
+
+
+def entity_aliases(occurrences: DataFrame, membership: DataFrame) -> DataFrame:
+    """Alias (surface-form) table per canonical entity — the KG deliverable
+    that makes ER inspectable: every distinct raw surface that resolved
+    into an entity, with its mention count and a deterministic rank
+    (count desc, surface asc; rank 1 = dominant form).
+
+    Scale shape: aggregate FIRST — the corpus-sized occurrence stream
+    collapses to distinct (norm_surface, etype, surface) forms with
+    map-side combine absorbing hot-surface skew — then equi-join the two
+    bounded-by-content tables (forms x membership). The rank window
+    partitions by entity_id: a mega-entity with millions of alias FORMS
+    would skew that sort, but forms-per-entity is bounded by distinct
+    spellings, not occurrences."""
+    from pyspark.sql import Window
+
+    forms = occurrences.groupBy("norm_surface", "etype", "surface").agg(
+        F.count("*").cast("long").alias("n_mentions")
+    )
+    j = forms.join(membership, ["norm_surface", "etype"])
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_mentions"), F.asc("surface")
+    )
+    return j.select(
+        "entity_id", "etype", F.col("surface").alias("alias"), "n_mentions",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def to_ntriples(canon_triples: DataFrame) -> DataFrame:
+    """RDF N-Triples serialization of the canonical graph — the interchange
+    materialization (north rule "graph materialize"): one line per triple,
+    ``<urn:kg:e:SUBJ> <urn:kg:r:PRED> <urn:kg:e:OBJ> .`` with the predicate
+    slugged into the URI-safe [a-z0-9_] alphabet (bytes outside [a-z0-9 ]
+    dropped first, then trim + whitespace runs -> '_', empty slug ->
+    'related_to'). Entity ids are md5 hex, already URI-safe. Pure narrow
+    projection — no exchange; at 100 TB this is a map stage writing text
+    files."""
+    slug = F.regexp_replace(
+        F.trim(F.regexp_replace(F.col("pred"), r"[^a-z0-9 ]", "")), r"\s+", "_"
+    )
+    slug = F.when(slug == "", F.lit("related_to")).otherwise(slug)
+    line = F.concat(
+        F.lit("<urn:kg:e:"), F.col("subj_id"),
+        F.lit("> <urn:kg:r:"), slug,
+        F.lit("> <urn:kg:e:"), F.col("obj_id"), F.lit("> ."),
+    )
+    return canon_triples.select(
+        line.alias("ntriple"), "url", F.col("sent_idx").cast("long").alias("sent_idx")
+    )
+
+
+def triangles(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Triangle enumeration over the entity co-occurrence graph — the
+    clustering/community primitive of KG analytics. Input is the
+    AGGREGATED undirected edge table (``cooccurrence_edges``: one row per
+    unordered pair, ent_a|type_a < ent_b|type_b lexicographically); output
+    is one row per triangle with its three corners in that same order, so
+    each triangle appears exactly once (a<b<c makes the orientation
+    canonical — no /6 dedup pass needed).
+
+    Scale shape (``orient="degree"``, the default): the compact-forward /
+    degree-ordered node-iterator (Schank & Wagner 2005; the standard
+    web-scale refinement). Edges are re-oriented from the lower-(degree,
+    key) endpoint to the higher, wedges form at each edge's SOURCE —
+    which is always its lowest-degree-class vertex, so a hub entity
+    ("covid" co-occurring with everything) contributes wedges bounded by
+    its low-degree neighbors' out-degrees, never deg(hub)^2 — and the
+    closing join checks the oriented (x, y) edge. Both shuffles move
+    tables bounded by distinct co-occurring pairs, not corpus size; the
+    oriented edge table feeds all three join sides, so it is persisted
+    once. ``orient="lex"`` keeps the naive lexicographic orientation
+    (wedges at the lex-smallest vertex — quadratic at a lex-small hub);
+    both orientations enumerate the identical triangle set (each triangle
+    is found exactly once, at its unique minimum vertex in the respective
+    total order), which the unit tests assert."""
+    e0 = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("ka"),
+        F.concat_ws("|", "ent_b", "type_b").alias("kb"),
+    )
+    if orient == "degree":
+        # total order (degree, key): zero-padded degree prefix makes it one
+        # sortable string; ties (equal degree) break on the key itself
+        deg = (
+            e0.select(F.col("ka").alias("k"))
+            .unionAll(e0.select(F.col("kb").alias("k")))
+            .groupBy("k")
+            .agg(F.count("*").alias("deg"))
+            .select(
+                "k",
+                F.concat_ws(
+                    "|", F.lpad(F.col("deg").cast("string"), 12, "0"), "k"
+                ).alias("ordk"),
+            )
+        )
+        da = deg.select(F.col("k").alias("ka"), F.col("ordk").alias("ord_a"))
+        db = deg.select(F.col("k").alias("kb"), F.col("ordk").alias("ord_b"))
+        oriented = (
+            e0.join(da, "ka")
+            .join(db, "kb")
+            .select(
+                F.when(F.col("ord_a") < F.col("ord_b"), F.col("ka"))
+                .otherwise(F.col("kb")).alias("src"),
+                F.when(F.col("ord_a") < F.col("ord_b"), F.col("kb"))
+                .otherwise(F.col("ka")).alias("dst"),
+                F.greatest("ord_a", "ord_b").alias("dst_ord"),
+            )
+        )
+    else:
+        oriented = e0.select(
+            F.col("ka").alias("src"), F.col("kb").alias("dst"),
+            F.col("kb").alias("dst_ord"),
+        )
+    e = scoped_persist(oriented)
+    w1 = e.select("src", F.col("dst").alias("x"), F.col("dst_ord").alias("xo"))
+    w2 = e.select("src", F.col("dst").alias("y"), F.col("dst_ord").alias("yo"))
+    wedges = w1.join(w2, "src").filter(F.col("xo") < F.col("yo"))
+    close = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(close, ["x", "y"])
+    # canonicalize corners back to a < b < c in binary order of the
+    # "ent|etype" key — the same concatenated-string comparison the edge
+    # table and the DuckDB oracle use, so the output convention matches
+    # regardless of orientation
+    corners = F.array_sort(F.array("src", "x", "y"))
+
+    def part(i, j):
+        return F.split(corners[i], r"\|")[j]
+
+    return tri.select(
+        part(0, 0).alias("ent_a"), part(0, 1).alias("type_a"),
+        part(1, 0).alias("ent_b"), part(1, 1).alias("type_b"),
+        part(2, 0).alias("ent_c"), part(2, 1).alias("type_c"),
+    )
