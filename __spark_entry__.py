@@ -476,6 +476,22 @@ def q_txt_source_stats(spark, sf_dir):
     )
 
 
+def q_txt_length_pct(spark, sf_dir):
+    """Per-language token-count percentiles (discrete/exact — the
+    distribution-based quality-cutoff table)."""
+    return textstats.length_percentiles(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_common_neighbors(spark, sf_dir):
+    """Link-prediction counts on the co-occurrence graph
+    (er.common_neighbors): degree-capped wedge aggregation, full degrees
+    and known-link flag attached."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.common_neighbors(er.cooccurrence_edges(typed))
+
+
 def q_txt_redact(spark, sf_dir):
     """PII redaction (textstats.redact_pii): emails -> <EMAIL>, phone-shaped
     runs -> <PHONE>, residual digit runs -> <NUM>, with per-doc match
@@ -718,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_contamination": q_txt_contamination,
         "txt_source_stats": q_txt_source_stats,
         "txt_redact": q_txt_redact,
+        "txt_length_pct": q_txt_length_pct,
+        "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
         "txt_sample_balanced": q_txt_sample_balanced,
         "dedup_exact": q_dedup_exact,
@@ -776,6 +794,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_contamination": O.txt_contamination(),
         "txt_source_stats": O.txt_source_stats(),
         "txt_redact": O.txt_redact(),
+        "txt_length_pct": O.txt_length_pct(),
+        "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),
         "txt_sample_balanced": O.txt_sample_balanced(),
         "dedup_exact": O.dedup_exact(),

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "txt_contamination",
     "txt_source_stats",
     "txt_redact",
+    "txt_length_pct",
+    "kg_common_neighbors",
     "txt_sample_hash",
     "txt_sample_balanced",
     "dedup_exact",

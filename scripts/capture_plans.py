@@ -267,6 +267,21 @@ def main() -> None:
                    and "Python" not in p15
                    and "ReadSchema: struct<doc_id:bigint,text:string>" in p15))
 
+    # 16. common neighbors: the symmetrized adjacency is persisted ONCE and
+    # feeds the degree aggregate + both capped pair-generation sides; the
+    # degree cap makes the wedge stage never hub-quadratic (checked at the
+    # operator level by test_common_neighbors_degree_cap_excludes_hub_witness).
+    with cache_scope():
+        q16 = entry.q_kg_common_neighbors(spark, SF)
+        p16 = plan_of(q16)
+        sections.append(("Common neighbors (kg_common_neighbors)", p16))
+        checks.append(("common-neighbor adjacency persisted once, 3 consumers",
+                       "InMemoryRelation" in p16
+                       and p16.count("InMemoryTableScan") >= 3))
+        checks.append(("no forced broadcast in common-neighbor chain",
+                       "ResolvedHint" not in
+                       q16._jdf.queryExecution().analyzed().toString()))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

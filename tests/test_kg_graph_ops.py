@@ -176,3 +176,63 @@ def test_redact_email_digits_not_double_counted(spark):
     # the email's digits are consumed by <EMAIL>; only '7' remains a number
     assert r.red_text == "<EMAIL> and <NUM> more"
     assert (r.n_emails, r.n_phones, r.n_nums) == (1, 0, 1)
+
+
+def test_common_neighbors_counts_and_linked(spark):
+    # path graph + one closing edge: a-b, b-c, a-c, c-d
+    edges = spark.createDataFrame(
+        [
+            ("a", "T", "b", "T", 1, 1),
+            ("b", "T", "c", "T", 1, 1),
+            ("a", "T", "c", "T", 1, 1),
+            ("c", "T", "d", "T", 1, 1),
+        ],
+        "ent_a string, type_a string, ent_b string, type_b string, "
+        "n_sents long, n_docs long",
+    )
+    rows = {
+        (r.ent_x, r.ent_y): r
+        for r in er.common_neighbors(edges, max_degree=100).collect()
+    }
+    # (a, b): common neighbor c; both also adjacent -> linked=1
+    ab = rows[("a", "b")]
+    assert (ab.n_common, ab.linked, ab.deg_x, ab.deg_y) == (1, 1, 2, 2)
+    # (b, d): common neighbor c; NOT adjacent -> the link-prediction row
+    bd = rows[("b", "d")]
+    assert (bd.n_common, bd.linked, bd.deg_y) == (1, 0, 1)
+    # (a, d): common neighbor c, not adjacent
+    assert rows[("a", "d")].linked == 0
+
+
+def test_common_neighbors_degree_cap_excludes_hub_witness(spark):
+    # hub h adjacent to x, y, z; no other edges. With the hub admitted,
+    # every pair has 1 common neighbor; with cap=2 (< deg(h)=3) the hub
+    # cannot act as witness and NO pair survives.
+    edges = spark.createDataFrame(
+        [
+            ("h", "T", "x", "T", 1, 1),
+            ("h", "T", "y", "T", 1, 1),
+            ("h", "T", "z", "T", 1, 1),
+        ],
+        "ent_a string, type_a string, ent_b string, type_b string, "
+        "n_sents long, n_docs long",
+    )
+    assert er.common_neighbors(edges, max_degree=100).count() == 3
+    assert er.common_neighbors(edges, max_degree=2).count() == 0
+
+
+def test_length_percentiles_discrete_picks(spark):
+    from unsupervised_ner_spark.ops.textstats import length_percentiles
+
+    docs = [(i, " ".join(["w"] * n), "en") for i, n in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    docs += [(100, "a b c", "de")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {(r.lang, r.pct): r for r in length_percentiles(df).collect()}
+    # en: n=10 -> rank ceil(.1*10)=1 -> 1 token; p50 -> rank 5 -> 5; p90 -> rank 9 -> 9
+    assert out[("en", 10)].n_tokens == 1
+    assert out[("en", 50)].n_tokens == 5
+    assert out[("en", 90)].n_tokens == 9
+    assert out[("en", 50)].n_docs == 10
+    # de: single doc -> every percentile picks it
+    assert all(out[("de", p)].n_tokens == 3 for p in (10, 50, 90))

@@ -284,3 +284,47 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_nums": n_nums.cast("long"),
         }
     )
+
+
+def length_percentiles(documents: DataFrame, ps: tuple[int, ...] = (10, 50, 90)) -> DataFrame:
+    """Per-language token-count percentiles (discrete, exact) — the
+    distribution-based quality-cutoff table: corpus curation filters
+    by "drop below the p10 length for the language", not by a global
+    constant. Returns (lang, pct, n_tokens, n_docs) with ``n_tokens``
+    the value at rank ceil(pct/100 * n_docs) in (n_tokens, doc_id)
+    order — discrete selection, so the result is an integer that both
+    engines reproduce bit-exactly (interpolated percentiles are
+    float-division-order-sensitive across engines and are deliberately
+    avoided; the doc_id tie-break makes the picked ROW unique, though
+    the picked VALUE is tie-insensitive anyway).
+
+    Scale shape: one window sort per language partition. Languages are
+    few and web corpora are language-skewed, so at 100 TB the honest
+    posture is that the dominant language's partition is a single-key
+    sort — the standard remedy is approx quantiles (percentile_approx /
+    t-digest) which trade exactness for a mergeable sketch; this
+    operator keeps the exact contract and is therefore the
+    SMALL-DIMENSION variant (per-language tables up to ~10^8 docs sort
+    fine; beyond that, swap in the sketch)."""
+    from pyspark.sql import Window
+
+    toks = F.size(tokens_ws(F.col("text")))
+    base = documents.select("doc_id", "lang", toks.alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = base.select(
+        "lang", "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    picks = None
+    for p in ps:
+        # integer ceil(p/100 * n) without float division: (n*p + 99) div 100
+        target = F.expr(f"greatest(1, (n_docs * {p} + 99) div 100)")
+        sel = ranked.filter(F.col("rn") == target).select(
+            "lang",
+            F.lit(p).cast("long").alias("pct"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        picks = sel if picks is None else picks.unionAll(sel)
+    return picks

@@ -1844,3 +1844,70 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{NUM_RE}')) AS BIGINT) AS n_nums
 FROM s2
 """
+
+
+def txt_length_pct() -> str:
+    """Discrete per-language token-count percentile twin
+    (ops/textstats.py length_percentiles): rank = ceil(p/100 * n) via
+    integer arithmetic ((n*p + 99) // 100) — no float division, so both
+    engines pick the identical rank for every (n, p)."""
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n_docs
+    FROM base
+)
+SELECT lang, CAST(p AS BIGINT) AS pct,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked, UNNEST([10, 50, 90]) AS u(p)
+WHERE rn = GREATEST(1, (n_docs * p + 99) // 100)
+"""
+
+
+def kg_common_neighbors(model: str = "a100") -> str:
+    """Common-neighbor twin (pipeline/er.py common_neighbors): symmetrized
+    adjacency, degree-capped middle nodes (shared exact integer cube root,
+    clamp [16, 4096] over the symmetric edge count), pair aggregation,
+    full degrees + known-link flag."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c FROM sym))"
+    )
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+sym AS (
+    SELECT ka AS mid, kb AS nb FROM ek
+    UNION ALL
+    SELECT kb AS mid, ka AS nb FROM ek
+),
+deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY mid),
+mids AS (
+    SELECT s.mid, s.nb FROM sym s JOIN deg d USING (mid)
+    WHERE d.deg <= {cap}
+),
+cn AS (
+    SELECT a.nb AS kx, b.nb AS ky, CAST(count(*) AS BIGINT) AS n_common
+    FROM mids a JOIN mids b ON a.mid = b.mid AND a.nb < b.nb
+    GROUP BY a.nb, b.nb
+)
+SELECT string_split(c.kx, '|')[1] AS ent_x, string_split(c.kx, '|')[2] AS type_x,
+       string_split(c.ky, '|')[1] AS ent_y, string_split(c.ky, '|')[2] AS type_y,
+       c.n_common, dx.deg AS deg_x, dy.deg AS deg_y,
+       CAST(CASE WHEN e.ka IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS linked
+FROM cn c
+JOIN deg dx ON dx.mid = c.kx
+JOIN deg dy ON dy.mid = c.ky
+LEFT JOIN ek e ON e.ka = c.kx AND e.kb = c.ky
+""",
+        "ek", "sym", "deg", "mids",
+    )

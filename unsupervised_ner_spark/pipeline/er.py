@@ -701,3 +701,73 @@ def triangles(edges: DataFrame, orient: str = "degree") -> DataFrame:
         part(1, 0).alias("ent_b"), part(1, 1).alias("type_b"),
         part(2, 0).alias("ent_c"), part(2, 1).alias("type_c"),
     )
+
+
+def common_neighbors(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Common-neighbor counts over the entity co-occurrence graph — the
+    link-prediction primitive (pairs sharing many neighbors are candidate
+    missing/future edges; the count is also the numerator of adjacency
+    Jaccard). Returns one row per entity pair with >= 1 common neighbor
+    after capping: (ent_x, type_x, ent_y, type_y, n_common, deg_x, deg_y,
+    linked) — all integers; ``linked`` = 1 if the pair is itself an edge
+    (known link) else 0 (the prediction candidates).
+
+    Wedge enumeration at a middle node is inherently deg^2, so the DEFAULT
+    is degree-capped: middle nodes with degree > cap are excluded from
+    pair generation (the ``dedup_jaccard`` df-cap pattern — a hub like
+    "covid" is a near-useless similarity witness anyway, exactly like a
+    stop-shingle). The cap is corpus-adaptive — clamp(icbrt_ceil(n_sym),
+    16, 4096) over the symmetrized edge count, computed by an O(1) driver
+    action and replayed exactly by the DuckDB oracle (shared exact integer
+    cube root, ADVICE r04) — so the pair stage is never hub-quadratic at
+    any corpus size. ``deg_x``/``deg_y`` report FULL degrees (the cap
+    only gates who may act as a witness). The symmetrized adjacency feeds
+    pair generation twice plus the degree aggregate, so it is persisted
+    once."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("mid"),
+            F.concat_ws("|", "ent_b", "type_b").alias("nb"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("mid"),
+                F.concat_ws("|", "ent_a", "type_a").alias("nb"),
+            )
+        )
+    )
+    if max_degree is None:
+        max_degree = max(16, min(4096, icbrt_ceil(max(sym.count(), 1))))
+    deg = sym.groupBy("mid").agg(F.count("*").cast("long").alias("deg"))
+    mids = sym.join(deg.filter(F.col("deg") <= max_degree), "mid")
+    a = mids.select("mid", F.col("nb").alias("kx"))
+    b = mids.select("mid", F.col("nb").alias("ky"))
+    cn = (
+        a.join(b, "mid")
+        .filter(F.col("kx") < F.col("ky"))
+        .groupBy("kx", "ky")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    dx = deg.select(F.col("mid").alias("kx"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("mid").alias("ky"), F.col("deg").alias("deg_y"))
+    ek = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("kx"),
+        F.concat_ws("|", "ent_b", "type_b").alias("ky"),
+        F.lit(1).cast("long").alias("linked"),
+    )
+    out = (
+        cn.join(dx, "kx")
+        .join(dy, "ky")
+        .join(ek, ["kx", "ky"], "left")
+        .withColumn("linked", F.coalesce("linked", F.lit(0).cast("long")))
+    )
+
+    def part(k, j):
+        return F.split(F.col(k), r"\|")[j]
+
+    return out.select(
+        part("kx", 0).alias("ent_x"), part("kx", 1).alias("type_x"),
+        part("ky", 0).alias("ent_y"), part("ky", 1).alias("type_y"),
+        "n_common", "deg_x", "deg_y", "linked",
+    )
