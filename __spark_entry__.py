@@ -580,6 +580,18 @@ def q_ann_ivf_topk_probe(spark, sf_dir):
         "rank",
     )
 
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization code table (simsearch.pq_codes): the
+    m·log2(ksub)-bit compressed corpus representation."""
+    return simsearch.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (simsearch.ivfpq_topk): cell-pruned candidates ranked by
+    integer ADC over the PQ codes — the billion-scale composition."""
+    return simsearch.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_mm_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     meta = multimodal.media_metadata(multimodal.synth_media(docs))
@@ -750,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_probe": q_ann_ivf_topk_probe,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "mm_media_meta": q_mm_media_meta,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
@@ -810,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": O.ann_ivf_assign(),
         "ann_ivf_topk": O.ann_ivf_topk(),
         "ann_ivf_topk_probe": O.ann_ivf_topk_probe(),
+        "ann_pq_codes": O.ann_pq_codes(),
+        "ann_ivfpq_topk": O.ann_ivfpq_topk(),
         "mm_media_meta": O.mm_media_meta(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "ann_ivf_assign",
     "ann_ivf_topk",
     "ann_ivf_topk_probe",
+    "ann_pq_codes",
+    "ann_ivfpq_topk",
     "dedup_embedding_cosine",
     "mm_media_meta",
     "mm_frames",

@@ -485,3 +485,65 @@ def test_source_stats_rollup(spark):
     assert a.n_tokens == 2 * len(good.split()) + 1
     b = r[("siteB", "de")]
     assert (b.n_docs, b.n_good_docs, b.n_distinct_fingerprints) == (1, 1, 1)
+
+
+def test_pq_codes_shape_and_codebook_self_assignment(spark, emb):
+    import hashlib
+
+    n = emb.count()
+    codes = simsearch.pq_codes(emb, m=4, ksub=8).collect()
+    # exactly m rows per vector, one code per (vec, sub)
+    assert len(codes) == n * 4
+    assert len({(r.vec_id, r.sub_id) for r in codes}) == n * 4
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    sampled = set(sorted(
+        ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:8])
+    by = {(r.vec_id, r.sub_id): r.code for r in codes}
+    # every code is a sampled id; a sampled vector quantizes to ITSELF in
+    # every subspace (its own sub-centroid is at distance 0)
+    assert {r.code for r in codes} <= sampled
+    for s in sampled:
+        assert all(by[(s, j)] == s for j in range(4))
+
+
+def test_ivfpq_adc_matches_numpy_reconstruction(spark, emb):
+    """Engine ADC totals == numpy recomputation from the engine's own code
+    table + the deterministic codebook (the integer-scaled sum contract),
+    and every returned neighbor lives in the query's IVF cell."""
+    import hashlib
+
+    m, ksub, nc = 4, 8, 4
+    rows = emb.collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    d = len(next(iter(V.values()))); w = d // m
+    sampled = sorted(V, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:ksub]
+    codes = {(r.vec_id, r.sub_id): r.code
+             for r in simsearch.pq_codes(emb, m=m, ksub=ksub).collect()}
+    cell = {r.vec_id: r.centroid_id
+            for r in simsearch.ivf_assign(emb, nc).collect()}
+    got = simsearch.ivfpq_topk(emb, n_queries=3, k=5, m=m, ksub=ksub,
+                               n_centroids=nc).collect()
+    assert len(got) > 0
+    for r in got:
+        assert cell[r.neighbor_id] == cell[r.query_id]
+        assert r.neighbor_id != r.query_id
+        total = 0
+        for j in range(m):
+            qs = V[r.query_id][j * w:(j + 1) * w]
+            cs = V[codes[(r.neighbor_id, j)]][j * w:(j + 1) * w]
+
+            def fold(a, b):
+                # replicate F.aggregate's strict left fold bit-exactly
+                acc = 0.0
+                for x, y in zip(a.tolist(), b.tolist()):
+                    acc = acc + x * y
+                return acc
+
+            d2 = round(fold(qs, qs) - 2 * fold(qs, cs) + fold(cs, cs), 9)
+            total += int(round(d2 * 1e9))
+        assert total == r.adc_i, (r.query_id, r.neighbor_id)
+    # ranks are dense, ADC-ascending per query
+    for q in {r.query_id for r in got}:
+        mine = sorted((x for x in got if x.query_id == q), key=lambda x: x.rank)
+        assert [x.rank for x in mine] == list(range(1, len(mine) + 1))
+        assert all(a.adc_i <= b.adc_i for a, b in zip(mine, mine[1:]))

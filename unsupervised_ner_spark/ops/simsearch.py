@@ -215,3 +215,132 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
     )
+
+
+PQ_M = 4  # subspaces (embedding dim must be divisible by PQ_M)
+PQ_KSUB = 16  # sub-centroids per subspace (8-bit codes would use 256)
+
+
+def _subspaces(df: DataFrame, m: int) -> DataFrame:
+    """Explode (vec_id, v) into (vec_id, sub_id, subv): m contiguous
+    equal-width chunks. Width is derived from the array itself, so the
+    operator is dimension-agnostic; dim % m == 0 is the PQ contract."""
+    w = (F.size("v") / m).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("long").alias("sub_id"),
+            F.slice(F.col("v"), j * w + 1, w).alias("subv"),
+        ),
+    )
+    return df.select("vec_id", F.explode(chunks).alias("c")).select(
+        "vec_id", F.col("c.sub_id").alias("sub_id"), F.col("c.subv").alias("subv")
+    )
+
+
+def pq_subcodebook(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+    """Per-subspace PQ codebook: the ``ksub`` corpus vectors with the
+    smallest ``md5(vec_id)`` (the same deterministic uniform draw as the
+    IVF coarse codebook), chunked into m sub-vectors each. Returns
+    (sub_id, code, scv) — m × ksub rows, always broadcastable. ``code``
+    is the sampled vector's id (the IVF centroid_id convention)."""
+    sample = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(ksub)
+        .select("vec_id", "v")
+    )
+    return _subspaces(sample, m).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("subv").alias("scv")
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB
+) -> DataFrame:
+    """Product-quantization codes: each vector -> m sub-centroid ids
+    (argmin squared euclidean per subspace, 9dp-quantized distances,
+    tie-break code asc — the IVF assignment conventions). Returns
+    (vec_id, sub_id, code): the m·log2(ksub)-bit compressed corpus
+    representation that makes billion-scale ANN RAM-resident.
+
+    Scale shape: one broadcast of the m × ksub codebook against the
+    exploded corpus (m rows per vector), one per-(vec, sub) argmin —
+    narrow except the window, which keys on vec_id (uniform)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = _subspaces(emb, m)
+    cb = pq_subcodebook(emb, m, ksub)
+    d2 = _d2(F.col("subv"), F.col("scv"))
+    joined = sub.join(F.broadcast(cb), "sub_id").select(
+        "vec_id", "sub_id", "code", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+    m: int = PQ_M, ksub: int = PQ_KSUB, n_centroids: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: candidates from the query's IVF cell, ranked by the
+    ASYMMETRIC-DISTANCE (ADC) approximation — sum over subspaces of the
+    exact distance from the query's sub-vector to the candidate's
+    ASSIGNED sub-centroid. The standard billion-scale composition: IVF
+    prunes the corpus to ~1/√N, PQ replaces each candidate's vector with
+    m small codes so ranking reads the code table, never the raw
+    vectors. Returns (query_id, rank, neighbor_id, adc_i).
+
+    Cross-engine determinism: each per-subspace distance is 9dp-rounded
+    then scaled to an INTEGER (× 1e9); the ADC total is an integer SUM —
+    exact and order-free, so distributed aggregation order cannot flip a
+    near-tie that a float sum would (ranks tie-break on neighbor id).
+    ``adc_i`` (the integer ADC) is itself hashable evidence.
+
+    Scale shape: the code table shuffles once on the cell id; the
+    distance table is n_queries × m × ksub rows — broadcast; the ADC is
+    one map-side-combining integer aggregate keyed on (query, candidate)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = pq_codes(embeddings, m, ksub)
+    assign = ivf_assign(embeddings, n_centroids)
+    qv = emb.filter(F.col("vec_id") < n_queries)
+    cb = pq_subcodebook(emb, m, ksub)
+    qd2 = _d2(F.col("subv"), F.col("scv"))
+    dtable = (
+        _subspaces(qv, m)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "query_id", "sub_id", "code",
+            F.round(qd2 * 1e9, 0).cast("long").alias("dint"),
+        )
+    )
+    qcell = assign.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("qc")
+    )
+    cand = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(qcell), F.col("centroid_id") == F.col("qc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(dtable), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dint").cast("long").alias("adc_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"), "adc_i",
+        )
+    )

@@ -1911,3 +1911,104 @@ LEFT JOIN ek e ON e.ka = c.kx AND e.kb = c.ky
 """,
         "ek", "sym", "deg", "mids",
     )
+
+
+def _pq_ctes(m: int, ksub: int) -> str:
+    """Shared PQ CTE fragment (ops/simsearch.py _subspaces/pq_subcodebook/
+    pq_codes twins): md5-sampled sub-codebook, exploded subspaces, 9dp
+    argmin codes. Requires an ``e(vec_id, v)`` CTE in scope."""
+    w = "(len(v) // {m})".format(m=m)
+    d2 = (
+        "round(list_dot_product(subv, subv) - 2 * list_dot_product(subv, scv)"
+        " + list_dot_product(scv, scv), 9)"
+    )
+    return f"""
+smp AS (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+    FROM e
+),
+cb AS (
+    SELECT CAST(sub_id AS BIGINT) AS sub_id, vec_id AS code,
+           list_slice(v, sub_id * {w} + 1, (sub_id + 1) * {w}) AS scv
+    FROM smp, UNNEST(generate_series(0, {m - 1})) AS u(sub_id)
+    WHERE rk <= {ksub}
+),
+sub AS (
+    SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id,
+           list_slice(v, sub_id * {w} + 1, (sub_id + 1) * {w}) AS subv
+    FROM e, UNNEST(generate_series(0, {m - 1})) AS u(sub_id)
+),
+pd AS (
+    SELECT sub.vec_id, sub.sub_id, cb.code, {d2} AS d2
+    FROM sub JOIN cb USING (sub_id)
+),
+pqcodes AS (
+    SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM pd) WHERE rn = 1
+)"""
+
+
+def ann_pq_codes(m: int = 4, ksub: int = 16) -> str:
+    """PQ code-table twin (ops/simsearch.py pq_codes)."""
+    return _materialize(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_pq_ctes(m, ksub).strip()}
+SELECT vec_id, sub_id, code FROM pqcodes
+""",
+        "cb", "sub",
+    )
+
+
+def ann_ivfpq_topk(
+    n_queries: int = 5, k: int = 5, m: int = 4, ksub: int = 16,
+    n_centroids: int | None = None,
+) -> str:
+    """IVF-PQ ADC twin (ops/simsearch.py ivfpq_topk): integer per-subspace
+    distances (9dp round, ×1e9, round 0) summed exactly — order-free on
+    both engines."""
+    dint = (
+        "CAST(round(round(list_dot_product(subv, subv)"
+        " - 2 * list_dot_product(subv, scv)"
+        " + list_dot_product(scv, scv), 9) * 1e9, 0) AS BIGINT)"
+    )
+    return _materialize(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
+{_pq_ctes(m, ksub).strip()},
+dt AS (
+    SELECT sub.vec_id AS query_id, sub.sub_id, cb.code, {dint} AS dint
+    FROM sub JOIN cb USING (sub_id)
+    WHERE sub.vec_id < {n_queries}
+),
+qcell AS (
+    SELECT vec_id AS query_id, centroid_id AS qc
+    FROM assign WHERE vec_id < {n_queries}
+),
+candc AS (
+    SELECT pc.vec_id, pc.sub_id, pc.code, q.query_id
+    FROM pqcodes pc
+    JOIN assign a USING (vec_id)
+    JOIN qcell q ON a.centroid_id = q.qc
+    WHERE pc.vec_id <> q.query_id
+),
+adc AS (
+    SELECT query_id, vec_id, CAST(sum(dint) AS BIGINT) AS adc_i
+    FROM candc JOIN dt USING (query_id, sub_id, code)
+    GROUP BY query_id, vec_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adc_i
+FROM (
+    SELECT query_id, vec_id, adc_i,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_i ASC, vec_id ASC) AS rank
+    FROM adc)
+WHERE rank <= {k}
+""",
+        "cb", "sub", "pqcodes", "assign",
+    )
