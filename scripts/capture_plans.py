@@ -282,6 +282,17 @@ def main() -> None:
                        "ResolvedHint" not in
                        q16._jdf.queryExecution().analyzed().toString()))
 
+    # 17. IVF-PQ ADC: ranking reads the code table + a BROADCAST distance
+    # table (never the raw vectors), and the ADC total is a partially
+    # aggregated integer sum (map-side combine before the exchange).
+    q17 = entry.q_ann_ivfpq_topk(spark, SF)
+    p17 = plan_of(q17)
+    sections.append(("IVF-PQ ADC search (ann_ivfpq_topk)", p17))
+    checks.append(("ivfpq distance table broadcast",
+                   "BroadcastHashJoin" in p17))
+    checks.append(("ivfpq ADC partially aggregated pre-shuffle",
+                   "partial_sum" in p17 or "Partial" in p17))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
