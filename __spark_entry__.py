@@ -405,6 +405,26 @@ def q_kg_triangles(spark, sf_dir):
     return er.triangles(er.cooccurrence_edges(typed))
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank on the entity co-occurrence graph
+    (er.pagerank): 3 synchronous power steps with damping 0.85 in pure
+    long arithmetic — the DuckDB oracle unrolls the same iterations, so
+    the ranks hash bit-exactly (no float summation order)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.pagerank(er.cooccurrence_edges(typed))
+
+
+def q_kg_paths_2hop(spark, sf_dir):
+    """Two-hop path enumeration over the canonical triple graph
+    (er.paths_2hop): distinct-edge self-join through adaptively
+    degree-capped middle nodes, cycle-flagged."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.paths_2hop(er.triple_support(q_kg_canonical_triples(spark, sf_dir)))
+
+
 def q_er_components(spark, sf_dir):
     """Full ER incl. LSH edges + iterative connected components; the DuckDB
     oracle replays the iteration's fixpoint with a RECURSIVE CTE (min
@@ -510,6 +530,42 @@ def q_txt_redact(spark, sf_dir):
     )
     red = textstats.redact_pii(d.select("doc_id", dirty.alias("text")))
     return red.select("doc_id", "red_text", "n_emails", "n_phones", "n_nums")
+
+
+def q_txt_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup (textstats.line_dedup): lines whose
+    normalized form appears in > 2 distinct docs are dropped; the gate
+    hashes the exact retained text per doc. The sf corpus is single-line
+    by construction, so the query builds a DETERMINISTIC multi-line view
+    (same expression replayed by the oracle, the txt_redact precedent):
+    a per-source copyright header (25 docs share each -> dropped), the
+    body re-wrapped into 8-word lines (unique -> kept), and a
+    newsletter footer on every third doc (corpus-wide -> dropped)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    nch = F.expr("(size(split(text, ' ', -1)) + 7) div 8")
+    body = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    header = F.concat(
+        F.lit("(c) "), F.col("source"), F.lit(" media network all rights reserved")
+    )
+    footer = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0,
+        F.array(F.lit("subscribe to our newsletter for daily updates")),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    multi = F.array_join(
+        F.concat(F.array(header), body, footer), "\n"
+    )
+    return textstats.line_dedup(d.select("doc_id", multi.alias("text")))
+
+
+def q_ann_range_search(spark, sf_dir):
+    """Radius similarity search (simsearch.range_search): all neighbors
+    with cosine >= 0.2 of the 5 query vectors; integer cos_mil bucket in
+    the hashed surface (9dp round before compare and bucket)."""
+    return simsearch.range_search(_t(spark, sf_dir, "embeddings"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -731,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_cooccurrence_npmi": q_kg_cooccurrence_npmi,
         "kg_entity_degree": q_kg_entity_degree,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_paths_2hop": q_kg_paths_2hop,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
@@ -746,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_contamination": q_txt_contamination,
         "txt_source_stats": q_txt_source_stats,
         "txt_redact": q_txt_redact,
+        "txt_line_dedup": q_txt_line_dedup,
         "txt_length_pct": q_txt_length_pct,
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
@@ -762,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_probe": q_ann_ivf_topk_probe,
+        "ann_range_search": q_ann_range_search,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "mm_media_meta": q_mm_media_meta,
@@ -793,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": O.kg_cooccurrence(),
         "kg_cooccurrence_npmi": O.kg_cooccurrence_npmi(),
         "kg_entity_degree": O.kg_entity_degree(),
+        "kg_pagerank": O.kg_pagerank(),
+        "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),
@@ -808,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_contamination": O.txt_contamination(),
         "txt_source_stats": O.txt_source_stats(),
         "txt_redact": O.txt_redact(),
+        "txt_line_dedup": O.txt_line_dedup(),
         "txt_length_pct": O.txt_length_pct(),
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),
@@ -824,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": O.ann_ivf_assign(),
         "ann_ivf_topk": O.ann_ivf_topk(),
         "ann_ivf_topk_probe": O.ann_ivf_topk_probe(),
+        "ann_range_search": O.ann_range_search(),
         "ann_pq_codes": O.ann_pq_codes(),
         "ann_ivfpq_topk": O.ann_ivfpq_topk(),
         "mm_media_meta": O.mm_media_meta(),

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "kg_cooccurrence",
     "kg_cooccurrence_npmi",
     "kg_entity_degree",
+    "kg_pagerank",
+    "kg_paths_2hop",
     "kg_bio_tags",
     "kg_triples",
     "kg_predicates",
@@ -60,6 +62,7 @@ BENCH_QUERIES = [
     "txt_contamination",
     "txt_source_stats",
     "txt_redact",
+    "txt_line_dedup",
     "txt_length_pct",
     "kg_common_neighbors",
     "txt_sample_hash",
@@ -75,6 +78,7 @@ BENCH_QUERIES = [
     "ann_ivf_assign",
     "ann_ivf_topk",
     "ann_ivf_topk_probe",
+    "ann_range_search",
     "ann_pq_codes",
     "ann_ivfpq_topk",
     "dedup_embedding_cosine",

@@ -344,3 +344,47 @@ def ivfpq_topk(
             F.col("vec_id").alias("neighbor_id"), "adc_i",
         )
     )
+
+
+def range_search(
+    embeddings: DataFrame, n_queries: int = 5, tau: float = 0.2
+) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors within cosine
+    >= ``tau`` of each query — the fixed-threshold retrieval primitive
+    (dedup candidate harvest, semantic recall sweeps) that top-k cannot
+    express when the true neighbor count varies per query.
+
+    Returns (query_id, neighbor_id, cos_mil) — cos_mil is
+    ``floor(round(cos, 9) * 1000)``, an integer similarity bucket safe to
+    hash (the 9 dp rounding is applied BEFORE the compare and the bucket,
+    so a 1-ulp libm divergence can neither flip threshold membership nor
+    the bucket — the shared cross-engine determinism rule of this module).
+
+    Scale shape: identical to the brute-force baseline — the query set is
+    tiny and broadcast, the corpus scan is a single narrow pass, and the
+    threshold filter prunes before any exchange (output is
+    result-bounded). The IVF-cell variant (probe cells whose centroid
+    distance passes a triangle-inequality bound) is the 100 TB path once
+    tau is tight; at moderate tau range search is inherently scan-shaped.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))),
+        9,
+    )
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("c"))
+        .filter(F.col("c") >= tau)
+        .select(
+            "query_id", "neighbor_id",
+            F.floor(F.col("c") * 1000).cast("long").alias("cos_mil"),
+        )
+    )

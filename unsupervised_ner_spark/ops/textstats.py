@@ -328,3 +328,53 @@ def length_percentiles(documents: DataFrame, ps: tuple[int, ...] = (10, 50, 90))
         )
         picks = sel if picks is None else picks.unionAll(sel)
     return picks
+
+
+def line_dedup(
+    documents: DataFrame, text_col: str = "text", max_df: int = 2
+) -> DataFrame:
+    """CCNet-style line-level deduplication: drop every line whose
+    normalized form appears in more than ``max_df`` distinct documents —
+    the boilerplate scrubber (nav bars, cookie banners, copyright
+    footers) that document-level dedup cannot touch because the
+    SURROUNDING text differs per page.
+
+    Per doc returns (doc_id, n_lines, n_kept, n_dropped, kept_chars,
+    kept_md5) — kept_md5 is md5 over the kept lines re-joined with
+    ``\\n`` in original order, so the gate proves the exact retained
+    TEXT, not just counts. All hashed columns are ints/strings.
+
+    Scale shape: one posexplode (narrow), one map-side-combining
+    line-frequency aggregate (bounded by distinct normalized lines), one
+    equi-join back on the line key, one per-doc aggregate. The join is
+    the skew point BY DESIGN — a ubiquitous boilerplate line ("subscribe
+    to our newsletter") is one hot key; AQE skew-join splits it, and at
+    extreme scale the standard refinement is to broadcast the top-K
+    most-frequent lines (tiny: K lines) and only shuffle the long tail.
+    The per-doc collect_list holds one document's lines — bounded by
+    document size, the same per-row envelope as the tagging stages."""
+    lines = F.split(F.col(text_col), r"\n", -1)
+    ex = documents.select(
+        "doc_id", F.posexplode(lines).alias("idx", "line")
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    freq = ex.groupBy("norm").agg(
+        F.countDistinct("doc_id").cast("long").alias("line_df")
+    )
+    j = ex.join(freq, "norm")
+    keep = F.col("line_df") <= max_df
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(keep, F.struct("idx", "line")))
+        ).alias("ks"),
+    )
+    kept_text = F.array_join(
+        F.transform(F.col("ks"), lambda s: s["line"]), "\n"
+    )
+    return agg.select(
+        "doc_id", "n_lines", "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        F.md5(kept_text).alias("kept_md5"),
+    )

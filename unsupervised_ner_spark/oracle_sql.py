@@ -2012,3 +2012,165 @@ WHERE rank <= {k}
 """,
         "cb", "sub", "pqcodes", "assign",
     )
+
+
+def kg_pagerank(
+    model: str = "a100", iterations: int = 3, scale: int = 1_000_000_000
+) -> str:
+    """Integer PageRank twin (pipeline/er.py pagerank): symmetrized
+    adjacency over the co-occurrence edge table, ``iterations`` unrolled
+    power steps with the SAME long arithmetic — ``rank' = tele + (85 *
+    sum(rank // deg)) // 100`` — so the ranks are bit-exact across
+    engines (no float summation order, no epsilon)."""
+    tele = 15 * scale // 100
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT d.k, d.deg,
+           CAST({tele} + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100
+                AS BIGINT) AS rank
+    FROM deg d
+    LEFT JOIN sym s ON s.dst = d.k
+    LEFT JOIN {prev} r ON r.k = s.src
+    GROUP BY d.k, d.deg
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+deg AS (
+    SELECT src AS k, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+),
+r0 AS (SELECT k, deg, CAST({scale} AS BIGINT) AS rank FROM deg),
+{chain}
+SELECT string_split(k, '|')[1] AS ent, string_split(k, '|')[2] AS etype,
+       deg, rank AS rank_scaled
+FROM {prev}
+""",
+        "sym", "deg",
+    )
+
+
+def kg_paths_2hop(model: str = "a100") -> str:
+    """Two-hop path twin (pipeline/er.py paths_2hop): distinct canonical
+    edges from the triple_support chain, middle nodes gated by the shared
+    adaptive degree cap (exact integer cube root of the edge count,
+    clamp [16, 4096]) on BOTH in- and out-degree, equi-join on the middle
+    entity id, cycle flag."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c "
+        "FROM sup))"
+    )
+    return _materialize(
+        f"""
+WITH ts AS ({kg_triple_support(model)})
+, sup AS (
+    SELECT subj_id, pred, obj_id, subj_type, obj_type, n_docs,
+           subj_repr, obj_repr
+    FROM ts
+),
+outd AS (SELECT subj_id AS k, CAST(count(*) AS BIGINT) AS out_deg
+         FROM sup GROUP BY subj_id),
+ind AS (SELECT obj_id AS k, CAST(count(*) AS BIGINT) AS in_deg
+        FROM sup GROUP BY obj_id),
+mids AS (
+    SELECT o.k AS mid_ok FROM outd o JOIN ind i ON i.k = o.k
+    WHERE o.out_deg <= {cap} AND i.in_deg <= {cap}
+)
+SELECT e1.subj_id AS a_id, e1.subj_type AS a_type, e1.subj_repr AS a_repr,
+       e1.pred AS pred_ab,
+       e1.obj_id AS mid_id, e1.obj_type AS mid_type, e1.obj_repr AS mid_repr,
+       e2.pred AS pred_bc,
+       e2.obj_id AS c_id, e2.obj_type AS c_type, e2.obj_repr AS c_repr,
+       e1.n_docs AS n_docs_ab, e2.n_docs AS n_docs_bc,
+       CAST(CASE WHEN e1.subj_id = e2.obj_id THEN 1 ELSE 0 END AS BIGINT)
+           AS is_cycle
+FROM sup e1
+JOIN mids m ON m.mid_ok = e1.obj_id
+JOIN sup e2 ON e2.subj_id = e1.obj_id
+""",
+        "sup",
+    )
+
+
+def txt_line_dedup(max_df: int = 2) -> str:
+    """Line-level dedup twin (ops/textstats.py line_dedup + the entry
+    wrapper's deterministic multi-line construction): per-source header,
+    8-word body wrap, every-third-doc footer; drop lines whose normalized
+    form appears in more than ``max_df`` distinct docs; hash the exact
+    retained text (string_agg ORDER BY line index, '' when empty)."""
+    return _materialize(
+        f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws, source FROM documents
+),
+dirty AS (
+    SELECT doc_id,
+           '(c) ' || source || ' media network all rights reserved'
+           || chr(10)
+           || array_to_string(
+                list_transform(
+                    range((len(ws) + 7) // 8),
+                    i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')),
+                chr(10))
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'subscribe to our newsletter for daily updates'
+                   ELSE '' END AS text
+    FROM w
+),
+lx AS (
+    SELECT d.doc_id, u.i AS idx, string_split(d.text, chr(10))[u.i + 1] AS line
+    FROM dirty d,
+         UNNEST(generate_series(0, len(string_split(d.text, chr(10))) - 1))
+             AS u(i)
+),
+ln AS (SELECT doc_id, idx, line, trim(lower(line)) AS norm FROM lx),
+freq AS (
+    SELECT norm, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
+    FROM ln GROUP BY norm
+),
+j AS (SELECT l.*, f.line_df FROM ln l JOIN freq f USING (norm))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE line_df <= {max_df}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE line_df > {max_df}) AS BIGINT) AS n_dropped,
+       CAST(length(COALESCE(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE line_df <= {max_df}), ''))
+            AS BIGINT) AS kept_chars,
+       md5(COALESCE(string_agg(line, chr(10) ORDER BY idx)
+                    FILTER (WHERE line_df <= {max_df}), '')) AS kept_md5
+FROM j GROUP BY doc_id
+""",
+        "ln",
+    )
+
+
+def ann_range_search(n_queries: int = 5, tau: float = 0.2) -> str:
+    """Range-search twin (ops/simsearch.py range_search): broadcast query
+    set, 9dp-rounded cosine threshold, integer cos_mil bucket."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+s AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 9) AS c
+    FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(floor(c * 1000) AS BIGINT) AS cos_mil
+FROM s WHERE c >= {tau}
+"""

@@ -771,3 +771,140 @@ def common_neighbors(edges: DataFrame, max_degree: int | None = None) -> DataFra
         part("ky", 0).alias("ent_y"), part("ky", 1).alias("type_y"),
         "n_common", "deg_x", "deg_y", "linked",
     )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, scale: int = 1_000_000_000
+) -> DataFrame:
+    """Integer-arithmetic PageRank over the entity co-occurrence graph —
+    the global-importance ranking of KG analytics (which canonical
+    entities anchor the graph). Input is the AGGREGATED undirected edge
+    table (``cooccurrence_edges``); output is (ent, etype, deg,
+    rank_scaled) after ``iterations`` synchronous power steps with
+    damping 0.85.
+
+    All arithmetic is INTEGER (the NPMI sufficient-statistics precedent
+    taken one step further): ranks start at ``scale`` per node and each
+    step computes ``rank' = (15*scale) div 100 + (85 * sum(rank_src div
+    deg_src)) div 100`` with long division. Integer addition is
+    commutative and division truncation is engine-independent for
+    positive longs, so the DuckDB oracle replays the exact ranks with
+    unrolled CTE iterations — no float summation order to diverge, no
+    epsilon in the hash gate. The float rank is ``rank_scaled / scale``
+    if a consumer wants it (never hashed).
+
+    Scale shape: the symmetrized adjacency (bounded by distinct
+    co-occurring pairs, not corpus size) is persisted once and reused
+    every step; each step is one src-keyed equi-join (rank table is
+    node-sized, far smaller than the adjacency) plus one dst-keyed
+    map-side-combining sum — the standard synchronous PageRank shuffle
+    pair, O(iterations) rounds. A hub entity is one reducer key. Overflow
+    bound: total mass stays ~n_nodes*scale, so contributions*85 fit a
+    long while n_nodes*scale < ~1e17 — at 1e9+ nodes drop ``scale`` to
+    1e6 (documented knob, asserted nowhere hot). The co-occurrence graph
+    is symmetric, so there are no dangling nodes and no isolated nodes
+    (every node has deg >= 1 and >= 1 in-edge) — the left join +
+    coalesce(0) is belt-and-braces only.
+    """
+    tele = 15 * scale // 100
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    deg = scoped_persist(
+        sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+        .select(F.col("src").alias("k"), "deg")
+    )
+    r = deg.select("k", "deg", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        msgs = sym.join(
+            r.select(F.col("k").alias("src"), F.expr("rank div deg").alias("c")),
+            "src",
+        ).select(F.col("dst").alias("k"), "c")
+        incoming = msgs.groupBy("k").agg(F.sum("c").alias("s"))
+        r = deg.join(incoming, "k", "left").select(
+            "k", "deg",
+            F.expr(
+                f"CAST({tele} AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+            ).alias("rank"),
+        )
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return r.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        "deg", F.col("rank").alias("rank_scaled"),
+    )
+
+
+def paths_2hop(support: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
+    """Two-hop path enumeration over the canonical triple graph — the KG
+    inference/query primitive (a -pred_ab-> b -pred_bc-> c candidate
+    compositions, e.g. drug -treats-> disease -caused_by-> pathogen).
+    Input is the ``triple_support`` table (one row per DISTINCT canonical
+    graph edge with support counts — bounded by distinct edges, never
+    corpus-sized); output is one row per 2-hop path through an eligible
+    middle node.
+
+    Scale shape: path enumeration at a middle node is out_deg*in_deg —
+    inherently quadratic at hubs — so the DEFAULT caps the middle node
+    (both its in- and out-degree must be <= cap) with the corpus-adaptive
+    ``clamp(icbrt_ceil(n_edges), 16, 4096)`` shared with common_neighbors
+    (the df-cap pattern: a hub middle like "covid" composes with
+    everything and predicts nothing). Endpoint degrees are NOT capped —
+    the cap only gates who may act as the bridge. The join is an
+    equi-join on the middle entity id between two bounded tables; the
+    support table feeds both sides plus the degree aggregates, so it is
+    persisted once. Cycles (a == c round trips) are kept but flagged
+    (``is_cycle``) so consumers filter without a second pass."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    sup = scoped_persist(
+        support.select(
+            "subj_id", "pred", "obj_id", "subj_type", "obj_type",
+            "n_docs", "subj_repr", "obj_repr",
+        )
+    )
+    if max_mid_degree is None:
+        max_mid_degree = max(16, min(4096, icbrt_ceil(max(sup.count(), 1))))
+    out_deg = sup.groupBy("subj_id").agg(F.count("*").cast("long").alias("out_deg"))
+    in_deg = sup.groupBy("obj_id").agg(F.count("*").cast("long").alias("in_deg"))
+    mids = (
+        out_deg.join(in_deg, out_deg["subj_id"] == in_deg["obj_id"])
+        .filter(
+            (F.col("out_deg") <= max_mid_degree)
+            & (F.col("in_deg") <= max_mid_degree)
+        )
+        .select(F.col("subj_id").alias("mid_ok"))
+    )
+    e1 = sup.select(
+        F.col("subj_id").alias("a_id"), F.col("subj_type").alias("a_type"),
+        F.col("subj_repr").alias("a_repr"), F.col("pred").alias("pred_ab"),
+        F.col("obj_id").alias("mid_id"), F.col("obj_type").alias("mid_type"),
+        F.col("obj_repr").alias("mid_repr"), F.col("n_docs").alias("n_docs_ab"),
+    )
+    e2 = sup.select(
+        F.col("subj_id").alias("mid_id"), F.col("pred").alias("pred_bc"),
+        F.col("obj_id").alias("c_id"), F.col("obj_type").alias("c_type"),
+        F.col("obj_repr").alias("c_repr"), F.col("n_docs").alias("n_docs_bc"),
+    )
+    return (
+        e1.join(mids, e1["mid_id"] == mids["mid_ok"]).drop("mid_ok")
+        .join(e2, "mid_id")
+        .select(
+            "a_id", "a_type", "a_repr", "pred_ab",
+            "mid_id", "mid_type", "mid_repr", "pred_bc",
+            "c_id", "c_type", "c_repr",
+            "n_docs_ab", "n_docs_bc",
+            F.when(F.col("a_id") == F.col("c_id"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")).alias("is_cycle"),
+        )
+    )
