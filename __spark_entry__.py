@@ -425,6 +425,31 @@ def q_kg_paths_2hop(spark, sf_dir):
     return er.paths_2hop(er.triple_support(q_kg_canonical_triples(spark, sf_dir)))
 
 
+def q_kg_graph_components(spark, sf_dir):
+    """Weakly connected components of the entity co-occurrence graph
+    (er.graph_components): the property-tested large/small-star loop over
+    the aggregated edge table; oracle = RECURSIVE min-reachable fixpoint."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.graph_components(er.cooccurrence_edges(typed))
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core peel (er.kcore, k=3, 4 fixed rounds — the oracle-replayable
+    prefix; the fixpoint variant is unit-tested against brute force)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.kcore(er.cooccurrence_edges(typed), k=3, rounds=4)
+
+
+def q_txt_unigram_stats(spark, sf_dir):
+    """Corpus-relative unigram rarity statistics (textstats.unigram_stats):
+    integer sufficient statistics for LM-free quality filtering."""
+    return textstats.unigram_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_er_components(spark, sf_dir):
     """Full ER incl. LSH edges + iterative connected components; the DuckDB
     oracle replays the iteration's fixpoint with a RECURSIVE CTE (min
@@ -789,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
         "kg_paths_2hop": q_kg_paths_2hop,
+        "kg_graph_components": q_kg_graph_components,
+        "kg_kcore": q_kg_kcore,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
@@ -805,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_stats": q_txt_source_stats,
         "txt_redact": q_txt_redact,
         "txt_line_dedup": q_txt_line_dedup,
+        "txt_unigram_stats": q_txt_unigram_stats,
         "txt_length_pct": q_txt_length_pct,
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
@@ -855,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_degree": O.kg_entity_degree(),
         "kg_pagerank": O.kg_pagerank(),
         "kg_paths_2hop": O.kg_paths_2hop(),
+        "kg_graph_components": O.kg_graph_components(),
+        "kg_kcore": O.kg_kcore(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),
@@ -871,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_source_stats": O.txt_source_stats(),
         "txt_redact": O.txt_redact(),
         "txt_line_dedup": O.txt_line_dedup(),
+        "txt_unigram_stats": O.txt_unigram_stats(),
         "txt_length_pct": O.txt_length_pct(),
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),

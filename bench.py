@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "kg_entity_degree",
     "kg_pagerank",
     "kg_paths_2hop",
+    "kg_graph_components",
+    "kg_kcore",
     "kg_bio_tags",
     "kg_triples",
     "kg_predicates",
@@ -63,6 +65,7 @@ BENCH_QUERIES = [
     "txt_source_stats",
     "txt_redact",
     "txt_line_dedup",
+    "txt_unigram_stats",
     "txt_length_pct",
     "kg_common_neighbors",
     "txt_sample_hash",

@@ -169,3 +169,73 @@ def test_range_search_matches_numpy(spark):
             if c >= tau:
                 exp[(qi, ni)] = int(np.floor(c * 1000))
     assert got == exp and len(exp) > 0
+
+
+def _kcore_py(pairs, k):
+    """Brute-force fixpoint k-core."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def test_kcore_fixpoint_matches_bruteforce(spark):
+    # triangle + pendant CHAIN c-p1-p2-p3: at k=2 the chain unravels one
+    # node per round (p3 first, then p2, then p1) — a true cascade that a
+    # single fixed round misses and the fixpoint must fully peel
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),        # triangle (the 2-core)
+        ("c", "p1"), ("p1", "p2"), ("p2", "p3"),   # pendant chain
+    ]
+    exp = _kcore_py(pairs, 2)
+    assert set(exp) == {"a", "b", "c"}  # sanity: brute force peels the chain
+    got = {
+        r.ent: r.core_deg
+        for r in er.kcore(_edges(spark, pairs), k=2, rounds=None).collect()
+    }
+    assert got == exp
+    # cascade check: after ONE round only p3 is gone; p1,p2 still there
+    got1 = {
+        r.ent for r in er.kcore(_edges(spark, pairs), k=2, rounds=1).collect()
+    }
+    assert {"p1", "p2"}.issubset(got1) and "p3" not in got1
+
+
+def test_graph_components_two_islands(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    rows = er.graph_components(_edges(spark, pairs)).collect()
+    comp = {r.ent: (r.component, r.comp_size) for r in rows}
+    assert comp["a"] == comp["b"] == comp["c"] == ("a|T", 3)
+    assert comp["x"] == comp["y"] == ("x|T", 2)
+
+
+def test_unigram_stats_counts(spark):
+    from unsupervised_ner_spark.ops.textstats import unigram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the dog"),
+            (2, "the zebra"),
+            (3, "THE unique  words"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus tf (lowered): the=4, cat=1, dog=1, zebra=1, unique=1, words=1
+    out = {r.doc_id: r for r in unigram_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.sum_tf, r1.min_tf) == (4, 4 + 1 + 4 + 1, 1)
+    assert (r1.n_hapax, r1.n_rare) == (2, 2)
+    r2 = out[2]
+    assert (r2.n_tokens, r2.sum_tf, r2.min_tf, r2.n_hapax) == (2, 5, 1, 1)
+    r3 = out[3]  # double space collapses; THE lowers into the=4 bucket
+    assert (r3.n_tokens, r3.sum_tf, r3.n_hapax) == (3, 6, 2)

@@ -378,3 +378,39 @@ def line_dedup(
         F.length(kept_text).cast("long").alias("kept_chars"),
         F.md5(kept_text).alias("kept_md5"),
     )
+
+
+def unigram_stats(documents: DataFrame, rare_tf: int = 2) -> DataFrame:
+    """Corpus-relative unigram (rarity) statistics per document — the
+    dependency-free stand-in for LM-perplexity quality filtering: docs
+    dense in corpus-rare tokens are OCR noise / codey junk, docs made
+    entirely of ubiquitous tokens are boilerplate. Integer sufficient
+    statistics only (the NPMI precedent): the float "avg log prob" is a
+    downstream derivation and never enters the hashed surface.
+
+    Per doc returns (doc_id, n_tokens, sum_tf, min_tf, n_hapax, n_rare):
+    sum_tf = sum over token OCCURRENCES of the token's corpus frequency,
+    min_tf = rarest token's frequency, n_hapax = occurrences of
+    corpus-hapax tokens, n_rare = occurrences of tokens with corpus
+    frequency <= ``rare_tf``.
+
+    Scale shape: one explode (narrow), one map-side-combining term-
+    frequency aggregate (bounded by vocabulary, not corpus size), one
+    equi-join back on the token, one per-doc aggregate. The join is
+    hot-key-skewed at ubiquitous tokens by design — same posture as
+    line_dedup: AQE skew-join splits it, and at extreme scale the
+    head-of-Zipf tokens (a tiny table) broadcast while the tail
+    shuffles."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    j = toks.join(tf, "tok")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.min("tf").cast("long").alias("min_tf"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum((F.col("tf") <= rare_tf).cast("long")).cast("long").alias("n_rare"),
+    )

@@ -2174,3 +2174,101 @@ SELECT query_id, neighbor_id,
        CAST(floor(c * 1000) AS BIGINT) AS cos_mil
 FROM s WHERE c >= {tau}
 """
+
+
+def kg_graph_components(model: str = "a100") -> str:
+    """Entity-graph CC twin (pipeline/er.py graph_components): RECURSIVE
+    min-reachable-key fixpoint over the symmetrized co-occurrence edges —
+    the same certificate the star loop converges to (component id = the
+    lexicographic-min member key)."""
+    inner = kg_cooccurrence(model)
+    return _materialize(
+        f"""
+WITH RECURSIVE eg AS ({inner})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+nds AS (SELECT ka AS k FROM ek UNION SELECT kb AS k FROM ek),
+esym AS (
+    SELECT ka AS a, kb AS b FROM ek UNION ALL SELECT kb AS a, ka AS b FROM ek
+),
+reach AS (
+    SELECT k AS node, k AS lab FROM nds
+    UNION
+    SELECT e.b AS node, r.lab FROM reach r JOIN esym e ON e.a = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+sizes AS (
+    SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+    FROM comp GROUP BY component
+)
+SELECT string_split(c.node, '|')[1] AS ent, string_split(c.node, '|')[2] AS etype,
+       c.component, s.comp_size
+FROM comp c JOIN sizes s USING (component)
+""",
+        "ek",
+    )
+
+
+def kg_kcore(model: str = "a100", k: int = 3, rounds: int = 4) -> str:
+    """k-core peel twin (pipeline/er.py kcore): ``rounds`` unrolled
+    synchronous peel rounds (degree >= k survivors restrict the edge
+    set), final degree in the surviving subgraph."""
+    steps = []
+    prev = "sym0"
+    mats = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""a{i} AS (
+    SELECT src AS k FROM {prev} GROUP BY src HAVING count(*) >= {k}
+),
+s{i} AS (
+    SELECT s.src, s.dst FROM {prev} s
+    JOIN a{i} x ON x.k = s.src
+    JOIN a{i} y ON y.k = s.dst
+)"""
+        )
+        mats.append(f"s{i}")
+        prev = f"s{i}"
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym0 AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+{chain}
+SELECT string_split(src, '|')[1] AS ent, string_split(src, '|')[2] AS etype,
+       CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY src
+""",
+        "sym0", *mats[:-1],
+    )
+
+
+def txt_unigram_stats(rare_tf: int = 2) -> str:
+    """Unigram rarity-stats twin (ops/textstats.py unigram_stats):
+    whitespace tokens lowered, corpus term frequency, per-doc integer
+    sufficient statistics."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id, lower(u.t) AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf) AS BIGINT) AS sum_tf,
+       CAST(min(tf) AS BIGINT) AS min_tf,
+       CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) FILTER (WHERE tf <= {rare_tf}) AS BIGINT) AS n_rare
+FROM tk JOIN tf USING (tok)
+GROUP BY doc_id
+""",
+        "tk",
+    )

@@ -908,3 +908,101 @@ def paths_2hop(support: DataFrame, max_mid_degree: int | None = None) -> DataFra
             .otherwise(F.lit(0).cast("long")).alias("is_cycle"),
         )
     )
+
+
+def graph_components(edges: DataFrame) -> DataFrame:
+    """Weakly connected components of the entity co-occurrence graph —
+    the topic-island decomposition (which entities form one connected
+    discourse cluster). Reuses ``connected_components_star`` (the same
+    O(log n)-round large/small-star loop the ER chain runs, property-
+    tested against brute force), so the entity graph gets the scale-safe
+    CC for free. Returns (ent, etype, component, comp_size); the
+    component id is the lexicographic-min member key — deterministic and
+    replayed by the oracle's RECURSIVE min-reachable fixpoint."""
+    e = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("node_a"),
+        F.concat_ws("|", "ent_b", "type_b").alias("node_b"),
+    )
+    nodes = (
+        e.select(F.col("node_a").alias("node_id"))
+        .unionAll(e.select(F.col("node_b").alias("node_id")))
+        .distinct()
+    )
+    labels, _iters = connected_components_star(nodes, e)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("comp_size")
+    )
+    out = labels.join(sizes, "component")
+
+    def part(j):
+        return F.split(F.col("node_id"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        "component", "comp_size",
+    )
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int | None = 4) -> DataFrame:
+    """k-core peel over the entity co-occurrence graph — the dense-nucleus
+    extractor (nodes that survive iterated removal of degree < k; the
+    standard KG noise/periphery cut before community analysis). Returns
+    surviving (ent, etype, core_deg) where core_deg is the degree in the
+    surviving subgraph.
+
+    ``rounds=N`` (default 4) runs a FIXED number of synchronous peel
+    rounds — the hash-gateable prefix the DuckDB oracle replays with
+    unrolled CTEs (a shrinking-set fixpoint is not expressible as a
+    monotone RECURSIVE union). ``rounds=None`` peels to the true fixpoint
+    with an O(1) driver probe per round: the edge set only shrinks, so an
+    unchanged edge COUNT certifies convergence — no set compare needed
+    (unit-tested against a Python brute-force k-core).
+
+    Scale shape: each round is one map-side-combining degree aggregate
+    plus two semi-join-shaped equi-joins of the edge table against the
+    (node-sized) survivor set; each round localCheckpoints, so lineage
+    stays bounded (the plan would otherwise triple per round). Power-law
+    graphs shed their periphery in a handful of rounds — the fixed-round
+    default is the bulk of the cut; the fixpoint variant is the exact
+    tail."""
+    sym = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("src"),
+        F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+    ).unionAll(
+        edges.select(
+            F.concat_ws("|", "ent_b", "type_b").alias("src"),
+            F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+        )
+    )
+    sym = sym.localCheckpoint()
+
+    def peel(s: DataFrame) -> DataFrame:
+        alive = (
+            s.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        return (
+            s.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+
+    if rounds is None:
+        n = sym.count()
+        while True:
+            sym = peel(sym).localCheckpoint()
+            n2 = sym.count()
+            if n2 == n:
+                break
+            n = n2
+    else:
+        for _ in range(rounds):
+            sym = peel(sym).localCheckpoint()
+
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("core_deg"))
+
+    def part(j):
+        return F.split(F.col("src"), r"\|")[j]
+
+    return deg.select(part(0).alias("ent"), part(1).alias("etype"), "core_deg")
