@@ -293,6 +293,66 @@ def main() -> None:
     checks.append(("ivfpq ADC partially aggregated pre-shuffle",
                    "partial_sum" in p17 or "Partial" in p17))
 
+    # 18. Integer PageRank: the symmetrized adjacency is persisted once and
+    # scanned by EVERY power step (one src-keyed join + one dst-keyed sum
+    # per step), the message sum is partially aggregated pre-shuffle, and
+    # nothing corpus-sized carries a forced broadcast.
+    with cache_scope():
+        q18 = entry.q_kg_pagerank(spark, SF)
+        p18 = plan_of(q18)
+        sections.append(("Integer PageRank (kg_pagerank)", p18))
+        checks.append(("pagerank adjacency persisted once, scanned every step",
+                       "InMemoryRelation" in p18
+                       and p18.count("InMemoryTableScan") >= 3))
+        checks.append(("pagerank message sum partially aggregated pre-shuffle",
+                       "partial_sum" in p18 or "Partial" in p18))
+        checks.append(("no forced broadcast in pagerank chain",
+                       "ResolvedHint" not in
+                       q18._jdf.queryExecution().analyzed().toString()))
+
+    # 19. Two-hop paths: the distinct-edge support table feeds BOTH join
+    # sides plus the two degree aggregates (4 consumers), so it is
+    # persisted once; the pairing join is an equi-join on the middle id.
+    with cache_scope():
+        q19 = entry.q_kg_paths_2hop(spark, SF)
+        p19 = plan_of(q19)
+        sections.append(("Two-hop KG paths (kg_paths_2hop)", p19))
+        checks.append(("2hop support table persisted once, 4 consumers",
+                       "InMemoryRelation" in p19
+                       and p19.count("InMemoryTableScan") >= 4))
+        checks.append(("no forced broadcast in 2hop chain",
+                       "ResolvedHint" not in
+                       q19._jdf.queryExecution().analyzed().toString()))
+
+    # 20. Line-level dedup: the exploded line table is deliberately NOT
+    # persisted (line-level corpus cache would dwarf executor memory at
+    # 100 TB; the explode is a narrow Generate over the parquet scan and
+    # recomputes cheaper than it caches) — the plan shows the Generate on
+    # both branches and a partially aggregated line-frequency count.
+    q20 = entry.q_txt_line_dedup(spark, SF)
+    p20 = plan_of(q20)
+    sections.append(("Line-level dedup (txt_line_dedup)", p20))
+    checks.append(("line explode is a narrow Generate (both branches)",
+                   p20.count("Generate") >= 2))
+    checks.append(("line frequency partially aggregated pre-shuffle",
+                   "partial_" in p20))
+    checks.append(("no forced broadcast in line-dedup chain",
+                   "ResolvedHint" not in
+                   q20._jdf.queryExecution().analyzed().toString()))
+
+    # 21. k-core peel: every round localCheckpoints (the plan would triple
+    # per round otherwise), so the final plan reads an ExistingRDD scan —
+    # bounded lineage regardless of round count — and the final degree
+    # aggregate map-side combines.
+    with cache_scope():
+        q21 = entry.q_kg_kcore(spark, SF)
+        p21 = plan_of(q21)
+        sections.append(("k-core peel (kg_kcore)", p21))
+        checks.append(("kcore rounds lineage-cut (ExistingRDD scan)",
+                       "ExistingRDD" in p21))
+        checks.append(("kcore final degree partially aggregated",
+                       "partial_count" in p21 or "Partial" in p21))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
