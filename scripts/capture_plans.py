@@ -353,6 +353,41 @@ def main() -> None:
         checks.append(("kcore final degree partially aggregated",
                        "partial_count" in p21 or "Partial" in p21))
 
+    # 22. Bucketed co-located join: two tables bucketed on the same key
+    # with the same bucket count join with ZERO Exchange nodes — the
+    # write-once/shuffle-never storage layout for the repeatedly-joined
+    # fact tables (canonical triples by subj_id, occurrences by surface).
+    import tempfile
+
+    from unsupervised_ner_spark.ops.bucketing import (  # noqa: E402
+        colocated_join, write_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            base = spark.range(0, 2000).select(
+                F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+            )
+            write_bucketed(base, "pl_docs", ["doc_id"], 8,
+                           sort_cols=["doc_id"], path=f"{tmp}/pl_docs")
+            write_bucketed(base.select("doc_id", (F.col("doc_id") * 3).alias("v")),
+                           "pl_stats", ["doc_id"], 8,
+                           sort_cols=["doc_id"], path=f"{tmp}/pl_stats")
+            q22 = colocated_join(spark, "pl_docs", "pl_stats", ["doc_id"])
+            q22.count()
+            p22 = q22._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            sections.append(("Bucketed co-located join (ops/bucketing.py)", p22))
+            checks.append(("bucketed join: zero Exchange on either side",
+                           "Exchange" not in p22))
+            checks.append(("bucketed join is a sort-merge join",
+                           "SortMergeJoin" in p22))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS pl_docs")
+        spark.sql("DROP TABLE IF EXISTS pl_stats")
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")
