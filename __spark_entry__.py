@@ -527,6 +527,28 @@ def q_txt_length_pct(spark, sf_dir):
     return textstats.length_percentiles(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog register table for per-language distinct-
+    token cardinality (ops/sketches.py): one narrow explode + one
+    map-side-combining max aggregate bounded by langs x 256 registers —
+    the 100 TB count-distinct that never shuffles the token universe."""
+    from unsupervised_ner_spark.ops import sketches
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.transform(textstats.tokens_ws(F.col("text")), F.lower)
+        ).alias("tok"),
+    )
+    return sketches.hll_registers(toks, ["lang"], "tok")
+
+
+def q_txt_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (textstats.tfidf_topk): integer
+    tf/df gated, ranking by the 9dp-rounded integer score."""
+    return textstats.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_common_neighbors(spark, sf_dir):
     """Link-prediction counts on the co-occurrence graph
     (er.common_neighbors): degree-capped wedge aggregation, full degrees
@@ -834,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_line_dedup": q_txt_line_dedup,
         "txt_unigram_stats": q_txt_unigram_stats,
         "txt_length_pct": q_txt_length_pct,
+        "txt_hll_registers": q_txt_hll_registers,
+        "txt_tfidf": q_txt_tfidf,
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
         "txt_sample_balanced": q_txt_sample_balanced,
@@ -903,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_line_dedup": O.txt_line_dedup(),
         "txt_unigram_stats": O.txt_unigram_stats(),
         "txt_length_pct": O.txt_length_pct(),
+        "txt_hll_registers": O.txt_hll_registers(),
+        "txt_tfidf": O.txt_tfidf(),
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),
         "txt_sample_balanced": O.txt_sample_balanced(),

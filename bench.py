@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "txt_line_dedup",
     "txt_unigram_stats",
     "txt_length_pct",
+    "txt_hll_registers",
+    "txt_tfidf",
     "kg_common_neighbors",
     "txt_sample_hash",
     "txt_sample_balanced",

@@ -388,6 +388,36 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS pl_docs")
         spark.sql("DROP TABLE IF EXISTS pl_stats")
 
+    # 23. HLL registers: the count-distinct that never shuffles the token
+    # universe — one narrow Generate (explode) and ONE exchange keyed on
+    # (lang, bucket) AFTER a map-side partial max, so the shuffle carries
+    # at most #langs x 256 rows per map partition. No Expand/distinct.
+    q23 = entry.q_txt_hll_registers(spark, SF)
+    p23 = plan_of(q23)
+    sections.append(("HLL registers (txt_hll_registers)", p23))
+    checks.append(("hll: register max partially aggregated pre-shuffle",
+                   "partial_max" in p23))
+    # formatted plans print every node twice (tree + detail) — count the
+    # tree occurrences only
+    checks.append(("hll: single exchange, keyed on the register id",
+                   p23.count("+- Exchange") == 1
+                   and "hashpartitioning(lang" in p23))
+    checks.append(("hll: no distinct/Expand of the token universe",
+                   "Expand" not in p23))
+
+    # 24. TF-IDF top-k: tf and df aggregates both map-side combine; n_docs
+    # rides in as a broadcast 1-row aggregate (BroadcastNestedLoopJoin, no
+    # driver action); the top-k sort is windowed per doc_id, never global.
+    q24 = entry.q_txt_tfidf(spark, SF)
+    p24 = plan_of(q24)
+    sections.append(("TF-IDF top-k terms (txt_tfidf)", p24))
+    checks.append(("tfidf: tf/df partially aggregated pre-shuffle",
+                   p24.count("partial_count") >= 2))
+    checks.append(("tfidf: n_docs scalar broadcast, not collected",
+                   "BroadcastNestedLoopJoin" in p24))
+    checks.append(("tfidf: top-k sort is per-doc windowed, not global",
+                   "Window" in p24 and "Sort [score_i9" not in p24))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

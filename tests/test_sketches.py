@@ -1,0 +1,89 @@
+"""HyperLogLog register sketches (ops/sketches.py) and TF-IDF top-k
+(ops/textstats.py tfidf_topk)."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.ops import sketches, textstats
+
+
+def _py_rho(value: str) -> int:
+    """Reference rho: leading zero bits of the 48-bit md5 suffix + 1."""
+    h = hashlib.md5(value.encode()).hexdigest()
+    bits = bin(int(h[2:14], 16))[2:].zfill(48)
+    lz = len(bits) - len(bits.lstrip("0"))
+    return lz + 1
+
+
+def test_rho_matches_python_reference(spark):
+    vals = [f"token{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.v: (r.bucket, r.r_max)
+        for r in sketches.hll_registers(df, ["v"], "v").collect()
+    }
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        assert got[v] == (h[:2], _py_rho(v)), v
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"g", f"val-{i % n}") for i in range(2 * n)], "g string, v string"
+    )
+    regs = sketches.hll_registers(df, ["g"], "v")
+    # duplicates must not change the registers (max over occurrences)
+    regs_distinct = sketches.hll_registers(df.distinct(), ["g"], "v")
+    assert {tuple(r) for r in regs.collect()} == {
+        tuple(r) for r in regs_distinct.collect()
+    }
+    est = sketches.hll_estimate(regs, ["g"]).collect()[0].estimate
+    assert abs(est - n) / n < sketches.hll_error_bound(3.0)
+
+
+def test_hll_merge_equals_whole(spark):
+    rows = [("g", f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = df.filter(F.crc32(F.col("v")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("v")) % 2 == 1)
+    merged = sketches.merge_registers(
+        sketches.hll_registers(a, ["g"], "v"),
+        sketches.hll_registers(b, ["g"], "v"),
+        ["g"],
+    )
+    whole = sketches.hll_registers(df, ["g"], "v")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_tfidf_topk_ranking_and_ties(spark):
+    docs = [
+        ("d1", "apple apple apple banana the the"),
+        ("d2", "banana cherry the the the"),
+        ("d3", "the the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = textstats.tfidf_topk(df, k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out.collect()
+    }
+    # 'the' appears in all 3 docs -> idf ln(1) = 0 -> never outranks others
+    assert got[("d1", 1)] == ("apple", 3, 1)
+    assert got[("d1", 2)] == ("banana", 1, 2)
+    assert got[("d2", 1)] == ("cherry", 1, 1)
+    assert got[("d2", 2)] == ("banana", 1, 2)
+    # d3 has only 'the' (score 0) — still emitted, rank 1
+    assert got[("d3", 1)][0] == "the"
+    # per-doc cap respected
+    assert all(rank <= 2 for (_, rank) in got)
+
+
+def test_tfidf_score_i9_matches_python(spark):
+    docs = [("d1", "x x y"), ("d2", "y z")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = textstats.tfidf_topk(df, k=5).collect()
+    for r in rows:
+        expect = round(r.tf * math.log(2.0 / r.df) * 1e9)
+        assert r.score_i9 == expect, (r.term, r.score_i9, expect)

@@ -1,0 +1,113 @@
+"""Cardinality sketches: deterministic HyperLogLog registers.
+
+The canonical 100 TB counting problem — "how many distinct tokens / urls /
+entities does this corpus have?" — cannot afford the exact answer's
+shuffle (the distinct universe IS the data). HyperLogLog (Flajolet et al.
+2007) replaces it with a fixed-size register table: hash every value, use
+a hash prefix as the register index, and keep per register the maximum
+number of leading zero bits (+1) of the hash suffix. Registers merge by
+element-wise max, so the whole computation is one map-side-combining
+aggregate whose shuffle is bounded by (#groups x #registers), independent
+of corpus size — the same reason Spark's own approx_count_distinct (a
+HLL++ variant) scales. We build the registers explicitly rather than
+calling the built-in so the sketch is (a) mergeable/persistable as a
+first-class table — the incremental-corpus posture: yesterday's registers
+max-merge with today's — and (b) bit-for-bit replayable by the DuckDB
+oracle.
+
+Cross-engine determinism (the sampling-ops precedent): both engines share
+md5 over strings but not an efficient hex->int conversion, so everything
+is derived from the md5 HEX string. The register index is the first
+``p_hex`` hex chars (kept AS a string key); rho comes from the
+leading-'0' run of the next 12 hex chars (48 bits): each leading '0' hex
+char contributes 4 zero bits, and the first non-zero hex digit
+contributes its own 4 - bit_length(digit) zeros via a 4-case digit-class
+map. Both sides compute the identical integers; the float estimate is a
+derived, never-hashed column (the NPMI/dedup_jaccard precedent).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2 hex chars -> 256 registers per group: ~6.5% standard error, plenty for
+# corpus-level cardinality tiers; bump to 3 (4096 registers) for 1.6%.
+P_HEX = 2
+SUFFIX_HEX = 12  # 48 bits of rho evidence; rho in [1, 49]
+
+
+def _rho_from_suffix(s: Column) -> Column:
+    """rho = (# leading zero BITS of the 48-bit hex suffix) + 1, computed
+    over the hex string: 4 bits per leading '0' char, then 3/2/1/0 extra
+    zeros for first non-zero digit 1 / 2-3 / 4-7 / 8-f."""
+    lz_hex = F.length(F.regexp_extract(s, "^0*", 0))
+    first_nz = s.substr(lz_hex + F.lit(1), F.lit(1))
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    all_zero_rho = F.lit(4 * SUFFIX_HEX + 1)
+    return (
+        F.when(lz_hex == SUFFIX_HEX, all_zero_rho)
+        .otherwise(lz_hex * 4 + extra + 1)
+        .cast("long")
+    )
+
+
+def hll_registers(values: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """HLL register table for count-distinct of ``value_col`` per group:
+    (group_cols..., bucket hex-string, r_max).
+
+    Duplicate values hash identically, so max(rho) over OCCURRENCES equals
+    max over the distinct set — no pre-distinct needed; the aggregate's
+    partial (map-side) combine does all the work and the shuffle carries
+    at most #groups x 16^P_HEX rows per map partition."""
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = values.select(
+        *group_cols,
+        F.substring(h, 1, P_HEX).alias("bucket"),
+        _rho_from_suffix(F.substring(h, P_HEX + 1, SUFFIX_HEX)).alias("rho"),
+    )
+    return reg.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r_max"))
+
+
+def merge_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Element-wise max-merge of two register tables — the incremental
+    posture: sketch today's partition, merge with the running sketch."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r_max").alias("r_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Derived float estimate from a register table (never hashed).
+
+    Standard HLL: E = alpha_m * m^2 / sum_j 2^(-M_j) with absent registers
+    counting M_j = 0, plus the small-range linear-counting correction
+    E <= 2.5m with empty registers present: m * ln(m / V)."""
+    m = 16**P_HEX
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r_max"))).alias("sum_pow"),
+        F.count("*").alias("n_present"),
+    )
+    # absent buckets contribute 2^0 = 1 each
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / (F.col("sum_pow") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("estimate"))
+
+
+def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
+    """Relative standard error 1.04/sqrt(m), scaled."""
+    return confidence_sigmas * 1.04 / math.sqrt(16**P_HEX)

@@ -414,3 +414,53 @@ def unigram_stats(documents: DataFrame, rare_tf: int = 2) -> DataFrame:
         F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("n_hapax"),
         F.sum((F.col("tf") <= rare_tf).cast("long")).cast("long").alias("n_rare"),
     )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the dependency-free keyword
+    extractor (and the routing signal for topic-balanced training mixes).
+
+    Cross-engine determinism: tf, df, n_docs are exact integers; the
+    score tf * ln(n_docs / df) is float, so the RANKING key is the score
+    rounded to 9 decimal places as a BIGINT (``score_i9``, the IVF-PQ 9dp
+    precedent) with (term ASC) tie-break — both engines order by the
+    identical integer. score_i9 is gated (it is integer), the raw float
+    never is.
+
+    Scale shape: one explode (narrow) -> per-(doc, term) count with
+    map-side combine -> df aggregate bounded by the VOCABULARY (not the
+    corpus) -> equi-join tf x df on term (Zipf-skewed at head tokens by
+    design: AQE skew-join splits it, and at extreme scale the head-of-Zipf
+    df rows — a tiny table — broadcast while the tail shuffles; the
+    unigram_stats posture) -> per-doc window top-k, partitioned on doc_id
+    so the sort is per-document, never global. n_docs rides in via a
+    broadcast 1-row aggregate (no driver action)."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = documents.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_i9",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_i9").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_i9", "rank")
+    )

@@ -2272,3 +2272,76 @@ GROUP BY doc_id
 """,
         "tk",
     )
+
+
+def txt_hll_registers() -> str:
+    """Deterministic HyperLogLog register twin (ops/sketches.py
+    hll_registers over per-language distinct tokens): bucket = first 2 md5
+    hex chars (kept as a string key, the sampling-ops hex precedent); rho
+    from the leading-'0' hex run of the next 12 chars plus the 4-case
+    digit-class map — identical integers in both engines."""
+    return _materialize(
+        """
+WITH tk AS (
+    SELECT lang, md5(lower(u.t)) AS h
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+parts AS (
+    SELECT lang, substring(h, 1, 2) AS bucket, substring(h, 3, 12) AS s
+    FROM tk
+),
+z AS (
+    SELECT lang, bucket,
+           length(regexp_extract(s, '^0*')) AS lz,
+           substring(s, length(regexp_extract(s, '^0*')) + 1, 1) AS d
+    FROM parts
+)
+SELECT lang, bucket,
+       CAST(max(CASE WHEN lz = 12 THEN 49
+                     ELSE lz * 4
+                          + CASE WHEN d = '1' THEN 3
+                                 WHEN d IN ('2', '3') THEN 2
+                                 WHEN d IN ('4', '5', '6', '7') THEN 1
+                                 ELSE 0 END
+                          + 1 END) AS BIGINT) AS r_max
+FROM z
+GROUP BY lang, bucket
+""",
+        "tk",
+    )
+
+
+def txt_tfidf(k: int = 5) -> str:
+    """TF-IDF top-k twin (ops/textstats.py tfidf_topk): integer tf/df,
+    ranking by round(tf * ln(n_docs/df) * 1e9) as BIGINT with term ASC
+    tie-break — the IVF-PQ 9dp determinism precedent."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id, lower(u.t) AS term
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tk GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           CAST(round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                                 / dft.df) * 1e9) AS BIGINT) AS score_i9
+    FROM tf JOIN dft USING (term)
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_i9 DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_i9, rank FROM ranked WHERE rank <= {k}
+""",
+        "tf",
+    )
