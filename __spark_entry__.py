@@ -543,6 +543,20 @@ def q_txt_hll_registers(spark, sf_dir):
     return sketches.hll_registers(toks, ["lang"], "tok")
 
 
+def q_txt_cms_counters(spark, sf_dir):
+    """Count-Min sketch counter table over corpus tokens (ops/sketches.py):
+    d x 4096 bounded cells, one posexplode + one map-side-combining count
+    — bounded-memory token frequencies without shipping the vocabulary."""
+    from unsupervised_ner_spark.ops import sketches
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.transform(textstats.tokens_ws(F.col("text")), F.lower)
+        ).alias("tok")
+    )
+    return sketches.cms_counters(toks, "tok")
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Top-5 TF-IDF terms per document (textstats.tfidf_topk): integer
     tf/df gated, ranking by the 9dp-rounded integer score."""
@@ -857,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_stats": q_txt_unigram_stats,
         "txt_length_pct": q_txt_length_pct,
         "txt_hll_registers": q_txt_hll_registers,
+        "txt_cms_counters": q_txt_cms_counters,
         "txt_tfidf": q_txt_tfidf,
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
@@ -928,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_unigram_stats": O.txt_unigram_stats(),
         "txt_length_pct": O.txt_length_pct(),
         "txt_hll_registers": O.txt_hll_registers(),
+        "txt_cms_counters": O.txt_cms_counters(),
         "txt_tfidf": O.txt_tfidf(),
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "txt_unigram_stats",
     "txt_length_pct",
     "txt_hll_registers",
+    "txt_cms_counters",
     "txt_tfidf",
     "kg_common_neighbors",
     "txt_sample_hash",

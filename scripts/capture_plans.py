@@ -418,6 +418,18 @@ def main() -> None:
     checks.append(("tfidf: top-k sort is per-doc windowed, not global",
                    "Window" in p24 and "Sort [score_i9" not in p24))
 
+    # 25. CMS counters: same sketch posture as HLL — narrow posexplode
+    # into the d hash rows, one partial-count exchange bounded by the
+    # d x 4096 cell space, never the value universe.
+    q25 = entry.q_txt_cms_counters(spark, SF)
+    p25 = plan_of(q25)
+    sections.append(("Count-Min counters (txt_cms_counters)", p25))
+    checks.append(("cms: counters partially aggregated pre-shuffle",
+                   "partial_count" in p25))
+    checks.append(("cms: single exchange keyed on the cell id",
+                   p25.count("+- Exchange") == 1
+                   and "hashpartitioning(row_idx" in p25))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -87,3 +87,37 @@ def test_tfidf_score_i9_matches_python(spark):
     for r in rows:
         expect = round(r.tf * math.log(2.0 / r.df) * 1e9)
         assert r.score_i9 == expect, (r.term, r.score_i9, expect)
+
+
+def test_cms_estimate_upper_bounds_and_heavy_hitters(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = (["hot"] * 500 + ["warm"] * 120
+            + [f"cold-{rng.randrange(2000)}" for _ in range(1500)])
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    cms = sketches.cms_counters(df, "v")
+    # total mass is preserved per row
+    per_row = {r.row_idx: r.s for r in
+               cms.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {i: len(vals) for i in range(sketches.CMS_DEPTH)}
+    queries = spark.createDataFrame(
+        [("hot",), ("warm",), ("never-seen",)], "v string"
+    )
+    est = {r.v: r.est for r in sketches.cms_estimate(cms, queries, "v").collect()}
+    truth = {"hot": 500, "warm": 120, "never-seen": 0}
+    for k, t in truth.items():
+        assert est[k] >= t                      # one-sided error
+        assert est[k] <= t + 0.01 * len(vals)   # eps*N overshoot bound (w=4096)
+
+
+def test_cms_merge_equals_whole(spark):
+    rows = [(f"v{i % 40}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string, i long")
+    a = df.filter("i % 3 = 0")
+    b = df.filter("i % 3 != 0")
+    merged = sketches.cms_merge(
+        sketches.cms_counters(a, "v"), sketches.cms_counters(b, "v")
+    )
+    whole = sketches.cms_counters(df, "v")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}

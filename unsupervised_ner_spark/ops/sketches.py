@@ -111,3 +111,81 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
 def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
     """Relative standard error 1.04/sqrt(m), scaled."""
     return confidence_sigmas * 1.04 / math.sqrt(16**P_HEX)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# The bounded-memory frequency companion to HLL: d independent hash rows x
+# w counters answer "how often does x occur?" with one-sided error
+# (estimate >= truth, overshoot <= eps * N with prob 1 - delta). At 100 TB
+# the exact per-token count table IS the vocabulary (fine) but per-(source,
+# token) or per-(hour, token) frequency tables explode combinatorially —
+# the sketch caps them at d x w counters per group. Counters merge by
+# element-wise SUM (the register analogue of HLL's max), so incremental
+# corpora just add their sketches.
+#
+# Determinism: row i hashes x with md5(i || ':' || x); the counter index is
+# the first 3 hex chars kept AS a string (4096 columns/row, the sampling-ops
+# precedent). Integer counters only — gate-safe by construction.
+
+CMS_DEPTH = 4
+CMS_WIDTH_HEX = 3  # 3 hex chars -> 4096 counters per row
+
+
+def _cms_bucket(row_idx: Column, value: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat(row_idx.cast("string"), F.lit(":"), value.cast("string"))),
+        1,
+        CMS_WIDTH_HEX,
+    )
+
+
+def cms_counters(values: DataFrame, value_col: str) -> DataFrame:
+    """CMS counter table (row_idx, bucket, cnt) over occurrences of
+    ``value_col``: one posexplode into the d rows (narrow, d x input) and
+    one map-side-combining count aggregate bounded by d x 16^3 = 16,384
+    cells — the shuffle never carries the value universe."""
+    rows = values.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.lit(i), F.col(value_col))
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("pos", "bucket")
+    ).select(F.col("pos").cast("long").alias("row_idx"), "bucket")
+    return rows.groupBy("row_idx", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(cms: DataFrame, queries: DataFrame, value_col: str) -> DataFrame:
+    """Point-frequency estimates: min over the d rows of the counter each
+    query hashes to. The query side is small (the items you ask about) and
+    broadcasts; absent cells are exact zeros."""
+    probes = queries.select(
+        value_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.lit(i), F.col(value_col))
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("row_idx", "bucket"),
+    ).select(value_col, F.col("row_idx").cast("long").alias("row_idx"), "bucket")
+    joined = cms.join(F.broadcast(probes), ["row_idx", "bucket"], "right").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").cast("long").alias("est"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise sum-merge of two counter tables."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -2345,3 +2345,29 @@ SELECT doc_id, term, tf, df, score_i9, rank FROM ranked WHERE rank <= {k}
 """,
         "tf",
     )
+
+
+def txt_cms_counters() -> str:
+    """Count-Min counter-table twin (ops/sketches.py cms_counters over
+    corpus tokens): row i's counter index is the first 3 hex chars of
+    md5(i || ':' || token) — integer renders and md5 agree across
+    engines."""
+    return _materialize(
+        """
+WITH tk AS (
+    SELECT lower(u.t) AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+cells AS (
+    SELECT CAST(r.i AS BIGINT) AS row_idx,
+           substring(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 3) AS bucket
+    FROM tk, UNNEST([0, 1, 2, 3]) AS r(i)
+)
+SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells
+GROUP BY row_idx, bucket
+""",
+        "tk",
+    )
