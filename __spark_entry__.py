@@ -557,6 +557,36 @@ def q_txt_cms_counters(spark, sf_dir):
     return sketches.cms_counters(toks, "tok")
 
 
+def q_txt_bloom_vocab(spark, sf_dir):
+    """Bloom-filter vocabulary screen (ops/sketches.py bloom_bits /
+    bloom_maybe_contains): the md5-half of the corpus is the "seen" set,
+    the other half's distinct tokens probe the broadcast bit table; output
+    is every maybe-seen token with its exact-membership flag, so false
+    positives (deterministic on both engines) are visible in the gate."""
+    from unsupervised_ner_spark.ops import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    is_seen_half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+
+    def _vocab(df):
+        return df.select(
+            F.explode(
+                F.transform(textstats.tokens_ws(F.col("text")), F.lower)
+            ).alias("tok")
+        ).distinct()
+
+    seen_vocab = _vocab(docs.filter(is_seen_half))
+    incoming = _vocab(docs.filter(~is_seen_half))
+    bits = sketches.bloom_bits(seen_vocab, "tok")
+    maybe = sketches.bloom_maybe_contains(incoming, bits, "tok")
+    return maybe.join(
+        seen_vocab.withColumn("marker", F.lit(1)), "tok", "left"
+    ).select(
+        "tok",
+        F.coalesce(F.col("marker"), F.lit(0)).cast("long").alias("is_true_seen"),
+    )
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Top-5 TF-IDF terms per document (textstats.tfidf_topk): integer
     tf/df gated, ranking by the 9dp-rounded integer score."""
@@ -872,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_length_pct": q_txt_length_pct,
         "txt_hll_registers": q_txt_hll_registers,
         "txt_cms_counters": q_txt_cms_counters,
+        "txt_bloom_vocab": q_txt_bloom_vocab,
         "txt_tfidf": q_txt_tfidf,
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
@@ -944,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_length_pct": O.txt_length_pct(),
         "txt_hll_registers": O.txt_hll_registers(),
         "txt_cms_counters": O.txt_cms_counters(),
+        "txt_bloom_vocab": O.txt_bloom_vocab(),
         "txt_tfidf": O.txt_tfidf(),
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "txt_length_pct",
     "txt_hll_registers",
     "txt_cms_counters",
+    "txt_bloom_vocab",
     "txt_tfidf",
     "kg_common_neighbors",
     "txt_sample_hash",

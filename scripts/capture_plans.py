@@ -430,6 +430,17 @@ def main() -> None:
                    p25.count("+- Exchange") == 1
                    and "hashpartitioning(row_idx" in p25))
 
+    # 26. Bloom vocabulary screen: the bit table broadcasts (<= k x 65,536
+    # rows) so the probe side is screened by a BroadcastHashJoin — the
+    # seen-SET itself is never shuffled against the probes.
+    q26 = entry.q_txt_bloom_vocab(spark, SF)
+    p26 = plan_of(q26)
+    sections.append(("Bloom vocabulary screen (txt_bloom_vocab)", p26))
+    checks.append(("bloom: bit table broadcast to the probe side",
+                   "BroadcastHashJoin" in p26))
+    checks.append(("bloom: probe hit-count partially aggregated",
+                   "partial_count" in p26))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -121,3 +121,37 @@ def test_cms_merge_equals_whole(spark):
     )
     whole = sketches.cms_counters(df, "v")
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    members = [(f"m{i}",) for i in range(300)]
+    others = [(f"x{i}",) for i in range(300)]
+    mdf = spark.createDataFrame(members, "v string")
+    bits = sketches.bloom_bits(mdf, "v")
+    # bit table bounded by k x positions
+    assert bits.count() <= sketches.BLOOM_K * 16**sketches.BLOOM_POS_HEX
+    probes = spark.createDataFrame(members + others, "v string")
+    maybe = {r.v for r in sketches.bloom_maybe_contains(probes, bits, "v").collect()}
+    # no false negatives: every member is flagged
+    assert {v for (v,) in members} <= maybe
+    # determinism: identical on a rebuild
+    maybe2 = {
+        r.v
+        for r in sketches.bloom_maybe_contains(
+            probes, sketches.bloom_bits(mdf, "v"), "v"
+        ).collect()
+    }
+    assert maybe == maybe2
+    # false positives exist in principle but must be rare at this load
+    fps = maybe - {v for (v,) in members}
+    assert len(fps) <= 5
+
+
+def test_bloom_merge_is_union(spark):
+    a = spark.createDataFrame([("a1",), ("a2",)], "v string")
+    b = spark.createDataFrame([("b1",), ("a1",)], "v string")
+    merged = sketches.bloom_bits(a, "v").union(
+        sketches.bloom_bits(b, "v")
+    ).distinct()
+    whole = sketches.bloom_bits(a.union(b), "v")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}

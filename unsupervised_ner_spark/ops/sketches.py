@@ -189,3 +189,85 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970)
+# ---------------------------------------------------------------------------
+# The membership third of the sketch family (HLL = cardinality, CMS =
+# frequency): k hash rows over an m-position bit space answer "might x be
+# in the set?" with no false negatives and a deterministic false-positive
+# set. The 100 TB use is the PRE-FILTER: before an expensive anti-join of
+# an incoming crawl against a billions-row seen-set, broadcast the seen-
+# set's bloom bits (m bits, not the set) and drop definite-misses map-side
+# — the big side never shuffles for rows the filter can already clear.
+# Spark's own Runtime Row-Level Filtering injects exactly this shape; we
+# build it explicitly so the bits are a persistable, mergeable (OR) table
+# the DuckDB oracle replays bit-for-bit.
+#
+# Determinism: row i's position for x is the first 4 hex chars of
+# md5(i || ':' || x) kept AS a string — 65,536 positions per row, the
+# sampling-ops precedent. False positives are a deterministic function of
+# md5, so both engines flag the identical candidate set.
+
+BLOOM_K = 4
+BLOOM_POS_HEX = 4  # 4 hex chars -> 65,536 positions per hash row
+
+
+def _bloom_pos(row_idx: Column, value: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat(row_idx.cast("string"), F.lit(":"), value.cast("string"))),
+        1,
+        BLOOM_POS_HEX,
+    )
+
+
+def bloom_bits(values: DataFrame, value_col: str) -> DataFrame:
+    """Set-bit table (row_idx, pos) for the membership set: one posexplode
+    into the k rows + one distinct bounded by k x 65,536 cells. Merge two
+    blooms by unioning their bit tables (set OR)."""
+    return (
+        values.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        _bloom_pos(F.lit(i), F.col(value_col))
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos_idx", "pos")
+        )
+        .select(F.col("pos_idx").cast("long").alias("row_idx"), "pos")
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    probes: DataFrame, bits: DataFrame, value_col: str
+) -> DataFrame:
+    """Rows of ``probes`` whose value hits set bits in ALL k rows — the
+    maybe-members (supersets the true members; no false negatives).
+
+    Plan shape: the bits table is bounded (<= k x 65,536 rows) and
+    broadcasts; each probe expands to its k (row_idx, pos) cells, joins
+    the broadcast bits, and survives iff all k matched — the probe side
+    is filtered without a shuffle against the seen-SET (only the k-row
+    per-probe count aggregate exchanges, keyed on the probe)."""
+    cells = probes.select(
+        value_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _bloom_pos(F.lit(i), F.col(value_col))
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos_idx", "pos"),
+    ).select(value_col, F.col("pos_idx").cast("long").alias("row_idx"), "pos")
+    hits = cells.join(F.broadcast(bits), ["row_idx", "pos"], "inner")
+    return (
+        hits.groupBy(value_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") == BLOOM_K)
+        .select(value_col)
+    )

@@ -2371,3 +2371,48 @@ GROUP BY row_idx, bucket
 """,
         "tk",
     )
+
+
+def txt_bloom_vocab() -> str:
+    """Bloom vocabulary-screen twin (ops/sketches.py bloom_bits +
+    bloom_maybe_contains over the md5-half corpus split): row i's bit
+    position for a token is the first 4 hex chars of md5(i || ':' || tok);
+    a probe is maybe-seen iff all 4 rows hit — false positives are a
+    deterministic function of md5 and reproduce identically here."""
+    return _materialize(
+        """
+WITH tk AS (
+    SELECT doc_id, lower(u.t) AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+seen AS (
+    SELECT DISTINCT tok FROM tk
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+),
+inc AS (
+    SELECT DISTINCT tok FROM tk
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
+),
+bits AS (
+    SELECT DISTINCT CAST(r.i AS BIGINT) AS row_idx,
+           substring(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 4) AS pos
+    FROM seen, UNNEST([0, 1, 2, 3]) AS r(i)
+),
+cells AS (
+    SELECT tok, CAST(r.i AS BIGINT) AS row_idx,
+           substring(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 4) AS pos
+    FROM inc, UNNEST([0, 1, 2, 3]) AS r(i)
+),
+maybe AS (
+    SELECT tok FROM cells JOIN bits USING (row_idx, pos)
+    GROUP BY tok HAVING count(*) = 4
+)
+SELECT m.tok,
+       CAST(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_true_seen
+FROM maybe m LEFT JOIN seen s ON m.tok = s.tok
+""",
+        "tk",
+        "seen",
+    )
