@@ -855,6 +855,57 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_er_entity_linking(spark, sf_dir):
+    """Entity linking (er.link_entities_to_kb): canonical entity nodes ->
+    best term in the bootstrapped signature vocab (the reference's
+    vocab->label clusters ARE its KB). Blocked (2-char prefix + length
+    band) + levenshtein<=2 verify against the BROADCAST KB dim; per-node
+    argmin as a map-side-combining min(struct) — no corpus shuffle for
+    candidate generation."""
+    from unsupervised_ner_spark.pipeline import er
+    from unsupervised_ner_spark.pipeline.typing_sql import load_fixture_tables
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    nodes = er.exact_canonical(occ).select(
+        "node_id", "norm_surface", "etype", "n_mentions"
+    )
+    _, sig, _ = load_fixture_tables(spark, "a100")
+    return er.link_entities_to_kb(nodes, sig)
+
+
+def q_kg_triples_temporal(spark, sf_dir):
+    """Temporal fact table (triples.triples_temporal): per-triple
+    first/last-seen epochs + observation/page/day counts over a
+    DETERMINISTIC url-derived warc_ts (epoch = 2024-01-01 + (doc%97) days
+    + (doc%24) hours — the testdata documents carry no timestamp, so the
+    wrapper attaches the page timestamp the north-rule schema provides
+    and the oracle replays the same expression; txt_redact precedent).
+    Two-level aggregate: (triple, url) first, so the one remaining
+    DISTINCT (obs day) runs over already-deduped pages — no
+    double-distinct Expand."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    doc = F.col("url").cast("long")
+    ts = (
+        F.lit(1704067200)
+        + F.pmod(doc, F.lit(97)) * F.lit(86400)
+        + F.pmod(doc, F.lit(24)) * F.lit(3600)
+    )
+    return T.triples_temporal(stages["triples"].withColumn("obs_ts", ts))
+
+
+def q_ann_srp_lsh(spark, sf_dir):
+    """SRP-LSH approximate top-k (simsearch.srp_lsh_topk): 16 seeded +-1
+    hyperplanes hash the corpus narrowly; queries probe their own bucket
+    via a broadcast equi-join; exact rounded-cosine verify + top-k."""
+    return simsearch.srp_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -928,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
         "er_entity_aliases": q_er_entity_aliases,
+        "er_entity_linking": q_er_entity_linking,
+        "kg_triples_temporal": q_kg_triples_temporal,
+        "ann_srp_lsh": q_ann_srp_lsh,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_triple_support": q_kg_triple_support,
         "kg_ntriples": q_kg_ntriples,
@@ -1001,6 +1055,9 @@ def oracle_sql() -> dict[str, str]:
         "er_exact_canonical": O.er_exact_canonical(),
         "er_components": O.er_components(),
         "er_entity_aliases": O.er_entity_aliases(),
+        "er_entity_linking": O.er_entity_linking(),
+        "kg_triples_temporal": O.kg_triples_temporal(),
+        "ann_srp_lsh": O.ann_srp_lsh(),
         "kg_canonical_triples": O.kg_canonical_triples(),
         "kg_triple_support": O.kg_triple_support(),
         "kg_ntriples": O.kg_ntriples(),

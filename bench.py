@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "kg_kcore",
     "kg_bio_tags",
     "kg_triples",
+    "kg_triples_temporal",
     "kg_predicates",
     "kg_ensemble_mentions",
     "kg_ensemble_mentions_prod",
@@ -52,6 +53,7 @@ BENCH_QUERIES = [
     "er_exact_canonical",
     "er_components",
     "er_entity_aliases",
+    "er_entity_linking",
     "kg_canonical_triples",
     "kg_triple_support",
     "kg_ntriples",
@@ -88,6 +90,7 @@ BENCH_QUERIES = [
     "ann_range_search",
     "ann_pq_codes",
     "ann_ivfpq_topk",
+    "ann_srp_lsh",
     "dedup_embedding_cosine",
     "mm_media_meta",
     "mm_frames",

@@ -441,6 +441,36 @@ def main() -> None:
     checks.append(("bloom: probe hit-count partially aggregated",
                    "partial_count" in p26))
 
+    # 27. entity linking: KB dim broadcast, argmin partially aggregated
+    p27 = plan_of(entry.q_er_entity_linking(spark, SF))
+    sections.append(("Entity linking (er_entity_linking)", p27))
+    checks.append(("linking: KB dim is BroadcastHashJoin (no corpus shuffle"
+                   " for candidate generation)", "BroadcastHashJoin" in p27))
+    checks.append(("linking: per-node argmin partially aggregated map-side",
+                   "partial_min" in p27))
+    checks.append(("linking: no sort-merge join anywhere",
+                   "SortMergeJoin" not in p27))
+
+    # 28. temporal fact table: two-level agg, no double-distinct Expand
+    p28 = plan_of(entry.q_kg_triples_temporal(spark, SF))
+    sections.append(("Temporal fact table (kg_triples_temporal)", p28))
+    checks.append(("temporal: no Expand (double-distinct avoided by the"
+                   " two-level aggregate)", "Expand" not in p28))
+    checks.append(("temporal: level-1 page aggregate partially aggregated",
+                   "partial_count" in p28 or "partial_min" in p28))
+
+    # 29. SRP-LSH: probe set broadcast; corpus side never exchanges for
+    # candidate generation (the only exchange is the per-query top-k window)
+    p29 = plan_of(entry.q_ann_srp_lsh(spark, SF))
+    sections.append(("SRP-LSH top-k (ann_srp_lsh)", p29))
+    checks.append(("srp: probe set is BroadcastHashJoin",
+                   "BroadcastHashJoin" in p29))
+    import re as _re
+
+    shuffles = _re.findall(r"^\(\d+\) Exchange$", p29, _re.M)
+    checks.append(("srp: exactly one shuffle exchange (top-k window), none"
+                   " for pairing (broadcast only)", len(shuffles) == 1))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -388,3 +388,130 @@ def range_search(
             F.floor(F.col("c") * 1000).cast("long").alias("cos_mil"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — the cosine-metric sibling of the IVF
+# path: nbits seeded hyperplanes hash every vector to a bucket; queries
+# probe only their own bucket (single-probe), candidates get an exact
+# rounded-cosine verify + top-k. Complements IVF: no codebook / training
+# draw at all, the "codebook" is a pure function of (bit, dim).
+# ---------------------------------------------------------------------------
+
+SRP_NBITS = 8
+
+
+def srp_signs(nbits: int = SRP_NBITS, dim: int = 64) -> list[list[float]]:
+    """Seeded +-1 hyperplane matrix, a pure function of (bit, dim): the
+    parity of the first hex nibble of md5('srp:{bit}:{dim}') — portable
+    across engines, so the DuckDB oracle inlines the SAME literals from
+    this function (the EN_STOPWORDS sharing precedent). Rademacher signs
+    are a valid SRP family (Achlioptas-style sparse projections)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"srp:{b}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for b in range(nbits)
+    ]
+
+
+def srp_bucket_col(v, nbits: int = SRP_NBITS, dim: int = 64):
+    """Bucket id column: bit b = [round(v . h_b, 9) >= 0], packed little-
+    endian into a long. The 9dp round before the sign decision keeps a
+    1-ulp libm divergence from flipping a near-orthogonal bit across
+    engines (the ADVICE r01 convention). Pure narrow expression — the
+    whole corpus hashes inside one codegen stage, no exchange."""
+    signs = srp_signs(nbits, dim)
+    bits = []
+    for b in range(nbits):
+        hb = F.array(*[F.lit(s) for s in signs[b]])
+        dot = F.round(_dot(v, hb), 9)
+        bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for expr in bits[1:]:
+        out = out + expr
+    return out.cast("long")
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    nbits: int = SRP_NBITS,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """SRP-LSH approximate top-k: (query_id, rank, neighbor_id).
+
+    Scale shape: the corpus maps narrowly to (vec_id, bucket); the query
+    set (bounded) is hashed the same way, expanded to its probe set and
+    BROADCAST, so candidate generation is a broadcast equi-join on bucket
+    — the corpus never shuffles for pairing and scan cost is one pass at
+    any corpus size. Only the candidates (corpus/2^nbits per probe in
+    expectation — nbits grows with log2(N) to hold that constant) reach
+    the per-query top-k window.
+
+    ``multiprobe`` probes the Hamming-radius-1 ball (bucket plus each
+    single-bit flip, nbits+1 probes) — the standard multi-probe LSH
+    recall lift that avoids planting 2^nbits/N more tables; probes are
+    DISTINCT bucket values and a corpus vector lives in exactly one
+    bucket, so no candidate dedup step is needed. Approximate by design:
+    recall misses are a property of the family, replayed identically by
+    the oracle.
+
+    A wrong-width embedding fails LOUDLY (raise_error), not by silently
+    hashing a null-padded prefix (zip_with pads with NULL)."""
+    emb = embeddings.select(
+        "vec_id",
+        F.when(
+            F.size("embedding") == dim, F.col("embedding").cast("array<double>")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"srp_lsh_topk: expected dim={dim}, got "),
+                    F.size("embedding").cast("string"),
+                )
+            )
+        )
+        .alias("v"),
+    )
+    hashed = emb.select(
+        "vec_id", "v", srp_bucket_col(F.col("v"), nbits, dim).alias("bucket")
+    )
+    probes = [F.col("bucket")]
+    if multiprobe:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)
+        ]
+    q = (
+        hashed.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*probes)).alias("bucket"),
+        )
+    )
+    joined = hashed.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))),
+        9,
+    ).alias("cos")
+    scored = joined.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )

@@ -2416,3 +2416,145 @@ FROM maybe m LEFT JOIN seen s ON m.tok = s.tok
         "tk",
         "seen",
     )
+
+
+def er_entity_linking(model: str = "a100", max_lev: int = 2) -> str:
+    """Entity-linking twin (pipeline/er.py link_entities_to_kb): canonical
+    nodes -> best KB term; two channels (full surface, head token), each
+    via 2-char-prefix + length-band blocking and a levenshtein <= max_lev
+    verify; argmin replayed as a row_number over (chan, lev, kb_term) —
+    total because KB terms are globally distinct."""
+    sig = FIXTURES / f"entity_signatures_{model}.parquet"
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return (
+        _kg_prefix(model)
+        + f"""
+, occ AS (
+    SELECT {norm.format(c='surface')} AS norm_surface,
+           pred_group AS etype, surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+nodes AS (
+    SELECT md5(norm_surface || '|' || etype) AS node_id,
+           norm_surface, etype,
+           count(*) AS n_mentions
+    FROM occ WHERE length(norm_surface) > 0
+    GROUP BY norm_surface, etype
+),
+keys AS (
+    SELECT node_id, norm_surface, etype, n_mentions,
+           norm_surface AS qkey, 0 AS chan FROM nodes
+    UNION ALL
+    SELECT node_id, norm_surface, etype, n_mentions,
+           string_split(norm_surface, ' ')[-1] AS qkey, 1 AS chan FROM nodes
+),
+kb0 AS (
+    SELECT {norm.format(c='term')} AS kb_norm,
+           term AS kb_term, labels[1] AS kb_label
+    FROM read_parquet('{sig}')
+),
+kbn AS (
+    SELECT kb_norm, kb_term, kb_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY kb_norm
+                                     ORDER BY kb_term, kb_label) AS rn
+        FROM kb0 WHERE length(kb_norm) > 0
+    ) WHERE rn = 1
+),
+cand AS (
+    SELECT n.node_id, n.norm_surface, n.etype, n.n_mentions, n.chan,
+           k.kb_term, k.kb_label,
+           levenshtein(n.qkey, k.kb_norm) AS lev
+    FROM keys n JOIN kbn k
+      ON substr(n.qkey, 1, 2) = substr(k.kb_norm, 1, 2)
+     AND abs(length(n.qkey) - length(k.kb_norm)) <= {max_lev}
+    WHERE levenshtein(n.qkey, k.kb_norm) <= {max_lev}
+)
+SELECT node_id, norm_surface, etype,
+       CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(chan AS BIGINT) AS chan,
+       kb_term, kb_label, CAST(lev AS BIGINT) AS lev
+FROM (SELECT *, row_number() OVER (PARTITION BY node_id
+                                   ORDER BY chan, lev, kb_term, kb_label) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+    )
+
+
+def kg_triples_temporal(model: str = "a100") -> str:
+    """Temporal fact-table twin (pipeline/triples.py triples_temporal over
+    the deterministic url-derived warc_ts the query wrapper attaches):
+    two-level aggregate — per (triple, url) first, so the one remaining
+    DISTINCT (obs day) runs over already-deduped pages."""
+    ts = (
+        "1704067200 + (CAST(url AS BIGINT) % 97) * 86400"
+        " + (CAST(url AS BIGINT) % 24) * 3600"
+    )
+    return f"""
+WITH trip AS ({kg_triples(model)})
+, per_page AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type, url,
+           count(*) AS n_obs,
+           min({ts}) AS min_ts, max({ts}) AS max_ts
+    FROM trip GROUP BY ALL
+)
+SELECT subj, subj_type, pred_norm, obj, obj_type,
+       CAST(sum(n_obs) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(min(min_ts) AS BIGINT) AS first_seen,
+       CAST(max(max_ts) AS BIGINT) AS last_seen,
+       CAST(count(DISTINCT min_ts // 86400) AS BIGINT) AS n_days
+FROM per_page GROUP BY subj, subj_type, pred_norm, obj, obj_type
+"""
+
+
+def ann_srp_lsh(
+    n_queries: int = 5, k: int = 5, nbits: int = 8, dim: int = 64
+) -> str:
+    """SRP-LSH twin (ops/simsearch.py srp_lsh_topk): the +-1 hyperplanes
+    are inlined from the SAME srp_signs() the engine uses (EN_STOPWORDS
+    sharing precedent); bucket bit = round(dot, 9) >= 0, packed little-
+    endian; Hamming-radius-1 multiprobe; exact rounded-cosine verify +
+    per-query top-k."""
+    from unsupervised_ner_spark.ops.simsearch import srp_signs
+
+    signs = srp_signs(nbits, dim)
+    bit_terms = " + ".join(
+        "CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[b])
+        + f"]), 9) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(nbits)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << b})" for b in range(nbits))
+    return _materialize(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+srph AS (
+    SELECT vec_id, v, CAST({bit_terms} AS BIGINT) AS bucket FROM e
+),
+q AS (
+    SELECT query_id, qv, unnest(probes) AS bucket FROM (
+        SELECT vec_id AS query_id, v AS qv,
+               [bucket, {flips}] AS probes
+        FROM srph WHERE vec_id < {n_queries})
+),
+cand AS (
+    SELECT h.vec_id, q.query_id,
+           round(list_dot_product(h.v, q.qv) /
+                 (sqrt(list_dot_product(h.v, h.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 9) AS cos
+    FROM srph h JOIN q USING (bucket) WHERE h.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rank <= {k}
+"""
+        , "srph")

@@ -1006,3 +1006,88 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int | None = 4) -> DataFrame:
         return F.split(F.col("src"), r"\|")[j]
 
     return deg.select(part(0).alias("ent"), part(1).alias("etype"), "core_deg")
+
+
+def link_entities_to_kb(
+    nodes: DataFrame, kb_sig: DataFrame, max_lev: int = 2
+) -> DataFrame:
+    """Entity linking: canonical entity nodes -> best match in a bounded
+    KB term table (the bootstrapped signature vocab stands in for the KB;
+    the reference's vocab->label clusters, ner_labeling/construct_bs.py,
+    ARE its entity knowledge base).
+
+    TWO channels, cheapest-first (chan is the hashed provenance column):
+      chan 0 — full normalized surface vs KB term;
+      chan 1 — HEAD token (last word; the reference types multi-word
+               mentions by their head, batched_main_NER.py first/last-word
+               convention) vs KB term — the fallback that links the
+               multi-word entities a single-token vocab can never match
+               in full.
+    Candidate generation is BLOCKED, never all-pairs: a 2-char-prefix
+    block key plus a +-max_lev length band, then an exact levenshtein
+    verify <= max_lev. Standard blocking recall tradeoff (documented): a
+    typo inside the first two characters is not recalled.
+
+    Scale shape: the KB is a bounded dim (<= ~25k terms) -> normalized,
+    deduped and BROADCAST, so the corpus-sized node table never shuffles
+    for candidate generation (the 2-channel union is two narrow
+    projections of a bounded-by-content node table, still shuffle-free);
+    the only exchange is the final per-node argmin, expressed as
+    min(struct(chan, lev, kb_term, kb_label)) so it partially aggregates
+    map-side (no row_number sort over the corpus). Deterministic: KB
+    norms are unique after the dedup argmin and terms are globally
+    distinct, so (chan, lev, kb_term) totally orders candidates.
+    """
+    kb_norm = norm_surface_col(F.col("term"))
+    kbn = (
+        kb_sig.select(
+            kb_norm.alias("kb_norm"),
+            F.struct(
+                F.col("term").alias("kb_term"),
+                F.element_at("labels", 1).alias("kb_label"),
+            ).alias("kv"),
+        )
+        .filter(F.length("kb_norm") > 0)
+        .groupBy("kb_norm")
+        .agg(F.min("kv").alias("kv"))
+        .select("kb_norm", "kv.kb_term", "kv.kb_label")
+    )
+    base = ["node_id", "norm_surface", "etype", "n_mentions"]
+    fulls = nodes.select(
+        *base, F.col("norm_surface").alias("qkey"), F.lit(0).alias("chan")
+    )
+    heads = nodes.select(
+        *base,
+        F.element_at(F.split("norm_surface", " "), -1).alias("qkey"),
+        F.lit(1).alias("chan"),
+    )
+    keys = fulls.unionByName(heads)
+    lev = F.levenshtein(F.col("qkey"), F.col("kb_norm"))
+    cand = (
+        keys.join(
+            F.broadcast(kbn),
+            (F.substring("qkey", 1, 2) == F.substring("kb_norm", 1, 2))
+            & (F.abs(F.length("qkey") - F.length("kb_norm")) <= F.lit(max_lev)),
+        )
+        .filter(lev <= max_lev)
+        .select(
+            *base,
+            F.struct(
+                F.col("chan"),
+                lev.alias("lev"),
+                F.col("kb_term"),
+                F.col("kb_label"),
+            ).alias("cand"),
+        )
+    )
+    best = cand.groupBy(*base).agg(F.min("cand").alias("best"))
+    return best.select(
+        "node_id",
+        "norm_surface",
+        "etype",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("best.chan").cast("long").alias("chan"),
+        F.col("best.kb_term").alias("kb_term"),
+        F.col("best.kb_label").alias("kb_label"),
+        F.col("best.lev").cast("long").alias("lev"),
+    )

@@ -116,3 +116,38 @@ def predicate_histogram(triples: DataFrame, top_k: int = 10) -> DataFrame:
     return hist.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= top_k
     )
+
+
+def triples_temporal(triples_with_ts: DataFrame) -> DataFrame:
+    """Temporal fact table: collapse observed triples carrying a page
+    timestamp (``obs_ts``, epoch seconds — warc_ts in the north-rule page
+    schema) into one row per (subj, subj_type, pred_norm, obj, obj_type)
+    with first_seen/last_seen epochs, observation / page / distinct-day
+    counts — the SCD-style versioned edge the KG serves.
+
+    Scale shape: TWO-LEVEL aggregate. Level 1 collapses to (triple, url)
+    — the page stream partially aggregates map-side, and since obs_ts is
+    a function of the page, day dedup after level 1 is exact. Level 2
+    then needs only ONE distinct (obs_day), avoiding the double-distinct
+    Expand (x2 row blowup) a single groupBy with two count(DISTINCT)s
+    would plan at 100 TB.
+    """
+    per_page = triples_with_ts.groupBy(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type", "url"
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.min("obs_ts").alias("min_ts"),
+        F.max("obs_ts").alias("max_ts"),
+    )
+    return (
+        per_page.groupBy("subj", "subj_type", "pred_norm", "obj", "obj_type")
+        .agg(
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.count("*").cast("long").alias("n_pages"),
+            F.min("min_ts").cast("long").alias("first_seen"),
+            F.max("max_ts").cast("long").alias("last_seen"),
+            F.countDistinct(
+                F.floor(F.col("min_ts") / F.lit(86400))
+            ).cast("long").alias("n_days"),
+        )
+    )
