@@ -179,6 +179,72 @@ def q_txt_sample_balanced(spark, sf_dir):
     return sampling.balanced_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_split_assign(spark, sf_dir):
+    """Group-level train/val/test split: every doc inherits its source's
+    md5-bucket split — same-source docs can never straddle splits."""
+    from unsupervised_ner_spark.ops import sampling
+
+    return sampling.split_assign(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_split_leakage(spark, sf_dir):
+    """Near-dup leakage screen over the split: MinHash-LSH candidate pairs
+    annotated with both endpoints' splits + leak flag (cross-split
+    near-dups = eval contamination the group split can't block)."""
+    from unsupervised_ner_spark.ops import sampling
+
+    return sampling.split_leakage(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_postings(spark, sf_dir):
+    """Capped inverted-index posting lists: per-term top-k docs by
+    (tf DESC, doc_id ASC), hapax tail pruned by min_df."""
+    from unsupervised_ner_spark.ops import textstats
+
+    return textstats.postings_topk(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_curated_manifest(spark, sf_dir):
+    """End-to-end curation manifest: quality -> dedup survivors -> split
+    -> sqrt-mix over survivors; one audit row per input doc with a keep
+    flag."""
+    from unsupervised_ner_spark.ops.curation import curated_manifest
+
+    return curated_manifest(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_mix_sqrt(spark, sf_dir):
+    """Temperature-balanced mix sampling: per-source cap k*isqrt(n) in
+    md5 order — alpha=0.5 mix flattening, exact integer arithmetic."""
+    from unsupervised_ner_spark.ops import sampling
+
+    return sampling.sqrt_mix_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility sufficient statistics (doc/char/
+    ws-token/BPE-ish-subunit integer sums)."""
+    from unsupervised_ner_spark.ops import textstats
+
+    return textstats.fertility_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_length_hist(spark, sf_dir):
+    """Histogram-sketch percentiles: bounded mergeable integer histogram
+    + cumulative rank pick — the scale path of txt_length_pct."""
+    from unsupervised_ner_spark.ops import textstats
+
+    return textstats.length_hist_quantiles(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_bigram_lm(spark, sf_dir):
+    """Bigram LM sufficient statistics: pair counts + left marginal +
+    Kneser-Ney continuation counts, all integers."""
+    from unsupervised_ner_spark.ops import textstats
+
+    return textstats.bigram_lm(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_bio_tags(spark, sf_dir):
     """Production-path token tags (Arrow-batched kernel UDF); oracle is the
     independent relational SQL replication — the strongest correctness gate
@@ -958,6 +1024,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_common_neighbors": q_kg_common_neighbors,
         "txt_sample_hash": q_txt_sample_hash,
         "txt_sample_balanced": q_txt_sample_balanced,
+        "txt_split_assign": q_txt_split_assign,
+        "txt_split_leakage": q_txt_split_leakage,
+        "txt_postings": q_txt_postings,
+        "txt_length_hist": q_txt_length_hist,
+        "txt_bigram_lm": q_txt_bigram_lm,
+        "txt_mix_sqrt": q_txt_mix_sqrt,
+        "txt_fertility": q_txt_fertility,
+        "txt_curated_manifest": q_txt_curated_manifest,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
@@ -1034,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_common_neighbors": O.kg_common_neighbors(),
         "txt_sample_hash": O.txt_sample_hash(),
         "txt_sample_balanced": O.txt_sample_balanced(),
+        "txt_split_assign": O.txt_split_assign(),
+        "txt_split_leakage": O.txt_split_leakage(),
+        "txt_postings": O.txt_postings(),
+        "txt_length_hist": O.txt_length_hist(),
+        "txt_bigram_lm": O.txt_bigram_lm(),
+        "txt_mix_sqrt": O.txt_mix_sqrt(),
+        "txt_fertility": O.txt_fertility(),
+        "txt_curated_manifest": O.txt_curated_manifest(),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),

@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "kg_common_neighbors",
     "txt_sample_hash",
     "txt_sample_balanced",
+    "txt_split_assign",
+    "txt_split_leakage",
+    "txt_postings",
+    "txt_length_hist",
+    "txt_bigram_lm",
+    "txt_mix_sqrt",
+    "txt_fertility",
+    "txt_curated_manifest",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_jaccard_exact",

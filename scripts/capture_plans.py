@@ -471,6 +471,51 @@ def main() -> None:
     checks.append(("srp: exactly one shuffle exchange (top-k window), none"
                    " for pairing (broadcast only)", len(shuffles) == 1))
 
+    # 30. split assignment: stateless projection — the split must be a
+    # pure per-row expression (no Exchange, no aggregate) so it pushes
+    # into the scan stage at any scale
+    p30 = plan_of(entry.q_txt_split_assign(spark, SF))
+    sections.append(("Train/val/test split assignment (txt_split_assign)", p30))
+    checks.append(("split assign: zero shuffles (stateless projection)",
+                   "Exchange" not in p30))
+
+    # 31. split leakage: the pair table comes from the capped LSH chain
+    # (banded table persisted once via InMemoryTableScan); the two split
+    # lookups are narrow projections — no corpus-sized broadcast anywhere
+    p31 = plan_of(entry.q_txt_split_leakage(spark, SF))
+    sections.append(("Split leakage screen (txt_split_leakage)", p31))
+    checks.append(("split leakage: banded LSH table persisted once",
+                   "InMemoryTableScan" in p31))
+    checks.append(("split leakage: no forced corpus broadcast of documents",
+                   "documents.parquet" not in
+                   "".join(l for l in p31.splitlines() if "Broadcast" in l)))
+
+    # 32. postings: tf aggregate partially combines map-side before the
+    # term-keyed exchange; min_df prunes via the df-side join
+    p32 = plan_of(entry.q_txt_postings(spark, SF))
+    sections.append(("Inverted-index postings (txt_postings)", p32))
+    checks.append(("postings: map-side partial aggregation",
+                   "partial_count" in p32 or "HashAggregate" in p32))
+
+    # 33. bigram LM: bigrams come from a narrow in-array transform — the
+    # plan must contain no join before the pair aggregate (a positional
+    # self-join would shuffle the corpus on (doc_id, pos)); the only
+    # joins are the vocabulary-bounded marginal attachments
+    p33 = plan_of(entry.q_txt_bigram_lm(spark, SF))
+    sections.append(("Bigram LM stats (txt_bigram_lm)", p33))
+    checks.append(("bigram: narrow Generate (explode) over the scan",
+                   "Generate" in p33))
+    checks.append(("bigram: no sort-merge positional self-join",
+                   "SortMergeJoin" not in p33.split("HashAggregate")[0]))
+
+    # 34. histogram sketch: ONE aggregate keyed on (lang, bin) — state
+    # bounded by max_bins per language; the percentile pick windows over
+    # the bounded histogram, never the corpus
+    p34 = plan_of(entry.q_txt_length_hist(spark, SF))
+    sections.append(("Histogram-sketch percentiles (txt_length_hist)", p34))
+    checks.append(("hist: map-side partial aggregation",
+                   "partial_count" in p34))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -547,3 +547,116 @@ def test_ivfpq_adc_matches_numpy_reconstruction(spark, emb):
         mine = sorted((x for x in got if x.query_id == q), key=lambda x: x.rank)
         assert [x.rank for x in mine] == list(range(1, len(mine) + 1))
         assert all(a.adc_i <= b.adc_i for a, b in zip(mine, mine[1:]))
+
+
+def test_postings_topk_caps_and_orders(spark):
+    """Inverted-index postings: per-term docs ranked tf DESC / doc_id ASC,
+    hapax terms pruned by min_df, output capped at k."""
+    from unsupervised_ner_spark.ops.textstats import postings_topk
+
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple banana banana"),
+        (3, "apple cherry"),
+        (4, "Apple unique1 unique2"),  # case folds into apple
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = postings_topk(d, k=2, min_df=2)
+    got = {(r.term, r.rank): (r.doc_id, r.tf, r.df) for r in out.collect()}
+    # apple: df=4; top-2 by tf desc then doc_id asc -> doc1 (tf3), doc2 (tf1)
+    assert got[("apple", 1)] == (1, 3, 4)
+    assert got[("apple", 2)] == (2, 1, 4)
+    # banana: df=2 -> doc2 (tf2), doc1 (tf1)
+    assert got[("banana", 1)] == (2, 2, 2)
+    assert got[("banana", 2)] == (1, 1, 2)
+    # hapax terms pruned, and no term exceeds k rows
+    terms = {t for (t, _r) in got}
+    assert terms == {"apple", "banana"}
+    assert max(r for (_t, r) in got) <= 2
+
+
+def test_length_hist_quantiles_brackets_exact(spark):
+    """The histogram sketch's [lo, hi) bracket contains the exact discrete
+    percentile, shard histograms merge additively, and the open last bin
+    clips hi to the -1 sentinel."""
+    from unsupervised_ner_spark.ops.textstats import (
+        length_hist_quantiles,
+        length_percentiles,
+    )
+
+    rows = [(i, "en", "w " * (i % 40 + 1)) for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sk = {r.pct: (r.lo, r.hi) for r in length_hist_quantiles(d, ps=(50, 90)).collect()}
+    ex = {r.pct: r.n_tokens for r in length_percentiles(d, ps=(50, 90)).collect()}
+    for p in (50, 90):
+        lo, hi = sk[p]
+        assert lo <= ex[p] < hi, (p, sk[p], ex[p])
+    # open-ended last bin: a doc longer than max_bins*bin_width lands in
+    # the sentinel bin
+    big = spark.createDataFrame(
+        [(1, "en", "w " * 50)], "doc_id long, lang string, text string"
+    )
+    out = {r.pct: (r.bin, r.hi) for r in
+           length_hist_quantiles(big, ps=(50,), bin_width=8, max_bins=4).collect()}
+    assert out[50] == (3, -1)
+
+
+def test_bigram_lm_counts_and_continuation(spark):
+    """Pair counts, left marginals, and Kneser-Ney continuation counts:
+    marginals are computed before min_pair pruning."""
+    from unsupervised_ner_spark.ops.textstats import bigram_lm
+
+    rows = [
+        (1, "san francisco is big"),
+        (2, "san francisco san diego"),
+        (3, "the francisco"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.n_w1, r.cont_w2)
+           for r in bigram_lm(d, min_pair=2).collect()}
+    # 'san francisco' x2; san's left marginal counts ALL pairs from san
+    # (francisco x2 + diego x1 = 3); francisco's continuation counts
+    # DISTINCT predecessors (san, the) even though 'the francisco' itself
+    # is pruned by min_pair
+    assert out == {("san", "francisco"): (2, 3, 2)}, out
+
+
+def test_fertility_stats_sums(spark):
+    """Integer sufficient statistics per language; BPE-ish subunits split
+    on non-alphanumerics so hyphenated words count more subunits."""
+    from unsupervised_ner_spark.ops.textstats import fertility_stats
+
+    rows = [(1, "en", "state-of-the-art results"),
+            (2, "en", "plain words here"),
+            (3, "de", "ein wort")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: (r.n_docs, r.n_chars, r.n_ws_tokens, r.n_bpe_tokens)
+           for r in fertility_stats(d).collect()}
+    assert got["en"] == (2, 24 + 16, 2 + 3, 5 + 3)
+    assert got["de"] == (1, 8, 2, 2)
+
+
+def test_isqrt_sql_duckdb_parity():
+    """The oracle's _isqrt_sql must equal math.isqrt for every BIGINT —
+    including perfect squares and their neighbors where floor(sqrt(double))
+    misrounds (the icbrt precedent, square-root edition)."""
+    import math
+
+    import duckdb
+
+    from unsupervised_ner_spark.oracle_sql import _isqrt_sql
+
+    boundary = [k**2 + d for k in (1, 2, 10, 1000, 10**6, (1 << 26))
+                for d in (-1, 0, 1)]
+    cases = sorted(set(list(range(0, 100)) + boundary
+                       + [10**12, 2**52, 2**53 - 1]))
+    con = duckdb.connect()
+    for n in cases:
+        if n < 0:
+            continue
+        sql = (
+            f"SELECT {_isqrt_sql('n', 'e')} FROM (SELECT CAST({n} AS BIGINT) AS n, "
+            f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) AS e)"
+        )
+        assert con.execute(sql).fetchone()[0] == math.isqrt(n), n
+    con.close()

@@ -43,3 +43,118 @@ def test_balanced_sample_exact_counts(docs):
     # deterministic selection: md5 order, so re-running picks the same docs
     again = {(r.doc_id, r.lang, r.rank) for r in sampling.balanced_sample(docs).collect()}
     assert again == {(r.doc_id, r.lang, r.rank) for r in out}
+
+
+def test_split_assign_group_atomic_and_stable(spark):
+    """Every doc inherits its GROUP's split (no group straddles splits),
+    and adding documents never reassigns an existing group."""
+    rows = [(i, f"src{i % 17}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.split_assign(d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_src.values()), by_src
+    assert set().union(*by_src.values()) <= {"train", "val", "test"}
+    # growth stability: doubling the corpus keeps every old (src -> split)
+    rows2 = rows + [(1000 + i, f"src{i % 29}") for i in range(300)]
+    d2 = spark.createDataFrame(rows2, "doc_id long, source string")
+    by_src2 = {r.source: r.split for r in sampling.split_assign(d2).collect()}
+    for src, splits in by_src.items():
+        assert by_src2[src] == next(iter(splits)), src
+
+
+def test_split_assign_bucket_validation(spark):
+    d = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        sampling.split_assign(d, train_buckets=0)
+    with pytest.raises(ValueError):
+        sampling.split_assign(d, train_buckets=2000, val_buckets=1000)
+
+
+def test_split_leakage_flags_cross_split_near_dup(spark):
+    """A near-dup pair whose sources land in different splits is flagged
+    leak=true; a near-dup pair within one source is leak=false."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    # srcA/srcB chosen so their md5 buckets differ in split under the
+    # default thresholds; assert that below rather than hard-coding.
+    rows = [
+        (1, base, "srcA"),
+        (2, base + "tail", "srcB"),        # near-dup of 1, other source
+        (3, base + "padding", "srcA"),     # near-dup of 1, same source
+        (4, "completely different content with nothing shared at all", "srcB"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    splits = {r.source: r.split for r in sampling.split_assign(d).collect()}
+    out = {(r.doc_a, r.doc_b): (r.split_a, r.split_b, r.leak)
+           for r in sampling.split_leakage(d).collect()}
+    assert (1, 3) in out and out[(1, 3)][2] is False
+    if splits["srcA"] != splits["srcB"]:
+        assert (1, 2) in out and out[(1, 2)][2] is True
+    else:  # same split -> pair present but not a leak
+        assert (1, 2) in out and out[(1, 2)][2] is False
+    assert all(k != 4 for pair in out for k in pair)
+
+
+def test_isqrt_floor_exact_vs_math(spark):
+    """Property: isqrt_floor_col == math.isqrt, including perfect squares
+    and their neighbors where the float estimate misrounds."""
+    import math
+
+    ns = sorted({0, 1, 2, 3, 4, 8, 9, 10, 24, 25, 26, 10**6 - 1, 10**6,
+                 10**6 + 1, (1 << 26) ** 2 - 1, (1 << 26) ** 2,
+                 (1 << 26) ** 2 + 1, 4503599627370496})
+    d = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {r.n: r.w for r in d.select(
+        "n", sampling.isqrt_floor_col(F.col("n")).alias("w")).collect()}
+    for n in ns:
+        assert got[n] == math.isqrt(n), (n, got[n], math.isqrt(n))
+
+
+def test_sqrt_mix_sample_caps_sublinear(spark):
+    """Head groups cut to k*isqrt(n), tail groups kept whole, selection
+    deterministic in md5 order."""
+    rows = [(i, "head") for i in range(100)] + [(1000 + i, "tail") for i in range(9)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.sqrt_mix_sample(d, k=4)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["head"]) == 40  # 4 * isqrt(100)
+    assert len(by_src["tail"]) == 9   # 4 * isqrt(9) = 12 > 9 -> whole
+    assert all(r.cap == 40 and r.n_docs == 100 for r in by_src["head"])
+    again = {(r.doc_id, r.rank) for r in sampling.sqrt_mix_sample(d, k=4).collect()}
+    assert again == {(r.doc_id, r.rank) for rs in by_src.values() for r in rs}
+
+
+def test_curated_manifest_stage_order_and_flags(spark):
+    """The manifest drops the non-representative dup, keeps the cluster
+    rep, and computes the mix cap over SURVIVORS (a corpus-level rank
+    would differ): a good doc outside any cluster with rank past the
+    survivor cap is excluded by keep."""
+    from unsupervised_ner_spark.ops.curation import curated_manifest
+
+    # every doc: 1 stopword + 10 unique tokens -> passes the short /
+    # boilerplate / lowlex gates; docs share almost no shingles except
+    # the engineered near-dup pair
+    def doc(prefix):
+        return "the " + " ".join(f"{prefix}{j}" for j in range(10))
+
+    rows = (
+        # near-dup pair in srcX: doc 1 is the representative, doc 2 drops
+        [(1, doc("dup") + " alpha", "en", "srcX"),
+         (2, doc("dup") + " alphA", "en", "srcX")]
+        # mutually dissimilar good docs to give the mix something to rank
+        + [(10 + i, doc(f"w{i}x"), "en", "srcX") for i in range(20)]
+        + [(100, "tiny", "en", "srcY")]  # short -> dropped by quality
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in curated_manifest(d, k_mix=2).collect()}
+    assert len(out) == 23  # one audit row per input doc
+    assert out[100].quality == "short" and not out[100].keep
+    assert out[1].is_dup is False  # representative survives
+    assert out[2].is_dup is True and not out[2].keep
+    # survivor pool = 21 good non-dup srcX docs -> cap = 2*isqrt(21) = 8
+    kept = [i for i, r in out.items() if r.keep]
+    assert len(kept) == 8, (len(kept), kept)
+    assert 2 not in kept and 100 not in kept

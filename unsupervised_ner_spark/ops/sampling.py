@@ -76,3 +76,133 @@ def balanced_sample(
     return ranked.crossJoin(F.broadcast(mn)).filter(
         F.col("rank") <= F.col("min_n")
     ).select(key, stratum, "rank")
+
+
+def isqrt_floor_col(n: "F.Column") -> "F.Column":
+    """EXACT integer floor square root of a non-negative BIGINT column.
+
+    floor(sqrt(double)) alone can misround near perfect squares once
+    1/(2*sqrt(n)) is comparable to the double ulp (the icbrt_ceil
+    lesson), so the float estimate is corrected by exact integer
+    comparisons — one step each way suffices because the correctly-
+    rounded double sqrt is off by at most one integer. Same expression
+    shape on the DuckDB side (oracle_sql._isqrt_sql)."""
+    est = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    r = F.when(est * est > n, est - 1).otherwise(est)
+    return F.when((r + 1) * (r + 1) <= n, r + 1).otherwise(r)
+
+
+def sqrt_mix_sample(
+    documents: DataFrame,
+    k: int = 4,
+    group: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-balanced training-mix sampling: cap every group at
+    ``k * isqrt(n_group)`` documents (selected in md5 order), i.e. keep
+    rate ~ n^(-1/2) — head sources are downsampled sublinearly while tail
+    sources are kept whole, the standard alpha=0.5 mix-flattening recipe
+    expressed in EXACT integer arithmetic (no float rates, so both
+    engines and every re-run agree bit-for-bit).
+
+    Scale shape: the per-group count table is group-bounded (not corpus-
+    sized) and joins back broadcast-or-shuffle by size; the md5-order
+    rank is one window per group — same posture as balanced_sample, with
+    the same caveat that a pathological single-group corpus degrades to
+    one sort key. Returns (key, group, rank, cap, n_docs)."""
+    counts = documents.groupBy(group).agg(F.count("*").cast("long").alias("n_docs"))
+    capped = counts.select(
+        group,
+        "n_docs",
+        F.least(
+            F.col("n_docs"), F.lit(k).cast("long") * isqrt_floor_col(F.col("n_docs"))
+        ).alias("cap"),
+    )
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    ranked = documents.select(
+        key, group, F.row_number().over(w).cast("long").alias("rank")
+    )
+    return ranked.join(capped, group).filter(F.col("rank") <= F.col("cap")).select(
+        key, group, "rank", "cap", "n_docs"
+    )
+
+
+# train/val/test bucket thresholds over the 4096 md5 buckets:
+# [0, 3277) train (~80.0%), [3277, 3687) val (~10.0%), rest test.
+SPLIT_TRAIN_BUCKETS = 3277
+SPLIT_VAL_BUCKETS = 3687
+
+
+def split_assign(
+    documents: DataFrame,
+    group: str = "source",
+    train_buckets: int = SPLIT_TRAIN_BUCKETS,
+    val_buckets: int = SPLIT_VAL_BUCKETS,
+) -> DataFrame:
+    """Deterministic GROUP-LEVEL train/val/test split: every row inherits
+    the split of its ``group`` (default the document's source/domain), so
+    same-source documents — the strongest trivial-leakage channel, e.g. a
+    boilerplate-heavy site template — can never straddle splits by
+    construction. The group's md5 hex prefix picks the split (the
+    hash_sample trick), so the assignment is reproducible on both engines
+    and stable under corpus growth: adding documents never reassigns an
+    existing group.
+
+    Stateless per-row projection — no shuffle, no group table; the split
+    is a pure function of the group string."""
+    if not 0 < train_buckets <= val_buckets <= HASH_BUCKETS:
+        raise ValueError("need 0 < train_buckets <= val_buckets <= 4096")
+    b = _bucket_col(F.col(group))
+    split = (
+        F.when(b < F.lit(f"{train_buckets:03x}"), F.lit("train"))
+        .when(b < F.lit(f"{val_buckets:03x}"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select("doc_id", group, split.alias("split"))
+
+
+def split_leakage(
+    documents: DataFrame,
+    group: str = "source",
+    train_buckets: int = SPLIT_TRAIN_BUCKETS,
+    val_buckets: int = SPLIT_VAL_BUCKETS,
+) -> DataFrame:
+    """Near-duplicate LEAKAGE screen over the group-level split: MinHash-
+    LSH candidate pairs (ops/dedup.py, adaptive bucket cap) annotated with
+    each side's split and ``leak = split_a <> split_b`` — the cross-split
+    near-dups that contaminate held-out evaluation even though the
+    group-level assignment already blocks same-source leakage (a near-dup
+    of a test doc syndicated on a train-split source is exactly what this
+    catches). Emits ALL candidate pairs with the flag rather than only
+    leaks, so the output doubles as the audit table.
+
+    Scale shape: the pair table is the LSH output (bucketed + capped,
+    never corpus-quadratic); the split side is a narrow stateless
+    projection of (doc_id, split) joined twice on doc_id — two shuffle
+    equi-joins keyed on the pair endpoints, each at most pair-table-sized
+    after pushdown. The projection is recomputed per join side instead of
+    persisted: re-scanning two pruned columns is cheaper than pinning a
+    corpus-sized cache."""
+    from unsupervised_ner_spark.ops.dedup import lsh_bucket_pairs
+
+    pairs = lsh_bucket_pairs(documents)
+    splits = split_assign(documents, group, train_buckets, val_buckets)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leak"),
+        )
+    )

@@ -464,3 +464,171 @@ def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score_i9", "rank")
     )
+
+
+def length_hist_quantiles(
+    documents: DataFrame,
+    ps: tuple[int, ...] = (25, 50, 90, 99),
+    bin_width: int = 8,
+    max_bins: int = 1024,
+) -> DataFrame:
+    """Per-language APPROXIMATE length percentiles from a bounded integer
+    histogram — the mergeable-sketch swap point that length_percentiles'
+    docstring promises for corpora where the dominant language no longer
+    sorts on one key: the histogram is one map-side-combining aggregate
+    (state = at most ``max_bins`` counters per language, independent of
+    corpus size), and histograms from disjoint corpus shards ADD, so the
+    sketch composes with incremental ingest the way HLL registers do.
+
+    The estimate for percentile p is the first bin whose cumulative count
+    reaches rank ceil(p/100 * n) (same integer rank arithmetic as the
+    exact operator — no float division anywhere); the answer is the bin's
+    [lo, hi) token range, with error bounded by bin_width (the last bin is
+    open-ended and clips ``hi`` to -1 as the sentinel). The cumulative
+    window sorts at most max_bins rows per language — bounded, never
+    corpus-sized.
+
+    Returns (lang, pct, bin, lo, hi, n_docs) — all integers, bit-exact
+    across engines."""
+    from pyspark.sql import Window
+
+    # integer floor-div: `/` on longs is double division in Spark — use div
+    bin_c = F.least(
+        F.expr(f"CAST(size(filter(split(text, '\\\\s+'), t -> t != '')) AS BIGINT) div {bin_width}"),
+        F.lit(max_bins - 1).cast("long"),
+    )
+    hist = documents.groupBy("lang", bin_c.alias("bin")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_cum = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("n").over(w_cum).cast("long").alias("cum"),
+        F.sum("n").over(w_all).cast("long").alias("n_docs"),
+        (F.sum("n").over(w_cum) - F.col("n")).cast("long").alias("cum_prev"),
+    )
+    # one pass: explode the percentile list over the BOUNDED histogram
+    # (a per-percentile union would re-run the corpus aggregate once per
+    # percentile — 4 scans at 100 TB for a 4-entry list)
+    target = F.expr("greatest(1, (n_docs * pct + 99) div 100)")
+    return (
+        cum.select(
+            "*",
+            F.explode(F.array(*[F.lit(p).cast("long") for p in ps])).alias("pct"),
+        )
+        .filter((F.col("cum") >= target) & (F.col("cum_prev") < target))
+        .select(
+            "lang",
+            "pct",
+            "bin",
+            (F.col("bin") * bin_width).cast("long").alias("lo"),
+            F.when(F.col("bin") == max_bins - 1, F.lit(-1))
+            .otherwise((F.col("bin") + 1) * bin_width)
+            .cast("long")
+            .alias("hi"),
+            "n_docs",
+        )
+    )
+
+
+def fertility_stats(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility table — the tokens-per-byte /
+    subunits-per-word ratios that size a training mix (a language whose
+    BPE-ish fertility is 3x another's costs 3x the compute per word, so
+    mix planning weights by token budgets, not document counts). Emits
+    integer SUFFICIENT STATISTICS only (doc/char/token sums); the float
+    ratios are derived columns for consumers, never gated — the
+    dedup_jaccard precedent.
+
+    One map-side-combining aggregate keyed on lang — state bounded by the
+    language inventory."""
+    ws_n = F.size(tokens_ws(F.col("text"))).cast("long")
+    bpe_n = F.size(bpe_ish_tokens(F.col("text"))).cast("long")
+    return documents.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(ws_n).cast("long").alias("n_ws_tokens"),
+        F.sum(bpe_n).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bigram_lm(documents: DataFrame, min_pair: int = 2) -> DataFrame:
+    """Bigram language-model sufficient statistics — the count tables an
+    n-gram LM (perplexity-based quality filtering, KenLM-style) trains
+    from: per (w1, w2) the pair count, w1's left marginal, and w2's
+    CONTINUATION count (distinct w1 preceding it — the Kneser-Ney
+    lower-order weight; 'francisco' is frequent but continues almost
+    nothing). Marginals and continuation counts are computed on the FULL
+    pair table and only the EMITTED rows are pruned by ``min_pair``, so
+    the statistics are unbiased by the cap.
+
+    Scale shape: bigrams are built inside the token ARRAY (a narrow
+    transform over adjacent elements — no positional self-join, which
+    would shuffle the corpus on (doc_id, pos)); the pair aggregate
+    map-side combines; marginal/continuation tables are vocabulary-
+    bounded and join back on w1/w2 (Zipf-head skew -> AQE skew-join, the
+    tfidf posture)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    bg = documents.select(toks.alias("t")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    left = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
+    cont = pairs.groupBy("w2").agg(F.count("*").cast("long").alias("cont_w2"))
+    return (
+        pairs.filter(F.col("n_pair") >= min_pair)
+        .join(left, "w1")
+        .join(cont, "w2")
+        .select("w1", "w2", "n_pair", "n_w1", "cont_w2")
+    )
+
+
+def postings_topk(
+    documents: DataFrame, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Capped inverted-index posting lists — the retrieval primitive: for
+    each term with document frequency >= ``min_df``, the top-``k`` docs by
+    (tf DESC, doc_id ASC), emitted as relational (term, df, doc_id, tf,
+    rank) rows rather than array cells so the table stays mergeable and
+    the hash gate compares scalars.
+
+    Scale shape: explode (narrow) -> (doc, term) tf with map-side combine
+    -> df aggregate bounded by the vocabulary -> per-term window top-k.
+    The window partitions on term, so a head-of-Zipf stopword's postings
+    all land on one reducer — exactly why ``k`` caps the OUTPUT, not the
+    sort input; at extreme scale the stopword head is pre-pruned with a
+    df ceiling (the tfidf posture) or the per-term top-k is computed as a
+    partial top-k per partition before the final window (the same
+    two-level trick kg_triples_temporal uses to avoid Expand). min_df
+    prunes the hapax tail — typically >half the vocabulary — before the
+    window shuffle, not after."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("term", "df", "doc_id", "tf", "rank")
+    )

@@ -1478,6 +1478,238 @@ SELECT doc_id, lang, rank FROM r, m WHERE rank <= min_n
 """
 
 
+def _split_case(
+    group: str = "source", train_buckets: int = 3277, val_buckets: int = 3687
+) -> str:
+    """Shared split CASE (ops/sampling.py split_assign twin): md5 hex
+    prefix of the GROUP string against the bucket thresholds — string
+    comparison over ASCII hex, identical in both engines."""
+    b = f"substring(md5({group}), 1, 3)"
+    return (
+        f"CASE WHEN {b} < '{train_buckets:03x}' THEN 'train' "
+        f"WHEN {b} < '{val_buckets:03x}' THEN 'val' ELSE 'test' END"
+    )
+
+
+def txt_split_assign() -> str:
+    """Group-level train/val/test split twin (ops/sampling.py
+    split_assign): every doc inherits md5-bucket split of its source."""
+    return f"""
+SELECT doc_id, source, {_split_case()} AS split FROM documents
+"""
+
+
+def txt_split_leakage() -> str:
+    """Near-dup split-leakage screen twin (ops/sampling.py split_leakage):
+    the MinHash-LSH candidate-pair chain with each endpoint's group-level
+    split attached and leak = split_a <> split_b."""
+    return f"""
+WITH splits AS (SELECT doc_id, {_split_case()} AS split FROM documents),
+pairs AS (SELECT * FROM ({dedup_minhash_lsh()}) q)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+       sa.split <> sb.split AS leak
+FROM pairs p
+JOIN splits sa ON p.doc_a = sa.doc_id
+JOIN splits sb ON p.doc_b = sb.doc_id
+"""
+
+
+def txt_curated_manifest(k_mix: int = 4) -> str:
+    """Curation-manifest twin (ops/curation.py curated_manifest): quality
+    CASE + LSH/CC duplicate clusters + split CASE composed, then the
+    sqrt-mix cap computed over the SURVIVOR pool (stage order is part of
+    the contract)."""
+    return _materialize(
+        f"""
+WITH q AS (SELECT * FROM ({txt_quality()}) zq),
+cl AS (SELECT * FROM ({dedup_clusters()}) zc),
+flagged AS (
+    SELECT d.doc_id, d.lang, d.source, q.quality,
+           COALESCE(cl.doc_id <> cl.cluster_id, FALSE) AS is_dup,
+           {_split_case("d.source")} AS split
+    FROM documents d
+    JOIN q USING (doc_id)
+    LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+surv AS (SELECT doc_id, source FROM flagged WHERE quality = 'good' AND NOT is_dup),
+c AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS est
+    FROM surv GROUP BY source
+),
+capd AS (
+    SELECT source, least(n_docs, {k_mix} * {_isqrt_sql('n_docs', 'est')}) AS cap
+    FROM c
+),
+r AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+    FROM surv
+),
+kept AS (SELECT r.doc_id FROM r JOIN capd USING (source) WHERE r.rank <= capd.cap)
+SELECT f.doc_id, f.lang, f.source, f.quality, f.is_dup, f.split,
+       (f.quality = 'good' AND NOT f.is_dup AND kept.doc_id IS NOT NULL) AS keep
+FROM flagged f LEFT JOIN kept ON f.doc_id = kept.doc_id
+""",
+        "flagged",
+        "surv",
+    )
+
+
+def _isqrt_sql(n: str = "n_docs", e: str = "est") -> str:
+    """Exact integer FLOOR square root in SQL — twin of
+    ``ops/sampling.isqrt_floor_col``. ``e`` must be the float estimate
+    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), within +-1 of the
+    truth for any BIGINT; two exact integer corrections pin it."""
+    r = f"({e} - CASE WHEN {e}*{e} > {n} THEN 1 ELSE 0 END)"
+    return f"({r} + CASE WHEN ({r}+1)*({r}+1) <= {n} THEN 1 ELSE 0 END)"
+
+
+def txt_mix_sqrt(k: int = 4) -> str:
+    """Temperature-balanced mix-sampling twin (ops/sampling.py
+    sqrt_mix_sample): every source capped at k * isqrt(n_source) docs in
+    md5 order — alpha=0.5 mix flattening in exact integer arithmetic."""
+    return f"""
+WITH c AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS est
+    FROM documents GROUP BY source
+),
+capd AS (
+    SELECT source, n_docs,
+           least(n_docs, {k} * {_isqrt_sql('n_docs', 'est')}) AS cap
+    FROM c
+),
+r AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+    FROM documents
+)
+SELECT r.doc_id, r.source, r.rank, CAST(capd.cap AS BIGINT) AS cap, capd.n_docs
+FROM r JOIN capd USING (source) WHERE r.rank <= capd.cap
+"""
+
+
+def txt_fertility() -> str:
+    """Tokenizer-fertility twin (ops/textstats.py fertility_stats):
+    per-language integer sufficient statistics — doc count, char sum,
+    whitespace-token sum, BPE-ish-subunit sum."""
+    return """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> ''))) AS BIGINT) AS n_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def txt_length_hist(
+    ps: tuple[int, ...] = (25, 50, 90, 99),
+    bin_width: int = 8,
+    max_bins: int = 1024,
+) -> str:
+    """Histogram-sketch percentile twin (ops/textstats.py
+    length_hist_quantiles): bounded integer histogram, cumulative rank
+    pick with the exact (n*p+99)//100 integer ceiling — no float
+    division."""
+    ps_rows = ", ".join(f"({p})" for p in ps)
+    last = max_bins - 1
+    return f"""
+WITH tk AS (
+    SELECT lang,
+           least(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) // {bin_width},
+                 {last}) AS bin
+    FROM documents
+),
+hist AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY lang, bin),
+cum AS (
+    SELECT lang, bin,
+           CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_docs,
+           CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS cum_prev
+    FROM hist
+),
+ps AS (SELECT * FROM (VALUES {ps_rows}) v(pct))
+SELECT c.lang, CAST(p.pct AS BIGINT) AS pct, c.bin,
+       CAST(c.bin * {bin_width} AS BIGINT) AS lo,
+       CAST(CASE WHEN c.bin = {last} THEN -1
+                 ELSE (c.bin + 1) * {bin_width} END AS BIGINT) AS hi,
+       c.n_docs
+FROM cum c JOIN ps p
+  ON c.cum >= greatest(1, (c.n_docs * p.pct + 99) // 100)
+ AND c.cum_prev < greatest(1, (c.n_docs * p.pct + 99) // 100)
+"""
+
+
+def txt_bigram_lm(min_pair: int = 2) -> str:
+    """Bigram LM sufficient-statistics twin (ops/textstats.py bigram_lm):
+    adjacent-token pairs from the token list (1-based DuckDB indexing),
+    pair counts + left marginal + Kneser-Ney continuation count computed
+    on the FULL pair table, min_pair pruning only the emitted rows."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+    FROM tk, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+),
+pairs AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+),
+lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pairs GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2 FROM pairs GROUP BY w2)
+SELECT p.w1, p.w2, p.n_pair, l.n_w1, c.cont_w2
+FROM pairs p JOIN lft l USING (w1) JOIN cont c USING (w2)
+WHERE p.n_pair >= {min_pair}
+""",
+        "pairs",
+    )
+
+
+def txt_postings(k: int = 8, min_df: int = 2) -> str:
+    """Capped inverted-index posting-list twin (ops/textstats.py
+    postings_topk): per-term top-k docs by (tf DESC, doc_id ASC) over
+    whitespace-lowercase tokens, hapax tail pruned by min_df."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id, lower(u.t) AS term
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tk GROUP BY doc_id, term
+),
+dft AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+    GROUP BY term HAVING count(*) >= {min_df}
+),
+ranked AS (
+    SELECT tf.term, dft.df, tf.doc_id, tf.tf,
+           CAST(row_number() OVER (PARTITION BY tf.term
+                                   ORDER BY tf.tf DESC, tf.doc_id ASC) AS BIGINT) AS rank
+    FROM tf JOIN dft USING (term)
+)
+SELECT term, df, doc_id, tf, rank FROM ranked WHERE rank <= {k}
+""",
+        "tf",
+    )
+
+
 def _er_chain(
     model: str = "a100",
     num_hashes: int = 6,
