@@ -245,6 +245,66 @@ def q_txt_bigram_lm(spark, sf_dir):
     return textstats.bigram_lm(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing: per-doc token offset in a
+    deterministic md5 order via a two-level distributed prefix sum
+    (per-bucket cumsum + broadcast bucket offsets — never one global
+    single-partition window)."""
+    from unsupervised_ner_spark.ops.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_mix_plan(spark, sf_dir):
+    """Token-budget mix planner: per-source isqrt(n_tokens) weights,
+    integer token allocation + milli-epoch repeat factor."""
+    from unsupervised_ner_spark.ops import sampling
+
+    return sampling.mix_token_plan(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (RAG prep): pure narrow
+    transform, zero exchanges — chunk windows every stride tokens with
+    the tail clipped."""
+    from unsupervised_ner_spark.ops.packing import chunk_tokens
+
+    return chunk_tokens(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_pack_manifest(spark, sf_dir):
+    """Writer-side packing manifest: one row per (pack, doc) overlap with
+    in-pack/in-doc slice arithmetic — what a sequence-writer job
+    consumes."""
+    from unsupervised_ner_spark.ops.packing import pack_manifest, pack_sequences
+
+    return pack_manifest(pack_sequences(_t(spark, sf_dir, "documents")))
+
+
+def q_txt_bigram_novelty(spark, sf_dir):
+    """Rare-bigram novelty: per-doc count of bigram instances whose
+    corpus pair count <= 1 — the integer-exact n-gram-LM quality proxy."""
+    from unsupervised_ner_spark.ops import textstats
+
+    return textstats.bigram_novelty(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_INGEST_SPLIT = 2048  # md5 buckets below this = "existing corpus"
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-ingest near-dup screen: the md5-bucket lower half plays the
+    existing corpus (its banded-signature table = the persisted dedup
+    index), the upper half the incoming batch; each batch doc gets
+    dup_of_corpus / dup_in_batch / admit flags."""
+    from unsupervised_ner_spark.ops import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    b = sampling._bucket_col(F.col("doc_id"))
+    thr = F.lit(f"{DEDUP_INGEST_SPLIT:03x}")
+    return dedup.incremental_dedup(docs.filter(b < thr), docs.filter(~(b < thr)))
+
+
 def q_kg_bio_tags(spark, sf_dir):
     """Production-path token tags (Arrow-batched kernel UDF); oracle is the
     independent relational SQL replication — the strongest correctness gate
@@ -459,6 +519,25 @@ def q_er_entity_aliases(spark, sf_dir):
     )
     _entities, membership = er.resolve_entities(occ)
     return er.entity_aliases(occ, membership)
+
+
+def q_kg_entity_cards(spark, sf_dir):
+    """Per-canonical-entity profile card (er.entity_cards): top alias,
+    alias/mention/doc counts — the KG serving table. Same persisted
+    tagging chain as the other ER queries."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import er
+    from unsupervised_ner_spark.pipeline.runner import typed_mentions_from_tagged
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tagged = scoped_persist(stages["tagged"])
+    typed = typed_mentions_from_tagged(tagged)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    _entities, membership = er.resolve_entities(occ)
+    return er.entity_cards(occ, membership)
 
 
 def q_kg_triangles(spark, sf_dir):
@@ -1032,6 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_mix_sqrt": q_txt_mix_sqrt,
         "txt_fertility": q_txt_fertility,
         "txt_curated_manifest": q_txt_curated_manifest,
+        "txt_pack_sequences": q_txt_pack_sequences,
+        "txt_pack_manifest": q_txt_pack_manifest,
+        "txt_chunks": q_txt_chunks,
+        "txt_bigram_novelty": q_txt_bigram_novelty,
+        "txt_mix_plan": q_txt_mix_plan,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
@@ -1053,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_exact_canonical": q_er_exact_canonical,
         "er_components": q_er_components,
         "er_entity_aliases": q_er_entity_aliases,
+        "kg_entity_cards": q_kg_entity_cards,
         "er_entity_linking": q_er_entity_linking,
         "kg_triples_temporal": q_kg_triples_temporal,
         "ann_srp_lsh": q_ann_srp_lsh,
@@ -1116,6 +1202,12 @@ def oracle_sql() -> dict[str, str]:
         "txt_mix_sqrt": O.txt_mix_sqrt(),
         "txt_fertility": O.txt_fertility(),
         "txt_curated_manifest": O.txt_curated_manifest(),
+        "txt_pack_sequences": O.txt_pack_sequences(),
+        "txt_pack_manifest": O.txt_pack_manifest(),
+        "txt_chunks": O.txt_chunks(),
+        "txt_bigram_novelty": O.txt_bigram_novelty(),
+        "txt_mix_plan": O.txt_mix_plan(),
+        "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),
@@ -1137,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "er_exact_canonical": O.er_exact_canonical(),
         "er_components": O.er_components(),
         "er_entity_aliases": O.er_entity_aliases(),
+        "kg_entity_cards": O.kg_entity_cards(),
         "er_entity_linking": O.er_entity_linking(),
         "kg_triples_temporal": O.kg_triples_temporal(),
         "ann_srp_lsh": O.ann_srp_lsh(),

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "er_exact_canonical",
     "er_components",
     "er_entity_aliases",
+    "kg_entity_cards",
     "er_entity_linking",
     "kg_canonical_triples",
     "kg_triple_support",
@@ -84,6 +85,12 @@ BENCH_QUERIES = [
     "txt_mix_sqrt",
     "txt_fertility",
     "txt_curated_manifest",
+    "txt_pack_sequences",
+    "txt_pack_manifest",
+    "txt_chunks",
+    "txt_bigram_novelty",
+    "txt_mix_plan",
+    "dedup_incremental",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_jaccard_exact",

@@ -516,6 +516,75 @@ def main() -> None:
     checks.append(("hist: map-side partial aggregation",
                    "partial_count" in p34))
 
+    # 35. sequence packing: the doc-level cumsum window must partition on
+    # the md5 bucket (a real hashpartitioning exchange), the ONLY
+    # single-partition exchange is the bounded bucket-totals window, and
+    # the bucket-offset table joins back as a broadcast
+    p35 = plan_of(entry.q_txt_pack_sequences(spark, SF))
+    sections.append(("Sequence packing (txt_pack_sequences)", p35))
+    checks.append(("pack: doc window partitions on bucket (hashpartitioning)",
+                   "hashpartitioning(bucket" in p35))
+    checks.append(("pack: bounded bucket-offset table broadcast back",
+                   "BroadcastExchange" in p35))
+    checks.append(("pack: at most one SinglePartition exchange (bucket totals"
+                   " only, never the corpus)",
+                   p35.count("Exchange SinglePartition") <= 1))
+
+    # 36. mix planner: one map-side-combining token aggregate; the 1-row
+    # weight total attaches as a broadcast, never a corpus shuffle
+    p36 = plan_of(entry.q_txt_mix_plan(spark, SF))
+    sections.append(("Token-budget mix planner (txt_mix_plan)", p36))
+    checks.append(("mix plan: map-side partial aggregation",
+                   "partial_count" in p36 or "partial_sum" in p36))
+    checks.append(("mix plan: weight total broadcast (1-row)",
+                   "BroadcastExchange" in p36 or "BroadcastNestedLoopJoin" in p36))
+
+    # 37. incremental dedup: both banded-signature tables persisted once
+    # (index feeds sizes+cross, batch feeds sizes+cross+internal) and no
+    # forced broadcast of a corpus-sized band table
+    p37 = plan_of(entry.q_dedup_incremental(spark, SF))
+    sections.append(("Incremental-ingest dedup (dedup_incremental)", p37))
+    checks.append(("incremental dedup: banded tables persisted once",
+                   "InMemoryTableScan" in p37))
+    checks.append(("incremental dedup: no documents-parquet broadcast",
+                   "documents.parquet" not in
+                   "".join(l for l in p37.splitlines() if "Broadcast" in l)))
+
+    # 38. chunking: a pure narrow transform — tokenize, explode the
+    # bounded window sequence, slice. ZERO exchanges at any scale.
+    p38 = plan_of(entry.q_txt_chunks(spark, SF))
+    sections.append(("Token-window chunking (txt_chunks)", p38))
+    checks.append(("chunks: zero shuffles (narrow explode only)",
+                   "Exchange" not in p38))
+    checks.append(("chunks: Generate (explode) present", "Generate" in p38))
+
+    # 39. pack manifest: inherits the packing plan (bucket-partitioned
+    # window + broadcast offsets) plus one narrow explode — still at most
+    # one SinglePartition exchange (the bounded bucket-totals window)
+    p39 = plan_of(entry.q_txt_pack_manifest(spark, SF))
+    sections.append(("Pack writer manifest (txt_pack_manifest)", p39))
+    checks.append(("manifest: doc window partitions on bucket",
+                   "hashpartitioning(bucket" in p39))
+    checks.append(("manifest: at most one SinglePartition exchange",
+                   p39.count("Exchange SinglePartition") <= 1))
+
+    # 40. bigram novelty: the exploded bigram stream feeds the corpus
+    # pair aggregate AND the join probe — persisted once; the per-doc
+    # aggregate partially combines map-side
+    p40 = plan_of(entry.q_txt_bigram_novelty(spark, SF))
+    sections.append(("Rare-bigram novelty (txt_bigram_novelty)", p40))
+    checks.append(("novelty: bigram stream persisted once",
+                   "InMemoryTableScan" in p40))
+    checks.append(("novelty: map-side partial aggregation",
+                   "partial_count" in p40))
+
+    # 41. entity cards: the resolved occurrence stream is persisted once
+    # (feeds the card stats aggregate AND the per-surface alias counts)
+    p41 = plan_of(entry.q_kg_entity_cards(spark, SF))
+    sections.append(("Entity profile cards (kg_entity_cards)", p41))
+    checks.append(("entity cards: resolved occurrences persisted once",
+                   "InMemoryTableScan" in p41))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

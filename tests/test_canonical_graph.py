@@ -138,3 +138,29 @@ def test_cooccurrence_npmi_statistics(spark):
     pv = got[("paris", "vaccine")]
     assert (pv["n_pair"], pv["n_a"], pv["n_b"], pv["n_total"]) == (1, 1, 3, 4)
     assert len(got) == 2
+
+
+def test_entity_cards_stats_and_top_alias(spark):
+    from unsupervised_ner_spark.pipeline import er
+
+    occ = spark.createDataFrame(
+        [
+            # entity X: surfaces "Foo"x2 on u1, "foo"x1 on u2
+            ("foo", "T", "Foo", "u1"),
+            ("foo", "T", "Foo", "u1"),
+            ("foo", "T", "foo", "u2"),
+            # entity Y: single surface
+            ("bar", "T", "Bar", "u1"),
+        ],
+        "norm_surface string, etype string, surface string, url string",
+    ).withColumn("occurrence_id", F.md5(F.col("surface")))
+    membership = spark.createDataFrame(
+        [("foo", "T", "E1"), ("bar", "T", "E2")],
+        "norm_surface string, etype string, entity_id string",
+    )
+    out = {r.entity_id: r for r in er.entity_cards(occ, membership).collect()}
+    assert out["E1"].n_mentions == 3
+    assert out["E1"].n_docs == 2
+    assert out["E1"].n_aliases == 2
+    assert out["E1"].top_alias == "Foo"  # 2 mentions beats 1; det. tie-break
+    assert out["E2"].n_mentions == 1 and out["E2"].top_alias == "Bar"

@@ -158,3 +158,38 @@ def test_curated_manifest_stage_order_and_flags(spark):
     kept = [i for i, r in out.items() if r.keep]
     assert len(kept) == 8, (len(kept), kept)
     assert 2 not in kept and 100 not in kept
+
+
+def test_mix_token_plan_exact_allocation(spark):
+    import math
+
+    rows = []
+    # three sources with very different token mass; one empty source
+    for i in range(100):
+        rows.append((f"h{i}", "head", "tok " * 50))
+    for i in range(20):
+        rows.append((f"m{i}", "mid", "tok " * 10))
+    for i in range(5):
+        rows.append((f"t{i}", "tail", "tok tok"))
+    rows.append(("z0", "empty", "   "))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    budget = 10_000
+    out = {r.source: r for r in sampling.mix_token_plan(docs, budget).collect()}
+
+    assert "empty" not in out, "zero-token groups are excluded"
+    n_tok = {"head": 100 * 50, "mid": 20 * 10, "tail": 5 * 2}
+    w = {s: math.isqrt(n) for s, n in n_tok.items()}
+    tot = sum(w.values())
+    for s, r in out.items():
+        assert r.n_tokens == n_tok[s]
+        assert r.w_isqrt == w[s]
+        planned = (budget * w[s]) // tot
+        assert r.planned_tokens == planned
+        assert r.epochs_milli == (planned * 1000) // n_tok[s]
+    # alpha=0.5 flattening: the tail's planned/actual ratio must exceed
+    # the head's (sub-linear allocation upsamples the tail)
+    assert out["tail"].epochs_milli > out["head"].epochs_milli
+    # floor-rounded allocations never exceed the budget
+    assert sum(r.planned_tokens for r in out.values()) <= budget
+    with pytest.raises(ValueError):
+        sampling.mix_token_plan(docs, 0)

@@ -155,6 +155,26 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 8, k: int = 3) ->
     return sh.groupBy("doc_id").agg(*mins)
 
 
+def banded_signatures(
+    documents: DataFrame, num_hashes: int = 8, band_size: int = 2, k: int = 3
+) -> DataFrame:
+    """doc_id -> (band_id, band_hash) rows: the LSH banding of the minhash
+    signature (md5 over the '|'-joined band columns). This TABLE is the
+    dedup index — at 100 TB it is computed once per corpus snapshot and
+    persisted to storage; incremental ingest joins fresh batch bands
+    against it (see incremental_dedup) instead of re-banding the corpus."""
+    sig = minhash_signatures(documents, num_hashes, k)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
 def lsh_bucket_pairs(
     documents: DataFrame,
     num_hashes: int = 8,
@@ -179,17 +199,7 @@ def lsh_bucket_pairs(
     """
     if max_bucket is None:
         max_bucket = adaptive_max_bucket(documents.count())
-    sig = minhash_signatures(documents, num_hashes, k)
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
-        )
-    exploded = scoped_persist(
-        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
-    )
+    exploded = scoped_persist(banded_signatures(documents, num_hashes, band_size, k))
     sizes = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = exploded.join(
         sizes.filter(F.col("n") <= max_bucket).drop("n"),
@@ -531,4 +541,87 @@ def simhash_pairs(
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.filter(hamming <= max_hamming).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Batch-ingest near-duplicate screening: admit each NEW document only
+    if it near-duplicates neither the EXISTING corpus nor an earlier doc
+    in its own batch — the daily-ingest primitive a 100 TB pipeline runs
+    instead of re-deduplicating the world per snapshot.
+
+    Returns one row per batch doc:
+      (doc_id, dup_of_corpus, corpus_rep, dup_in_batch, batch_rep, admit)
+    where corpus_rep / batch_rep are the smallest matching doc ids (null
+    when no match) and admit = NOT dup_of_corpus AND NOT dup_in_batch.
+    Within-batch precedence is greedy by doc_id (a doc is a dup iff a
+    SMALLER-id batch doc shares a bucket) — deliberately non-transitive,
+    the standard streaming-LSH approximation; full transitive clustering
+    is dedup_clusters' job on a whole snapshot.
+
+    Scale shape: the corpus side reduces to its banded signature table —
+    in production that table IS the persisted dedup index (computed once
+    per snapshot by banded_signatures, stored, reused every ingest);
+    here it is derived and persisted in-session. Batch bands join the
+    index on (band_id, band_hash) — a shuffle equi-join sized by the
+    BATCH (small) side, never corpus-quadratic. The bucket cap is the
+    same corpus-adaptive icbrt rule as lsh_bucket_pairs, applied to
+    bucket sizes over index+batch combined so a boilerplate bucket is
+    dropped identically on both engines."""
+    if max_bucket is None:
+        max_bucket = adaptive_max_bucket(corpus.count() + batch.count())
+    index = scoped_persist(banded_signatures(corpus, num_hashes, band_size, k))
+    bands = scoped_persist(banded_signatures(batch, num_hashes, band_size, k))
+
+    sizes = (
+        index.unionByName(bands)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+    )
+    ok_keys = sizes.filter(F.col("n") <= max_bucket).drop("n")
+    okc = index.join(ok_keys, ["band_id", "band_hash"])
+    okb = bands.join(ok_keys, ["band_id", "band_hash"])
+
+    cross = (
+        okb.alias("n")
+        .join(
+            okc.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("corpus_rep"))
+    )
+    internal = (
+        okb.alias("a")
+        .join(
+            okb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("a.doc_id")).alias("batch_rep"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(cross, "doc_id", "left")
+        .join(internal, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("corpus_rep").isNotNull().alias("dup_of_corpus"),
+            "corpus_rep",
+            F.col("batch_rep").isNotNull().alias("dup_in_batch"),
+            "batch_rep",
+            (F.col("corpus_rep").isNull() & F.col("batch_rep").isNull()).alias(
+                "admit"
+            ),
+        )
     )

@@ -206,3 +206,57 @@ def split_leakage(
             (F.col("split_a") != F.col("split_b")).alias("leak"),
         )
     )
+
+
+def mix_token_plan(
+    documents: DataFrame, budget: int = 1_000_000, group: str = "source"
+) -> DataFrame:
+    """Token-budget mix planner: given a target training-token ``budget``,
+    allocate it across groups proportionally to isqrt(n_tokens) — the
+    alpha=0.5 temperature weighting expressed over TOKEN mass rather than
+    document counts (the quantity training cost actually scales with; see
+    fertility_stats for why doc counts mislead). Emits per group the
+    integer allocation and the implied repeat factor:
+
+      planned_tokens = (budget * isqrt(n_tokens)) div sum_g isqrt(n_tokens)
+      epochs_milli   = (planned_tokens * 1000) div n_tokens
+
+    epochs_milli > 1000 means the group repeats (upsampled tail);
+    < 1000 means it is subsampled. All arithmetic is exact BIGINT on both
+    engines, so the plan is reproducible bit-for-bit. ``budget`` must keep
+    budget * isqrt(total tokens) below 2^63 (budget <= 2^31 is always
+    safe; plan in kilotokens/megatokens above that) — ANSI mode fails
+    loudly on overflow rather than wrapping.
+
+    Scale shape: one map-side-combining token aggregate keyed on the
+    group; everything after runs on the group-bounded table with the
+    weight total attached as a 1-row broadcast (the balanced_sample
+    pattern). Empty groups (zero tokens) are excluded — they cannot
+    receive an allocation and would divide by zero in the epoch ratio."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from unsupervised_ner_spark.ops.textstats import tokens_ws
+
+    per = (
+        documents.groupBy(group)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_ws(F.col("text")))).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("w_isqrt", isqrt_floor_col(F.col("n_tokens")))
+    )
+    tot = per.agg(F.sum("w_isqrt").cast("long").alias("w_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group,
+            "n_docs",
+            "n_tokens",
+            "w_isqrt",
+            F.expr(f"({budget} * w_isqrt) div w_total").alias("planned_tokens"),
+        )
+        .withColumn(
+            "epochs_milli", F.expr("(planned_tokens * 1000) div n_tokens")
+        )
+    )

@@ -556,6 +556,25 @@ def fertility_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent lowercase token pair,
+    built INSIDE the token array (narrow transform over adjacent
+    elements; a positional self-join would shuffle the corpus on
+    (doc_id, pos)). Shared by bigram_lm and bigram_novelty."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return documents.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+
 def bigram_lm(documents: DataFrame, min_pair: int = 2) -> DataFrame:
     """Bigram language-model sufficient statistics — the count tables an
     n-gram LM (perplexity-based quality filtering, KenLM-style) trains
@@ -572,17 +591,7 @@ def bigram_lm(documents: DataFrame, min_pair: int = 2) -> DataFrame:
     map-side combines; marginal/continuation tables are vocabulary-
     bounded and join back on w1/w2 (Zipf-head skew -> AQE skew-join, the
     tfidf posture)."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-    bg = documents.select(toks.alias("t")).select(
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bg = doc_bigrams(documents).select("w1", "w2")
     pairs = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
     left = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
     cont = pairs.groupBy("w2").agg(F.count("*").cast("long").alias("cont_w2"))
@@ -631,4 +640,39 @@ def postings_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("term", "df", "doc_id", "tf", "rank")
+    )
+
+
+def bigram_novelty(documents: DataFrame, rare_max: int = 1) -> DataFrame:
+    """Rare-bigram novelty signal — the integer-exact stand-in for n-gram
+    LM perplexity filtering (KenLM-style): a doc whose adjacent word
+    pairs are mostly corpus-rare is either novel or garbled; either way
+    the mix planner wants the number. Per doc with >= 1 bigram:
+
+      (doc_id, n_bigrams, n_rare_bigrams)
+
+    where a bigram INSTANCE is rare iff its corpus pair count is
+    <= ``rare_max`` (default 1: the pair occurs nowhere else). Counts are
+    integers end-to-end — no log-probability floats near the hash gate;
+    the float surprise score is a trivial derived column for consumers.
+
+    Scale shape: the exploded (doc_id, w1, w2) stream feeds TWO consumers
+    (the corpus pair aggregate and the join probe), so it is persisted
+    once; the pair table is vocabulary-squared-bounded in principle but
+    Zipf-concentrated in practice and joins back on (w1, w2) — a shuffle
+    equi-join whose Zipf-head skew AQE handles (the tfidf posture). The
+    final per-doc aggregate map-side combines."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    bg = scoped_persist(doc_bigrams(documents))
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    return (
+        bg.join(pairs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum((F.col("n_pair") <= rare_max).cast("long"))
+            .cast("long")
+            .alias("n_rare_bigrams"),
+        )
     )

@@ -2790,3 +2790,266 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
 FROM r WHERE rank <= {k}
 """
         , "srph")
+
+
+def txt_pack_sequences(seq_len: int = 512) -> str:
+    """Sequence-packing twin (ops/packing.py pack_sequences): the engine's
+    two-level distributed prefix sum collapses to ONE flat global cumsum
+    here because the order key (md5(doc_id), doc_id) already sorts
+    identically to (bucket, md5, doc_id) — the bucket IS the md5 prefix.
+    Affordable at oracle scale; the engine never runs a global window."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+ne AS (SELECT * FROM tk WHERE n_tok > 0),
+c AS (
+    SELECT doc_id, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tok AS BIGINT) AS tok_offset
+    FROM ne
+)
+SELECT doc_id, n_tok, tok_offset,
+       CAST(tok_offset // {seq_len} AS BIGINT) AS pack_first,
+       CAST((tok_offset + n_tok - 1) // {seq_len} AS BIGINT) AS pack_last,
+       CAST((tok_offset + n_tok - 1) // {seq_len}
+            - tok_offset // {seq_len} + 1 AS BIGINT) AS n_packs
+FROM c
+"""
+
+
+def txt_mix_plan(budget: int = 1_000_000) -> str:
+    """Token-budget mix-planner twin (ops/sampling.py mix_token_plan):
+    per-source isqrt(n_tokens) weights, integer allocation and
+    milli-epoch repeat factor — exact BIGINT arithmetic via _isqrt_sql."""
+    return f"""
+WITH per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+nz AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS est
+    FROM per WHERE n_tokens > 0
+),
+wgt AS (
+    SELECT source, n_docs, n_tokens,
+           CAST({_isqrt_sql('n_tokens', 'est')} AS BIGINT) AS w_isqrt
+    FROM nz
+),
+tot AS (SELECT CAST(sum(w_isqrt) AS BIGINT) AS w_total FROM wgt)
+SELECT source, n_docs, n_tokens, w_isqrt,
+       CAST(({budget} * w_isqrt) // w_total AS BIGINT) AS planned_tokens,
+       CAST(((({budget} * w_isqrt) // w_total) * 1000) // n_tokens AS BIGINT) AS epochs_milli
+FROM wgt, tot
+"""
+
+
+def dedup_incremental(
+    split_buckets: int = 2048,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> str:
+    """Incremental-ingest dedup twin (ops/dedup.py incremental_dedup over
+    the md5-bucket corpus/batch split the gated query synthesizes): the
+    LSH band chain over ALL documents with an in_corpus flag; cross pairs
+    (batch x corpus) give dup_of_corpus/corpus_rep, batch-internal pairs
+    with a smaller doc_id give dup_in_batch/batch_rep; admit = neither.
+    The bucket cap counts index+batch bands together — same rule and same
+    count(*) source as the engine."""
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    cap_cte, cap_bound = _lsh_bucket_cap(max_bucket)
+    cap_cte = f"{cap_cte}," if cap_cte else ""
+    return _materialize(
+        f"""
+WITH {_SHINGLES_CTE.strip()},
+{cap_cte}
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+flg AS (
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{split_buckets:03x}' AS in_corpus
+    FROM documents
+),
+fb AS (SELECT b.doc_id, b.band_id, b.band_hash, f.in_corpus
+       FROM bands b JOIN flg f USING (doc_id)),
+sizes_ok AS (
+    SELECT band_id, band_hash FROM fb
+    GROUP BY band_id, band_hash HAVING count(*) <= {cap_bound}
+),
+ok AS (SELECT fb.* FROM fb JOIN sizes_ok USING (band_id, band_hash)),
+xc AS (
+    SELECT n.doc_id, min(c.doc_id) AS corpus_rep
+    FROM ok n JOIN ok c
+      ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+    WHERE NOT n.in_corpus AND c.in_corpus
+    GROUP BY n.doc_id
+),
+itn AS (
+    SELECT b.doc_id, min(a.doc_id) AS batch_rep
+    FROM ok a JOIN ok b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE NOT a.in_corpus AND NOT b.in_corpus
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       xc.corpus_rep IS NOT NULL AS dup_of_corpus,
+       xc.corpus_rep,
+       itn.batch_rep IS NOT NULL AS dup_in_batch,
+       itn.batch_rep,
+       (xc.corpus_rep IS NULL AND itn.batch_rep IS NULL) AS admit
+FROM flg d
+LEFT JOIN xc ON d.doc_id = xc.doc_id
+LEFT JOIN itn ON d.doc_id = itn.doc_id
+WHERE NOT d.in_corpus
+""",
+        "fb",
+        "ok",
+    )
+
+
+def txt_chunks(chunk_len: int = 64, stride: int = 48) -> str:
+    """Overlapping token-window chunking twin (ops/packing.py
+    chunk_tokens): per non-empty doc, windows of chunk_len tokens every
+    stride tokens, final window clipped; chunk text re-joined from the
+    1-based DuckDB list slice."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS n
+    FROM documents
+),
+ne AS (
+    SELECT *,
+           CASE WHEN n <= {chunk_len} THEN 0
+                ELSE (n - {chunk_len} + {stride} - 1) // {stride} END AS k_last
+    FROM tk WHERE n > 0
+),
+ch AS (
+    SELECT doc_id, t, n, CAST(g.i AS BIGINT) AS chunk_idx
+    FROM ne, UNNEST(generate_series(0, k_last)) AS g(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * {stride} AS BIGINT) AS start_tok,
+       CAST(least({chunk_len}, n - chunk_idx * {stride}) AS BIGINT) AS n_tok_chunk,
+       array_to_string(t[chunk_idx * {stride} + 1 :
+                         chunk_idx * {stride} + least({chunk_len}, n - chunk_idx * {stride})],
+                       ' ') AS chunk_text
+FROM ch
+"""
+
+
+def txt_pack_manifest(seq_len: int = 512) -> str:
+    """Writer-side packing-manifest twin (ops/packing.py pack_manifest
+    over pack_sequences): the flat-cumsum offsets exploded over each
+    doc's pack span with the intersection arithmetic inline."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+ne AS (SELECT * FROM tk WHERE n_tok > 0),
+c AS (
+    SELECT doc_id, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tok AS BIGINT) AS tok_offset
+    FROM ne
+),
+sp AS (
+    SELECT doc_id, n_tok, tok_offset, CAST(g.p AS BIGINT) AS pack_id
+    FROM c, UNNEST(generate_series(tok_offset // {seq_len},
+                                   (tok_offset + n_tok - 1) // {seq_len})) AS g(p)
+)
+SELECT pack_id, doc_id,
+       CAST(greatest(tok_offset, pack_id * {seq_len}) - pack_id * {seq_len} AS BIGINT) AS pos_in_pack,
+       CAST(greatest(tok_offset, pack_id * {seq_len}) - tok_offset AS BIGINT) AS start_tok,
+       CAST(least(tok_offset + n_tok, (pack_id + 1) * {seq_len})
+            - greatest(tok_offset, pack_id * {seq_len}) AS BIGINT) AS n_tok_in_pack
+FROM sp
+"""
+
+
+def txt_bigram_novelty(rare_max: int = 1) -> str:
+    """Rare-bigram novelty twin (ops/textstats.py bigram_novelty): per
+    doc the bigram-instance count and how many instances belong to pairs
+    with corpus count <= rare_max."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+    FROM tk, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+),
+pairs AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN p.n_pair <= {rare_max} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_bigrams
+FROM bg b JOIN pairs p USING (w1, w2)
+GROUP BY b.doc_id
+""",
+        "bg",
+    )
+
+
+def kg_entity_cards(model: str = "a100") -> str:
+    """Entity-card twin (pipeline/er.py entity_cards): the shared ER chain
+    to ``merged``, occurrences re-derived from ``typed`` with the same
+    normalization, then per-entity stats + the (count desc, surface asc)
+    top alias."""
+    return (
+        _er_chain(model)
+        + """
+, occx AS (
+    SELECT m.component AS entity_id, o.etype, o.surface, o.url
+    FROM (
+        SELECT trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                                   '\\s+', ' ', 'g')) AS norm_surface,
+               pred_group AS etype, surface, url
+        FROM typed WHERE pred_group <> 'OTHER'
+    ) o
+    JOIN merged m ON m.norm_surface = o.norm_surface AND m.etype = o.etype
+    WHERE length(o.norm_surface) > 0
+),
+stats AS (
+    SELECT entity_id, etype,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT surface) AS BIGINT) AS n_aliases
+    FROM occx GROUP BY entity_id, etype
+),
+al AS (
+    SELECT entity_id, surface,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY n_m DESC, surface ASC) AS rnk
+    FROM (SELECT entity_id, surface, count(*) AS n_m
+          FROM occx GROUP BY entity_id, surface) z
+)
+SELECT s.entity_id, s.etype, a.surface AS top_alias,
+       s.n_aliases, s.n_mentions, s.n_docs
+FROM stats s JOIN al a ON s.entity_id = a.entity_id AND a.rnk = 1
+"""
+    )

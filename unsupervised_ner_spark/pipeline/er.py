@@ -1091,3 +1091,45 @@ def link_entities_to_kb(
         F.col("best.kb_label").alias("kb_label"),
         F.col("best.lev").cast("long").alias("lev"),
     )
+
+
+def entity_cards(occurrences: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-canonical-entity profile card — the KG serving table an entity
+    page renders from: (entity_id, etype, top_alias, n_aliases,
+    n_mentions, n_docs). top_alias is the most frequent raw surface
+    (count desc, surface asc — deterministic); n_docs counts distinct
+    source pages, the cross-document-support signal.
+
+    Scale shape: occurrences join membership on (norm_surface, etype) —
+    the salted-link caveat applies to hot surfaces at extreme scale — and
+    the resolved stream is persisted once because it feeds TWO aggregates
+    (the card stats and the per-surface alias counts). Both aggregates
+    map-side combine; the top-alias window partitions by entity_id over
+    the per-surface table, bounded by distinct spellings per entity, not
+    occurrences."""
+    from pyspark.sql import Window
+
+    occx = scoped_persist(
+        occurrences.join(membership, ["norm_surface", "etype"]).select(
+            "entity_id", "etype", "surface", "url"
+        )
+    )
+    stats = occx.groupBy("entity_id", "etype").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+        F.countDistinct("surface").cast("long").alias("n_aliases"),
+    )
+    per_surface = occx.groupBy("entity_id", "surface").agg(
+        F.count("*").cast("long").alias("n_m")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_m"), F.asc("surface")
+    )
+    top = (
+        per_surface.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("entity_id", F.col("surface").alias("top_alias"))
+    )
+    return stats.join(top, "entity_id").select(
+        "entity_id", "etype", "top_alias", "n_aliases", "n_mentions", "n_docs"
+    )
