@@ -305,6 +305,29 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.incremental_dedup(docs.filter(b < thr), docs.filter(~(b < thr)))
 
 
+SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT = 3072, 1024, 17
+
+
+def q_dedup_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: md5-bucket lower 3/4 plays snapshot A, upper
+    3/4 snapshot B (overlap = common docs), every 17th doc carries a
+    deterministic content edit on the B side — per doc_id one of
+    added/removed/changed/unchanged from normalized fingerprints."""
+    from unsupervised_ner_spark.ops import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    b = sampling._bucket_col(F.col("doc_id"))
+    old = docs.filter(b < F.lit(f"{SNAPDIFF_OLD:03x}"))
+    new = docs.filter(~(b < F.lit(f"{SNAPDIFF_NEW_FROM:03x}"))).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % SNAPDIFF_MUT == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(old, new)
+
+
 def q_kg_bio_tags(spark, sf_dir):
     """Production-path token tags (Arrow-batched kernel UDF); oracle is the
     independent relational SQL replication — the strongest correctness gate
@@ -1117,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bigram_novelty": q_txt_bigram_novelty,
         "txt_mix_plan": q_txt_mix_plan,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
@@ -1208,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_bigram_novelty": O.txt_bigram_novelty(),
         "txt_mix_plan": O.txt_mix_plan(),
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
+        "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),

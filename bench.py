@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "txt_bigram_novelty",
     "txt_mix_plan",
     "dedup_incremental",
+    "dedup_snapshot_diff",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_jaccard_exact",

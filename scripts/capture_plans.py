@@ -578,6 +578,14 @@ def main() -> None:
     checks.append(("novelty: map-side partial aggregation",
                    "partial_count" in p40))
 
+    # 41b. snapshot diff: ONE full-outer equi-join on doc_id between two
+    # narrow fingerprint scans — no broadcast of a snapshot side
+    p41b = plan_of(entry.q_dedup_snapshot_diff(spark, SF))
+    sections.append(("Snapshot diff (dedup_snapshot_diff)", p41b))
+    checks.append(("snapshot diff: full-outer shuffle join, no broadcast",
+                   "SortMergeJoin FullOuter" in p41b
+                   or ("FullOuter" in p41b and "BroadcastExchange" not in p41b)))
+
     # 41. entity cards: the resolved occurrence stream is persisted once
     # (feeds the card stats aggregate AND the per-surface alias counts)
     p41 = plan_of(entry.q_kg_entity_cards(spark, SF))

@@ -578,6 +578,27 @@ def incremental_dedup(
     if max_bucket is None:
         max_bucket = adaptive_max_bucket(corpus.count() + batch.count())
     index = scoped_persist(banded_signatures(corpus, num_hashes, band_size, k))
+    return screen_batch_against_index(
+        batch, index, num_hashes, band_size, k, max_bucket
+    )
+
+
+def screen_batch_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int = LSH_MIN_BUCKET,
+) -> DataFrame:
+    """The index-level core of incremental_dedup: screen ``batch`` docs
+    against an EXISTING banded-signature table (``index``: doc_id,
+    band_id, band_hash — the stored dedup index) plus greedy first-wins
+    within the batch. Same output contract as incremental_dedup, with
+    corpus_rep reading from the index side. ``max_bucket`` must be an
+    explicit cap here: a streaming caller needs a cap that is stable
+    across micro-batches (an adaptive per-batch cap would make admit
+    decisions depend on batch boundaries)."""
     bands = scoped_persist(banded_signatures(batch, num_hashes, band_size, k))
 
     sizes = (
@@ -624,4 +645,35 @@ def incremental_dedup(
                 "admit"
             ),
         )
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus snapshot diff — the change-data table incremental pipelines
+    key on: per doc_id across two snapshots,
+
+      status = 'added'     (only in new)
+             | 'removed'   (only in old)
+             | 'changed'   (both, normalized-content fingerprints differ)
+             | 'unchanged' (both, fingerprints equal)
+
+    emitted as (doc_id, status, fp_old, fp_new) with null fingerprints on
+    the absent side. Content comparison uses the md5 normalized-token
+    fingerprint (textstats.fingerprint — the exact-dedup key), so
+    whitespace/caseless edits don't register as changes.
+
+    Scale shape: two narrow fingerprint scans and ONE full-outer equi-join
+    on doc_id — co-partitioned, each side snapshot-sized, no broadcast; at
+    100 TB both sides bucket by doc_id in storage and the join is
+    shuffle-free."""
+    a = fingerprint(old).withColumnRenamed("fingerprint", "fp_old")
+    b = fingerprint(new).withColumnRenamed("fingerprint", "fp_new")
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return a.join(b, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status"), "fp_old", "fp_new"
     )

@@ -3053,3 +3053,38 @@ SELECT s.entity_id, s.etype, a.surface AS top_alias,
 FROM stats s JOIN al a ON s.entity_id = a.entity_id AND a.rnk = 1
 """
     )
+
+
+def dedup_snapshot_diff(
+    old_buckets: int = 3072, new_from_buckets: int = 1024, mut_mod: int = 17
+) -> str:
+    """Snapshot-diff twin (ops/dedup.py snapshot_diff over the synthetic
+    two-snapshot split the gated query builds): old = md5 buckets
+    [0, old_buckets), new = [new_from_buckets, 4096) with every
+    doc_id % mut_mod == 0 carrying a deterministic ' rev2' content edit;
+    full outer join on doc_id, status from fingerprint comparison."""
+    fp = (
+        "md5(array_to_string(list_transform(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> ''), t -> lower(t)), ' '))"
+    )
+    return f"""
+WITH b AS (
+    SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS bk FROM documents
+),
+oldfp AS (
+    SELECT doc_id, {fp} AS fp_old FROM b WHERE bk < '{old_buckets:03x}'
+),
+newd AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mut_mod} = 0 THEN text || ' rev2' ELSE text END AS text
+    FROM b WHERE bk >= '{new_from_buckets:03x}'
+),
+newfp AS (SELECT doc_id, {fp} AS fp_new FROM newd)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp_old <> n.fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.fp_old, n.fp_new
+FROM oldfp o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id
+"""
