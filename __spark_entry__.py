@@ -305,6 +305,44 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.incremental_dedup(docs.filter(b < thr), docs.filter(~(b < thr)))
 
 
+LANG_MIX_MOD = 13
+
+
+def q_txt_lang_mix(spark, sf_dir):
+    """Mixed-language junk signal: best/second stopword-vote languages +
+    integer mixed rule; a deterministic German splice on every 13th doc
+    makes the mixed path fire on the monolingual corpus (oracle replays
+    it)."""
+    from unsupervised_ner_spark.ops import textstats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % LANG_MIX_MOD == 0,
+            F.concat(F.col("text"), F.lit(" der die das und ist von")),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.lang_mix(docs)
+
+
+def q_txt_pack_stats(spark, sf_dir):
+    """Packing-efficiency summary: 1-row corpus totals + straddler count
+    over pack_sequences output."""
+    from unsupervised_ner_spark.ops.packing import pack_sequences, pack_stats
+
+    return pack_stats(pack_sequences(_t(spark, sf_dir, "documents")))
+
+
+def q_kg_predicate_pairs(spark, sf_dir):
+    """Schema induction: normalized-predicate pairs sharing a subject
+    entity (distinct-first, subject-co-partitioned self-join)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return er.predicate_pairs(stages["triples"])
+
+
 SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT = 3072, 1024, 17
 
 
@@ -1141,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_mix_plan": q_txt_mix_plan,
         "dedup_incremental": q_dedup_incremental,
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
+        "txt_lang_mix": q_txt_lang_mix,
+        "txt_pack_stats": q_txt_pack_stats,
+        "kg_predicate_pairs": q_kg_predicate_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
@@ -1233,6 +1274,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_mix_plan": O.txt_mix_plan(),
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
+        "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
+        "txt_pack_stats": O.txt_pack_stats(),
+        "kg_predicate_pairs": O.kg_predicate_pairs(),
         "dedup_exact": O.dedup_exact(),
         "dedup_jaccard": O.dedup_jaccard(),
         "dedup_jaccard_exact": O.dedup_jaccard_exact(),

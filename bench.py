@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "txt_mix_plan",
     "dedup_incremental",
     "dedup_snapshot_diff",
+    "txt_lang_mix",
+    "txt_pack_stats",
+    "kg_predicate_pairs",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_jaccard_exact",

@@ -586,6 +586,21 @@ def main() -> None:
                    "SortMergeJoin FullOuter" in p41b
                    or ("FullOuter" in p41b and "BroadcastExchange" not in p41b)))
 
+    # 41c. lang mix: a pure narrow scan — per-language hit counts are
+    # array expressions over ONE tokenization; no exchange at any scale
+    p41c = plan_of(entry.q_txt_lang_mix(spark, SF))
+    sections.append(("Mixed-language detection (txt_lang_mix)", p41c))
+    checks.append(("lang mix: zero shuffles (narrow scan)",
+                   "Exchange" not in p41c))
+
+    # 41d. predicate pairs: the distinct subject-predicate table persists
+    # once (feeds both self-join sides); the pair aggregate map-side
+    # combines
+    p41d = plan_of(entry.q_kg_predicate_pairs(spark, SF))
+    sections.append(("Predicate co-occurrence (kg_predicate_pairs)", p41d))
+    checks.append(("predicate pairs: distinct table persisted once",
+                   "InMemoryTableScan" in p41d))
+
     # 41. entity cards: the resolved occurrence stream is persisted once
     # (feeds the card stats aggregate AND the per-surface alias counts)
     p41 = plan_of(entry.q_kg_entity_cards(spark, SF))

@@ -164,3 +164,25 @@ def test_entity_cards_stats_and_top_alias(spark):
     assert out["E1"].n_aliases == 2
     assert out["E1"].top_alias == "Foo"  # 2 mentions beats 1; det. tie-break
     assert out["E2"].n_mentions == 1 and out["E2"].top_alias == "Bar"
+
+
+def test_predicate_pairs_distinct_first(spark):
+    tri = spark.createDataFrame(
+        [
+            # subject A uses born_in twice (collapses) + raised_in
+            ("A", "PERSON", "born_in"),
+            ("A", "PERSON", "born_in"),
+            ("A", "PERSON", "raised_in"),
+            # subject B shares the same pair once
+            ("B", "PERSON", "born_in"),
+            ("B", "PERSON", "raised_in"),
+            # same surface, different type: must NOT pair with A/B
+            ("A", "ORG", "founded"),
+            ("A", "ORG", "raised_in"),
+        ],
+        "subj string, subj_type string, pred_norm string",
+    )
+    out = {(r.pred_a, r.pred_b): r.n_subjects for r in er.predicate_pairs(tri).collect()}
+    assert out[("born_in", "raised_in")] == 2  # A and B, dup row collapsed
+    assert out[("founded", "raised_in")] == 1  # the ORG-typed subject only
+    assert len(out) == 2

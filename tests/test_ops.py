@@ -660,3 +660,24 @@ def test_isqrt_sql_duckdb_parity():
         )
         assert con.execute(sql).fetchone()[0] == math.isqrt(n), n
     con.close()
+
+
+def test_lang_mix_flags_code_switching(spark):
+    from unsupervised_ner_spark.ops.textstats import lang_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),     # pure en
+            (2, "the cat und der hund ist in the house"),      # en/de mix
+            (3, "zzz qqq www"),                                # no hits
+            (4, "der hund ist von und mit das the"),           # de-dominant, 1 en hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lang_mix(docs).collect()}
+    assert out[1].best_lang == "en" and not out[1].mixed
+    assert out[1].second_hits == 0 and out[1].second_lang == "und"
+    assert out[2].mixed and {out[2].best_lang, out[2].second_lang} == {"en", "de"}
+    assert out[3].best_lang == "und" and not out[3].mixed
+    # de 6 hits vs en 1 hit: 2*1 < 6 -> dominant, not mixed
+    assert out[4].best_lang == "de" and not out[4].mixed

@@ -676,3 +676,47 @@ def bigram_novelty(documents: DataFrame, rare_max: int = 1) -> DataFrame:
             .alias("n_rare_bigrams"),
         )
     )
+
+
+def lang_mix(documents: DataFrame) -> DataFrame:
+    """Mixed-language detection — the code-switching / boilerplate-splice
+    junk signal mix planning filters on: per doc the stopword-hit counts
+    of the best and second-best language (same vote table as lang_id,
+    same deterministic tie-break: hits desc, lang asc) and an integer
+    mixed rule, ``second_hits > 0 AND 2*second_hits >= best_hits``. Zero
+    hits anywhere -> best_lang 'und', never mixed.
+
+    Pure narrow scan (the per-language hit counts are array expressions
+    over one tokenization) — no exchange at any scale."""
+    toks = F.transform(tokens_ws(F.col("text")), F.lower)
+
+    def in_set(sw):
+        return lambda t: t.isin(*sw)
+
+    langs = sorted(LANG_STOPWORDS)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, in_set(LANG_STOPWORDS[l]))).cast("long").alias("hits"),
+                F.lit(l).alias("lang"),
+            )
+            for l in langs
+        ]
+    )
+    ranked = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .otherwise(
+            F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)
+        ),
+    )
+    best, second = ranked[0], ranked[1]
+    return documents.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("best_lang"),
+        best["hits"].alias("best_hits"),
+        F.when(second["hits"] > 0, second["lang"]).otherwise("und").alias("second_lang"),
+        second["hits"].alias("second_hits"),
+        ((second["hits"] > 0) & (second["hits"] * 2 >= best["hits"])).alias("mixed"),
+    )

@@ -3088,3 +3088,96 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        o.fp_old, n.fp_new
 FROM oldfp o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id
 """
+
+
+def txt_pack_stats(seq_len: int = 512) -> str:
+    """Packing-efficiency twin (ops/packing.py pack_stats over
+    pack_sequences): corpus totals + straddler count from the flat
+    cumsum."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+ne AS (SELECT * FROM tk WHERE n_tok > 0),
+c AS (
+    SELECT n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tok AS BIGINT) AS tok_offset
+    FROM ne
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST((sum(n_tok) + {seq_len} - 1) // {seq_len} AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN (tok_offset + n_tok - 1) // {seq_len}
+                          <> tok_offset // {seq_len} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddlers
+FROM c
+"""
+
+
+def txt_lang_mix(mix_mod: int = 13) -> str:
+    """Mixed-language twin (ops/textstats.py lang_mix): per-language
+    stopword hits from the SHARED LANG_STOPWORDS lists, rank by
+    (hits desc, lang asc), integer mixed rule. The gated query splices a
+    deterministic German phrase into every doc_id % mix_mod == 0 doc
+    (the txt_redact precedent: the corpus is monolingual, so the splice
+    makes the mixed path actually fire under the hash gate) — replayed
+    identically here."""
+    from unsupervised_ner_spark.ops.textstats import LANG_STOPWORDS
+
+    rows = ", ".join(
+        "('{}', [{}])".format(l, ", ".join(f"'{w}'" for w in sw))
+        for l, sw in sorted(LANG_STOPWORDS.items())
+    )
+    toks_mixed = _LOWTOKS.replace(
+        "regexp_split_to_array(text,",
+        "regexp_split_to_array(CASE WHEN doc_id % {m} = 0 "
+        "THEN text || ' der die das und ist von' ELSE text END,".format(m=mix_mod),
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {toks_mixed} AS t FROM documents),
+h AS (
+    SELECT tk.doc_id, l.lang,
+           CAST(len(list_filter(tk.t, x -> list_contains(l.sw, x))) AS BIGINT) AS hits
+    FROM tk, (VALUES {rows}) l(lang, sw)
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY hits DESC, lang ASC) AS rnk
+    FROM h
+)
+SELECT doc_id,
+       CASE WHEN max(CASE WHEN rnk = 1 THEN hits END) > 0
+            THEN max(CASE WHEN rnk = 1 THEN lang END) ELSE 'und' END AS best_lang,
+       max(CASE WHEN rnk = 1 THEN hits END) AS best_hits,
+       CASE WHEN max(CASE WHEN rnk = 2 THEN hits END) > 0
+            THEN max(CASE WHEN rnk = 2 THEN lang END) ELSE 'und' END AS second_lang,
+       max(CASE WHEN rnk = 2 THEN hits END) AS second_hits,
+       (max(CASE WHEN rnk = 2 THEN hits END) > 0
+        AND max(CASE WHEN rnk = 2 THEN hits END) * 2
+            >= max(CASE WHEN rnk = 1 THEN hits END)) AS mixed
+FROM r WHERE rnk <= 2 GROUP BY doc_id
+"""
+
+
+def kg_predicate_pairs(model: str = "a100") -> str:
+    """Predicate-pair twin (pipeline/er.py predicate_pairs over the
+    production triples): distinct (subj, subj_type, pred_norm) from the
+    kg_triples chain, self-joined on the subject with pred_a < pred_b."""
+    return _materialize(
+        f"""
+WITH t AS ({kg_triples(model)}),
+d AS (SELECT DISTINCT subj, subj_type, pred_norm FROM t)
+SELECT a.pred_norm AS pred_a, b.pred_norm AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM d a JOIN d b
+  ON a.subj = b.subj AND a.subj_type = b.subj_type
+ AND a.pred_norm < b.pred_norm
+GROUP BY a.pred_norm, b.pred_norm
+""",
+        "d",
+    )

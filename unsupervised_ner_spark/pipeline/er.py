@@ -1133,3 +1133,34 @@ def entity_cards(occurrences: DataFrame, membership: DataFrame) -> DataFrame:
     return stats.join(top, "entity_id").select(
         "entity_id", "etype", "top_alias", "n_aliases", "n_mentions", "n_docs"
     )
+
+
+def predicate_pairs(triples: DataFrame) -> DataFrame:
+    """Schema-induction signal: which normalized predicates co-occur on
+    the SAME subject entity — the relation-clustering input ("born_in"
+    and "raised_in" sharing most subjects suggests near-synonym
+    relations). Per unordered (pred_a < pred_b) pair, the count of
+    distinct (subj, subj_type) subjects exhibiting both.
+
+    Scale shape: distinct (subj, subj_type, pred_norm) first (one
+    aggregate — a subject repeating a predicate across 10^6 pages
+    collapses before any join), then a self-join co-partitioned on the
+    subject key — bounded by predicates-per-subject, never corpus-
+    quadratic — and a map-side-combining pair count."""
+    d = scoped_persist(
+        triples.select("subj", "subj_type", "pred_norm").distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.subj") == F.col("b.subj"))
+            & (F.col("a.subj_type") == F.col("b.subj_type"))
+            & (F.col("a.pred_norm") < F.col("b.pred_norm")),
+        )
+        .groupBy(
+            F.col("a.pred_norm").alias("pred_a"),
+            F.col("b.pred_norm").alias("pred_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_subjects"))
+    )
