@@ -41,6 +41,10 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, ...) -> pages-shaped input for the KG
     chain (url:string, html:binary NULL, text, lang)."""
     d = _t(spark, sf_dir, "documents")
+    return _pages_of(d)
+
+
+def _pages_of(d: DataFrame) -> DataFrame:
     return d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -411,6 +415,69 @@ def q_kg_predicates(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity / multimodal
 # ---------------------------------------------------------------------------
+
+
+HEARST_MOD = 3
+HEARST_HYPO = ["Imatinib", "Asbestos", "Paris", "Mozart", "Telsa", "Aspirin", "Foxp2"]
+HEARST_HYPER = ["drug", "mineral", "city", "element", "company"]
+
+
+def q_kg_hearst_hypernyms(spark, sf_dir):
+    """Hearst-pattern taxonomy induction (is-a / such-as hypernym edges)
+    over the sentence table. The word-salad corpus contains no natural
+    " is a " text, so every HEARST_MOD-th doc gets a deterministic
+    doc_id-derived two-sentence splice (the txt_lang_mix precedent; the
+    oracle replays it byte-identically) — the gate proves real pattern
+    extraction + normalization + aggregation, not an empty pass."""
+    from unsupervised_ner_spark.pipeline.taxonomy import hearst_hypernyms
+
+    docs = _t(spark, sf_dir, "documents")
+    hypo = F.element_at(
+        F.array(*[F.lit(t) for t in HEARST_HYPO]),
+        (F.col("doc_id") % len(HEARST_HYPO) + 1).cast("int"),
+    )
+    hyper = F.element_at(
+        F.array(*[F.lit(t) for t in HEARST_HYPER]),
+        (F.col("doc_id") % len(HEARST_HYPER) + 1).cast("int"),
+    )
+    art = F.when(
+        F.substring(hyper, 1, 1).isin("a", "e", "i", "o", "u"), F.lit("an")
+    ).otherwise(F.lit("a"))
+    splice = F.concat(
+        F.lit("\n"), hypo, F.lit(" is "), art, F.lit(" "), hyper,
+        F.lit("\n"), hyper, F.lit("s such as "), hypo, F.lit(" are common"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % HEARST_MOD == 0, F.concat("text", splice)
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return hearst_hypernyms(sents)
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic tail-corruption negatives over the distinct triple
+    table — the KG-embedding trainer's input (two-level vocab rank, md5
+    modular draw; ops/kgtrain.py)."""
+    from unsupervised_ner_spark.ops.kgtrain import negative_samples
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return negative_samples(stages["triples"], k=2)
+
+
+def q_kg_entity_contexts(spark, sf_dir):
+    """Masked +-3-token context window per typed mention (the entity-aware
+    MLM / embedding training row) off the narrow production tagging pass,
+    joined back to sentences on (url, sent_idx)."""
+    from unsupervised_ner_spark.ops.kgtrain import entity_contexts
+
+    typed = _typed_production(spark, sf_dir)
+    return entity_contexts(typed, _sentences(spark, sf_dir), window=3)
 
 
 def q_kg_ensemble_mentions(spark, sf_dir):
@@ -1142,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
+        "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
+        "kg_negative_samples": q_kg_negative_samples,
+        "kg_entity_contexts": q_kg_entity_contexts,
         "kg_ensemble_mentions": q_kg_ensemble_mentions,
         "kg_ensemble_mentions_prod": q_kg_ensemble_mentions_prod,
         "kg_ensemble_v1_tags": q_kg_ensemble_v1_tags,
@@ -1237,6 +1307,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),
+        "kg_hearst_hypernyms": O.kg_hearst_hypernyms(HEARST_MOD, HEARST_HYPO, HEARST_HYPER),
+        "kg_negative_samples": O.kg_negative_samples(),
+        "kg_entity_contexts": O.kg_entity_contexts(),
         "kg_ensemble_mentions": O.kg_ensemble_mentions(),
         "kg_ensemble_mentions_prod": O.kg_ensemble_mentions(),
         "kg_ensemble_v1_tags": O.kg_ensemble_v1_tags(),

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "kg_triples",
     "kg_triples_temporal",
     "kg_predicates",
+    "kg_hearst_hypernyms",
+    "kg_negative_samples",
+    "kg_entity_contexts",
     "kg_ensemble_mentions",
     "kg_ensemble_mentions_prod",
     "kg_ensemble_v1_tags",
@@ -127,9 +130,20 @@ SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))
 # The sandbox hypervisor is strongly bimodal (VERDICT r03 "What's wrong" 1:
 # 12.5 s vs 320.3 s for identical back-to-back runs of the same query) — a
 # single timing reads the VM phase, not the plan. Each query is therefore
-# timed BENCH_REPS times and the MEDIAN is reported; the headline total is
-# the sum of medians (one effective pass).
+# timed up to BENCH_REPS times and the MEDIAN is reported; the headline
+# total is the sum of medians (one effective pass).
 BENCH_REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
+
+# Wall-clock budget (ROADMAP round-6 candidate 3: at 90+ gated queries the
+# 3-rep bench can outgrow the driver's window — the same artifact-of-record
+# failure class as r4's truncated JSON line, in time instead of bytes).
+# Reps are organized as PASSES over the full query list: pass 1 ALWAYS runs
+# to completion (full coverage, every query gets at least one timing), and
+# each further pass starts only if the elapsed wall plus a 1.3x-padded
+# estimate of that pass fits the budget. Interleaving reps this way also
+# decorrelates a query's reps from a single hypervisor phase — the same
+# argument as the scaling protocol's interleaved N/4N pairs (BENCH.md).
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
 
 
 def materialize(df) -> None:
@@ -152,11 +166,24 @@ def main() -> None:
     materialize(
         run_pipeline(synth_pages(spark, cpus * 32).repartition(cpus), lang_filter="en")["triples"]
     )
-    times: dict[str, float] = {}
-    reps_all: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        reps: list[float] = []
-        for _ in range(BENCH_REPS):
+    # kg_pipeline_synth (production KG pipeline over a synthetic page
+    # corpus, reported as docs/sec) is timed inside the same passes
+    names = BENCH_QUERIES + ["kg_pipeline_synth"]
+    reps_all: dict[str, list[float]] = {n: [] for n in names}
+    t_start = time.time()
+    pass_costs: list[float] = []
+    for p in range(BENCH_REPS):
+        if p > 0:
+            projected = (time.time() - t_start) + 1.3 * pass_costs[-1]
+            if projected > BENCH_BUDGET_S:
+                print(
+                    f"# budget: stopping after {p} pass(es) — projected "
+                    f"{projected:.0f}s > budget {BENCH_BUDGET_S:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
+                break
+        t_pass = time.time()
+        for name in names:
             t0 = time.time()
             # cache_scope releases every library persist taken inside this
             # query after its terminal action; clearCache sweeps anything
@@ -164,28 +191,29 @@ def main() -> None:
             # evicted-block churn (round-2 pathology: 42 s for a
             # single-scan 17 MB query)
             with cache_scope():
-                materialize(qs[name](spark, sf_dir))
+                if name == "kg_pipeline_synth":
+                    pages = synth_pages(spark, SYNTH_PAGES).repartition(cpus * 2)
+                    materialize(run_pipeline(pages, lang_filter="en")["triples"])
+                else:
+                    materialize(qs[name](spark, sf_dir))
             spark.catalog.clearCache()
-            reps.append(round(time.time() - t0, 3))
-        reps_all[name] = reps
-        times[name] = round(median(reps), 3)
-        print(f"# {name}: {times[name]}s (reps: {reps})", file=sys.stderr, flush=True)
+            reps_all[name].append(round(time.time() - t0, 3))
+            print(
+                f"# pass {p + 1} {name}: {reps_all[name][-1]}s",
+                file=sys.stderr, flush=True,
+            )
+        pass_costs.append(time.time() - t_pass)
+        print(
+            f"# pass {p + 1}/{BENCH_REPS} done in {pass_costs[-1]:.1f}s "
+            f"(elapsed {time.time() - t_start:.1f}s)",
+            file=sys.stderr, flush=True,
+        )
 
-    # full production KG pipeline over a synthetic page corpus: docs/sec
-    kg_reps: list[float] = []
-    for _ in range(BENCH_REPS):
-        t0 = time.time()
-        with cache_scope():
-            pages = synth_pages(spark, SYNTH_PAGES).repartition(cpus * 2)
-            stages = run_pipeline(pages, lang_filter="en")
-            materialize(stages["triples"])
-        spark.catalog.clearCache()
-        kg_reps.append(round(time.time() - t0, 3))
-    reps_all["kg_pipeline_synth"] = kg_reps
-    kg_secs = median(kg_reps)
-    times["kg_pipeline_synth"] = round(kg_secs, 3)
-    print(f"# kg_pipeline_synth: {times['kg_pipeline_synth']}s (reps: {kg_reps})",
-          file=sys.stderr, flush=True)
+    times = {n: round(median(reps_all[n]), 3) for n in names}
+    kg_secs = times["kg_pipeline_synth"]
+    for name in names:
+        print(f"# {name}: {times[name]}s (reps: {reps_all[name]})",
+              file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     # The one-line artifact of record carries MEDIANS ONLY (VERDICT r04
@@ -196,6 +224,9 @@ def main() -> None:
     detail = {
         "reps": reps_all,
         "bench_reps": BENCH_REPS,
+        "passes_completed": len(pass_costs),
+        "pass_costs": [round(c, 1) for c in pass_costs],
+        "budget_s": BENCH_BUDGET_S,
         "sf": sf,
         "cpus": cpus,
         "synth_pages": SYNTH_PAGES,
@@ -209,6 +240,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "bench_reps": BENCH_REPS,
+                "passes": len(pass_costs),
                 "sf": sf,
                 "synth_docs_per_sec": round(SYNTH_PAGES / kg_secs, 1),
             }

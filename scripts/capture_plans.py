@@ -608,6 +608,31 @@ def main() -> None:
     checks.append(("entity cards: resolved occurrences persisted once",
                    "InMemoryTableScan" in p41))
 
+    # 42. Hearst taxonomy: one narrow regexp scan (union of two extraction
+    # branches) + one partial-aggregating exchange; no join anywhere
+    p42 = plan_of(entry.q_kg_hearst_hypernyms(spark, SF))
+    sections.append(("Hearst hypernyms (kg_hearst_hypernyms)", p42))
+    checks.append(("hearst: no join in the plan",
+                   "Join" not in p42))
+    checks.append(("hearst: partial aggregate before the exchange",
+                   "HashAggregate" in p42))
+
+    # 43. negative sampling: vocab index built with NO global-sort window
+    # (two-level bucket rank), the 1-row count and bucket offsets broadcast,
+    # the selection join a plain equi-join
+    p43 = plan_of(entry.q_kg_negative_samples(spark, SF))
+    sections.append(("KG negative sampling (kg_negative_samples)", p43))
+    checks.append(("negatives: bucket offsets + |vocab| broadcast",
+                   p43.count("BroadcastExchange") >= 2))
+    checks.append(("negatives: vocab rank window is bucket-partitioned",
+                   "windowspecdefinition(bucket" in p43))
+
+    # 44. entity contexts: sentence-local equi-join + pure array expressions;
+    # no aggregation, no window
+    p44 = plan_of(entry.q_kg_entity_contexts(spark, SF))
+    sections.append(("Masked entity contexts (kg_entity_contexts)", p44))
+    checks.append(("contexts: no window function", "Window" not in p44))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

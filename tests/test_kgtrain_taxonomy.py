@@ -1,0 +1,135 @@
+"""Unit tests for Hearst taxonomy induction (pipeline/taxonomy.py) and
+the KG-embedding training-data ops (ops/kgtrain.py)."""
+
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.ops.kgtrain import (
+    entity_contexts,
+    entity_index,
+    negative_samples,
+)
+from unsupervised_ner_spark.pipeline.taxonomy import hearst_hypernyms
+
+
+def _sents(spark, rows):
+    return spark.createDataFrame(rows, "url string, sent_idx long, sent string")
+
+
+def test_hearst_both_patterns_and_normalization(spark):
+    s = _sents(
+        spark,
+        [
+            ("u1", 0, "Imatinib is a drug ."),
+            ("u1", 1, "drugs such as Gleevec are common ."),
+            ("u2", 0, "Imatinib is a drug and more ."),
+            ("u2", 1, "Asbestos is an element ."),
+            ("u2", 2, "nothing to see here ."),
+        ],
+    )
+    rows = {(r.hypo, r.hyper, r.pattern): (r.n_sents, r.n_docs)
+            for r in hearst_hypernyms(s).collect()}
+    # hyponym lowercased; 'is a' found in two docs; 'is an' branch matches
+    assert rows[("imatinib", "drug", "isa")] == (2, 2)
+    assert rows[("gleevec", "drug", "such_as")] == (1, 1)
+    assert rows[("asbestos", "element", "isa")] == (1, 1)
+    assert len(rows) == 3
+
+
+def test_hearst_first_match_only(spark):
+    # two is-a occurrences in one sentence: regexp_extract takes the first
+    s = _sents(spark, [("u1", 0, "Foo is a thing and Bar is a gadget .")])
+    rows = [(r.hypo, r.hyper) for r in hearst_hypernyms(s).collect()]
+    assert rows == [("foo", "thing")]
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, subj string, subj_type string, pred_norm string, "
+        "obj string, obj_type string"
+    )
+
+
+def test_entity_index_is_dense_permutation(spark):
+    t = _triples(
+        spark,
+        [("u", f"e{i}", "T", "p", f"e{(i + 1) % 9}", "T") for i in range(9)],
+    )
+    idx = entity_index(t).collect()
+    assert sorted(r.ent_idx for r in idx) == list(range(9))
+    assert len({r.ent for r in idx}) == 9
+    # order contract: ent_idx follows (md5(ent), ent)
+    import hashlib
+
+    want = sorted(
+        {r.ent for r in idx},
+        key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s),
+    )
+    got = [r.ent for r in sorted(idx, key=lambda r: r.ent_idx)]
+    assert got == want
+
+
+def test_negative_samples_deterministic_and_in_vocab(spark):
+    t = _triples(
+        spark,
+        [
+            ("u1", "a", "T1", "causes", "b", "T2"),
+            ("u2", "a", "T1", "causes", "b", "T2"),  # dup collapses
+            ("u1", "b", "T2", "treats", "c", "T3"),
+        ],
+    )
+    out = negative_samples(t, k=3).collect()
+    # 2 distinct triples x 3 negatives
+    assert len(out) == 6
+    vocab = {"a", "b", "c"}
+    for r in out:
+        assert r.neg_obj in vocab
+        assert r.hits_true == (1 if r.neg_obj == r.obj else 0)
+    again = negative_samples(t, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_entity_contexts_window_and_mask(spark):
+    sents = _sents(spark, [("u1", 0, "a b c d TargetSpan:__entity__ f g h i j .")])
+    typed = spark.createDataFrame(
+        [("u1", 0, 0, 4, 4, "TargetSpan", "THING")],
+        "url string, sent_idx long, mention_idx long, begin_tok long, "
+        "end_tok long, surface string, pred_group string",
+    )
+    [r] = entity_contexts(typed, sents, window=3).collect()
+    assert r.left_ctx == "b c d"
+    assert r.right_ctx == "f g h"  # marker stripped, window clipped at 3
+    assert r.masked == "b c d [MASK] f g h"
+    assert r.etype == "THING"
+
+
+def test_entity_contexts_clips_at_sentence_edges(spark):
+    sents = _sents(spark, [("u1", 0, "Edge b c")])
+    typed = spark.createDataFrame(
+        [("u1", 0, 0, 0, 0, "Edge", "T"), ("u1", 0, 1, 2, 2, "c", "T")],
+        "url string, sent_idx long, mention_idx long, begin_tok long, "
+        "end_tok long, surface string, pred_group string",
+    )
+    rows = {r.mention_idx: r for r in entity_contexts(typed, sents, window=3).collect()}
+    assert rows[0].left_ctx == "" and rows[0].right_ctx == "b c"
+    assert rows[0].masked == "[MASK] b c"
+    assert rows[1].left_ctx == "Edge b" and rows[1].right_ctx == ""
+    assert rows[1].masked == "Edge b [MASK]"
+
+
+def test_negative_samples_matches_flat_rank_oracle(spark):
+    """Engine two-level vocab rank == flat (md5(ent), ent) row_number —
+    the exact contract the DuckDB twin relies on."""
+    import hashlib
+
+    t = _triples(
+        spark,
+        [("u", f"s{i}", "A", f"p{i % 3}", f"o{i % 5}", "B") for i in range(20)],
+    )
+    vocab = sorted(
+        {f"s{i}" for i in range(20)} | {f"o{i % 5}" for i in range(20)},
+        key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s),
+    )
+    for r in negative_samples(t, k=2).collect():
+        key = f"{r.subj}|{r.pred_norm}|{r.obj}|{r.neg_k}"
+        pick = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % len(vocab)
+        assert r.neg_obj == vocab[pick]

@@ -1,0 +1,160 @@
+"""KG-embedding training-data operators: deterministic negative sampling
+over the triple table and masked entity-context windows over typed
+mentions — the two tables a TransE/DistMult-style trainer (or an
+entity-aware MLM) consumes.
+
+Both are hash-gate-friendly by construction: every "random" choice is an
+md5-derived integer both engines compute identically, and every output
+column is a string or BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.caching import scoped_persist
+
+ENT_BUCKET_HEX = 2  # 256 index buckets; raise to 3/4 at larger vocab
+
+
+def md5_int32(col) -> F.Column:
+    """First 8 hex chars of md5 as a non-negative BIGINT in [0, 2^32) —
+    the engine/oracle-shared uniform hash for modular selection (the
+    DuckDB twin is oracle_sql._hex8_int_sql, nibble-exact arithmetic)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def entity_index(triples: DataFrame) -> DataFrame:
+    """Dense 0-based index over the DISTINCT entity vocabulary (subjects
+    union objects), in the deterministic (md5(ent), ent) order.
+
+    Scale shape: the global index is the TWO-LEVEL rank (ops/packing.py
+    precedent) — per-md5-bucket row_number (256 concurrent in-bucket
+    sorts, each 1/256th of the vocab) plus an exclusive prefix sum over
+    the 256-row bucket-count table broadcast back — because the naive
+    one-window global row_number is a single-partition sort of the whole
+    vocabulary. Since the bucket is a prefix of the md5, (bucket, h, ent)
+    order == (h, ent) order, which is exactly the flat row_number the
+    DuckDB oracle runs at test scale."""
+    ents = (
+        triples.select(F.col("subj").alias("ent"))
+        .unionByName(triples.select(F.col("obj").alias("ent")))
+        .distinct()
+    )
+    h = F.md5("ent")
+    base = ents.select(
+        "ent", h.alias("h"), F.substring(h, 1, ENT_BUCKET_HEX).alias("bucket")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("h", "ent")
+    local = base.withColumn("rn", F.row_number().over(w_in).cast("long"))
+    counts = base.groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(w_b) - F.col("n")).cast("long").alias("b_off")
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "ent", (F.col("b_off") + F.col("rn") - 1).cast("long").alias("ent_idx")
+    )
+
+
+def negative_samples(triples: DataFrame, k: int = 2) -> DataFrame:
+    """Deterministic tail-corruption negatives: for each DISTINCT
+    (subj, subj_type, pred_norm, obj, obj_type) triple and each
+    neg_k in 1..k, replace the object with the vocabulary entity at
+    index md5_int32(subj|pred_norm|obj|neg_k) mod |vocab|.
+
+    Returns (subj, subj_type, pred_norm, obj, obj_type, neg_k, neg_obj,
+    hits_true) — ``hits_true`` flags the standard false-negative case
+    (the draw landed on the true object); trainers filter or re-draw,
+    and keeping it as a column keeps the gate exact instead of hiding
+    the collision policy.
+
+    Scale shape: the vocab index is persisted once (it feeds the 1-row
+    count and the selection join); the expansion is a narrow k-fold
+    explode of the distinct-triple table; the selection is an equi-join
+    on ent_idx between two vocabulary-bounded tables; |vocab| joins in
+    as a broadcast single row. Nothing scans the corpus twice and no
+    global sort over the vocabulary exists (see entity_index)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idx = scoped_persist(entity_index(triples))
+    n_ents = idx.groupBy().agg(F.count("*").cast("long").alias("n_ents"))
+    dtrip = triples.select(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type"
+    ).distinct()
+    expanded = dtrip.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_k")
+    ).withColumn("neg_k", F.col("neg_k").cast("long"))
+    pick = F.pmod(
+        md5_int32(
+            F.concat_ws(
+                "|", "subj", "pred_norm", "obj", F.col("neg_k").cast("string")
+            )
+        ),
+        F.col("n_ents"),
+    ).alias("pick")
+    sel = expanded.crossJoin(F.broadcast(n_ents)).select("*", pick)
+    return sel.join(idx, sel["pick"] == idx["ent_idx"]).select(
+        "subj",
+        "subj_type",
+        "pred_norm",
+        "obj",
+        "obj_type",
+        "neg_k",
+        F.col("ent").alias("neg_obj"),
+        (F.col("ent") == F.col("obj")).cast("long").alias("hits_true"),
+    )
+
+
+def entity_contexts(
+    typed: DataFrame, sentences: DataFrame, window: int = 3
+) -> DataFrame:
+    """Per typed mention: the +-``window``-token context with the mention
+    span replaced by ``[MASK]`` — the entity-aware-MLM / embedding
+    training row (and the distributed form of the reference's per-mention
+    masked-probe input construction, batched_main_NER.py:425-437, built
+    from the ALREADY-TYPED mention table instead of re-probing).
+
+    Tokenization matches the engine's token chain exactly (whitespace
+    split, empties dropped, ``:__entity__`` markers stripped), so
+    begin_tok/end_tok index directly into the word array.
+
+    Returns (url, sent_idx, mention_idx, surface, etype, begin_tok,
+    end_tok, left_ctx, right_ctx, masked).
+
+    Scale shape: one co-partitioned equi-join of mentions onto their
+    sentences on (url, sent_idx) — sentence-local, never corpus-
+    quadratic — then pure narrow array arithmetic; no window functions,
+    no aggregation."""
+    toks = F.filter(F.split(F.col("sent"), r"\s+"), lambda t: t != F.lit(""))
+    words = F.transform(toks, lambda t: F.regexp_replace(t, ":__entity__", ""))
+    sents = sentences.select("url", "sent_idx", words.alias("words"))
+    j = typed.select(
+        "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
+        F.col("pred_group").alias("etype"),
+    ).join(sents, ["url", "sent_idx"])
+
+    b, e = F.col("begin_tok"), F.col("end_tok")
+    n = F.size("words")
+    start_l = F.greatest(b + 1 - window, F.lit(1))
+    left = F.slice("words", start_l, b + 1 - start_l)
+    len_r = F.greatest(F.least(F.lit(window), n - (e + 1)), F.lit(0))
+    right = F.slice("words", e + 2, len_r)
+    masked = F.array_join(
+        F.concat(left, F.array(F.lit("[MASK]")), right), " "
+    )
+    return j.select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        "surface",
+        "etype",
+        b.cast("long").alias("begin_tok"),
+        e.cast("long").alias("end_tok"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+        masked.alias("masked"),
+    )

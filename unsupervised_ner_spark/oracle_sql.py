@@ -3181,3 +3181,132 @@ GROUP BY a.pred_norm, b.pred_norm
 """,
         "d",
     )
+
+
+def _hex8_int_sql(md5_expr: str) -> str:
+    """First 8 hex chars of an md5 VARCHAR expression as BIGINT — the
+    DuckDB twin of ops/kgtrain.md5_int32 (Spark's conv(substr(h,1,8),16,10)).
+    Nibble-exact integer arithmetic: no float, no platform dependence."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def kg_hearst_hypernyms(mod: int, hypo_terms: list[str], hyper_terms: list[str]) -> str:
+    """Hearst-pattern taxonomy twin (pipeline/taxonomy.hearst_hypernyms):
+    first is-a / such-as match per sentence, normalized hyponym, one
+    aggregate. The regex strings are IMPORTED from the engine module so
+    the twins cannot drift; the deterministic doc_id-derived splice (the
+    txt_lang_mix precedent — the word-salad corpus contains no natural
+    " is a " text) is replayed byte-identically here."""
+    from unsupervised_ner_spark.pipeline.taxonomy import ISA_PAT, SUCHAS_PAT
+
+    hypo_arr = "[" + ", ".join(f"'{t}'" for t in hypo_terms) + "]"
+    hyper_arr = "[" + ", ".join(f"'{t}'" for t in hyper_terms) + "]"
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH picked AS (
+    SELECT doc_id, text,
+           ({hypo_arr})[CAST(doc_id % {len(hypo_terms)} AS INT) + 1] AS hypo,
+           ({hyper_arr})[CAST(doc_id % {len(hyper_terms)} AS INT) + 1] AS hyper
+    FROM documents
+),
+docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = 0
+                THEN text || chr(10) || hypo || ' is '
+                     || (CASE WHEN substr(hyper, 1, 1) IN ('a','e','i','o','u')
+                              THEN 'an' ELSE 'a' END)
+                     || ' ' || hyper
+                     || chr(10) || hyper || 's such as ' || hypo || ' are common'
+                ELSE text END AS text
+    FROM picked
+),
+{sents.strip()},
+cand AS (
+    SELECT url, lower(regexp_extract(sent, '{ISA_PAT}', 1)) AS hypo,
+           regexp_extract(sent, '{ISA_PAT}', 2) AS hyper,
+           'isa' AS pattern
+    FROM sents
+    UNION ALL
+    SELECT url, lower(regexp_extract(sent, '{SUCHAS_PAT}', 2)),
+           regexp_extract(sent, '{SUCHAS_PAT}', 1),
+           'such_as'
+    FROM sents
+)
+SELECT hypo, hyper, pattern,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM cand WHERE length(hypo) > 0 AND length(hyper) > 0
+GROUP BY hypo, hyper, pattern
+"""
+
+
+def kg_negative_samples(model: str = "a100", k: int = 2) -> str:
+    """Negative-sampling twin (ops/kgtrain.negative_samples): the flat
+    global row_number over (md5(ent), ent) IS the engine's two-level
+    (bucket, md5, ent) rank because the bucket is an md5 prefix; the
+    corruption draw is the shared hex8 integer hash mod |vocab|."""
+    pick = _hex8_int_sql(
+        "md5(subj || '|' || pred_norm || '|' || obj || '|' || CAST(neg_k AS VARCHAR))"
+    )
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+dtrip AS (SELECT DISTINCT subj, subj_type, pred_norm, obj, obj_type FROM trip),
+ents AS (SELECT subj AS ent FROM trip UNION SELECT obj FROM trip),
+idx AS (
+    SELECT ent,
+           CAST(row_number() OVER (ORDER BY md5(ent), ent) - 1 AS BIGINT) AS ent_idx
+    FROM ents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_ents FROM idx),
+expanded AS (
+    SELECT d.*, CAST(g.neg_k AS BIGINT) AS neg_k
+    FROM dtrip d CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS neg_k) g
+),
+sel AS (SELECT e.*, ({pick}) % n.n_ents AS pick FROM expanded e CROSS JOIN n)
+SELECT s.subj, s.subj_type, s.pred_norm, s.obj, s.obj_type, s.neg_k,
+       i.ent AS neg_obj,
+       CAST(CASE WHEN i.ent = s.obj THEN 1 ELSE 0 END AS BIGINT) AS hits_true
+FROM sel s JOIN idx i ON i.ent_idx = s.pick
+""",
+        "trip",
+        "idx",
+    )
+
+
+def kg_entity_contexts(model: str = "a100", window: int = 3) -> str:
+    """Masked entity-context twin (ops/kgtrain.entity_contexts): typed
+    mentions joined back onto their sentence's word array (whitespace
+    split, empties dropped, :__entity__ markers stripped — the tokens_cte
+    tokenization), +-window token slices around the 0-based inclusive
+    span, the span replaced by [MASK]."""
+    w = window
+    # coalesce: an empty DuckDB list slice (a[1:0]) is NULL, Spark's is []
+    left = f"coalesce(words[greatest(begin_tok + 1 - {w}, 1) : begin_tok], [])"
+    right = f"coalesce(words[end_tok + 2 : least(end_tok + 1 + {w}, len(words))], [])"
+    return _materialize(
+        _kg_prefix(model)
+        + f"""
+, warr AS (
+    SELECT url, sent_idx,
+           list_transform(
+               list_filter(regexp_split_to_array(sent, '\\s+'), t -> t <> ''),
+               t -> replace(t, ':__entity__', '')) AS words
+    FROM sents
+)
+SELECT t.url, t.sent_idx, t.mention_idx, t.surface,
+       t.pred_group AS etype, t.begin_tok, t.end_tok,
+       coalesce(array_to_string({left}, ' '), '') AS left_ctx,
+       coalesce(array_to_string({right}, ' '), '') AS right_ctx,
+       array_to_string(
+           list_concat(list_concat({left}, ['[MASK]']), {right}), ' ') AS masked
+FROM typed t JOIN warr USING (url, sent_idx)
+""",
+        "sents",
+    )
