@@ -480,6 +480,33 @@ def q_kg_entity_contexts(spark, sf_dir):
     return entity_contexts(typed, _sentences(spark, sf_dir), window=3)
 
 
+def q_kg_entity_trends(spark, sf_dir):
+    """Per-entity daily mention series + integer burst flag (the
+    per-entity companion of the temporal fact table). The gate folds the
+    deterministic url-derived timestamp to a 7-day week (obs_ts =
+    (doc % 7) * 86400) so repeated surfaces collide on days and the
+    1.5x burst rule genuinely fires (2 bursts at sf0.001 and sf0.01;
+    oracle replays the fold)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    ts = F.pmod(F.col("url").cast("long"), F.lit(7)) * F.lit(86400)
+    return er.entity_trends(typed.withColumn("obs_ts", ts))
+
+
+def q_er_cluster_stats(spark, sf_dir):
+    """ER quality dashboard: canonical-cluster size histogram over the
+    full resolve_entities membership (exact + LSH + CC)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    _entities, membership = er.resolve_entities(occ)
+    return er.cluster_stats(membership)
+
+
 def q_kg_ensemble_mentions(spark, sf_dir):
     """Two-model relational ensemble (J5/J6/O4) vs full SQL oracle."""
     from unsupervised_ner_spark.pipeline.ensemble_sql import ensemble_mentions_relational
@@ -1212,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_entity_contexts": q_kg_entity_contexts,
+        "kg_entity_trends": q_kg_entity_trends,
+        "er_cluster_stats": q_er_cluster_stats,
         "kg_ensemble_mentions": q_kg_ensemble_mentions,
         "kg_ensemble_mentions_prod": q_kg_ensemble_mentions_prod,
         "kg_ensemble_v1_tags": q_kg_ensemble_v1_tags,
@@ -1310,6 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hearst_hypernyms": O.kg_hearst_hypernyms(HEARST_MOD, HEARST_HYPO, HEARST_HYPER),
         "kg_negative_samples": O.kg_negative_samples(),
         "kg_entity_contexts": O.kg_entity_contexts(),
+        "kg_entity_trends": O.kg_entity_trends(),
+        "er_cluster_stats": O.er_cluster_stats(),
         "kg_ensemble_mentions": O.kg_ensemble_mentions(),
         "kg_ensemble_mentions_prod": O.kg_ensemble_mentions(),
         "kg_ensemble_v1_tags": O.kg_ensemble_v1_tags(),

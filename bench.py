@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "kg_hearst_hypernyms",
     "kg_negative_samples",
     "kg_entity_contexts",
+    "kg_entity_trends",
+    "er_cluster_stats",
     "kg_ensemble_mentions",
     "kg_ensemble_mentions_prod",
     "kg_ensemble_v1_tags",

@@ -633,6 +633,21 @@ def main() -> None:
     sections.append(("Masked entity contexts (kg_entity_contexts)", p44))
     checks.append(("contexts: no window function", "Window" not in p44))
 
+    # 45. entity trends: corpus stream collapses in ONE partial-aggregating
+    # pass before the per-entity window (whose partitions are day-bounded)
+    p45 = plan_of(entry.q_kg_entity_trends(spark, SF))
+    sections.append(("Entity daily trends (kg_entity_trends)", p45))
+    checks.append(("trends: partial aggregate + entity-keyed window",
+                   "HashAggregate" in p45
+                   and "windowspecdefinition(ent" in p45))
+    checks.append(("trends: no join in the plan", "Join" not in p45))
+
+    # 46. ER cluster stats: two bounded aggregates on top of membership;
+    # no window, no extra corpus scan beyond the shared ER chain
+    p46 = plan_of(entry.q_er_cluster_stats(spark, SF))
+    sections.append(("ER cluster-size histogram (er_cluster_stats)", p46))
+    checks.append(("cluster stats: no window function", "Window" not in p46))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -3310,3 +3310,60 @@ FROM typed t JOIN warr USING (url, sent_idx)
 """,
         "sents",
     )
+
+
+def kg_entity_trends(
+    model: str = "a100", burst_num: int = 3, burst_den: int = 2
+) -> str:
+    """Entity daily-trend twin (pipeline/er.py entity_trends): normalized
+    typed mentions bucketed to the deterministic url-derived obs day
+    (the gate folds the crawl to a 7-day week, doc % 7, so repeated
+    surfaces actually collide on days and the burst branch fires — 2
+    bursts at sf0.001 AND sf0.01 under the 1.5x rule), one daily
+    aggregate, per-entity window totals, cross-multiplied integer burst
+    rule."""
+    return _materialize(
+        _kg_prefix(model)
+        + f"""
+, ent AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS ent,
+           pred_group AS etype,
+           CAST(CAST(url AS BIGINT) % 7 AS BIGINT) AS obs_day
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+daily AS (
+    SELECT ent, etype, obs_day, CAST(count(*) AS BIGINT) AS n_mentions
+    FROM ent WHERE length(ent) > 0
+    GROUP BY ent, etype, obs_day
+)
+SELECT ent, etype, obs_day, n_mentions,
+       CAST(sum(n_mentions) OVER w AS BIGINT) AS n_total,
+       CAST(count(*) OVER w AS BIGINT) AS n_days,
+       CAST(CASE WHEN n_mentions * (count(*) OVER w) * {burst_den}
+                      > {burst_num} * (sum(n_mentions) OVER w)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+FROM daily
+WINDOW w AS (PARTITION BY ent, etype)
+""",
+        "daily",
+    )
+
+
+def er_cluster_stats(model: str = "a100") -> str:
+    """ER cluster-size histogram twin (pipeline/er.py cluster_stats) over
+    the shared RECURSIVE-CTE component chain."""
+    return (
+        _er_chain(model)
+        + """
+, memb AS (SELECT norm_surface, etype, component AS entity_id FROM merged),
+sizes AS (
+    SELECT entity_id, etype, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM memb GROUP BY entity_id, etype
+)
+SELECT etype, cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_surfaces
+FROM sizes GROUP BY etype, cluster_size
+"""
+    )

@@ -1164,3 +1164,71 @@ def predicate_pairs(triples: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_subjects"))
     )
+
+
+def entity_trends(typed_with_ts: DataFrame, burst_num: int = 3, burst_den: int = 2) -> DataFrame:
+    """Per-entity DAILY mention series + integer burst rule — the temporal
+    KG signal (entity activity over crawl time, the per-entity companion
+    of triples_temporal's per-edge first/last-seen).
+
+    Input: typed mentions carrying ``obs_ts`` (epoch seconds, the page's
+    warc_ts). Output one row per (ent, etype, obs_day):
+    (ent, etype, obs_day, n_mentions, n_total, n_days, is_burst) where
+    is_burst flags a day whose count exceeds (burst_num/burst_den)x the
+    entity's daily average — evaluated CROSS-MULTIPLIED in BIGINT
+    (n_mentions * n_days * burst_den > burst_num * n_total), so no float
+    ever enters the hashed surface (the NPMI precedent).
+
+    Scale shape: one map-side-combining aggregate from the corpus-sized
+    mention stream down to the bounded (entity, day) series, then a
+    window PARTITIONED BY entity whose partitions are bounded by the
+    number of distinct days an entity was observed (the crawl's day span,
+    NOT corpus size) — a hot entity seen on every day of a 10-year crawl
+    is still a ~3,650-row partition."""
+    from pyspark.sql import Window
+
+    norm = norm_surface_col(F.col("surface"))
+    daily = (
+        typed_with_ts.select(
+            norm.alias("ent"),
+            F.col("pred_group").alias("etype"),
+            F.floor(F.col("obs_ts") / F.lit(86400)).cast("long").alias("obs_day"),
+        )
+        .filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
+        .groupBy("ent", "etype", "obs_day")
+        .agg(F.count("*").cast("long").alias("n_mentions"))
+    )
+    w = Window.partitionBy("ent", "etype")
+    return daily.select(
+        "ent", "etype", "obs_day", "n_mentions",
+        F.sum("n_mentions").over(w).cast("long").alias("n_total"),
+        F.count("*").over(w).cast("long").alias("n_days"),
+    ).withColumn(
+        "is_burst",
+        (
+            F.col("n_mentions") * F.col("n_days") * F.lit(burst_den)
+            > F.lit(burst_num) * F.col("n_total")
+        ).cast("long"),
+    )
+
+
+def cluster_stats(membership: DataFrame) -> DataFrame:
+    """ER quality histogram: distribution of canonical-cluster sizes —
+    the one-glance dashboard that catches both over-merging (a giant
+    cluster appears) and under-merging (everything is a singleton).
+
+    Input: the resolve_entities membership table (norm_surface, etype,
+    entity_id). Output one row per (etype, cluster_size):
+    (etype, cluster_size, n_clusters, n_surfaces) — n_surfaces =
+    cluster_size * n_clusters, kept as a column for direct reading.
+
+    Scale shape: two bounded aggregates — membership is bounded by
+    distinct surface forms, the size table by distinct entities, the
+    histogram by distinct sizes. Everything map-side combines."""
+    sizes = membership.groupBy("entity_id", "etype").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("etype", "cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_surfaces"),
+    )
