@@ -420,32 +420,39 @@ def q_kg_predicates(spark, sf_dir):
 HEARST_MOD = 3
 HEARST_HYPO = ["Imatinib", "Asbestos", "Paris", "Mozart", "Telsa", "Aspirin", "Foxp2"]
 HEARST_HYPER = ["drug", "mineral", "city", "element", "company"]
+HEARST_HYPER2 = ["substance", "thing", "place"]
 
 
-def q_kg_hearst_hypernyms(spark, sf_dir):
-    """Hearst-pattern taxonomy induction (is-a / such-as hypernym edges)
-    over the sentence table. The word-salad corpus contains no natural
-    " is a " text, so every HEARST_MOD-th doc gets a deterministic
-    doc_id-derived two-sentence splice (the txt_lang_mix precedent; the
-    oracle replays it byte-identically) — the gate proves real pattern
-    extraction + normalization + aggregation, not an empty pass."""
-    from unsupervised_ner_spark.pipeline.taxonomy import hearst_hypernyms
+def _hearst_sentences(spark, sf_dir):
+    """Sentence table with the deterministic Hearst splice: the word-salad
+    corpus contains no natural " is a " text, so every HEARST_MOD-th doc
+    gets three doc_id-derived sentences (the txt_lang_mix precedent; the
+    oracle replays them byte-identically): "<Hypo> is a <hyper>",
+    "<hyper>s such as <Hypo> are common", and the CHAINED "<Hyper> is a
+    <hyper2>" — the third makes real 2-hop closure paths exist."""
+
+    def pick(terms, col):
+        return F.element_at(
+            F.array(*[F.lit(t) for t in terms]),
+            (col % len(terms) + 1).cast("int"),
+        )
+
+    def art(noun):
+        return F.when(
+            F.substring(noun, 1, 1).isin("a", "e", "i", "o", "u"), F.lit("an")
+        ).otherwise(F.lit("a"))
 
     docs = _t(spark, sf_dir, "documents")
-    hypo = F.element_at(
-        F.array(*[F.lit(t) for t in HEARST_HYPO]),
-        (F.col("doc_id") % len(HEARST_HYPO) + 1).cast("int"),
+    hypo = pick(HEARST_HYPO, F.col("doc_id"))
+    hyper = pick(HEARST_HYPER, F.col("doc_id"))
+    hyper2 = pick(HEARST_HYPER2, F.col("doc_id"))
+    hyper_cap = F.concat(
+        F.upper(F.substring(hyper, 1, 1)), F.substring(hyper, 2, 100)
     )
-    hyper = F.element_at(
-        F.array(*[F.lit(t) for t in HEARST_HYPER]),
-        (F.col("doc_id") % len(HEARST_HYPER) + 1).cast("int"),
-    )
-    art = F.when(
-        F.substring(hyper, 1, 1).isin("a", "e", "i", "o", "u"), F.lit("an")
-    ).otherwise(F.lit("a"))
     splice = F.concat(
-        F.lit("\n"), hypo, F.lit(" is "), art, F.lit(" "), hyper,
+        F.lit("\n"), hypo, F.lit(" is "), art(hyper), F.lit(" "), hyper,
         F.lit("\n"), hyper, F.lit("s such as "), hypo, F.lit(" are common"),
+        F.lit("\n"), hyper_cap, F.lit(" is "), art(hyper2), F.lit(" "), hyper2,
     )
     docs = docs.withColumn(
         "text",
@@ -453,10 +460,39 @@ def q_kg_hearst_hypernyms(spark, sf_dir):
             F.col("doc_id") % HEARST_MOD == 0, F.concat("text", splice)
         ).otherwise(F.col("text")),
     )
-    sents = pages_to_sentences(_pages_of(docs)).select(
+    return pages_to_sentences(_pages_of(docs)).select(
         "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
     )
-    return hearst_hypernyms(sents)
+
+
+def q_kg_hearst_hypernyms(spark, sf_dir):
+    """Hearst-pattern taxonomy induction (is-a / such-as hypernym edges)
+    over the spliced sentence table — the gate proves real pattern
+    extraction + normalization + aggregation, not an empty pass."""
+    from unsupervised_ner_spark.pipeline.taxonomy import hearst_hypernyms
+
+    return hearst_hypernyms(_hearst_sentences(spark, sf_dir))
+
+
+def q_kg_taxonomy_2hop(spark, sf_dir):
+    """2-hop is-a closure over the Hearst edges (hypo -> mid -> hyper
+    transitivity candidates with least-support path weight)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure_2hop,
+    )
+
+    return taxonomy_closure_2hop(hearst_hypernyms(_hearst_sentences(spark, sf_dir)))
+
+
+def q_dedup_lsh_stats(spark, sf_dir):
+    """LSH blocking dashboard: banded-index bucket-size histogram with the
+    over-cap flag (gated with an explicit max_bucket=2 so the flag's true
+    branch fires on this mostly-unique corpus; the production default is
+    the adaptive cube-root cap)."""
+    from unsupervised_ner_spark.ops.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(_t(spark, sf_dir, "documents"), max_bucket=2)
 
 
 def q_kg_negative_samples(spark, sf_dir):
@@ -1237,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
+        "kg_taxonomy_2hop": q_kg_taxonomy_2hop,
+        "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_entity_contexts": q_kg_entity_contexts,
         "kg_entity_trends": q_kg_entity_trends,
@@ -1336,7 +1374,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),
-        "kg_hearst_hypernyms": O.kg_hearst_hypernyms(HEARST_MOD, HEARST_HYPO, HEARST_HYPER),
+        "kg_hearst_hypernyms": O.kg_hearst_hypernyms(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "kg_taxonomy_2hop": O.kg_taxonomy_2hop(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),
         "kg_entity_contexts": O.kg_entity_contexts(),
         "kg_entity_trends": O.kg_entity_trends(),

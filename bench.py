@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "kg_triples_temporal",
     "kg_predicates",
     "kg_hearst_hypernyms",
+    "kg_taxonomy_2hop",
+    "dedup_lsh_stats",
     "kg_negative_samples",
     "kg_entity_contexts",
     "kg_entity_trends",

@@ -648,6 +648,19 @@ def main() -> None:
     sections.append(("ER cluster-size histogram (er_cluster_stats)", p46))
     checks.append(("cluster stats: no window function", "Window" not in p46))
 
+    # 47. taxonomy 2-hop closure: the collapsed edge aggregate feeds BOTH
+    # self-join sides (persisted once), and the join keys on the mid node
+    p47 = plan_of(entry.q_kg_taxonomy_2hop(spark, SF))
+    sections.append(("Taxonomy 2-hop closure (kg_taxonomy_2hop)", p47))
+    checks.append(("taxonomy 2hop: collapsed edges persisted once",
+                   "InMemoryTableScan" in p47))
+
+    # 48. LSH bucket stats: two cascaded aggregates, no join, no window
+    p48 = plan_of(entry.q_dedup_lsh_stats(spark, SF))
+    sections.append(("LSH bucket-size histogram (dedup_lsh_stats)", p48))
+    checks.append(("lsh stats: no join, no window",
+                   "Join" not in p48 and "Window" not in p48))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

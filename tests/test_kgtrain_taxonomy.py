@@ -133,3 +133,48 @@ def test_negative_samples_matches_flat_rank_oracle(spark):
         key = f"{r.subj}|{r.pred_norm}|{r.obj}|{r.neg_k}"
         pick = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % len(vocab)
         assert r.neg_obj == vocab[pick]
+
+
+def test_taxonomy_closure_2hop(spark):
+    from unsupervised_ner_spark.pipeline.taxonomy import taxonomy_closure_2hop
+
+    edges = spark.createDataFrame(
+        [
+            # (imatinib -> drug) split across the two patterns: collapses to n=3
+            ("imatinib", "drug", "isa", 2, 1),
+            ("imatinib", "drug", "such_as", 1, 1),
+            ("drug", "substance", "isa", 5, 2),
+            ("substance", "imatinib", "isa", 1, 1),  # would make a loop at 2 hops
+        ],
+        "hypo string, hyper string, pattern string, n_sents long, n_docs long",
+    )
+    rows = {(r.hypo, r.mid, r.hyper): r.support
+            for r in taxonomy_closure_2hop(edges).collect()}
+    # imatinib -> drug -> substance with least(3, 5) = 3
+    assert rows[("imatinib", "drug", "substance")] == 3
+    # drug -> substance -> imatinib with least(5, 1) = 1
+    assert rows[("drug", "substance", "imatinib")] == 1
+    # substance -> imatinib -> drug with least(1, 3) = 1
+    assert rows[("substance", "imatinib", "drug")] == 1
+    # the hypo == hyper loop (imatinib -> drug -> ... never returns to
+    # imatinib in 2 hops here, but substance -> imatinib -> substance
+    # style loops are filtered): no (x, _, x) rows at all
+    assert not [k for k in rows if k[0] == k[2]]
+
+
+def test_lsh_bucket_stats_histogram_and_cap(spark):
+    from unsupervised_ner_spark.ops.dedup import lsh_bucket_stats
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, same), (4, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    out = lsh_bucket_stats(docs, max_bucket=2).collect()
+    # every band: one bucket of size 3 (the identical docs) + one singleton
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r.band_id, {})[r.bucket_size] = (r.n_buckets, r.over_cap)
+    for band, hist in by_band.items():
+        assert hist[3] == (1, 1), f"band {band}: {hist}"  # over the cap of 2
+        assert hist[1] == (1, 0), f"band {band}: {hist}"

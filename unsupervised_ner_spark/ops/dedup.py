@@ -677,3 +677,37 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return a.join(b, "doc_id", "full_outer").select(
         "doc_id", status.alias("status"), "fp_old", "fp_new"
     )
+
+
+def lsh_bucket_stats(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH blocking dashboard: the bucket-size histogram of the banded
+    MinHash index, with an ``over_cap`` flag against the (adaptive by
+    default) bucket cap — the one-glance table that shows whether the cap
+    is actually binding on a given corpus (how much near-dup candidate
+    volume the cap is trading away) and how skewed the banding is.
+
+    Returns (band_id, bucket_size, n_buckets, over_cap). Two bounded
+    aggregates: bands -> bucket sizes (bounded by distinct band hashes),
+    sizes -> histogram (bounded by distinct sizes). A boilerplate-heavy
+    corpus shows up as a long bucket_size tail with over_cap=1 — the
+    exact rows the pairing stage drops."""
+    if max_bucket is None:
+        max_bucket = adaptive_max_bucket(documents.count())
+    bands = banded_signatures(documents, num_hashes, band_size, k)
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("long").alias("bucket_size")
+    )
+    return sizes.groupBy("band_id", "bucket_size").agg(
+        F.count("*").cast("long").alias("n_buckets")
+    ).select(
+        F.col("band_id").cast("long").alias("band_id"),
+        "bucket_size",
+        "n_buckets",
+        (F.col("bucket_size") > F.lit(max_bucket)).cast("long").alias("over_cap"),
+    )

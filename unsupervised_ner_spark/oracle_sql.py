@@ -3195,34 +3195,47 @@ def _hex8_int_sql(md5_expr: str) -> str:
     return f"({terms})"
 
 
-def kg_hearst_hypernyms(mod: int, hypo_terms: list[str], hyper_terms: list[str]) -> str:
+def kg_hearst_hypernyms(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+) -> str:
     """Hearst-pattern taxonomy twin (pipeline/taxonomy.hearst_hypernyms):
     first is-a / such-as match per sentence, normalized hyponym, one
     aggregate. The regex strings are IMPORTED from the engine module so
     the twins cannot drift; the deterministic doc_id-derived splice (the
     txt_lang_mix precedent — the word-salad corpus contains no natural
-    " is a " text) is replayed byte-identically here."""
+    " is a " text) is replayed byte-identically here, including the
+    chained third sentence that creates real 2-hop closure paths."""
     from unsupervised_ner_spark.pipeline.taxonomy import ISA_PAT, SUCHAS_PAT
 
     hypo_arr = "[" + ", ".join(f"'{t}'" for t in hypo_terms) + "]"
     hyper_arr = "[" + ", ".join(f"'{t}'" for t in hyper_terms) + "]"
+    hyper2_arr = "[" + ", ".join(f"'{t}'" for t in hyper2_terms) + "]"
+    art = (
+        "(CASE WHEN substr({n}, 1, 1) IN ('a','e','i','o','u') "
+        "THEN 'an' ELSE 'a' END)"
+    )
     sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
     assert "docs2" in sents
     return f"""
 WITH picked AS (
     SELECT doc_id, text,
            ({hypo_arr})[CAST(doc_id % {len(hypo_terms)} AS INT) + 1] AS hypo,
-           ({hyper_arr})[CAST(doc_id % {len(hyper_terms)} AS INT) + 1] AS hyper
+           ({hyper_arr})[CAST(doc_id % {len(hyper_terms)} AS INT) + 1] AS hyper,
+           ({hyper2_arr})[CAST(doc_id % {len(hyper2_terms)} AS INT) + 1] AS hyper2
     FROM documents
 ),
 docs2 AS (
     SELECT doc_id,
            CASE WHEN doc_id % {mod} = 0
                 THEN text || chr(10) || hypo || ' is '
-                     || (CASE WHEN substr(hyper, 1, 1) IN ('a','e','i','o','u')
-                              THEN 'an' ELSE 'a' END)
+                     || {art.format(n="hyper")}
                      || ' ' || hyper
                      || chr(10) || hyper || 's such as ' || hypo || ' are common'
+                     || chr(10) || upper(substr(hyper, 1, 1)) || substr(hyper, 2)
+                     || ' is ' || {art.format(n="hyper2")} || ' ' || hyper2
                 ELSE text END AS text
     FROM picked
 ),
@@ -3367,3 +3380,59 @@ SELECT etype, cluster_size,
 FROM sizes GROUP BY etype, cluster_size
 """
     )
+
+
+def kg_taxonomy_2hop(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+) -> str:
+    """2-hop taxonomy closure twin (pipeline/taxonomy.taxonomy_closure_2hop):
+    Hearst edges collapsed across patterns, mid-keyed self-join, least
+    support, trivial loops filtered."""
+    return _materialize(
+        f"""
+WITH hh AS ({kg_hearst_hypernyms(mod, hypo_terms, hyper_terms, hyper2_terms)}),
+e AS (
+    SELECT hypo, hyper, CAST(sum(n_sents) AS BIGINT) AS n
+    FROM hh GROUP BY hypo, hyper
+)
+SELECT a.hypo, a.hyper AS mid, b.hyper, least(a.n, b.n) AS support
+FROM e a JOIN e b ON a.hyper = b.hypo
+WHERE a.hypo <> b.hyper
+""",
+        "e",
+    )
+
+
+def dedup_lsh_stats(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int = 2
+) -> str:
+    """LSH bucket-size histogram twin (ops/dedup.lsh_bucket_stats): the
+    same shingle -> minhash -> band chain as dedup_minhash_lsh, two
+    aggregates, over-cap flag against the explicit gate cap."""
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+sizes AS (
+    SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS bucket_size
+    FROM bands GROUP BY band_id, band_hash
+)
+SELECT CAST(band_id AS BIGINT) AS band_id, bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(CASE WHEN bucket_size > {max_bucket} THEN 1 ELSE 0 END AS BIGINT)
+           AS over_cap
+FROM sizes GROUP BY band_id, bucket_size
+"""

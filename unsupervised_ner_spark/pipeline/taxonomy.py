@@ -58,3 +58,42 @@ def hearst_hypernyms(sentences: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_sents"),
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
+
+
+def taxonomy_closure_2hop(edges: DataFrame) -> DataFrame:
+    """2-hop subclass closure over the Hearst edge table: (hypo -> mid ->
+    hyper) paths with path support = least of the two edge supports — the
+    taxonomy-consistency product (is-a transitivity candidates a curator
+    reviews, and the input to cycle/conflict checks).
+
+    Edges are first collapsed across patterns (one row per (hypo, hyper),
+    summed sentence support); the closure is a mid-keyed self-join of the
+    collapsed table with the trivial hypo==hyper loop filtered.
+
+    Scale shape: the collapsed edge table is bounded by distinct taxonomy
+    edges (vocabulary-sized, not corpus-sized) and persisted once — it
+    feeds both self-join sides, so the corpus-scanning Hearst chain above
+    it runs exactly once; the self-join keys on the mid node — a hub
+    class ("thing") fans out as deg_in(mid) x deg_out(mid), the same
+    bounded-wedge shape as kg_common_neighbors."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    base = scoped_persist(
+        edges.groupBy("hypo", "hyper").agg(
+            F.sum("n_sents").cast("long").alias("n")
+        )
+    )
+    a = base.select(
+        "hypo", F.col("hyper").alias("mid"), F.col("n").alias("n1")
+    )
+    b = base.select(
+        F.col("hypo").alias("mid"), "hyper", F.col("n").alias("n2")
+    )
+    return (
+        a.join(b, "mid")
+        .filter(F.col("hypo") != F.col("hyper"))
+        .select(
+            "hypo", "mid", "hyper",
+            F.least("n1", "n2").cast("long").alias("support"),
+        )
+    )
