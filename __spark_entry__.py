@@ -423,8 +423,8 @@ HEARST_HYPER = ["drug", "mineral", "city", "element", "company"]
 HEARST_HYPER2 = ["substance", "thing", "place"]
 
 
-def _hearst_sentences(spark, sf_dir):
-    """Sentence table with the deterministic Hearst splice: the word-salad
+def _hearst_docs(spark, sf_dir):
+    """Documents with the deterministic Hearst splice: the word-salad
     corpus contains no natural " is a " text, so every HEARST_MOD-th doc
     gets three doc_id-derived sentences (the txt_lang_mix precedent; the
     oracle replays them byte-identically): "<Hypo> is a <hyper>",
@@ -454,13 +454,17 @@ def _hearst_sentences(spark, sf_dir):
         F.lit("\n"), hyper, F.lit("s such as "), hypo, F.lit(" are common"),
         F.lit("\n"), hyper_cap, F.lit(" is "), art(hyper2), F.lit(" "), hyper2,
     )
-    docs = docs.withColumn(
+    return docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") % HEARST_MOD == 0, F.concat("text", splice)
         ).otherwise(F.col("text")),
     )
-    return pages_to_sentences(_pages_of(docs)).select(
+
+
+def _hearst_sentences(spark, sf_dir):
+    """Sentence table over the Hearst-spliced documents."""
+    return pages_to_sentences(_pages_of(_hearst_docs(spark, sf_dir))).select(
         "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
     )
 
@@ -493,6 +497,207 @@ def q_dedup_lsh_stats(spark, sf_dir):
     from unsupervised_ner_spark.ops.dedup import lsh_bucket_stats
 
     return lsh_bucket_stats(_t(spark, sf_dir, "documents"), max_bucket=2)
+
+
+APPOS_MOD = 4
+APPOS_INST = ["Tamoxifen", "Berlin", "Einstein", "Toyota", "Ibuprofen"]
+APPOS_CLS = ["medicine", "city", "physicist", "automaker"]
+
+
+def q_kg_appositive_types(spark, sf_dir):
+    """Appositive instance-typing ("<Entity>, a <noun>,") over the
+    sentence table — the third lexico-syntactic typing pattern beside
+    Hearst isa/such_as. The word-salad corpus contains no natural
+    appositive text, so every APPOS_MOD-th doc gets a deterministic
+    doc_id-derived splice (the Hearst-gate precedent; the oracle replays
+    it byte-identically)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import appositive_types
+
+    docs = _t(spark, sf_dir, "documents")
+    inst = F.element_at(
+        F.array(*[F.lit(t) for t in APPOS_INST]),
+        (F.col("doc_id") % len(APPOS_INST) + 1).cast("int"),
+    )
+    cls = F.element_at(
+        F.array(*[F.lit(t) for t in APPOS_CLS]),
+        (F.col("doc_id") % len(APPOS_CLS) + 1).cast("int"),
+    )
+    art = F.when(
+        F.substring(cls, 1, 1).isin("a", "e", "i", "o", "u"), F.lit("an")
+    ).otherwise(F.lit("a"))
+    splice = F.concat(
+        F.lit("\n"), inst, F.lit(", "), art, F.lit(" "), cls,
+        F.lit(", was mentioned"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % APPOS_MOD == 0, F.concat("text", splice)
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return appositive_types(sents)
+
+
+def q_kg_pred_functionality(spark, sf_dir):
+    """Per-predicate functionality profile (single- vs multi-valued
+    relations) over the production triple chain."""
+    from unsupervised_ner_spark.pipeline.triples import predicate_functionality
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return predicate_functionality(stages["triples"])
+
+
+def q_kg_conflicts(spark, sf_dir):
+    """Conflicting-fact candidates: multi-object subjects under otherwise
+    functional predicates, over the production triples UNION the
+    deterministic conflict splice (see _conflict_splice_triples)."""
+    from unsupervised_ner_spark.pipeline.triples import functional_conflicts
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    trip = stages["triples"].select("subj", "pred_norm", "obj")
+    return functional_conflicts(trip.unionByName(_conflict_splice_triples(spark, sf_dir)))
+
+
+def q_txt_bpe_pairs(spark, sf_dir):
+    """First-iteration BPE merge statistics (tokenizer-training prep) over
+    the corpus vocabulary."""
+    from unsupervised_ner_spark.ops.textstats import bpe_pair_stats
+
+    return bpe_pair_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_hashing_tf(spark, sf_dir):
+    """Feature-hashing sparse TF rows (HashingTF) per document — the
+    vocabulary-free classifier input."""
+    from unsupervised_ner_spark.ops.textstats import hashing_tf
+
+    return hashing_tf(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_sent_dedup(spark, sf_dir):
+    """Sentence-level exact-dedup index (C4-style boilerplate table) over
+    the Hearst-spliced sentence table — the splice is what guarantees
+    real cross-document duplicate sentences exist in the word-salad
+    corpus, so the gate proves counting + keep-first provenance on true
+    duplicates, not an empty pass."""
+    from unsupervised_ner_spark.ops.dedup import sentence_dedup
+
+    return sentence_dedup(_hearst_sentences(spark, sf_dir))
+
+
+def _conflict_splice_triples(spark, sf_dir):
+    """Deterministic doc_id-derived triple splice for the conflict gate:
+    'capital_of' is single-valued for every even subject except s0, which
+    collects one object per 24-doc block (the violation); 'near' is
+    multi-valued for every odd subject (not functional — excluded). The
+    word-salad corpus yields ZERO conflicting triples at sf0.001/0.01
+    (measured), so this is the Hearst TEXT splice lifted to the triple
+    level: the operator still runs over the real production triples too,
+    and the oracle replays the identical arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    d1 = F.col("doc_id") % 24
+    d2 = F.expr("doc_id DIV 24") % 5
+    even = F.col("doc_id") % 2 == 0
+    return docs.select(
+        F.concat(F.lit("s"), d1.cast("string")).alias("subj"),
+        F.when(even, F.lit("capital_of")).otherwise(F.lit("near")).alias("pred_norm"),
+        F.when(
+            even,
+            F.when(d1 == 0, F.concat(F.lit("v"), d2.cast("string"))).otherwise(
+                F.concat(F.lit("o"), d1.cast("string"))
+            ),
+        )
+        .otherwise(F.concat(F.lit("w"), d2.cast("string")))
+        .alias("obj"),
+    )
+
+
+def _recip_splice_triples(spark, sf_dir):
+    """Deterministic doc_id-derived edge splice for the reciprocity gate:
+    node a = (doc_id DIV 3) %% 12, offsets {+1, +11, +4} by doc_id %% 3
+    with predicates {knows, likes, near} — +1/+11 are mutual inverses
+    (12 reciprocal unordered pairs, asymmetric predicate lists), +4's
+    inverse +8 is never generated (12 one-way edges, excluded). Same
+    rationale as _conflict_splice_triples."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.expr("doc_id DIV 3") % 12
+    m = F.col("doc_id") % 3
+    off = F.element_at(F.array(F.lit(1), F.lit(11), F.lit(4)), (m + 1).cast("int"))
+    pred = F.element_at(
+        F.array(F.lit("knows"), F.lit("likes"), F.lit("near")), (m + 1).cast("int")
+    )
+    node = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 2, "0"))
+    return docs.select(
+        node(a).alias("subj"),
+        pred.alias("pred_norm"),
+        node((a + off) % 12).alias("obj"),
+    )
+
+
+def q_kg_reciprocal_pairs(spark, sf_dir):
+    """Reciprocated entity pairs (both triple directions observed) over
+    the production triples UNION the deterministic reciprocity splice."""
+    from unsupervised_ner_spark.pipeline.er import reciprocal_pairs
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    trip = stages["triples"].select("subj", "pred_norm", "obj")
+    return reciprocal_pairs(trip.unionByName(_recip_splice_triples(spark, sf_dir)))
+
+
+def q_kg_conll(spark, sf_dir):
+    """CoNLL-format per-sentence serialization of the production BIO tag
+    table (the interchange file sequence-tagging toolchains ingest)."""
+    from unsupervised_ner_spark.pipeline.tagging import conll_export
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tags = stages["tags"].select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("token_idx").cast("long").alias("token_idx"),
+        "word",
+        "tag",
+    )
+    return conll_export(tags)
+
+
+def q_txt_word_pmi(spark, sf_dir):
+    """Skip-gram co-occurrence sufficient statistics (word-embedding
+    training prep) — integers only; float PMI is a derived column."""
+    from unsupervised_ner_spark.ops.textstats import word_pmi_stats
+
+    return word_pmi_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_shared_ngrams(spark, sf_dir):
+    """Duplicate-span index (k-token windows recurring across documents)
+    over the Hearst-spliced documents — the splice guarantees recurring
+    spans exist in the word-salad corpus."""
+    from unsupervised_ner_spark.ops.dedup import shared_ngram_spans
+
+    return shared_ngram_spans(_hearst_docs(spark, sf_dir))
+
+
+def q_kg_tag_transitions(spark, sf_dir):
+    """BIO tag-transition matrix with START/END boundaries over the
+    production tag table (CRF-style transition prior + BIO sanity)."""
+    from unsupervised_ner_spark.pipeline.tagging import tag_transitions
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tags = stages["tags"].select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("token_idx").cast("long").alias("token_idx"),
+        "tag",
+    )
+    return tag_transitions(tags)
 
 
 def q_kg_negative_samples(spark, sf_dir):
@@ -1274,6 +1479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicates": q_kg_predicates,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_taxonomy_2hop": q_kg_taxonomy_2hop,
+        "kg_appositive_types": q_kg_appositive_types,
+        "kg_pred_functionality": q_kg_pred_functionality,
+        "kg_conflicts": q_kg_conflicts,
+        "kg_reciprocal_pairs": q_kg_reciprocal_pairs,
+        "kg_conll": q_kg_conll,
+        "txt_bpe_pairs": q_txt_bpe_pairs,
+        "txt_hashing_tf": q_txt_hashing_tf,
+        "txt_sent_dedup": q_txt_sent_dedup,
+        "txt_word_pmi": q_txt_word_pmi,
+        "dedup_shared_ngrams": q_dedup_shared_ngrams,
+        "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_entity_contexts": q_kg_entity_contexts,
@@ -1380,6 +1596,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_taxonomy_2hop": O.kg_taxonomy_2hop(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
+        "kg_appositive_types": O.kg_appositive_types(
+            APPOS_MOD, APPOS_INST, APPOS_CLS
+        ),
+        "kg_pred_functionality": O.kg_pred_functionality(),
+        "kg_conflicts": O.kg_conflicts(),
+        "kg_reciprocal_pairs": O.kg_reciprocal_pairs(),
+        "kg_conll": O.kg_conll(),
+        "txt_bpe_pairs": O.txt_bpe_pairs(),
+        "txt_hashing_tf": O.txt_hashing_tf(),
+        "txt_sent_dedup": O.txt_sent_dedup(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "txt_word_pmi": O.txt_word_pmi(),
+        "dedup_shared_ngrams": O.dedup_shared_ngrams(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),
         "kg_entity_contexts": O.kg_entity_contexts(),

@@ -48,6 +48,17 @@ BENCH_QUERIES = [
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
+    "kg_appositive_types",
+    "kg_pred_functionality",
+    "kg_conflicts",
+    "kg_reciprocal_pairs",
+    "kg_conll",
+    "txt_bpe_pairs",
+    "txt_sent_dedup",
+    "txt_word_pmi",
+    "dedup_shared_ngrams",
+    "kg_tag_transitions",
+    "txt_hashing_tf",
     "dedup_lsh_stats",
     "kg_negative_samples",
     "kg_entity_contexts",

@@ -661,6 +661,82 @@ def main() -> None:
     checks.append(("lsh stats: no join, no window",
                    "Join" not in p48 and "Window" not in p48))
 
+    # 49. appositive typing: one regexp scan + one aggregate, no join
+    p49 = plan_of(entry.q_kg_appositive_types(spark, SF))
+    sections.append(("Appositive instance typing (kg_appositive_types)", p49))
+    checks.append(("appositive: no join, no window",
+                   "Join" not in p49 and "Window" not in p49))
+
+    # 50. predicate functionality: two cascaded aggregates over the triple
+    # chain, no window and no NEW join beyond the chain's own
+    p50 = plan_of(entry.q_kg_pred_functionality(spark, SF))
+    sections.append(("Predicate functionality (kg_pred_functionality)", p50))
+    checks.append(("pred functionality: no window on the stats path",
+                   "windowspecdefinition(pred_norm" not in p50))
+
+    # 51. conflicts: the (pred, subj) aggregate is persisted once and
+    # feeds both the violation filter and the predicate stats
+    p51 = plan_of(entry.q_kg_conflicts(spark, SF))
+    sections.append(("Conflicting facts (kg_conflicts)", p51))
+    checks.append(("conflicts: per-subject aggregate persisted once",
+                   "InMemoryTableScan" in p51))
+
+    # 52. BPE pairs: corpus collapses to the vocab aggregate BEFORE the
+    # pair explode (explode runs over distinct words only); no join
+    p52 = plan_of(entry.q_txt_bpe_pairs(spark, SF))
+    sections.append(("BPE pair statistics (txt_bpe_pairs)", p52))
+    checks.append(("bpe pairs: no join, no window",
+                   "Join" not in p52 and "Window" not in p52))
+
+    # 53. hashing TF: one explode + one aggregate, no join, no window,
+    # no vocabulary table
+    p53 = plan_of(entry.q_txt_hashing_tf(spark, SF))
+    sections.append(("Feature hashing (txt_hashing_tf)", p53))
+    checks.append(("hashing tf: no join, no window",
+                   "Join" not in p53 and "Window" not in p53))
+
+    # 54. sentence dedup: one fingerprint aggregate, no join, no window
+    p54 = plan_of(entry.q_txt_sent_dedup(spark, SF))
+    sections.append(("Sentence-level exact dedup (txt_sent_dedup)", p54))
+    checks.append(("sent dedup: no join, no window",
+                   "Join" not in p54 and "Window" not in p54))
+
+    # 55. reciprocal pairs: the distinct edge aggregate is persisted once
+    # and feeds both self-join sides
+    p55 = plan_of(entry.q_kg_reciprocal_pairs(spark, SF))
+    sections.append(("Reciprocated entity pairs (kg_reciprocal_pairs)", p55))
+    checks.append(("reciprocal pairs: edge aggregate persisted once",
+                   "InMemoryTableScan" in p55))
+
+    # 56. CoNLL export: per-sentence aggregate with array_sort ordering —
+    # no window function does the line ordering
+    p56 = plan_of(entry.q_kg_conll(spark, SF))
+    sections.append(("CoNLL serialization (kg_conll)", p56))
+    checks.append(("conll: no window for line ordering",
+                   "windowspecdefinition(url" not in p56))
+
+    # 57. word PMI: pairs generated expression-side — the only joins
+    # attach the bounded unigram/total dims, no positional self-join
+    # (nothing joins on a token-position key), no window
+    p57 = plan_of(entry.q_txt_word_pmi(spark, SF))
+    sections.append(("Skip-gram PMI statistics (txt_word_pmi)", p57))
+    checks.append(("word pmi: no window (pairs are expression-side)",
+                   "Window" not in p57))
+
+    # 58. shared n-grams: rolling windows expression-side, ONE aggregate,
+    # no join, no window
+    p58 = plan_of(entry.q_dedup_shared_ngrams(spark, SF))
+    sections.append(("Duplicate-span index (dedup_shared_ngrams)", p58))
+    checks.append(("shared ngrams: no join, no window",
+                   "Join" not in p58 and "Window" not in p58))
+
+    # 59. tag transitions: per-sentence collect + expression-side pairs —
+    # no window function orders the sequence
+    p59 = plan_of(entry.q_kg_tag_transitions(spark, SF))
+    sections.append(("Tag-transition matrix (kg_tag_transitions)", p59))
+    checks.append(("tag transitions: no window for sequencing",
+                   "windowspecdefinition(url" not in p59))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

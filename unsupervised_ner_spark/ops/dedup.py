@@ -711,3 +711,98 @@ def lsh_bucket_stats(
         "n_buckets",
         (F.col("bucket_size") > F.lit(max_bucket)).cast("long").alias("over_cap"),
     )
+
+
+def sentence_dedup(sentences: DataFrame, min_copies: int = 2) -> DataFrame:
+    """C4-style sentence-level exact-dedup index: for every sentence that
+    occurs verbatim more than once in the corpus (boilerplate, license
+    blurbs, navigation text), the copy count, distinct-page spread, and
+    the deterministic keep-first provenance — the table a cleaning pass
+    anti-joins against to drop all but one copy.
+
+    ``keep_url``/``keep_sent_idx`` is the lexicographic minimum of
+    ``url || '|' || lpad(sent_idx)`` — a single string min, so both
+    engines agree without struct-ordering semantics, and the aggregate
+    stays a plain map-side-combining min (zero-padded to 12 digits so the
+    string order IS the numeric order).
+
+    Scale shape: ONE aggregate keyed on the md5 sentence fingerprint —
+    per-sentence keys, no join; a viral boilerplate sentence is one
+    reducer key carrying counters and a min, not a row explosion."""
+    key = F.concat_ws(
+        "|", F.col("url"), F.lpad(F.col("sent_idx").cast("string"), 12, "0")
+    )
+    agg = (
+        sentences.select(
+            F.md5(F.col("sent")).alias("sent_fp"), "url", key.alias("k")
+        )
+        .groupBy("sent_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("url").cast("long").alias("n_docs"),
+            F.min("k").alias("keep_k"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )
+    parts = F.split(F.col("keep_k"), r"\|")
+    return agg.select(
+        "sent_fp",
+        "n_copies",
+        "n_docs",
+        parts.getItem(0).alias("keep_url"),
+        parts.getItem(1).cast("long").alias("keep_sent_idx"),
+    )
+
+
+def shared_ngram_spans(
+    documents: DataFrame, k: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Duplicate-span index (Lee et al. 2022 "Deduplicating Training
+    Data" shape, token-window granularity): every k-token window whose
+    exact text recurs in >= ``min_docs`` DISTINCT documents, with its
+    occurrence count and keep-first provenance — the table a span-level
+    dedup pass consults to cut repeated passages that sentence- or
+    doc-level dedup both miss.
+
+    Scale shape: windows are generated EXPRESSION-SIDE per document (one
+    narrow transform over the token array — rolling windows never
+    shuffle), then ONE aggregate keyed on the md5 window fingerprint;
+    keep-first provenance is the same lpad string-min device as
+    sentence_dedup. A boilerplate span repeated a billion times is one
+    reducer key carrying counters."""
+    arr = tokens_ws(F.col("text"))
+    n = F.size("arr")
+    wins = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i, F.lit(k)))).alias("fp"),
+            i.alias("pos"),
+        ),
+    )
+    keyed = (
+        documents.select(F.col("doc_id"), arr.alias("arr"))
+        .filter(n >= k)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select(
+            F.col("w.fp").alias("win_fp"),
+            "doc_id",
+            F.concat_ws(
+                "|",
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                F.lpad(F.col("w.pos").cast("string"), 12, "0"),
+            ).alias("k"),
+        )
+    )
+    agg = keyed.groupBy("win_fp").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("k").alias("keep_k"),
+    )
+    parts = F.split(F.col("keep_k"), r"\|")
+    return agg.filter(F.col("n_docs") >= min_docs).select(
+        "win_fp",
+        "n_occ",
+        "n_docs",
+        parts.getItem(0).cast("long").alias("keep_doc_id"),
+        parts.getItem(1).cast("long").alias("keep_pos"),
+    )

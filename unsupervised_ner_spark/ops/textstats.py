@@ -720,3 +720,132 @@ def lang_mix(documents: DataFrame) -> DataFrame:
         second["hits"].alias("second_hits"),
         ((second["hits"] > 0) & (second["hits"] * 2 >= best["hits"])).alias("mixed"),
     )
+
+
+def bpe_pair_stats(documents: DataFrame, max_word_len: int = 30) -> DataFrame:
+    """First-iteration BPE merge statistics over the corpus vocabulary —
+    the tokenizer-training primitive (Sennrich 2016 step 1): for every
+    adjacent character pair, its occurrence count weighted by word
+    frequency (``n_occ``, counting within-word multiplicity: "aaa"
+    contributes (a,a) twice per occurrence) and the number of DISTINCT
+    vocabulary words containing it (``n_words``). The argmax row of
+    ``n_occ`` is the first BPE merge; rerunning over a merged vocabulary
+    iterates the algorithm.
+
+    Scale shape: the corpus collapses to the word-frequency vocabulary in
+    ONE map-side-combining aggregate (vocabulary-sized, not corpus-sized);
+    the pair explode then runs over DISTINCT words only (vocab x avg word
+    length rows), and the final aggregate is bounded by alphabet^2.
+    Words longer than ``max_word_len`` (URL junk / OCR noise — not
+    tokenizer vocabulary) are excluded, and single-char words carry no
+    pair; both guards also keep ``F.sequence`` strictly ascending (the
+    descending-sequence hazard)."""
+    words = (
+        documents.select(
+            F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter((F.length("word") >= 2) & (F.length("word") <= max_word_len))
+    )
+    w = F.col("word")
+    pairs = words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    w.substr(i, F.lit(1)).alias("left_sym"),
+                    w.substr(i + 1, F.lit(1)).alias("right_sym"),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy(
+        F.col("pair.left_sym").alias("left_sym"),
+        F.col("pair.right_sym").alias("right_sym"),
+    ).agg(
+        F.sum("freq").cast("long").alias("n_occ"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+    )
+
+
+def hashing_tf(documents: DataFrame, dim: int = 1024) -> DataFrame:
+    """Feature-hashing term-frequency rows (the HashingTF primitive that
+    feeds any linear quality/topic classifier at corpus scale): feature
+    index = md5-uniform hash of the lowercased token mod ``dim``
+    (engine/oracle-shared ops/kgtrain.md5_int32 / _hex8_int_sql — the
+    kg_negative_samples precedent), value = in-doc occurrence count.
+    Emitted as sparse (doc_id, feature_idx, n) rows — the exploded form
+    of the classifier's input vector, collisions folded by summation as
+    in any hashing vectorizer.
+
+    Scale shape: one narrow explode + ONE map-side-combining aggregate
+    keyed on (doc_id, feature_idx) — per-doc keys, so no corpus-global
+    skew; no join, no window, no vocabulary table at all (that is the
+    point of feature hashing at 100 TB)."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("tok"),
+    )
+    return (
+        toks.select("doc_id", (md5_int32(F.col("tok")) % dim).alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def word_pmi_stats(documents: DataFrame, window: int = 2, min_pair: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence sufficient statistics — the word-embedding
+    training-prep table (word2vec/GloVe input): for every ordered token
+    pair within a ±``window`` forward window, the pair count plus both
+    unigram marginals and the corpus token total, ALL integers (the NPMI
+    precedent: the float PMI = ln(n_pair * n_total / (n_w1 * n_w2)) is a
+    derived column downstream and never enters the hashed surface).
+
+    Scale shape: pair candidates are generated EXPRESSION-SIDE (per-row
+    sequence transform over the token array — no positional self-join, no
+    shuffle to form pairs); the pair aggregate is bounded by the observed
+    pair vocabulary, the two marginal joins and the count(*) total join
+    attach vocabulary-sized dims (broadcast-able, left to AQE). The
+    ``min_pair`` cut keeps the output the dense head of the pair
+    distribution, which is what embedding training consumes."""
+    arr = F.transform(tokens_ws(F.col("text")), F.lower)
+    docs = documents.select(arr.alias("arr"))
+    n = F.size("arr")
+    branches = []
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+
+    # NB: the lambda must stay single-argument — a second (defaulted)
+    # parameter makes pyspark treat it as an (element, index) lambda and
+    # silently bind the index to it
+    def pair_at(o):
+        return lambda i: F.struct(
+            F.element_at(F.col("arr"), i).alias("w1"),
+            F.element_at(F.col("arr"), i + o).alias("w2"),
+        )
+
+    for off in range(1, window + 1):
+        pa = F.transform(F.sequence(F.lit(1), n - off), pair_at(off))
+        branches.append(F.when(n > off, pa).otherwise(empty))
+    pairs = docs.select(F.explode(F.concat(*branches)).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair")
+    ).filter(F.col("n_pair") >= min_pair)
+    ug = (
+        documents.select(F.explode(arr).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    total = ug.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    return (
+        pair_counts.join(ug.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1")), "w1")
+        .join(ug.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2")), "w2")
+        .crossJoin(total)
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_total")
+    )

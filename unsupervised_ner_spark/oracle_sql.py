@@ -3195,21 +3195,17 @@ def _hex8_int_sql(md5_expr: str) -> str:
     return f"({terms})"
 
 
-def kg_hearst_hypernyms(
+
+def _hearst_docs2(
     mod: int,
     hypo_terms: list[str],
     hyper_terms: list[str],
     hyper2_terms: list[str],
 ) -> str:
-    """Hearst-pattern taxonomy twin (pipeline/taxonomy.hearst_hypernyms):
-    first is-a / such-as match per sentence, normalized hyponym, one
-    aggregate. The regex strings are IMPORTED from the engine module so
-    the twins cannot drift; the deterministic doc_id-derived splice (the
-    txt_lang_mix precedent — the word-salad corpus contains no natural
-    " is a " text) is replayed byte-identically here, including the
-    chained third sentence that creates real 2-hop closure paths."""
-    from unsupervised_ner_spark.pipeline.taxonomy import ISA_PAT, SUCHAS_PAT
-
+    """The Hearst-gate splice as a shared "picked, docs2" CTE fragment —
+    one definition so every oracle built over the spliced corpus
+    (kg_hearst_hypernyms / kg_taxonomy_2hop / txt_sent_dedup) replays the
+    byte-identical documents the engine sees."""
     hypo_arr = "[" + ", ".join(f"'{t}'" for t in hypo_terms) + "]"
     hyper_arr = "[" + ", ".join(f"'{t}'" for t in hyper_terms) + "]"
     hyper2_arr = "[" + ", ".join(f"'{t}'" for t in hyper2_terms) + "]"
@@ -3217,10 +3213,7 @@ def kg_hearst_hypernyms(
         "(CASE WHEN substr({n}, 1, 1) IN ('a','e','i','o','u') "
         "THEN 'an' ELSE 'a' END)"
     )
-    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
-    assert "docs2" in sents
-    return f"""
-WITH picked AS (
+    return f"""picked AS (
     SELECT doc_id, text,
            ({hypo_arr})[CAST(doc_id % {len(hypo_terms)} AS INT) + 1] AS hypo,
            ({hyper_arr})[CAST(doc_id % {len(hyper_terms)} AS INT) + 1] AS hyper,
@@ -3238,7 +3231,28 @@ docs2 AS (
                      || ' is ' || {art.format(n="hyper2")} || ' ' || hyper2
                 ELSE text END AS text
     FROM picked
-),
+)"""
+
+
+def kg_hearst_hypernyms(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+) -> str:
+    """Hearst-pattern taxonomy twin (pipeline/taxonomy.hearst_hypernyms):
+    first is-a / such-as match per sentence, normalized hyponym, one
+    aggregate. The regex strings are IMPORTED from the engine module so
+    the twins cannot drift; the deterministic doc_id-derived splice (the
+    txt_lang_mix precedent — the word-salad corpus contains no natural
+    " is a " text) is replayed byte-identically here, including the
+    chained third sentence that creates real 2-hop closure paths."""
+    from unsupervised_ner_spark.pipeline.taxonomy import ISA_PAT, SUCHAS_PAT
+
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH {_hearst_docs2(mod, hypo_terms, hyper_terms, hyper2_terms)},
 {sents.strip()},
 cand AS (
     SELECT url, lower(regexp_extract(sent, '{ISA_PAT}', 1)) AS hypo,
@@ -3435,4 +3449,329 @@ SELECT CAST(band_id AS BIGINT) AS band_id, bucket_size,
        CAST(CASE WHEN bucket_size > {max_bucket} THEN 1 ELSE 0 END AS BIGINT)
            AS over_cap
 FROM sizes GROUP BY band_id, bucket_size
+"""
+
+
+def kg_appositive_types(mod: int, inst_terms: list[str], cls_terms: list[str]) -> str:
+    """Appositive instance-typing twin (pipeline/taxonomy.appositive_types):
+    first "<Entity>, a <noun>," match per sentence, instance lowercased,
+    one aggregate. The regex string is IMPORTED from the engine module;
+    the deterministic doc_id-derived splice (the Hearst-gate precedent —
+    the word-salad corpus contains no natural appositive text) is
+    replayed byte-identically."""
+    from unsupervised_ner_spark.pipeline.taxonomy import APPOS_PAT
+
+    inst_arr = "[" + ", ".join(f"'{t}'" for t in inst_terms) + "]"
+    cls_arr = "[" + ", ".join(f"'{t}'" for t in cls_terms) + "]"
+    art = (
+        "(CASE WHEN substr(cls, 1, 1) IN ('a','e','i','o','u') "
+        "THEN 'an' ELSE 'a' END)"
+    )
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH picked AS (
+    SELECT doc_id, text,
+           ({inst_arr})[CAST(doc_id % {len(inst_terms)} AS INT) + 1] AS inst,
+           ({cls_arr})[CAST(doc_id % {len(cls_terms)} AS INT) + 1] AS cls
+    FROM documents
+),
+docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = 0
+                THEN text || chr(10) || inst || ', ' || {art} || ' ' || cls
+                     || ', was mentioned'
+                ELSE text END AS text
+    FROM picked
+),
+{sents.strip()},
+cand AS (
+    SELECT url, lower(regexp_extract(sent, '{APPOS_PAT}', 1)) AS inst,
+           regexp_extract(sent, '{APPOS_PAT}', 2) AS cls
+    FROM sents
+)
+SELECT inst, cls,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM cand WHERE length(inst) > 0 AND length(cls) > 0
+GROUP BY inst, cls
+"""
+
+
+def kg_pred_functionality(model: str = "a100", num: int = 4, den: int = 5) -> str:
+    """Predicate-functionality twin (pipeline/triples.predicate_functionality):
+    two cascaded aggregates over the kg_triples chain, integer
+    cross-multiplied num/den functionality flag."""
+    return f"""
+WITH trip AS ({kg_triples(model)}),
+per_subj AS (
+    SELECT pred_norm, subj, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs
+    FROM trip GROUP BY pred_norm, subj
+)
+SELECT pred_norm,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+       CAST(max(n_objs) AS BIGINT) AS max_objs,
+       CAST(CASE WHEN sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) * {den}
+                      >= count(*) * {num}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_functional
+FROM per_subj GROUP BY pred_norm
+"""
+
+
+def kg_conflicts(model: str = "a100", num: int = 4, den: int = 5) -> str:
+    """Conflicting-fact twin (pipeline/triples.functional_conflicts):
+    multi-object subjects under functional predicates, sorted distinct
+    object list, over the production triples UNION the deterministic
+    conflict splice (__spark_entry__._conflict_splice_triples — the
+    word-salad corpus yields zero conflicts at sf0.001/0.01, measured).
+    per_subj feeds both sides, so it is MATERIALIZED."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+splice AS (
+    SELECT 's' || CAST(doc_id % 24 AS VARCHAR) AS subj,
+           CASE WHEN doc_id % 2 = 0 THEN 'capital_of' ELSE 'near' END AS pred_norm,
+           CASE WHEN doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 24 = 0
+                          THEN 'v' || CAST((doc_id // 24) % 5 AS VARCHAR)
+                          ELSE 'o' || CAST(doc_id % 24 AS VARCHAR) END
+                ELSE 'w' || CAST((doc_id // 24) % 5 AS VARCHAR) END AS obj
+    FROM documents
+),
+unioned AS (
+    SELECT subj, pred_norm, obj FROM trip
+    UNION ALL SELECT subj, pred_norm, obj FROM splice
+),
+per_subj AS (
+    SELECT pred_norm, subj,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+           string_agg(DISTINCT obj, '|' ORDER BY obj) AS objs
+    FROM unioned GROUP BY pred_norm, subj
+),
+stats AS (
+    SELECT pred_norm,
+           CAST(count(*) AS BIGINT) AS n_subjects,
+           CAST(CASE WHEN sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) * {den}
+                          >= count(*) * {num}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_functional
+    FROM per_subj GROUP BY pred_norm
+)
+SELECT p.pred_norm, p.subj, p.n_objs, p.objs, s.n_subjects
+FROM per_subj p JOIN stats s ON p.pred_norm = s.pred_norm
+WHERE p.n_objs >= 2 AND s.is_functional = 1
+""",
+        "per_subj",
+    )
+
+
+def txt_bpe_pairs(max_word_len: int = 30) -> str:
+    """First-iteration BPE pair-statistics twin (ops/textstats.
+    bpe_pair_stats): corpus -> word-frequency vocabulary -> adjacent
+    character pairs weighted by word frequency (within-word multiplicity
+    counted), n_words over distinct vocabulary."""
+    return f"""
+WITH words AS (
+    SELECT lower(t) AS word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY 1
+),
+w2 AS (
+    SELECT word, freq FROM words
+    WHERE length(word) >= 2 AND length(word) <= {max_word_len}
+),
+pairs AS (
+    SELECT word, freq, unnest(range(1, length(word))) AS i FROM w2
+)
+SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+       substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+       CAST(sum(freq) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def txt_hashing_tf(dim: int = 1024) -> str:
+    """Feature-hashing twin (ops/textstats.hashing_tf): index =
+    hex8(md5(token)) mod dim via the shared nibble-exact integer hash,
+    value = in-doc occurrence count."""
+    idx = _hex8_int_sql("md5(tok)")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_transform({_TOKS}, t -> lower(t))) AS tok
+    FROM documents
+)
+SELECT doc_id, {idx} % {dim} AS feature_idx, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2
+"""
+
+
+def txt_sent_dedup(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    min_copies: int = 2,
+) -> str:
+    """Sentence-level exact-dedup twin (ops/dedup.sentence_dedup) over the
+    Hearst-spliced sentence table (the splice guarantees real cross-doc
+    duplicate sentences exist in the word-salad corpus): one fingerprint
+    aggregate, keep-first provenance via the lpad string min."""
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH {_hearst_docs2(mod, hypo_terms, hyper_terms, hyper2_terms)},
+{sents.strip()},
+keyed AS (
+    SELECT md5(sent) AS sent_fp, url,
+           url || '|' || lpad(CAST(sent_idx AS VARCHAR), 12, '0') AS k
+    FROM sents
+)
+SELECT sent_fp,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+       string_split(min(k), '|')[1] AS keep_url,
+       CAST(string_split(min(k), '|')[2] AS BIGINT) AS keep_sent_idx
+FROM keyed GROUP BY sent_fp
+HAVING count(*) >= {min_copies}
+"""
+
+
+def kg_reciprocal_pairs(model: str = "a100") -> str:
+    """Reciprocated-pair twin (pipeline/er.reciprocal_pairs): triples
+    collapse to the distinct directed edge table (MATERIALIZED — feeds
+    both self-join sides), reversed-key equi-join, ent_a < ent_b. Over
+    the production triples UNION the deterministic reciprocity splice
+    (__spark_entry__._recip_splice_triples — the word-salad corpus yields
+    zero reciprocal pairs at sf0.001/0.01, measured)."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+splice AS (
+    SELECT 'e' || lpad(CAST((doc_id // 3) % 12 AS VARCHAR), 2, '0') AS subj,
+           (['knows','likes','near'])[CAST(doc_id % 3 AS INT) + 1] AS pred_norm,
+           'e' || lpad(CAST(((doc_id // 3) % 12
+                             + ([1,11,4])[CAST(doc_id % 3 AS INT) + 1]) % 12
+                       AS VARCHAR), 2, '0') AS obj
+    FROM documents
+),
+unioned AS (
+    SELECT subj, pred_norm, obj FROM trip
+    UNION ALL SELECT subj, pred_norm, obj FROM splice
+),
+edges AS (
+    SELECT subj, obj, CAST(count(*) AS BIGINT) AS n,
+           string_agg(DISTINCT pred_norm, '|' ORDER BY pred_norm) AS preds
+    FROM unioned GROUP BY subj, obj
+)
+SELECT a.subj AS ent_a, a.obj AS ent_b,
+       a.n AS n_ab, a.preds AS preds_ab,
+       b.n AS n_ba, b.preds AS preds_ba
+FROM edges a JOIN edges b ON a.subj = b.obj AND a.obj = b.subj
+WHERE a.subj < a.obj
+""",
+        "edges",
+    )
+
+
+def kg_conll(model: str = "a100") -> str:
+    """CoNLL serialization twin (pipeline/tagging.conll_export): the
+    kg_bio_tags chain aggregated per sentence with token-ordered
+    newline-joined "word tag" lines."""
+    return f"""
+WITH bio AS ({kg_bio_tags(model)})
+SELECT url, sent_idx,
+       string_agg(word || ' ' || tag, chr(10) ORDER BY token_idx) AS conll,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM bio GROUP BY url, sent_idx
+"""
+
+
+def txt_word_pmi(window: int = 2, min_pair: int = 2) -> str:
+    """Skip-gram PMI sufficient-statistics twin (ops/textstats.
+    word_pmi_stats): forward-window pairs via generate_series (the engine
+    generates them expression-side; same multiset), unigram marginals and
+    corpus total joined on, integers only."""
+    offs = ", ".join(str(o) for o in range(1, window + 1))
+    return f"""
+WITH toks AS (
+    SELECT {_LOWTOKS} AS arr FROM documents
+),
+pos AS (
+    SELECT arr, unnest(generate_series(1, len(arr))) AS i FROM toks
+),
+pairs AS (
+    SELECT arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + off.o] AS w2
+    FROM pos, (SELECT unnest([{offs}]) AS o) AS off
+    WHERE i + off.o <= len(arr)
+),
+pc AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY w1, w2
+    HAVING count(*) >= {min_pair}
+),
+ug AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+    FROM (SELECT unnest(arr) AS tok FROM toks) GROUP BY tok
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM ug)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       u1.n_tok AS n_w1, u2.n_tok AS n_w2, tot.n_total
+FROM pc JOIN ug u1 ON pc.w1 = u1.tok
+        JOIN ug u2 ON pc.w2 = u2.tok, tot
+"""
+
+
+def dedup_shared_ngrams(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    k: int = 4,
+    min_docs: int = 2,
+) -> str:
+    """Duplicate-span index twin (ops/dedup.shared_ngram_spans) over the
+    Hearst-spliced documents (the splice guarantees recurring k-token
+    spans in the word-salad corpus): rolling k-token window md5s, one
+    fingerprint aggregate, lpad string-min keep-first provenance."""
+    return f"""
+WITH {_hearst_docs2(mod, hypo_terms, hyper_terms, hyper2_terms)},
+toks AS (
+    SELECT doc_id, {_TOKS} AS arr FROM docs2
+),
+wins AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(arr, CAST(i AS INT), CAST(i AS INT) + {k} - 1), ' ')) AS win_fp,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') || '|'
+               || lpad(CAST(i AS VARCHAR), 12, '0') AS kk
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {k} + 1)) AS i
+          FROM toks WHERE len(arr) >= {k})
+)
+SELECT win_fp,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(string_split(min(kk), '|')[1] AS BIGINT) AS keep_doc_id,
+       CAST(string_split(min(kk), '|')[2] AS BIGINT) AS keep_pos
+FROM wins GROUP BY win_fp
+HAVING count(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+def kg_tag_transitions(model: str = "a100") -> str:
+    """Tag-transition twin (pipeline/tagging.tag_transitions): per-sentence
+    tag sequences with START/END boundaries, adjacent pairs via
+    generate_series, one bounded aggregate."""
+    return f"""
+WITH bio AS ({kg_bio_tags(model)}),
+seqs AS (
+    SELECT url, sent_idx,
+           list_prepend('START', list_append(list(tag ORDER BY token_idx), 'END')) AS seq
+    FROM bio GROUP BY url, sent_idx
+),
+pairs AS (
+    SELECT seq[CAST(i AS INT)] AS prev_tag, seq[CAST(i AS INT) + 1] AS tag
+    FROM (SELECT seq, unnest(generate_series(1, len(seq) - 1)) AS i FROM seqs)
+)
+SELECT prev_tag, tag, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY prev_tag, tag
 """

@@ -1232,3 +1232,43 @@ def cluster_stats(membership: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         (F.count("*") * F.col("cluster_size")).cast("long").alias("n_surfaces"),
     )
+
+
+def reciprocal_pairs(triples: DataFrame) -> DataFrame:
+    """Reciprocated entity pairs: (A, B) observed as triples in BOTH
+    directions — mutual-relation motifs (partner_of, borders, married_to)
+    vs one-way ones, the simplest directed-graph symmetry diagnostic and
+    a strong signal for merging inverse predicates during schema cleanup.
+
+    Output one row per unordered pair with ``ent_a < ent_b``:
+    ``n_ab``/``n_ba`` triple counts per direction and the sorted distinct
+    normalized-predicate list per direction (deterministic '|' joins).
+
+    Scale shape: triples collapse to the DISTINCT directed edge table
+    first (one map-side-combining aggregate, bounded by the edge
+    vocabulary, persisted once — it feeds both self-join sides); the
+    reciprocity test is an equi-join of that bounded table against its
+    own reversed key, never a corpus-scale pairing."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    edges = scoped_persist(
+        triples.groupBy("subj", "obj").agg(
+            F.count("*").cast("long").alias("n"),
+            F.array_join(F.array_sort(F.collect_set("pred_norm")), "|").alias(
+                "preds"
+            ),
+        )
+    )
+    a = edges.filter(F.col("subj") < F.col("obj")).select(
+        F.col("subj").alias("ent_a"),
+        F.col("obj").alias("ent_b"),
+        F.col("n").alias("n_ab"),
+        F.col("preds").alias("preds_ab"),
+    )
+    b = edges.filter(F.col("subj") > F.col("obj")).select(
+        F.col("obj").alias("ent_a"),
+        F.col("subj").alias("ent_b"),
+        F.col("n").alias("n_ba"),
+        F.col("preds").alias("preds_ba"),
+    )
+    return a.join(b, ["ent_a", "ent_b"])

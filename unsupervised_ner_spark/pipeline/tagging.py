@@ -293,3 +293,60 @@ def tagged_to_token_tags(tagged: DataFrame) -> DataFrame:
         F.col("wt.words").alias("word"),
         F.col("wt.tags").alias("tag"),
     )
+
+
+def conll_export(tags: DataFrame) -> DataFrame:
+    """CoNLL-format serialization of the BIO tag table: one row per
+    sentence with the newline-joined "word tag" lines in token order —
+    the interchange file every sequence-tagging toolchain ingests (the
+    reference's per-sentence BIO output, batched_main_NER.py, re-expressed
+    as a corpus-scale table; the to_ntriples serialization precedent).
+
+    Determinism: the collected (token_idx, word, tag) structs are
+    array_sort-ed before joining, so line order is exact regardless of
+    shuffle arrival order.
+
+    Scale shape: one per-sentence aggregate — the collect is bounded by
+    sentence length (tokens per sentence), never corpus-wide."""
+    rows = F.array_sort(
+        F.collect_list(F.struct("token_idx", "word", "tag"))
+    )
+    return tags.groupBy("url", "sent_idx").agg(
+        F.array_join(
+            F.transform(rows, lambda s: F.concat_ws(" ", s["word"], s["tag"])),
+            "\n",
+        ).alias("conll"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def tag_transitions(tags: DataFrame) -> DataFrame:
+    """BIO tag-transition matrix with START/END boundary states — the
+    CRF-style transition prior a sequence-labeling trainer consumes, and
+    the one-glance sanity table for BIO well-formedness (an I_ tag
+    following 'O' that its B_ never precedes shows up immediately).
+
+    Scale shape: one per-sentence aggregate collects the (bounded-length)
+    tag sequence, pairs are generated expression-side over the sorted
+    array (no window function, no positional self-join), then one
+    map-side-combining aggregate on the bounded (prev_tag, tag) space."""
+    seq = F.array_sort(F.collect_list(F.struct("token_idx", "tag")))
+    per_sent = tags.groupBy("url", "sent_idx").agg(
+        F.concat(
+            F.array(F.lit("START")),
+            F.transform(seq, lambda s: s["tag"]),
+            F.array(F.lit("END")),
+        ).alias("seq")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("seq") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("seq"), i).alias("prev_tag"),
+            F.element_at(F.col("seq"), i + 1).alias("tag"),
+        ),
+    )
+    return (
+        per_sent.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.prev_tag").alias("prev_tag"), F.col("p.tag").alias("tag"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -97,3 +97,30 @@ def taxonomy_closure_2hop(edges: DataFrame) -> DataFrame:
             F.least("n1", "n2").cast("long").alias("support"),
         )
     )
+
+
+# Appositive instance-typing: "<Entity>, a|an <noun>," — the third classic
+# lexico-syntactic typing pattern (complements isa/such_as above). Same
+# Java-regex / RE2 agreement subset; the oracle imports this string.
+APPOS_PAT = "([A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*), (?:a|an) ([a-z][a-z0-9]*),"
+
+
+def appositive_types(sentences: DataFrame) -> DataFrame:
+    """sentences(url, sent_idx, sent) -> (inst, cls, n_sents, n_docs):
+    corpus-aggregated instance-of edges from the appositive pattern
+    "<Entity>, a <noun>," (first match per sentence — ``regexp_extract``
+    semantics, identical in Spark and DuckDB), instance lowercased onto
+    the same normalized node key as the Hearst extractors.
+
+    Scale shape: identical to hearst_hypernyms — one narrow regexp scan,
+    one map-side-combining aggregate on the bounded (inst, cls) edge
+    space; no join, nothing corpus-quadratic."""
+    cand = sentences.select(
+        "url",
+        F.lower(F.regexp_extract("sent", APPOS_PAT, 1)).alias("inst"),
+        F.regexp_extract("sent", APPOS_PAT, 2).alias("cls"),
+    ).filter((F.length("inst") > 0) & (F.length("cls") > 0))
+    return cand.groupBy("inst", "cls").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )

@@ -151,3 +151,67 @@ def triples_temporal(triples_with_ts: DataFrame) -> DataFrame:
             ).cast("long").alias("n_days"),
         )
     )
+
+
+def predicate_functionality(
+    triples: DataFrame, num: int = 4, den: int = 5
+) -> DataFrame:
+    """Per-predicate functionality profile — the KG-quality dashboard that
+    decides which relations behave like functions (one object per subject:
+    born_in, capital_of) vs inherently multi-valued ones (related_to).
+    ``is_functional`` is the integer cross-multiplied rule
+    ``n_single * den >= n_subjects * num`` (default 4/5 = 80% of subjects
+    single-valued; no float in the gate — the entity_trends precedent).
+
+    Scale shape: TWO map-side-combining aggregates — triples collapse to
+    (pred_norm, subj) with a distinct-object count (keys are subject-
+    spread, no hot reducer), then per-subject rows collapse to the
+    predicate vocabulary (bounded). No join, no window."""
+    per_subj = triples.groupBy("pred_norm", "subj").agg(
+        F.countDistinct("obj").cast("long").alias("n_objs")
+    )
+    one = (F.col("n_objs") == 1).cast("long")
+    return per_subj.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum(one).cast("long").alias("n_single"),
+        F.max("n_objs").cast("long").alias("max_objs"),
+        (
+            (F.sum(one) * F.lit(den)) >= (F.count("*") * F.lit(num))
+        ).cast("long").alias("is_functional"),
+    )
+
+
+def functional_conflicts(triples: DataFrame, num: int = 4, den: int = 5) -> DataFrame:
+    """Conflicting-fact candidates: subjects holding MULTIPLE distinct
+    objects under a predicate that is otherwise functional (>= num/den of
+    its subjects single-valued) — the contradiction queue a KG curator
+    reviews (imatinib treats {X, Y} is fine under 'related_to'; two
+    different 'capital_of' objects is a conflict). ``objs`` is the
+    '|'-joined sorted distinct object list (deterministic, hash-gateable).
+
+    Scale shape: the (pred_norm, subj) aggregate is computed ONCE and
+    persisted — it feeds both the violation rows and the predicate-level
+    functionality profile; the final join is violations x predicate
+    vocabulary (bounded dim — broadcastable, left to AQE). The object-
+    list collect is per violating (pred, subj) key, bounded by that
+    subject's distinct objects — never corpus-wide."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    per_subj = scoped_persist(
+        triples.groupBy("pred_norm", "subj").agg(
+            F.countDistinct("obj").cast("long").alias("n_objs"),
+            F.array_join(F.array_sort(F.collect_set("obj")), "|").alias("objs"),
+        )
+    )
+    one = (F.col("n_objs") == 1).cast("long")
+    stats = per_subj.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        (
+            (F.sum(one) * F.lit(den)) >= (F.count("*") * F.lit(num))
+        ).cast("long").alias("is_functional"),
+    )
+    return (
+        per_subj.filter(F.col("n_objs") >= 2)
+        .join(stats.filter(F.col("is_functional") == 1), "pred_norm")
+        .select("pred_norm", "subj", "n_objs", "objs", "n_subjects")
+    )
