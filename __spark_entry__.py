@@ -1447,6 +1447,147 @@ def q_ann_srp_lsh(spark, sf_dir):
     return simsearch.srp_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Deterministic doc_id/source-derived URL column for the web-ingestion
+    gates (the documents table carries no URL; the txt_redact splice
+    precedent). Exercises every parse_urls branch: uppercase scheme/host,
+    www and news subdomains, com/org/net and co.uk TLDs, explicit default
+    (443) and non-default (8443) ports, empty and nested paths, query
+    strings, and fragments. Replayed expression-identically by the oracle
+    (oracle_sql._SYNTH_URL_SQL)."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 5 == 0, "HTTPS").otherwise("https")
+    sub = (
+        F.when(did % 9 == 0, "WWW.")
+        .when(did % 3 == 0, "www.")
+        .when(did % 7 == 0, "news.")
+        .otherwise("")
+    )
+    label = F.concat(F.col("source"), F.lit("-"), F.pmod(did, 23).cast("string"))
+    tld = F.when(did % 4 == 0, "co.uk").otherwise(
+        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")), (F.pmod(did, 3) + 1).cast("int"))
+    )
+    port = (
+        F.when(did % 11 == 0, ":8443").when(did % 13 == 0, ":443").otherwise("")
+    )
+    path = F.when(did % 4 == 0, "").otherwise(
+        F.concat(
+            F.lit("/cat"), F.pmod(did, 7).cast("string"),
+            F.lit("/page-"), did.cast("string"), F.lit(".html"),
+        )
+    )
+    query = F.when(
+        did % 2 == 0, F.concat(F.lit("?utm_source=feed&id="), did.cast("string"))
+    ).otherwise("")
+    frag = F.when(did % 6 == 0, "#sec-2").otherwise("")
+    url = F.concat(
+        scheme, F.lit("://"), sub, label, F.lit("."), tld, port, path, query, frag
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+# registered domains guaranteed to exist for any corpus with doc_id 0 and 1
+# (doc 0: www.src0-0.co.uk -> src0-0.co.uk; doc 1: src1-1.org)
+URL_BLOCKLIST = ("src0-0.co.uk", "src1-1.org")
+
+
+def q_txt_url_parse(spark, sf_dir):
+    """URL parse + normalization (webtext.parse_urls) over the
+    deterministic synthetic URL column — hash-gates scheme/host
+    lowercasing, port split + default-port strip, public-suffix-lite
+    registered domain, path depth, and the normalized join key."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.parse_urls(_synth_urls(d)).select(
+        "doc_id", "url", "scheme", "host", "port", "reg_domain",
+        "path", "path_depth", "url_norm",
+    )
+
+
+def q_txt_domain_stats(spark, sf_dir):
+    """Per-registered-domain crawl dashboard (webtext.domain_stats) with
+    the blocklist flag; the two blocklist entries are domains the URL
+    synthesizer provably emits, so the true branch fires."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.domain_stats(
+        webtext.parse_urls(_synth_urls(d)), blocklist=URL_BLOCKLIST
+    )
+
+
+def q_txt_line_filter(spark, sf_dir):
+    """C4-style line filter (webtext.filter_lines). The corpus is
+    single-line and punctuation-free, so the gate builds a deterministic
+    multi-line dirty view (txt_line_dedup precedent): boilerplate header
+    lines that each violate ONE rule (javascript blockword, curly-brace
+    JSON, too-short), the body re-wrapped into 10-word lines with a
+    terminal '.' on alternating lines (so keep AND drop both fire on
+    real body text), and a 'lorem ipsum' footer on every third doc."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    nch = F.expr("(size(split(text, ' ', -1)) + 9) div 10")
+    body = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            F.when(i % 2 == 0, ".").otherwise(""),
+        ),
+    )
+    header = F.array(
+        F.lit("Please enable JavaScript to view the comments powered here."),
+        F.lit('{ "cookieConsent": true }'),
+        F.lit("Home"),
+    )
+    footer = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0,
+        F.array(F.lit("lorem ipsum dolor sit amet consectetur.")),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    dirty = F.array_join(F.concat(header, body, footer), "\n")
+    return webtext.filter_lines(d.select("doc_id", dirty.alias("text")))
+
+
+def q_txt_html_strip(spark, sf_dir):
+    """General HTML stripping (webtext.strip_markup) over a deterministic
+    markup wrap: title + script (with '<' inside JS) + style in head,
+    heading/paragraph/self-closing tags + escaped entities in body — the
+    gate proves script/style content is DROPPED while tag-free text and
+    unescaped entities survive, with the tag count."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit('<html><head><title>Doc '), did,
+        F.lit('</title><script type="text/javascript">var a=1; if(a<2){a=3;}</script>'),
+        F.lit("<style>.c{margin:0}</style></head><body><h1>Header "), did,
+        F.lit('</h1><p class="b">'), F.col("text"),
+        F.lit('</p><br/><div id="f">footer &amp; &lt;end&gt; &quot;fin&#39;</div></body></html>'),
+    )
+    return webtext.strip_markup(d.select("doc_id", dirty.alias("text")))
+
+
+def q_txt_encoding(spark, sf_dir):
+    """Encoding-quality detection (webtext.encoding_quality) over a
+    deterministic corruption splice: mojibake digraphs on every 4th doc,
+    a BEL control char on every 5th, U+FFFD on every 9th — so clean rows,
+    each single signal, and combinations all appear in the gate."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, " cafÃ© naÃ¯ve").otherwise(""),
+        F.when(did % 5 == 0, " x\x07y").otherwise(""),
+        F.when(did % 9 == 0, " bad�byte").otherwise(""),
+    )
+    return webtext.encoding_quality(d.select("doc_id", dirty.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1533,6 +1674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "txt_lang_mix": q_txt_lang_mix,
+        "txt_url_parse": q_txt_url_parse,
+        "txt_domain_stats": q_txt_domain_stats,
+        "txt_line_filter": q_txt_line_filter,
+        "txt_html_strip": q_txt_html_strip,
+        "txt_encoding": q_txt_encoding,
         "txt_pack_stats": q_txt_pack_stats,
         "kg_predicate_pairs": q_kg_predicate_pairs,
         "dedup_exact": q_dedup_exact,
@@ -1656,6 +1802,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
+        "txt_url_parse": O.txt_url_parse(),
+        "txt_domain_stats": O.txt_domain_stats(URL_BLOCKLIST),
+        "txt_line_filter": O.txt_line_filter(),
+        "txt_html_strip": O.txt_html_strip(),
+        "txt_encoding": O.txt_encoding(),
         "txt_pack_stats": O.txt_pack_stats(),
         "kg_predicate_pairs": O.kg_predicate_pairs(),
         "dedup_exact": O.dedup_exact(),

@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_snapshot_diff",
     "txt_lang_mix",
+    "txt_url_parse",
+    "txt_domain_stats",
+    "txt_line_filter",
+    "txt_html_strip",
+    "txt_encoding",
     "txt_pack_stats",
     "kg_predicate_pairs",
     "dedup_exact",

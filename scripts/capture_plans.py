@@ -737,6 +737,33 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 60. URL parse: pure narrow map — no exchange/join/window/aggregate
+    p60 = plan_of(entry.q_txt_url_parse(spark, SF))
+    sections.append(("URL parse + normalization (txt_url_parse)", p60))
+    checks.append(("url parse: narrow map-only (no Exchange)",
+                   "Exchange" not in p60 and "Join" not in p60))
+
+    # 61. domain stats: ONE partial-aggregated exchange on reg_domain
+    # (count-distinct adds its Expand, never a join or window)
+    p61 = plan_of(entry.q_txt_domain_stats(spark, SF))
+    sections.append(("Per-domain crawl dashboard (txt_domain_stats)", p61))
+    checks.append(("domain stats: aggregate only, no join",
+                   "Join" not in p61 and "Window" not in p61))
+    checks.append(("domain stats: map-side partial aggregation",
+                   "partial" in p61.lower()))
+
+    # 62-64. line filter / html strip / encoding: all narrow map-only
+    for name, fn in (
+        ("txt_line_filter", entry.q_txt_line_filter),
+        ("txt_html_strip", entry.q_txt_html_strip),
+        ("txt_encoding", entry.q_txt_encoding),
+    ):
+        pw = plan_of(fn(spark, SF))
+        sections.append((f"Web-ingestion narrow transform ({name})", pw))
+        checks.append((f"{name}: narrow map-only (no Exchange)",
+                       "Exchange" not in pw and "Join" not in pw
+                       and "Window" not in pw))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

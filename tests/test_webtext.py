@@ -1,0 +1,149 @@
+"""Unit tests for ops/webtext.py — web-ingestion operators."""
+
+import pytest
+
+from unsupervised_ner_spark.ops import webtext
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_parse_urls_branches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.CO.UK:443/a/b/c.html?q=1#frag"),
+            (2, "http://news.example.com:8080/x"),
+            (3, "https://example.org"),
+            (4, "http://localhost:80/"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r["doc_id"]: r for r in _rows(webtext.parse_urls(df))}
+
+    r1 = out[1]
+    assert r1["scheme"] == "https"
+    assert r1["host"] == "www.example.co.uk"
+    assert r1["port"] == 443
+    # default https port stripped; query+fragment stripped; host lowercased
+    assert r1["url_norm"] == "https://www.example.co.uk/a/b/c.html"
+    # public-suffix-lite: co.uk takes three labels (www skipped naturally)
+    assert r1["reg_domain"] == "example.co.uk"
+    assert r1["path_depth"] == 3
+
+    r2 = out[2]
+    assert r2["port"] == 8080
+    assert r2["url_norm"] == "http://news.example.com:8080/x"
+    assert r2["reg_domain"] == "example.com"
+
+    r3 = out[3]
+    assert r3["port"] is None
+    assert r3["path"] == ""
+    assert r3["path_depth"] == 0
+    assert r3["url_norm"] == "https://example.org/"
+
+    r4 = out[4]
+    # default http port stripped; single-label host is its own reg domain
+    assert r4["url_norm"] == "http://localhost/"
+    assert r4["reg_domain"] == "localhost"
+
+
+def test_domain_stats_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x"),
+            (2, "https://b.example.com/y"),
+            (3, "https://a.example.com/x?utm=1"),
+            (4, "https://bad.net/z"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["reg_domain"]: r
+        for r in _rows(
+            webtext.domain_stats(webtext.parse_urls(df), blocklist=("bad.net",))
+        )
+    }
+    ex = out["example.com"]
+    assert ex["n_docs"] == 3 and ex["n_hosts"] == 2
+    # doc 3's tracking query collapses into doc 1's normalized URL
+    assert ex["n_urls"] == 2 and not ex["blocked"]
+    assert out["bad.net"]["blocked"]
+
+
+@pytest.mark.parametrize(
+    "line,kept",
+    [
+        ("This sentence has plenty of words and ends well.", True),
+        ('He said "stop right there" and they did!"', True),
+        ("Too short.", False),  # < 4 words
+        ("this line has many words but no terminal punctuation", False),
+        ("Please enable JavaScript to view these comments now.", False),
+        ("We use cookie banners on every page here.", False),
+        ("A config line { nested: true } with punctuation.", False),
+        ("lorem ipsum dolor sit amet consectetur adipiscing elit.", False),
+    ],
+)
+def test_filter_lines_rules(spark, line, kept):
+    df = spark.createDataFrame([(1, line)], ["doc_id", "text"])
+    row = _rows(webtext.filter_lines(df))[0]
+    assert row["n_lines"] == 1
+    assert row["n_kept"] == (1 if kept else 0)
+    assert row["clean_text"] == (line if kept else "")
+
+
+def test_filter_lines_multiline_join(spark):
+    text = "Good line with several words here.\nbad\nAnother good line stays in place."
+    row = _rows(
+        webtext.filter_lines(
+            spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        )
+    )[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 2
+    assert (
+        row["clean_text"]
+        == "Good line with several words here.\nAnother good line stays in place."
+    )
+
+
+def test_strip_markup(spark):
+    html = (
+        '<html><head><script>if(1<2){alert("x")}</script>'
+        "<style>p{color:red}</style></head>"
+        '<body><h1>Title</h1><p class="a">Hello &amp; &lt;world&gt;</p><br/></body></html>'
+    )
+    row = _rows(
+        webtext.strip_markup(spark.createDataFrame([(1, html)], ["doc_id", "text"]))
+    )[0]
+    # script/style CONTENT dropped, entities unescaped, whitespace collapsed
+    assert row["clean_text"] == "Title Hello & <world>"
+    # tags after script/style removal: html, head, /head, body, h1, /h1,
+    # p, /p, br/, /body, /html = 11
+    assert row["n_tags"] == 11
+
+
+def test_strip_markup_amp_last(spark):
+    # '&amp;lt;' must become '&lt;' (literal), NOT '<' — unescape order
+    row = _rows(
+        webtext.strip_markup(
+            spark.createDataFrame([(1, "a &amp;lt; b")], ["doc_id", "text"])
+        )
+    )[0]
+    assert row["clean_text"] == "a &lt; b"
+
+
+def test_encoding_quality_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "perfectly clean text"),
+            (2, "bad � byte"),
+            (3, "bell \x07 char and tab\tis fine\nso is newline"),
+            (4, "mojibake cafÃ© and naÃ¯ve"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in _rows(webtext.encoding_quality(df))}
+    assert not out[1]["suspect"]
+    assert out[2]["n_repl_chars"] == 1 and out[2]["suspect"]
+    assert out[3]["n_ctrl_chars"] == 1 and out[3]["suspect"]
+    assert out[4]["n_mojibake"] == 2 and out[4]["suspect"]

@@ -1,0 +1,231 @@
+"""Web-ingestion operators: URL parsing/normalization, per-domain crawl
+stats with blocklist screening, C4-style line filtering, naive HTML
+stripping, and encoding-quality (mojibake) detection.
+
+These are the bronze-layer operators a Common-Crawl-scale webtext
+pipeline runs BEFORE the KG chain (the reference's corpus arrives as
+pre-extracted one-sentence-per-line text — batched_main_NER.py:800-811 —
+so these stand in front of its S1 scan at web scale). All pure Column
+expressions: JVM regex inside whole-stage codegen, no Python, no
+exchange except the final bounded domain aggregate. At 100 TB every one
+of these is a map-only stage over the page scan.
+
+Regex patterns are kept to the Java-regex/RE2 agreement subset
+(character classes, alternation, bounded quantifiers, inline (?is)
+flags, non-greedy — no backrefs/lookaround) and are IMPORTED by the
+DuckDB oracle so the twins cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- URL grammar (RFC-3986-lite, agreement subset) -----------------------
+SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+PORT_RE = r":([0-9]+)$"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+
+# public-suffix-LITE: second-level labels under which the registered
+# domain takes three labels (co.uk, ac.jp, ...). A production deployment
+# swaps in the full Mozilla public-suffix list as a broadcast dim; the
+# heuristic keeps the operator dependency-free and is documented as such.
+SECOND_LEVEL_TLDS = ("ac", "co", "com", "edu", "gov", "net", "org")
+
+DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# --- C4-style line-filter lexicon (Raffel et al. 2020 §2.2 heuristics) ---
+LINE_MIN_WORDS = 4
+LINE_TERMINAL_RE = r'[.!?"]$'
+LINE_BLOCKWORDS = ("javascript", "cookie", "lorem ipsum")
+
+# --- HTML stripping -------------------------------------------------------
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+TAG_RE = r"(?s)<[^>]*>"
+# unescape order matters: '&amp;' LAST (exact inverse of escape-'&'-first)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+# --- encoding quality -----------------------------------------------------
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+# UTF-8-read-as-latin1 mojibake: 'Ã' followed by a continuation-byte
+# glyph. Fixed literal class (not a range) so Java and RE2 agree byte-wise.
+MOJIBAKE_RE = "Ã[©¯¨¤¶¼±³«»]"
+REPLACEMENT_CHAR = "�"
+
+
+def _n_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Parse + normalize a URL column: lowercase scheme/host, split off
+    the port, derive the registered domain (public-suffix-lite), count
+    path segments, and build ``url_norm`` — scheme://host[:port]/path
+    with the default port (80/443), query, and fragment stripped and an
+    empty path canonicalized to '/'. The dedup/provenance join key for
+    web corpora (two crawls of the same page differ only in tracking
+    query params more often than in content).
+
+    Narrow per-row expressions only — no exchange at any scale."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, HOSTPORT_RE, 1))
+    port_s = F.regexp_extract(hostport, PORT_RE, 1)
+    host = F.regexp_replace(hostport, PORT_RE, "")
+    port = F.when(port_s != "", port_s.cast("long"))
+    path = F.regexp_extract(u, PATH_RE, 1)
+
+    labels = F.split(host, r"\.", -1)
+    n = F.size(labels)
+    second = F.element_at(labels, n - 1)  # 1-indexed: second-to-last label
+    reg_domain = (
+        F.when(
+            (n >= 3) & second.isin(*SECOND_LEVEL_TLDS),
+            F.array_join(F.slice(labels, n - 2, 3), "."),
+        )
+        .when(n >= 2, F.array_join(F.slice(labels, n - 1, 2), "."))
+        .otherwise(host)
+    )
+
+    default_port = (
+        ((scheme == "http") & (port == DEFAULT_PORTS["http"]))
+        | ((scheme == "https") & (port == DEFAULT_PORTS["https"]))
+    )
+    port_part = F.when(
+        port.isNotNull() & ~default_port, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise("")
+    norm_path = F.when(path == "", "/").otherwise(path)
+    url_norm = F.concat(scheme, F.lit("://"), host, port_part, norm_path)
+    path_depth = F.size(F.filter(F.split(path, "/", -1), lambda s: s != "")).cast("long")
+
+    return df.withColumns(
+        {
+            "scheme": scheme,
+            "host": host,
+            "port": port.cast("long"),
+            "reg_domain": reg_domain,
+            "path": path,
+            "path_depth": path_depth,
+            "url_norm": url_norm,
+        }
+    )
+
+
+def domain_stats(parsed: DataFrame, blocklist: tuple[str, ...] = ()) -> DataFrame:
+    """Per-registered-domain crawl dashboard over :func:`parse_urls`
+    output: doc/host/normalized-url counts plus the blocklist flag — the
+    table a crawl operator ranks to decide what to keep, throttle, or
+    drop. The blocklist is registered-domain-level (how real blocklists
+    ship); at production scale it is a broadcast dim joined on
+    ``reg_domain``, here an ``isin`` literal for the bounded test list.
+
+    One map-side-combining aggregate keyed on reg_domain; the output is
+    bounded by the number of registered domains in the crawl (millions,
+    not billions — always aggregable)."""
+    blocked = (
+        F.col("reg_domain").isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return (
+        parsed.groupBy("reg_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("url_norm").cast("long").alias("n_urls"),
+            F.sum(F.col("path_depth")).cast("long").alias("sum_path_depth"),
+        )
+        .withColumn("blocked", blocked)
+    )
+
+
+def filter_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level quality filter (Raffel et al. 2020 §2.2): a
+    line survives iff it has >= LINE_MIN_WORDS whitespace words, ends in
+    terminal punctuation ('.', '!', '?', or '"'), contains no curly
+    brace (code/JSON boilerplate), and contains none of the lowercase
+    blockwords (javascript / cookie / lorem ipsum). Returns per doc the
+    line counts and ``clean_text`` — the surviving lines re-joined.
+
+    Pure array expressions over one split — map-only at any scale."""
+    lines = F.split(F.col(text_col), "\n", -1)
+
+    def keep(line: Column) -> Column:
+        s = F.trim(line)
+        low = F.lower(s)
+        n_words = F.size(F.filter(F.split(s, r"\s+", -1), lambda w: w != ""))
+        blockhit = None
+        for w in LINE_BLOCKWORDS:
+            hit = low.contains(w)
+            blockhit = hit if blockhit is None else (blockhit | hit)
+        return (
+            (n_words >= LINE_MIN_WORDS)
+            & s.rlike(LINE_TERMINAL_RE)
+            & ~s.contains("{")
+            & ~s.contains("}")
+            & ~blockhit
+        )
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Naive-but-deterministic HTML-to-text: drop <script>/<style>
+    blocks (content and all), count then strip every remaining tag,
+    unescape the five core entities + nbsp ('&amp;' last — the exact
+    inverse of escape-'&'-first), and collapse whitespace runs. The
+    bronze-layer extraction for pages whose boilerplate is NOT the known
+    deterministic wrap (pipeline/text.py:extract_text handles that exact
+    inverse; this handles arbitrary markup a crawl actually contains).
+
+    ``n_tags`` counts tags stripped AFTER script/style removal, so it
+    measures structure, not embedded code. Map-only at any scale."""
+    t = F.col(text_col)
+    no_script = F.regexp_replace(t, SCRIPT_RE, " ")
+    no_style = F.regexp_replace(no_script, STYLE_RE, " ")
+    n_tags = _n_matches(no_style, TAG_RE)
+    no_tags = F.regexp_replace(no_style, TAG_RE, " ")
+    unescaped = no_tags
+    for ent, rep in HTML_ENTITIES:
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    return df.select(
+        "doc_id", n_tags.alias("n_tags"), clean.alias("clean_text")
+    )
+
+
+def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality signals: U+FFFD replacement-character count
+    (decoder already gave up), C0 control characters other than
+    tab/newline/CR (binary junk in a text field), and UTF-8-read-as-
+    latin1 mojibake digraphs ('Ã©' for 'é', ...). ``suspect`` is the
+    integer disjunction — the row a curation pipeline quarantines for
+    re-decoding rather than feeds to a tokenizer.
+
+    Narrow per-row expressions — map-only at any scale."""
+    t = F.col(text_col)
+    n_repl = (
+        F.length(t) - F.length(F.replace(t, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("long")
+    n_ctrl = _n_matches(t, CTRL_RE)
+    n_moji = _n_matches(t, MOJIBAKE_RE)
+    return df.select(
+        "doc_id",
+        n_repl.alias("n_repl_chars"),
+        n_ctrl.alias("n_ctrl_chars"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl > 0) | (n_ctrl > 0) | (n_moji > 0)).alias("suspect"),
+    )

@@ -3775,3 +3775,221 @@ pairs AS (
 SELECT prev_tag, tag, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY prev_tag, tag
 """
+
+
+# ---------------------------------------------------------------------------
+# web-ingestion twins (ops/webtext.py) — regex patterns IMPORTED from the
+# engine module so the two sides cannot drift
+# ---------------------------------------------------------------------------
+
+# deterministic URL synthesizer twin (__spark_entry__._synth_urls)
+_SYNTH_URL_SQL = """
+CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+|| CASE WHEN doc_id % 9 = 0 THEN 'WWW.'
+        WHEN doc_id % 3 = 0 THEN 'www.'
+        WHEN doc_id % 7 = 0 THEN 'news.'
+        ELSE '' END
+|| source || '-' || CAST(doc_id % 23 AS VARCHAR) || '.'
+|| CASE WHEN doc_id % 4 = 0 THEN 'co.uk'
+        WHEN doc_id % 3 = 0 THEN 'com'
+        WHEN doc_id % 3 = 1 THEN 'org'
+        ELSE 'net' END
+|| CASE WHEN doc_id % 11 = 0 THEN ':8443'
+        WHEN doc_id % 13 = 0 THEN ':443'
+        ELSE '' END
+|| CASE WHEN doc_id % 4 = 0 THEN ''
+        ELSE '/cat' || CAST(doc_id % 7 AS VARCHAR)
+             || '/page-' || CAST(doc_id AS VARCHAR) || '.html' END
+|| CASE WHEN doc_id % 2 = 0
+        THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END
+"""
+
+
+def _url_parse_ctes() -> str:
+    """Shared CTE chain: synth url -> parsed fields (webtext.parse_urls
+    twin). Ends with CTE ``parsed`` exposing the full parse surface."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    tld2 = "[" + ", ".join(f"'{t}'" for t in W.SECOND_LEVEL_TLDS) + "]"
+    return f"""
+u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+p1 AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '{W.SCHEME_RE}', 1)) AS scheme,
+           lower(regexp_extract(url, '{W.HOSTPORT_RE}', 1)) AS hostport,
+           regexp_extract(url, '{W.PATH_RE}', 1) AS path
+    FROM u
+),
+p2 AS (
+    SELECT *,
+           regexp_replace(hostport, '{W.PORT_RE}', '') AS host,
+           CASE WHEN regexp_extract(hostport, '{W.PORT_RE}', 1) <> ''
+                THEN CAST(regexp_extract(hostport, '{W.PORT_RE}', 1) AS BIGINT)
+           END AS port
+    FROM p1
+),
+p3 AS (SELECT *, string_split(host, '.') AS l FROM p2),
+parsed AS (
+    SELECT doc_id, url, scheme, host, port, path,
+           CASE WHEN len(l) >= 3 AND list_contains({tld2}, l[len(l)-1])
+                THEN array_to_string(l[len(l)-2:len(l)], '.')
+                WHEN len(l) >= 2
+                THEN array_to_string(l[len(l)-1:len(l)], '.')
+                ELSE host END AS reg_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+                AS BIGINT) AS path_depth,
+           scheme || '://' || host
+           || CASE WHEN port IS NOT NULL
+                    AND NOT ((scheme = 'http' AND port = 80)
+                             OR (scheme = 'https' AND port = 443))
+                   THEN ':' || CAST(port AS VARCHAR) ELSE '' END
+           || CASE WHEN path = '' THEN '/' ELSE path END AS url_norm
+    FROM p3
+)"""
+
+
+def txt_url_parse() -> str:
+    """URL parse/normalize twin (webtext.parse_urls over _synth_urls)."""
+    return f"""
+WITH {_url_parse_ctes()}
+SELECT doc_id, url, scheme, host, port, reg_domain, path, path_depth, url_norm
+FROM parsed
+"""
+
+
+def txt_domain_stats(blocklist: tuple[str, ...]) -> str:
+    """Per-registered-domain dashboard twin (webtext.domain_stats)."""
+    blocked = "(" + ", ".join(f"'{d}'" for d in blocklist) + ")"
+    return f"""
+WITH {_url_parse_ctes()}
+SELECT reg_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(sum(path_depth) AS BIGINT) AS sum_path_depth,
+       reg_domain IN {blocked} AS blocked
+FROM parsed GROUP BY reg_domain
+"""
+
+
+def txt_line_filter() -> str:
+    """C4-style line-filter twin (webtext.filter_lines over the dirty
+    multi-line view built by q_txt_line_filter): 10-word body re-wrap
+    with '.' on alternating lines, three one-rule-violation header lines,
+    'lorem ipsum' footer every 3rd doc."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    words = ", ".join(f"'{w}'" for w in W.LINE_BLOCKWORDS)
+    return f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words,
+           (len(string_split(text, ' ')) + 9) // 10 AS nch
+    FROM documents
+),
+dirty AS (
+    SELECT doc_id,
+           array_to_string(
+             list_concat(
+               list_concat(
+                 ['Please enable JavaScript to view the comments powered here.',
+                  '{{ "cookieConsent": true }}',
+                  'Home'],
+                 list_transform(range(0, nch), i ->
+                     array_to_string(words[i*10+1:i*10+10], ' ')
+                     || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)),
+               CASE WHEN doc_id % 3 = 0
+                    THEN ['lorem ipsum dolor sit amet consectetur.']
+                    ELSE [] END),
+             chr(10)) AS text
+    FROM w
+),
+lined AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines FROM dirty
+),
+kept AS (
+    SELECT doc_id, lines,
+           list_filter(lines, l ->
+               len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                               t -> t <> '')) >= {W.LINE_MIN_WORDS}
+               AND regexp_matches(trim(l), '{W.LINE_TERMINAL_RE}')
+               AND NOT contains(trim(l), '{{')
+               AND NOT contains(trim(l), '}}')
+               AND NOT ({" OR ".join(f"contains(lower(trim(l)), '{w}')" for w in W.LINE_BLOCKWORDS)})
+           ) AS keptl
+    FROM lined
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keptl) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(keptl, chr(10)), '') AS clean_text
+FROM kept
+"""
+
+
+def txt_html_strip() -> str:
+    """HTML-strip twin (webtext.strip_markup over the deterministic
+    markup wrap built by q_txt_html_strip)."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    ent_chain = "no_tags"
+    for ent, rep in W.HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{ent}', '{rep_sql}')"
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title><script type="text/javascript">var a=1; if(a<2){{a=3;}}</script>'
+           || '<style>.c{{margin:0}}</style></head><body><h1>Header '
+           || CAST(doc_id AS VARCHAR) || '</h1><p class="b">' || text
+           || '</p><br/><div id="f">footer &amp; &lt;end&gt; &quot;fin&#39;</div></body></html>'
+           AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{W.SCRIPT_RE}', ' ', 'g'),
+                          '{W.STYLE_RE}', ' ', 'g') AS nost
+    FROM d
+),
+s2 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(nost, '{W.TAG_RE}')) AS BIGINT) AS n_tags,
+           regexp_replace(nost, '{W.TAG_RE}', ' ', 'g') AS no_tags
+    FROM s1
+)
+SELECT doc_id, n_tags,
+       trim(regexp_replace({ent_chain}, '\\s+', ' ', 'g')) AS clean_text
+FROM s2
+"""
+
+
+def txt_encoding() -> str:
+    """Encoding-quality twin (webtext.encoding_quality over the
+    deterministic corruption splice built by q_txt_encoding)."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' x' || chr(7) || 'y' ELSE '' END
+           || CASE WHEN doc_id % 9 = 0 THEN ' bad{W.REPLACEMENT_CHAR}byte' ELSE '' END
+           AS text
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, '{W.REPLACEMENT_CHAR}', ''))
+                AS BIGINT) AS n_repl_chars,
+           CAST(len(regexp_extract_all(text, '{W.CTRL_RE}')) AS BIGINT) AS n_ctrl_chars,
+           CAST(len(regexp_extract_all(text, '{W.MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake
+    FROM d
+)
+SELECT doc_id, n_repl_chars, n_ctrl_chars, n_mojibake,
+       (n_repl_chars > 0 OR n_ctrl_chars > 0 OR n_mojibake > 0) AS suspect
+FROM m
+"""
