@@ -1447,6 +1447,25 @@ def q_ann_srp_lsh(spark, sf_dir):
     return simsearch.srp_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_kg_entity_salience(spark, sf_dir):
+    """Per-document entity salience rank (er.entity_salience) off the
+    narrow production tagging pass — the serving-layer "what is this page
+    about" table; window partitions are per-document, never corpus-wide."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.entity_salience(_typed_production(spark, sf_dir))
+
+
+def q_kg_doc_yield(spark, sf_dir):
+    """Per-document KG-yield dashboard (runner.doc_yield): sentence /
+    mention / typed / distinct-entity / triple counts per page,
+    zero-filled over the full document universe; the tagged pass is
+    persisted once and feeds both the mention stats and the triples."""
+    from unsupervised_ner_spark.pipeline.runner import doc_yield
+
+    return doc_yield(_docs_as_pages(spark, sf_dir))
+
+
 def _synth_urls(d: DataFrame) -> DataFrame:
     """Deterministic doc_id/source-derived URL column for the web-ingestion
     gates (the documents table carries no URL; the txt_redact splice
@@ -1674,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "txt_lang_mix": q_txt_lang_mix,
+        "kg_entity_salience": q_kg_entity_salience,
+        "kg_doc_yield": q_kg_doc_yield,
         "txt_url_parse": q_txt_url_parse,
         "txt_domain_stats": q_txt_domain_stats,
         "txt_line_filter": q_txt_line_filter,
@@ -1802,6 +1823,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
+        "kg_entity_salience": O.kg_entity_salience(),
+        "kg_doc_yield": O.kg_doc_yield(),
         "txt_url_parse": O.txt_url_parse(),
         "txt_domain_stats": O.txt_domain_stats(URL_BLOCKLIST),
         "txt_line_filter": O.txt_line_filter(),

@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_snapshot_diff",
     "txt_lang_mix",
+    "kg_entity_salience",
+    "kg_doc_yield",
     "txt_url_parse",
     "txt_domain_stats",
     "txt_line_filter",

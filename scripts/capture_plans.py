@@ -737,6 +737,22 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 65. entity salience: the only window is PER-DOCUMENT (partitioned on
+    # url) — no corpus-wide unpartitioned sort exists in the plan
+    p65 = plan_of(entry.q_kg_entity_salience(spark, SF))
+    sections.append(("Entity salience (kg_entity_salience)", p65))
+    checks.append(("salience: window partitioned by url",
+                   "windowspecdefinition(url" in p65))
+
+    # 66. doc yield: the tagged pass is persisted once (InMemoryTableScan
+    # feeds mention stats AND triples); all joins are url-keyed equi-joins,
+    # no window anywhere
+    p66 = plan_of(entry.q_kg_doc_yield(spark, SF))
+    sections.append(("Per-document KG yield (kg_doc_yield)", p66))
+    checks.append(("doc yield: tagged pass persisted once",
+                   "InMemoryTableScan" in p66))
+    checks.append(("doc yield: no window", "Window" not in p66))
+
     # 60. URL parse: pure narrow map — no exchange/join/window/aggregate
     p60 = plan_of(entry.q_txt_url_parse(spark, SF))
     sections.append(("URL parse + normalization (txt_url_parse)", p60))

@@ -3993,3 +3993,81 @@ SELECT doc_id, n_repl_chars, n_ctrl_chars, n_mojibake,
        (n_repl_chars > 0 OR n_ctrl_chars > 0 OR n_mojibake > 0) AS suspect
 FROM m
 """
+
+
+# shared entity-surface normalization (pipeline/er.py norm_surface_col twin)
+_NORM_SURF = (
+    "trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def kg_entity_salience(model: str = "a100") -> str:
+    """Per-document entity salience twin (pipeline/er.py entity_salience):
+    (url, ent, etype) mention counts + first-sentence index off the typed
+    chain, ranked within the document by (n_mentions DESC, first_sent ASC,
+    ent ASC, etype ASC)."""
+    return _kg_prefix(model) + f"""
+, e AS (
+    SELECT url, sent_idx, {_NORM_SURF} AS ent, pred_group AS etype
+    FROM typed
+    WHERE pred_group <> 'OTHER' AND length({_NORM_SURF}) > 0
+),
+g AS (
+    SELECT url, ent, etype,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(min(sent_idx) AS BIGINT) AS first_sent
+    FROM e GROUP BY url, ent, etype
+)
+SELECT url, ent, etype, n_mentions, first_sent,
+       first_sent = 0 AS in_lead,
+       CAST(row_number() OVER (
+            PARTITION BY url
+            ORDER BY n_mentions DESC, first_sent ASC, ent ASC, etype ASC)
+        AS BIGINT) AS salience_rank
+FROM g
+"""
+
+
+def kg_doc_yield(model: str = "a100") -> str:
+    """Per-document KG-yield twin (pipeline/runner.py doc_yield):
+    sentence/mention/typed/entity/triple counts per url, zero-filled over
+    the full document universe. The triple count embeds the full
+    kg_triples chain as a subquery (DuckDB permits WITH inside a derived
+    table)."""
+    # no _materialize: the embedded kg_triples subquery carries its own
+    # 'sents' CTE (the word-boundary assert would see 2) and the outer
+    # double-consumed CTE is the cheap sentence split, not the typed chain
+    return (
+        _kg_prefix(model) + f"""
+, sc AS (
+    SELECT url, CAST(count(*) AS BIGINT) AS n_sents FROM sents GROUP BY url
+),
+ms AS (
+    SELECT url,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_typed,
+           CAST(count(DISTINCT CASE WHEN keep THEN ent || '|' || etype END)
+                AS BIGINT) AS n_entities
+    FROM (
+        SELECT url, {_NORM_SURF} AS ent, pred_group AS etype,
+               (pred_group <> 'OTHER' AND length({_NORM_SURF}) > 0) AS keep
+        FROM typed
+    ) GROUP BY url
+),
+tc AS (
+    SELECT url, CAST(count(*) AS BIGINT) AS n_triples
+    FROM ({kg_triples(model)}) GROUP BY url
+)
+SELECT d.url,
+       coalesce(sc.n_sents, 0) AS n_sents,
+       coalesce(ms.n_mentions, 0) AS n_mentions,
+       coalesce(ms.n_typed, 0) AS n_typed,
+       coalesce(ms.n_entities, 0) AS n_entities,
+       coalesce(tc.n_triples, 0) AS n_triples
+FROM (SELECT CAST(doc_id AS VARCHAR) AS url FROM documents) d
+LEFT JOIN sc ON d.url = sc.url
+LEFT JOIN ms ON d.url = ms.url
+LEFT JOIN tc ON d.url = tc.url
+"""
+    )

@@ -1272,3 +1272,42 @@ def reciprocal_pairs(triples: DataFrame) -> DataFrame:
         F.col("preds").alias("preds_ba"),
     )
     return a.join(b, ["ent_a", "ent_b"])
+
+
+def entity_salience(typed_mentions: DataFrame) -> DataFrame:
+    """Per-document entity salience — the serving-layer "what is this page
+    about" table (the first KG artifact a search/recommendation consumer
+    asks for): per (url, normalized entity, type) the mention count, the
+    first sentence it appears in, a lead-sentence flag, and a
+    deterministic within-document salience rank
+    (n_mentions DESC, first_sent ASC, ent ASC, etype ASC).
+
+    Scale shape: ONE map-side-combining aggregate keyed (url, ent, etype)
+    + ONE window partitioned BY DOCUMENT — partitions are bounded by a
+    page's distinct entities (tens), never corpus-sized; no corpus-wide
+    sort exists in the plan. Reference anchor: salience is an engine-new
+    serving product over the typed-mention semantics of
+    batched_main_NER.py's per-sentence output."""
+    from pyspark.sql import Window
+
+    norm = norm_surface_col(F.col("surface"))
+    ents = (
+        typed_mentions.select(
+            "url", "sent_idx",
+            norm.alias("ent"), F.col("pred_group").alias("etype"),
+        )
+        .filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
+        .groupBy("url", "ent", "etype")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.min("sent_idx").cast("long").alias("first_sent"),
+        )
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("n_mentions"), F.asc("first_sent"), F.asc("ent"), F.asc("etype")
+    )
+    return ents.select(
+        "url", "ent", "etype", "n_mentions", "first_sent",
+        (F.col("first_sent") == 0).alias("in_lead"),
+        F.row_number().over(w).cast("long").alias("salience_rank"),
+    )

@@ -63,3 +63,57 @@ def typed_mentions_from_tagged(tagged: DataFrame) -> DataFrame:
         F.split(F.col("m.prediction"), r"\[")[0].alias("pred_group"),
         F.col("m.prediction").alias("prediction"),
     )
+
+
+def doc_yield(pages: DataFrame, model: str = "a100") -> DataFrame:
+    """Per-document KG-yield dashboard: for every page, how much KG came
+    out of it — sentence / mention / typed-mention / distinct-entity /
+    triple counts (zero-filled for pages the chain dropped). The corpus
+    triage table: a crawl slice with high sentence count but near-zero
+    entity yield is boilerplate or out-of-domain and gets down-weighted
+    by the mix planner before the expensive typing pass runs at scale.
+
+    Scale shape: the tagged pass is persisted ONCE and feeds both the
+    mention stats and the triple derivation; everything else is a
+    map-side-combining aggregate keyed on url, joined url-to-url
+    (co-partitioned equi-joins on the same key, AQE-coalesced). No
+    corpus-wide sort or window."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline.er import norm_surface_col
+
+    stages = run_pipeline(pages, lang_filter=None, model=model)
+    tagged = scoped_persist(stages["tagged"])
+    typed = typed_mentions_from_tagged(tagged)
+
+    n_sents = (
+        stages["sentences"].groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_sents"))
+    )
+    norm = norm_surface_col(F.col("surface"))
+    keep = (F.col("pred_group") != "OTHER") & (F.length(norm) > 0)
+    mstats = (
+        typed.select(
+            "url",
+            keep.alias("keep"),
+            F.when(keep, F.concat_ws("|", norm, F.col("pred_group"))).alias("entkey"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_typed"),
+            F.countDistinct("entkey").cast("long").alias("n_entities"),
+        )
+    )
+    n_triples = (
+        tagged_to_triples(tagged).groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_triples"))
+    )
+    universe = pages.select("url")
+    out = (
+        universe.join(n_sents, "url", "left")
+        .join(mstats, "url", "left")
+        .join(n_triples, "url", "left")
+    )
+    fill = {c: F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_sents", "n_mentions", "n_typed", "n_entities", "n_triples")}
+    return out.select("url", *fill.values())
