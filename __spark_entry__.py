@@ -1447,6 +1447,64 @@ def q_ann_srp_lsh(spark, sf_dir):
     return simsearch.srp_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_kg_entity_ambiguity(spark, sf_dir):
+    """Entity type-ambiguity dashboard (er.entity_ambiguity) off the
+    production tagging pass — two cascaded bounded aggregates, no window
+    (min-struct argmin picks the dominant type deterministically).
+
+    The fixture typing is contextually stable on this corpus (0 naturally
+    ambiguous surfaces measured in DuckDB before the gate was designed),
+    so the gate UNIONS a deterministic doc_id-derived multi-type splice
+    (the kg_conflicts precedent): every 7th doc contributes surface
+    'ambi <did%5>' typed by did%3 over three types — 7 is coprime with
+    both moduli, so the cycles
+    give every spliced surface all three types, so the ambiguous branch,
+    the argmin tie-break, and the mention totals all genuinely fire. The
+    oracle replays the identical arithmetic."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    splice = d.filter(did % 7 == 0).select(
+        did.cast("string").alias("url"),
+        F.lit(0).cast("long").alias("sent_idx"),
+        F.lit(999).cast("long").alias("mention_idx"),
+        F.lit(0).cast("long").alias("begin_tok"),
+        F.lit(0).cast("long").alias("end_tok"),
+        F.concat(F.lit("ambi "), F.pmod(did, 5).cast("string")).alias("surface"),
+        F.element_at(
+            F.array(F.lit("PERSON"), F.lit("LOCATION"), F.lit("DISEASE")),
+            (F.pmod(did, 3) + 1).cast("int"),
+        ).alias("pred_group"),
+    ).withColumn("prediction", F.col("pred_group"))
+    both = typed.select(
+        "url", "sent_idx", "mention_idx", "begin_tok", "end_tok",
+        "surface", "pred_group", "prediction",
+    ).unionByName(splice)
+    return er.entity_ambiguity(both)
+
+
+def q_kg_type_matrix(spark, sf_dir):
+    """Type-level sentence co-occurrence matrix (er.entity_type_matrix) —
+    the bounded schema-induction summary; per-sentence type table
+    persisted once feeding both self-join sides."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.entity_type_matrix(_typed_production(spark, sf_dir))
+
+
+def q_kg_triple_diff(spark, sf_dir):
+    """Triple-level snapshot diff (triples.triple_snapshot_diff) between
+    two deterministic url-parity crawl subsets — added/removed/common
+    change-data off ONE tagging pass."""
+    from unsupervised_ner_spark.pipeline.triples import triple_snapshot_diff
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return triple_snapshot_diff(stages["triples"])
+
+
 def q_kg_entity_salience(spark, sf_dir):
     """Per-document entity salience rank (er.entity_salience) off the
     narrow production tagging pass — the serving-layer "what is this page
@@ -1693,6 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "txt_lang_mix": q_txt_lang_mix,
+        "kg_entity_ambiguity": q_kg_entity_ambiguity,
+        "kg_type_matrix": q_kg_type_matrix,
+        "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_salience": q_kg_entity_salience,
         "kg_doc_yield": q_kg_doc_yield,
         "txt_url_parse": q_txt_url_parse,
@@ -1823,6 +1884,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
+        "kg_entity_ambiguity": O.kg_entity_ambiguity(),
+        "kg_type_matrix": O.kg_type_matrix(),
+        "kg_triple_diff": O.kg_triple_diff(),
         "kg_entity_salience": O.kg_entity_salience(),
         "kg_doc_yield": O.kg_doc_yield(),
         "txt_url_parse": O.txt_url_parse(),

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_snapshot_diff",
     "txt_lang_mix",
+    "kg_entity_ambiguity",
+    "kg_type_matrix",
+    "kg_triple_diff",
     "kg_entity_salience",
     "kg_doc_yield",
     "txt_url_parse",

@@ -737,6 +737,31 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 67. entity ambiguity: two cascaded aggregates with map-side partials,
+    # no window (min-struct argmin), no join
+    p67 = plan_of(entry.q_kg_entity_ambiguity(spark, SF))
+    sections.append(("Entity type ambiguity (kg_entity_ambiguity)", p67))
+    checks.append(("ambiguity: no window, no join",
+                   "Window" not in p67 and "Join" not in p67))
+    checks.append(("ambiguity: map-side partial aggregation",
+                   "partial" in p67.lower()))
+
+    # 68. type matrix: the distinct per-sentence type table is persisted
+    # once and feeds both self-join sides; join keyed on (url, sent_idx)
+    p68 = plan_of(entry.q_kg_type_matrix(spark, SF))
+    sections.append(("Type co-occurrence matrix (kg_type_matrix)", p68))
+    checks.append(("type matrix: type table persisted once",
+                   "InMemoryTableScan" in p68))
+    checks.append(("type matrix: sentence-local pairing join",
+                   "url" in p68 and "sent_idx" in p68))
+
+    # 69. triple diff: ONE aggregate over the triple chain — no join of
+    # two snapshot derivations (both sides come from conditional counts)
+    p69 = plan_of(entry.q_kg_triple_diff(spark, SF))
+    sections.append(("Triple snapshot diff (kg_triple_diff)", p69))
+    checks.append(("triple diff: single chain, no snapshot self-join",
+                   "Join" not in p69 and "Window" not in p69))
+
     # 65. entity salience: the only window is PER-DOCUMENT (partitioned on
     # url) — no corpus-wide unpartitioned sort exists in the plan
     p65 = plan_of(entry.q_kg_entity_salience(spark, SF))

@@ -4071,3 +4071,87 @@ LEFT JOIN ms ON d.url = ms.url
 LEFT JOIN tc ON d.url = tc.url
 """
     )
+
+
+def kg_entity_ambiguity(model: str = "a100") -> str:
+    """Type-ambiguity twin (pipeline/er.py entity_ambiguity): (ent, etype)
+    counts -> per-ent type count / mention total / top type by
+    (n DESC, etype ASC)."""
+    return _kg_prefix(model) + f"""
+, e AS (
+    SELECT {_NORM_SURF} AS ent, pred_group AS etype
+    FROM typed
+    WHERE pred_group <> 'OTHER' AND length({_NORM_SURF}) > 0
+    UNION ALL
+    -- deterministic multi-type splice (q_kg_entity_ambiguity twin): the
+    -- corpus has 0 naturally ambiguous surfaces, so every 7th doc adds
+    -- 'ambi <did%5>' typed by did%3 (7 coprime with both moduli)
+    SELECT 'ambi ' || CAST(doc_id % 5 AS VARCHAR) AS ent,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'PERSON'
+                WHEN 1 THEN 'LOCATION' ELSE 'DISEASE' END AS etype
+    FROM documents WHERE doc_id % 7 = 0
+),
+g AS (
+    SELECT ent, etype, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY ent, etype
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY ent ORDER BY n DESC, etype ASC) AS rnk,
+           CAST(sum(n) OVER (PARTITION BY ent) AS BIGINT) AS tot,
+           CAST(count(*) OVER (PARTITION BY ent) AS BIGINT) AS ntypes
+    FROM g
+)
+SELECT ent, ntypes AS n_types, tot AS n_mentions,
+       etype AS top_type, n AS top_n, ntypes > 1 AS ambiguous
+FROM r WHERE rnk = 1
+"""
+
+
+def kg_type_matrix(model: str = "a100") -> str:
+    """Type co-occurrence twin (pipeline/er.py entity_type_matrix):
+    distinct per-sentence types -> lexicographic type pairs -> bounded
+    aggregate."""
+    return _materialize(
+        _kg_prefix(model) + f"""
+, e AS (
+    SELECT DISTINCT url, sent_idx, pred_group AS etype
+    FROM typed
+    WHERE pred_group <> 'OTHER' AND length({_NORM_SURF}) > 0
+),
+p AS (
+    SELECT a.url, a.etype AS type_a, b.etype AS type_b
+    FROM e a JOIN e b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.etype < b.etype
+)
+SELECT type_a, type_b,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM p GROUP BY type_a, type_b
+""",
+        "e",
+    )
+
+
+def kg_triple_diff(model: str = "a100") -> str:
+    """Triple snapshot-diff twin (pipeline/triples.py
+    triple_snapshot_diff): url-parity snapshots over the kg_triples
+    chain, conditional distinct-url support per side, status CASE."""
+    return f"""
+WITH t AS ({kg_triples(model)}),
+b AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type, url,
+           (CAST(url AS BIGINT) % 4 <> 3) AS in_a,
+           (CAST(url AS BIGINT) % 4 <> 1) AS in_b
+    FROM t
+),
+agg AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type,
+           CAST(count(DISTINCT CASE WHEN in_a THEN url END) AS BIGINT) AS n_a,
+           CAST(count(DISTINCT CASE WHEN in_b THEN url END) AS BIGINT) AS n_b
+    FROM b GROUP BY subj, subj_type, pred_norm, obj, obj_type
+)
+SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN 'common'
+               WHEN n_a > 0 THEN 'removed'
+               ELSE 'added' END AS status
+FROM agg
+"""

@@ -1311,3 +1311,69 @@ def entity_salience(typed_mentions: DataFrame) -> DataFrame:
         (F.col("first_sent") == 0).alias("in_lead"),
         F.row_number().over(w).cast("long").alias("salience_rank"),
     )
+
+
+def entity_ambiguity(typed_mentions: DataFrame) -> DataFrame:
+    """Entity type-ambiguity dashboard — the KG-quality table that says
+    which surfaces the typing pass cannot pin down: per normalized
+    entity, how many distinct types it was observed under, total
+    mentions, and the dominant type with its count (deterministic
+    tie-break: count DESC, type ASC via a min(struct(-n, etype))
+    argmin — no window). ``ambiguous`` marks multi-type surfaces; a
+    surface like "washington" (PERSON vs LOCATION) is exactly what this
+    surfaces for downstream disambiguation or ER blocking.
+
+    Scale shape: two cascaded map-side-combining aggregates — (ent,
+    etype) then ent — both bounded by distinct content, never corpus
+    row count. No join, no window."""
+    norm = norm_surface_col(F.col("surface"))
+    g = (
+        typed_mentions.select(
+            norm.alias("ent"), F.col("pred_group").alias("etype")
+        )
+        .filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
+        .groupBy("ent", "etype")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("etype").alias("etype")))
+    return (
+        g.groupBy("ent")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("n").cast("long").alias("n_mentions"),
+            top.alias("top"),
+        )
+        .select(
+            "ent", "n_types", "n_mentions",
+            F.col("top.etype").alias("top_type"),
+            (-F.col("top.neg_n")).cast("long").alias("top_n"),
+            (F.col("n_types") > 1).alias("ambiguous"),
+        )
+    )
+
+
+def entity_type_matrix(typed_mentions: DataFrame) -> DataFrame:
+    """Type-level sentence co-occurrence matrix — the bounded (|types|^2)
+    schema-induction summary of the entity graph: which TYPE pairs share
+    sentences and how often. The aggregate a KG architect reads before
+    deciding which relations to model at all.
+
+    Scale shape: the distinct per-sentence type table is persisted once
+    and feeds both self-join sides (the cooccurrence_edges posture one
+    level up the type hierarchy); the pairing join is sentence-local and
+    the final aggregate output is bounded by the type vocabulary
+    squared."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    t = scoped_persist(
+        _sentence_entities(typed_mentions)
+        .select("url", "sent_idx", "etype")
+        .distinct()
+    )
+    a = t.select("url", "sent_idx", F.col("etype").alias("type_a"))
+    b = t.select("url", "sent_idx", F.col("etype").alias("type_b"))
+    pairs = a.join(b, ["url", "sent_idx"]).filter(F.col("type_a") < F.col("type_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )

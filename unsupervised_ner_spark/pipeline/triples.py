@@ -215,3 +215,35 @@ def functional_conflicts(triples: DataFrame, num: int = 4, den: int = 5) -> Data
         .join(stats.filter(F.col("is_functional") == 1), "pred_norm")
         .select("pred_norm", "subj", "n_objs", "objs", "n_subjects")
     )
+
+
+def triple_snapshot_diff(triples: DataFrame) -> DataFrame:
+    """Triple-level change-data table between two crawl snapshots — the
+    KG analogue of the document snapshot diff (ops/dedup.py
+    snapshot_diff): per distinct (subj, subj_type, pred_norm, obj,
+    obj_type), the supporting-document count in snapshot A and B and a
+    status — 'common' (supported in both), 'removed' (A only),
+    'added' (B only). Snapshots are deterministic url-parity subsets of
+    one crawl (A excludes url%4==3, B excludes url%4==1), so ONE tagging
+    pass feeds both sides — a real two-crawl deployment unions two page
+    scans with a snapshot column instead.
+
+    Scale shape: one map-side-combining aggregate keyed on the triple —
+    conditional distinct-url counts per side; no join, no window; a
+    boilerplate triple repeated across the crawl is one reducer key."""
+    u = F.col("url").cast("long")
+    base = triples.select(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type", "url",
+        (u % 4 != 3).alias("in_a"),
+        (u % 4 != 1).alias("in_b"),
+    )
+    agg = base.groupBy("subj", "subj_type", "pred_norm", "obj", "obj_type").agg(
+        F.countDistinct(F.when(F.col("in_a"), F.col("url"))).cast("long").alias("n_a"),
+        F.countDistinct(F.when(F.col("in_b"), F.col("url"))).cast("long").alias("n_b"),
+    )
+    status = (
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), "common")
+        .when(F.col("n_a") > 0, "removed")
+        .otherwise("added")
+    )
+    return agg.withColumn("status", status)
