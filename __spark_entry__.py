@@ -1447,6 +1447,54 @@ def q_ann_srp_lsh(spark, sf_dir):
     return simsearch.srp_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _synth_link_html(d: DataFrame) -> DataFrame:
+    """Deterministic per-doc markup with anchors for the link gates
+    (replayed by oracle_sql): one absolute external link always, a
+    relative link every 2nd doc, a root-relative (with fragment) every
+    3rd, a protocol-relative every 4th, mailto+javascript junk every
+    5th, and a fragment-only anchor on every doc (must drop)."""
+    u = _synth_urls(d)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p><a href="https://ext'),
+        F.pmod(did, 5).cast("string"),
+        F.lit('.example.net/x">a</a>'),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit('<a href="sub/page'), F.pmod(did, 3).cast("string"),
+                     F.lit('.html">r</a>')),
+        ).otherwise(""),
+        F.when(did % 3 == 0, '<a href="/top#frag">t</a>').otherwise(""),
+        F.when(did % 4 == 0, '<a href="//cdn.example.org/lib.js">c</a>').otherwise(""),
+        F.when(
+            did % 5 == 0,
+            '<a href="mailto:x@y.example">m</a><a href="javascript:void(0)">j</a>',
+        ).otherwise(""),
+        F.lit('<a href="#top">f</a></p></body></html>'),
+    )
+    return u.withColumn("html_text", html)
+
+
+def q_txt_links(spark, sf_dir):
+    """Hyperlink extraction + resolution (webtext.extract_links) over the
+    deterministic anchor markup — absolute/protocol-relative/
+    root-relative/relative resolution against the synthetic page URL,
+    with fragment stripping and junk-scheme drops all exercised."""
+    from unsupervised_ner_spark.ops import webtext
+
+    return webtext.extract_links(_synth_link_html(_t(spark, sf_dir, "documents")))
+
+
+def q_txt_host_graph(spark, sf_dir):
+    """Host-level link graph (webtext.host_link_graph): one bounded
+    aggregate over the extracted links — internal vs external edges."""
+    from unsupervised_ner_spark.ops import webtext
+
+    return webtext.host_link_graph(
+        webtext.extract_links(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+
+
 def q_kg_entity_ambiguity(spark, sf_dir):
     """Entity type-ambiguity dashboard (er.entity_ambiguity) off the
     production tagging pass — two cascaded bounded aggregates, no window
@@ -1751,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "txt_lang_mix": q_txt_lang_mix,
+        "txt_links": q_txt_links,
+        "txt_host_graph": q_txt_host_graph,
         "kg_entity_ambiguity": q_kg_entity_ambiguity,
         "kg_type_matrix": q_kg_type_matrix,
         "kg_triple_diff": q_kg_triple_diff,
@@ -1884,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O.dedup_incremental(DEDUP_INGEST_SPLIT),
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
+        "txt_links": O.txt_links(),
+        "txt_host_graph": O.txt_host_graph(),
         "kg_entity_ambiguity": O.kg_entity_ambiguity(),
         "kg_type_matrix": O.kg_type_matrix(),
         "kg_triple_diff": O.kg_triple_diff(),

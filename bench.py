@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_snapshot_diff",
     "txt_lang_mix",
+    "txt_links",
+    "txt_host_graph",
     "kg_entity_ambiguity",
     "kg_type_matrix",
     "kg_triple_diff",

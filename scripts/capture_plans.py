@@ -737,6 +737,21 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 70. link extraction: narrow map (regex extract + explode + CASE
+    # resolution) — no exchange/join/window
+    p70 = plan_of(entry.q_txt_links(spark, SF))
+    sections.append(("Hyperlink extraction (txt_links)", p70))
+    checks.append(("links: narrow map-only (no Exchange)",
+                   "Exchange" not in p70 and "Join" not in p70))
+
+    # 71. host graph: ONE partial-aggregated exchange on the host pair
+    p71 = plan_of(entry.q_txt_host_graph(spark, SF))
+    sections.append(("Host link graph (txt_host_graph)", p71))
+    checks.append(("host graph: aggregate only, no join",
+                   "Join" not in p71 and "Window" not in p71))
+    checks.append(("host graph: map-side partial aggregation",
+                   "partial" in p71.lower()))
+
     # 67. entity ambiguity: two cascaded aggregates with map-side partials,
     # no window (min-struct argmin), no join
     p67 = plan_of(entry.q_kg_entity_ambiguity(spark, SF))

@@ -147,3 +147,49 @@ def test_encoding_quality_signals(spark):
     assert out[2]["n_repl_chars"] == 1 and out[2]["suspect"]
     assert out[3]["n_ctrl_chars"] == 1 and out[3]["suspect"]
     assert out[4]["n_mojibake"] == 2 and out[4]["suspect"]
+
+
+def test_extract_links_resolution(spark):
+    html = (
+        '<p><a href="https://other.net/abs">x</a>'
+        '<a class="n" href="/root.html#sec">y</a>'
+        '<a href="rel/page.html">z</a>'
+        '<a href="//cdn.net/l.js">c</a>'
+        '<a href="#frag">f</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a></p>'
+    )
+    df = spark.createDataFrame(
+        [("https://www.ex.com/dir/cur.html", html)], ["url", "html_text"]
+    )
+    out = {r["link_raw"]: r for r in _rows(webtext.extract_links(df))}
+    # fragment-only / mailto / javascript dropped
+    assert set(out) == {
+        "https://other.net/abs", "/root.html#sec", "rel/page.html", "//cdn.net/l.js"
+    }
+    assert out["https://other.net/abs"]["link_url"] == "https://other.net/abs"
+    assert out["https://other.net/abs"]["link_host"] == "other.net"
+    # fragment stripped, root-relative resolved against the host
+    assert out["/root.html#sec"]["link_url"] == "https://www.ex.com/root.html"
+    # relative resolved against the parent directory
+    assert out["rel/page.html"]["link_url"] == "https://www.ex.com/dir/rel/page.html"
+    # protocol-relative inherits the page scheme
+    assert out["//cdn.net/l.js"]["link_url"] == "https://cdn.net/l.js"
+
+
+def test_host_link_graph(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/1", '<a href="/x">i</a><a href="https://b.com/y">e</a>'),
+            ("https://a.com/2", '<a href="https://b.com/z">e</a>'),
+        ],
+        ["url", "html_text"],
+    )
+    out = {
+        (r["src_host"], r["dst_host"]): r
+        for r in _rows(webtext.host_link_graph(webtext.extract_links(df)))
+    }
+    ab = out[("a.com", "b.com")]
+    assert ab["n_links"] == 2 and ab["n_pages"] == 2 and not ab["internal"]
+    aa = out[("a.com", "a.com")]
+    assert aa["n_links"] == 1 and aa["n_pages"] == 1 and aa["internal"]

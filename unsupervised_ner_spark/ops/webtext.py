@@ -229,3 +229,83 @@ def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_moji.alias("n_mojibake"),
         ((n_repl > 0) | (n_ctrl > 0) | (n_moji > 0)).alias("suspect"),
     )
+
+
+# --- hyperlink extraction -------------------------------------------------
+HREF_RE = r'(?i)<a\s[^>]*href="([^"]*)"'
+
+
+def extract_links(df: DataFrame, url_col: str = "url", html_col: str = "html_text") -> DataFrame:
+    """Extract and resolve hyperlinks from raw page markup — the crawl
+    frontier / link-graph primitive: per page, every <a href> target
+    resolved against the page URL (RFC-3986-lite): absolute http(s)
+    kept as-is, protocol-relative '//' gets the page scheme,
+    root-relative '/' gets scheme://host, other relative paths join the
+    page's parent directory; javascript:/mailto:/empty and
+    fragment-only targets are dropped. Fragments are stripped before
+    resolution (two URLs differing only in fragment are the same fetch).
+
+    Returns (url, link_raw, link_url, link_host). Narrow: one
+    regexp_extract_all + explode + per-row CASE resolution — map-only at
+    any scale; the output is link-count-sized, never joined here."""
+    page = parse_urls(df.select(url_col, html_col), url_col=url_col)
+    raw = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
+    ).alias("link_raw")
+    e = page.select(url_col, "scheme", "host", "path", raw)
+    t = F.regexp_replace(F.col("link_raw"), "#.*$", "")
+    low = F.lower(t)
+    parent = F.regexp_replace(F.col("path"), "[^/]*$", "")
+    parent = F.when(parent == "", "/").otherwise(parent)
+    base = F.concat(F.col("scheme"), F.lit("://"), F.col("host"))
+    resolved = (
+        F.when(
+            low.startswith("http://") | low.startswith("https://"), t
+        )
+        .when(t.startswith("//"), F.concat(F.col("scheme"), F.lit(":"), t))
+        .when(t.startswith("/"), F.concat(base, t))
+        .when(
+            (t == "") | low.startswith("javascript:") | low.startswith("mailto:"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(base, parent, t))
+    )
+    out = e.select(
+        url_col, "link_raw", resolved.alias("link_url")
+    ).filter(F.col("link_url").isNotNull())
+    link_host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("link_url"), HOSTPORT_RE, 1), PORT_RE, ""
+        )
+    )
+    return out.withColumn("link_host", link_host)
+
+
+def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host-level link graph over :func:`extract_links` output: per
+    (src_host, dst_host), total anchor count + distinct linking pages,
+    with an ``internal`` flag for same-host navigation. The web-graph
+    edge table PageRank/authority scoring runs on (the existing
+    graph ops — pagerank, k-core, components — consume exactly this
+    shape).
+
+    ONE map-side-combining aggregate keyed on the host pair; output is
+    bounded by the distinct host-pair count. A hot edge (every page of a
+    CMS linking its CDN) is a single reducer key — standard agg skew,
+    AQE-handled."""
+    src_host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col(url_col), HOSTPORT_RE, 1), PORT_RE, ""
+        )
+    )
+    return (
+        links.select(
+            src_host.alias("src_host"), "link_host", url_col
+        )
+        .groupBy("src_host", F.col("link_host").alias("dst_host"))
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct(url_col).cast("long").alias("n_pages"),
+        )
+        .withColumn("internal", F.col("src_host") == F.col("dst_host"))
+    )

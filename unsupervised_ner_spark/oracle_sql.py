@@ -4155,3 +4155,83 @@ SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN 'common'
                ELSE 'added' END AS status
 FROM agg
 """
+
+
+def _links_ctes() -> str:
+    """Shared CTE chain for the link gates: synth URL parse -> anchor
+    markup (q_txt_links twin) -> href extraction -> resolution. Ends
+    with CTE ``links`` (url, link_raw, link_url, link_host)."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    return f"""
+{_url_parse_ctes()},
+h AS (
+    SELECT doc_id, url, scheme, host, path,
+           '<html><body><p><a href="https://ext' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example.net/x">a</a>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '<a href="sub/page' || CAST(doc_id % 3 AS VARCHAR) || '.html">r</a>'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN '<a href="/top#frag">t</a>' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN '<a href="//cdn.example.org/lib.js">c</a>' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<a href="mailto:x@y.example">m</a><a href="javascript:void(0)">j</a>'
+                   ELSE '' END
+           || '<a href="#top">f</a></p></body></html>' AS html
+    FROM parsed
+),
+raw AS (
+    SELECT url, scheme, host, path,
+           unnest(regexp_extract_all(html, '{W.HREF_RE}', 1)) AS link_raw
+    FROM h
+),
+res AS (
+    SELECT url, link_raw, scheme, host, path,
+           regexp_replace(link_raw, '#.*$', '') AS t
+    FROM raw
+),
+res2 AS (
+    SELECT url, link_raw,
+           CASE WHEN lower(t) LIKE 'http://%' OR lower(t) LIKE 'https://%' THEN t
+                WHEN t LIKE '//%' THEN scheme || ':' || t
+                WHEN t LIKE '/%' THEN scheme || '://' || host || t
+                WHEN t = '' OR lower(t) LIKE 'javascript:%'
+                     OR lower(t) LIKE 'mailto:%' THEN NULL
+                ELSE scheme || '://' || host
+                     || (CASE WHEN regexp_replace(path, '[^/]*$', '') = ''
+                              THEN '/' ELSE regexp_replace(path, '[^/]*$', '') END)
+                     || t
+           END AS link_url
+    FROM res
+),
+links AS (
+    SELECT url, link_raw, link_url,
+           lower(regexp_replace(regexp_extract(link_url, '{W.HOSTPORT_RE}', 1),
+                                '{W.PORT_RE}', '')) AS link_host
+    FROM res2 WHERE link_url IS NOT NULL
+)"""
+
+
+def txt_links() -> str:
+    """Hyperlink extraction/resolution twin (webtext.extract_links)."""
+    return f"""
+WITH {_links_ctes()}
+SELECT url, link_raw, link_url, link_host FROM links
+"""
+
+
+def txt_host_graph() -> str:
+    """Host link-graph twin (webtext.host_link_graph)."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    return f"""
+WITH {_links_ctes()}
+SELECT lower(regexp_replace(regexp_extract(url, '{W.HOSTPORT_RE}', 1),
+                            '{W.PORT_RE}', '')) AS src_host,
+       link_host AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       lower(regexp_replace(regexp_extract(url, '{W.HOSTPORT_RE}', 1),
+                            '{W.PORT_RE}', '')) = link_host AS internal
+FROM links GROUP BY 1, 2
+"""
