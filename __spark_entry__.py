@@ -1452,7 +1452,10 @@ def _synth_link_html(d: DataFrame) -> DataFrame:
     (replayed by oracle_sql): one absolute external link always, a
     relative link every 2nd doc, a root-relative (with fragment) every
     3rd, a protocol-relative every 4th, mailto+javascript junk every
-    5th, and a fragment-only anchor on every doc (must drop)."""
+    5th, a fragment-only anchor on every doc (must drop), a bold-markup
+    alias anchor on every doc (anchor-text normalization), and a
+    <link rel="canonical"> on every odd doc (must NOT match the <a\\s
+    href pattern)."""
     u = _synth_urls(d)
     did = F.col("doc_id")
     html = F.concat(
@@ -1470,7 +1473,20 @@ def _synth_link_html(d: DataFrame) -> DataFrame:
             did % 5 == 0,
             '<a href="mailto:x@y.example">m</a><a href="javascript:void(0)">j</a>',
         ).otherwise(""),
-        F.lit('<a href="#top">f</a></p></body></html>'),
+        F.concat(
+            F.lit('<a href="/alias'), F.pmod(did, 3).cast("string"),
+            F.lit('"><b>Alias</b> Entity '), F.pmod(did, 3).cast("string"),
+            F.lit("</a>"),
+        ),
+        F.lit('<a href="#top">f</a></p>'),
+        F.when(
+            did % 2 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example.com/c'),
+                F.pmod(did, 7).cast("string"), F.lit('">'),
+            ),
+        ).otherwise(""),
+        F.lit("</body></html>"),
     )
     return u.withColumn("html_text", html)
 
@@ -1492,6 +1508,47 @@ def q_txt_host_graph(spark, sf_dir):
 
     return webtext.host_link_graph(
         webtext.extract_links(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+
+
+def q_txt_anchor_texts(spark, sf_dir):
+    """Anchor-text alias dictionary (webtext.extract_anchors +
+    anchor_text_stats): per (resolved target, normalized anchor text),
+    occurrence + distinct-page counts — tag-stripped bold-markup anchors
+    exercised by the splice."""
+    from unsupervised_ner_spark.ops import webtext
+
+    return webtext.anchor_text_stats(
+        webtext.extract_anchors(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+
+
+def q_txt_canonical(spark, sf_dir):
+    """Canonical-URL mapping (webtext.canonical_urls): first declared
+    <link rel=canonical> resolved against the page, self-fallback when
+    absent — both branches fire (canonical on odd docs only)."""
+    from unsupervised_ner_spark.ops import webtext
+
+    return webtext.canonical_urls(_synth_link_html(_t(spark, sf_dir, "documents")))
+
+
+def q_txt_host_rank(spark, sf_dir):
+    """Host centrality: the integer PageRank operator (er.pagerank —
+    bit-exact long arithmetic, unrolled by the oracle) composed over the
+    external host link graph (webtext.host_link_graph), demonstrating the
+    graph ops consume web edges as well as entity edges."""
+    from unsupervised_ner_spark.ops import webtext
+    from unsupervised_ner_spark.pipeline import er
+
+    g = webtext.host_link_graph(
+        webtext.extract_links(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+    edges = g.filter(~F.col("internal")).select(
+        F.col("src_host").alias("ent_a"), F.lit("HOST").alias("type_a"),
+        F.col("dst_host").alias("ent_b"), F.lit("HOST").alias("type_b"),
+    )
+    return er.pagerank(edges).select(
+        F.col("ent").alias("host"), "deg", "rank_scaled"
     )
 
 
@@ -1800,6 +1857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snapshot_diff": q_dedup_snapshot_diff,
         "txt_lang_mix": q_txt_lang_mix,
         "txt_links": q_txt_links,
+        "txt_anchor_texts": q_txt_anchor_texts,
+        "txt_canonical": q_txt_canonical,
+        "txt_host_rank": q_txt_host_rank,
         "txt_host_graph": q_txt_host_graph,
         "kg_entity_ambiguity": q_kg_entity_ambiguity,
         "kg_type_matrix": q_kg_type_matrix,
@@ -1935,6 +1995,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_snapshot_diff": O.dedup_snapshot_diff(SNAPDIFF_OLD, SNAPDIFF_NEW_FROM, SNAPDIFF_MUT),
         "txt_lang_mix": O.txt_lang_mix(LANG_MIX_MOD),
         "txt_links": O.txt_links(),
+        "txt_anchor_texts": O.txt_anchor_texts(),
+        "txt_canonical": O.txt_canonical(),
+        "txt_host_rank": O.txt_host_rank(),
         "txt_host_graph": O.txt_host_graph(),
         "kg_entity_ambiguity": O.kg_entity_ambiguity(),
         "kg_type_matrix": O.kg_type_matrix(),

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "dedup_snapshot_diff",
     "txt_lang_mix",
     "txt_links",
+    "txt_anchor_texts",
+    "txt_canonical",
+    "txt_host_rank",
     "txt_host_graph",
     "kg_entity_ambiguity",
     "kg_type_matrix",

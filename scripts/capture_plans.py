@@ -737,6 +737,25 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 72. anchor texts: narrow extract+zip+explode then ONE aggregate
+    p72 = plan_of(entry.q_txt_anchor_texts(spark, SF))
+    sections.append(("Anchor-text alias table (txt_anchor_texts)", p72))
+    checks.append(("anchor texts: aggregate only, no join",
+                   "Join" not in p72 and "Window" not in p72))
+
+    # 73. canonical urls: pure narrow map
+    p73 = plan_of(entry.q_txt_canonical(spark, SF))
+    sections.append(("Canonical-URL mapping (txt_canonical)", p73))
+    checks.append(("canonical: narrow map-only (no Exchange)",
+                   "Exchange" not in p73 and "Join" not in p73))
+
+    # 74. host rank: the symmetrized adjacency is persisted once and
+    # reused across the 3 power steps (InMemoryTableScan present)
+    p74 = plan_of(entry.q_txt_host_rank(spark, SF))
+    sections.append(("Host PageRank (txt_host_rank)", p74))
+    checks.append(("host rank: adjacency persisted once",
+                   "InMemoryTableScan" in p74))
+
     # 70. link extraction: narrow map (regex extract + explode + CASE
     # resolution) — no exchange/join/window
     p70 = plan_of(entry.q_txt_links(spark, SF))

@@ -193,3 +193,53 @@ def test_host_link_graph(spark):
     assert ab["n_links"] == 2 and ab["n_pages"] == 2 and not ab["internal"]
     aa = out[("a.com", "a.com")]
     assert aa["n_links"] == 1 and aa["n_pages"] == 1 and aa["internal"]
+
+
+def test_extract_anchors_and_stats(spark):
+    html = (
+        '<head><link rel="canonical" href="/canon.html"></head>'
+        '<p><a href="/x"><b>Bold</b>  Name</a>'
+        '<a href="https://o.net/y">plain</a>'
+        '<a href="img.png"><img src="i"/></a></p>'
+    )
+    df = spark.createDataFrame(
+        [("https://ex.com/d/p.html", html)], ["url", "html_text"]
+    )
+    out = {r["link_raw"]: r for r in _rows(webtext.extract_anchors(df))}
+    # canonical <link> must NOT match the <a ...> pattern
+    assert set(out) == {"/x", "https://o.net/y", "img.png"}
+    # inner markup tag-stripped + whitespace-collapsed + lowercased
+    assert out["/x"]["anchor_norm"] == "bold name"
+    assert out["img.png"]["anchor_norm"] == ""  # image-only anchor
+
+    stats = {
+        (r["link_url"], r["anchor_norm"])
+        for r in _rows(webtext.anchor_text_stats(webtext.extract_anchors(df)))
+    }
+    # empty anchors dropped from the alias table
+    assert stats == {
+        ("https://ex.com/x", "bold name"),
+        ("https://o.net/y", "plain"),
+    }
+
+
+def test_canonical_urls(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/a.html",
+             '<link rel="canonical" href="https://ex.com/b.html">'),
+            ("https://ex.com/self.html",
+             '<link rel="canonical" href="/self.html#frag">'),
+            ("https://ex.com/none.html", "<p>no canonical here</p>"),
+        ],
+        ["url", "html_text"],
+    )
+    out = {r["url"]: r for r in _rows(webtext.canonical_urls(df))}
+    a = out["https://ex.com/a.html"]
+    assert a["canonical_url"] == "https://ex.com/b.html" and not a["is_self"]
+    # root-relative canonical resolves + fragment strips -> equals self
+    s = out["https://ex.com/self.html"]
+    assert s["canonical_url"] == "https://ex.com/self.html" and s["is_self"]
+    # absent canonical falls back to the page's own normalized URL
+    n = out["https://ex.com/none.html"]
+    assert n["canonical_url"] == "https://ex.com/none.html" and n["is_self"]

@@ -233,17 +233,47 @@ def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --- hyperlink extraction -------------------------------------------------
 HREF_RE = r'(?i)<a\s[^>]*href="([^"]*)"'
+# two-group variant pairing each href with its anchor inner markup
+ATAG_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+CANONICAL_RE = r'(?i)<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def _resolve_link_expr(link_raw: Column) -> Column:
+    """RFC-3986-lite resolution of ``link_raw`` against the page columns
+    ``scheme``/``host``/``path`` (must be in scope, from parse_urls):
+    absolute http(s) kept as-is, protocol-relative '//' gets the page
+    scheme, root-relative '/' gets scheme://host, other relative paths
+    join the page's parent directory; javascript:/mailto:/empty and
+    fragment-only targets resolve to NULL (caller filters). Fragments
+    are stripped first (two URLs differing only in fragment are the
+    same fetch)."""
+    t = F.regexp_replace(link_raw, "#.*$", "")
+    low = F.lower(t)
+    parent = F.regexp_replace(F.col("path"), "[^/]*$", "")
+    parent = F.when(parent == "", "/").otherwise(parent)
+    base = F.concat(F.col("scheme"), F.lit("://"), F.col("host"))
+    return (
+        F.when(low.startswith("http://") | low.startswith("https://"), t)
+        .when(t.startswith("//"), F.concat(F.col("scheme"), F.lit(":"), t))
+        .when(t.startswith("/"), F.concat(base, t))
+        .when(
+            (t == "") | low.startswith("javascript:") | low.startswith("mailto:"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(base, parent, t))
+    )
+
+
+def _host_of_expr(url: Column) -> Column:
+    return F.lower(
+        F.regexp_replace(F.regexp_extract(url, HOSTPORT_RE, 1), PORT_RE, "")
+    )
 
 
 def extract_links(df: DataFrame, url_col: str = "url", html_col: str = "html_text") -> DataFrame:
     """Extract and resolve hyperlinks from raw page markup — the crawl
-    frontier / link-graph primitive: per page, every <a href> target
-    resolved against the page URL (RFC-3986-lite): absolute http(s)
-    kept as-is, protocol-relative '//' gets the page scheme,
-    root-relative '/' gets scheme://host, other relative paths join the
-    page's parent directory; javascript:/mailto:/empty and
-    fragment-only targets are dropped. Fragments are stripped before
-    resolution (two URLs differing only in fragment are the same fetch).
+    frontier / link-graph primitive (resolution semantics in
+    :func:`_resolve_link_expr`).
 
     Returns (url, link_raw, link_url, link_host). Narrow: one
     regexp_extract_all + explode + per-row CASE resolution — map-only at
@@ -253,32 +283,85 @@ def extract_links(df: DataFrame, url_col: str = "url", html_col: str = "html_tex
         F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
     ).alias("link_raw")
     e = page.select(url_col, "scheme", "host", "path", raw)
-    t = F.regexp_replace(F.col("link_raw"), "#.*$", "")
-    low = F.lower(t)
-    parent = F.regexp_replace(F.col("path"), "[^/]*$", "")
-    parent = F.when(parent == "", "/").otherwise(parent)
-    base = F.concat(F.col("scheme"), F.lit("://"), F.col("host"))
-    resolved = (
-        F.when(
-            low.startswith("http://") | low.startswith("https://"), t
+    out = e.select(
+        url_col, "link_raw", _resolve_link_expr(F.col("link_raw")).alias("link_url")
+    ).filter(F.col("link_url").isNotNull())
+    return out.withColumn("link_host", _host_of_expr(F.col("link_url")))
+
+
+def extract_anchors(df: DataFrame, url_col: str = "url", html_col: str = "html_text") -> DataFrame:
+    """Anchor-TEXT harvesting — the web's free alias table: every
+    (resolved link target, normalized anchor text) pair. Anchor text is
+    how the linking page NAMES the target, so aggregated anchors are the
+    highest-precision surface-form/alias signal a webtext KG gets
+    (the classic anchor-text dictionary).
+
+    The href and its inner markup are extracted as two capture groups of
+    the SAME pattern (ATAG_RE) and re-paired positionally with
+    arrays_zip; inner markup is tag-stripped, entity-light, whitespace-
+    collapsed, lowercased to ``anchor_norm``. Empty-after-normalization
+    anchors (image links) are kept as '' — droppable downstream.
+
+    Narrow map-only, like extract_links."""
+    page = parse_urls(df.select(url_col, html_col), url_col=url_col)
+    h = F.col(html_col)
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ATAG_RE), F.lit(1)),
+            F.regexp_extract_all(h, F.lit(ATAG_RE), F.lit(2)),
         )
-        .when(t.startswith("//"), F.concat(F.col("scheme"), F.lit(":"), t))
-        .when(t.startswith("/"), F.concat(base, t))
-        .when(
-            (t == "") | low.startswith("javascript:") | low.startswith("mailto:"),
-            F.lit(None).cast("string"),
+    ).alias("z")
+    e = page.select(url_col, "scheme", "host", "path", pair)
+    raw = F.col("z").getField("0")
+    atext = F.col("z").getField("1")
+    anorm = F.lower(
+        F.trim(
+            F.regexp_replace(F.regexp_replace(atext, TAG_RE, " "), r"\s+", " ")
         )
-        .otherwise(F.concat(base, parent, t))
     )
     out = e.select(
-        url_col, "link_raw", resolved.alias("link_url")
+        url_col,
+        raw.alias("link_raw"),
+        _resolve_link_expr(raw).alias("link_url"),
+        anorm.alias("anchor_norm"),
     ).filter(F.col("link_url").isNotNull())
-    link_host = F.lower(
-        F.regexp_replace(
-            F.regexp_extract(F.col("link_url"), HOSTPORT_RE, 1), PORT_RE, ""
+    return out.withColumn("link_host", _host_of_expr(F.col("link_url")))
+
+
+def anchor_text_stats(anchors: DataFrame, url_col: str = "url") -> DataFrame:
+    """Aggregate the anchor-text table per (target URL, normalized
+    anchor): total occurrences + distinct linking pages — the ranked
+    alias dictionary for a target. ONE map-side-combining aggregate;
+    output bounded by distinct (target, anchor) pairs."""
+    return (
+        anchors.filter(F.col("anchor_norm") != "")
+        .groupBy("link_url", "anchor_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.countDistinct(url_col).cast("long").alias("n_pages"),
         )
     )
-    return out.withColumn("link_host", link_host)
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url", html_col: str = "html_text") -> DataFrame:
+    """<link rel="canonical"> mapping — the publisher's own dedup signal:
+    per page, the first declared canonical target resolved against the
+    page URL, falling back to the page's normalized URL when absent (a
+    page with no canonical IS its own canonical). ``is_self`` marks
+    pages whose canonical equals their own normalized URL.
+
+    Map-only; the output is the page->canonical mapping a dedup pass
+    groups by INSTEAD of url_norm when markup provides it."""
+    page = parse_urls(df.select(url_col, html_col), url_col=url_col)
+    cand = F.regexp_extract(F.col(html_col), CANONICAL_RE, 1)
+    resolved = F.when(cand != "", _resolve_link_expr(cand))
+    canonical = F.coalesce(resolved, F.col("url_norm"))
+    return page.select(
+        url_col,
+        "url_norm",
+        canonical.alias("canonical_url"),
+        (canonical == F.col("url_norm")).alias("is_self"),
+    )
 
 
 def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:

@@ -4157,15 +4157,11 @@ FROM agg
 """
 
 
-def _links_ctes() -> str:
-    """Shared CTE chain for the link gates: synth URL parse -> anchor
-    markup (q_txt_links twin) -> href extraction -> resolution. Ends
-    with CTE ``links`` (url, link_raw, link_url, link_host)."""
-    from unsupervised_ner_spark.ops import webtext as W
-
-    return f"""
-{_url_parse_ctes()},
-h AS (
+def _links_html_subquery() -> str:
+    """The deterministic anchor-markup construction (q_txt_links twin),
+    as a standalone subquery over CTE ``parsed`` — shared by the link,
+    anchor-text, canonical, and host-rank twins."""
+    return """
     SELECT doc_id, url, scheme, host, path,
            '<html><body><p><a href="https://ext' || CAST(doc_id % 5 AS VARCHAR)
            || '.example.net/x">a</a>'
@@ -4177,9 +4173,26 @@ h AS (
            || CASE WHEN doc_id % 5 = 0
                    THEN '<a href="mailto:x@y.example">m</a><a href="javascript:void(0)">j</a>'
                    ELSE '' END
-           || '<a href="#top">f</a></p></body></html>' AS html
-    FROM parsed
-),
+           || '<a href="/alias' || CAST(doc_id % 3 AS VARCHAR)
+           || '"><b>Alias</b> Entity ' || CAST(doc_id % 3 AS VARCHAR) || '</a>'
+           || '<a href="#top">f</a></p>'
+           || CASE WHEN doc_id % 2 = 1
+                   THEN '<link rel="canonical" href="https://canon.example.com/c'
+                        || CAST(doc_id % 7 AS VARCHAR) || '">'
+                   ELSE '' END
+           || '</body></html>' AS html
+FROM parsed"""
+
+
+def _links_ctes() -> str:
+    """Shared CTE chain for the link gates: synth URL parse -> anchor
+    markup (q_txt_links twin) -> href extraction -> resolution. Ends
+    with CTE ``links`` (url, link_raw, link_url, link_host)."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    return f"""
+{_url_parse_ctes()},
+h AS (SELECT * FROM ({_links_html_subquery()})),
 raw AS (
     SELECT url, scheme, host, path,
            unnest(regexp_extract_all(html, '{W.HREF_RE}', 1)) AS link_raw
@@ -4235,3 +4248,130 @@ SELECT lower(regexp_replace(regexp_extract(url, '{W.HOSTPORT_RE}', 1),
                             '{W.PORT_RE}', '')) = link_host AS internal
 FROM links GROUP BY 1, 2
 """
+
+
+def _resolve_case_sql(t: str = "t") -> str:
+    """The RFC-3986-lite resolution CASE (webtext._resolve_link_expr twin)
+    over a fragment-stripped target column ``t`` with page columns
+    scheme/host/path in scope."""
+    return f"""CASE WHEN lower({t}) LIKE 'http://%' OR lower({t}) LIKE 'https://%' THEN {t}
+                WHEN {t} LIKE '//%' THEN scheme || ':' || {t}
+                WHEN {t} LIKE '/%' THEN scheme || '://' || host || {t}
+                WHEN {t} = '' OR lower({t}) LIKE 'javascript:%'
+                     OR lower({t}) LIKE 'mailto:%' THEN NULL
+                ELSE scheme || '://' || host
+                     || (CASE WHEN regexp_replace(path, '[^/]*$', '') = ''
+                              THEN '/' ELSE regexp_replace(path, '[^/]*$', '') END)
+                     || {t}
+           END"""
+
+
+def txt_anchor_texts() -> str:
+    """Anchor-text alias-dictionary twin (webtext.extract_anchors +
+    anchor_text_stats): href and inner markup re-paired positionally
+    (same ATAG_RE, groups 1 and 2, index unnest), inner markup
+    tag-stripped/collapsed/lowercased, resolution shared with txt_links."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    anorm = ("lower(trim(regexp_replace(regexp_replace(atext, "
+             f"'{W.TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')))")
+    return f"""
+WITH {_url_parse_ctes()},
+h AS (SELECT * FROM ({_links_html_subquery()})),
+h2 AS (
+    SELECT url, scheme, host, path,
+           regexp_extract_all(html, '{W.ATAG_RE}', 1) AS l1,
+           regexp_extract_all(html, '{W.ATAG_RE}', 2) AS l2
+    FROM h
+),
+ax AS (
+    SELECT url, scheme, host, path, l1, l2,
+           unnest(range(1, len(l1) + 1)) AS i
+    FROM h2
+),
+a2 AS (
+    SELECT url, scheme, host, path,
+           regexp_replace(l1[i], '#.*$', '') AS t,
+           l2[i] AS atext
+    FROM ax
+),
+a3 AS (
+    SELECT url, {_resolve_case_sql()} AS link_url, {anorm} AS anchor_norm
+    FROM a2
+)
+SELECT link_url, anchor_norm,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM a3
+WHERE link_url IS NOT NULL AND anchor_norm <> ''
+GROUP BY link_url, anchor_norm
+"""
+
+
+def txt_canonical() -> str:
+    """Canonical-URL mapping twin (webtext.canonical_urls): first
+    <link rel=canonical> href resolved, page url_norm fallback."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    return f"""
+WITH {_url_parse_ctes()},
+h AS (SELECT * FROM ({_links_html_subquery()})),
+c AS (
+    SELECT h.url, p2.url_norm, h.scheme, h.host, h.path,
+           regexp_replace(regexp_extract(h.html, '{W.CANONICAL_RE}', 1),
+                          '#.*$', '') AS t,
+           regexp_extract(h.html, '{W.CANONICAL_RE}', 1) AS cand
+    FROM h JOIN parsed p2 ON p2.url = h.url
+)
+SELECT url, url_norm,
+       coalesce(CASE WHEN cand <> '' THEN {_resolve_case_sql()} END,
+                url_norm) AS canonical_url,
+       coalesce(CASE WHEN cand <> '' THEN {_resolve_case_sql()} END,
+                url_norm) = url_norm AS is_self
+FROM c
+"""
+
+
+def txt_host_rank(iterations: int = 3, scale: int = 1_000_000_000) -> str:
+    """Host-PageRank twin: the SAME unrolled integer power steps as
+    kg_pagerank, over the distinct external host-pair graph from the
+    links chain."""
+    tele = 15 * scale // 100
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT d.k, d.deg,
+           CAST({tele} + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100
+                AS BIGINT) AS rank
+    FROM deg d
+    LEFT JOIN sym s ON s.dst = d.k
+    LEFT JOIN {prev} r ON r.k = s.src
+    GROUP BY d.k, d.deg
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    from unsupervised_ner_spark.ops import webtext as W
+
+    src = (f"lower(regexp_replace(regexp_extract(url, '{W.HOSTPORT_RE}', 1), "
+           f"'{W.PORT_RE}', ''))")
+    return _materialize(
+        f"""
+WITH {_links_ctes()},
+g AS (
+    SELECT DISTINCT {src} AS src, link_host AS dst
+    FROM links WHERE {src} <> link_host
+),
+sym AS (
+    SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g
+),
+deg AS (SELECT src AS k, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+r0 AS (SELECT k, deg, CAST({scale} AS BIGINT) AS rank FROM deg),
+{chain}
+SELECT k AS host, deg, rank AS rank_scaled FROM {prev}
+""",
+        "sym", "deg",
+    )
