@@ -1552,6 +1552,28 @@ def q_txt_host_rank(spark, sf_dir):
     )
 
 
+def q_txt_host_hits(spark, sf_dir):
+    """Integer HITS hubs/authorities (webtext.host_hits) on the directed
+    external host graph — bit-exact long half-steps with broadcast 1-row
+    max-normalization; the oracle unrolls the same steps."""
+    from unsupervised_ner_spark.ops import webtext
+
+    g = webtext.host_link_graph(
+        webtext.extract_links(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+    return webtext.host_hits(g)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Publisher-declared dedup groups (webtext.canonical_dedup_groups):
+    pages grouped by canonical target with deterministic representative."""
+    from unsupervised_ner_spark.ops import webtext
+
+    return webtext.canonical_dedup_groups(
+        webtext.canonical_urls(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+
+
 def q_kg_entity_ambiguity(spark, sf_dir):
     """Entity type-ambiguity dashboard (er.entity_ambiguity) off the
     production tagging pass — two cascaded bounded aggregates, no window
@@ -1860,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_anchor_texts": q_txt_anchor_texts,
         "txt_canonical": q_txt_canonical,
         "txt_host_rank": q_txt_host_rank,
+        "txt_host_hits": q_txt_host_hits,
+        "dedup_canonical": q_dedup_canonical,
         "txt_host_graph": q_txt_host_graph,
         "kg_entity_ambiguity": q_kg_entity_ambiguity,
         "kg_type_matrix": q_kg_type_matrix,
@@ -1998,6 +2022,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_anchor_texts": O.txt_anchor_texts(),
         "txt_canonical": O.txt_canonical(),
         "txt_host_rank": O.txt_host_rank(),
+        "txt_host_hits": O.txt_host_hits(),
+        "dedup_canonical": O.dedup_canonical(),
         "txt_host_graph": O.txt_host_graph(),
         "kg_entity_ambiguity": O.kg_entity_ambiguity(),
         "kg_type_matrix": O.kg_type_matrix(),

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "txt_anchor_texts",
     "txt_canonical",
     "txt_host_rank",
+    "txt_host_hits",
+    "dedup_canonical",
     "txt_host_graph",
     "kg_entity_ambiguity",
     "kg_type_matrix",

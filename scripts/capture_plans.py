@@ -737,6 +737,22 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 75. host HITS: the distinct edge table is persisted once and reused
+    # across all half-steps; the max-normalization joins as a broadcast
+    # (BroadcastNestedLoopJoin of a 1-row aggregate), never a collect
+    p75 = plan_of(entry.q_txt_host_hits(spark, SF))
+    sections.append(("Host HITS hubs/authorities (txt_host_hits)", p75))
+    checks.append(("host hits: edge table persisted once",
+                   "InMemoryTableScan" in p75))
+    checks.append(("host hits: 1-row max joins as broadcast",
+                   "BroadcastNestedLoopJoin" in p75))
+
+    # 76. canonical dedup: ONE aggregate over the canonical mapping
+    p76 = plan_of(entry.q_dedup_canonical(spark, SF))
+    sections.append(("Canonical dedup groups (dedup_canonical)", p76))
+    checks.append(("canonical dedup: aggregate only, no join",
+                   "Join" not in p76 and "Window" not in p76))
+
     # 72. anchor texts: narrow extract+zip+explode then ONE aggregate
     p72 = plan_of(entry.q_txt_anchor_texts(spark, SF))
     sections.append(("Anchor-text alias table (txt_anchor_texts)", p72))

@@ -243,3 +243,44 @@ def test_canonical_urls(spark):
     # absent canonical falls back to the page's own normalized URL
     n = out["https://ex.com/none.html"]
     assert n["canonical_url"] == "https://ex.com/none.html" and n["is_self"]
+
+
+def test_host_hits_hand_graph(spark):
+    # a -> c, b -> c, c -> d  (hand-unrolled: 2 iterations, scale 1e6)
+    g = spark.createDataFrame(
+        [
+            ("a", "c", 1, 1, False),
+            ("b", "c", 1, 1, False),
+            ("c", "d", 1, 1, False),
+            ("c", "c", 9, 9, True),  # internal edge must be excluded
+        ],
+        ["src_host", "dst_host", "n_links", "n_pages", "internal"],
+    )
+    out = {r["host"]: r for r in _rows(webtext.host_hits(g))}
+    S = 1_000_000
+    assert out["a"]["hub_scaled"] == S and out["a"]["auth_scaled"] == 0
+    assert out["b"]["hub_scaled"] == S and out["b"]["auth_scaled"] == 0
+    # c: top authority; its hub decays with d's authority (S/2 then S/4)
+    assert out["c"]["auth_scaled"] == S and out["c"]["hub_scaled"] == S // 4
+    assert out["d"]["auth_scaled"] == S // 4 and out["d"]["hub_scaled"] == 0
+
+
+def test_canonical_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/p1", '<link rel="canonical" href="https://ex.com/c">'),
+            ("https://ex.com/p2", '<link rel="canonical" href="https://ex.com/c">'),
+            ("https://ex.com/c", '<link rel="canonical" href="https://ex.com/c">'),
+            ("https://ex.com/solo", "<p>none</p>"),
+        ],
+        ["url", "html_text"],
+    )
+    out = {
+        r["canonical_url"]: r
+        for r in _rows(webtext.canonical_dedup_groups(webtext.canonical_urls(df)))
+    }
+    grp = out["https://ex.com/c"]
+    assert grp["n_pages"] == 3 and grp["n_self"] == 1
+    assert grp["representative"] == "https://ex.com/c"
+    solo = out["https://ex.com/solo"]
+    assert solo["n_pages"] == 1 and solo["n_self"] == 1

@@ -392,3 +392,90 @@ def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .withColumn("internal", F.col("src_host") == F.col("dst_host"))
     )
+
+
+def host_hits(
+    graph: DataFrame, iterations: int = 2, scale: int = 1_000_000
+) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg hubs & authorities) over the
+    DIRECTED external host graph — the centrality pair PageRank does not
+    give: a hub links to many good authorities, an authority is linked
+    by many good hubs. Input is :func:`host_link_graph` output; internal
+    (same-host) edges are excluded, edges are distinct host pairs.
+
+    All arithmetic is INTEGER (the er.pagerank precedent): scores start
+    at ``scale`` and each half-step is a sum over in-/out-neighbors
+    followed by max-normalization ``x' = x * scale div max(x)`` — long
+    division truncation is engine-independent, and the 1-row max joins
+    as a broadcast cross join (never a driver collect). The DuckDB twin
+    unrolls the same half-steps with scalar subqueries, so scores are
+    bit-exact across engines.
+
+    Scale shape: the distinct edge table is persisted once and reused
+    2x per iteration; each half-step is one node-keyed equi-join + one
+    map-side-combining sum over edges, O(iterations) rounds — the same
+    shuffle pair as synchronous PageRank. Overflow bound: the
+    normalization multiplies BEFORE dividing (sum * scale div max), and
+    sum <= deg_max * scale, so deg_max * scale^2 must fit a long —
+    scale 1e6 holds to deg_max ~9e6 in-links on one host; beyond that
+    drop scale (documented knob; ANSI mode fails loudly, never silently
+    wraps)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    edges = scoped_persist(
+        graph.filter(~F.col("internal"))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    nodes = scoped_persist(
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        # authority half-step: sum of in-neighbor hub scores
+        a_raw = (
+            edges.join(hub.withColumnRenamed("host", "src_host"), "src_host")
+            .groupBy("dst_host")
+            .agg(F.sum("hub").alias("a"))
+            .select(F.col("dst_host").alias("host"), "a")
+        )
+        a_all = nodes.join(a_raw, "host", "left").select(
+            "host", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+        )
+        amax = a_all.agg(F.greatest(F.max("a"), F.lit(1)).alias("amax"))
+        auth = a_all.crossJoin(F.broadcast(amax)).select(
+            "host", F.expr(f"(a * CAST({scale} AS BIGINT)) div amax").alias("auth")
+        )
+        # hub half-step: sum of out-neighbor authority scores
+        h_raw = (
+            edges.join(auth.withColumnRenamed("host", "dst_host"), "dst_host")
+            .groupBy("src_host")
+            .agg(F.sum("auth").alias("h"))
+            .select(F.col("src_host").alias("host"), "h")
+        )
+        h_all = nodes.join(h_raw, "host", "left").select(
+            "host", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+        )
+        hmax = h_all.agg(F.greatest(F.max("h"), F.lit(1)).alias("hmax"))
+        hub = h_all.crossJoin(F.broadcast(hmax)).select(
+            "host", F.expr(f"(h * CAST({scale} AS BIGINT)) div hmax").alias("hub")
+        )
+    return hub.join(auth, "host").select(
+        "host", F.col("hub").alias("hub_scaled"), F.col("auth").alias("auth_scaled")
+    )
+
+
+def canonical_dedup_groups(canon: DataFrame) -> DataFrame:
+    """Publisher-declared dedup groups over :func:`canonical_urls`
+    output: pages grouped by their canonical target, with size and the
+    deterministic representative (lexicographic-min member url_norm) —
+    the dedup pass a crawl runs BEFORE any content hashing, because the
+    markup already told us. ONE map-side-combining aggregate."""
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.min("url_norm").alias("representative"),
+        F.sum(F.col("is_self").cast("long")).cast("long").alias("n_self"),
+    )

@@ -4375,3 +4375,80 @@ SELECT k AS host, deg, rank AS rank_scaled FROM {prev}
 """,
         "sym", "deg",
     )
+
+
+def txt_host_hits(iterations: int = 2, scale: int = 1_000_000) -> str:
+    """Integer HITS twin (ops/webtext.py host_hits): distinct external
+    host edges, unrolled hub/authority half-steps with scalar-subquery
+    max-normalization — same long arithmetic, bit-exact scores."""
+    from unsupervised_ner_spark.ops import webtext as W
+
+    src = (f"lower(regexp_replace(regexp_extract(url, '{W.HOSTPORT_RE}', 1), "
+           f"'{W.PORT_RE}', ''))")
+    steps = []
+    prev_hub = "h0"
+    last_auth = None
+    for i in range(1, iterations + 1):
+        a, h = f"a{i}", f"h{i}"
+        steps.append(f"""{a}r AS (
+    SELECT g.dst AS host, CAST(sum(x.hub) AS BIGINT) AS a
+    FROM g JOIN {prev_hub} x ON x.host = g.src GROUP BY g.dst
+),
+{a}a AS (
+    SELECT n.host, CAST(coalesce(r.a, 0) AS BIGINT) AS a
+    FROM nodes n LEFT JOIN {a}r r ON r.host = n.host
+),
+{a} AS (
+    SELECT host,
+           CAST((a * {scale}) // (SELECT GREATEST(max(a), 1) FROM {a}a)
+                AS BIGINT) AS auth
+    FROM {a}a
+),
+{h}r AS (
+    SELECT g.src AS host, CAST(sum(x.auth) AS BIGINT) AS h
+    FROM g JOIN {a} x ON x.host = g.dst GROUP BY g.src
+),
+{h}a AS (
+    SELECT n.host, CAST(coalesce(r.h, 0) AS BIGINT) AS h
+    FROM nodes n LEFT JOIN {h}r r ON r.host = n.host
+),
+{h} AS (
+    SELECT host,
+           CAST((h * {scale}) // (SELECT GREATEST(max(h), 1) FROM {h}a)
+                AS BIGINT) AS hub
+    FROM {h}a
+)""")
+        prev_hub = h
+        last_auth = a
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH {_links_ctes()},
+g AS (
+    SELECT DISTINCT {src} AS src, link_host AS dst
+    FROM links WHERE {src} <> link_host
+),
+nodes AS (SELECT src AS host FROM g UNION SELECT dst FROM g),
+h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM nodes),
+{chain}
+SELECT n.host, hb.hub AS hub_scaled, au.auth AS auth_scaled
+FROM nodes n
+JOIN {prev_hub} hb ON hb.host = n.host
+JOIN {last_auth} au ON au.host = n.host
+""",
+        "g", "nodes",
+    )
+
+
+def dedup_canonical() -> str:
+    """Canonical-group dedup twin (webtext.canonical_dedup_groups over
+    canonical_urls): group pages by declared canonical, size +
+    lexicographic-min representative + self count."""
+    return f"""
+WITH c AS ({txt_canonical()})
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(url_norm) AS representative,
+       CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM c GROUP BY canonical_url
+"""
