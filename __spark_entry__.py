@@ -1574,6 +1574,44 @@ def q_dedup_canonical(spark, sf_dir):
     )
 
 
+def q_kg_entity_provenance(spark, sf_dir):
+    """Entity source-diversity (er.entity_provenance): typed mentions
+    joined to the synthetic URL's registered domain — mention/doc/domain
+    counts + dominant domain per entity; the corroboration table."""
+    from unsupervised_ner_spark.ops import webtext
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    dd = webtext.parse_urls(_synth_urls(_t(spark, sf_dir, "documents"))).select(
+        F.col("doc_id").cast("string").alias("url"), "reg_domain"
+    )
+    return er.entity_provenance(typed, dd)
+
+
+def q_txt_domain_quality(spark, sf_dir):
+    """Per-domain quality rollup: parse_urls domains joined to the
+    integer doc stats + quality class + lang — ONE url-keyed join chain
+    then ONE bounded domain aggregate (the crawl allow/deny-list input)."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    parsed = webtext.parse_urls(_synth_urls(d)).select("doc_id", "reg_domain")
+    stats = textstats.doc_stats(d).select("doc_id", "n_tokens")
+    q = textstats.quality_class(textstats.doc_stats(d))
+    base = (
+        d.select("doc_id", "lang")
+        .join(parsed, "doc_id")
+        .join(stats, "doc_id")
+        .join(q, "doc_id")
+    )
+    return base.groupBy("reg_domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("quality") == "good").cast("long")).cast("long").alias("n_good"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
 def q_kg_entity_ambiguity(spark, sf_dir):
     """Entity type-ambiguity dashboard (er.entity_ambiguity) off the
     production tagging pass — two cascaded bounded aggregates, no window
@@ -1885,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_host_hits": q_txt_host_hits,
         "dedup_canonical": q_dedup_canonical,
         "txt_host_graph": q_txt_host_graph,
+        "kg_entity_provenance": q_kg_entity_provenance,
+        "txt_domain_quality": q_txt_domain_quality,
         "kg_entity_ambiguity": q_kg_entity_ambiguity,
         "kg_type_matrix": q_kg_type_matrix,
         "kg_triple_diff": q_kg_triple_diff,
@@ -2025,6 +2065,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_host_hits": O.txt_host_hits(),
         "dedup_canonical": O.dedup_canonical(),
         "txt_host_graph": O.txt_host_graph(),
+        "kg_entity_provenance": O.kg_entity_provenance(),
+        "txt_domain_quality": O.txt_domain_quality(),
         "kg_entity_ambiguity": O.kg_entity_ambiguity(),
         "kg_type_matrix": O.kg_type_matrix(),
         "kg_triple_diff": O.kg_triple_diff(),

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "txt_host_hits",
     "dedup_canonical",
     "txt_host_graph",
+    "kg_entity_provenance",
+    "txt_domain_quality",
     "kg_entity_ambiguity",
     "kg_type_matrix",
     "kg_triple_diff",

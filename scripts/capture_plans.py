@@ -737,6 +737,22 @@ def main() -> None:
     checks.append(("tag transitions: no window for sequencing",
                    "windowspecdefinition(url" not in p59))
 
+    # 77. entity provenance: url-keyed provenance join + two cascaded
+    # aggregates; the dominant-domain pick is a min-struct argmin (no window)
+    p77 = plan_of(entry.q_kg_entity_provenance(spark, SF))
+    sections.append(("Entity source diversity (kg_entity_provenance)", p77))
+    checks.append(("provenance: no window (argmin via min-struct)",
+                   "Window" not in p77))
+
+    # 78. domain quality: url-keyed join chain + ONE bounded domain
+    # aggregate; no window
+    p78 = plan_of(entry.q_txt_domain_quality(spark, SF))
+    sections.append(("Domain quality rollup (txt_domain_quality)", p78))
+    checks.append(("domain quality: no window",
+                   "Window" not in p78))
+    checks.append(("domain quality: map-side partial aggregation",
+                   "partial" in p78.lower()))
+
     # 75. host HITS: the distinct edge table is persisted once and reused
     # across all half-steps; the max-normalization joins as a broadcast
     # (BroadcastNestedLoopJoin of a 1-row aggregate), never a collect

@@ -90,3 +90,29 @@ def test_triple_snapshot_diff_statuses(spark):
     assert s1["status"] == "common" and s1["n_a"] == 2 and s1["n_b"] == 2
     assert out["s2"]["status"] == "removed" and out["s2"]["n_b"] == 0
     assert out["s3"]["status"] == "added" and out["s3"]["n_a"] == 0
+
+
+def test_entity_provenance_diversity(spark):
+    typed = _typed(
+        spark,
+        [
+            # "covid" mentioned from 3 docs across 2 domains: b.com wins (2 docs)
+            ("1", 0, 0, "Covid", "DISEASE"),
+            ("2", 0, 0, "covid", "DISEASE"),
+            ("3", 0, 0, "COVID!", "DISEASE"),
+            ("3", 1, 0, "covid", "DISEASE"),  # second mention, same doc
+            # single-domain entity
+            ("1", 1, 0, "aspirin", "DRUG"),
+        ],
+    )
+    dd = spark.createDataFrame(
+        [("1", "a.com"), ("2", "b.com"), ("3", "b.com")], ["url", "reg_domain"]
+    )
+    out = {r["ent"]: r for r in er.entity_provenance(typed, dd).collect()}
+
+    c = out["covid"]
+    assert c["n_mentions"] == 4 and c["n_docs"] == 3 and c["n_domains"] == 2
+    assert c["top_domain"] == "b.com" and c["top_n"] == 3
+
+    a = out["aspirin"]
+    assert a["n_domains"] == 1 and a["top_domain"] == "a.com" and a["top_n"] == 1

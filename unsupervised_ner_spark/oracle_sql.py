@@ -4452,3 +4452,73 @@ SELECT canonical_url,
        CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self
 FROM c GROUP BY canonical_url
 """
+
+
+def kg_entity_provenance(model: str = "a100") -> str:
+    """Entity source-diversity twin (pipeline/er.py entity_provenance):
+    typed chain joined to the URL-parse chain on url = doc_id, per-domain
+    counts, dominant domain by (n DESC, domain ASC)."""
+    return _kg_prefix(model) + f"""
+, {_url_parse_ctes().lstrip()},
+e AS (
+    SELECT url, {_NORM_SURF} AS ent, pred_group AS etype
+    FROM typed
+    WHERE pred_group <> 'OTHER' AND length({_NORM_SURF}) > 0
+),
+dd AS (SELECT CAST(doc_id AS VARCHAR) AS url, reg_domain FROM parsed),
+j AS (SELECT e.ent, e.etype, e.url, dd.reg_domain FROM e JOIN dd USING (url)),
+gd AS (
+    SELECT ent, etype, reg_domain,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT url) AS BIGINT) AS nd
+    FROM j GROUP BY ent, etype, reg_domain
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY ent, etype
+                              ORDER BY n DESC, reg_domain ASC) AS rnk,
+           CAST(sum(n) OVER (PARTITION BY ent, etype) AS BIGINT) AS n_mentions,
+           CAST(sum(nd) OVER (PARTITION BY ent, etype) AS BIGINT) AS n_docs,
+           CAST(count(*) OVER (PARTITION BY ent, etype) AS BIGINT) AS n_domains
+    FROM gd
+)
+SELECT ent, etype, n_mentions, n_docs, n_domains,
+       reg_domain AS top_domain, n AS top_n
+FROM r WHERE rnk = 1
+"""
+
+
+def txt_domain_quality() -> str:
+    """Per-domain quality rollup twin (q_txt_domain_quality): URL-parse
+    domains joined to the shared integer stats + quality CASE + lang."""
+    return f"""
+WITH {_url_parse_ctes()},
+s AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           len(list_distinct({_LOWTOKS})) AS n_distinct_tokens,
+           len(list_filter({_LOWTOKS}, t -> list_contains({_EN_SW}, t))) AS n_stopword_tokens
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens < 5 THEN 'short'
+                WHEN n_stopword_tokens * 100 < n_tokens * 3 THEN 'boilerplate'
+                WHEN n_distinct_tokens * 100 < n_tokens * 40 THEN 'lowlex'
+                ELSE 'good' END AS quality,
+           n_tokens
+    FROM s
+),
+b AS (
+    SELECT p.reg_domain, q.quality, q.n_tokens, d.lang
+    FROM parsed p
+    JOIN q ON q.doc_id = p.doc_id
+    JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT reg_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN quality = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM b GROUP BY reg_domain
+"""

@@ -1377,3 +1377,42 @@ def entity_type_matrix(typed_mentions: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_sents"),
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
+
+
+def entity_provenance(typed_mentions: DataFrame, doc_domains: DataFrame) -> DataFrame:
+    """Entity source-diversity table — the KG trust primitive: an entity
+    supported by mentions across MANY independent registered domains is
+    corroborated; one supported by a single domain is that domain's
+    claim. Joins the typed mentions to a (url, reg_domain) provenance
+    dim and aggregates per (ent, etype): mention/doc/domain counts plus
+    the dominant domain (min(struct(-n, domain)) argmin — the
+    entity_ambiguity posture, no window).
+
+    Scale shape: the provenance join is url-keyed (page-local); then two
+    cascaded map-side-combining aggregates bounded by distinct content.
+    Each url belongs to exactly ONE domain, so the per-domain distinct-
+    doc counts sum to the total doc count without a second distinct."""
+    norm = norm_surface_col(F.col("surface"))
+    ents = typed_mentions.select(
+        "url", norm.alias("ent"), F.col("pred_group").alias("etype")
+    ).filter((F.col("etype") != "OTHER") & (F.length("ent") > 0))
+    j = ents.join(doc_domains, "url")
+    gd = j.groupBy("ent", "etype", "reg_domain").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("url").cast("long").alias("nd"),
+    )
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("reg_domain").alias("dom")))
+    return (
+        gd.groupBy("ent", "etype")
+        .agg(
+            F.sum("n").cast("long").alias("n_mentions"),
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_domains"),
+            top.alias("top"),
+        )
+        .select(
+            "ent", "etype", "n_mentions", "n_docs", "n_domains",
+            F.col("top.dom").alias("top_domain"),
+            (-F.col("top.neg_n")).cast("long").alias("top_n"),
+        )
+    )
