@@ -985,6 +985,67 @@ def q_kg_kcore(spark, sf_dir):
     return er.kcore(er.cooccurrence_edges(typed), k=3, rounds=4)
 
 
+def q_kg_communities(spark, sf_dir):
+    """Label-propagation communities on the entity co-occurrence graph
+    (er.label_propagation): 4 synchronous rounds with the deterministic
+    (count DESC, label ASC) vote — the topic clustering between CC (too
+    coarse) and k-core (no assignment); oracle = unrolled CTE rounds."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.label_propagation(er.cooccurrence_edges(typed), iterations=4)
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (er.deterministic_walks): 2 walks x
+    3 hops from every entity node, each hop the md5-argmin neighbour —
+    the KG-embedding training sentences, bit-reproducible so the oracle
+    replays every hop and the gate hashes full paths."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.deterministic_walks(
+        er.cooccurrence_edges(typed), walks_per_node=2, steps=3
+    )
+
+
+def q_kg_fact_intervals(spark, sf_dir):
+    """SCD2 validity intervals per canonical fact (triples.fact_intervals):
+    gaps-and-islands over distinct observation days (gap > 7 days opens a
+    new interval) on the same deterministic url-derived warc_ts the
+    temporal fact table uses — exposes retractions between recrawls that
+    a single first/last envelope hides."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    doc = F.col("url").cast("long")
+    ts = (
+        F.lit(1704067200)
+        + F.pmod(doc, F.lit(97)) * F.lit(86400)
+        + F.pmod(doc, F.lit(24)) * F.lit(3600)
+    )
+    return T.fact_intervals(
+        stages["triples"].withColumn("obs_ts", ts), gap_days=7
+    )
+
+
+def q_txt_lm_score(spark, sf_dir):
+    """Per-doc LM plausibility score (textstats.lm_doc_score): integer
+    mean scaled bigram conditional probability under the corpus's own
+    bigram counts + 0..10 decile bucket — the CCNet-style quality signal
+    as a hashable integer statistic."""
+    return textstats.lm_doc_score(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_importance(spark, sf_dir):
+    """DSIR-shaped importance weights (textstats.importance_weights):
+    per-doc integer mean scaled df-ratio of its distinct terms toward the
+    lang='en' target slice — importance resampling without a trained
+    classifier."""
+    return textstats.importance_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_txt_unigram_stats(spark, sf_dir):
     """Corpus-relative unigram rarity statistics (textstats.unigram_stats):
     integer sufficient statistics for LM-free quality filtering."""
@@ -1857,6 +1918,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
+        "kg_communities": q_kg_communities,
+        "kg_walks": q_kg_walks,
+        "kg_fact_intervals": q_kg_fact_intervals,
+        "txt_lm_score": q_txt_lm_score,
+        "txt_importance": q_txt_importance,
         "kg_bio_tags": q_kg_bio_tags,
         "kg_triples": q_kg_triples,
         "kg_predicates": q_kg_predicates,
@@ -1989,6 +2055,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),
+        "kg_communities": O.kg_communities(),
+        "kg_walks": O.kg_walks(),
+        "kg_fact_intervals": O.kg_fact_intervals(),
+        "txt_lm_score": O.txt_lm_score(),
+        "txt_importance": O.txt_importance(),
         "kg_bio_tags": O.kg_bio_tags(),
         "kg_triples": O.kg_triples(),
         "kg_predicates": O.kg_predicates(),

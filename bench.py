@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "kg_paths_2hop",
     "kg_graph_components",
     "kg_kcore",
+    "kg_communities",
+    "kg_walks",
     "kg_bio_tags",
     "kg_triples",
     "kg_triples_temporal",
+    "kg_fact_intervals",
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
@@ -87,6 +90,8 @@ BENCH_QUERIES = [
     "txt_redact",
     "txt_line_dedup",
     "txt_unigram_stats",
+    "txt_lm_score",
+    "txt_importance",
     "txt_length_pct",
     "txt_hll_registers",
     "txt_cms_counters",

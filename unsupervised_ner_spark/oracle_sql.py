@@ -4522,3 +4522,215 @@ SELECT reg_domain,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM b GROUP BY reg_domain
 """
+
+
+def kg_communities(model: str = "a100", iterations: int = 4) -> str:
+    """Label-propagation twin (pipeline/er.py label_propagation):
+    ``iterations`` unrolled synchronous rounds over the symmetrized
+    co-occurrence adjacency, each round the deterministic
+    (count DESC, label ASC) row_number vote — identical total order in
+    both engines, so community ids are bit-exact."""
+    steps = []
+    mats = ["sym"]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""v{i} AS (
+    SELECT s.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+    FROM sym s JOIN {prev} l ON l.k = s.src
+    GROUP BY s.dst, l.lbl
+),
+l{i} AS (
+    SELECT dst AS k, lbl FROM (
+        SELECT dst, lbl,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v{i}
+    ) WHERE rn = 1
+)"""
+        )
+        if i < iterations:
+            mats.append(f"l{i}")
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+l0 AS (SELECT DISTINCT src AS k, src AS lbl FROM sym),
+{chain},
+sizes AS (
+    SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+    FROM {prev} GROUP BY lbl
+)
+SELECT string_split(f.k, '|')[1] AS ent, string_split(f.k, '|')[2] AS etype,
+       f.lbl AS community, s.comm_size
+FROM {prev} f JOIN sizes s USING (lbl)
+""",
+        *mats, prev,
+    )
+
+
+def kg_walks(model: str = "a100", walks_per_node: int = 2, steps: int = 3) -> str:
+    """Deterministic-walk twin (pipeline/er.py deterministic_walks):
+    ``steps`` unrolled hops, each the md5-argmin neighbour under the SAME
+    ``origin#walk_id#step#cur#neighbour`` hash input (md5 hex is
+    lowercase in both engines; ties broken on the neighbour key)."""
+    wid_rows = ", ".join(f"({i})" for i in range(walks_per_node))
+    hops = []
+    prev = "f0"
+    for s in range(1, steps + 1):
+        hops.append(
+            f"""c{s} AS (
+    SELECT f.origin, f.walk_id, f.path, s.dst,
+           md5(f.origin || '#' || CAST(f.walk_id AS VARCHAR) || '#' || '{s}'
+               || '#' || f.cur || '#' || s.dst) AS h
+    FROM {prev} f JOIN sym s ON s.src = f.cur
+),
+f{s} AS (
+    SELECT origin, walk_id, dst AS cur, path || '>' || dst AS path FROM (
+        SELECT origin, walk_id, dst, path,
+               row_number() OVER (PARTITION BY origin, walk_id
+                                  ORDER BY h ASC, dst ASC) AS rn
+        FROM c{s}
+    ) WHERE rn = 1
+)"""
+        )
+        prev = f"f{s}"
+    chain = ",\n".join(hops)
+    mats = ["sym"] + [f"f{s}" for s in range(steps)]
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+nodes AS (SELECT DISTINCT src AS origin FROM sym),
+f0 AS (
+    SELECT n.origin, CAST(w.walk_id AS BIGINT) AS walk_id,
+           n.origin AS cur, n.origin AS path
+    FROM nodes n, (VALUES {wid_rows}) w(walk_id)
+),
+{chain}
+SELECT string_split(origin, '|')[1] AS ent, string_split(origin, '|')[2] AS etype,
+       walk_id, path, CAST({steps} AS BIGINT) AS n_steps
+FROM {prev}
+""",
+        *mats,
+    )
+
+
+def kg_fact_intervals(model: str = "a100", gap_days: int = 7) -> str:
+    """SCD2 fact-interval twin (pipeline/triples.py fact_intervals over
+    the deterministic url-derived warc_ts): distinct observation days per
+    canonical fact, lag-marked run starts (gap > ``gap_days``), running-
+    sum island numbering, one aggregate per (fact, island)."""
+    ts = (
+        "1704067200 + (CAST(url AS BIGINT) % 97) * 86400"
+        " + (CAST(url AS BIGINT) % 24) * 3600"
+    )
+    key = "subj, subj_type, pred_norm, obj, obj_type"
+    return f"""
+WITH trip AS ({kg_triples(model)})
+, days AS (
+    SELECT {key}, CAST(({ts}) // 86400 AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM trip GROUP BY ALL
+),
+marked AS (
+    SELECT *,
+           CASE WHEN lag(day) OVER w IS NULL
+                  OR day - lag(day) OVER w > {gap_days}
+                THEN 1 ELSE 0 END AS new_run
+    FROM days
+    WINDOW w AS (PARTITION BY {key} ORDER BY day)
+),
+run AS (
+    SELECT *,
+           CAST(sum(new_run) OVER (PARTITION BY {key} ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS interval_idx
+    FROM marked
+)
+SELECT {key}, interval_idx,
+       CAST(min(day) AS BIGINT) AS valid_from_day,
+       CAST(max(day) AS BIGINT) AS valid_to_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n_obs) AS BIGINT) AS n_obs
+FROM run GROUP BY {key}, interval_idx
+"""
+
+
+def txt_lm_score(scale: int = 1_000_000) -> str:
+    """Per-doc LM plausibility twin (ops/textstats.py lm_doc_score):
+    corpus bigram conditional probabilities as integer scaled ratios,
+    per-doc integer mean + decile bucket — same truncating division on
+    positive longs in both engines."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+    FROM tk, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+),
+pairs AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+),
+lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pairs GROUP BY w1),
+lm AS (
+    SELECT p.w1, p.w2,
+           CAST(({scale} * p.n_pair) // l.n_w1 AS BIGINT) AS p_scaled
+    FROM pairs p JOIN lft l USING (w1)
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_scaled) // count(*) AS BIGINT) AS lm_score_scaled,
+       CAST(((sum(p_scaled) // count(*)) * 10) // {scale} AS BIGINT) AS ppl_bucket
+FROM bg b JOIN lm USING (w1, w2)
+GROUP BY b.doc_id
+""",
+        "bg", "pairs",
+    )
+
+
+def txt_importance(target_lang: str = "en", scale: int = 1_000_000) -> str:
+    """DSIR importance-weight twin (ops/textstats.py importance_weights):
+    distinct (doc, term) projection, target/corpus df-ratio as integer
+    scaled division, per-doc integer mean over distinct terms."""
+    return _materialize(
+        f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, lang, u.t AS term
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+dfa AS (SELECT term, CAST(count(*) AS BIGINT) AS df_corpus FROM dt GROUP BY term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_target
+        FROM dt WHERE lang = '{target_lang}' GROUP BY term),
+ratio AS (
+    SELECT a.term,
+           CAST(({scale} * COALESCE(t.df_target, 0)) // a.df_corpus
+                AS BIGINT) AS r_scaled
+    FROM dfa a LEFT JOIN dft t USING (term)
+)
+SELECT d.doc_id, d.lang,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(r_scaled) // count(*) AS BIGINT) AS importance_scaled,
+       CAST(CASE WHEN d.lang = '{target_lang}' THEN 1 ELSE 0 END AS BIGINT)
+           AS in_target
+FROM dt d JOIN ratio USING (term)
+GROUP BY d.doc_id, d.lang
+""",
+        "dt",
+    )

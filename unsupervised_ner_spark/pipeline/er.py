@@ -1416,3 +1416,130 @@ def entity_provenance(typed_mentions: DataFrame, doc_domains: DataFrame) -> Data
             (-F.col("top.neg_n")).cast("long").alias("top_n"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities over the entity
+    co-occurrence graph — the topic-clustering step between connected
+    components (too coarse: one giant discourse island) and k-core (no
+    assignment): every entity adopts the most common label among its
+    neighbours each round, so densely interlinked entity groups converge
+    to one community id (Raghavan et al. 2007, the near-linear community
+    baseline).
+
+    Determinism: classic LPA breaks count ties randomly; here the vote is
+    ``(count DESC, label ASC)`` — a total order, so ``iterations`` fixed
+    synchronous rounds are bit-reproducible and the DuckDB oracle replays
+    them with unrolled CTEs (the pagerank precedent). Labels start as the
+    node's own key; the co-occurrence graph is symmetric so every node
+    has >= 1 neighbour and is relabelled every round.
+
+    Scale shape: per round, one src-keyed equi-join of the (node-sized)
+    label table against the aggregated adjacency, one map-side-combining
+    (dst, label) count, and one per-node argmax window — the window
+    partition is a node's label HISTOGRAM (bounded by its degree, and
+    after the first rounds by its neighbourhood's community count), never
+    corpus-sized. The adjacency is persisted once and reused every round.
+    A hub is one window partition — skew-bounded by its degree, the same
+    exposure pagerank's reducer has."""
+    from pyspark.sql import Window
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    labels = sym.select(F.col("src").alias("k")).distinct().select(
+        "k", F.col("k").alias("lbl")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.select(F.col("k").alias("src"), "lbl"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("k"), "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("comm_size"))
+    out = labels.join(sizes, "lbl")
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        F.col("lbl").alias("community"), "comm_size",
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame, walks_per_node: int = 2, steps: int = 3
+) -> DataFrame:
+    """Hash-driven DeepWalk corpus over the entity co-occurrence graph —
+    the random-walk sentence generator KG-embedding training (DeepWalk /
+    node2vec) consumes: ``walks_per_node`` walks of ``steps`` hops start
+    at every node, and each hop moves to the neighbour minimizing
+    ``md5(origin|walk_id|step|cur|neighbour)``. The hash plays the RNG:
+    walks differ across walk_ids and steps (the hash input changes) yet
+    are bit-reproducible, so the DuckDB oracle replays every hop with the
+    same md5 and the gate hashes full paths (Date.now-free determinism —
+    the txt_sample_hash precedent lifted to graph traversal).
+
+    Scale shape: the frontier is exactly (n_nodes * walks_per_node) rows
+    at EVERY step (one row per walk — walks never fork); each hop is one
+    equi-join of the frontier against the persisted aggregated adjacency
+    on the current node plus one map-side-combining min(struct(hash,
+    neighbour)) argmin per walk. A hub's candidate fan-out is its degree
+    — the same bounded skew the vote aggregate has. ``steps`` rounds
+    total; no window, no collect."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    nodes = sym.select(F.col("src").alias("origin")).distinct()
+    wids = [F.lit(i).cast("long").alias("walk_id") for i in range(walks_per_node)]
+    frontier = nodes.select(
+        "origin", F.explode(F.array(*wids)).alias("walk_id")
+    ).select("origin", "walk_id", F.col("origin").alias("cur"),
+             F.col("origin").alias("path"))
+    for s in range(1, steps + 1):
+        cand = frontier.join(sym, frontier["cur"] == sym["src"])
+        h = F.md5(
+            F.concat_ws(
+                "#", "origin", F.col("walk_id").cast("string"),
+                F.lit(str(s)), "cur", "dst",
+            )
+        )
+        nxt = cand.groupBy("origin", "walk_id").agg(
+            F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("top"),
+            F.min("path").alias("path"),
+        )
+        frontier = nxt.select(
+            "origin", "walk_id", F.col("top.d").alias("cur"),
+            F.concat_ws(">", "path", "top.d").alias("path"),
+        )
+
+    def part(j):
+        return F.split(F.col("origin"), r"\|")[j]
+
+    return frontier.select(
+        part(0).alias("ent"), part(1).alias("etype"), "walk_id", "path",
+        F.lit(steps).cast("long").alias("n_steps"),
+    )

@@ -247,3 +247,54 @@ def triple_snapshot_diff(triples: DataFrame) -> DataFrame:
         .otherwise("added")
     )
     return agg.withColumn("status", status)
+
+
+def fact_intervals(triples_with_ts: DataFrame, gap_days: int = 7) -> DataFrame:
+    """SCD2-style validity intervals per canonical fact: collapse the
+    distinct observation DAYS of each (subj, subj_type, pred_norm, obj,
+    obj_type) into maximal runs where consecutive sightings are at most
+    ``gap_days`` apart — the versioned-edge table a temporal KG serves
+    ("this fact held from day A to day B, disappeared, came back").
+    ``triples_temporal`` gives one first/last envelope per fact; this is
+    the gaps-and-islands refinement that exposes retractions between
+    recrawls.
+
+    Scale shape: one map-side-combining distinct-day aggregate (keyed by
+    the fact — page-spread, no hot reducer beyond fact frequency), then
+    TWO window passes partitioned by the fact ordered by day (lag to mark
+    run starts, running sum to number islands), then one aggregate per
+    (fact, island). Every window partition is one fact's distinct-day
+    list — bounded by the crawl cadence (<= days in the crawl window),
+    never corpus-sized. No join.
+    """
+    from pyspark.sql import Window
+
+    key = ["subj", "subj_type", "pred_norm", "obj", "obj_type"]
+    days = (
+        triples_with_ts.select(
+            *key, F.expr("obs_ts div 86400").cast("long").alias("day")
+        )
+        .groupBy(*key, "day")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    wo = Window.partitionBy(*key).orderBy("day")
+    marked = days.withColumn(
+        "new_run",
+        F.when(
+            F.lag("day").over(wo).isNull()
+            | ((F.col("day") - F.lag("day").over(wo)) > gap_days),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    run = marked.withColumn(
+        "interval_idx",
+        F.sum("new_run").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return run.groupBy(*key, "interval_idx").agg(
+        F.min("day").cast("long").alias("valid_from_day"),
+        F.max("day").cast("long").alias("valid_to_day"),
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+    )
