@@ -1046,6 +1046,60 @@ def q_txt_importance(spark, sf_dir):
     return textstats.importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pairs from the deterministic walk
+    corpus (er.walk_skipgram_pairs): forward ±2-hop window inside the
+    path array, corpus-aggregated — the word2vec-input table DeepWalk
+    embedding training consumes."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    walks = er.deterministic_walks(
+        er.cooccurrence_edges(typed), walks_per_node=2, steps=3
+    )
+    return er.walk_skipgram_pairs(walks, window=2)
+
+
+def q_kg_degree_dist(spark, sf_dir):
+    """Log2-bucketed degree distribution per entity type
+    (er.degree_distribution): exact bit-length buckets (no libm log),
+    the power-law health dashboard of the entity graph."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.degree_distribution(er.cooccurrence_edges(typed))
+
+
+def q_kg_fact_churn(spark, sf_dir):
+    """Per-predicate churn rollup over the SCD2 fact intervals
+    (triples.fact_churn): distinct facts, validity intervals, retracted
+    facts (>= 2 intervals), single-day flashes, covered days — the
+    KG-freshness dashboard."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    doc = F.col("url").cast("long")
+    ts = (
+        F.lit(1704067200)
+        + F.pmod(doc, F.lit(97)) * F.lit(86400)
+        + F.pmod(doc, F.lit(24)) * F.lit(3600)
+    )
+    iv = T.fact_intervals(stages["triples"].withColumn("obs_ts", ts), gap_days=7)
+    return T.fact_churn(iv)
+
+
+def q_txt_crawl_frontier(spark, sf_dir):
+    """Politeness-bounded crawl-frontier selection (webtext.crawl_frontier):
+    top-3 URLs per host by deterministic md5 priority over the deduped
+    normalized-URL table — the per-host budget allocation a crawl
+    scheduler runs each cycle."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.crawl_frontier(webtext.parse_urls(_synth_urls(d)), k=3)
+
+
 def q_txt_unigram_stats(spark, sf_dir):
     """Corpus-relative unigram rarity statistics (textstats.unigram_stats):
     integer sufficient statistics for LM-free quality filtering."""
@@ -1921,6 +1975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_walks": q_kg_walks,
         "kg_fact_intervals": q_kg_fact_intervals,
+        "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_degree_dist": q_kg_degree_dist,
+        "kg_fact_churn": q_kg_fact_churn,
+        "txt_crawl_frontier": q_txt_crawl_frontier,
         "txt_lm_score": q_txt_lm_score,
         "txt_importance": q_txt_importance,
         "kg_bio_tags": q_kg_bio_tags,
@@ -2058,6 +2116,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": O.kg_communities(),
         "kg_walks": O.kg_walks(),
         "kg_fact_intervals": O.kg_fact_intervals(),
+        "kg_walk_pairs": O.kg_walk_pairs(),
+        "kg_degree_dist": O.kg_degree_dist(),
+        "kg_fact_churn": O.kg_fact_churn(),
+        "txt_crawl_frontier": O.txt_crawl_frontier(),
         "txt_lm_score": O.txt_lm_score(),
         "txt_importance": O.txt_importance(),
         "kg_bio_tags": O.kg_bio_tags(),

@@ -44,10 +44,13 @@ BENCH_QUERIES = [
     "kg_kcore",
     "kg_communities",
     "kg_walks",
+    "kg_walk_pairs",
+    "kg_degree_dist",
     "kg_bio_tags",
     "kg_triples",
     "kg_triples_temporal",
     "kg_fact_intervals",
+    "kg_fact_churn",
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
@@ -131,6 +134,7 @@ BENCH_QUERIES = [
     "kg_entity_salience",
     "kg_doc_yield",
     "txt_url_parse",
+    "txt_crawl_frontier",
     "txt_domain_stats",
     "txt_line_filter",
     "txt_html_strip",

@@ -915,6 +915,40 @@ def main() -> None:
                    "InMemoryTableScan" in p81))
     checks.append(("importance: no window", "Window" not in p81))
 
+    # 82. walk pairs: pair extraction is expression-side inside the path
+    # array — ONE aggregate after the walk chain, no positional self-join
+    p82 = plan_of(entry.q_kg_walk_pairs(spark, SF))
+    sections.append(("Skip-gram walk pairs (kg_walk_pairs)", p82))
+    checks.append(("walk pairs: no window (argmin hops + expression pairs)",
+                   "Window" not in p82))
+
+    # 83. degree distribution: two cascaded aggregates on top of the
+    # co-occurrence chain (whose sentence-local pairing join is expected)
+    # — the operator itself adds no window and partial-aggregates
+    p83 = plan_of(entry.q_kg_degree_dist(spark, SF))
+    sections.append(("Degree distribution (kg_degree_dist)", p83))
+    checks.append(("degree dist: no window",
+                   "Window" not in p83))
+    checks.append(("degree dist: map-side partial aggregation",
+                   "partial" in p83.lower()))
+
+    # 84. fact churn: the interval chain's fact-partitioned windows plus
+    # two cascaded aggregates — no join anywhere
+    p84 = plan_of(entry.q_kg_fact_churn(spark, SF))
+    sections.append(("Fact churn rollup (kg_fact_churn)", p84))
+    checks.append(("fact churn: no join",
+                   "Join" not in p84))
+    checks.append(("fact churn: windows only on the fact key",
+                   "windowspecdefinition(subj" in p84))
+
+    # 85. crawl frontier: one dedup aggregate + ONE host-partitioned
+    # window (rank + host total ride the same partition)
+    p85 = plan_of(entry.q_txt_crawl_frontier(spark, SF))
+    sections.append(("Crawl frontier (txt_crawl_frontier)", p85))
+    checks.append(("frontier: window partitioned by host",
+                   "windowspecdefinition(host" in p85))
+    checks.append(("frontier: no join", "Join" not in p85))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

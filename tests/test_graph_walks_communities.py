@@ -175,3 +175,93 @@ def test_importance_weights_exact(spark):
     assert got[1] == ("en", 2, (666666 + 1000000) // 2, 1)
     assert got[2] == ("en", 2, (666666 + 500000) // 2, 1)
     assert got[3] == ("fr", 3, (666666 + 500000 + 0) // 3, 0)
+
+
+def test_walk_skipgram_pairs_exact(spark):
+    # path a>b>c>d (plus walk diversity): replicate pair extraction on a
+    # hand-built walks frame — offsets 1 and 2, forward direction only.
+    walks = spark.createDataFrame(
+        [("a", "T", 0, "a|T>b|T>c|T>d|T", 3),
+         ("a", "T", 1, "a|T>b|T>a|T>b|T", 3)],
+        "ent string, etype string, walk_id long, path string, n_steps long",
+    )
+    got = {
+        (r.src_ent, r.dst_ent, r.dist): r.n_pairs
+        for r in er.walk_skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == {
+        # walk 1: a>b>c>d
+        ("a", "b", 1): 1 + 2,  # also twice in walk 2
+        ("b", "c", 1): 1,
+        ("c", "d", 1): 1,
+        ("a", "c", 2): 1,
+        ("b", "d", 2): 1,
+        # walk 2: a>b>a>b extras
+        ("b", "a", 1): 1,
+        ("a", "a", 2): 1,
+        ("b", "b", 2): 1,
+    }
+
+
+def test_degree_distribution_buckets(spark):
+    # star: h has degree 5 (bucket 2, [4,7]); leaves degree 1 (bucket 0)
+    pairs = [("h", f"l{i}") for i in range(5)]
+    got = {
+        (r.bucket): (r.deg_lo, r.deg_hi, r.n_entities)
+        for r in er.degree_distribution(_edges(spark, pairs)).collect()
+    }
+    assert got == {2: (4, 7, 1), 0: (1, 1, 5)}
+
+
+def test_fact_churn_rollup(spark):
+    from unsupervised_ner_spark.pipeline.triples import fact_churn
+
+    rows = [
+        # fact 1 under p: two intervals (retracted), 5 days covered
+        ("s", "A", "p", "o", "B", 1, 0, 2, 3, 4),
+        ("s", "A", "p", "o", "B", 2, 20, 21, 2, 2),
+        # fact 2 under p: single one-day flash
+        ("s2", "A", "p", "o2", "B", 1, 5, 5, 1, 1),
+        # fact 3 under q: single multi-day interval
+        ("s3", "A", "q", "o3", "B", 1, 7, 9, 3, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, subj_type string, pred_norm string, obj string, "
+        "obj_type string, interval_idx long, valid_from_day long, "
+        "valid_to_day long, n_days long, n_obs long",
+    )
+    got = {
+        r.pred_norm: (r.n_facts, r.n_intervals, r.n_retracted, r.n_flash,
+                      r.covered_days, r.n_obs)
+        for r in fact_churn(df).collect()
+    }
+    assert got == {"p": (2, 3, 1, 1, 6, 7), "q": (1, 1, 0, 0, 3, 3)}
+
+
+def test_crawl_frontier_budget(spark):
+    import hashlib
+
+    from unsupervised_ner_spark.ops.webtext import crawl_frontier
+
+    rows = [
+        # host h1: 4 distinct urls (one duplicated -> min doc_id kept)
+        (1, "h1", "http://h1/a"), (2, "h1", "http://h1/a"),
+        (3, "h1", "http://h1/b"), (4, "h1", "http://h1/c"),
+        (5, "h1", "http://h1/d"),
+        # host h2: 1 url
+        (6, "h2", "http://h2/x"),
+    ]
+    parsed = spark.createDataFrame(rows, "doc_id long, host string, url_norm string")
+    got = crawl_frontier(parsed, k=3).collect()
+    h1 = sorted((r.rank, r.url_norm, r.doc_id) for r in got if r.host == "h1")
+    # expected order: md5 priority ascending over the 4 distinct urls
+    urls = ["http://h1/a", "http://h1/b", "http://h1/c", "http://h1/d"]
+    exp = sorted(urls, key=lambda u: hashlib.md5(u.encode()).hexdigest())[:3]
+    assert [u for _, u, _ in h1] == exp
+    assert all(r.n_host_urls == 4 for r in got if r.host == "h1")
+    # the duplicated url kept doc_id 1 if it survived the cut
+    for _, u, d in h1:
+        if u == "http://h1/a":
+            assert d == 1
+    assert [(r.rank, r.n_host_urls) for r in got if r.host == "h2"] == [(1, 1)]

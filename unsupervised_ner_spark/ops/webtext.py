@@ -479,3 +479,36 @@ def canonical_dedup_groups(canon: DataFrame) -> DataFrame:
         F.min("url_norm").alias("representative"),
         F.sum(F.col("is_self").cast("long")).cast("long").alias("n_self"),
     )
+
+
+def crawl_frontier(parsed: DataFrame, k: int = 3) -> DataFrame:
+    """Politeness-bounded crawl-frontier selection: from the parsed URL
+    table, pick at most ``k`` URLs per host by a deterministic md5
+    priority — the per-host budget allocation a crawler's scheduler runs
+    every cycle (hash priority = an unbiased, reproducible sample of each
+    host's frontier; a real scheduler swaps in its score column, the plan
+    shape is identical). Duplicate ``url_norm`` rows (same page, different
+    tracking params) collapse first to their min doc_id, so the budget
+    is spent on distinct pages.
+
+    Scale shape: one (host, url_norm)-keyed dedup aggregate, then ONE
+    window partitioned by host — partition size is a host's distinct-URL
+    count (crawl frontiers are host-bounded by construction; a megahost
+    is one partition, the same exposure the per-host politeness queue has
+    anyway), never corpus-wide. The host-total count rides the same
+    window (no second aggregate + join)."""
+    from pyspark.sql import Window
+
+    dedup = (
+        parsed.groupBy("host", "url_norm")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .withColumn("priority", F.md5(F.col("url_norm")))
+    )
+    w = Window.partitionBy("host")
+    wo = w.orderBy(F.asc("priority"), F.asc("url_norm"))
+    ranked = dedup.select(
+        "host", "url_norm", "doc_id", "priority",
+        F.row_number().over(wo).cast("long").alias("rank"),
+        F.count("*").over(w).cast("long").alias("n_host_urls"),
+    )
+    return ranked.filter(F.col("rank") <= k)

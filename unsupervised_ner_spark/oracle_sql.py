@@ -4734,3 +4734,108 @@ GROUP BY d.doc_id, d.lang
 """,
         "dt",
     )
+
+
+def kg_walk_pairs(model: str = "a100", window: int = 2) -> str:
+    """Skip-gram walk-pair twin (pipeline/er.py walk_skipgram_pairs):
+    paths from the walk chain split on '>', forward pairs for every hop
+    offset 1..window via generate_series, one aggregate, node keys split
+    back into (ent, type)."""
+    offs = []
+    for off in range(1, window + 1):
+        offs.append(
+            f"""SELECT a[g.i] AS src, a[g.i + {off}] AS dst,
+       CAST({off} AS BIGINT) AS dist
+FROM pa, UNNEST(generate_series(1, greatest(len(a) - {off}, 0))) AS g(i)"""
+        )
+    union = "\nUNION ALL\n".join(offs)
+    return _materialize(
+        f"""
+WITH wk AS ({kg_walks(model)})
+, pa AS (SELECT string_split(path, '>') AS a FROM wk),
+pp AS (
+{union}
+),
+agg AS (
+    SELECT src, dst, dist, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pp GROUP BY src, dst, dist
+)
+SELECT string_split(src, '|')[1] AS src_ent, string_split(src, '|')[2] AS src_type,
+       string_split(dst, '|')[1] AS dst_ent, string_split(dst, '|')[2] AS dst_type,
+       dist, n_pairs
+FROM agg
+""",
+        "pa",
+    )
+
+
+def kg_degree_dist(model: str = "a100") -> str:
+    """Degree-distribution twin (pipeline/er.py degree_distribution):
+    bucket = bit length of the degree minus one (length(bin(deg)) - 1 —
+    exact floor(log2), no libm), integer 2^bucket bounds via shifts."""
+    return f"""
+WITH dg AS ({kg_entity_degree(model)})
+, bk AS (
+    SELECT etype,
+           CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket
+    FROM dg
+)
+SELECT etype, bucket,
+       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS deg_lo,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS deg_hi,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM bk GROUP BY etype, bucket
+"""
+
+
+def kg_fact_churn(model: str = "a100") -> str:
+    """Fact-churn twin (pipeline/triples.py fact_churn): two cascaded
+    aggregates over the SCD2 interval chain — intervals to facts, facts
+    to the predicate vocabulary."""
+    return _materialize(
+        f"""
+WITH iv AS ({kg_fact_intervals(model)})
+, per_fact AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(valid_to_day - valid_from_day + 1) AS BIGINT) AS covered_days,
+           CAST(sum(n_obs) AS BIGINT) AS n_obs
+    FROM iv GROUP BY subj, subj_type, pred_norm, obj, obj_type
+)
+SELECT pred_norm,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(sum(CASE WHEN n_intervals >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retracted,
+       CAST(sum(CASE WHEN n_intervals = 1 AND covered_days = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flash,
+       CAST(sum(covered_days) AS BIGINT) AS covered_days,
+       CAST(sum(n_obs) AS BIGINT) AS n_obs
+FROM per_fact GROUP BY pred_norm
+""",
+        "per_fact",
+    )
+
+
+def txt_crawl_frontier(k: int = 3) -> str:
+    """Crawl-frontier twin (ops/webtext.py crawl_frontier): (host,
+    url_norm) dedup to min doc_id, md5(url_norm) priority, per-host
+    (priority, url_norm) row_number <= k with the host total riding the
+    same window partition."""
+    return f"""
+WITH {_url_parse_ctes()}
+, dedup AS (
+    SELECT host, url_norm, CAST(min(doc_id) AS BIGINT) AS doc_id,
+           md5(url_norm) AS priority
+    FROM parsed GROUP BY host, url_norm
+),
+ranked AS (
+    SELECT host, url_norm, doc_id, priority,
+           CAST(row_number() OVER (PARTITION BY host
+                                   ORDER BY priority ASC, url_norm ASC)
+                AS BIGINT) AS rank,
+           CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_urls
+    FROM dedup
+)
+SELECT * FROM ranked WHERE rank <= {k}
+"""

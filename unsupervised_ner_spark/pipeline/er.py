@@ -1543,3 +1543,85 @@ def deterministic_walks(
         part(0).alias("ent"), part(1).alias("etype"), "walk_id", "path",
         F.lit(steps).cast("long").alias("n_steps"),
     )
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus — the
+    actual word2vec-input table KG-embedding training consumes (DeepWalk
+    = random walks + skip-gram; ``deterministic_walks`` generates the
+    sentences, this extracts the (center, context) pairs). For every walk
+    path, every ordered node pair within a forward window of ``window``
+    hops is emitted with its hop distance, then aggregated to corpus
+    counts (symmetric context is the downstream trainer's choice — the
+    forward direction loses nothing since walks traverse both edge
+    directions; the word_pmi_stats convention).
+
+    Scale shape: pair candidates are generated EXPRESSION-SIDE inside the
+    path array (per-row sequence transform — no positional self-join);
+    one map-side-combining aggregate bounded by the observed (node pair,
+    distance) vocabulary. No join, no window function."""
+    arr = F.split(F.col("path"), ">")
+    w = walks.select(arr.alias("arr"))
+    n = F.size("arr")
+    empty = F.array().cast("array<struct<src:string,dst:string,dist:int>>")
+    branches = []
+
+    # NB: single-argument lambda only (the word_pmi_stats (element, index)
+    # trap — a defaulted second parameter silently binds the array index)
+    def pair_at(o):
+        return lambda i: F.struct(
+            F.element_at(F.col("arr"), i).alias("src"),
+            F.element_at(F.col("arr"), i + o).alias("dst"),
+            F.lit(o).cast("int").alias("dist"),
+        )
+
+    for off in range(1, window + 1):
+        pa = F.transform(F.sequence(F.lit(1), n - off), pair_at(off))
+        branches.append(F.when(n > off, pa).otherwise(empty))
+    pairs = w.select(F.explode(F.concat(*branches)).alias("p"))
+
+    def part(col, j):
+        return F.split(F.col(col), r"\|")[j]
+
+    return (
+        pairs.select(
+            F.col("p.src").alias("src"), F.col("p.dst").alias("dst"),
+            F.col("p.dist").cast("long").alias("dist"),
+        )
+        .groupBy("src", "dst", "dist")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            part("src", 0).alias("src_ent"), part("src", 1).alias("src_type"),
+            part("dst", 0).alias("dst_ent"), part("dst", 1).alias("dst_type"),
+            "dist", "n_pairs",
+        )
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the entity co-occurrence
+    graph, per entity type — the one-glance power-law health dashboard
+    (is the graph scale-free or did a pipeline bug weld a clique?).
+    ``bucket = floor(log2(degree))`` computed EXACTLY as the bit length
+    of the binary representation minus one (``length(conv(deg, 10, 2)) -
+    1``; no libm log on either engine — the icbrt_ceil precedent), with
+    the [2^bucket, 2^(bucket+1)) bounds materialized as integers.
+
+    Scale shape: entity_degree's one aggregate, then a second map-side-
+    combining aggregate bounded by (n_types x 64) output rows. No join,
+    no window."""
+    deg = entity_degree(edges)
+    bucket = (F.length(F.conv(F.col("degree"), 10, 2)) - 1).cast("long")
+    return (
+        deg.select("etype", bucket.alias("bucket"))
+        .groupBy("etype", "bucket")
+        .agg(F.count("*").cast("long").alias("n_entities"))
+        .select(
+            "etype", "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .cast("long").alias("deg_lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1")
+            .cast("long").alias("deg_hi"),
+            "n_entities",
+        )
+    )

@@ -298,3 +298,38 @@ def fact_intervals(triples_with_ts: DataFrame, gap_days: int = 7) -> DataFrame:
         F.count("*").cast("long").alias("n_days"),
         F.sum("n_obs").cast("long").alias("n_obs"),
     )
+
+
+def fact_churn(intervals: DataFrame) -> DataFrame:
+    """Per-predicate churn rollup over the SCD2 fact-interval table — the
+    KG-freshness dashboard (which relations are stable facts vs volatile
+    claims that appear, vanish between recrawls, and return). Input is
+    ``fact_intervals``; output per ``pred_norm``: distinct facts, total
+    validity intervals, retracted facts (>= 2 intervals — the fact
+    disappeared at least once), single-day flashes (one interval of one
+    day), and total covered days.
+
+    Scale shape: two cascaded map-side-combining aggregates — intervals
+    collapse to the fact (keys are fact-spread), facts collapse to the
+    predicate vocabulary (bounded). No join, no window."""
+    per_fact = intervals.groupBy(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(
+            F.col("valid_to_day") - F.col("valid_from_day") + F.lit(1)
+        ).cast("long").alias("covered_days"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+    )
+    retracted = (F.col("n_intervals") >= 2).cast("long")
+    flash = (
+        (F.col("n_intervals") == 1) & (F.col("covered_days") == 1)
+    ).cast("long")
+    return per_fact.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum(retracted).cast("long").alias("n_retracted"),
+        F.sum(flash).cast("long").alias("n_flash"),
+        F.sum("covered_days").cast("long").alias("covered_days"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+    )
