@@ -1100,6 +1100,68 @@ def q_txt_crawl_frontier(spark, sf_dir):
     return webtext.crawl_frontier(webtext.parse_urls(_synth_urls(d)), k=3)
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """Link-prediction scores (er.link_prediction): adjacency Jaccard +
+    resource-allocation index over capped common-neighbor wedges, both as
+    exact scaled integers; linked=0 rows are the KG-completion
+    candidates."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.link_prediction(er.cooccurrence_edges(typed))
+
+
+def q_kg_ktruss(spark, sf_dir):
+    """k-truss edge peel (er.ktruss, k=3, 2 fixed rounds): every
+    surviving edge sits in >= 1 triangle of the surviving subgraph — the
+    cohesion refinement of k-core; oracle replays the rounds with the lex
+    triangle orientation (identical triangle set)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.ktruss(er.cooccurrence_edges(typed), k=3, rounds=2)
+
+
+def q_rel_pivot(spark, sf_dir):
+    """Pivot with an EXPLICIT value list (no distinct-collect at scale):
+    per-linestatus quantity totals pivoted across the three return flags;
+    quantities cast to long before summing (exact integers in TPC-H, so
+    both engines agree bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(qty))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").cast("long").alias("qty_a"),
+        F.col("N").cast("long").alias("qty_n"),
+        F.col("R").cast("long").alias("qty_r"),
+    )
+
+
+def q_rel_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with grouping_id — the full
+    2-D subtotal lattice in ONE pass (no union of aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(qty).cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid", "n_rows", "sum_qty",
+        )
+    )
+
+
 def q_txt_unigram_stats(spark, sf_dir):
     """Corpus-relative unigram rarity statistics (textstats.unigram_stats):
     integer sufficient statistics for LM-free quality filtering."""
@@ -1978,6 +2040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_degree_dist": q_kg_degree_dist,
         "kg_fact_churn": q_kg_fact_churn,
+        "kg_link_predict": q_kg_link_predict,
+        "kg_ktruss": q_kg_ktruss,
+        "rel_pivot": q_rel_pivot,
+        "rel_cube": q_rel_cube,
         "txt_crawl_frontier": q_txt_crawl_frontier,
         "txt_lm_score": q_txt_lm_score,
         "txt_importance": q_txt_importance,
@@ -2119,6 +2185,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": O.kg_walk_pairs(),
         "kg_degree_dist": O.kg_degree_dist(),
         "kg_fact_churn": O.kg_fact_churn(),
+        "kg_link_predict": O.kg_link_predict(),
+        "kg_ktruss": O.kg_ktruss(),
+        "rel_pivot": O.rel_pivot(),
+        "rel_cube": O.rel_cube(),
         "txt_crawl_frontier": O.txt_crawl_frontier(),
         "txt_lm_score": O.txt_lm_score(),
         "txt_importance": O.txt_importance(),

@@ -46,11 +46,15 @@ BENCH_QUERIES = [
     "kg_walks",
     "kg_walk_pairs",
     "kg_degree_dist",
+    "kg_link_predict",
+    "kg_ktruss",
     "kg_bio_tags",
     "kg_triples",
     "kg_triples_temporal",
     "kg_fact_intervals",
     "kg_fact_churn",
+    "rel_pivot",
+    "rel_cube",
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",

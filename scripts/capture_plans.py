@@ -949,6 +949,43 @@ def main() -> None:
                    "windowspecdefinition(host" in p85))
     checks.append(("frontier: no join", "Join" not in p85))
 
+    # 86. link prediction: the symmetrized adjacency is persisted once
+    # (wedges x2 + degrees); RA rides the wedge aggregate (no extra join
+    # beyond the common_neighbors shape); no window
+    p86 = plan_of(entry.q_kg_link_predict(spark, SF))
+    sections.append(("Link-prediction scores (kg_link_predict)", p86))
+    checks.append(("link predict: adjacency persisted once",
+                   "InMemoryTableScan" in p86))
+    checks.append(("link predict: no window", "Window" not in p86))
+
+    # 87. k-truss: per-round oriented edge table persisted/checkpointed,
+    # map-side partial support aggregate, no window
+    p87 = plan_of(entry.q_kg_ktruss(spark, SF))
+    sections.append(("k-truss peel (kg_ktruss)", p87))
+    checks.append(("ktruss: no window", "Window" not in p87))
+    # each round localCheckpoints, so the final plan is a narrow
+    # scan+project of the round-2 checkpoint blocks — lineage bounded
+    # (the kcore posture); the per-round join/aggregate shape is the
+    # triangles() plan already captured above
+    checks.append(("ktruss: per-round checkpoint bounds lineage",
+                   "ExistingRDD" in p87 and "Join" not in p87))
+
+    # 88. pivot: explicit value list means ONE aggregate pass — no
+    # distinct-collect job, no join, no expand beyond the pivot itself
+    p88 = plan_of(entry.q_rel_pivot(spark, SF))
+    sections.append(("Pivot with explicit values (rel_pivot)", p88))
+    checks.append(("pivot: single aggregate, no join",
+                   "Join" not in p88 and "Window" not in p88))
+    checks.append(("pivot: map-side partial aggregation",
+                   "partial" in p88.lower()))
+
+    # 89. cube: ONE pass with Expand (the subtotal lattice), no union of
+    # per-grouping aggregates, no join
+    p89 = plan_of(entry.q_rel_cube(spark, SF))
+    sections.append(("CUBE lattice (rel_cube)", p89))
+    checks.append(("cube: Expand lattice in one pass", "Expand" in p89))
+    checks.append(("cube: no join", "Join" not in p89))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -4839,3 +4839,132 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= {k}
 """
+
+
+def kg_link_predict(model: str = "a100", scale: int = 1_000_000) -> str:
+    """Link-prediction twin (pipeline/er.py link_prediction): the
+    common-neighbor chain with the witness degree carried onto the wedge
+    row — RA index = sum(scale // deg(mid)) rides the same aggregate as
+    the count; Jaccard computed from full degrees with the same
+    truncating division."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c FROM sym))"
+    )
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+sym AS (
+    SELECT ka AS mid, kb AS nb FROM ek
+    UNION ALL
+    SELECT kb AS mid, ka AS nb FROM ek
+),
+deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY mid),
+mids AS (
+    SELECT s.mid, d.deg, s.nb FROM sym s JOIN deg d USING (mid)
+    WHERE d.deg <= {cap}
+),
+cn AS (
+    SELECT a.nb AS kx, b.nb AS ky,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(CAST({scale} AS BIGINT) // a.deg) AS BIGINT) AS ra_scaled
+    FROM mids a JOIN mids b ON a.mid = b.mid AND a.nb < b.nb
+    GROUP BY a.nb, b.nb
+)
+SELECT string_split(c.kx, '|')[1] AS ent_x, string_split(c.kx, '|')[2] AS type_x,
+       string_split(c.ky, '|')[1] AS ent_y, string_split(c.ky, '|')[2] AS type_y,
+       c.n_common, dx.deg AS deg_x, dy.deg AS deg_y,
+       CAST(CASE WHEN e.ka IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS linked,
+       CAST((CAST({scale} AS BIGINT) * c.n_common)
+            // (dx.deg + dy.deg - c.n_common) AS BIGINT) AS jaccard_scaled,
+       c.ra_scaled
+FROM cn c
+JOIN deg dx ON dx.mid = c.kx
+JOIN deg dy ON dy.mid = c.ky
+LEFT JOIN ek e ON e.ka = c.kx AND e.kb = c.ky
+""",
+        "ek", "sym", "deg", "mids",
+    )
+
+
+def kg_ktruss(model: str = "a100", k: int = 3, rounds: int = 2) -> str:
+    """k-truss twin (pipeline/er.py ktruss): ``rounds`` unrolled peels,
+    each the LEX-oriented triangle enumeration (identical triangle set to
+    the engine's degree orientation), 3-edge support emission, per-edge
+    count, >= k-2 filter."""
+    steps = []
+    mats = []
+    prev = "ek0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""t{i} AS (
+    SELECT e1.ka AS x, e1.kb AS y, e2.kb AS z
+    FROM {prev} e1
+    JOIN {prev} e2 ON e2.ka = e1.kb
+    JOIN {prev} e3 ON e3.ka = e1.ka AND e3.kb = e2.kb
+),
+se{i} AS (
+    SELECT x AS ka, y AS kb FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+),
+sp{i} AS (
+    SELECT ka, kb, CAST(count(*) AS BIGINT) AS support
+    FROM se{i} GROUP BY ka, kb
+),
+ek{i} AS (
+    SELECT e.ka, e.kb, s.support
+    FROM {prev} e JOIN sp{i} s USING (ka, kb)
+    WHERE s.support >= {k - 2}
+)"""
+        )
+        mats.append(prev)
+        prev = f"ek{i}"
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek0 AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+{chain}
+SELECT string_split(ka, '|')[1] AS ent_a, string_split(ka, '|')[2] AS type_a,
+       string_split(kb, '|')[1] AS ent_b, string_split(kb, '|')[2] AS type_b,
+       support
+FROM {prev}
+""",
+        *mats,
+    )
+
+
+def rel_pivot() -> str:
+    """Pivot twin (q_rel_pivot): conditional aggregation over the explicit
+    return-flag value list; quantities cast to BIGINT BEFORE summing
+    (exact integers in the data, so truncation-vs-round never fires)."""
+    return """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def rel_cube() -> str:
+    """CUBE twin (q_rel_cube): GROUP BY CUBE with GROUPING(a, b) — the
+    same bit order as Spark's grouping_id (first column = MSB)."""
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -1625,3 +1625,141 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
             "n_entities",
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame, max_degree: int | None = None, scale: int = 1_000_000
+) -> DataFrame:
+    """Link-prediction scores over the entity co-occurrence graph — the
+    KG-completion ranking step on top of ``common_neighbors``: per
+    candidate pair the adjacency-Jaccard ``scale * |Γx ∩ Γy| div
+    (deg_x + deg_y - |Γx ∩ Γy|)`` and the resource-allocation index
+    ``Σ_z scale div deg(z)`` over shared witnesses z (Zhou et al. 2009 —
+    RA discounts hub witnesses harder than Adamic-Adar and needs no log,
+    so the score stays exact integer arithmetic in both engines).
+    ``linked`` flags known edges; linked=0 rows ranked by either score
+    are the missing-edge candidates a KG curator reviews.
+
+    Scale shape: identical to common_neighbors (one wedge join at capped
+    middle nodes — the corpus-adaptive icbrt cap — over the persisted
+    symmetrized adjacency); the RA sum rides the SAME wedge aggregate as
+    the count (witness degree is carried on the wedge row, no extra
+    join). Degree/linked attachment joins are pair-table-sized."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("mid"),
+            F.concat_ws("|", "ent_b", "type_b").alias("nb"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("mid"),
+                F.concat_ws("|", "ent_a", "type_a").alias("nb"),
+            )
+        )
+    )
+    if max_degree is None:
+        max_degree = max(16, min(4096, icbrt_ceil(max(sym.count(), 1))))
+    deg = sym.groupBy("mid").agg(F.count("*").cast("long").alias("deg"))
+    mids = sym.join(deg.filter(F.col("deg") <= max_degree), "mid")
+    a = mids.select("mid", "deg", F.col("nb").alias("kx"))
+    b = mids.select("mid", F.col("nb").alias("ky"))
+    cn = (
+        a.join(b, "mid")
+        .filter(F.col("kx") < F.col("ky"))
+        .groupBy("kx", "ky")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.expr(f"CAST({scale} AS BIGINT) div deg"))
+            .cast("long").alias("ra_scaled"),
+        )
+    )
+    dx = deg.select(F.col("mid").alias("kx"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("mid").alias("ky"), F.col("deg").alias("deg_y"))
+    ek = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("kx"),
+        F.concat_ws("|", "ent_b", "type_b").alias("ky"),
+        F.lit(1).cast("long").alias("linked"),
+    )
+    out = (
+        cn.join(dx, "kx")
+        .join(dy, "ky")
+        .join(ek, ["kx", "ky"], "left")
+        .withColumn("linked", F.coalesce("linked", F.lit(0).cast("long")))
+        .withColumn(
+            "jaccard_scaled",
+            F.expr(
+                f"CAST({scale} AS BIGINT) * n_common"
+                " div (deg_x + deg_y - n_common)"
+            ).cast("long"),
+        )
+    )
+
+    def part(k, j):
+        return F.split(F.col(k), r"\|")[j]
+
+    return out.select(
+        part("kx", 0).alias("ent_x"), part("kx", 1).alias("type_x"),
+        part("ky", 0).alias("ent_y"), part("ky", 1).alias("type_y"),
+        "n_common", "deg_x", "deg_y", "linked", "jaccard_scaled", "ra_scaled",
+    )
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2) -> DataFrame:
+    """k-truss edge peel — the cohesion refinement of k-core (every
+    surviving EDGE sits in >= k-2 triangles of the surviving subgraph;
+    trusses are the tightly-knit KG cores where co-occurrence is
+    corroborated, not incidental). ``rounds`` fixed synchronous peels —
+    the hash-gateable prefix, the kcore precedent; each round enumerates
+    triangles on the current edge set, counts per-edge support, and drops
+    under-supported edges. Output is the surviving canonical edge table
+    with the support that admitted it in the final round.
+
+    Scale shape: each round is the degree-ordered node-iterator triangle
+    join (the Schank-Wagner orientation triangles() uses — hub wedge sets
+    bounded by low-degree endpoints' out-degrees), one map-side-combining
+    per-edge support aggregate (each triangle emits its 3 canonical
+    edges), and one pair-keyed semi-join-shaped filter. Each round
+    localCheckpoints so lineage stays bounded. The triangle SET is
+    orientation-independent, so the DuckDB oracle replays the rounds with
+    the lex orientation and the support counts agree exactly."""
+    ek = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("ka"),
+        F.concat_ws("|", "ent_b", "type_b").alias("kb"),
+    ).localCheckpoint()
+    sup = None
+    for _ in range(rounds):
+        shaped = ek.select(
+            F.split("ka", r"\|")[0].alias("ent_a"),
+            F.split("ka", r"\|")[1].alias("type_a"),
+            F.split("kb", r"\|")[0].alias("ent_b"),
+            F.split("kb", r"\|")[1].alias("type_b"),
+        )
+        tri = triangles(shaped, orient="degree").select(
+            F.concat_ws("|", "ent_a", "type_a").alias("t1"),
+            F.concat_ws("|", "ent_b", "type_b").alias("t2"),
+            F.concat_ws("|", "ent_c", "type_c").alias("t3"),
+        )
+        tedges = (
+            tri.select(F.col("t1").alias("ka"), F.col("t2").alias("kb"))
+            .unionAll(tri.select(F.col("t2").alias("ka"), F.col("t3").alias("kb")))
+            .unionAll(tri.select(F.col("t1").alias("ka"), F.col("t3").alias("kb")))
+        )
+        sup = tedges.groupBy("ka", "kb").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        ek = (
+            ek.select("ka", "kb")
+            .join(sup, ["ka", "kb"])
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+
+    def part(c, j):
+        return F.split(F.col(c), r"\|")[j]
+
+    return ek.select(
+        part("ka", 0).alias("ent_a"), part("ka", 1).alias("type_a"),
+        part("kb", 0).alias("ent_b"), part("kb", 1).alias("type_b"),
+        "support",
+    )
