@@ -1457,6 +1457,55 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     return simsearch.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_mm_ahash(spark, sf_dir):
+    """Perceptual average-hash signatures (multimodal.average_hash): the
+    image near-dup signature with the decode stage stubbed to evenly
+    spaced byte sampling — real mapInPandas kernel shape, oracle replays
+    the hex projection byte-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = multimodal.average_hash(multimodal.synth_media(docs))
+    return _long(out, "n_bytes", "n_ones")
+
+
+def q_mm_ahash_groups(spark, sf_dir):
+    """Perceptual near-dup groups: identical aHash signatures collapse to
+    one group (size + min-doc representative) — the media-level twin of
+    dedup_exact, ONE aggregate over the signature table. The word-salad
+    corpus has no byte-identical payloads (0 groups measured), so a
+    deterministic duplicate splice (every 25th doc re-enters at doc_id +
+    1000000; Hearst TEXT-splice precedent) exercises the >= 2 branch —
+    replayed identically by the oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionAll(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
+    ah = multimodal.average_hash(multimodal.synth_media(docs))
+    return (
+        ah.groupBy("ahash_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc"),
+            F.min("n_ones").cast("long").alias("n_ones"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank seeded on the DISEASE type
+    (er.personalized_pagerank): topic-sensitive integer power iteration —
+    importance relative to the disease cluster; oracle unrolls the same
+    long arithmetic."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.personalized_pagerank(
+        er.cooccurrence_edges(typed), seed_type="DISEASE"
+    )
+
+
 def q_mm_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     meta = multimodal.media_metadata(multimodal.synth_media(docs))
@@ -2143,6 +2192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": q_ann_pq_codes,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "mm_media_meta": q_mm_media_meta,
+        "mm_ahash": q_mm_ahash,
+        "mm_ahash_groups": q_mm_ahash_groups,
+        "kg_ppr": q_kg_ppr,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2298,6 +2350,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_codes": O.ann_pq_codes(),
         "ann_ivfpq_topk": O.ann_ivfpq_topk(),
         "mm_media_meta": O.mm_media_meta(),
+        "mm_ahash": O.mm_ahash(),
+        "mm_ahash_groups": O.mm_ahash_groups(),
+        "kg_ppr": O.kg_ppr(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "kg_cooccurrence_npmi",
     "kg_entity_degree",
     "kg_pagerank",
+    "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",
     "kg_kcore",
@@ -162,6 +163,8 @@ BENCH_QUERIES = [
     "ann_srp_lsh",
     "dedup_embedding_cosine",
     "mm_media_meta",
+    "mm_ahash",
+    "mm_ahash_groups",
     "mm_frames",
     "mm_thumbnail",
     "rel_agg_scan",

@@ -986,6 +986,19 @@ def main() -> None:
     checks.append(("cube: Expand lattice in one pass", "Expand" in p89))
     checks.append(("cube: no join", "Join" not in p89))
 
+    # 90. aHash: ONE Arrow-batched Python stage, narrow map-only
+    p90 = plan_of(entry.q_mm_ahash(spark, SF))
+    sections.append(("Perceptual average-hash (mm_ahash)", p90))
+    checks.append(("ahash: vectorized Python stage, no exchange",
+                   "MapInPandas" in p90 and "Exchange" not in p90))
+
+    # 91. PPR: adjacency persisted once across the unrolled power steps
+    p91 = plan_of(entry.q_kg_ppr(spark, SF))
+    sections.append(("Personalized PageRank (kg_ppr)", p91))
+    checks.append(("ppr: adjacency persisted once",
+                   "InMemoryTableScan" in p91))
+    checks.append(("ppr: no window", "Window" not in p91))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -317,3 +317,51 @@ def test_ktruss_second_round_peels_cascade(spark):
     pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c")]
     got = er.ktruss(_edges(spark, pairs), k=4, rounds=2).collect()
     assert got == []
+
+
+def _ppr_py(pairs, seed_nodes, iterations=3, scale=10**9):
+    adj: dict[str, list[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {k: len(v) for k, v in adj.items()}
+    r = {k: (scale if k in seed_nodes else 0) for k in adj}
+    tele = 15 * scale // 100
+    for _ in range(iterations):
+        inc = {k: 0 for k in adj}
+        for src, nbs in adj.items():
+            c = r[src] // deg[src]
+            for d in nbs:
+                inc[d] += c
+        r = {
+            k: (tele if k in seed_nodes else 0) + (85 * inc[k]) // 100
+            for k in adj
+        }
+    return r
+
+
+def test_personalized_pagerank_integer_recurrence(spark):
+    # seeds = the S-typed nodes; mass reaches non-seeds only via edges
+    rows = [
+        ("s1", "S", "x", "T", 1, 1),
+        ("s2", "S", "x", "T", 1, 1),
+        ("x", "T", "y", "T", 1, 1),
+        ("p", "T", "q", "T", 1, 1),  # detached, no seed: stays at 0
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "ent_a string, type_a string, ent_b string, type_b string, "
+        "n_sents long, n_docs long",
+    )
+    exp = _ppr_py(
+        [("s1|S", "x|T"), ("s2|S", "x|T"), ("x|T", "y|T"), ("p|T", "q|T")],
+        {"s1|S", "s2|S"},
+    )
+    got = {
+        f"{r.ent}|{r.etype}": (r.rank_scaled, r.seed)
+        for r in er.personalized_pagerank(edges, seed_type="S").collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == exp
+    assert got["s1|S"][1] == 1 and got["x|T"][1] == 0
+    assert got["p|T"][0] == 0 and got["q|T"][0] == 0
+    assert got["x|T"][0] > got["y|T"][0] > 0

@@ -681,3 +681,23 @@ def test_lang_mix_flags_code_switching(spark):
     assert out[3].best_lang == "und" and not out[3].mixed
     # de 6 hits vs en 1 hit: 2*1 < 6 -> dominant, not mixed
     assert out[4].best_lang == "de" and not out[4].mixed
+
+
+def test_average_hash_kernel(spark):
+    # exact replication of the byte-sampling aHash on hand-built payloads,
+    # including a multibyte (UTF-8) text and a short one (indexes repeat)
+    rows = [(1, "abcdefgh" * 16), (2, "héllo"), (3, "aaaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bytes, r.ahash_bits, r.n_ones)
+        for r in multimodal.average_hash(multimodal.synth_media(df)).collect()
+    }
+    for doc_id, text in rows:
+        b = text.encode()
+        n = len(b)
+        pix = [b[(j * n) // 64] for j in range(64)]
+        mean = sum(pix) // 64
+        bits = "".join("1" if p >= mean else "0" for p in pix)
+        assert got[doc_id] == (n, bits, bits.count("1")), doc_id
+    # constant payload: every pixel >= mean -> all ones
+    assert got[3][1] == "1" * 64

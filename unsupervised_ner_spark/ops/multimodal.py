@@ -167,3 +167,48 @@ def media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, MEDIA_META)
+
+
+AHASH = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("ahash_bits", T.StringType()),
+        T.StructField("n_ones", T.IntegerType()),
+    ]
+)
+
+
+def average_hash(media: DataFrame, n_px: int = 64) -> DataFrame:
+    """Perceptual average-hash (aHash) over the opaque media payload —
+    the near-duplicate signature image dedup pipelines compute per asset
+    (resize to 8x8 grayscale, threshold each pixel at the mean, pack 64
+    bits). The decode+resize step is the stubbed stage (no PIL): the
+    "pixel" grid is the payload's bytes sampled at ``n_px`` evenly spaced
+    offsets (``byte[(j*n) div n_px]``) — deterministic, so the DuckDB
+    oracle replays it from the hex projection while the Spark side runs
+    the REAL kernel shape (iterator-of-batches mapInPandas, raw bytes in,
+    fixed-width signature out; a real decoder swaps into the loop body
+    and nothing else changes). The signature is emitted as the 64-char
+    bit string (no sign games packing bit 63 into a long); equal strings
+    = candidate duplicates, Hamming distance = XOR popcount downstream.
+
+    Scale shape: narrow map-only (one Arrow-batched Python stage), no
+    shuffle; output is one fixed-width row per asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "ahash_bits": [], "n_ones": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                pix = [b[(j * n) // n_px] if n else 0 for j in range(n_px)]
+                mean = sum(pix) // n_px
+                bits = "".join("1" if p >= mean else "0" for p in pix)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["ahash_bits"].append(bits)
+                out["n_ones"].append(bits.count("1"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AHASH)

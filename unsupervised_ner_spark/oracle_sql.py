@@ -4968,3 +4968,123 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def mm_ahash(n_px: int = 64, source: str = "documents") -> str:
+    """Average-hash twin (ops/multimodal.py average_hash): the payload's
+    hex projection sampled at ``byte[(j*n) // n_px]``, integer mean
+    threshold, ordered bit-string aggregation — byte-exact vs the Spark
+    kernel's raw-byte loop. ``source`` lets the groups gate feed a
+    spliced corpus through the same chain."""
+    hv = "(strpos('0123456789ABCDEF', {c}) - 1)"
+    c1 = hv.format(c="substring(phex, ((j * n) // %d) * 2 + 1, 1)" % n_px)
+    c2 = hv.format(c="substring(phex, ((j * n) // %d) * 2 + 2, 1)" % n_px)
+    return _materialize(
+        f"""
+WITH m AS (
+    SELECT doc_id, upper(hex(encode(text))) AS phex,
+           octet_length(encode(text)) AS n
+    FROM {source}
+),
+px AS (
+    SELECT doc_id, n, j,
+           CASE WHEN n = 0 THEN 0 ELSE 16 * {c1} + {c2} END AS p
+    FROM m, UNNEST(generate_series(0, {n_px - 1})) AS u(j)
+),
+mn AS (
+    SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n,
+           sum(p) // {n_px} AS mean
+    FROM px GROUP BY doc_id
+)
+SELECT px.doc_id,
+       CAST(mn.n AS BIGINT) AS n_bytes,
+       string_agg(CASE WHEN px.p >= mn.mean THEN '1' ELSE '0' END, ''
+                  ORDER BY px.j) AS ahash_bits,
+       CAST(sum(CASE WHEN px.p >= mn.mean THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ones
+FROM px JOIN mn USING (doc_id)
+GROUP BY px.doc_id, mn.n
+""",
+        "px",
+    )
+
+
+def kg_ppr(
+    model: str = "a100",
+    seed_type: str = "DISEASE",
+    iterations: int = 3,
+    scale: int = 1_000_000_000,
+) -> str:
+    """Personalized-PageRank twin (pipeline/er.py personalized_pagerank):
+    teleport mass only on the seed-type nodes, same unrolled integer
+    recurrence as kg_pagerank."""
+    tele = 15 * scale // 100
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT d.k, d.deg, d.seed,
+           CAST(d.seed * {tele}
+                + (85 * COALESCE(SUM(r.rank // r.deg), 0)) // 100
+                AS BIGINT) AS rank
+    FROM deg d
+    LEFT JOIN sym s ON s.dst = d.k
+    LEFT JOIN {prev} r ON r.k = s.src
+    GROUP BY d.k, d.deg, d.seed
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+deg AS (
+    SELECT src AS k, CAST(count(*) AS BIGINT) AS deg,
+           CAST(CASE WHEN string_split(src, '|')[2] = '{seed_type}'
+                     THEN 1 ELSE 0 END AS BIGINT) AS seed
+    FROM sym GROUP BY src
+),
+r0 AS (SELECT k, deg, seed, CAST(seed * {scale} AS BIGINT) AS rank FROM deg),
+{chain}
+SELECT string_split(k, '|')[1] AS ent, string_split(k, '|')[2] AS etype,
+       deg, seed, rank AS rank_scaled
+FROM {prev}
+""",
+        "sym", "deg",
+    )
+
+
+def mm_ahash_groups(every: int = 25) -> str:
+    """aHash near-dup group twin: identical 64-bit signatures collapse to
+    one group with size + min representative doc. The word-salad corpus
+    carries no byte-identical payloads (measured 0 groups at sf0.001), so
+    the gate unions a deterministic doc_id-derived duplicate splice
+    (every ``every``-th doc re-enters at doc_id + 1000000 — the Hearst
+    TEXT-splice precedent) replayed identically by both engines; the
+    HAVING >= 2 branch is therefore exercised, and every group must
+    contain exactly the spliced pair unless the corpus itself collides."""
+    return _materialize(
+        f"""
+WITH spliced AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % {every} = 0
+),
+ah AS ({mm_ahash(source="spliced")})
+SELECT ahash_bits,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc,
+       CAST(min(n_ones) AS BIGINT) AS n_ones
+FROM ah GROUP BY ahash_bits
+HAVING count(*) >= 2
+""",
+        "ah",
+    )
