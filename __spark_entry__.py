@@ -1162,6 +1162,42 @@ def q_rel_cube(spark, sf_dir):
     )
 
 
+def q_kg_schema_violations(spark, sf_dir):
+    """Induced domain/range violations (triples.schema_violations): per
+    predicate the dominant (subj_type, obj_type) signature from the
+    triple histogram; distinct triples deviating from it, with support —
+    the ontology-consistency queue."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return T.schema_violations(stages["triples"])
+
+
+def q_txt_kmv_registers(spark, sf_dir):
+    """KMV distinct sketch registers (sketches.kmv_registers): per-lang
+    64 smallest token hashes with the adaptive leading-zero pruning rule
+    PINNED active (prune_at=1 — fixture vocab is tiny; production default
+    4096), the theta-family companion to the HLL registers."""
+    from unsupervised_ner_spark.ops import sketches
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    vals = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(toks).alias("tok")
+    )
+    return sketches.kmv_registers(vals, ["lang"], "tok", k=64, prune_at=1)
+
+
+def q_dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprint index (dedup.winnowing_fingerprints; MOSS
+    algorithm): min-hash-per-window selection with rightmost ties —
+    sparse (~2/(w+1) density) yet guaranteed to catch any shared run of
+    >= w+k-1 tokens; corpus-aggregated with keep-first provenance."""
+    return dedup.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_txt_unigram_stats(spark, sf_dir):
     """Corpus-relative unigram rarity statistics (textstats.unigram_stats):
     integer sufficient statistics for LM-free quality filtering."""
@@ -2195,6 +2231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ahash": q_mm_ahash,
         "mm_ahash_groups": q_mm_ahash_groups,
         "kg_ppr": q_kg_ppr,
+        "dedup_winnowing": q_dedup_winnowing,
+        "kg_schema_violations": q_kg_schema_violations,
+        "txt_kmv_registers": q_txt_kmv_registers,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2353,6 +2392,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_ahash": O.mm_ahash(),
         "mm_ahash_groups": O.mm_ahash_groups(),
         "kg_ppr": O.kg_ppr(),
+        "dedup_winnowing": O.dedup_winnowing(),
+        "kg_schema_violations": O.kg_schema_violations(),
+        "txt_kmv_registers": O.txt_kmv_registers(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "txt_sent_dedup",
     "txt_word_pmi",
     "dedup_shared_ngrams",
+    "dedup_winnowing",
+    "kg_schema_violations",
+    "txt_kmv_registers",
     "kg_tag_transitions",
     "txt_hashing_tf",
     "dedup_lsh_stats",

@@ -218,7 +218,9 @@ At 10^12 documents the warm number is the job's throughput (cold start is
     text = bench.read_text() if bench.exists() else "# BENCH\n"
     # replace everything from "## Headline" up to the next section that is
     # neither Headline nor the reconciliation block
-    pat = re.compile(r"## Headline.*?(?=## Environment variance|## Cold-start economics|## Run log|\Z)",
+    # stop BEFORE the hand-maintained cross-session table (a prior run
+    # swallowed it — the lookahead must list every preserved section)
+    pat = re.compile(r"## Headline.*?(?=## Cross-session|## Environment variance|## Cold-start economics|## Run log|\Z)",
                      re.S)
     if pat.search(text):
         text = pat.sub(headline + "\n", text, count=1)

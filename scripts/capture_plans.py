@@ -999,6 +999,34 @@ def main() -> None:
                    "InMemoryTableScan" in p91))
     checks.append(("ppr: no window", "Window" not in p91))
 
+    # 92. winnowing: hashing + window selection both expression-side in
+    # the token array; ONE aggregate, no join, no window function
+    p92 = plan_of(entry.q_dedup_winnowing(spark, SF))
+    sections.append(("Winnowing fingerprints (dedup_winnowing)", p92))
+    checks.append(("winnowing: aggregate only, no join",
+                   "Join" not in p92 and "Window" not in p92))
+    checks.append(("winnowing: map-side partial aggregation",
+                   "partial" in p92.lower()))
+
+    # 93. schema violations: bounded histogram aggregates + min-struct
+    # argmax (no window in the SPARK plan; the oracle's row_number is the
+    # twin), distinct-triple join on the predicate key
+    p93 = plan_of(entry.q_kg_schema_violations(spark, SF))
+    sections.append(("Schema violations (kg_schema_violations)", p93))
+    checks.append(("schema violations: no window (min-struct argmax)",
+                   "Window" not in p93))
+    checks.append(("schema violations: map-side partial aggregation",
+                   "partial" in p93.lower()))
+
+    # 94. KMV registers: distinct projection persisted once (feeds count
+    # AND the pruning join); rank window only over the PRUNED survivors
+    p94 = plan_of(entry.q_txt_kmv_registers(spark, SF))
+    sections.append(("KMV sketch registers (txt_kmv_registers)", p94))
+    checks.append(("kmv: distinct projection persisted once",
+                   "InMemoryTableScan" in p94))
+    checks.append(("kmv: rank window partitioned by group",
+                   "windowspecdefinition(lang" in p94))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

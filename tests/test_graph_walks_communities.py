@@ -365,3 +365,35 @@ def test_personalized_pagerank_integer_recurrence(spark):
     assert got["s1|S"][1] == 1 and got["x|T"][1] == 0
     assert got["p|T"][0] == 0 and got["q|T"][0] == 0
     assert got["x|T"][0] > got["y|T"][0] > 0
+
+
+def test_schema_violations_dominant_signature(spark):
+    from unsupervised_ner_spark.pipeline.triples import schema_violations
+
+    rows = [
+        # pred p: dominant (A, B) with 3 triples; one (A, C) deviation
+        ("s1", "A", "p", "o1", "B", "u1"),
+        ("s2", "A", "p", "o2", "B", "u1"),
+        ("s3", "A", "p", "o3", "B", "u2"),
+        ("s4", "A", "p", "o4", "C", "u3"),
+        ("s4", "A", "p", "o4", "C", "u4"),  # same triple, 2 docs
+        # pred q: perfect tie (1 vs 1) -> lexicographic (A,B) wins over (B,A)
+        ("t1", "A", "q", "w1", "B", "u5"),
+        ("t2", "B", "q", "w2", "A", "u6"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, subj_type string, pred_norm string, obj string, "
+        "obj_type string, url string",
+    )
+    got = {
+        (r.pred_norm, r.subj): (
+            r.obj_type, r.n_docs, r.dom_subj_type, r.dom_obj_type,
+            r.n_dominant, r.n_pred_triples,
+        )
+        for r in schema_violations(df).collect()
+    }
+    assert got == {
+        ("p", "s4"): ("C", 2, "A", "B", 3, 5),
+        ("q", "t2"): ("A", 1, "A", "B", 1, 2),
+    }

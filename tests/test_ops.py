@@ -701,3 +701,53 @@ def test_average_hash_kernel(spark):
         assert got[doc_id] == (n, bits, bits.count("1")), doc_id
     # constant payload: every pixel >= mean -> all ones
     assert got[3][1] == "1" * 64
+
+
+def test_winnowing_guarantee_and_ties(spark):
+    import hashlib
+
+    # doc 1 and 2 share an 8-token run (>= w+k-1 = 7): the winnowing
+    # guarantee says at least one COMMON fingerprint must be selected in
+    # both. doc 3 is shorter than w hashes (single clamped window).
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        (3, "p q r s t"),  # 5 tokens -> 2 hashes < w
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.winnowing_fingerprints(df, k=4, w=4).collect()
+    by_fp = {r.fp: r for r in got}
+
+    # python replication (rightmost-tie winnowing)
+    def fps(text):
+        t = text.split()
+        hs = [
+            hashlib.md5(" ".join(t[i:i + 4]).encode()).hexdigest()
+            for i in range(len(t) - 3)
+        ]
+        picked = set()
+        for j in range(max(len(hs) - 3, 1)):
+            s = hs[j:j + 4]
+            m = min(s)
+            pos = j + max(i for i, v in enumerate(s) if v == m) + 1
+            picked.add((m, pos))
+        return picked
+
+    exp = {}
+    for doc_id, text in rows:
+        for m, pos in fps(text):
+            exp.setdefault(m, []).append((doc_id, pos))
+    assert set(by_fp) == set(exp)
+    for fp, occ in exp.items():
+        r = by_fp[fp]
+        assert r.n_occ == len(occ)
+        assert r.n_docs == len({d for d, _ in occ})
+        kd, kp = min(occ)
+        assert (r.keep_doc_id, r.keep_pos) == (kd, kp), fp
+    # the guarantee: >= 1 fingerprint common to docs 1 and 2
+    assert any(
+        {d for d, _ in occ} >= {1, 2} for occ in exp.values()
+    )
+    # doc 3 contributes exactly one fingerprint (clamped single window)
+    assert sum(1 for occ in exp.values() for d, _ in occ if d == 3) == 1

@@ -155,3 +155,75 @@ def test_bloom_merge_is_union(spark):
     ).distinct()
     whole = sketches.bloom_bits(a.union(b), "v")
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_kmv_registers_both_branches(spark):
+    import hashlib
+
+    from unsupervised_ner_spark.ops.sketches import kmv_registers
+
+    vals = [(g, f"v{i}") for g in ("a", "b") for i in range(40)]
+    df = spark.createDataFrame(vals + vals, "g string, v string")  # dups collapse
+
+    def expect(prune_at, k):
+        out = {}
+        for g in ("a", "b"):
+            hs = sorted(
+                hashlib.md5(f"v{i}".encode()).hexdigest() for i in range(40)
+            )
+            n = len(hs)
+            if n < prune_at:
+                p = 0
+            else:
+                p = (max((n // prune_at).bit_length() - 1, 0)) // 4
+            kept = [h for h in hs if h.startswith("0" * p)]
+            out[g] = [(rk + 1, h, n, p) for rk, h in enumerate(kept[:k])]
+        return out
+
+    # branch 1: prune_at large -> p = 0, plain top-k
+    got0 = kmv_registers(df, ["g"], "v", k=5, prune_at=4096).collect()
+    e0 = expect(4096, 5)
+    assert {(r.g, r.rk, r.h, r.n_vals, r.p) for r in got0} == {
+        (g, rk, h, n, p) for g, rows in e0.items() for rk, h, n, p in rows
+    }
+    # branch 2: prune_at=1 -> p = (bitlen(40)-1)//4 = 1, only '0...' hashes
+    got1 = kmv_registers(df, ["g"], "v", k=64, prune_at=1).collect()
+    e1 = expect(1, 64)
+    assert {(r.g, r.rk, r.h, r.n_vals, r.p) for r in got1} == {
+        (g, rk, h, n, p) for g, rows in e1.items() for rk, h, n, p in rows
+    }
+    assert all(r.p == 1 and r.h.startswith("0") for r in got1)
+
+
+def test_kmv_registers_merge_semantics(spark):
+    # KMV merge = union + re-top-k: sketching the union directly equals
+    # merging the two halves' registers
+    from unsupervised_ner_spark.ops.sketches import kmv_registers
+
+    half1 = [("g", f"x{i}") for i in range(30)]
+    half2 = [("g", f"y{i}") for i in range(30)]
+    a = kmv_registers(
+        spark.createDataFrame(half1, "g string, v string"), ["g"], "v", k=8
+    ).select("g", "h")
+    b = kmv_registers(
+        spark.createDataFrame(half2, "g string, v string"), ["g"], "v", k=8
+    ).select("g", "h")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    merged = (
+        a.unionByName(b)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("g").orderBy(F.asc("h"))),
+        )
+        .filter(F.col("rk") <= 8)
+        .select("g", "rk", "h")
+    )
+    direct = kmv_registers(
+        spark.createDataFrame(half1 + half2, "g string, v string"),
+        ["g"], "v", k=8,
+    ).select("g", "rk", "h")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

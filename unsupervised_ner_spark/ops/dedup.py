@@ -806,3 +806,85 @@ def shared_ngram_spans(
         parts.getItem(0).cast("long").alias("keep_doc_id"),
         parts.getItem(1).cast("long").alias("keep_pos"),
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint index (Schleimer-Wilkerson-Aiken 2003, the
+    MOSS algorithm): per document, hash every k-token window, then slide
+    a w-hash window and select the MINIMUM hash of each window (ties →
+    the RIGHTMOST occurrence — the paper's choice, which makes selection
+    position-stable), dedup identical (hash, pos) selections, and
+    aggregate the corpus index. Guarantee: any shared token run of length
+    >= w + k - 1 yields at least one COMMON selected fingerprint in both
+    documents, at ~2/(w+1) the density of the full k-gram table — the
+    sparse-but-complete middle ground between ``shared_ngram_spans``
+    (dense) and doc-level hashing (blind to passages).
+
+    Scale shape: hashing AND window selection are EXPRESSION-SIDE inside
+    the token array (two nested narrow transforms — rolling windows never
+    shuffle); one aggregate keyed on the fingerprint with keep-first
+    provenance (the lpad string-min device). Selected density is
+    ~2/(w+1), so the index is a fraction of the k-gram table at any
+    corpus size; a boilerplate fingerprint is one reducer key.
+
+    Short documents: with fewer than ``w`` k-gram hashes the single
+    window is the whole (clamped) hash list — one fingerprint, same
+    clamping semantics as DuckDB list slicing."""
+    arr = tokens_ws(F.col("text"))
+    n = F.size("arr")
+    hs = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i, F.lit(k)))),
+    )
+    docs = (
+        documents.select("doc_id", arr.alias("arr"))
+        .filter(n >= k)
+        .select("doc_id", hs.alias("hs"))
+    )
+    nh = F.size("hs")
+    nw = F.greatest(nh - w + 1, F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda j: F.struct(
+            F.array_min(F.slice(F.col("hs"), j, w)).alias("fp"),
+            # rightmost occurrence of the min inside the window:
+            # 1-based position in the reversed slice -> global token pos
+            (
+                j
+                + F.least(F.size(F.slice(F.col("hs"), j, w)), F.lit(w))
+                - F.array_position(
+                    F.reverse(F.slice(F.col("hs"), j, w)),
+                    F.array_min(F.slice(F.col("hs"), j, w)),
+                )
+            ).cast("long").alias("pos"),
+        ),
+    )
+    # array_distinct dedups repeated selections WITHIN the doc (adjacent
+    # windows usually re-pick the same min) — no corpus-wide distinct
+    # shuffle needed, the per-doc array is the dedup scope
+    picked = docs.select(
+        "doc_id", F.explode(F.array_distinct(sel)).alias("s")
+    ).select(
+        "doc_id", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos")
+    )
+    keyed = picked.select(
+        "fp", "doc_id",
+        F.concat_ws(
+            "|",
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lpad(F.col("pos").cast("string"), 12, "0"),
+        ).alias("k"),
+    )
+    agg = keyed.groupBy("fp").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("k").alias("keep_k"),
+    )
+    parts = F.split(F.col("keep_k"), r"\|")
+    return agg.select(
+        "fp", "n_occ", "n_docs",
+        parts.getItem(0).cast("long").alias("keep_doc_id"),
+        parts.getItem(1).cast("long").alias("keep_pos"),
+    )

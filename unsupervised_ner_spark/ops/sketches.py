@@ -271,3 +271,63 @@ def bloom_maybe_contains(
         .filter(F.col("n_hits") == BLOOM_K)
         .select(value_col)
     )
+
+
+def kmv_registers(
+    values: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    prune_at: int = 4096,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch registers — the other
+    classic mergeable distinct sketch next to HLL (Bar-Yossef et al.
+    2002; DataSketches' theta family): per group the ``k`` smallest
+    md5(value) hashes, from which |D| ≈ (k-1) / max_kth_hash_fraction is
+    estimated downstream (the float estimate never enters the hashed
+    surface — registers are the sufficient statistic, and two register
+    sets MERGE by union + re-top-k, which is what a 100 TB tree
+    aggregation does).
+
+    Scale shape: the naive plan ranks EVERY distinct hash inside one
+    per-group window partition — vocabulary-sized, the hot-partition trap.
+    The pruning rule: with n distinct values, only hashes with ``p`` =
+    (bit_length(n div 4096) - 1) div 4 leading hex zeros (16^p <= n/4096,
+    so 4096-65536 expected survivors) can be ranked — the k smallest all
+    carry p leading zeros unless fewer than k of ~4096+ expected
+    survivors exist (astronomically improbable, and IRRELEVANT to engine
+    agreement: both engines apply the identical deterministic rule, the
+    adaptive-cap precedent). p is computed with the exact bit-length
+    integer log (degree_distribution precedent, no libm), replayed by the
+    oracle from count(*). ``prune_at`` (production default 4096) is the
+    survivor budget; the driver gate pins prune_at=1 so the pruning
+    branch FIRES at fixture vocabulary size (the LSH bucket-cap
+    precedent — a group whose every hash is pruned simply emits fewer
+    than k registers, identically in both engines)."""
+    h = F.md5(F.col(value_col).cast("string"))
+    dt = values.select(*group_cols, F.col(value_col)).distinct().select(
+        *group_cols, h.alias("h")
+    )
+    from unsupervised_ner_spark.caching import scoped_persist
+    from pyspark.sql import Window
+
+    dt = scoped_persist(dt)
+    cnt = dt.groupBy(*group_cols).agg(F.count("*").cast("long").alias("n_vals"))
+    # exact integer: p = floor(log16(n/4096)) = (bit_length(n div 4096)-1) div 4
+    cnt = cnt.withColumn(
+        "p",
+        F.expr(
+            f"CAST(CASE WHEN n_vals < {prune_at} THEN 0 ELSE"
+            f" (length(conv(n_vals div {prune_at}, 10, 2)) - 1) div 4"
+            " END AS BIGINT)"
+        ),
+    )
+    pruned = dt.join(cnt, group_cols).filter(
+        F.expr("substring(h, 1, CAST(p AS INT)) = repeat('0', CAST(p AS INT))")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(*group_cols, "rk", "h", "n_vals", "p")
+    )

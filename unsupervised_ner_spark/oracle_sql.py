@@ -5088,3 +5088,123 @@ HAVING count(*) >= 2
 """,
         "ah",
     )
+
+
+def dedup_winnowing(k: int = 4, w: int = 4) -> str:
+    """Winnowing twin (ops/dedup.py winnowing_fingerprints): per-doc
+    k-gram md5 list, w-hash sliding window, min hash with RIGHTMOST tie
+    (position via the reversed-slice trick — identical arithmetic to the
+    Spark expression), per-doc distinct selections, corpus aggregate with
+    lpad keep-first provenance."""
+    return _materialize(
+        f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+hl AS (
+    SELECT doc_id,
+           [md5(array_to_string(t[i:i + {k - 1}], ' '))
+            FOR i IN generate_series(1, len(t) - {k} + 1)] AS hs
+    FROM tk WHERE len(t) >= {k}
+),
+sel AS (
+    SELECT DISTINCT doc_id,
+           list_min(hs[j:j + {w - 1}]) AS fp,
+           j + least(len(hs[j:j + {w - 1}]), {w})
+             - list_position(list_reverse(hs[j:j + {w - 1}]),
+                             list_min(hs[j:j + {w - 1}])) AS pos
+    FROM hl, UNNEST(generate_series(1, greatest(len(hs) - {w} + 1, 1))) AS u(j)
+),
+keyed AS (
+    SELECT fp, doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') || '|' ||
+           lpad(CAST(pos AS VARCHAR), 12, '0') AS kk
+    FROM sel
+)
+SELECT fp,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(string_split(min(kk), '|')[1] AS BIGINT) AS keep_doc_id,
+       CAST(string_split(min(kk), '|')[2] AS BIGINT) AS keep_pos
+FROM keyed GROUP BY fp
+""",
+        "hl",
+    )
+
+
+def kg_schema_violations(model: str = "a100") -> str:
+    """Schema-violation twin (pipeline/triples.py schema_violations):
+    predicate type-pair histogram, dominant signature via the SAME
+    (-n, subj_type, obj_type) struct-min argmax (row_number twin),
+    distinct-triple join, deviation filter."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)})
+, hist AS (
+    SELECT pred_norm, subj_type, obj_type,
+           CAST(count(*) AS BIGINT) AS n_pair
+    FROM trip GROUP BY pred_norm, subj_type, obj_type
+),
+dom AS (
+    SELECT pred_norm, subj_type AS dom_subj_type, obj_type AS dom_obj_type,
+           n_pair AS n_dominant, n_pred_triples
+    FROM (
+        SELECT h.*,
+               row_number() OVER (PARTITION BY pred_norm
+                                  ORDER BY n_pair DESC, subj_type ASC,
+                                           obj_type ASC) AS rn,
+               CAST(sum(n_pair) OVER (PARTITION BY pred_norm) AS BIGINT)
+                   AS n_pred_triples
+        FROM hist h
+    ) WHERE rn = 1
+),
+dt AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+    FROM trip GROUP BY subj, subj_type, pred_norm, obj, obj_type
+)
+SELECT dt.subj, dt.subj_type, dt.pred_norm, dt.obj, dt.obj_type, dt.n_docs,
+       d.dom_subj_type, d.dom_obj_type, d.n_dominant, d.n_pred_triples
+FROM dt JOIN dom d USING (pred_norm)
+WHERE dt.subj_type <> d.dom_subj_type OR dt.obj_type <> d.dom_obj_type
+""",
+        "trip",
+    )
+
+
+def txt_kmv_registers(k: int = 64, prune_at: int = 1) -> str:
+    """KMV register twin (ops/sketches.py kmv_registers over per-lang
+    distinct lowercase tokens): identical adaptive leading-zero pruning
+    (p from the exact bit-length integer log of count//4096), per-group
+    row_number rank over the pruned hashes."""
+    return _materialize(
+        f"""
+WITH dtok AS (
+    SELECT DISTINCT lang, u.t AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+dt AS (SELECT lang, md5(tok) AS h FROM dtok),
+cnt AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(CASE WHEN count(*) < {prune_at} THEN 0
+                ELSE (length(bin(count(*) // {prune_at})) - 1) // 4
+                END AS BIGINT) AS p
+    FROM dt GROUP BY lang
+),
+pruned AS (
+    SELECT d.lang, d.h, c.n_vals, c.p
+    FROM dt d JOIN cnt c USING (lang)
+    WHERE substring(d.h, 1, CAST(c.p AS INTEGER)) = repeat('0', CAST(c.p AS INTEGER))
+)
+SELECT lang, rk, h, n_vals, p FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY h ASC)
+                   AS BIGINT) AS rk
+    FROM pruned
+) WHERE rk <= {k}
+""",
+        "dt",
+    )

@@ -333,3 +333,54 @@ def fact_churn(intervals: DataFrame) -> DataFrame:
         F.sum("covered_days").cast("long").alias("covered_days"),
         F.sum("n_obs").cast("long").alias("n_obs"),
     )
+
+
+def schema_violations(triples: DataFrame) -> DataFrame:
+    """Induced domain/range violations — the ontology-consistency check a
+    KG curator runs without a hand-written schema: per predicate the
+    DOMINANT (subj_type, obj_type) signature is induced from the triple
+    histogram (argmax by count, ties lexicographic — deterministic), and
+    every distinct triple whose type pair deviates from its predicate's
+    dominant signature is flagged with its support (likely extraction
+    errors or genuine polysemy, ranked by how rare the deviation is).
+
+    Scale shape: the type histogram is ONE map-side-combining aggregate
+    bounded by (predicate x type-pair) combinations; the dominant pair is
+    a second aggregate over that bounded table via min-struct argmax (no
+    window); distinct triples (triple_support-bounded, never corpus-
+    sized) join the dominant table on the predicate key (broadcast-able
+    dim, left to AQE)."""
+    hist = triples.groupBy("pred_norm", "subj_type", "obj_type").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    top = F.min(
+        F.struct(
+            (-F.col("n_pair")).alias("neg_n"),
+            F.col("subj_type").alias("st"),
+            F.col("obj_type").alias("ot"),
+        )
+    )
+    dom = hist.groupBy("pred_norm").agg(
+        top.alias("top"),
+        F.sum("n_pair").cast("long").alias("n_pred_triples"),
+    ).select(
+        "pred_norm",
+        F.col("top.st").alias("dom_subj_type"),
+        F.col("top.ot").alias("dom_obj_type"),
+        (-F.col("top.neg_n")).cast("long").alias("n_dominant"),
+        "n_pred_triples",
+    )
+    dt = triples.groupBy(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type"
+    ).agg(F.countDistinct("url").cast("long").alias("n_docs"))
+    return (
+        dt.join(dom, "pred_norm")
+        .filter(
+            (F.col("subj_type") != F.col("dom_subj_type"))
+            | (F.col("obj_type") != F.col("dom_obj_type"))
+        )
+        .select(
+            "subj", "subj_type", "pred_norm", "obj", "obj_type", "n_docs",
+            "dom_subj_type", "dom_obj_type", "n_dominant", "n_pred_triples",
+        )
+    )
