@@ -1190,6 +1190,30 @@ def q_txt_kmv_registers(spark, sf_dir):
     return sketches.kmv_registers(vals, ["lang"], "tok", k=64, prune_at=1)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment scores (dedup.containment_candidates):
+    scale*|A∩B| div |side| per side + the 4/5 cross-multiplied contained
+    flag — catches short-doc-inside-long-doc duplication Jaccard misses;
+    same df-capped pairing pass as dedup_jaccard."""
+    return dedup.containment_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_semi_anti(spark, sf_dir):
+    """Semi/anti join surface in ONE pass: per customer the order
+    existence flag via a LEFT SEMI-shaped aggregate-free plan — expressed
+    as left join on the DISTINCT ordering-customer keys (broadcast-able
+    dim), never a corpus count. Customers WITHOUT orders (the anti side)
+    carry has_orders=0; oracle = EXISTS/NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    flagged = c.join(
+        o.withColumn("has_orders", F.lit(1).cast("long")), "c_custkey", "left"
+    ).withColumn("has_orders", F.coalesce("has_orders", F.lit(0).cast("long")))
+    return flagged.select("c_custkey", "c_name", "c_mktsegment", "has_orders")
+
+
 def q_dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprint index (dedup.winnowing_fingerprints; MOSS
     algorithm): min-hash-per-window selection with rightmost ties —
@@ -2234,6 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing": q_dedup_winnowing,
         "kg_schema_violations": q_kg_schema_violations,
         "txt_kmv_registers": q_txt_kmv_registers,
+        "dedup_containment": q_dedup_containment,
+        "rel_semi_anti": q_rel_semi_anti,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2395,6 +2421,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnowing": O.dedup_winnowing(),
         "kg_schema_violations": O.kg_schema_violations(),
         "txt_kmv_registers": O.txt_kmv_registers(),
+        "dedup_containment": O.dedup_containment(),
+        "rel_semi_anti": O.rel_semi_anti(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "kg_fact_churn",
     "rel_pivot",
     "rel_cube",
+    "rel_semi_anti",
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "txt_word_pmi",
     "dedup_shared_ngrams",
     "dedup_winnowing",
+    "dedup_containment",
     "kg_schema_violations",
     "txt_kmv_registers",
     "kg_tag_transitions",

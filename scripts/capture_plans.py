@@ -1027,6 +1027,21 @@ def main() -> None:
     checks.append(("kmv: rank window partitioned by group",
                    "windowspecdefinition(lang" in p94))
 
+    # 95. containment: same persisted-once df-capped pairing as jaccard;
+    # scores are narrow derived columns (no extra pass)
+    p95 = plan_of(entry.q_dedup_containment(spark, SF))
+    sections.append(("Containment scores (dedup_containment)", p95))
+    checks.append(("containment: shingle table persisted once",
+                   "InMemoryTableScan" in p95))
+    checks.append(("containment: no window", "Window" not in p95))
+
+    # 96. semi/anti: the distinct order-customer dim broadcasts (never a
+    # sort-merge against the corpus-side customer scan)
+    p96 = plan_of(entry.q_rel_semi_anti(spark, SF))
+    sections.append(("Semi/anti join flags (rel_semi_anti)", p96))
+    checks.append(("semi/anti: broadcast dim join",
+                   "BroadcastHashJoin" in p96))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

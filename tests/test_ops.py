@@ -751,3 +751,23 @@ def test_winnowing_guarantee_and_ties(spark):
     )
     # doc 3 contributes exactly one fingerprint (clamped single window)
     assert sum(1 for occ in exp.values() for d, _ in occ if d == 3) == 1
+
+
+def test_containment_asymmetry(spark):
+    # doc 2 is a strict prefix of doc 1: containment(2) = 1.0 even though
+    # Jaccard is well below 1 — the signal this operator adds
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    short = "w1 w2 w3 w4 w5"
+    df = spark.createDataFrame(
+        [(1, long), (2, short)], "doc_id long, text string"
+    )
+    rows = dedup.containment_candidates(df, max_df=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shingle counts: long has 8 3-gram shingles, short has 3; all 3 shared
+    assert (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b) == (1, 2, 3, 8, 3)
+    assert r.cont_b_scaled == 1_000_000
+    assert r.cont_a_scaled == 1_000_000 * 3 // 8
+    assert r.contained == 1
+    # jaccard = 3/8 -- far below the 4/5 flag threshold on its own
+    assert 1_000_000 * r.n_common // (r.n_a + r.n_b - r.n_common) < 800_000

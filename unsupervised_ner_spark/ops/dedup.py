@@ -888,3 +888,42 @@ def winnowing_fingerprints(
         parts.getItem(0).cast("long").alias("keep_doc_id"),
         parts.getItem(1).cast("long").alias("keep_pos"),
     )
+
+
+def containment_candidates(
+    documents: DataFrame,
+    k: int = 3,
+    min_overlap: int = 2,
+    max_df: int | None = DEFAULT_MAX_DF,
+    scale: int = 1_000_000,
+    flag_num: int = 4,
+    flag_den: int = 5,
+) -> DataFrame:
+    """Asymmetric containment scores over the df-capped shingle pairing —
+    the near-dup signal Jaccard MISSES: a short doc fully embedded in a
+    long one (quote farms, syndicated excerpts, page-plus-boilerplate)
+    has low Jaccard (union is large) but containment(short) ≈ 1. Scores
+    are the exact integers ``scale * n_common div n_side`` per side plus
+    the integer cross-multiplied flag ``max_side_containment >= 4/5``
+    (Broder's resemblance-vs-containment distinction, both from the SAME
+    sufficient statistics as dedup_jaccard — no second pairing pass).
+
+    Scale shape: identical to jaccard_candidates (the df-capped pairing
+    is reused verbatim); the scores are narrow derived columns."""
+    pairs = jaccard_candidates(
+        documents, k=k, min_overlap=min_overlap, max_df=max_df
+    )
+    ca = F.expr(f"CAST({scale} AS BIGINT) * n_common div n_a")
+    cb = F.expr(f"CAST({scale} AS BIGINT) * n_common div n_b")
+    return (
+        pairs.withColumn("cont_a_scaled", ca.cast("long"))
+        .withColumn("cont_b_scaled", cb.cast("long"))
+        .withColumn(
+            "contained",
+            (
+                F.greatest(F.col("cont_a_scaled"), F.col("cont_b_scaled"))
+                * F.lit(flag_den)
+                >= F.lit(flag_num) * F.lit(scale)
+            ).cast("long"),
+        )
+    )

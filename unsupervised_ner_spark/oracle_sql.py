@@ -5208,3 +5208,37 @@ SELECT lang, rk, h, n_vals, p FROM (
 """,
         "dt",
     )
+
+
+def dedup_containment(
+    scale: int = 1_000_000, flag_num: int = 4, flag_den: int = 5
+) -> str:
+    """Containment twin (ops/dedup.py containment_candidates): the
+    dedup_jaccard chain with the two asymmetric scaled scores and the
+    cross-multiplied contained flag as derived columns."""
+    return f"""
+WITH jp AS ({dedup_jaccard()})
+SELECT doc_a, doc_b, n_common, n_a, n_b,
+       CAST((CAST({scale} AS BIGINT) * n_common) // n_a AS BIGINT)
+           AS cont_a_scaled,
+       CAST((CAST({scale} AS BIGINT) * n_common) // n_b AS BIGINT)
+           AS cont_b_scaled,
+       CAST(CASE WHEN GREATEST(
+                 (CAST({scale} AS BIGINT) * n_common) // n_a,
+                 (CAST({scale} AS BIGINT) * n_common) // n_b
+            ) * {flag_den} >= {flag_num} * CAST({scale} AS BIGINT)
+            THEN 1 ELSE 0 END AS BIGINT) AS contained
+FROM jp
+"""
+
+
+def rel_semi_anti() -> str:
+    """Semi/anti twin (q_rel_semi_anti): per-customer order existence via
+    EXISTS — the NOT-EXISTS rows are the anti-join side."""
+    return """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(CASE WHEN EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       ) THEN 1 ELSE 0 END AS BIGINT) AS has_orders
+FROM customer c
+"""
