@@ -1214,6 +1214,15 @@ def q_rel_semi_anti(spark, sf_dir):
     return flagged.select("c_custkey", "c_name", "c_mktsegment", "has_orders")
 
 
+def q_txt_bpe_merge2(spark, sf_dir):
+    """Second BPE trainer iteration (textstats.bpe_second_iteration):
+    iteration-1 argmax merge applied to the vocabulary (1-row broadcast,
+    plain replace = left-to-right non-overlap), pairs re-counted with the
+    merged symbol spelled out — the merge LOOP, not just the first
+    count."""
+    return textstats.bpe_second_iteration(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprint index (dedup.winnowing_fingerprints; MOSS
     algorithm): min-hash-per-window selection with rightmost ties —
@@ -2260,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_kmv_registers": q_txt_kmv_registers,
         "dedup_containment": q_dedup_containment,
         "rel_semi_anti": q_rel_semi_anti,
+        "txt_bpe_merge2": q_txt_bpe_merge2,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2423,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_kmv_registers": O.txt_kmv_registers(),
         "dedup_containment": O.dedup_containment(),
         "rel_semi_anti": O.rel_semi_anti(),
+        "txt_bpe_merge2": O.txt_bpe_merge2(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "kg_reciprocal_pairs",
     "kg_conll",
     "txt_bpe_pairs",
+    "txt_bpe_merge2",
     "txt_sent_dedup",
     "txt_word_pmi",
     "dedup_shared_ngrams",

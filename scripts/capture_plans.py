@@ -1042,6 +1042,15 @@ def main() -> None:
     checks.append(("semi/anti: broadcast dim join",
                    "BroadcastHashJoin" in p96))
 
+    # 97. BPE merge-2: vocab persisted once (iteration-1 + re-count); the
+    # chosen merge attaches via a 1-row BROADCAST cross join, no collect
+    p97 = plan_of(entry.q_txt_bpe_merge2(spark, SF))
+    sections.append(("BPE second iteration (txt_bpe_merge2)", p97))
+    checks.append(("bpe merge2: vocab persisted once",
+                   "InMemoryTableScan" in p97))
+    checks.append(("bpe merge2: 1-row merge broadcast",
+                   "BroadcastNestedLoopJoin" in p97))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -216,3 +216,21 @@ def test_tag_transitions_with_boundaries(spark):
         ("START", "B_X"): 1, ("B_X", "I_X"): 1, ("I_X", "O"): 1,
         ("O", "END"): 2, ("START", "O"): 1,
     }
+
+
+def test_bpe_second_iteration_merge_semantics(spark):
+    from unsupervised_ner_spark.ops.textstats import bpe_second_iteration
+
+    # vocabulary: "abab" x3, "ab" x2, "aaa" x1 -> iteration-1 argmax is
+    # (a,b) with n_occ 3*2 + 2*1 = 8; after the merge: "abab" -> XX
+    # (pair (ab,ab)), "ab" -> X (no pair), "aaa" -> "aaa" unchanged
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab aaa")], "doc_id long, text string"
+    )
+    rows = bpe_second_iteration(docs).collect()
+    assert all((r.merge_l, r.merge_r) == ("a", "b") for r in rows)
+    got = {(r.left_sym, r.right_sym): (r.n_occ, r.n_words) for r in rows}
+    assert got == {
+        ("ab", "ab"): (3, 1),   # from "abab" (freq 3)
+        ("a", "a"): (2, 1),     # from "aaa" (freq 1, two pairs)
+    }

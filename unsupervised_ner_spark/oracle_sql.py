@@ -5242,3 +5242,54 @@ SELECT c_custkey, c_name, c_mktsegment,
        ) THEN 1 ELSE 0 END AS BIGINT) AS has_orders
 FROM customer c
 """
+
+
+def txt_bpe_merge2(max_word_len: int = 30) -> str:
+    """Second-iteration BPE twin (ops/textstats.bpe_second_iteration):
+    iteration-1 argmax merge (n_occ DESC, l ASC, r ASC), applied with
+    plain replace (left-to-right non-overlapping in both engines) to a
+    chr(1) placeholder, adjacent-symbol pairs re-counted with the merged
+    symbol spelled out."""
+    return _materialize(
+        f"""
+WITH words AS (
+    SELECT lower(t) AS word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY 1
+),
+wv AS (
+    SELECT word, freq FROM words
+    WHERE length(word) >= 2 AND length(word) <= {max_word_len}
+),
+it1 AS (
+    SELECT substr(word, CAST(i AS INT), 1) AS l,
+           substr(word, CAST(i AS INT) + 1, 1) AS r,
+           CAST(sum(freq) AS BIGINT) AS n_occ
+    FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM wv)
+    GROUP BY 1, 2
+),
+m1 AS (
+    SELECT l AS merge_l, r AS merge_r FROM it1
+    ORDER BY n_occ DESC, l ASC, r ASC LIMIT 1
+),
+wm AS (
+    SELECT w.word, w.freq, m.merge_l, m.merge_r,
+           replace(w.word, m.merge_l || m.merge_r, chr(1)) AS word2
+    FROM wv w, m1 m
+),
+pp AS (
+    SELECT word, freq, merge_l, merge_r,
+           substr(word2, CAST(i AS INT), 1) AS l,
+           substr(word2, CAST(i AS INT) + 1, 1) AS r
+    FROM (SELECT *, unnest(range(1, length(word2))) AS i
+          FROM wm WHERE length(word2) >= 2)
+)
+SELECT CASE WHEN l = chr(1) THEN merge_l || merge_r ELSE l END AS left_sym,
+       CASE WHEN r = chr(1) THEN merge_l || merge_r ELSE r END AS right_sym,
+       merge_l, merge_r,
+       CAST(sum(freq) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM pp GROUP BY 1, 2, 3, 4
+""",
+        "wv",
+    )
