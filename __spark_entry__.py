@@ -1223,6 +1223,40 @@ def q_txt_bpe_merge2(spark, sf_dir):
     return textstats.bpe_second_iteration(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_walks2(spark, sf_dir):
+    """Second-order node2vec-style deterministic walks
+    (er.deterministic_walks2): the hop sees the previous node, candidates
+    classed RETURN / COMMON (prev-adjacent) / EXPLORE via a pair-keyed
+    probe of the edge table, argmin of (class_rank, md5) — the p/q bias
+    as a deterministic rank; oracle unrolls every hop."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.deterministic_walks2(
+        er.cooccurrence_edges(typed), walks_per_node=2, steps=3
+    )
+
+
+def q_rel_unpivot(spark, sf_dir):
+    """Unpivot/melt — the reshape inverse of rel_pivot: the pivoted
+    per-status quantity columns stacked back to (status, flag, qty) rows;
+    null cells dropped on BOTH engines (Spark unpivot keeps them, DuckDB
+    UNPIVOT drops them — the filter pins one semantic)."""
+    p = q_rel_pivot(spark, sf_dir)
+    return (
+        p.unpivot(
+            ["l_linestatus"], ["qty_a", "qty_n", "qty_r"],
+            "flag_col", "qty",
+        )
+        .filter(F.col("qty").isNotNull())
+        .select(
+            "l_linestatus",
+            F.upper(F.substring("flag_col", 5, 1)).alias("l_returnflag"),
+            F.col("qty").cast("long").alias("qty"),
+        )
+    )
+
+
 def q_dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprint index (dedup.winnowing_fingerprints; MOSS
     algorithm): min-hash-per-window selection with rightmost ties —
@@ -2270,6 +2304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "rel_semi_anti": q_rel_semi_anti,
         "txt_bpe_merge2": q_txt_bpe_merge2,
+        "kg_walks2": q_kg_walks2,
+        "rel_unpivot": q_rel_unpivot,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2434,6 +2470,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": O.dedup_containment(),
         "rel_semi_anti": O.rel_semi_anti(),
         "txt_bpe_merge2": O.txt_bpe_merge2(),
+        "kg_walks2": O.kg_walks2(),
+        "rel_unpivot": O.rel_unpivot(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

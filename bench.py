@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "kg_communities",
     "kg_walks",
     "kg_walk_pairs",
+    "kg_walks2",
     "kg_degree_dist",
     "kg_link_predict",
     "kg_ktruss",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "rel_pivot",
     "rel_cube",
     "rel_semi_anti",
+    "rel_unpivot",
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",

@@ -1051,6 +1051,22 @@ def main() -> None:
     checks.append(("bpe merge2: 1-row merge broadcast",
                    "BroadcastNestedLoopJoin" in p97))
 
+    # 98. second-order walks: adjacency + pair table persisted once; the
+    # prev-adjacency probe is a pair-keyed equi-join (no neighborhood
+    # broadcast); argmin still aggregate-only (no window)
+    p98 = plan_of(entry.q_kg_walks2(spark, SF))
+    sections.append(("Second-order biased walks (kg_walks2)", p98))
+    checks.append(("walks2: adjacency/pair tables persisted once",
+                   "InMemoryTableScan" in p98))
+    checks.append(("walks2: no window", "Window" not in p98))
+
+    # 99. unpivot: Expand over the pivot aggregate — one pass, no join
+    # beyond the pivot's own
+    p99 = plan_of(entry.q_rel_unpivot(spark, SF))
+    sections.append(("Unpivot/melt (rel_unpivot)", p99))
+    checks.append(("unpivot: expand, no extra join",
+                   "Expand" in p99 and "Join" not in p99))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -5293,3 +5293,88 @@ FROM pp GROUP BY 1, 2, 3, 4
 """,
         "wv",
     )
+
+
+def kg_walks2(
+    model: str = "a100",
+    walks_per_node: int = 2,
+    steps: int = 3,
+    return_rank: int = 2,
+    common_rank: int = 0,
+    explore_rank: int = 1,
+) -> str:
+    """Second-order walk twin (pipeline/er.py deterministic_walks2):
+    unrolled hops, each candidate classed by a LEFT probe of the
+    canonical pair table on (least, greatest)(prev, dst) — Spark and
+    DuckDB both skip NULLs in least/greatest, and the strict pa < pb
+    pair table makes the prev-NULL probe a guaranteed miss, so the
+    first hop is pure-hash in both engines."""
+    wid_rows = ", ".join(f"({i})" for i in range(walks_per_node))
+    hops = []
+    prev = "f0"
+    for s in range(1, steps + 1):
+        hops.append(
+            f"""c{s} AS (
+    SELECT f.origin, f.walk_id, f.path, f.cur, f.prev, s.dst,
+           md5(f.origin || '#' || CAST(f.walk_id AS VARCHAR) || '#' || '{s}'
+               || '#' || f.cur || '#' || s.dst) AS h,
+           CASE WHEN f.prev IS NULL THEN {explore_rank}
+                WHEN s.dst = f.prev THEN {return_rank}
+                WHEN ep.pa IS NOT NULL THEN {common_rank}
+                ELSE {explore_rank} END AS cls
+    FROM {prev} f
+    JOIN sym s ON s.src = f.cur
+    LEFT JOIN epair ep
+      ON ep.pa = least(f.prev, s.dst) AND ep.pb = greatest(f.prev, s.dst)
+),
+f{s} AS (
+    SELECT origin, walk_id, dst AS cur, cur AS prev,
+           path || '>' || dst AS path
+    FROM (
+        SELECT origin, walk_id, cur, dst, path,
+               row_number() OVER (PARTITION BY origin, walk_id
+                                  ORDER BY cls ASC, h ASC, dst ASC) AS rn
+        FROM c{s}
+    ) WHERE rn = 1
+)"""
+        )
+        prev = f"f{s}"
+    chain = ",\n".join(hops)
+    mats = ["sym", "epair"] + [f"f{s}" for s in range(steps)]
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
+),
+epair AS (
+    SELECT DISTINCT src AS pa, dst AS pb FROM sym WHERE src < dst
+),
+nodes AS (SELECT DISTINCT src AS origin FROM sym),
+f0 AS (
+    SELECT n.origin, CAST(w.walk_id AS BIGINT) AS walk_id,
+           n.origin AS cur, CAST(NULL AS VARCHAR) AS prev, n.origin AS path
+    FROM nodes n, (VALUES {wid_rows}) w(walk_id)
+),
+{chain}
+SELECT string_split(origin, '|')[1] AS ent, string_split(origin, '|')[2] AS etype,
+       walk_id, path, CAST({steps} AS BIGINT) AS n_steps
+FROM {prev}
+""",
+        *mats,
+    )
+
+
+def rel_unpivot() -> str:
+    """Unpivot twin (q_rel_unpivot): UNION ALL stack of the pivot's
+    conditional aggregates, NULL cells dropped (the pinned semantic)."""
+    return f"""
+WITH p AS ({rel_pivot()})
+SELECT l_linestatus, 'A' AS l_returnflag, qty_a AS qty FROM p WHERE qty_a IS NOT NULL
+UNION ALL
+SELECT l_linestatus, 'N', qty_n FROM p WHERE qty_n IS NOT NULL
+UNION ALL
+SELECT l_linestatus, 'R', qty_r FROM p WHERE qty_r IS NOT NULL
+"""

@@ -1830,3 +1830,102 @@ def personalized_pagerank(
         part(0).alias("ent"), part(1).alias("etype"),
         "deg", "seed", F.col("rank").alias("rank_scaled"),
     )
+
+
+def deterministic_walks2(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    steps: int = 3,
+    return_rank: int = 2,
+    common_rank: int = 0,
+    explore_rank: int = 1,
+) -> DataFrame:
+    """Second-order (node2vec-style) deterministic walks: the hop choice
+    at step s sees the PREVIOUS node too, and candidates are classed as
+    RETURN (dst == prev), COMMON (dst adjacent to prev — BFS-ish, the
+    node2vec p/q "stay local" move) or EXPLORE (DFS-ish outward move);
+    the next hop is the argmin of (class_rank, md5(origin#walk#step#cur#
+    dst)) — the hash is the RNG inside a class, the rank ordering is the
+    deterministic stand-in for node2vec's p/q bias weights (default:
+    prefer locally-triangulating moves, then exploration, and return
+    only when nothing else exists — mirroring p>1, q<1). First hop has
+    no prev, so every candidate is EXPLORE and the walk matches the
+    first-order operator's first hop.
+
+    Scale shape: the first-order frontier join plus ONE extra left join
+    per hop — the candidate set probes the edge table on the canonical
+    (prev, dst) pair to test prev-adjacency (pair-keyed equi-join against
+    the persisted aggregated edge list; never a neighborhood broadcast).
+    Frontier stays n_nodes*walks rows; argmin is the same min-struct
+    aggregate."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    # canonical undirected pair table for prev-adjacency probes
+    epair = scoped_persist(
+        sym.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("pa"), F.col("dst").alias("pb")
+        ).distinct()
+    )
+    nodes = sym.select(F.col("src").alias("origin")).distinct()
+    wids = [F.lit(i).cast("long").alias("walk_id") for i in range(walks_per_node)]
+    frontier = nodes.select(
+        "origin", F.explode(F.array(*wids)).alias("walk_id")
+    ).select(
+        "origin", "walk_id", F.col("origin").alias("cur"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("origin").alias("path"),
+    )
+    for s in range(1, steps + 1):
+        cand = frontier.join(sym, frontier["cur"] == sym["src"])
+        lo = F.least("prev", "dst")
+        hi = F.greatest("prev", "dst")
+        cand = cand.join(
+            epair,
+            (lo == epair["pa"]) & (hi == epair["pb"]),
+            "left",
+        ).withColumn(
+            "cls",
+            F.when(F.col("prev").isNull(), F.lit(explore_rank))
+            .when(F.col("dst") == F.col("prev"), F.lit(return_rank))
+            .when(F.col("pa").isNotNull(), F.lit(common_rank))
+            .otherwise(F.lit(explore_rank))
+            .cast("long"),
+        )
+        h = F.md5(
+            F.concat_ws(
+                "#", "origin", F.col("walk_id").cast("string"),
+                F.lit(str(s)), "cur", "dst",
+            )
+        )
+        nxt = cand.groupBy("origin", "walk_id").agg(
+            F.min(
+                F.struct(
+                    F.col("cls").alias("c"), h.alias("h"),
+                    F.col("dst").alias("d"),
+                )
+            ).alias("top"),
+            F.min("cur").alias("cur0"),
+            F.min("path").alias("path"),
+        )
+        frontier = nxt.select(
+            "origin", "walk_id", F.col("top.d").alias("cur"),
+            F.col("cur0").alias("prev"),
+            F.concat_ws(">", "path", "top.d").alias("path"),
+        )
+
+    def part(j):
+        return F.split(F.col("origin"), r"\|")[j]
+
+    return frontier.select(
+        part(0).alias("ent"), part(1).alias("etype"), "walk_id", "path",
+        F.lit(steps).cast("long").alias("n_steps"),
+    )
