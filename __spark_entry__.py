@@ -1540,6 +1540,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN recall@k dashboard (simsearch.ann_recall): per query the hit
+    count of the single-probe AND 2-probe IVF chains against the exact
+    brute-force top-k — the nprobe knob's measured payoff as integer
+    scaled recall."""
+    return simsearch.ann_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_topk_probe(spark, sf_dir):
     """Multi-probe IVF: each query searches its 2 nearest cells — the
     recall knob single-cell probing lacks (near-boundary queries)."""
@@ -2306,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merge2": q_txt_bpe_merge2,
         "kg_walks2": q_kg_walks2,
         "rel_unpivot": q_rel_unpivot,
+        "ann_recall": q_ann_recall,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2472,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_bpe_merge2": O.txt_bpe_merge2(),
         "kg_walks2": O.kg_walks2(),
         "rel_unpivot": O.rel_unpivot(),
+        "ann_recall": O.ann_recall(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ann_ivf_assign",
     "ann_ivf_topk",
     "ann_ivf_topk_probe",
+    "ann_recall",
     "ann_range_search",
     "ann_pq_codes",
     "ann_ivfpq_topk",

@@ -1067,6 +1067,13 @@ def main() -> None:
     checks.append(("unpivot: expand, no extra join",
                    "Expand" in p99 and "Join" not in p99))
 
+    # 100. ANN recall: ground-truth table persisted once (feeds the query
+    # list + both method joins); everything query-side-sized
+    p100 = plan_of(entry.q_ann_recall(spark, SF))
+    sections.append(("ANN recall dashboard (ann_recall)", p100))
+    checks.append(("ann recall: ground truth persisted once",
+                   "InMemoryTableScan" in p100))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

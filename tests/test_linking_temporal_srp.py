@@ -141,3 +141,27 @@ class TestSrpLsh:
         )
         with pytest.raises(Exception, match="expected dim"):
             simsearch.srp_lsh_topk(df, n_queries=1).collect()
+
+
+def test_ann_recall_dashboard(spark):
+    import random
+
+    from unsupervised_ner_spark.ops.simsearch import ann_recall
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.method, r.query_id): (r.n_hit, r.k, r.recall_scaled)
+        for r in ann_recall(emb, n_queries=3, k=4).collect()
+    }
+    # every (method, query) present, hits within [0, k], recall consistent
+    assert set(got) == {(m, q) for m in ("ivf1", "ivf2") for q in range(3)}
+    for (m, q), (n, k, rs) in got.items():
+        assert 0 <= n <= k == 4
+        assert rs == 1_000_000 * n // k
+    # multi-probe can only add probed cells: recall is monotone per query
+    for q in range(3):
+        assert got[("ivf2", q)][0] >= got[("ivf1", q)][0], q

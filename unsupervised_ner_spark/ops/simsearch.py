@@ -515,3 +515,55 @@ def srp_lsh_topk(
             F.col("vec_id").alias("neighbor_id"),
         )
     )
+
+
+def ann_recall(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, scale: int = 1_000_000
+) -> DataFrame:
+    """ANN recall@k dashboard — the quality metric every approximate
+    index is judged by: per query, how many of the EXACT top-k (the
+    brute-force baseline) the IVF index returned, for both the
+    single-probe and the 2-probe variant side by side (the nprobe knob's
+    measured payoff). ``recall_scaled = scale * n_hit div k`` stays
+    integer (the NPMI precedent); a query whose probed cells miss every
+    true neighbor reports 0, not an absent row.
+
+    Scale shape: the ground-truth table is n_queries*k rows (the QUERY
+    side of an evaluation, tiny by construction at any corpus size) and
+    is persisted once; each method joins its result on (query_id,
+    neighbor_id) — broadcast-able — and one bounded aggregate per method
+    follows. At a production 10^6-query evaluation the same plan holds:
+    everything is query-side-sized, never corpus-sized."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    bf = scoped_persist(
+        cosine_topk_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    qs = bf.select("query_id").distinct()
+    out = None
+    for method, res in (
+        ("ivf1", ivf_topk(embeddings, n_queries=n_queries, k=k)),
+        ("ivf2", ivf_topk_probe(embeddings, n_queries=n_queries, k=k, nprobe=2)),
+    ):
+        hits = (
+            res.select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hit"))
+        )
+        m = (
+            qs.join(hits, "query_id", "left")
+            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0).cast("long")))
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "n_hit",
+                F.lit(k).cast("long").alias("k"),
+                F.expr(f"CAST({scale} AS BIGINT) * n_hit div {k}")
+                .cast("long").alias("recall_scaled"),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -5378,3 +5378,42 @@ SELECT l_linestatus, 'N', qty_n FROM p WHERE qty_n IS NOT NULL
 UNION ALL
 SELECT l_linestatus, 'R', qty_r FROM p WHERE qty_r IS NOT NULL
 """
+
+
+def ann_recall(n_queries: int = 5, k: int = 5, scale: int = 1_000_000) -> str:
+    """ANN recall twin (ops/simsearch.py ann_recall): brute-force top-k
+    as ground truth, per-query hit counts for the single- and 2-probe
+    IVF chains, integer scaled recall."""
+    return _materialize(
+        f"""
+WITH bf AS (
+    SELECT query_id, neighbor_id FROM ({ann_bruteforce(n_queries, k)})
+),
+qs AS (SELECT DISTINCT query_id FROM bf),
+i1 AS (
+    SELECT query_id, neighbor_id FROM ({ann_ivf_topk(n_queries, k)})
+),
+i2 AS (
+    SELECT query_id, neighbor_id FROM ({ann_ivf_topk_probe(n_queries, k, 2)})
+),
+h1 AS (
+    SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM i1 i JOIN bf USING (query_id, neighbor_id) GROUP BY i.query_id
+),
+h2 AS (
+    SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM i2 i JOIN bf USING (query_id, neighbor_id) GROUP BY i.query_id
+)
+SELECT 'ivf1' AS method, q.query_id,
+       COALESCE(h.n_hit, 0) AS n_hit, CAST({k} AS BIGINT) AS k,
+       CAST(CAST({scale} AS BIGINT) * COALESCE(h.n_hit, 0) // {k} AS BIGINT)
+           AS recall_scaled
+FROM qs q LEFT JOIN h1 h USING (query_id)
+UNION ALL
+SELECT 'ivf2', q.query_id,
+       COALESCE(h.n_hit, 0), CAST({k} AS BIGINT),
+       CAST(CAST({scale} AS BIGINT) * COALESCE(h.n_hit, 0) // {k} AS BIGINT)
+FROM qs q LEFT JOIN h2 h USING (query_id)
+""",
+        "bf",
+    )
