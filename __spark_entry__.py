@@ -1257,6 +1257,15 @@ def q_rel_unpivot(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_quality(spark, sf_dir):
+    """LSH candidate-quality summary (dedup.lsh_quality): recall and
+    precision of the production banded index against the uncapped exact
+    Jaccard truth at the 1/2 threshold — one row, integer scaled; the
+    audit-slice evaluation operator (the exact side is quadratic by
+    design and never on the production path)."""
+    return dedup.lsh_quality(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprint index (dedup.winnowing_fingerprints; MOSS
     algorithm): min-hash-per-window selection with rightmost ties —
@@ -2315,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks2": q_kg_walks2,
         "rel_unpivot": q_rel_unpivot,
         "ann_recall": q_ann_recall,
+        "dedup_lsh_quality": q_dedup_lsh_quality,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
         "er_exact_canonical": q_er_exact_canonical,
@@ -2482,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks2": O.kg_walks2(),
         "rel_unpivot": O.rel_unpivot(),
         "ann_recall": O.ann_recall(),
+        "dedup_lsh_quality": O.dedup_lsh_quality(),
         "mm_frames": O.mm_frames(),
         "mm_thumbnail": O.mm_thumbnail(),
         "er_exact_canonical": O.er_exact_canonical(),

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "kg_tag_transitions",
     "txt_hashing_tf",
     "dedup_lsh_stats",
+    "dedup_lsh_quality",
     "kg_negative_samples",
     "kg_entity_contexts",
     "kg_entity_trends",

@@ -1074,6 +1074,15 @@ def main() -> None:
     checks.append(("ann recall: ground truth persisted once",
                    "InMemoryTableScan" in p100))
 
+    # 101. LSH quality: truth + candidate tables persisted once; the
+    # three 1-row aggregates combine via broadcast cross joins, no collect
+    p101 = plan_of(entry.q_dedup_lsh_quality(spark, SF))
+    sections.append(("LSH quality summary (dedup_lsh_quality)", p101))
+    checks.append(("lsh quality: truth/cand persisted once",
+                   "InMemoryTableScan" in p101))
+    checks.append(("lsh quality: 1-row combine is broadcast",
+                   "BroadcastNestedLoopJoin" in p101))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -771,3 +771,22 @@ def test_containment_asymmetry(spark):
     assert r.contained == 1
     # jaccard = 3/8 -- far below the 4/5 flag threshold on its own
     assert 1_000_000 * r.n_common // (r.n_a + r.n_b - r.n_common) < 800_000
+
+
+def test_lsh_quality_summary(spark):
+    # 2 exact near-dup pairs (docs 1=2, 3=4 share long runs), 1 unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, base), (2, base),
+            (3, other + " extra"), (4, other + " bonus"),
+            (5, "totally unrelated prose about volcanic geology"),
+        ],
+        "doc_id long, text string",
+    )
+    r = dedup.lsh_quality(df).collect()[0]
+    assert r.n_true == 2  # (1,2) jaccard 1.0; (3,4) 9/13 >= 1/2
+    assert 0 <= r.n_hit <= r.n_true <= max(r.n_cand, r.n_true)
+    assert r.recall_scaled == 1_000_000 * r.n_hit // r.n_true
+    assert r.precision_scaled == 1_000_000 * r.n_hit // max(r.n_cand, 1)

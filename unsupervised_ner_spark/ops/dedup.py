@@ -927,3 +927,55 @@ def containment_candidates(
             ).cast("long"),
         )
     )
+
+
+def lsh_quality(
+    documents: DataFrame,
+    thr_num: int = 1,
+    thr_den: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """LSH candidate-quality summary — the honest answer to "what does
+    the banded index trade away": TRUE pairs are the uncapped exact
+    Jaccard pairs at the integer threshold ``n_common * thr_den >=
+    thr_num * union`` (default 1/2), candidates are the production
+    ``lsh_bucket_pairs`` output, and the ONE summary row reports counts
+    plus integer scaled recall (of truth, the banding miss rate) and
+    precision (of candidates, the verify-join's workload efficiency).
+    Empty denominators degrade to ``scale`` (a vacuous truth set is
+    perfectly recalled), documented rather than NULL.
+
+    Scale CAVEAT, by design: the exact truth side is the quadratic
+    variant — this is an EVALUATION operator for bounded samples (the
+    ann_recall posture: run it on a 10^5-doc audit slice, not the
+    corpus); the production dedup path never executes it. The three
+    aggregates are 1-row cross joins (broadcast, no collect)."""
+    truth = scoped_persist(
+        jaccard_candidates(documents, max_df=None)
+        .filter(
+            F.col("n_common") * F.lit(thr_den)
+            >= F.lit(thr_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = scoped_persist(lsh_bucket_pairs(documents))
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.expr(
+                f"CASE WHEN n_true = 0 THEN CAST({scale} AS BIGINT)"
+                f" ELSE CAST({scale} AS BIGINT) * n_hit div n_true END"
+            ).cast("long").alias("recall_scaled"),
+            F.expr(
+                f"CASE WHEN n_cand = 0 THEN CAST({scale} AS BIGINT)"
+                f" ELSE CAST({scale} AS BIGINT) * n_hit div n_cand END"
+            ).cast("long").alias("precision_scaled"),
+        )
+    )

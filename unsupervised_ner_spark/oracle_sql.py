@@ -5417,3 +5417,38 @@ FROM qs q LEFT JOIN h2 h USING (query_id)
 """,
         "bf",
     )
+
+
+def dedup_lsh_quality(
+    thr_num: int = 1, thr_den: int = 2, scale: int = 1_000_000
+) -> str:
+    """LSH-quality twin (ops/dedup.py lsh_quality): exact-Jaccard truth
+    at the integer cross-multiplied threshold, production LSH candidate
+    pairs, one summary row with scaled recall/precision."""
+    return _materialize(
+        f"""
+WITH je AS ({dedup_jaccard_exact()})
+, truth AS (
+    SELECT doc_a, doc_b FROM je
+    WHERE n_common * {thr_den} >= {thr_num} * (n_a + n_b - n_common)
+),
+lshp AS (
+    SELECT doc_a, doc_b FROM ({dedup_minhash_lsh()})
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM lshp),
+nh AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_hit
+    FROM truth t JOIN lshp c USING (doc_a, doc_b)
+)
+SELECT n_true, n_cand, n_hit,
+       CAST(CASE WHEN n_true = 0 THEN {scale}
+            ELSE CAST({scale} AS BIGINT) * n_hit // n_true END AS BIGINT)
+           AS recall_scaled,
+       CAST(CASE WHEN n_cand = 0 THEN {scale}
+            ELSE CAST({scale} AS BIGINT) * n_hit // n_cand END AS BIGINT)
+           AS precision_scaled
+FROM nt, nc, nh
+""",
+        "truth", "lshp",
+    )
