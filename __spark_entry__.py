@@ -2176,6 +2176,147 @@ def q_txt_encoding(spark, sf_dir):
     return webtext.encoding_quality(d.select("doc_id", dirty.alias("text")))
 
 
+def q_rel_zorder(spark, sf_dir):
+    """Z-order clustering keys (ops/layout.zorder_keys): Morton interleave
+    of two deterministic 10-bit dimensions (doc_id mod 1024 as the
+    time-ish axis, hex8(md5(source)) mod 1024 as the domain-bucket axis)
+    plus the coarse Z-cell a sort-rewrite would write as one file. The
+    oracle replays the identical shift/mask term sum."""
+    from unsupervised_ner_spark.ops import layout
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), 1024).cast("long").alias("dim_t"),
+        F.pmod(md5_int32(F.col("source")), 1024).cast("long").alias("dim_h"),
+    )
+    return layout.zorder_keys(d, "dim_t", "dim_h", bits=10, cell_shift=10)
+
+
+def q_rel_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (ops/layout.compaction_plan):
+    per-language file lists (file = doc, bytes = octet_length(text))
+    packed in file_id order into ~4 KiB rewrite groups via ONE
+    per-partition cumulative-sum window — Iceberg binpack planning as a
+    DataFrame instead of a driver loop."""
+    from unsupervised_ner_spark.ops import layout
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("part"),
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return layout.compaction_plan(files, target_bytes=4096)
+
+
+def q_rel_merge_upsert(spark, sf_dir):
+    """CDC MERGE application (ops/layout.merge_upsert): a deterministic
+    change batch (delete every 7th doc; bump n_tokens on every 5th-not-7th;
+    insert an offset copy of every 11th) applied to the documents snapshot
+    with one full-outer key join; action column audits kept/updated/
+    inserted and deleted keys emit no row."""
+    from unsupervised_ner_spark.ops import layout
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.size(F.split(F.col("text"), r"\s+", -1)).cast("long").alias("n_tokens"),
+    )
+    did = F.col("doc_id")
+    deletes = target.filter(did % 7 == 0).select(
+        "doc_id", "lang", "n_tokens", F.lit("D").alias("op")
+    )
+    updates = target.filter((did % 5 == 0) & (did % 7 != 0)).select(
+        "doc_id", "lang",
+        (F.col("n_tokens") + 1).cast("long").alias("n_tokens"),
+        F.lit("U").alias("op"),
+    )
+    inserts = target.filter(did % 11 == 0).select(
+        (did + 10_000_000).cast("long").alias("doc_id"),
+        "lang", "n_tokens", F.lit("U").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return layout.merge_upsert(target, changes, "doc_id")
+
+
+def q_txt_hot_keys(spark, sf_dir):
+    """Shuffle-key skew diagnostics (ops/layout.skew_report) over the
+    lowercased token stream — the pre-flight hot-key profile ('the' and
+    friends dominate) that decides where salting / AQE skew handling is
+    needed; exact integer ppm shares, deterministic ties."""
+    from unsupervised_ner_spark.ops import layout
+    from unsupervised_ner_spark.ops.textstats import tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens_ws(F.col("text"))).alias("tok")
+    ).select(F.lower(F.col("tok")).alias("tok"))
+    return layout.skew_report(toks, "tok", top_k=20, hot_ppm=10_000)
+
+
+def q_txt_url_templates(spark, sf_dir):
+    """URL path-template mining (webtext.url_templates): digit runs in
+    parsed paths collapse to 'N' ('/cat3/page-41.html' ->
+    '/catN/page-N.html'), aggregated per registered domain — the
+    template-spam detector; deterministic min-doc sample per template."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.url_templates(webtext.parse_urls(_synth_urls(d)))
+
+
+def q_kg_tagger_agreement(spark, sf_dir):
+    """Inter-tagger agreement (ops/kgtrain.tagger_agreement): token-level
+    confusion matrix between the production BIO tagger and the v1
+    text-mode ensemble tagger, with integer Cohen's-kappa sufficient
+    statistics (marginals + total) over the bounded |tagset|^2 matrix."""
+    from unsupervised_ner_spark.ops.kgtrain import tagger_agreement
+    from unsupervised_ner_spark.pipeline.ensemble_v1 import ensemble_v1_tags
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tags_a = stages["tags"].select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("token_idx").cast("long").alias("token_idx"),
+        "tag",
+    )
+    tags_b = ensemble_v1_tags(_sentences(spark, sf_dir)).select(
+        "url",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("token_idx").cast("long").alias("token_idx"),
+        "tag",
+    )
+    return tagger_agreement(tags_a, tags_b)
+
+
+def q_kg_type_priors(spark, sf_dir):
+    """Corpus-prior type disambiguation (er.type_prior_resolution):
+    surfaces assigned >1 type across the corpus, majority type with
+    deterministic ties — the broadcastable prior table for entity
+    linking. Production typed mentions are unioned with a deterministic
+    doc_id-derived splice (the kg_conflicts precedent) so ambiguous
+    surfaces provably exist in the word-salad corpus."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir).select(
+        "url", "sent_idx", "surface", "pred_group"
+    )
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    splice = d.select(
+        did.cast("string").alias("url"),
+        F.lit(9_999).cast("long").alias("sent_idx"),
+        F.concat(F.lit("Amb"), F.pmod(did, 5).cast("string")).alias("surface"),
+        F.when(did % 3 == 0, "PERSON")
+        .when(did % 3 == 1, "LOCATION")
+        .otherwise("ORG")
+        .alias("pred_group"),
+    )
+    return er.type_prior_resolution(typed.unionByName(splice))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2344,6 +2485,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_set_union": q_rel_set_union,
         "rel_rollup": q_rel_rollup,
+        "rel_zorder": q_rel_zorder,
+        "rel_compaction_plan": q_rel_compaction_plan,
+        "rel_merge_upsert": q_rel_merge_upsert,
+        "txt_hot_keys": q_txt_hot_keys,
+        "txt_url_templates": q_txt_url_templates,
+        "kg_tagger_agreement": q_kg_tagger_agreement,
+        "kg_type_priors": q_kg_type_priors,
     }
 
 
@@ -2570,4 +2718,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n
             FROM events GROUP BY ROLLUP (event_type)
         """,
+        "rel_zorder": O.rel_zorder(),
+        "rel_compaction_plan": O.rel_compaction_plan(),
+        "rel_merge_upsert": O.rel_merge_upsert(),
+        "txt_hot_keys": O.txt_hot_keys(),
+        "txt_url_templates": O.txt_url_templates(),
+        "kg_tagger_agreement": O.kg_tagger_agreement(),
+        "kg_type_priors": O.kg_type_priors(),
     }

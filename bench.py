@@ -183,6 +183,13 @@ BENCH_QUERIES = [
     "rel_asof_join",
     "rel_set_union",
     "rel_rollup",
+    "rel_zorder",
+    "rel_compaction_plan",
+    "rel_merge_upsert",
+    "txt_hot_keys",
+    "txt_url_templates",
+    "kg_tagger_agreement",
+    "kg_type_priors",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

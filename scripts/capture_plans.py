@@ -1083,6 +1083,52 @@ def main() -> None:
     checks.append(("lsh quality: 1-row combine is broadcast",
                    "BroadcastNestedLoopJoin" in p101))
 
+    # 102. Z-order keys: pure projection — NO exchange, no join, no window
+    # (the clustering sort is the rewrite job's, deliberately excluded)
+    p102 = plan_of(entry.q_rel_zorder(spark, SF))
+    sections.append(("Z-order clustering keys (rel_zorder)", p102))
+    checks.append(("zorder: map-only (no Exchange)", "Exchange" not in p102))
+
+    # 103. compaction plan: ONE window (cumsum per partition) + ONE agg;
+    # no join anywhere
+    p103 = plan_of(entry.q_rel_compaction_plan(spark, SF))
+    sections.append(("Compaction planning (rel_compaction_plan)", p103))
+    checks.append(("compaction: single window", p103.count("Window") >= 1
+                   and "Join" not in p103))
+    checks.append(("compaction: window keyed on part",
+                   "windowspecdefinition(part" in p103))
+
+    # 104. MERGE upsert: one full-outer join on the key; the three action
+    # branches are projections over it (union, no second join)
+    p104 = plan_of(entry.q_rel_merge_upsert(spark, SF))
+    sections.append(("CDC MERGE upsert (rel_merge_upsert)", p104))
+    checks.append(("merge: full-outer key join present", "FullOuter" in p104))
+    checks.append(("merge: union of projections (single join per branch)",
+                   "Union" in p104))
+
+    # 105. skew report: key counts persisted once (feed ranking + total);
+    # grand total attaches as a 1-row broadcast, never a collect
+    p105 = plan_of(entry.q_txt_hot_keys(spark, SF))
+    sections.append(("Hot-key skew report (txt_hot_keys)", p105))
+    checks.append(("skew: counts persisted once", "InMemoryTableScan" in p105))
+    checks.append(("skew: 1-row total broadcast",
+                   "BroadcastNestedLoopJoin" in p105))
+
+    # 106. tagger agreement: token-keyed equi-join; marginal windows run
+    # over the aggregated |tagset|^2 matrix (windowspec on tag, not url)
+    p106 = plan_of(entry.q_kg_tagger_agreement(spark, SF))
+    sections.append(("Inter-tagger agreement (kg_tagger_agreement)", p106))
+    checks.append(("agreement: marginal windows over tag matrix",
+                   "windowspecdefinition(tag_a" in p106
+                   and "windowspecdefinition(tag_b" in p106))
+
+    # 107. type priors: ONE (surface, type) aggregate then windows
+    # partitioned by surface over the aggregate (never over raw mentions)
+    p107 = plan_of(entry.q_kg_type_priors(spark, SF))
+    sections.append(("Type-prior disambiguation (kg_type_priors)", p107))
+    checks.append(("type priors: window keyed on surface",
+                   "windowspecdefinition(norm_surface" in p107))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

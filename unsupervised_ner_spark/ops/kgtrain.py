@@ -158,3 +158,43 @@ def entity_contexts(
         F.array_join(right, " ").alias("right_ctx"),
         masked.alias("masked"),
     )
+
+
+def tagger_agreement(tags_a: DataFrame, tags_b: DataFrame) -> DataFrame:
+    """Token-level inter-tagger agreement between two BIO tag tables keyed
+    (url, sent_idx, token_idx): the confusion matrix plus the integer
+    sufficient statistics for Cohen's kappa. The reference runs TWO models
+    and adjudicates per mention (aggregate_server.py precedence rules);
+    this is the corpus-level dashboard of HOW MUCH they disagree and
+    where — the evidence that justifies (or retires) the ensemble.
+
+    Output: one row per observed (tag_a, tag_b) pair with n_pair, the row
+    marginal n_a (tokens model A gave tag_a), column marginal n_b, and
+    n_total — kappa = (sum(diag)/n - sum(n_a*n_b)/n^2) / (1 - ...) is a
+    derived float, deliberately not emitted (the NPMI precedent: integers
+    only leave the operator).
+
+    Scale shape: ONE co-partitioned inner equi-join on the token key
+    (both sides arrive partitioned by url from their tagging passes) +
+    ONE map-side-combining aggregate; the marginal windows run over the
+    ALREADY AGGREGATED confusion matrix — bounded by |tagset|^2 (~35^2),
+    a constant, so the single-partition window is a non-issue at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    a = tags_a.select("url", "sent_idx", "token_idx", F.col("tag").alias("tag_a"))
+    b = tags_b.select("url", "sent_idx", "token_idx", F.col("tag").alias("tag_b"))
+    conf = (
+        a.join(b, ["url", "sent_idx", "token_idx"])
+        .groupBy("tag_a", "tag_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    wa = Window.partitionBy("tag_a")
+    wb = Window.partitionBy("tag_b")
+    wt = Window.partitionBy()
+    return conf.select(
+        "tag_a", "tag_b", "n_pair",
+        F.sum("n_pair").over(wa).cast("long").alias("n_a"),
+        F.sum("n_pair").over(wb).cast("long").alias("n_b"),
+        F.sum("n_pair").over(wt).cast("long").alias("n_total"),
+    )

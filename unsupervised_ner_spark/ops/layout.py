@@ -1,0 +1,203 @@
+"""Lakehouse table-maintenance operators: Z-order clustering keys, small-file
+compaction planning, CDC MERGE (upsert/delete) application, and shuffle-key
+skew diagnostics.
+
+At 100 TB the KG chain's recurring cost is not only compute but LAYOUT: a
+Common-Crawl-scale Iceberg table accumulates millions of small files from
+incremental ingest (the reference's per-run result dumps,
+``batched_main_NER.py`` writing one output per invocation), and every
+downstream scan pays for it. These operators are the maintenance passes a
+production deployment schedules between ingest rounds:
+
+- :func:`zorder_keys` — multi-dimension clustering key (Morton interleave)
+  so range predicates on EITHER dimension prune files; the sort key an
+  Iceberg ``rewrite_data_files(strategy => 'sort')`` pass would use.
+- :func:`compaction_plan` — deterministic bin-packing of small files into
+  target-size rewrite groups (the planning half of Iceberg's binpack
+  rewrite; the rewrite itself is a per-group read+write).
+- :func:`merge_upsert` — MERGE INTO semantics (update/delete/insert) as one
+  key-keyed full outer join — the CDC application step that keeps a
+  snapshot table current without rewriting unmatched rows' content.
+- :func:`skew_report` — per-key frequency profile of a prospective shuffle
+  key with exact integer ppm shares: the measurement that decides WHERE
+  salting / AQE skew-join mitigation is needed before a 1000-executor run.
+
+All outputs are integer/string columns only (the NPMI precedent): no float
+leaves an operator, so the DuckDB twins replay bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unsupervised_ner_spark.caching import scoped_persist
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Bit-interleaved (Morton / Z-order) key over two non-negative integer
+    dimensions already quantized to ``[0, 2^bits)``: bit ``i`` of ``a``
+    lands at position ``2i+1``, bit ``i`` of ``b`` at ``2i``. Pure integer
+    shift/mask expression — whole-stage-codegen'd JVM-side, and the DuckDB
+    twin (oracle_sql._morton_sql) emits the identical term sum. ``bits=16``
+    covers 65,536 buckets per dimension (a day of hourly partitions x 64k
+    domain buckets) in a 32-bit key; raise toward 31 before a long
+    overflows at interleave width 62."""
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out.cast("long")
+
+
+def zorder_keys(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    bits: int = 16,
+    cell_shift: int = 10,
+) -> DataFrame:
+    """Attach the Z-order clustering key and its coarse cell id to ``df``.
+
+    ``zkey`` is the Morton interleave of the two quantized dimensions;
+    ``zcell = zkey >> cell_shift`` groups rows into contiguous Z-curve
+    cells — the unit a sort-rewrite pass writes as one file, so a range
+    predicate on either dimension prunes to O(sqrt(files)) instead of all
+    of them. Scale shape: a narrow projection, no shuffle here at all —
+    the (optional) global sort on ``zkey`` is the rewrite job's range
+    exchange, deliberately NOT part of this operator so planners can
+    aggregate over cells first (as :func:`compaction_plan` does)."""
+    return df.select(
+        "*",
+        morton_key(F.col(dim_a), F.col(dim_b), bits).alias("zkey"),
+    ).withColumn("zcell", F.shiftright(F.col("zkey"), cell_shift).cast("long"))
+
+
+def compaction_plan(
+    files: DataFrame, target_bytes: int = 1 << 20
+) -> DataFrame:
+    """Plan small-file compaction: pack each partition's files, in
+    deterministic ``file_id`` order, into sequential groups of ~``target_bytes``
+    (Iceberg binpack-rewrite planning). Group assignment is
+    ``(running_bytes - bytes) div target_bytes`` — the group a file STARTS
+    in — so every group except a partition's last holds >= target_bytes.
+
+    Input: ``(part, file_id, bytes)``. Output: one row per rewrite group
+    with file count, byte total, and the id range the rewrite task reads.
+
+    Scale shape: ONE window (cumulative sum partitioned by ``part``) + ONE
+    aggregate. The window is per-partition, so parallelism = partition
+    count and no single task sees more than one partition's file list —
+    at 10^12 docs a partition holds ~10^4-10^5 files, trivially
+    window-able. No driver-side planning loop (contrast: Iceberg's action
+    plans on the driver; here the plan IS a DataFrame)."""
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (F.sum(F.col("bytes").cast("long")).over(w) - F.col("bytes")).alias("run")
+    grouped = files.select(
+        "part",
+        "file_id",
+        F.col("bytes").cast("long").alias("bytes"),
+        run,
+    ).select(
+        "part",
+        "file_id",
+        "bytes",
+        # long div, not float /: bit-exact at any byte total
+        F.expr(f"run div CAST({int(target_bytes)} AS BIGINT)").alias("group_id"),
+    )
+    return grouped.groupBy("part", "group_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("file_id").cast("long").alias("min_file_id"),
+        F.max("file_id").cast("long").alias("max_file_id"),
+    )
+
+
+def merge_upsert(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply a CDC batch to a snapshot table with MERGE INTO semantics:
+    ``op = 'D'`` deletes the key, ``op = 'U'`` upserts (update if present,
+    insert if absent). ``changes`` carries the full new row payload for
+    upserts (column-parity with ``target`` minus ``op``).
+
+    Output is the next snapshot plus an ``action`` audit column
+    ('kept' / 'updated' / 'inserted') — the per-commit metrics row Iceberg
+    publishes as snapshot summary counts.
+
+    Scale shape: ONE full outer equi-join on the key. The CDC batch is
+    usually << the snapshot, so AQE plans the join with the small side
+    shuffled-hash or (if tiny) broadcast; unmatched target rows pass
+    through project-only. Deterministic: a key appears at most once per
+    batch (enforce upstream with last-writer-wins compaction — see
+    streaming/intervals.py for the SCD2 variant that keeps history
+    instead)."""
+    t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
+    payload = [c for c in changes.columns if c != "op"]
+    c = changes.select([F.col(x).alias(f"c_{x}") for x in changes.columns])
+    joined = t.join(c, t[f"t_{key}"] == c[f"c_{key}"], "full_outer")
+    kept = joined.filter(F.col(f"c_{key}").isNull()).select(
+        *[F.col(f"t_{x}").alias(x) for x in target.columns],
+        F.lit("kept").alias("action"),
+    )
+    updated = joined.filter(
+        F.col(f"c_{key}").isNotNull()
+        & F.col(f"t_{key}").isNotNull()
+        & (F.col("c_op") == "U")
+    ).select(
+        *[F.col(f"c_{x}").alias(x) for x in payload],
+        F.lit("updated").alias("action"),
+    )
+    inserted = joined.filter(
+        F.col(f"t_{key}").isNull() & (F.col("c_op") == "U")
+    ).select(
+        *[F.col(f"c_{x}").alias(x) for x in payload],
+        F.lit("inserted").alias("action"),
+    )
+    # deletes (op='D') simply emit no row; unknown ops are dropped with them
+    return kept.unionByName(updated).unionByName(inserted)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 20, hot_ppm: int = 50_000
+) -> DataFrame:
+    """Exact frequency profile of a prospective shuffle key: the top-``k``
+    keys by count with integer parts-per-million share of all rows and a
+    ``hot`` flag at ``share_ppm >= hot_ppm`` — the pre-flight check that
+    decides which ER / co-occurrence keys need salting (pipeline/er.py
+    salts its link build on exactly this evidence) before a cluster run.
+
+    Scale shape: ONE map-side-combining count aggregate over the key (the
+    same shuffle the diagnosed join would pay, once, at measurement time),
+    then ranking confined to a single-partition window over the ALREADY
+    AGGREGATED key-count table — bounded by distinct keys, and prunable to
+    counts above a floor first if the key space itself is huge. The grand
+    total joins back as a broadcast 1-row aggregate, never a driver
+    collect. Ties rank deterministically by key string."""
+    counts = scoped_persist(
+        df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+    )
+    return ranked.select(
+        "key",
+        "n",
+        "total",
+        F.expr("(n * CAST(1000000 AS BIGINT)) div total").alias("share_ppm"),
+        "rnk",
+        (F.expr("(n * CAST(1000000 AS BIGINT)) div total") >= hot_ppm).alias("hot"),
+    )

@@ -414,7 +414,11 @@ def host_hits(
     Scale shape: the distinct edge table is persisted once and reused
     2x per iteration; each half-step is one node-keyed equi-join + one
     map-side-combining sum over edges, O(iterations) rounds — the same
-    shuffle pair as synchronous PageRank. Overflow bound: the
+    shuffle pair as synchronous PageRank. The pre-normalization score
+    table is persisted per half-step because it feeds two consumers
+    (the max aggregate and the normalization join) — without it the
+    score subtree is recomputed ~2x per half-step, compounding across
+    iterations (measured 20.8 s -> seconds at sf0.1). Overflow bound: the
     normalization multiplies BEFORE dividing (sum * scale div max), and
     sum <= deg_max * scale, so deg_max * scale^2 must fit a long —
     scale 1e6 holds to deg_max ~9e6 in-links on one host; beyond that
@@ -442,8 +446,14 @@ def host_hits(
             .agg(F.sum("hub").alias("a"))
             .select(F.col("dst_host").alias("host"), "a")
         )
-        a_all = nodes.join(a_raw, "host", "left").select(
-            "host", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+        # a_all feeds TWO consumers (the max aggregate and the
+        # normalization join); without a persist the subtree is evaluated
+        # twice per half-step and the duplication compounds ~2x per
+        # half-step across iterations. Node-sized table — cheap to cache.
+        a_all = scoped_persist(
+            nodes.join(a_raw, "host", "left").select(
+                "host", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+            )
         )
         amax = a_all.agg(F.greatest(F.max("a"), F.lit(1)).alias("amax"))
         auth = a_all.crossJoin(F.broadcast(amax)).select(
@@ -456,8 +466,10 @@ def host_hits(
             .agg(F.sum("auth").alias("h"))
             .select(F.col("src_host").alias("host"), "h")
         )
-        h_all = nodes.join(h_raw, "host", "left").select(
-            "host", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+        h_all = scoped_persist(
+            nodes.join(h_raw, "host", "left").select(
+                "host", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+            )
         )
         hmax = h_all.agg(F.greatest(F.max("h"), F.lit(1)).alias("hmax"))
         hub = h_all.crossJoin(F.broadcast(hmax)).select(
@@ -512,3 +524,32 @@ def crawl_frontier(parsed: DataFrame, k: int = 3) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_host_urls"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def url_templates(parsed: DataFrame) -> DataFrame:
+    """Path-template mining over :func:`parse_urls` output: collapse every
+    digit run in the path to ``N`` and aggregate per (reg_domain,
+    template) — the spam/boilerplate-pattern detector (calendar pages,
+    paginated listings, session-id URLs) crawl curation uses to down-weight
+    template-generated content BEFORE fetching content hashes. Output:
+    (reg_domain, path_template, n_urls, n_hosts, n_docs, sample_doc_id —
+    the deterministic min doc per template).
+
+    Scale shape: ONE narrow projection (regexp on the already-parsed path)
+    + ONE map-side-combining aggregate keyed on (domain, template) — the
+    template key collapses exactly the explosive part of the URL space, so
+    the aggregate output is bounded by distinct site layouts, not by
+    crawl size."""
+    t = parsed.select(
+        "reg_domain",
+        F.regexp_replace(F.col("path"), "[0-9]+", "N").alias("path_template"),
+        "host",
+        "url_norm",
+        "doc_id",
+    )
+    return t.groupBy("reg_domain", "path_template").agg(
+        F.countDistinct("url_norm").cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("sample_doc_id"),
+    )

@@ -5452,3 +5452,199 @@ FROM nt, nc, nh
 """,
         "truth", "lshp",
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse table-maintenance / scale-ops twins (ops/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    """Bit-interleave twin of ops/layout.morton_key: identical shift/mask
+    term sum, pure BIGINT operators on both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def rel_zorder(bits: int = 10, cell_shift: int = 10) -> str:
+    """Z-order key twin (q_rel_zorder): 10-bit dims from doc_id mod 1024
+    and hex8(md5(source)) mod 1024, Morton interleave, coarse cell."""
+    dim_h = f"({_hex8_int_sql('md5(source)')} % 1024)"
+    z = _morton_sql("dim_t", "dim_h", bits)
+    return f"""
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % 1024 AS BIGINT) AS dim_t,
+           CAST({dim_h} AS BIGINT) AS dim_h
+    FROM documents
+)
+SELECT doc_id, dim_t, dim_h,
+       CAST({z} AS BIGINT) AS zkey,
+       CAST(({z} >> {cell_shift}) AS BIGINT) AS zcell
+FROM d
+"""
+
+
+def rel_compaction_plan(target_bytes: int = 4096) -> str:
+    """Compaction-plan twin (ops/layout.compaction_plan): per-partition
+    cumulative byte sum in file_id order, group = (run - bytes) intdiv
+    target; strlen = UTF-8 byte length (Spark octet_length twin)."""
+    return f"""
+WITH files AS (
+    SELECT lang AS part, CAST(doc_id AS BIGINT) AS file_id,
+           CAST(strlen(text) AS BIGINT) AS bytes
+    FROM documents
+),
+g AS (
+    SELECT part, file_id, bytes,
+           (sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+                             ROWS UNBOUNDED PRECEDING) - bytes)
+           // {target_bytes} AS group_id
+    FROM files
+)
+SELECT part, CAST(group_id AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(file_id) AS BIGINT) AS min_file_id,
+       CAST(max(file_id) AS BIGINT) AS max_file_id
+FROM g GROUP BY part, group_id
+"""
+
+
+def rel_merge_upsert() -> str:
+    """MERGE-upsert twin (ops/layout.merge_upsert over the deterministic
+    CDC batch of q_rel_merge_upsert): delete %7, update %5-not-%7
+    (n_tokens+1), insert %11 at key+10M; action audit column."""
+    return """
+WITH target AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+changes AS (
+    SELECT doc_id, lang, n_tokens, 'D' AS op FROM target WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_tokens + 1, 'U' FROM target
+    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 10000000, lang, n_tokens, 'U' FROM target WHERE doc_id % 11 = 0
+),
+j AS (
+    SELECT t.doc_id AS t_doc_id, t.lang AS t_lang, t.n_tokens AS t_n_tokens,
+           c.doc_id AS c_doc_id, c.lang AS c_lang, c.n_tokens AS c_n_tokens, c.op
+    FROM target t FULL OUTER JOIN changes c ON t.doc_id = c.doc_id
+)
+SELECT t_doc_id AS doc_id, t_lang AS lang, t_n_tokens AS n_tokens,
+       'kept' AS action
+FROM j WHERE c_doc_id IS NULL
+UNION ALL
+SELECT c_doc_id, c_lang, c_n_tokens, 'updated'
+FROM j WHERE c_doc_id IS NOT NULL AND t_doc_id IS NOT NULL AND op = 'U'
+UNION ALL
+SELECT c_doc_id, c_lang, c_n_tokens, 'inserted'
+FROM j WHERE t_doc_id IS NULL AND op = 'U'
+"""
+
+
+def txt_hot_keys(top_k: int = 20, hot_ppm: int = 10_000) -> str:
+    """Skew-report twin (ops/layout.skew_report over the lowercased token
+    stream): exact per-key counts, integer ppm share, deterministic
+    (count desc, key asc) ranking."""
+    return f"""
+WITH toks AS (
+    SELECT unnest(list_transform({_TOKS}, t -> lower(t))) AS key FROM documents
+),
+counts AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY key),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+    SELECT key, n, total,
+           CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk
+    FROM counts, tot
+)
+SELECT key, n, total,
+       (n * CAST(1000000 AS BIGINT)) // total AS share_ppm, rnk,
+       ((n * CAST(1000000 AS BIGINT)) // total) >= {hot_ppm} AS hot
+FROM ranked WHERE rnk <= {top_k}
+"""
+
+
+def txt_url_templates() -> str:
+    """URL path-template twin (webtext.url_templates): digit runs in the
+    parsed path collapse to 'N', per-(domain, template) aggregate."""
+    return f"""
+WITH {_url_parse_ctes()}
+SELECT reg_domain,
+       regexp_replace(path, '[0-9]+', 'N', 'g') AS path_template,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc_id
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def kg_tagger_agreement(model_a: str = "a100", model_b: str = "bbc") -> str:
+    """Inter-tagger agreement twin (ops/kgtrain.tagger_agreement): the
+    production BIO chain and the v1 ensemble chain joined on the token
+    key, confusion counts + marginals + total as window sums over the
+    bounded confusion matrix."""
+    return f"""
+WITH a AS ({kg_bio_tags(model_a)}),
+b AS ({kg_ensemble_v1_tags(model_a, model_b)}),
+conf AS (
+    SELECT a.tag AS tag_a, b.tag AS tag_b, CAST(count(*) AS BIGINT) AS n_pair
+    FROM a JOIN b USING (url, sent_idx, token_idx)
+    GROUP BY 1, 2
+)
+SELECT tag_a, tag_b, n_pair,
+       CAST(sum(n_pair) OVER (PARTITION BY tag_a) AS BIGINT) AS n_a,
+       CAST(sum(n_pair) OVER (PARTITION BY tag_b) AS BIGINT) AS n_b,
+       CAST(sum(n_pair) OVER () AS BIGINT) AS n_total
+FROM conf
+"""
+
+
+def kg_type_priors(model: str = "a100") -> str:
+    """Type-prior twin (er.type_prior_resolution over production typed
+    mentions unioned with the deterministic ambiguity splice): majority
+    type per multi-typed normalized surface, (n desc, type asc) ties."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return (
+        _kg_prefix(model)
+        + f"""
+, mentions_all AS (
+    SELECT surface, pred_group FROM typed
+    UNION ALL
+    SELECT 'Amb' || CAST(doc_id % 5 AS VARCHAR) AS surface,
+           CASE WHEN doc_id % 3 = 0 THEN 'PERSON'
+                WHEN doc_id % 3 = 1 THEN 'LOCATION'
+                ELSE 'ORG' END AS pred_group
+    FROM documents
+),
+occ AS (
+    SELECT {norm} AS norm_surface, pred_group AS etype FROM mentions_all
+    WHERE pred_group <> 'OTHER'
+),
+per_type AS (
+    SELECT norm_surface, etype, CAST(count(*) AS BIGINT) AS n
+    FROM occ WHERE length(norm_surface) > 0
+    GROUP BY norm_surface, etype
+),
+ranked AS (
+    SELECT norm_surface, etype, n,
+           CAST(row_number() OVER (PARTITION BY norm_surface
+                                   ORDER BY n DESC, etype) AS BIGINT) AS rnk,
+           CAST(count(*) OVER (PARTITION BY norm_surface) AS BIGINT) AS n_types,
+           CAST(sum(n) OVER (PARTITION BY norm_surface) AS BIGINT) AS n_total
+    FROM per_type
+)
+SELECT norm_surface, n_types, n_total, etype AS win_type, n AS n_win
+FROM ranked WHERE rnk = 1 AND n_types >= 2
+"""
+    )

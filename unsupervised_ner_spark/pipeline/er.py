@@ -1929,3 +1929,43 @@ def deterministic_walks2(
         part(0).alias("ent"), part(1).alias("etype"), "walk_id", "path",
         F.lit(steps).cast("long").alias("n_steps"),
     )
+
+
+def type_prior_resolution(typed_mentions: DataFrame) -> DataFrame:
+    """Corpus-prior type disambiguation: for every normalized surface that
+    was assigned MORE THAN ONE entity type across the corpus (the
+    reference resolves each mention independently per sentence —
+    batched_main_NER.py tags carry no cross-document consistency), pick
+    the majority type as the canonical prior, with deterministic ties
+    (higher count, then lexicographic type). Output: (norm_surface,
+    n_types, n_total, win_type, n_win) — the per-surface prior table an
+    entity-linking pass broadcasts to stabilize low-confidence mentions.
+
+    Scale shape: ONE map-side-combining aggregate keyed on
+    (norm_surface, type), then a window PARTITIONED BY surface over the
+    aggregated table — partition size is the number of types a surface
+    ever received (<= the 17-group vocabulary), never mention count. A
+    hot surface ("washington") is one reducer key in the first aggregate;
+    the window never sees raw mentions."""
+    from pyspark.sql import Window
+
+    norm = norm_surface_col(F.col("surface"))
+    per_type = typed_mentions.select(
+        norm.alias("norm_surface"), F.col("pred_group").alias("etype")
+    ).filter(
+        (F.col("etype") != "OTHER") & (F.length("norm_surface") > 0)
+    ).groupBy("norm_surface", "etype").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("norm_surface")
+    wo = w.orderBy(F.desc("n"), F.asc("etype"))
+    ranked = per_type.select(
+        "norm_surface", "etype", "n",
+        F.row_number().over(wo).cast("long").alias("rnk"),
+        F.count("*").over(w).cast("long").alias("n_types"),
+        F.sum("n").over(w).cast("long").alias("n_total"),
+    )
+    return ranked.filter((F.col("rnk") == 1) & (F.col("n_types") >= 2)).select(
+        "norm_surface", "n_types", "n_total",
+        F.col("etype").alias("win_type"), F.col("n").alias("n_win"),
+    )
