@@ -2317,6 +2317,74 @@ def q_kg_type_priors(spark, sf_dir):
     return er.type_prior_resolution(typed.unionByName(splice))
 
 
+def q_kg_cooccurrence_delta(spark, sf_dir):
+    """Incremental view maintenance of the co-occurrence edge table
+    (er.cooccurrence_edges_incremental): the corpus split into url-disjoint
+    old/delta batches (url mod 10), edges computed per batch and MERGED —
+    the oracle recomputes from scratch, so the hash gate proves
+    merge(old, delta) == full recompute exactly."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    is_delta = F.pmod(F.col("url").cast("long"), 10) == 0
+    return er.cooccurrence_edges_incremental(
+        typed.filter(~is_delta), typed.filter(is_delta)
+    )
+
+
+def q_txt_warc_records(spark, sf_dir):
+    """WET-archive roundtrip (webtext.build_wet_files ->
+    parse_wet_records): documents packed 10-per-file into WARC/1.0
+    record blobs, then parsed back by Content-Length cut — the CC-style
+    ingest parser, map-only string expressions."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.parse_wet_records(webtext.build_wet_files(d))
+
+
+def q_txt_robots_check(spark, sf_dir):
+    """Robots-exclusion decisions (webtext.robots_rules +
+    robots_allowed): RFC 9309 longest-match (Allow wins ties) against the
+    deterministic per-host rule table; URLs with no matching prefix
+    (empty-path synth URLs) default to allowed."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    parsed = webtext.parse_urls(_synth_urls(d))
+    return webtext.robots_allowed(parsed, webtext.robots_rules(parsed))
+
+
+def q_rel_snapshot_expiry(spark, sf_dir):
+    """Snapshot retention planning (ops/layout.snapshot_expiry):
+    keep-last-5 by snapshot id + each day's first snapshot (day =
+    snap_id div 10); everything else flagged expirable."""
+    from unsupervised_ner_spark.ops import layout
+
+    snaps = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("snap_id"),
+        F.expr("CAST(doc_id AS BIGINT) div 10").alias("day"),
+    )
+    return layout.snapshot_expiry(snaps, keep_last=5)
+
+
+def q_mm_audio_windows(spark, sf_dir):
+    """Audio analysis-window planning (multimodal.audio_windows) over
+    deterministic length metadata (n_samples = 8000 + 131*strlen(text)
+    mod 160000 at 16 kHz): 1 s windows, 0.5 s hop, short clips emit zero
+    rows — metadata-only, decode stays behind the mapInPandas seam."""
+    from unsupervised_ner_spark.ops import multimodal
+
+    meta = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            (F.octet_length("text").cast("long") * 131) % 160000 + 8000
+        ).alias("n_samples"),
+        F.lit(16000).cast("long").alias("sample_rate"),
+    )
+    return multimodal.audio_windows(meta, win=16000, hop=8000)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2492,6 +2560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_url_templates": q_txt_url_templates,
         "kg_tagger_agreement": q_kg_tagger_agreement,
         "kg_type_priors": q_kg_type_priors,
+        "kg_cooccurrence_delta": q_kg_cooccurrence_delta,
+        "txt_warc_records": q_txt_warc_records,
+        "txt_robots_check": q_txt_robots_check,
+        "rel_snapshot_expiry": q_rel_snapshot_expiry,
+        "mm_audio_windows": q_mm_audio_windows,
     }
 
 
@@ -2725,4 +2798,10 @@ def oracle_sql() -> dict[str, str]:
         "txt_url_templates": O.txt_url_templates(),
         "kg_tagger_agreement": O.kg_tagger_agreement(),
         "kg_type_priors": O.kg_type_priors(),
+        # full recompute — proves the engine's incremental merge exactly
+        "kg_cooccurrence_delta": O.kg_cooccurrence(),
+        "txt_warc_records": O.txt_warc_records(),
+        "txt_robots_check": O.txt_robots_check(),
+        "rel_snapshot_expiry": O.rel_snapshot_expiry(),
+        "mm_audio_windows": O.mm_audio_windows(),
     }

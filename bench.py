@@ -190,6 +190,11 @@ BENCH_QUERIES = [
     "txt_url_templates",
     "kg_tagger_agreement",
     "kg_type_priors",
+    "kg_cooccurrence_delta",
+    "txt_warc_records",
+    "txt_robots_check",
+    "rel_snapshot_expiry",
+    "mm_audio_windows",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -1129,6 +1129,42 @@ def main() -> None:
     checks.append(("type priors: window keyed on surface",
                    "windowspecdefinition(norm_surface" in p107))
 
+    # 108. incremental co-occurrence: per-batch sentence-entity tables
+    # persisted once, batches merged by Union + one final edge aggregate
+    p108 = plan_of(entry.q_kg_cooccurrence_delta(spark, SF))
+    sections.append(("Incremental co-occurrence merge (kg_cooccurrence_delta)", p108))
+    checks.append(("cooc delta: union of batch aggregates", "Union" in p108))
+    checks.append(("cooc delta: per-batch entity tables persisted once",
+                   "InMemoryTableScan" in p108))
+
+    # 109. WET parse: one grouping exchange (doc -> file), then explode +
+    # string expressions only — no join
+    p109 = plan_of(entry.q_txt_warc_records(spark, SF))
+    sections.append(("WET record parse (txt_warc_records)", p109))
+    checks.append(("wet: explode present, no join",
+                   "Generate" in p109 and "Join" not in p109))
+
+    # 110. robots: per-URL winner window keyed on doc_id (match set per
+    # URL is rule-count-bounded, never corpus-sized)
+    p110 = plan_of(entry.q_txt_robots_check(spark, SF))
+    sections.append(("Robots exclusion decisions (txt_robots_check)", p110))
+    checks.append(("robots: winner window keyed on doc_id",
+                   "windowspecdefinition(doc_id" in p110))
+
+    # 111. snapshot expiry: windows only (catalog-metadata-sized input),
+    # no join
+    p111 = plan_of(entry.q_rel_snapshot_expiry(spark, SF))
+    sections.append(("Snapshot retention plan (rel_snapshot_expiry)", p111))
+    checks.append(("snapshot expiry: window-only plan",
+                   "Window" in p111 and "Join" not in p111))
+
+    # 112. audio windows: metadata projection + in-place explode — NO
+    # exchange, no Python
+    p112 = plan_of(entry.q_mm_audio_windows(spark, SF))
+    sections.append(("Audio window plan (mm_audio_windows)", p112))
+    checks.append(("audio windows: map-only (no Exchange)",
+                   "Exchange" not in p112))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

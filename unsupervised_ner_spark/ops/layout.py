@@ -201,3 +201,32 @@ def skew_report(
         "rnk",
         (F.expr("(n * CAST(1000000 AS BIGINT)) div total") >= hot_ppm).alias("hot"),
     )
+
+
+def snapshot_expiry(
+    snapshots: DataFrame, keep_last: int = 5
+) -> DataFrame:
+    """Snapshot retention planning (the Iceberg ``expire_snapshots``
+    decision as a DataFrame): keep the ``keep_last`` most recent snapshots
+    (by snapshot id, descending) plus each day's FIRST snapshot (the
+    daily restore point); everything else is expirable. Input:
+    ``(snap_id, day)``. Output adds the two keep flags and ``expire``.
+
+    Scale shape: snapshot metadata is table-bounded (thousands of rows
+    for years of hourly commits), so the global recency window's single
+    partition is a non-issue by construction — this operator plans over
+    CATALOG metadata, not data. The daily-first rule is a per-day min
+    window; both windows run over the same scan."""
+    from pyspark.sql import Window
+
+    w_recent = Window.orderBy(F.desc("snap_id"))
+    w_day = Window.partitionBy("day")
+    flagged = snapshots.select(
+        F.col("snap_id").cast("long").alias("snap_id"),
+        F.col("day").cast("long").alias("day"),
+        (F.row_number().over(w_recent) <= keep_last).alias("keep_last"),
+        (F.col("snap_id") == F.min("snap_id").over(w_day)).alias("keep_daily"),
+    )
+    return flagged.withColumn(
+        "expire", ~(F.col("keep_last") | F.col("keep_daily"))
+    )

@@ -212,3 +212,33 @@ def average_hash(media: DataFrame, n_px: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, AHASH)
+
+
+def audio_windows(
+    meta: DataFrame, win: int = 16000, hop: int = 8000
+) -> DataFrame:
+    """Fixed-size analysis windows over audio-length metadata — the
+    frame plan a feature-extraction pass (fbank / wav2vec chunking) maps
+    over, computed from (doc_id, n_samples, sample_rate) WITHOUT touching
+    payload bytes. Windows start at multiples of ``hop`` and must fit
+    entirely (``start + win <= n_samples``); clips shorter than one
+    window emit zero rows.
+
+    Scale shape: metadata-only projection + an in-place ``sequence``
+    explode (fan-out = n_samples/hop per clip, bounded by clip length) —
+    map-only, no Python, no shuffle; the decode stays behind the
+    mapInPandas seam like the image ops (multimodal.MediaDecodeStub)."""
+    n = F.col("n_samples").cast("long")
+    starts = F.when(
+        n >= win, F.sequence(F.lit(0).cast("long"), n - win, F.lit(hop).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    ex = meta.select(
+        "doc_id", "n_samples", "sample_rate",
+        F.posexplode(starts).alias("window_idx", "start_sample"),
+    )
+    return ex.select(
+        "doc_id", "n_samples", "sample_rate",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "start_sample",
+        (F.col("start_sample") + win).cast("long").alias("end_sample"),
+    )

