@@ -2385,6 +2385,73 @@ def q_mm_audio_windows(spark, sf_dir):
     return multimodal.audio_windows(meta, win=16000, hop=8000)
 
 
+def q_kg_bfs_dist(spark, sf_dir):
+    """Multi-source BFS distances (er.bfs_distances): hop distance from
+    the 3 highest-degree entities after 3 synchronous relaxation rounds
+    over the persisted-once symmetrized co-occurrence adjacency; oracle
+    unrolls the identical rounds."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.bfs_distances(er.cooccurrence_edges(typed), rounds=3, n_seeds=3)
+
+
+# a day with nonzero interval coverage at BOTH gate scales (measured in
+# DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
+ASOF_DAY = 19799
+
+
+def q_kg_asof_snapshot(spark, sf_dir):
+    """Temporal as-of query (triples.facts_asof): the KG snapshot valid
+    on ASOF_DAY, reconstructed from the SCD2 interval table by one
+    covering-interval filter — no per-day snapshot storage."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    intervals = q_kg_fact_intervals(spark, sf_dir)
+    return T.facts_asof(intervals, ASOF_DAY)
+
+
+def q_kg_quotations(spark, sf_dir):
+    """Quotation attribution (triples.extract_quotations): (speaker,
+    quote) pairs from post-posed ('"...," said Name.') and pre-posed
+    ('Name said, "..."') reporting frames; a deterministic doc_id-derived
+    splice guarantees both frames exist in the word-salad corpus (the
+    Hearst splice precedent), and real sentences prove the no-quote path
+    emits nothing."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    sents = _sentences(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    name = F.element_at(
+        F.array(F.lit("Alice"), F.lit("Bob Marley"), F.lit("Carol"), F.lit("Dan")),
+        (F.pmod(did, 4) + 1).cast("int"),
+    )
+    qtext = F.concat(F.lit("claim "), did.cast("string"))
+    sent = F.when(
+        did % 2 == 0,
+        F.concat(F.lit('"'), qtext, F.lit('," said '), name, F.lit(".")),
+    ).otherwise(F.concat(name, F.lit(' said, "'), qtext, F.lit('."')))
+    splice = d.select(
+        did.cast("string").alias("url"),
+        F.lit(9001).cast("long").alias("sent_idx"),
+        sent.alias("sent"),
+    )
+    return T.extract_quotations(sents.unionByName(splice))
+
+
+def q_rel_profile(spark, sf_dir):
+    """One-pass column profiler (curation.column_profile) over lineitem's
+    integer/string columns: row/null/distinct counts + min/max strings —
+    the per-batch data-quality summary."""
+    from unsupervised_ner_spark.ops.curation import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2565,6 +2632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_robots_check": q_txt_robots_check,
         "rel_snapshot_expiry": q_rel_snapshot_expiry,
         "mm_audio_windows": q_mm_audio_windows,
+        "kg_bfs_dist": q_kg_bfs_dist,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
+        "kg_quotations": q_kg_quotations,
+        "rel_profile": q_rel_profile,
     }
 
 
@@ -2804,4 +2875,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_robots_check": O.txt_robots_check(),
         "rel_snapshot_expiry": O.rel_snapshot_expiry(),
         "mm_audio_windows": O.mm_audio_windows(),
+        "kg_bfs_dist": O.kg_bfs_dist(),
+        "kg_asof_snapshot": O.kg_asof_snapshot(ASOF_DAY),
+        "kg_quotations": O.kg_quotations(),
+        "rel_profile": O.rel_profile(),
     }

@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "txt_robots_check",
     "rel_snapshot_expiry",
     "mm_audio_windows",
+    "kg_bfs_dist",
+    "kg_asof_snapshot",
+    "kg_quotations",
+    "rel_profile",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -1165,6 +1165,37 @@ def main() -> None:
     checks.append(("audio windows: map-only (no Exchange)",
                    "Exchange" not in p112))
 
+    # 113. BFS distances: adjacency + per-round frontier persisted once
+    # (each feeds the next round's join AND the min-merge), O(rounds)
+    # join+agg pairs — never an all-pairs product
+    p113 = plan_of(entry.q_kg_bfs_dist(spark, SF))
+    sections.append(("Multi-source BFS distances (kg_bfs_dist)", p113))
+    checks.append(("bfs: adjacency/frontier persisted once",
+                   "InMemoryTableScan" in p113))
+    checks.append(("bfs: no cartesian product", "Cartesian" not in p113))
+
+    # 114. as-of snapshot: a pure filter over the interval table (the
+    # interval windows are fact_intervals' own; no new join)
+    p114 = plan_of(entry.q_kg_asof_snapshot(spark, SF))
+    sections.append(("Temporal as-of snapshot (kg_asof_snapshot)", p114))
+    checks.append(("asof: filter-only over intervals (no join)",
+                   "Join" not in p114))
+
+    # 115. quotations: regex projections over the sentence scan + splice
+    # union — no join, no window, no Python
+    p115 = plan_of(entry.q_kg_quotations(spark, SF))
+    sections.append(("Quotation attribution (kg_quotations)", p115))
+    checks.append(("quotes: map-only union (no join/window/python)",
+                   "Join" not in p115 and "Window" not in p115
+                   and "Python" not in p115))
+
+    # 116. column profile: ONE aggregate pass (a single pair of
+    # HashAggregates around one exchange), explode over the 1-row result
+    p116 = plan_of(entry.q_rel_profile(spark, SF))
+    sections.append(("Column profiler (rel_profile)", p116))
+    checks.append(("profile: explode over one aggregate pass, no join",
+                   "Generate" in p116 and "Join" not in p116))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

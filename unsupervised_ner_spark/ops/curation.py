@@ -72,3 +72,43 @@ def curated_manifest(documents: DataFrame, k_mix: int = 4) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler — the data-quality summary a pipeline
+    publishes per ingest batch (row/null/distinct counts, min/max) so
+    schema drift and null storms surface BEFORE downstream jobs consume
+    the batch. Output: one row per profiled column with n_rows, n_null,
+    n_distinct (null-excluding, like SQL COUNT(DISTINCT)), and min/max
+    rendered as strings (profile only integer/string/date columns: float
+    string-rendering is engine-dependent).
+
+    Scale shape: ONE aggregate pass computes every column's statistics
+    together (no per-column rescans), then an in-place explode unpivots
+    the 1-row result — the explode input is one row, so the unpivot is
+    free. countDistinct plans as partial aggregates (no naive global
+    distinct); for approximate-tolerant dashboards swap in
+    approx_count_distinct, documented knob."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_s"),
+                F.col(f"{c}__mx").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -5757,3 +5757,104 @@ SELECT doc_id, n_samples, sample_rate,
 FROM meta, UNNEST(generate_series(0, n_samples - {win}, {hop})) AS u(s)
 WHERE n_samples >= {win}
 """
+
+
+def kg_bfs_dist(model: str = "a100", rounds: int = 3, n_seeds: int = 3) -> str:
+    """Multi-source BFS twin (er.bfs_distances): symmetrized adjacency,
+    top-degree seeds ((deg desc, key asc) ties), ``rounds`` unrolled
+    min-relaxations."""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+seeds AS (
+    SELECT src FROM (
+        SELECT src, row_number() OVER (ORDER BY deg DESC, src) AS rnk FROM deg
+    ) WHERE rnk <= {n_seeds}
+),
+d0 AS (SELECT src AS k, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        body += f""",
+d{i} AS (
+    SELECT k, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT k, dist FROM {prev}
+        UNION ALL
+        SELECT s.dst AS k, d.dist + 1 AS dist
+        FROM sym s JOIN {prev} d ON s.src = d.k
+    ) GROUP BY k
+)"""
+        prev = f"d{i}"
+    body += f"""
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype, dist
+FROM {prev}
+"""
+    return _materialize(body, "sym", *[f"d{i}" for i in range(rounds)])
+
+
+def kg_asof_snapshot(day: int, model: str = "a100", gap_days: int = 7) -> str:
+    """As-of twin (triples.facts_asof over the SCD2 interval table)."""
+    return f"""
+WITH iv AS ({kg_fact_intervals(model, gap_days)})
+SELECT * FROM iv WHERE valid_from_day <= {day} AND valid_to_day >= {day}
+"""
+
+
+def kg_quotations() -> str:
+    """Quotation-attribution twin (triples.extract_quotations over real
+    sentences + the deterministic reporting-frame splice)."""
+    from unsupervised_ner_spark.pipeline import triples as T
+
+    return f"""
+WITH {SENTS_CTE.strip().rstrip(',')}
+, splice AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url, CAST(9001 AS BIGINT) AS sent_idx,
+           CASE WHEN doc_id % 2 = 0
+                THEN '"claim ' || CAST(doc_id AS VARCHAR) || '," said ' ||
+                     (['Alice', 'Bob Marley', 'Carol', 'Dan'])[(doc_id % 4) + 1]
+                     || '.'
+                ELSE (['Alice', 'Bob Marley', 'Carol', 'Dan'])[(doc_id % 4) + 1]
+                     || ' said, "claim ' || CAST(doc_id AS VARCHAR) || '."'
+           END AS sent
+    FROM documents
+),
+allsents AS (
+    SELECT url, CAST(sent_idx AS BIGINT) AS sent_idx, sent FROM sents
+    UNION ALL
+    SELECT url, sent_idx, sent FROM splice
+),
+ex AS (
+    SELECT url, sent_idx,
+           regexp_extract(sent, '{T.QUOTE_RE}', 1) AS quote,
+           regexp_extract(sent, '{T.SPEAKER_POST_RE}', 1) AS post,
+           regexp_extract(sent, '{T.SPEAKER_PRE_RE}', 1) AS pre
+    FROM allsents
+)
+SELECT url, sent_idx,
+       CASE WHEN post <> '' THEN post ELSE pre END AS speaker, quote
+FROM ex
+WHERE quote <> '' AND (CASE WHEN post <> '' THEN post ELSE pre END) <> ''
+"""
+
+
+def rel_profile(cols: tuple[str, ...] = ("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")) -> str:
+    """Column-profile twin (curation.column_profile over lineitem)."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for c in cols:
+        aggs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nn",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__nd",
+            f"CAST(min({c}) AS VARCHAR) AS {c}__mn",
+            f"CAST(max({c}) AS VARCHAR) AS {c}__mx",
+        ]
+    one = "SELECT " + ", ".join(aggs) + " FROM lineitem"
+    branches = [
+        f"SELECT '{c}' AS col_name, n_rows, {c}__nn AS n_null, {c}__nd AS n_distinct, "
+        f"{c}__mn AS min_s, {c}__mx AS max_s FROM one"
+        for c in cols
+    ]
+    return "WITH one AS (" + one + ")\n" + "\nUNION ALL\n".join(branches)

@@ -1997,3 +1997,61 @@ def cooccurrence_edges_incremental(
         F.sum("n_sents").cast("long").alias("n_sents"),
         F.sum("n_docs").cast("long").alias("n_docs"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame, rounds: int = 3, n_seeds: int = 3
+) -> DataFrame:
+    """Multi-source BFS over the co-occurrence graph: hop distance from
+    the ``n_seeds`` highest-degree entities (ties: entity key asc) after
+    ``rounds`` synchronous relaxations — the "how far is everything from
+    the hubs" radius profile, and the building block of landmark-based
+    distance estimation on KGs. Output: (ent, etype, dist) for every node
+    reached within ``rounds`` hops (unreached nodes emit no row).
+
+    All-integer; the oracle unrolls the same rounds, so distances are
+    exact, not sampled.
+
+    Scale shape: the symmetrized adjacency is persisted once and reused
+    every round (the pagerank precedent); each round is one frontier-
+    keyed equi-join (frontier is node-sized, adjacency edge-sized) + one
+    min-aggregate — O(rounds) shuffle pairs. Seed selection ranks the
+    BOUNDED node-degree aggregate (single-partition window over distinct
+    nodes, the skew_report rationale). A hub node is one reducer key in
+    the min-aggregate."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    seeds = deg.select("src", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= n_seeds
+    )
+    dist = scoped_persist(
+        seeds.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("k", "src"), "src")
+            .select(F.col("dst").alias("k"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = scoped_persist(
+            dist.unionByName(relaxed)
+            .groupBy("k")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return dist.select(part(0).alias("ent"), part(1).alias("etype"), "dist")

@@ -384,3 +384,50 @@ def schema_violations(triples: DataFrame) -> DataFrame:
             "dom_subj_type", "dom_obj_type", "n_dominant", "n_pred_triples",
         )
     )
+
+
+def facts_asof(intervals: DataFrame, day: int) -> DataFrame:
+    """Temporal as-of query over the SCD2 interval table: the KG snapshot
+    that was TRUE on ``day`` — every fact whose validity interval covers
+    it (``valid_from_day <= day <= valid_to_day``). The serving-side
+    complement of :func:`fact_intervals`: reconstruct yesterday's graph
+    without storing per-day snapshots.
+
+    Scale shape: one filter over the interval table — with the interval
+    table partitioned/sorted on ``valid_from_day`` (the natural write
+    order), the predicate prunes files; no shuffle, no join. The row
+    count is the size of the graph AT one instant, not the history."""
+    return intervals.filter(
+        (F.col("valid_from_day") <= day) & (F.col("valid_to_day") >= day)
+    )
+
+
+# quotation-attribution grammar (Java/RE2 agreement subset, imported by
+# the DuckDB twin so the engines cannot drift)
+QUOTE_RE = '"([^"]+)"'
+SPEAKER_POST_RE = '" said ([A-Z][a-z]+(?: [A-Z][a-z]+)*)'
+SPEAKER_PRE_RE = '([A-Z][a-z]+(?: [A-Z][a-z]+)*) said, "'
+
+
+def extract_quotations(sentences: DataFrame) -> DataFrame:
+    """Quotation attribution over the sentence table: extract the quoted
+    span and its speaker from the two canonical reporting frames —
+    ``"...," said Name`` (post-posed) and ``Name said, "..."``
+    (pre-posed) — the (speaker, SAYS, claim) relation extractor that
+    turns news-style web text into attributed-claim triples. Sentences
+    with a quote but no attributable speaker (or vice versa) emit
+    nothing; post-posed attribution wins when both frames somehow match.
+
+    Scale shape: three regexp_extract projections over the sentence scan
+    — map-only, no Python, no shuffle. Patterns are anchored to the
+    quote delimiters, so cost is linear in sentence length."""
+    quote = F.regexp_extract(F.col("sent"), QUOTE_RE, 1)
+    post = F.regexp_extract(F.col("sent"), SPEAKER_POST_RE, 1)
+    pre = F.regexp_extract(F.col("sent"), SPEAKER_PRE_RE, 1)
+    speaker = F.when(post != "", post).otherwise(pre)
+    return (
+        sentences.select(
+            "url", "sent_idx", speaker.alias("speaker"), quote.alias("quote")
+        )
+        .filter((F.col("quote") != "") & (F.col("speaker") != ""))
+    )
