@@ -2452,6 +2452,73 @@ def q_rel_profile(spark, sf_dir):
     )
 
 
+def q_er_components_delta(spark, sf_dir):
+    """Incremental connected-components maintenance
+    (er.components_incremental): LSH edges split 4:1 into old/delta
+    batches (xxhash mod 5), old batch resolved to labels, each old
+    component compressed to its star certificate, delta folded in via one
+    more star-CC run. The oracle is the FULL-edge-set fixpoint
+    (er_components's RECURSIVE CTE), so the hash gate proves
+    incremental == full recompute."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    nodes = scoped_persist(er.exact_canonical(occ))
+    edges = scoped_persist(er.fuzzy_edges(nodes))  # feeds both split branches
+    is_delta = F.pmod(F.xxhash64("node_a", "node_b"), F.lit(5)) == 0
+    old_labels, _ = er.connected_components_star(
+        nodes.select("node_id"), edges.filter(~is_delta)
+    )
+    labels, _ = er.components_incremental(
+        nodes.select("node_id"), old_labels, edges.filter(is_delta)
+    )
+    merged = nodes.join(labels, "node_id")
+    return (
+        merged.groupBy("component", "etype")
+        .agg(
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+            F.min_by(
+                "canonical_surface",
+                F.struct(F.col("n_mentions") * -1, F.col("canonical_surface")),
+            ).alias("canonical_surface"),
+        )
+        .select(
+            F.col("component").alias("entity_id"), "etype",
+            "canonical_surface", "n_mentions",
+        )
+    )
+
+
+def q_mm_video_scenes(spark, sf_dir):
+    """Scene segmentation (multimodal.scene_segments): shot boundaries
+    where consecutive sampled-frame signatures (32-bit hash prefixes)
+    differ by >= 10 bits — gaps-and-islands windows per doc over the
+    frame_sample table; oracle replays signature, lag, bit_count."""
+    from unsupervised_ner_spark.ops import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.synth_media(docs))
+    return multimodal.scene_segments(frames, hamming_threshold=10)
+
+
+# the zone-map probe box: mid-range rectangle over both 10-bit dims
+ZQ_BOX = (100, 300, 200, 600)
+
+
+def q_rel_zone_map(spark, sf_dir):
+    """Zone-map pruning statistics (ops/layout.zone_map) over the Z-order
+    cells of rel_zorder: per-cell min/max of both dims + the min/max-
+    overlap flag against a fixed probe box — cells with overlaps=false
+    are the files a clustered scan skips."""
+    from unsupervised_ner_spark.ops import layout
+
+    return layout.zone_map(q_rel_zorder(spark, sf_dir), *ZQ_BOX)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2636,6 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_quotations": q_kg_quotations,
         "rel_profile": q_rel_profile,
+        "er_components_delta": q_er_components_delta,
+        "mm_video_scenes": q_mm_video_scenes,
+        "rel_zone_map": q_rel_zone_map,
     }
 
 
@@ -2879,4 +2949,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_asof_snapshot": O.kg_asof_snapshot(ASOF_DAY),
         "kg_quotations": O.kg_quotations(),
         "rel_profile": O.rel_profile(),
+        # full fixpoint over ALL edges — proves incremental == recompute
+        "er_components_delta": O.er_components(),
+        "mm_video_scenes": O.mm_video_scenes(),
+        "rel_zone_map": O.rel_zone_map(*ZQ_BOX),
     }

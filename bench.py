@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "kg_asof_snapshot",
     "kg_quotations",
     "rel_profile",
+    "er_components_delta",
+    "mm_video_scenes",
+    "rel_zone_map",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

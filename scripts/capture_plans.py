@@ -1196,6 +1196,29 @@ def main() -> None:
     checks.append(("profile: explode over one aggregate pass, no join",
                    "Generate" in p116 and "Join" not in p116))
 
+    # 117. incremental CC: nodes + LSH edge table persisted once (the
+    # edge table feeds BOTH split branches — without it the LSH chain
+    # would run twice); star rounds checkpoint (no InMemory needed there)
+    p117 = plan_of(entry.q_er_components_delta(spark, SF))
+    sections.append(("Incremental connected components (er_components_delta)", p117))
+    checks.append(("cc delta: nodes/edges persisted once",
+                   "InMemoryTableScan" in p117))
+
+    # 118. video scenes: gaps-and-islands windows PARTITIONED BY doc over
+    # the frame table (never a global window), one aggregate, no join
+    p118 = plan_of(entry.q_mm_video_scenes(spark, SF))
+    sections.append(("Scene segmentation (mm_video_scenes)", p118))
+    checks.append(("scenes: windows keyed on doc_id",
+                   "windowspecdefinition(doc_id" in p118))
+    checks.append(("scenes: no join", "Join" not in p118))
+
+    # 119. zone map: one aggregate keyed on zcell over the map-only
+    # zorder projection — no window, no join
+    p119 = plan_of(entry.q_rel_zone_map(spark, SF))
+    sections.append(("Zone-map pruning stats (rel_zone_map)", p119))
+    checks.append(("zone map: single agg, no join/window",
+                   "Join" not in p119 and "Window" not in p119))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -230,3 +230,37 @@ def snapshot_expiry(
     return flagged.withColumn(
         "expire", ~(F.col("keep_last") | F.col("keep_daily"))
     )
+
+
+def zone_map(
+    zdf: DataFrame,
+    t_lo: int,
+    t_hi: int,
+    h_lo: int,
+    h_hi: int,
+) -> DataFrame:
+    """Zone-map statistics over Z-order cells — the quantitative payoff
+    of :func:`zorder_keys`: per ``zcell`` (the unit a sort-rewrite writes
+    as one file) the min/max of BOTH dimensions plus whether the cell
+    survives a rectangular predicate ``[t_lo, t_hi] x [h_lo, h_hi]``
+    (min/max-overlap, exactly the parquet row-group / Iceberg file-stats
+    pruning rule). The fraction with ``overlaps = false`` is the fraction
+    of files a scan SKIPS — the evidence that the clustering works.
+
+    Scale shape: ONE map-side-combining aggregate keyed on zcell (output
+    is file-count-sized, not row-sized); the flag is a projection over
+    the aggregate."""
+    agg = zdf.groupBy("zcell").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("dim_t").cast("long").alias("min_t"),
+        F.max("dim_t").cast("long").alias("max_t"),
+        F.min("dim_h").cast("long").alias("min_h"),
+        F.max("dim_h").cast("long").alias("max_h"),
+    )
+    overlaps = ~(
+        (F.col("max_t") < t_lo)
+        | (F.col("min_t") > t_hi)
+        | (F.col("max_h") < h_lo)
+        | (F.col("min_h") > h_hi)
+    )
+    return agg.withColumn("overlaps", overlaps)

@@ -242,3 +242,47 @@ def audio_windows(
         "start_sample",
         (F.col("start_sample") + win).cast("long").alias("end_sample"),
     )
+
+
+def scene_segments(frames: DataFrame, hamming_threshold: int = 10) -> DataFrame:
+    """Scene segmentation over the sampled-frame table: a new scene opens
+    where consecutive frame signatures differ by >= ``hamming_threshold``
+    bits — the shot-boundary pass a video curation pipeline runs on
+    keyframe perceptual hashes. The signature here is the 32-bit integer
+    prefix of the frame's content hash (the MediaDecodeStub philosophy:
+    a real pHash slots in without changing a line of the window logic).
+
+    Output: one row per (doc_id, scene_id) with frame count and the
+    frame-index range.
+
+    Scale shape: one lag window + one running-sum window PARTITIONED BY
+    doc (partition size = frames per video, bounded by clip length), then
+    one aggregate — the gaps-and-islands shape of fact_intervals applied
+    to the multimodal column."""
+    from pyspark.sql import Window
+
+    sig = F.conv(F.substring("frame_md5", 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    s = frames.select("doc_id", "frame_idx", sig.alias("sig"))
+    marked = s.withColumn("prev", F.lag("sig").over(w)).withColumn(
+        "boundary",
+        F.when(
+            F.col("prev").isNull()
+            | (F.expr("bit_count(sig ^ prev)") >= hamming_threshold),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    scened = marked.withColumn(
+        "scene_id",
+        (
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long"),
+    )
+    return scened.groupBy("doc_id", "scene_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.min("frame_idx").cast("long").alias("first_frame"),
+        F.max("frame_idx").cast("long").alias("last_frame"),
+    )

@@ -5858,3 +5858,58 @@ def rel_profile(cols: tuple[str, ...] = ("l_orderkey", "l_suppkey", "l_returnfla
         for c in cols
     ]
     return "WITH one AS (" + one + ")\n" + "\nUNION ALL\n".join(branches)
+
+
+def mm_video_scenes(
+    hamming_threshold: int = 10, chunk_bytes: int = 256, every_k: int = 4
+) -> str:
+    """Scene-segmentation twin (multimodal.scene_segments over
+    frame_sample): 32-bit hash-prefix signature, lag + bit_count(xor)
+    boundary, running-sum scene numbering, one aggregate."""
+    sig = _hex8_int_sql("frame_md5")
+    return f"""
+WITH fr AS ({mm_frames(chunk_bytes, every_k)}),
+s AS (SELECT doc_id, frame_idx, {sig} AS sig FROM fr),
+m AS (
+    SELECT doc_id, frame_idx, sig,
+           lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+    FROM s
+),
+b AS (
+    SELECT doc_id, frame_idx,
+           CASE WHEN prev IS NULL
+                     OR bit_count(xor(sig, prev)) >= {hamming_threshold}
+                THEN 1 ELSE 0 END AS boundary
+    FROM m
+),
+sc AS (
+    SELECT doc_id, frame_idx,
+           sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                               ROWS UNBOUNDED PRECEDING) - 1 AS scene_id
+    FROM b
+)
+SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(min(frame_idx) AS BIGINT) AS first_frame,
+       CAST(max(frame_idx) AS BIGINT) AS last_frame
+FROM sc GROUP BY doc_id, scene_id
+"""
+
+
+def rel_zone_map(
+    t_lo: int, t_hi: int, h_lo: int, h_hi: int,
+    bits: int = 10, cell_shift: int = 10,
+) -> str:
+    """Zone-map twin (ops/layout.zone_map over rel_zorder cells)."""
+    return f"""
+WITH z AS ({rel_zorder(bits, cell_shift)})
+SELECT zcell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(dim_t) AS BIGINT) AS min_t,
+       CAST(max(dim_t) AS BIGINT) AS max_t,
+       CAST(min(dim_h) AS BIGINT) AS min_h,
+       CAST(max(dim_h) AS BIGINT) AS max_h,
+       NOT (max(dim_t) < {t_lo} OR min(dim_t) > {t_hi}
+            OR max(dim_h) < {h_lo} OR min(dim_h) > {h_hi}) AS overlaps
+FROM z GROUP BY zcell
+"""

@@ -2055,3 +2055,36 @@ def bfs_distances(
         return F.split(F.col("k"), r"\|")[j]
 
     return dist.select(part(0).alias("ent"), part(1).alias("etype"), "dist")
+
+
+def components_incremental(
+    nodes: DataFrame,
+    old_labels: DataFrame,
+    delta_edges: DataFrame,
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Incremental connected-components maintenance (IVM #2, after
+    cooccurrence_edges_incremental): fold a DELTA edge batch into an
+    already-resolved labeling WITHOUT rescanning the old edge set. Each
+    old component is compressed to a star (member -> component label, one
+    edge per non-root member — the component's certificate), the delta
+    edges are unioned in, and star-CC reruns over the compressed graph.
+
+    Exactness: min-label CC only needs SOME spanning certificate of each
+    old component, and the star preserves both connectivity and the
+    component minimum (the label IS the min member), so the result equals
+    full CC over old_edges UNION delta_edges — proven by the hash gate,
+    whose oracle recomputes the fixpoint from ALL edges.
+
+    THE 100 TB point: nightly ER folds the day's new link batch into the
+    standing entity table at O(|nodes_touched| + |delta|) edge volume —
+    the certificate graph is node-sized regardless of how many raw LSH
+    edges history accumulated, so maintenance cost stops growing with
+    corpus age."""
+    compressed = old_labels.filter(
+        F.col("node_id") != F.col("component")
+    ).select(
+        F.col("node_id").alias("node_a"), F.col("component").alias("node_b")
+    )
+    edges = compressed.unionByName(delta_edges.select("node_a", "node_b"))
+    return connected_components_star(nodes, edges, max_iter)
