@@ -2519,6 +2519,58 @@ def q_rel_zone_map(spark, sf_dir):
     return layout.zone_map(q_rel_zorder(spark, sf_dir), *ZQ_BOX)
 
 
+def q_kg_doc_cooccurrence(spark, sf_dir):
+    """Document-level entity co-occurrence (er.doc_cooccurrence_edges):
+    the coarser sibling of kg_cooccurrence — entities mentioned anywhere
+    in the same page; per-doc distinct entity table persisted once,
+    url-keyed pairing."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.doc_cooccurrence_edges(typed)
+
+
+def q_txt_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget dashboard (textstats.vocab_coverage): token mass
+    covered by the top-k vocabulary types at k in {100, 1000, 4000},
+    scaled-ppm integers, ranked-vocab table persisted once."""
+    from unsupervised_ner_spark.ops.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+def q_er_anchor_aliases(spark, sf_dir):
+    """Web-derived alias candidates (er.anchor_entity_aliases): anchor
+    texts matching canonical entity surfaces. Real page anchors prove the
+    no-match path (markup aliases never normalize onto word-salad
+    surfaces); a deterministic kb-style splice — one anchor per entity
+    node with n_mentions >= 5, text = its canonical surface — exercises
+    the match path on both engines."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops import webtext
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    nodes = scoped_persist(er.exact_canonical(occ))
+    ast = webtext.anchor_text_stats(
+        webtext.extract_anchors(_synth_link_html(_t(spark, sf_dir, "documents")))
+    )
+    kb = nodes.filter(F.col("n_mentions") >= 5).select(
+        F.concat(F.lit("https://kb.example/"), F.col("norm_surface")).alias("link_url"),
+        F.col("canonical_surface").alias("anchor_norm"),
+        F.lit(1).cast("long").alias("n_anchors"),
+        F.lit(1).cast("long").alias("n_pages"),
+    )
+    return er.anchor_entity_aliases(ast.unionByName(kb), nodes).select(
+        "norm_surface", "etype", "node_id", "link_url",
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2706,6 +2758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_components_delta": q_er_components_delta,
         "mm_video_scenes": q_mm_video_scenes,
         "rel_zone_map": q_rel_zone_map,
+        "kg_doc_cooccurrence": q_kg_doc_cooccurrence,
+        "txt_vocab_coverage": q_txt_vocab_coverage,
+        "er_anchor_aliases": q_er_anchor_aliases,
     }
 
 
@@ -2953,4 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "er_components_delta": O.er_components(),
         "mm_video_scenes": O.mm_video_scenes(),
         "rel_zone_map": O.rel_zone_map(*ZQ_BOX),
+        "kg_doc_cooccurrence": O.kg_doc_cooccurrence(),
+        "txt_vocab_coverage": O.txt_vocab_coverage(),
+        "er_anchor_aliases": O.er_anchor_aliases(),
     }

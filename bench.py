@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "er_components_delta",
     "mm_video_scenes",
     "rel_zone_map",
+    "kg_doc_cooccurrence",
+    "txt_vocab_coverage",
+    "er_anchor_aliases",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -1219,6 +1219,30 @@ def main() -> None:
     checks.append(("zone map: single agg, no join/window",
                    "Join" not in p119 and "Window" not in p119))
 
+    # 120. doc-level co-occurrence: per-doc distinct entity table persisted
+    # once (feeds both pairing sides), url-keyed join — page-local pairing
+    p120 = plan_of(entry.q_kg_doc_cooccurrence(spark, SF))
+    sections.append(("Doc-level co-occurrence (kg_doc_cooccurrence)", p120))
+    checks.append(("doc cooc: entity table persisted once",
+                   "InMemoryTableScan" in p120))
+    checks.append(("doc cooc: no cartesian product", "Cartesian" not in p120))
+
+    # 121. vocab coverage: ranked vocab persisted once (totals + per-k
+    # lookups), totals attach as a broadcast 1-row aggregate
+    p121 = plan_of(entry.q_txt_vocab_coverage(spark, SF))
+    sections.append(("Vocab coverage dashboard (txt_vocab_coverage)", p121))
+    checks.append(("vocab coverage: ranked table persisted once",
+                   "InMemoryTableScan" in p121))
+    checks.append(("vocab coverage: totals broadcast",
+                   "BroadcastNestedLoopJoin" in p121))
+
+    # 122. anchor aliases: surface-keyed equi-join (never nested-loop on
+    # the corpus side); node table persisted once (feeds splice + join)
+    p122 = plan_of(entry.q_er_anchor_aliases(spark, SF))
+    sections.append(("Anchor-alias linking (er_anchor_aliases)", p122))
+    checks.append(("anchor aliases: nodes persisted once",
+                   "InMemoryTableScan" in p122))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

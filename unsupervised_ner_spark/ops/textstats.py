@@ -1039,3 +1039,59 @@ def bpe_second_iteration(documents: DataFrame, max_word_len: int = 30) -> DataFr
             F.countDistinct("word").cast("long").alias("n_words"),
         )
     )
+
+
+def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 4000)) -> DataFrame:
+    """Vocabulary-size planning dashboard: for each candidate vocab size
+    k, the fraction of corpus token mass covered by the top-k types
+    (frequency-ranked, deterministic (tf desc, token asc) ties) — the
+    curve a tokenizer budget is read off ("4k types cover 97% of
+    tokens"). Integers only: coverage is scaled ppm of the total.
+
+    Output: (k, n_types_total, covered_tokens, total_tokens,
+    coverage_ppm) — one row per candidate k.
+
+    Scale shape: ONE vocabulary aggregate (map-side combining, bounded by
+    distinct types), then ranking + running sum over the ALREADY
+    AGGREGATED vocab in a single-partition window (the skew_report
+    rationale: vocab tables are millions of rows, not corpus-sized; for
+    web-scale vocabularies pre-prune to tf >= 2 first), then one bounded
+    per-k lookup row each."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(tokens_ws(F.col("text"))).alias("tok")
+    ).select(F.lower("tok").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    # ranked feeds the totals aggregate AND one lookup per k — persist once
+    ranked = scoped_persist(
+        vocab.select(
+            "tf",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("tf").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long").alias("cum_tf"),
+        )
+    )
+    totals = ranked.agg(
+        F.max("rnk").cast("long").alias("n_types_total"),
+        F.max("cum_tf").cast("long").alias("total_tokens"),
+    )
+    picks = None
+    for k in ks:
+        at_k = (
+            ranked.filter(F.col("rnk") <= k)
+            .agg(F.coalesce(F.max("cum_tf"), F.lit(0)).cast("long").alias("covered_tokens"))
+            .select(F.lit(int(k)).cast("long").alias("k"), "covered_tokens")
+        )
+        picks = at_k if picks is None else picks.unionByName(at_k)
+    out = picks.crossJoin(F.broadcast(totals))
+    return out.select(
+        "k", "n_types_total", "covered_tokens", "total_tokens",
+        F.expr(
+            "(covered_tokens * CAST(1000000 AS BIGINT)) div total_tokens"
+        ).alias("coverage_ppm"),
+    )

@@ -5913,3 +5913,105 @@ SELECT zcell,
             OR max(dim_h) < {h_lo} OR min(dim_h) > {h_hi}) AS overlaps
 FROM z GROUP BY zcell
 """
+
+
+def kg_doc_cooccurrence(model: str = "a100") -> str:
+    """Document-level co-occurrence twin (er.doc_cooccurrence_edges):
+    distinct per-document normalized entities, lexicographic pair
+    ordering, per-pair document counts."""
+    return _materialize(
+        _kg_prefix(model)
+        + """
+, ent AS (
+    SELECT DISTINCT url,
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS ent,
+           pred_group AS etype
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+ent2 AS (
+    SELECT * FROM ent WHERE length(ent) > 0
+),
+cpairs AS (
+    SELECT a.url, a.ent AS ent_a, a.etype AS type_a,
+           b.ent AS ent_b, b.etype AS type_b
+    FROM ent2 a JOIN ent2 b
+      ON a.url = b.url
+     AND (a.ent || '|' || a.etype) < (b.ent || '|' || b.etype)
+)
+SELECT ent_a, type_a, ent_b, type_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cpairs GROUP BY ent_a, type_a, ent_b, type_b
+""",
+        "ent2",
+    )
+
+
+def txt_vocab_coverage(ks: tuple[int, ...] = (100, 1000, 4000)) -> str:
+    """Vocab-coverage twin (ops/textstats.vocab_coverage): ranked vocab
+    running token mass, per-k covered fraction in scaled ppm."""
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({int(k)} AS BIGINT) AS k, "
+        f"(SELECT COALESCE(CAST(max(cum_tf) AS BIGINT), 0) FROM ranked WHERE rnk <= {int(k)}) "
+        f"AS covered_tokens"
+        for k in ks
+    )
+    return _materialize(
+        f"""
+WITH toks AS (
+    SELECT unnest(list_transform({_TOKS}, t -> lower(t))) AS tok FROM documents
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+ranked AS (
+    SELECT tf,
+           CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rnk,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf
+    FROM vocab
+),
+tot AS (
+    SELECT CAST(max(rnk) AS BIGINT) AS n_types_total,
+           CAST(max(cum_tf) AS BIGINT) AS total_tokens
+    FROM ranked
+),
+picks AS ({picks})
+SELECT k, n_types_total, covered_tokens, total_tokens,
+       (covered_tokens * CAST(1000000 AS BIGINT)) // total_tokens AS coverage_ppm
+FROM picks, tot
+""",
+        "ranked",
+    )
+
+
+def er_anchor_aliases(model: str = "a100", min_mentions: int = 5) -> str:
+    """Anchor-alias twin (er.anchor_entity_aliases): real anchor-text
+    stats UNION the kb-style splice (one anchor per entity node with
+    n_mentions >= min_mentions, text = canonical surface) joined onto the
+    exact-canonical nodes on the shared normalized surface."""
+    anchors = txt_anchor_texts()
+    nodes = er_exact_canonical(model)
+    return _materialize(
+        f"""
+WITH rast AS ({anchors}),
+nodes AS ({nodes}),
+ast AS (
+    SELECT link_url, anchor_norm, CAST(n_anchors AS BIGINT) AS n_anchors,
+           CAST(n_pages AS BIGINT) AS n_pages
+    FROM rast
+    UNION ALL
+    SELECT 'https://kb.example/' || norm_surface, canonical_surface,
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM nodes WHERE n_mentions >= {min_mentions}
+),
+al AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(anchor_norm), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface,
+           link_url, n_anchors, n_pages
+    FROM ast
+)
+SELECT a.norm_surface, n.etype, n.node_id, a.link_url, a.n_anchors, a.n_pages
+FROM al a JOIN nodes n ON a.norm_surface = n.norm_surface
+WHERE length(a.norm_surface) > 0
+""",
+        "nodes",
+    )

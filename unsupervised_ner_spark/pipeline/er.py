@@ -2088,3 +2088,61 @@ def components_incremental(
     )
     edges = compressed.unionByName(delta_edges.select("node_a", "node_b"))
     return connected_components_star(nodes, edges, max_iter)
+
+
+def doc_cooccurrence_edges(typed_mentions: DataFrame) -> DataFrame:
+    """DOCUMENT-level entity co-occurrence edges — the coarser sibling of
+    :func:`cooccurrence_edges` (sentence-level): entities mentioned
+    anywhere in the same page, the granularity distant-supervision
+    relation extraction and entity-relatedness features use when sentence
+    locality is too strict. Returns (ent_a, type_a, ent_b, type_b,
+    n_docs).
+
+    Scale shape: sentence events collapse to the DISTINCT per-document
+    entity table first (one aggregate — this bounds the pairing), then a
+    url-keyed self-join pairs within pages. Pairing is quadratic in a
+    page's DISTINCT typed entities (tens, page-length-bounded), never in
+    mentions; an encyclopedia page with 500 entities costs 250k local
+    pairs in one task — acceptable; cap per-doc distinct entities
+    upstream if a corpus has adversarial outliers (documented knob, same
+    rationale as the LSH bucket cap). The per-doc entity table is
+    persisted once (feeds both join sides)."""
+    dents = scoped_persist(
+        _sentence_entities(typed_mentions).select("url", "ent", "etype").distinct()
+    )
+    a = dents.select(
+        "url", F.col("ent").alias("ent_a"), F.col("etype").alias("type_a"),
+        F.concat_ws("|", "ent", "etype").alias("ka"),
+    )
+    b = dents.select(
+        "url", F.col("ent").alias("ent_b"), F.col("etype").alias("type_b"),
+        F.concat_ws("|", "ent", "etype").alias("kb"),
+    )
+    pairs = a.join(b, ["url"]).filter(F.col("ka") < F.col("kb"))
+    return pairs.groupBy("ent_a", "type_a", "ent_b", "type_b").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def anchor_entity_aliases(anchor_stats: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Web-derived alias candidates for ER: anchor texts whose normalized
+    surface matches a canonical entity surface — the hyperlink graph's
+    free surface-form signal (anchor text is how the WEB names the target)
+    joined onto the KG's entity table. Output: (norm_surface, etype,
+    node_id, link_url, n_anchors, n_pages) — the review queue that
+    expands an entity's alias set beyond what its own mentions show.
+
+    Scale shape: anchor stats aggregate first (bounded by distinct
+    (target, anchor) pairs), entities are the exact-canonical node table
+    (bounded by distinct surfaces); the equi-join on the normalized
+    surface broadcasts whichever side is dim-sized. A hot anchor
+    ("click here") matches nothing after normalization vs entity
+    surfaces; a hot ENTITY surface is one join key — standard agg skew."""
+    al = anchor_stats.select(
+        norm_surface_col(F.col("anchor_norm")).alias("norm_surface"),
+        "link_url", "n_anchors", "n_pages",
+    ).filter(F.length("norm_surface") > 0)
+    ent = nodes.select("norm_surface", "etype", "node_id")
+    return al.join(ent, "norm_surface").select(
+        "norm_surface", "etype", "node_id", "link_url", "n_anchors", "n_pages"
+    )
