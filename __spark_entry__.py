@@ -489,6 +489,85 @@ def q_kg_taxonomy_2hop(spark, sf_dir):
     return taxonomy_closure_2hop(hearst_hypernyms(_hearst_sentences(spark, sf_dir)))
 
 
+def q_kg_taxonomy_closure(spark, sf_dir):
+    """Full min-hop is-a transitive closure (cap 8) over the Hearst edges
+    via iterative min-plus doubling — ceil(log2(8)) = 3 self-join rounds
+    instead of 7 BFS expansions; the oracle replays it as a depth-capped
+    RECURSIVE CTE with min(hops). The gated Hearst graph is 2 levels deep
+    (splice chains hypo -> hyper -> hyper2); depth-8 behavior incl.
+    cycles is property-tested in tests/test_taxonomy_closure.py."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure,
+    )
+
+    return taxonomy_closure(
+        hearst_hypernyms(_hearst_sentences(spark, sf_dir)), max_hops=8
+    )
+
+
+def q_kg_transitive_reduction(spark, sf_dir):
+    """Transitive-reduction flags over the collapsed Hearst edges: an edge
+    is redundant when the capped closure contains a 2-segment witness
+    path around it (Aho-Garey-Ullman reduction relative to the hop-8
+    closure) — the minimal taxonomy a curator publishes."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        transitive_reduction,
+    )
+
+    return transitive_reduction(
+        hearst_hypernyms(_hearst_sentences(spark, sf_dir)), max_hops=8
+    )
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Degree-assortativity sufficient statistics (Newman r numerator /
+    denominator factors as exact BIGINTs) of the entity co-occurrence
+    graph — the hub-to-leaf structural health check."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.degree_assortativity(er.cooccurrence_edges(typed))
+
+
+def q_kg_dangling_refs(spark, sf_dir):
+    """Referential integrity: typed triple objects never seen as a
+    subject (dangling KG nodes with inbound support counts) — two
+    entity-granularity aggregates and one left-anti join."""
+    from unsupervised_ner_spark.pipeline.triples import dangling_objects
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return dangling_objects(
+        run_pipeline(pages, lang_filter=None)["triples"]
+    )
+
+
+def q_rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS lattice over lineitem — ((flag, status),
+    (flag), ()) with grouping_id, completing the cube/rollup family with
+    the user-chosen-subtotal surface (one pass, no union of aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(qty).cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid", "n_rows", "sum_qty",
+        )
+    )
+
+
 def q_dedup_lsh_stats(spark, sf_dir):
     """LSH blocking dashboard: banded-index bucket-size histogram with the
     over-cap flag (gated with an explicit max_bucket=2 so the flag's true
@@ -2616,6 +2695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicates": q_kg_predicates,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_taxonomy_2hop": q_kg_taxonomy_2hop,
+        "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "kg_transitive_reduction": q_kg_transitive_reduction,
+        "kg_assortativity": q_kg_assortativity,
+        "kg_dangling_refs": q_kg_dangling_refs,
+        "rel_grouping_sets": q_rel_grouping_sets,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
         "kg_conflicts": q_kg_conflicts,
@@ -2800,6 +2884,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_taxonomy_2hop": O.kg_taxonomy_2hop(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
+        "kg_taxonomy_closure": O.kg_taxonomy_closure(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "kg_transitive_reduction": O.kg_transitive_reduction(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "kg_assortativity": O.kg_assortativity(),
+        "kg_dangling_refs": O.kg_dangling_refs(),
+        "rel_grouping_sets": O.rel_grouping_sets(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS
         ),

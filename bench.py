@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "kg_predicates",
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
+    "kg_taxonomy_closure",
+    "kg_transitive_reduction",
+    "kg_assortativity",
+    "kg_dangling_refs",
+    "rel_grouping_sets",
     "kg_appositive_types",
     "kg_pred_functionality",
     "kg_conflicts",

@@ -1243,6 +1243,50 @@ def main() -> None:
     checks.append(("anchor aliases: nodes persisted once",
                    "InMemoryTableScan" in p122))
 
+    # 123. taxonomy closure: iterative doubling — every round starts from
+    # the checkpointed distance table (bounded lineage: the final plan is
+    # one join + one min-aggregate over Scan ExistingRDD, NOT a 3-round
+    # tree), and the round join is an equi-join on the mid node
+    p123 = plan_of(entry.q_kg_taxonomy_closure(spark, SF))
+    sections.append(("Taxonomy min-hop closure (kg_taxonomy_closure)", p123))
+    checks.append(("taxonomy closure: rounds checkpointed (bounded lineage)",
+                   "Scan ExistingRDD" in p123))
+    checks.append(("taxonomy closure: no cartesian product",
+                   "Cartesian" not in p123))
+
+    # 124. transitive reduction: the closure feeds both wedge sides from
+    # its persisted/checkpointed form; witness join is an equi-join
+    p124 = plan_of(entry.q_kg_transitive_reduction(spark, SF))
+    sections.append(("Transitive reduction (kg_transitive_reduction)", p124))
+    checks.append(("transitive reduction: closure materialized once",
+                   "Scan ExistingRDD" in p124 or "InMemoryTableScan" in p124))
+    checks.append(("transitive reduction: no cartesian product",
+                   "Cartesian" not in p124))
+
+    # 125. assortativity: the degree table is persisted once and feeds
+    # both endpoint joins; the final global aggregate is partial (one-row
+    # reduce, map-side combining does the work)
+    p125 = plan_of(entry.q_kg_assortativity(spark, SF))
+    sections.append(("Degree assortativity (kg_assortativity)", p125))
+    checks.append(("assortativity: degree table persisted once",
+                   "InMemoryTableScan" in p125))
+    checks.append(("assortativity: partial global aggregate",
+                   "partial_count" in p125 or "partial_sum" in p125))
+
+    # 126. dangling refs: entity-granular LEFT ANTI join (never a filter
+    # over a corpus-sized subquery), no window
+    p126 = plan_of(entry.q_kg_dangling_refs(spark, SF))
+    sections.append(("Dangling objects (kg_dangling_refs)", p126))
+    checks.append(("dangling refs: left anti join", "LeftAnti" in p126))
+    checks.append(("dangling refs: no window", "Window" not in p126))
+
+    # 127. grouping sets: ONE Expand-based aggregate pass (no union of
+    # three scans — the lattice expands rows, a single shuffle)
+    p127 = plan_of(entry.q_rel_grouping_sets(spark, SF))
+    sections.append(("GROUPING SETS lattice (rel_grouping_sets)", p127))
+    checks.append(("grouping sets: single Expand pass, no union",
+                   "Expand" in p127 and "Union" not in p127))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -6015,3 +6015,158 @@ WHERE length(a.norm_surface) > 0
 """,
         "nodes",
     )
+
+
+def kg_taxonomy_closure(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Capped min-hop transitive-closure twin (pipeline/taxonomy.py
+    taxonomy_closure): the engine's iterative min-plus doubling and this
+    depth-capped RECURSIVE CTE both compute the shortest is-a walk length
+    <= max_hops over the self-loop-free distinct edge set, so min(hops)
+    agrees exactly (doubling round r covers every shortest walk of length
+    <= 2^r)."""
+    inner = kg_hearst_hypernyms(mod, hypo_terms, hyper_terms, hyper2_terms)
+    return _materialize(
+        f"""
+WITH RECURSIVE hh AS ({inner}),
+e AS (SELECT DISTINCT hypo, hyper FROM hh WHERE hypo <> hyper),
+reach AS (
+    SELECT hypo, hyper, 1 AS hops FROM e
+    UNION
+    SELECT r.hypo, e.hyper, r.hops + 1
+    FROM reach r JOIN e ON e.hypo = r.hyper
+    WHERE r.hops < {max_hops}
+)
+SELECT hypo, hyper, CAST(min(hops) AS BIGINT) AS hops
+FROM reach WHERE hypo <> hyper GROUP BY hypo, hyper
+""",
+        "e",
+    )
+
+
+def kg_transitive_reduction(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Transitive-reduction twin (pipeline/taxonomy.py
+    transitive_reduction): an edge is redundant when the capped closure
+    holds a 2-segment witness path around it; the closure recursion is
+    identical to kg_taxonomy_closure."""
+    inner = kg_hearst_hypernyms(mod, hypo_terms, hyper_terms, hyper2_terms)
+    return _materialize(
+        f"""
+WITH RECURSIVE hh AS ({inner}),
+e AS (
+    SELECT hypo, hyper, CAST(sum(n_sents) AS BIGINT) AS n
+    FROM hh GROUP BY hypo, hyper HAVING hypo <> hyper
+),
+ed AS (SELECT DISTINCT hypo, hyper FROM e),
+reach AS (
+    SELECT hypo, hyper, 1 AS hops FROM ed
+    UNION
+    SELECT r.hypo, d.hyper, r.hops + 1
+    FROM reach r JOIN ed d ON d.hypo = r.hyper
+    WHERE r.hops < {max_hops}
+),
+clo AS (
+    SELECT hypo, hyper FROM reach WHERE hypo <> hyper GROUP BY hypo, hyper
+),
+wit AS (
+    SELECT DISTINCT a.hypo, b.hyper
+    FROM clo a JOIN clo b ON a.hyper = b.hypo
+)
+SELECT e.hypo, e.hyper, e.n,
+       CAST(CASE WHEN w.hypo IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS redundant
+FROM e LEFT JOIN wit w ON w.hypo = e.hypo AND w.hyper = e.hyper
+""",
+        "e", "ed", "clo",
+    )
+
+
+def kg_assortativity(model: str = "a100") -> str:
+    """Degree-assortativity sufficient-statistics twin (pipeline/er.py
+    degree_assortativity): symmetrized edge list, node degrees joined onto
+    both endpoints, one global integer aggregate plus the exact Newman-r
+    numerator / squared-denominator factors."""
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)}),
+sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst
+    FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+j AS (
+    SELECT dx.deg AS dx, dy.deg AS dy
+    FROM sym s
+    JOIN deg dx ON dx.src = s.src
+    JOIN deg dy ON dy.src = s.dst
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS m2,
+           CAST(sum(dx) AS BIGINT) AS sum_x,
+           CAST(sum(dy) AS BIGINT) AS sum_y,
+           CAST(sum(dx * dy) AS BIGINT) AS sum_xy,
+           CAST(sum(dx * dx) AS BIGINT) AS sum_x2,
+           CAST(sum(dy * dy) AS BIGINT) AS sum_y2
+    FROM j
+)
+SELECT *,
+       CAST(m2 * sum_xy - sum_x * sum_y AS BIGINT) AS r_num,
+       CAST(m2 * sum_x2 - sum_x * sum_x AS BIGINT) AS r_den_x,
+       CAST(m2 * sum_y2 - sum_y * sum_y AS BIGINT) AS r_den_y
+FROM s
+""",
+        "sym", "deg",
+    )
+
+
+def kg_dangling_refs(model: str = "a100") -> str:
+    """Dangling-object twin (pipeline/triples.py dangling_objects): typed
+    objects never appearing as a subject, with inbound support counts —
+    both sides entity-granular before the anti-join."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+subj AS (SELECT DISTINCT subj, subj_type FROM trip),
+ob AS (
+    SELECT obj, obj_type,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+    FROM trip GROUP BY obj, obj_type
+)
+SELECT o.obj, o.obj_type, o.n_triples, o.n_docs
+FROM ob o
+WHERE NOT EXISTS (
+    SELECT 1 FROM subj s
+    WHERE s.subj = o.obj AND s.subj_type = o.obj_type
+)
+""",
+        "trip",
+    )
+
+
+def rel_grouping_sets() -> str:
+    """GROUPING SETS twin (q_rel_grouping_sets): the explicit
+    ((flag, status), (flag), ()) lattice with GROUPING(a, b) — the same
+    MSB-first bit order as Spark's grouping_id (rel_cube precedent)."""
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""

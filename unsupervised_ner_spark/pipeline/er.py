@@ -2146,3 +2146,66 @@ def anchor_entity_aliases(anchor_stats: DataFrame, nodes: DataFrame) -> DataFram
     return al.join(ent, "norm_surface").select(
         "norm_surface", "etype", "node_id", "link_url", "n_anchors", "n_pages"
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity SUFFICIENT STATISTICS of the entity
+    co-occurrence graph — one row of exact integers from which Newman's
+    degree-correlation coefficient r (Newman 2002, PRL 89.208701) is a
+    pure post-processing division: over the symmetrized directed edge
+    list with x = deg(src), y = deg(dst),
+
+        r = (m*Sxy - Sx*Sy) / sqrt((m*Sx2 - Sx^2) * (m*Sy2 - Sy^2))
+
+    The returned columns are (m2, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    r_num, r_den_x, r_den_y) — all BIGINT, no float in the hashed gate
+    (the txt_lm_score precedent); r_num/r_den_* are the exact integer
+    numerator and the two squared-denominator factors. A social/KG graph
+    is typically disassortative (hubs attach to leaves, r < 0) — the
+    one-number structural health check before embedding training.
+
+    Scale shape: degrees come from one map-side-combining aggregate over
+    the symmetrized ALREADY-AGGREGATED edge table (bounded by distinct
+    pairs); the degree table (node-sized) is persisted once and feeds the
+    two endpoint-keyed equi-joins; the final reduce is a single-row
+    global aggregate (exact, associative — partial aggregation does all
+    the work map-side). Nothing corpus-sized is shuffled."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    sym = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("src"),
+        F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+    ).unionAll(
+        edges.select(
+            F.concat_ws("|", "ent_b", "type_b").alias("src"),
+            F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+        )
+    )
+    deg = scoped_persist(
+        sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    )
+    j = (
+        sym.join(deg, "src")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum("dy").cast("long").alias("sum_y"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sum_x2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sum_y2"),
+    )
+    return s.select(
+        "*",
+        (F.col("m2") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("long").alias("r_num"),
+        (F.col("m2") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+        .cast("long").alias("r_den_x"),
+        (F.col("m2") * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y"))
+        .cast("long").alias("r_den_y"),
+    )

@@ -124,3 +124,93 @@ def appositive_types(sentences: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_sents"),
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
+
+
+def taxonomy_closure(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Min-hop transitive closure of the taxonomy edge table, capped at
+    ``max_hops`` — the full is-a reachability product (what every
+    subclass-inference and type-propagation pass consumes), extending the
+    fixed 2-hop product above to arbitrary (bounded) depth.
+
+    Returns (hypo, hyper, hops) where hops is the LENGTH OF THE SHORTEST
+    is-a path (1 = direct edge), self-pairs excluded; pairs whose shortest
+    path exceeds ``max_hops`` are absent. The cap makes the product
+    well-defined on noisy Hearst graphs with cycles (a <-> b loops would
+    otherwise make the closure a fixpoint the oracle cannot bound).
+
+    Scale shape: ITERATIVE DOUBLING (min-plus matrix squaring) — round r
+    covers every shortest path of length <= 2^r, so depth ``max_hops``
+    needs only ceil(log2(max_hops)) self-join rounds (3 for the default 8)
+    instead of max_hops-1 BFS expansion rounds: O(log d) shuffles, the
+    same round-compression trick as the ER large/small-star CC loop. Each
+    round is one equi-join of the current distance table with itself
+    keyed on the middle node plus one min-combining aggregate; the
+    distance table is bounded by |closure| (vocabulary-squared worst
+    case, taxonomy-sparse in practice), never corpus-sized. Rounds
+    localCheckpoint so the plan does not triple per round (kcore
+    precedent). The DuckDB twin replays it as a depth-capped RECURSIVE
+    CTE with min(hops) — linear recursion and doubling agree exactly
+    because both compute shortest-path length <= max_hops."""
+    rounds = max(1, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
+    dist = (
+        edges.select("hypo", "hyper")
+        .filter(F.col("hypo") != F.col("hyper"))
+        .distinct()
+        .withColumn("hops", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        a = dist.select(
+            "hypo", F.col("hyper").alias("mid"), F.col("hops").alias("h1")
+        )
+        b = dist.select(
+            F.col("hypo").alias("mid"), "hyper", F.col("hops").alias("h2")
+        )
+        step = (
+            a.join(b, "mid")
+            .select("hypo", "hyper", (F.col("h1") + F.col("h2")).alias("hops"))
+            .filter(F.col("hops") <= max_hops)
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("hypo", "hyper")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist.filter(F.col("hypo") != F.col("hyper"))
+
+
+def transitive_reduction(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Transitive-reduction flags over the collapsed taxonomy edge table:
+    an edge (a, b) is REDUNDANT when some intermediate m is reachable
+    from a and reaches b (both within the ``max_hops``-capped closure) —
+    the minimal-edge-set view a taxonomy curator publishes (Aho, Garey &
+    Ullman 1972), relative to the same capped closure the query above
+    gates. Returns every collapsed edge as (hypo, hyper, n, redundant)
+    with n = summed sentence support and redundant an integer 0/1 flag.
+
+    Scale shape: the closure (vocabulary-bounded) is persisted once and
+    feeds both sides of ONE wedge-shaped self-join keyed on the middle
+    node (the kg_common_neighbors shape); witnesses are distinct-reduced
+    to pair granularity before the final left join onto the edge table.
+    Nothing corpus-sized is joined."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    base = edges.groupBy("hypo", "hyper").agg(
+        F.sum("n_sents").cast("long").alias("n")
+    ).filter(F.col("hypo") != F.col("hyper"))
+    clo = scoped_persist(taxonomy_closure(edges, max_hops=max_hops))
+    wit = (
+        clo.select("hypo", F.col("hyper").alias("mid"))
+        .join(clo.select(F.col("hypo").alias("mid"), "hyper"), "mid")
+        .select("hypo", "hyper")
+        .distinct()
+        .withColumn("redundant", F.lit(1).cast("long"))
+    )
+    return (
+        base.join(wit, ["hypo", "hyper"], "left")
+        .select(
+            "hypo", "hyper", "n",
+            F.coalesce("redundant", F.lit(0)).cast("long").alias("redundant"),
+        )
+    )

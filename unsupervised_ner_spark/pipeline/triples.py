@@ -431,3 +431,27 @@ def extract_quotations(sentences: DataFrame) -> DataFrame:
         )
         .filter((F.col("quote") != "") & (F.col("speaker") != ""))
     )
+
+
+def dangling_objects(triples: DataFrame) -> DataFrame:
+    """Referential-integrity check over the triple table: typed OBJECTS
+    that never occur as a SUBJECT of any triple — the dangling-node
+    inventory (objects with no outgoing facts) a KG curator reviews
+    before publishing, and the natural worklist for the next crawl
+    round. Returns (obj, obj_type, n_triples, n_docs) per dangling
+    object, counting its inbound support.
+
+    Scale shape: BOTH sides collapse to entity granularity before the
+    join — the subject side to a distinct (subj, subj_type) key set, the
+    object side via one map-side-combining aggregate — then one
+    LEFT ANTI equi-join of two vocabulary-bounded tables. The corpus-
+    sized triple scan runs once per side of a single pass chain; no
+    corpus-sized shuffle beyond the two aggregates."""
+    subj = triples.select(
+        F.col("subj").alias("obj"), F.col("subj_type").alias("obj_type")
+    ).distinct()
+    obj = triples.groupBy("obj", "obj_type").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )
+    return obj.join(subj, ["obj", "obj_type"], "left_anti")
