@@ -1666,6 +1666,78 @@ def q_mm_ahash(spark, sf_dir):
     return _long(out, "n_bytes", "n_ones")
 
 
+def q_mm_phash(spark, sf_dir):
+    """Perceptual DCT hash (multimodal.perceptual_hash): 8x8 grid ->
+    exact fixed-point integer DCT-II (shared PHASH_DCT basis) -> median
+    threshold over the 63 AC coefficients; the frequency-domain near-dup
+    signature beside aHash. Oracle replays the identical integer
+    arithmetic from the hex projection (basis constants imported)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = multimodal.perceptual_hash(multimodal.synth_media(docs))
+    return _long(out, "n_bytes", "n_ones")
+
+
+def q_txt_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel with first-kill attribution (curation
+    .filter_funnel): per ordered rule, docs killed + docs remaining —
+    one narrow scan, one bounded histogram, windows only over the
+    |rules|+1-row table."""
+    from unsupervised_ner_spark.ops.curation import filter_funnel
+
+    return filter_funnel(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_quantiles(spark, sf_dir):
+    """Exact per-group discrete quantiles (p25/p50/p75 of l_quantity per
+    returnflag) via rank-at-ceil(n*p/100) row_number selection — integer
+    outputs, no interpolation, no approx sketch; the oracle replays the
+    same rank rule."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    r = li.select(
+        "l_returnflag", "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") * p + 99) / 100), F.col("qty")
+            )
+        ).cast("long")
+
+    return r.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        at(25).alias("q25"), at(50).alias("q50"), at(75).alias("q75"),
+    )
+
+
+def q_kg_taxonomy_rollup(spark, sf_dir):
+    """Per-hypernym rollup through the capped closure: distinct
+    descendant count, direct-child count, min/max descendant depth — the
+    class-size dashboard a taxonomy curator reads next to the closure."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure,
+    )
+
+    clo = taxonomy_closure(
+        hearst_hypernyms(_hearst_sentences(spark, sf_dir)), max_hops=8
+    )
+    return clo.groupBy("hyper").agg(
+        F.countDistinct("hypo").cast("long").alias("n_descendants"),
+        F.sum(F.when(F.col("hops") == 1, 1).otherwise(0))
+        .cast("long").alias("n_children"),
+        F.min("hops").cast("long").alias("min_hops"),
+        F.max("hops").cast("long").alias("max_hops"),
+    )
+
+
 def q_mm_ahash_groups(spark, sf_dir):
     """Perceptual near-dup groups: identical aHash signatures collapse to
     one group (size + min-doc representative) — the media-level twin of
@@ -2696,10 +2768,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_taxonomy_2hop": q_kg_taxonomy_2hop,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "kg_transitive_reduction": q_kg_transitive_reduction,
         "kg_assortativity": q_kg_assortativity,
         "kg_dangling_refs": q_kg_dangling_refs,
         "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_quantiles": q_rel_quantiles,
+        "mm_phash": q_mm_phash,
+        "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
         "kg_conflicts": q_kg_conflicts,
@@ -2887,12 +2963,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_taxonomy_closure": O.kg_taxonomy_closure(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
+        "kg_taxonomy_rollup": O.kg_taxonomy_rollup(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
         "kg_transitive_reduction": O.kg_transitive_reduction(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
         "kg_assortativity": O.kg_assortativity(),
         "kg_dangling_refs": O.kg_dangling_refs(),
         "rel_grouping_sets": O.rel_grouping_sets(),
+        "rel_quantiles": O.rel_quantiles(),
+        "mm_phash": O.mm_phash(),
+        "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS
         ),

@@ -63,10 +63,14 @@ BENCH_QUERIES = [
     "kg_hearst_hypernyms",
     "kg_taxonomy_2hop",
     "kg_taxonomy_closure",
+    "kg_taxonomy_rollup",
     "kg_transitive_reduction",
     "kg_assortativity",
     "kg_dangling_refs",
     "rel_grouping_sets",
+    "rel_quantiles",
+    "mm_phash",
+    "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",
     "kg_conflicts",

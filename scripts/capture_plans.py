@@ -1287,6 +1287,34 @@ def main() -> None:
     checks.append(("grouping sets: single Expand pass, no union",
                    "Expand" in p127 and "Union" not in p127))
 
+    # 128. pHash: one Arrow-batched Python stage, map-only (no exchange
+    # anywhere — the signature is computed where the payload lives)
+    p128 = plan_of(entry.q_mm_phash(spark, SF))
+    sections.append(("Perceptual DCT hash (mm_phash)", p128))
+    checks.append(("phash: map-only, no exchange",
+                   "Exchange" not in p128 and "ArrowEvalPython" in p128
+                   or "MapInPandas" in p128 and "Exchange" not in p128))
+
+    # 129. filter funnel: one corpus scan, windows only over the bounded
+    # rule histogram (the single-partition window is |rules|+1 rows)
+    p129 = plan_of(entry.q_txt_filter_funnel(spark, SF))
+    sections.append(("Quality filter funnel (txt_filter_funnel)", p129))
+    checks.append(("filter funnel: no join", "Join" not in p129))
+
+    # 130. exact quantiles: ONE group-partitioned sort window + one
+    # aggregate; no self-join, no approx sketch
+    p130 = plan_of(entry.q_rel_quantiles(spark, SF))
+    sections.append(("Exact group quantiles (rel_quantiles)", p130))
+    checks.append(("quantiles: window partitioned by group key",
+                   "windowspecdefinition(l_returnflag" in p130))
+    checks.append(("quantiles: no join", "Join" not in p130))
+
+    # 131. taxonomy rollup: one aggregate over the checkpointed closure
+    p131 = plan_of(entry.q_kg_taxonomy_rollup(spark, SF))
+    sections.append(("Taxonomy rollup (kg_taxonomy_rollup)", p131))
+    checks.append(("taxonomy rollup: no window, closure checkpointed",
+                   "Window" not in p131 and "Scan ExistingRDD" in p131))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

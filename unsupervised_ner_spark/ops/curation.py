@@ -112,3 +112,63 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# First-kill filter cascade: (rule name, predicate over doc_stats columns),
+# evaluated IN ORDER — Gopher/C4-style thresholds, every comparison integer
+# cross-multiplied so the DuckDB twin replays it bit-exactly.
+FILTER_RULES = [
+    ("too_short", lambda: F.col("n_tokens") < 40),
+    ("low_stopword", lambda: F.col("n_stopword_tokens") * 100 < F.col("n_tokens") * 3),
+    ("low_lexdiv", lambda: F.col("n_distinct_tokens") * 100 < F.col("n_tokens") * 40),
+    ("high_punct", lambda: F.col("n_punct_chars") * 10 > F.col("n_chars")),
+    ("long_words", lambda: F.col("n_chars") > F.col("n_tokens") * 12),
+]
+
+
+def filter_funnel(documents: DataFrame) -> DataFrame:
+    """Quality-filter FUNNEL dashboard: run the ordered filter cascade
+    with first-kill attribution and report, per stage, how many documents
+    that rule killed and how many remain after it — the standard
+    pipeline-tuning view (which rule does the work, where the corpus
+    actually dies) every C4/Gopher-style curation run publishes before
+    anyone trusts the survivor count. Returns one row per rule plus a
+    final ``survivors`` row: (stage, rule, n_killed, n_remaining).
+
+    Scale shape: ONE narrow scan assigns each doc its first matching rule
+    (chained CASE over doc_stats integers), one map-side-combining
+    aggregate onto the |rules|+1-row histogram, and the running
+    ``n_remaining`` is a window over that BOUNDED table (never the
+    corpus). Adding a rule = one list entry; the attribution stays
+    single-pass."""
+    kill = F.lit(None).cast("string")
+    for name, pred in reversed(FILTER_RULES):
+        kill = F.when(pred(), F.lit(name)).otherwise(kill)
+    stage = F.lit(len(FILTER_RULES)).cast("long")
+    for i, (name, _) in reversed(list(enumerate(FILTER_RULES))):
+        stage = F.when(F.col("rule") == name, F.lit(i).cast("long")).otherwise(stage)
+    hist = (
+        doc_stats(documents)
+        .select(F.coalesce(kill, F.lit("survivors")).alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").cast("long").alias("n_killed"))
+        .withColumn("stage", stage)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "stage", "rule",
+        F.when(F.col("rule") == "survivors", F.lit(0))
+        .otherwise(F.col("n_killed")).cast("long").alias("n_killed"),
+        (
+            F.sum("n_killed").over(total)
+            - F.sum(
+                F.when(F.col("rule") == "survivors", F.lit(0))
+                .otherwise(F.col("n_killed"))
+            ).over(w)
+        ).cast("long").alias("n_remaining"),
+    )

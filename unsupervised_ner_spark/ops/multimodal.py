@@ -286,3 +286,87 @@ def scene_segments(frames: DataFrame, hamming_threshold: int = 10) -> DataFrame:
         F.min("frame_idx").cast("long").alias("first_frame"),
         F.max("frame_idx").cast("long").alias("last_frame"),
     )
+
+
+# Fixed-point DCT-II basis for the perceptual hash: C[k][n] =
+# round(2^14 * cos(pi * (2n+1) * k / 16)), k,n in 0..7, flattened
+# row-major. Computed ONCE here and imported by the DuckDB twin
+# (oracle_sql.mm_phash embeds these exact integers), so both engines run
+# identical integer arithmetic end-to-end — no float, no libm drift
+# between the engines (the Hearst-regex import precedent).
+import math as _math
+
+PHASH_SCALE = 1 << 14
+PHASH_DCT = [
+    round(PHASH_SCALE * _math.cos(_math.pi * (2 * n + 1) * k / 16.0))
+    for k in range(8)
+    for n in range(8)
+]
+
+PHASH = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("phash_bits", T.StringType()),
+        T.StructField("n_ones", T.IntegerType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) over the opaque media payload — the
+    frequency-domain near-duplicate signature (robust to brightness /
+    local edits where aHash is not): sample an 8x8 "pixel" grid, 2-D
+    DCT-II in exact fixed-point integers (PHASH_DCT, scale 2^14), then
+    threshold each of the 63 AC coefficients at their median (sorted
+    element index 31, strict >) — DC emits a constant 0 bit so the
+    signature stays 64 wide like aHash. The decode+resize stage is the
+    stubbed seam (no PIL): pixels are payload bytes sampled at
+    ``byte[(j*n) div 64]`` exactly like average_hash, so the DuckDB twin
+    replays the whole chain from the hex projection while the Spark side
+    runs the REAL kernel shape (iterator-of-batches mapInPandas; a real
+    32x32-decode + DCT drops into the loop body and nothing else
+    changes).
+
+    Integer exactness: |coef| <= 8 * 8 * 255 * 2^28 < 2^45 — well inside
+    int64, identical in Python and DuckDB.
+
+    Scale shape: narrow map-only Arrow-batched stage, no shuffle; one
+    fixed-width row per asset."""
+    C = [PHASH_DCT[k * 8:(k + 1) * 8] for k in range(8)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "phash_bits": [], "n_ones": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                pix = [
+                    [b[((x * 8 + y) * n) // 64] if n else 0 for y in range(8)]
+                    for x in range(8)
+                ]
+                # coef = C @ pix @ C^T, exact ints
+                cp = [
+                    [sum(C[u][x] * pix[x][y] for x in range(8)) for y in range(8)]
+                    for u in range(8)
+                ]
+                coef = [
+                    [sum(cp[u][y] * C[v][y] for y in range(8)) for v in range(8)]
+                    for u in range(8)
+                ]
+                ac = sorted(
+                    coef[u][v] for u in range(8) for v in range(8) if u or v
+                )
+                med = ac[31]
+                bits = "".join(
+                    "0" if (u == 0 and v == 0)
+                    else ("1" if coef[u][v] > med else "0")
+                    for u in range(8) for v in range(8)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["phash_bits"].append(bits)
+                out["n_ones"].append(bits.count("1"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PHASH)

@@ -6170,3 +6170,135 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+def mm_phash() -> str:
+    """Perceptual-DCT-hash twin (ops/multimodal.py perceptual_hash): 8x8
+    byte-sampled grid, exact fixed-point integer DCT-II with the SAME
+    PHASH_DCT basis constants (imported — the Hearst-regex precedent),
+    median threshold at sorted AC index 31 (strict >), DC bit pinned 0.
+    Pure integer arithmetic end-to-end, so the match is bit-exact."""
+    from unsupervised_ner_spark.ops.multimodal import PHASH_DCT
+
+    carr = "[" + ", ".join(str(c) for c in PHASH_DCT) + "]"
+    hv = "(strpos('0123456789ABCDEF', {c}) - 1)"
+    c1 = hv.format(c="substring(phex, ((j * n) // 64) * 2 + 1, 1)")
+    c2 = hv.format(c="substring(phex, ((j * n) // 64) * 2 + 2, 1)")
+    return _materialize(
+        f"""
+WITH m AS (
+    SELECT doc_id, upper(hex(encode(text))) AS phex,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+px AS (
+    SELECT doc_id, n, j,
+           CASE WHEN n = 0 THEN 0 ELSE 16 * {c1} + {c2} END AS p
+    FROM m, UNNEST(generate_series(0, 63)) AS u(j)
+),
+co AS (
+    SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n, uv.uv AS uv,
+           sum(p * ({carr})[(uv.uv // 8) * 8 + (j // 8) + 1]
+                 * ({carr})[(uv.uv % 8) * 8 + (j % 8) + 1]) AS coef
+    FROM px, UNNEST(generate_series(0, 63)) AS uv(uv)
+    GROUP BY doc_id, uv.uv
+),
+md AS (
+    SELECT doc_id, list_sort(list(coef) FILTER (uv > 0))[32] AS med
+    FROM co GROUP BY doc_id
+)
+SELECT co.doc_id, CAST(any_value(co.n) AS BIGINT) AS n_bytes,
+       string_agg(CASE WHEN co.uv = 0 THEN '0'
+                       WHEN co.coef > md.med THEN '1' ELSE '0' END, ''
+                  ORDER BY co.uv) AS phash_bits,
+       CAST(sum(CASE WHEN co.uv > 0 AND co.coef > md.med THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ones
+FROM co JOIN md USING (doc_id)
+GROUP BY co.doc_id
+""",
+        "px", "co",
+    )
+
+
+def txt_filter_funnel() -> str:
+    """Filter-funnel twin (ops/curation.py filter_funnel): the identical
+    ordered first-kill CASE over the doc_stats integers, histogram, and a
+    running remaining-count window over the bounded rule table."""
+    return f"""
+WITH st AS ({txt_stats()}),
+killed AS (
+    SELECT CASE
+        WHEN n_tokens < 40 THEN 'too_short'
+        WHEN n_stopword_tokens * 100 < n_tokens * 3 THEN 'low_stopword'
+        WHEN n_distinct_tokens * 100 < n_tokens * 40 THEN 'low_lexdiv'
+        WHEN n_punct_chars * 10 > n_chars THEN 'high_punct'
+        WHEN n_chars > n_tokens * 12 THEN 'long_words'
+        ELSE 'survivors' END AS rule
+    FROM st
+),
+hist AS (
+    SELECT rule, CAST(count(*) AS BIGINT) AS n,
+           CASE rule
+               WHEN 'too_short' THEN 0 WHEN 'low_stopword' THEN 1
+               WHEN 'low_lexdiv' THEN 2 WHEN 'high_punct' THEN 3
+               WHEN 'long_words' THEN 4 ELSE 5 END AS stage
+    FROM killed GROUP BY rule
+)
+SELECT CAST(stage AS BIGINT) AS stage, rule,
+       CAST(CASE WHEN rule = 'survivors' THEN 0 ELSE n END AS BIGINT)
+           AS n_killed,
+       CAST(sum(n) OVER ()
+            - sum(CASE WHEN rule = 'survivors' THEN 0 ELSE n END)
+                  OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_remaining
+FROM hist
+"""
+
+
+def rel_quantiles() -> str:
+    """Exact discrete per-group quantile twin (q_rel_quantiles): the same
+    rank-at-ceil(n*p/100) row_number rule — ties in qty are rank-order
+    irrelevant because the selected VALUE at any rank is deterministic."""
+    qsel = (
+        "CAST(max(CASE WHEN rn = (n * {p} + 99) // 100 THEN qty END)"
+        " AS BIGINT) AS q{p}"
+    )
+    return f"""
+WITH li AS (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+),
+r AS (
+    SELECT l_returnflag, qty,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM li
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       {qsel.format(p=25)}, {qsel.format(p=50)}, {qsel.format(p=75)}
+FROM r GROUP BY l_returnflag
+"""
+
+
+def kg_taxonomy_rollup(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Taxonomy rollup twin (q_kg_taxonomy_rollup): per-hypernym
+    descendant/child/depth aggregate over the same capped recursive
+    closure as kg_taxonomy_closure."""
+    inner = kg_taxonomy_closure(
+        mod, hypo_terms, hyper_terms, hyper2_terms, max_hops
+    )
+    return f"""
+WITH clo AS ({inner})
+SELECT hyper,
+       CAST(count(DISTINCT hypo) AS BIGINT) AS n_descendants,
+       CAST(sum(CASE WHEN hops = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_children,
+       CAST(min(hops) AS BIGINT) AS min_hops,
+       CAST(max(hops) AS BIGINT) AS max_hops
+FROM clo GROUP BY hyper
+"""
