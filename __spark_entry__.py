@@ -1738,6 +1738,81 @@ def q_kg_taxonomy_rollup(spark, sf_dir):
     )
 
 
+def q_mm_phash_pairs(spark, sf_dir):
+    """Hamming-near media pairs (multimodal.phash_pairs): Manku 8-block
+    blocking with bucket cap + exact 64-position verify; the oracle
+    replays blocking as part of the operator semantics (LSH precedent).
+    Splices: byte-identical dup at +1000000 (Hamming 0) and a same-length
+    first-byte perturbation at +2000000 (small nonzero Hamming)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spliced = d.unionAll(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    ).unionAll(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        )
+    )
+    sig = multimodal.perceptual_hash(multimodal.synth_media(spliced))
+    return _long(multimodal.phash_pairs(sig), "doc_a", "doc_b")
+
+
+def q_rel_interval_join(spark, sf_dir):
+    """Temporal containment join WITHOUT an equi key (ops/asof.py
+    interval_join): clicks inside [view_ts, view_ts + 30 min) via bucket
+    binning — interval explodes to its covered 30-min cells, point maps
+    to ONE cell, hash equi-join on the cell + residual range filter (no
+    nested loop, no corpus broadcast); DuckDB oracles the raw theta
+    join."""
+    from unsupervised_ner_spark.ops.asof import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    iv_len_us = 1_800_000_000
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = interval_join(
+        clicks, views,
+        point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        bucket_us=iv_len_us,
+        point_cols=["click_id"], interval_cols=["view_id"],
+    )
+    return _long(out, "click_id", "iv_view_id")
+
+
+def q_kg_closure_delta(spark, sf_dir):
+    """INCREMENTAL closure maintenance (taxonomy_closure_incremental):
+    yesterday's closure (even doc_ids) + today's delta edges (odd
+    doc_ids) folded by min-plus rounds seeded with closure ∪ delta —
+    gated against the FULL-recompute oracle over all docs, so the hash
+    match IS the incremental==full proof (IVM family)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure,
+        taxonomy_closure_incremental,
+    )
+
+    docs = _hearst_docs(spark, sf_dir)
+
+    def sents(d):
+        return pages_to_sentences(_pages_of(d)).select(
+            "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+        )
+
+    old_edges = hearst_hypernyms(sents(docs.filter(F.col("doc_id") % 2 == 0)))
+    delta_edges = hearst_hypernyms(sents(docs.filter(F.col("doc_id") % 2 == 1)))
+    return taxonomy_closure_incremental(
+        taxonomy_closure(old_edges, max_hops=8), delta_edges, max_hops=8
+    )
+
+
 def q_mm_ahash_groups(spark, sf_dir):
     """Perceptual near-dup groups: identical aHash signatures collapse to
     one group (size + min-doc representative) — the media-level twin of
@@ -2774,7 +2849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling_refs": q_kg_dangling_refs,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_quantiles": q_rel_quantiles,
+        "rel_interval_join": q_rel_interval_join,
         "mm_phash": q_mm_phash,
+        "mm_phash_pairs": q_mm_phash_pairs,
+        "kg_closure_delta": q_kg_closure_delta,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -2973,7 +3051,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_dangling_refs": O.kg_dangling_refs(),
         "rel_grouping_sets": O.rel_grouping_sets(),
         "rel_quantiles": O.rel_quantiles(),
+        "rel_interval_join": O.rel_interval_join(),
         "mm_phash": O.mm_phash(),
+        "mm_phash_pairs": O.mm_phash_pairs(),
+        "kg_closure_delta": O.kg_closure_delta(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

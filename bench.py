@@ -69,7 +69,10 @@ BENCH_QUERIES = [
     "kg_dangling_refs",
     "rel_grouping_sets",
     "rel_quantiles",
+    "rel_interval_join",
     "mm_phash",
+    "mm_phash_pairs",
+    "kg_closure_delta",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

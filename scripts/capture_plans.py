@@ -1315,6 +1315,33 @@ def main() -> None:
     checks.append(("taxonomy rollup: no window, closure checkpointed",
                    "Window" not in p131 and "Scan ExistingRDD" in p131))
 
+    # 132. interval join: bucket binning makes it a plain hash equi-join
+    # on the cell id — NO nested-loop and NO cartesian anywhere in the
+    # plan (the naive range-join plan Spark would otherwise pick)
+    p132 = plan_of(entry.q_rel_interval_join(spark, SF))
+    sections.append(("Bucket-binned interval join (rel_interval_join)", p132))
+    checks.append(("interval join: no nested loop / cartesian",
+                   "NestedLoop" not in p132 and "Cartesian" not in p132))
+    checks.append(("interval join: hash join on the cell key",
+                   "_cell" in p132))
+
+    # 133. pHash pairs: blocking table persisted once (feeds the bucket
+    # cap aggregate and both self-join sides); Hamming verify is
+    # expression-side (no Python stage beyond the signature kernel)
+    p133 = plan_of(entry.q_mm_phash_pairs(spark, SF))
+    sections.append(("pHash Hamming pairs (mm_phash_pairs)", p133))
+    checks.append(("phash pairs: blocking table persisted once",
+                   "InMemoryTableScan" in p133))
+    checks.append(("phash pairs: no cartesian", "Cartesian" not in p133))
+
+    # 134. incremental closure: seeded from the checkpointed old closure
+    # (bounded lineage), equi-join rounds only
+    p134 = plan_of(entry.q_kg_closure_delta(spark, SF))
+    sections.append(("Incremental taxonomy closure (kg_closure_delta)", p134))
+    checks.append(("closure delta: seeded from checkpoint",
+                   "Scan ExistingRDD" in p134))
+    checks.append(("closure delta: no cartesian", "Cartesian" not in p134))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

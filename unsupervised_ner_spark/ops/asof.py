@@ -93,3 +93,72 @@ def asof_join(
         + [F.col(f"_match.{c}").alias(f"r_{c}") for c in right_cols]
     )
     return matched.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_us: int,
+    point_cols: Sequence[str],
+    interval_cols: Sequence[str],
+) -> DataFrame:
+    """Distributed point-in-interval join (``start <= t < end``) WITHOUT
+    an equi key — the temporal containment join Spark has no native
+    operator for (SPARK range-join hints exist only on Databricks; naive
+    SQL plans it as BroadcastNestedLoop over the corpus).
+
+    Strategy: BUCKET BINNING. Time is cut into fixed ``bucket_us`` cells;
+    every interval explodes to the cells it covers, each point maps to
+    exactly ONE cell, and the join becomes a plain hash equi-join on the
+    cell id plus a residual range filter. Because a point lives in one
+    cell only, no post-join dedup is needed. Pick ``bucket_us`` ~ the max
+    interval length: fan-out stays <= 2 rows per interval while cell
+    population (the shuffle skew bound) stays ~ the number of
+    concurrently-open intervals — the standard binned-range-join trade
+    (Chawda et al., "Processing Interval Joins On Map-Reduce", EDBT'14).
+
+    Returns one row per containment with the requested payload columns
+    (interval side prefixed ``iv_``) plus the tz-invariant microsecond
+    offset ``us_into_interval`` (absolute timestamps are session-timezone
+    sensitive across engines; an offset is not — the asof_join
+    precedent).
+
+    Scale shape: one narrow explode (``sequence`` over covered cells, <=
+    len/bucket + 1 rows per interval), one hash exchange per side keyed
+    on the cell, a residual filter — no nested loop, no corpus-sized
+    broadcast, no sort. Skewed cells (flash-crowd intervals) are ordinary
+    agg-key skew, AQE-splittable."""
+    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (session.get_spark), so the cast is an exact monotone epoch map
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p_us = _us(point_ts)
+    s_us = _us(start_ts)
+    e_us = _us(end_ts)
+    pts = points.select(
+        *point_cols, p_us.alias("_p_us"),
+        F.floor(p_us / bucket_us).cast("long").alias("_cell"),
+    )
+    ivs = intervals.select(
+        *[F.col(c).alias(f"iv_{c}") for c in interval_cols],
+        s_us.alias("_s_us"), e_us.alias("_e_us"),
+        F.explode(
+            F.sequence(
+                F.floor(s_us / bucket_us).cast("long"),
+                F.floor(e_us / bucket_us).cast("long"),
+            )
+        ).alias("_cell"),
+    )
+    return (
+        pts.join(ivs, "_cell")
+        .filter((F.col("_s_us") <= F.col("_p_us")) & (F.col("_p_us") < F.col("_e_us")))
+        .select(
+            *point_cols,
+            *[f"iv_{c}" for c in interval_cols],
+            (F.col("_p_us") - F.col("_s_us")).cast("long").alias("us_into_interval"),
+        )
+    )

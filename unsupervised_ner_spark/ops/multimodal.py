@@ -370,3 +370,62 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, PHASH)
+
+
+def phash_pairs(
+    signatures: DataFrame, max_hamming: int = 7, max_bucket: int = 100
+) -> DataFrame:
+    """Hamming-near media pairs over pHash signatures: Manku-style block
+    blocking with n=8 8-bit blocks and k=7 — any pair within Hamming
+    distance 7 agrees on AT LEAST one block (pigeonhole), so grouping on
+    (block_idx, block_bits) has exact recall; candidates are then
+    verified with the true 64-position Hamming count and kept when
+    ``<= max_hamming``. The simhash_pairs shape lifted to the media
+    signature table (same cap rationale: a boilerplate byte pattern piles
+    docs onto one block value — the cap keeps a degenerate key from
+    going quadratic; size filtering is a shuffle join, never a
+    corpus-sized broadcast).
+
+    Scale shape: 8 blocking rows per asset, one bucket-size aggregate
+    (persisted once with the blocking table), bucket self-join, distinct
+    to pair granularity, expression-side Hamming verify (no Python)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    blocks = scoped_persist(
+        signatures.select(
+            "doc_id", "phash_bits",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.substring("phash_bits", i * 8 + 1, 8).alias("bits"),
+                    )
+                    for i in range(8)
+                ])
+            ).alias("b"),
+        ).select("doc_id", "phash_bits", F.col("b.blk").alias("blk"),
+                 F.col("b.bits").alias("bits"))
+    )
+    ok = blocks.groupBy("blk", "bits").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).select("blk", "bits")
+    small = blocks.join(ok, ["blk", "bits"])
+    a = small.select("blk", "bits", F.col("doc_id").alias("doc_a"),
+                     F.col("phash_bits").alias("sig_a"))
+    b = small.select("blk", "bits", F.col("doc_id").alias("doc_b"),
+                     F.col("phash_bits").alias("sig_b"))
+    cand = (
+        a.join(b, ["blk", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, j) -> acc + "
+        "IF(substring(sig_a, j, 1) <> substring(sig_b, j, 1), 1, 0))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -6172,12 +6172,14 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
-def mm_phash() -> str:
+def mm_phash(source: str = "documents") -> str:
     """Perceptual-DCT-hash twin (ops/multimodal.py perceptual_hash): 8x8
     byte-sampled grid, exact fixed-point integer DCT-II with the SAME
     PHASH_DCT basis constants (imported — the Hearst-regex precedent),
     median threshold at sorted AC index 31 (strict >), DC bit pinned 0.
-    Pure integer arithmetic end-to-end, so the match is bit-exact."""
+    Pure integer arithmetic end-to-end, so the match is bit-exact.
+    ``source`` lets the pairs gate feed a spliced corpus through the
+    same chain (the mm_ahash precedent)."""
     from unsupervised_ner_spark.ops.multimodal import PHASH_DCT
 
     carr = "[" + ", ".join(str(c) for c in PHASH_DCT) + "]"
@@ -6189,7 +6191,7 @@ def mm_phash() -> str:
 WITH m AS (
     SELECT doc_id, upper(hex(encode(text))) AS phex,
            octet_length(encode(text)) AS n
-    FROM documents
+    FROM {source}
 ),
 px AS (
     SELECT doc_id, n, j,
@@ -6302,3 +6304,94 @@ SELECT hyper,
        CAST(max(hops) AS BIGINT) AS max_hops
 FROM clo GROUP BY hyper
 """
+
+
+def rel_interval_join(iv_len_us: int = 1_800_000_000) -> str:
+    """Point-in-interval join twin (ops/asof.py interval_join / the
+    rel_interval_join gate): clicks contained in [view_ts, view_ts +
+    iv_len) — DuckDB plans the raw theta join directly (IEJoin), so the
+    oracle needs no binning; the engine's bucket-binned equi-join must
+    produce the identical containment set."""
+    return f"""
+WITH c AS (
+    SELECT event_id AS click_id, epoch_us(ts) AS p
+    FROM events WHERE event_type = 'click'
+),
+v AS (
+    SELECT event_id AS iv_view_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {iv_len_us} AS e
+    FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, v.iv_view_id,
+       CAST(c.p - v.s AS BIGINT) AS us_into_interval
+FROM c JOIN v ON v.s <= c.p AND c.p < v.e
+"""
+
+
+def kg_closure_delta(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Incremental-closure twin: the oracle is the FULL recompute over
+    the merged edge set (kg_taxonomy_closure on all docs) — hashing the
+    engine's incremental fold against it IS the incremental==full proof
+    (the kg_cooccurrence_delta / er_components_delta pattern)."""
+    return kg_taxonomy_closure(
+        mod, hypo_terms, hyper_terms, hyper2_terms, max_hops
+    )
+
+
+def mm_phash_pairs(
+    every: int = 25, max_hamming: int = 7, max_bucket: int = 100
+) -> str:
+    """pHash near-pair twin (ops/multimodal.py phash_pairs): the oracle
+    REPLAYS the Manku block-blocking + bucket cap (candidates = pairs
+    sharing an uncapped (blk, bits) bucket — the LSH-oracle precedent:
+    blocking is part of the operator's semantics, not an approximation
+    to hide), then the 64-position Hamming verify. Splices: every
+    ``every``-th doc re-enters byte-identical at +1000000 (Hamming 0)
+    and with its first byte replaced by 'Z' at +2000000 (same length, so
+    the sample grid aligns — a small nonzero Hamming both engines must
+    agree on)."""
+    sig = mm_phash(source="spliced")
+    return _materialize(
+        f"""
+WITH spliced AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % {every} = 0
+    UNION ALL
+    SELECT doc_id + 2000000, 'Z' || substring(text, 2)
+    FROM documents WHERE doc_id % {every} = 0
+),
+sig AS ({sig}),
+bl AS (
+    SELECT doc_id, phash_bits, b.blk AS blk,
+           substring(phash_bits, b.blk * 8 + 1, 8) AS bits
+    FROM sig, UNNEST(generate_series(0, 7)) AS b(blk)
+),
+ok AS (
+    SELECT blk, bits FROM bl GROUP BY blk, bits
+    HAVING count(*) <= {max_bucket}
+),
+sm AS (SELECT bl.* FROM bl JOIN ok USING (blk, bits)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash_bits AS sig_a, b.phash_bits AS sig_b
+    FROM sm a JOIN sm b ON a.blk = b.blk AND a.bits = b.bits
+    WHERE a.doc_id < b.doc_id
+),
+ham AS (
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, 65), j ->
+               CASE WHEN substring(sig_a, j, 1) <> substring(sig_b, j, 1)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}
+""",
+        "sig", "bl", "sm",
+    )
