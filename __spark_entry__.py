@@ -718,6 +718,64 @@ def _recip_splice_triples(spark, sf_dir):
     )
 
 
+def _rule_splice_triples(spark, sf_dir):
+    """Deterministic doc_id-derived edge splice for the rule-mining gates
+    (the _recip_splice_triples rationale — natural word-salad triples
+    carry no co-predicated pairs, measured 0 fwd/inv rule pairs): node
+    a = (doc_id DIV 5) %% 12, branch m = doc_id %% 5 emits
+    knows: a->a+1, trusts: a->a+1 (the SAME pair — the fwd-rule signal),
+    likes: a->a+11 (knows' inverse), reaches: a->a+2 (the head closing
+    knows/trusts 2-chains), near: a->a+4 (one-way noise, no rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.expr("doc_id DIV 5") % 12
+    m = (F.col("doc_id") % 5 + 1).cast("int")
+    off = F.element_at(
+        F.array(F.lit(1), F.lit(1), F.lit(11), F.lit(2), F.lit(4)), m
+    )
+    pred = F.element_at(
+        F.array(
+            F.lit("knows"), F.lit("trusts"), F.lit("likes"),
+            F.lit("reaches"), F.lit("near"),
+        ),
+        m,
+    )
+    node = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 2, "0"))
+    return docs.select(
+        node(a).alias("subj"),
+        pred.alias("pred_norm"),
+        node((a + off) % 12).alias("obj"),
+    )
+
+
+def q_kg_rule_mining(spark, sf_dir):
+    """AMIE-style 2-atom Horn rules (triples.mine_rules) over production
+    triples UNION the rule splice: p(x,y)=>q(x,y) and p(x,y)=>q(y,x)
+    with integer-ppm confidence — the relation-implication schema
+    induction step."""
+    from unsupervised_ner_spark.pipeline.triples import mine_rules
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"].select(
+        "subj", "pred_norm", "obj"
+    )
+    return mine_rules(trip.unionByName(_rule_splice_triples(spark, sf_dir)))
+
+
+def q_kg_chain_rules(spark, sf_dir):
+    """Chain rules p1(x,z)^p2(z,y)=>q(x,y) (triples.mine_chain_rules,
+    AMIE body-2 / PRA path features) over production triples UNION the
+    rule splice; mids degree-capped with the shared icbrt clamp."""
+    from unsupervised_ner_spark.pipeline.triples import mine_chain_rules
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"].select(
+        "subj", "pred_norm", "obj"
+    )
+    return mine_chain_rules(
+        trip.unionByName(_rule_splice_triples(spark, sf_dir))
+    )
+
+
 def q_kg_reciprocal_pairs(spark, sf_dir):
     """Reciprocated entity pairs (both triple directions observed) over
     the production triples UNION the deterministic reciprocity splice."""
@@ -2853,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": q_mm_phash,
         "mm_phash_pairs": q_mm_phash_pairs,
         "kg_closure_delta": q_kg_closure_delta,
+        "kg_rule_mining": q_kg_rule_mining,
+        "kg_chain_rules": q_kg_chain_rules,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3057,6 +3117,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_closure_delta": O.kg_closure_delta(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
+        "kg_rule_mining": O.kg_rule_mining(),
+        "kg_chain_rules": O.kg_chain_rules(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

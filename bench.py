@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "mm_phash",
     "mm_phash_pairs",
     "kg_closure_delta",
+    "kg_rule_mining",
+    "kg_chain_rules",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

@@ -1342,6 +1342,23 @@ def main() -> None:
                    "Scan ExistingRDD" in p134))
     checks.append(("closure delta: no cartesian", "Cartesian" not in p134))
 
+    # 135. rule mining: the distinct fact table persisted once (feeds
+    # both rule-join sides + the predicate marginal); (x,y)-keyed
+    # equi-joins only
+    p135 = plan_of(entry.q_kg_rule_mining(spark, SF))
+    sections.append(("Horn-rule mining (kg_rule_mining)", p135))
+    checks.append(("rule mining: fact table persisted once",
+                   "InMemoryTableScan" in p135))
+    checks.append(("rule mining: no cartesian", "Cartesian" not in p135))
+
+    # 136. chain rules: body collapsed to distinct before the head join;
+    # fact table persisted once; equi-joins only
+    p136 = plan_of(entry.q_kg_chain_rules(spark, SF))
+    sections.append(("Chain-rule mining (kg_chain_rules)", p136))
+    checks.append(("chain rules: fact/body tables persisted",
+                   "InMemoryTableScan" in p136))
+    checks.append(("chain rules: no cartesian", "Cartesian" not in p136))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -6395,3 +6395,115 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}
 """,
         "sig", "bl", "sm",
     )
+
+
+_RULE_SPLICE_SQL = """
+splice AS (
+    SELECT 'e' || lpad(CAST((doc_id // 5) % 12 AS VARCHAR), 2, '0') AS subj,
+           (['knows','trusts','likes','reaches','near'])
+               [CAST(doc_id % 5 AS INT) + 1] AS pred_norm,
+           'e' || lpad(CAST(((doc_id // 5) % 12
+                             + ([1,1,11,2,4])[CAST(doc_id % 5 AS INT) + 1]) % 12
+                       AS VARCHAR), 2, '0') AS obj
+    FROM documents
+)"""
+
+
+def kg_rule_mining(model: str = "a100") -> str:
+    """2-atom Horn-rule twin (pipeline/triples.mine_rules): distinct fact
+    table (MATERIALIZED — both self-join sides + the predicate marginal),
+    (x,y)-keyed fwd join (p <> q) and reversed inv join (reflexive facts
+    excluded, p == q allowed = symmetry detection), integer-ppm
+    confidence. Over production triples UNION the rule splice
+    (__spark_entry__._rule_splice_triples — zero natural co-predicated
+    pairs, measured)."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+{_RULE_SPLICE_SQL.strip()},
+facts AS (
+    SELECT DISTINCT subj, pred_norm, obj FROM (
+        SELECT subj, pred_norm, obj FROM trip
+        UNION ALL SELECT subj, pred_norm, obj FROM splice
+    )
+),
+np AS (
+    SELECT pred_norm AS p, CAST(count(*) AS BIGINT) AS n_p
+    FROM facts GROUP BY pred_norm
+),
+fwd AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'fwd' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.subj AND a.obj = b.obj
+    WHERE a.pred_norm <> b.pred_norm
+    GROUP BY a.pred_norm, b.pred_norm
+),
+inv AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'inv' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.obj AND a.obj = b.subj
+    WHERE a.subj <> a.obj
+    GROUP BY a.pred_norm, b.pred_norm
+),
+u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv)
+SELECT u.p, u.q, u.direction, u.n_joint, np.n_p,
+       CAST(u.n_joint * 1000000 // np.n_p AS BIGINT) AS conf_ppm
+FROM u JOIN np ON np.p = u.p
+""",
+        "facts",
+    )
+
+
+def kg_chain_rules(model: str = "a100") -> str:
+    """Chain-rule twin (pipeline/triples.mine_chain_rules): mids capped
+    on BOTH in- and out-degree with the shared exact icbrt clamp, body
+    collapsed to distinct (p1,p2,x,y) before the (x,y)-keyed head join."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c "
+        "FROM facts))"
+    )
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+{_RULE_SPLICE_SQL.strip()},
+facts AS (
+    SELECT DISTINCT subj, pred_norm, obj FROM (
+        SELECT subj, pred_norm, obj FROM trip
+        UNION ALL SELECT subj, pred_norm, obj FROM splice
+    )
+),
+din AS (
+    SELECT obj AS z FROM facts GROUP BY obj
+    HAVING count(*) <= {cap}
+),
+dout AS (
+    SELECT subj AS z FROM facts GROUP BY subj
+    HAVING count(*) <= {cap}
+),
+mids AS (SELECT z FROM din JOIN dout USING (z)),
+body AS (
+    SELECT DISTINCT f1.pred_norm AS p1, f2.pred_norm AS p2,
+           f1.subj AS x, f2.obj AS y
+    FROM facts f1
+    JOIN mids m ON f1.obj = m.z
+    JOIN facts f2 ON f2.subj = f1.obj
+    WHERE f1.subj <> f2.obj
+),
+nb AS (
+    SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+    FROM body GROUP BY p1, p2
+),
+heads AS (
+    SELECT b.p1, b.p2, f.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_head
+    FROM body b JOIN facts f ON f.subj = b.x AND f.obj = b.y
+    GROUP BY b.p1, b.p2, f.pred_norm
+)
+SELECT h.p1, h.p2, h.q, nb.n_body, h.n_head,
+       CAST(h.n_head * 1000000 // nb.n_body AS BIGINT) AS conf_ppm
+FROM heads h JOIN nb USING (p1, p2)
+""",
+        "facts", "body",
+    )

@@ -455,3 +455,138 @@ def dangling_objects(triples: DataFrame) -> DataFrame:
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
     return obj.join(subj, ["obj", "obj_type"], "left_anti")
+
+
+def mine_rules(triples: DataFrame) -> DataFrame:
+    """AMIE-style 2-atom Horn-rule mining over the distinct fact table:
+    for ordered predicate pairs, support and confidence of
+    ``p(x,y) => q(x,y)`` (direction 'fwd') and ``p(x,y) => q(y,x)``
+    (direction 'inv'; p==q allowed there — that row IS the symmetry
+    detector, reflexive facts excluded). The KG-schema induction step
+    after predicate histograms: which relations imply which (Galarraga et
+    al., AMIE, WWW'13 — body size 1). Confidence ships as integer ppm
+    (n_joint * 10^6 DIV n_p) — no float in the gate.
+
+    Scale shape: the corpus collapses to the DISTINCT fact table first
+    (persisted once — it feeds both self-join sides and the predicate
+    marginal); the rule join keys on the (x, y) entity pair, so fan-out
+    per pair is |predicates on that pair|^2 — schema-bounded, never
+    corpus-quadratic; the marginal attaches by an equi-join on the
+    bounded predicate table."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    facts = scoped_persist(
+        triples.select("subj", "pred_norm", "obj").distinct()
+    )
+    n_p = facts.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_p")
+    ).select(F.col("pred_norm").alias("p"), "n_p")
+    f1 = facts.select(
+        F.col("subj").alias("x"), F.col("pred_norm").alias("p"),
+        F.col("obj").alias("y"),
+    )
+    fwd = (
+        f1.join(
+            facts.select(
+                F.col("subj").alias("x"), F.col("pred_norm").alias("q"),
+                F.col("obj").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+        .withColumn("direction", F.lit("fwd"))
+    )
+    inv = (
+        f1.filter(F.col("x") != F.col("y"))
+        .join(
+            facts.select(
+                F.col("obj").alias("x"), F.col("pred_norm").alias("q"),
+                F.col("subj").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+        .withColumn("direction", F.lit("inv"))
+    )
+    return (
+        fwd.unionByName(inv)
+        .join(n_p, "p")
+        .select(
+            "p", "q", "direction", "n_joint", "n_p",
+            F.expr("n_joint * 1000000 DIV n_p").cast("long").alias("conf_ppm"),
+        )
+    )
+
+
+def mine_chain_rules(
+    triples: DataFrame, max_mid_degree: int | None = None
+) -> DataFrame:
+    """Chain-rule mining (``p1(x,z) AND p2(z,y) => q(x,y)`` — AMIE body
+    size 2 / the PRA path feature): per (p1, p2) the number of distinct
+    (x, y) pairs connected by such a path (``n_body``), and per head
+    predicate q the count of those pairs q also links (``n_head``), with
+    integer-ppm confidence.
+
+    Scale shape: wedge enumeration at the mid entity z is deg_in x
+    deg_out, so mids are DEGREE-CAPPED with the shared corpus-adaptive
+    clamp(icbrt_ceil(n_facts), 16, 4096) on BOTH the in- and out-degree
+    (the common_neighbors pattern — a hub mid is a near-useless path
+    witness, exactly like a stop-shingle; the cap is an O(1) driver
+    action the oracle replays exactly). The distinct fact table persists
+    once and feeds both path sides, the body collapses to distinct
+    (p1, p2, x, y) before the head join, and the head attaches by an
+    (x, y)-keyed equi-join."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    facts = scoped_persist(
+        triples.select("subj", "pred_norm", "obj").distinct()
+    )
+    if max_mid_degree is None:
+        max_mid_degree = max(16, min(4096, icbrt_ceil(max(facts.count(), 1))))
+    din = facts.groupBy("obj").agg(F.count("*").alias("d_in")).filter(
+        F.col("d_in") <= max_mid_degree
+    ).select(F.col("obj").alias("z"))
+    dout = facts.groupBy("subj").agg(F.count("*").alias("d_out")).filter(
+        F.col("d_out") <= max_mid_degree
+    ).select(F.col("subj").alias("z"))
+    mids = din.join(dout, "z")
+    body = (
+        facts.select(
+            F.col("subj").alias("x"), F.col("pred_norm").alias("p1"),
+            F.col("obj").alias("z"),
+        )
+        .join(mids, "z")
+        .join(
+            facts.select(
+                F.col("subj").alias("z"), F.col("pred_norm").alias("p2"),
+                F.col("obj").alias("y"),
+            ),
+            "z",
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select("p1", "p2", "x", "y")
+        .distinct()
+    )
+    body = scoped_persist(body)
+    n_body = body.groupBy("p1", "p2").agg(
+        F.count("*").cast("long").alias("n_body")
+    )
+    heads = (
+        body.join(
+            facts.select(
+                F.col("subj").alias("x"), F.col("pred_norm").alias("q"),
+                F.col("obj").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .groupBy("p1", "p2", "q")
+        .agg(F.count("*").cast("long").alias("n_head"))
+    )
+    return heads.join(n_body, ["p1", "p2"]).select(
+        "p1", "p2", "q", "n_body", "n_head",
+        F.expr("n_head * 1000000 DIV n_body").cast("long").alias("conf_ppm"),
+    )
