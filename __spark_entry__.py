@@ -776,6 +776,32 @@ def q_kg_chain_rules(spark, sf_dir):
     )
 
 
+def q_kg_triple_dataset(spark, sf_dir):
+    """Labeled triple-classification dataset (kgtrain.triple_dataset):
+    distinct positives + type-constrained tail-corruption negatives
+    (false-negative draws excluded) with a head-level hash split — a fact
+    and all its corruptions share a split by construction."""
+    from unsupervised_ner_spark.ops.kgtrain import triple_dataset
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    return triple_dataset(trip, k=2)
+
+
+def q_er_phonetic_keys(spark, sf_dir):
+    """Phonetic blocking keys (er.phonetic_blocking_keys) over the
+    distinct normalized entity surfaces — the misspelling/translitera-
+    tion candidate channel beside exact and shingle-LSH blocking; bucket
+    sizes are the blocking-cost dashboard."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    return er.phonetic_blocking_keys(occ)
+
+
 def q_kg_reciprocal_pairs(spark, sf_dir):
     """Reciprocated entity pairs (both triple directions observed) over
     the production triples UNION the deterministic reciprocity splice."""
@@ -2913,6 +2939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure_delta": q_kg_closure_delta,
         "kg_rule_mining": q_kg_rule_mining,
         "kg_chain_rules": q_kg_chain_rules,
+        "kg_triple_dataset": q_kg_triple_dataset,
+        "er_phonetic_keys": q_er_phonetic_keys,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3119,6 +3147,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_rule_mining": O.kg_rule_mining(),
         "kg_chain_rules": O.kg_chain_rules(),
+        "kg_triple_dataset": O.kg_triple_dataset(),
+        "er_phonetic_keys": O.er_phonetic_keys(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "kg_closure_delta",
     "kg_rule_mining",
     "kg_chain_rules",
+    "kg_triple_dataset",
+    "er_phonetic_keys",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

@@ -1359,6 +1359,24 @@ def main() -> None:
                    "InMemoryTableScan" in p136))
     checks.append(("chain rules: no cartesian", "Cartesian" not in p136))
 
+    # 137. triple dataset: the distinct fact table persisted once (feeds
+    # positives AND the negative chain); the |vocab| count attaches as a
+    # broadcast single row, never a collect
+    p137 = plan_of(entry.q_kg_triple_dataset(spark, SF))
+    sections.append(("Triple-classification dataset (kg_triple_dataset)", p137))
+    checks.append(("triple dataset: fact table persisted once",
+                   "InMemoryTableScan" in p137))
+    checks.append(("triple dataset: vocab count broadcast",
+                   "BroadcastNestedLoopJoin" in p137))
+
+    # 138. phonetic keys: corpus collapses to the distinct surface vocab
+    # BEFORE keying; pure expressions (no Python UDF stage)
+    p138 = plan_of(entry.q_er_phonetic_keys(spark, SF))
+    sections.append(("Phonetic blocking keys (er_phonetic_keys)", p138))
+    checks.append(("phonetic keys: no python row UDF",
+                   "BatchEvalPython" not in p138))
+    checks.append(("phonetic keys: no window", "Window" not in p138))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -198,3 +198,59 @@ def tagger_agreement(tags_a: DataFrame, tags_b: DataFrame) -> DataFrame:
         F.sum("n_pair").over(wb).cast("long").alias("n_b"),
         F.sum("n_pair").over(wt).cast("long").alias("n_total"),
     )
+
+
+def triple_dataset(triples: DataFrame, k: int = 2) -> DataFrame:
+    """Labeled triple-classification dataset — the composed "train a KG
+    scorer" product the individual pieces exist for: DISTINCT positives
+    (label 1) + tail-corruption negatives (label 0, the standard
+    false-negative ``hits_true`` draws excluded), with a deterministic
+    HEAD-LEVEL hash split: the split key is (subj | pred_norm), so a fact
+    and every corruption of it land in the same split by construction —
+    the triple-level leakage channel (same (s,p) in train and test with
+    different tails) is closed the same way split_assign closes the
+    same-source document channel. Negative rows keep the ORIGINAL
+    obj_type (type-constrained corruption, the standard TransE protocol);
+    ``neg_k`` is 0 on positives.
+
+    Scale shape: inherited from the parts — negatives are the
+    vocabulary-bounded equi-join chain of negative_samples, positives one
+    distinct; the split is a stateless projection (no shuffle); the union
+    is column-aligned, no join added."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.sampling import (
+        SPLIT_TRAIN_BUCKETS,
+        SPLIT_VAL_BUCKETS,
+        _bucket_col,
+    )
+
+    # the distinct fact table feeds the positive side AND the whole
+    # negative chain (vocab index + corruption expansion) — persist once
+    # so the corpus-scanning triple chain above runs exactly once
+    dtrip = scoped_persist(
+        triples.select(
+            "subj", "subj_type", "pred_norm", "obj", "obj_type"
+        ).distinct()
+    )
+    pos = dtrip.select(
+        "*",
+        F.lit(1).cast("long").alias("label"),
+        F.lit(0).cast("long").alias("neg_k"),
+    )
+    neg = (
+        negative_samples(dtrip, k=k)
+        .filter(F.col("hits_true") == 0)
+        .select(
+            "subj", "subj_type", "pred_norm",
+            F.col("neg_obj").alias("obj"), "obj_type",
+            F.lit(0).cast("long").alias("label"),
+            "neg_k",
+        )
+    )
+    b = _bucket_col(F.concat_ws("|", "subj", "pred_norm"))
+    split = (
+        F.when(b < F.lit(f"{SPLIT_TRAIN_BUCKETS:03x}"), F.lit("train"))
+        .when(b < F.lit(f"{SPLIT_VAL_BUCKETS:03x}"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return pos.unionByName(neg).select("*", split.alias("split"))

@@ -6507,3 +6507,85 @@ FROM heads h JOIN nb USING (p1, p2)
 """,
         "facts", "body",
     )
+
+
+def kg_triple_dataset(model: str = "a100", k: int = 2) -> str:
+    """Triple-dataset twin (ops/kgtrain.triple_dataset): distinct
+    positives + the kg_negative_samples chain with hits_true excluded,
+    head-level (subj|pred_norm) md5-prefix split — thresholds shared with
+    split_assign (3277/3687 of 4096)."""
+    b = "substring(md5(subj || '|' || pred_norm), 1, 3)"
+    split = (
+        f"CASE WHEN {b} < '{3277:03x}' THEN 'train' "
+        f"WHEN {b} < '{3687:03x}' THEN 'val' ELSE 'test' END"
+    )
+    return _materialize(
+        f"""
+WITH neg AS ({kg_negative_samples(model, k)}),
+ptrip AS ({kg_triples(model)}),
+pos AS (
+    SELECT DISTINCT subj, subj_type, pred_norm, obj, obj_type FROM ptrip
+),
+u AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type,
+           CAST(1 AS BIGINT) AS label, CAST(0 AS BIGINT) AS neg_k
+    FROM pos
+    UNION ALL
+    SELECT subj, subj_type, pred_norm, neg_obj AS obj, obj_type,
+           CAST(0 AS BIGINT) AS label, neg_k
+    FROM neg WHERE hits_true = 0
+)
+SELECT subj, subj_type, pred_norm, obj, obj_type, label, neg_k,
+       {split} AS split
+FROM u
+""",
+        "ptrip",
+    )
+
+
+def er_phonetic_keys(model: str = "a100") -> str:
+    """Phonetic blocking-key twin (pipeline/er.phonetic_blocking_keys):
+    the identical engine-defined construction — translate with the
+    shorter to-string deleting AEIOUYHW (PostgreSQL semantics in both
+    engines), six run-collapse regexp_replaces, leading-code drop, rpad."""
+    from unsupervised_ner_spark.pipeline.er import PHONETIC_FROM, PHONETIC_TO
+
+    collapse = "translate(u, '{f}', '{t}')".format(f=PHONETIC_FROM, t=PHONETIC_TO)
+    for digit in "123456":
+        collapse = (
+            f"regexp_replace({collapse}, '{digit}{digit}+', '{digit}', 'g')"
+        )
+    return (
+        _kg_prefix(model)
+        + f"""
+, occ AS (
+    SELECT DISTINCT
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+ku AS (
+    SELECT norm_surface,
+           upper(regexp_replace(norm_surface, '[^A-Za-z]', '', 'g')) AS u
+    FROM occ WHERE length(norm_surface) > 0
+),
+kd AS (
+    SELECT norm_surface, u, substring(u, 1, 1) AS first,
+           {collapse} AS d,
+           translate(substring(u, 1, 1), '{PHONETIC_FROM}', '{PHONETIC_TO}')
+               AS code_first
+    FROM ku
+),
+keyed AS (
+    SELECT norm_surface,
+           first || rpad(substring(
+               CASE WHEN code_first <> '' AND substring(d, 1, 1) = code_first
+                    THEN substring(d, 2) ELSE d END, 1, 3), 3, '0') AS pkey
+    FROM kd
+)
+SELECT pkey, CAST(count(*) AS BIGINT) AS n_surfaces,
+       min(norm_surface) AS rep_surface
+FROM keyed WHERE length(pkey) = 4
+GROUP BY pkey
+"""
+    )

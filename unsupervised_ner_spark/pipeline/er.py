@@ -2209,3 +2209,56 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         (F.col("m2") * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y"))
         .cast("long").alias("r_den_y"),
     )
+
+
+# Engine-defined phonetic key (soundex-FAMILY, not American Soundex — the
+# vowels are deleted BEFORE run-collapsing, which merges codes a vowel
+# would separate; documented as the engine's deterministic variant, both
+# engines run the identical construction). Letters -> digit classes:
+# BFPV=1 CGJKQSXZ=2 DT=3 L=4 MN=5 R=6; AEIOUYHW deleted (translate with a
+# shorter to-string drops the tail chars in BOTH Spark and DuckDB).
+PHONETIC_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+PHONETIC_TO = "111122222222334556"
+
+
+def phonetic_key_col(col) -> "F.Column":
+    """first letter + first 3 collapsed digit codes of the rest, zero-
+    padded — the classic phonetic blocking key shape, as a pure
+    expression (no UDF; every primitive — translate, regexp_replace,
+    substring — is RE2/Java-regex-agreement-subset and replayed by the
+    DuckDB twin)."""
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    d = F.translate(u, PHONETIC_FROM, PHONETIC_TO)
+    for digit in "123456":
+        d = F.regexp_replace(d, f"{digit}{digit}+", digit)
+    code_first = F.translate(first, PHONETIC_FROM, PHONETIC_TO)
+    tail = F.when(
+        (code_first != "") & (F.substring(d, 1, 1) == code_first),
+        F.substring(d, 2, 64),
+    ).otherwise(d)
+    return F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0"))
+
+
+def phonetic_blocking_keys(occurrences: DataFrame) -> DataFrame:
+    """Phonetic blocking-key table over the distinct normalized entity
+    surfaces — the third ER candidate-generation strategy beside exact
+    canonicalization and char-shingle LSH (phonetic keys catch the
+    misspelling/transliteration channel the other two miss: "smith" /
+    "smyth" share S530). Returns (pkey, n_surfaces, rep_surface): bucket
+    sizes ARE the blocking-cost dashboard (the lsh_bucket_stats twin for
+    this strategy).
+
+    Scale shape: the corpus collapses to the distinct surface vocabulary
+    first, the key is a narrow expression over it, and the stats are one
+    map-side-combining aggregate on the bounded key space."""
+    surf = occurrences.select("norm_surface").filter(
+        F.length("norm_surface") > 0
+    ).distinct()
+    keyed = surf.select(
+        "norm_surface", phonetic_key_col(F.col("norm_surface")).alias("pkey")
+    ).filter(F.length("pkey") == 4)
+    return keyed.groupBy("pkey").agg(
+        F.count("*").cast("long").alias("n_surfaces"),
+        F.min("norm_surface").alias("rep_surface"),
+    )
