@@ -802,6 +802,44 @@ def q_er_phonetic_keys(spark, sf_dir):
     return er.phonetic_blocking_keys(occ)
 
 
+def q_er_phonetic_pairs(spark, sf_dir):
+    """Phonetic ER candidate pairs (er.phonetic_pairs): capped shared-key
+    buckets + exact Levenshtein <= 2 verify — the generate-then-verify
+    blocking shape on the misspelling channel. The surface vocabulary is
+    UNIONed with a deterministic misspelling splice (first non-lead 'a'
+    -> 'e' on surfaces >= 5 chars): vowels are soundex-deleted by the
+    key, so each variant shares its source's pkey at edit distance 1 —
+    the Hearst-gate precedent, guaranteeing the gate exercises real
+    bucket-join + Levenshtein verify rather than an empty pass (the
+    corpus's real typed surfaces are too clean to collide at test SF)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    surf = occ.select("norm_surface")
+    variants = surf.filter(
+        (F.length("norm_surface") >= 5)
+        & F.col("norm_surface").rlike("^.[^a]*a")
+    ).select(
+        F.regexp_replace("norm_surface", "^(.[^a]*)a", "$1e").alias(
+            "norm_surface"
+        )
+    )
+    return er.phonetic_pairs(surf.unionByName(variants))
+
+
+def q_mm_voice_segments(spark, sf_dir):
+    """Voice-activity segments (multimodal.chunk_energy + voice_segments):
+    per-chunk byte-energy kernel (Arrow-batched, decode-stub seam) ->
+    integer threshold -> gaps-and-islands runs per clip; the silence-trim
+    pass before transcription."""
+    docs = _t(spark, sf_dir, "documents")
+    en = multimodal.chunk_energy(multimodal.synth_media(docs))
+    return multimodal.voice_segments(en)
+
+
 def q_kg_reciprocal_pairs(spark, sf_dir):
     """Reciprocated entity pairs (both triple directions observed) over
     the production triples UNION the deterministic reciprocity splice."""
@@ -2941,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chain_rules": q_kg_chain_rules,
         "kg_triple_dataset": q_kg_triple_dataset,
         "er_phonetic_keys": q_er_phonetic_keys,
+        "er_phonetic_pairs": q_er_phonetic_pairs,
+        "mm_voice_segments": q_mm_voice_segments,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3149,6 +3189,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_chain_rules": O.kg_chain_rules(),
         "kg_triple_dataset": O.kg_triple_dataset(),
         "er_phonetic_keys": O.er_phonetic_keys(),
+        "er_phonetic_pairs": O.er_phonetic_pairs(),
+        "mm_voice_segments": O.mm_voice_segments(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "kg_chain_rules",
     "kg_triple_dataset",
     "er_phonetic_keys",
+    "er_phonetic_pairs",
+    "mm_voice_segments",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

@@ -1377,6 +1377,30 @@ def main() -> None:
                    "BatchEvalPython" not in p138))
     checks.append(("phonetic keys: no window", "Window" not in p138))
 
+    # 139. phonetic pairs: keyed surface vocabulary persisted once (feeds
+    # the cap aggregate AND both self-join sides), bucket self-join is a
+    # shuffled equi-join on pkey (never a broadcast of the corpus side),
+    # Levenshtein verify is an expression (no Python UDF)
+    p139 = plan_of(entry.q_er_phonetic_pairs(spark, SF))
+    sections.append(("Phonetic candidate pairs (er_phonetic_pairs)", p139))
+    checks.append(("phonetic pairs: keyed vocab persisted once",
+                   "InMemoryTableScan" in p139))
+    checks.append(("phonetic pairs: no python row UDF",
+                   "BatchEvalPython" not in p139))
+    checks.append(("phonetic pairs: levenshtein expression-side",
+                   "levenshtein" in p139))
+
+    # 140. voice segments: one Arrow-batched energy kernel, windows keyed
+    # on doc_id only (one clip's chunks = one partition), no corpus-wide
+    # exchange beyond the doc_id hash
+    p140 = plan_of(entry.q_mm_voice_segments(spark, SF))
+    sections.append(("Voice-activity segments (mm_voice_segments)", p140))
+    checks.append(("voice segments: arrow-batched kernel",
+                   "MapInPandas" in p140))
+    checks.append(("voice segments: exchanges keyed on doc_id only",
+                   "hashpartitioning(doc_id#" in p140
+                   and "hashpartitioning(chunk_idx" not in p140))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

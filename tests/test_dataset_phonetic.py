@@ -67,3 +67,25 @@ def test_phonetic_blocking_stats(spark):
     assert got[_key(spark, "smith")] == (2, "smith")
     assert got[_key(spark, "jones")] == (1, "jones")
     assert len(got) == 2
+
+
+def test_phonetic_pairs_verify_and_cap(spark):
+    from unsupervised_ner_spark.pipeline.er import phonetic_pairs
+
+    occ = spark.createDataFrame(
+        [("smith",), ("smyth",), ("seamount",), ("jones",), ("",)],
+        "norm_surface string",
+    )
+    rows = phonetic_pairs(occ).collect()
+    # smith/smyth share S530 at lev 1; seamount also keys to S530
+    # (vowels deleted, MN collapses) but fails the Levenshtein <= 2
+    # verify; jones is alone in its bucket
+    assert [(r.surf_a, r.surf_b, r.lev) for r in rows] == [
+        ("smith", "smyth", 1)
+    ]
+    # bucket cap: a hot key with > max_bucket surfaces emits no pairs
+    hot = spark.createDataFrame(
+        [(f"smith{v}",) for v in "aeiou"], "norm_surface string"
+    )
+    assert phonetic_pairs(hot, max_bucket=4).count() == 0
+    assert phonetic_pairs(hot, max_bucket=5).count() > 0

@@ -790,3 +790,26 @@ def test_lsh_quality_summary(spark):
     assert 0 <= r.n_hit <= r.n_true <= max(r.n_cand, r.n_true)
     assert r.recall_scaled == 1_000_000 * r.n_hit // r.n_true
     assert r.precision_scaled == 1_000_000 * r.n_hit // max(r.n_cand, 1)
+
+
+def test_chunk_energy_and_voice_segments(spark):
+    # 16 bytes at chunk=4: chunks 0,2,3 are 'a' runs (mean 97 >= 95,
+    # voiced), chunk 1 is spaces (mean 32, silent) -> segments
+    # [0..0] and [2..3]
+    df = spark.createDataFrame(
+        [(1, "aaaa    aaaaaaaa"), (2, "")], "doc_id long, text string"
+    )
+    en = multimodal.chunk_energy(multimodal.synth_media(df), chunk_bytes=4)
+    rows = {(r.doc_id, r.chunk_idx): r for r in en.collect()}
+    assert rows[(1, 0)].energy_sum == 4 * 97
+    assert rows[(1, 1)].energy_sum == 4 * 32
+    # empty payload still emits its one zero-length silence row
+    assert rows[(2, 0)].chunk_len == 0 and rows[(2, 0)].energy_sum == 0
+    segs = [
+        (r.seg_idx, r.start_chunk, r.end_chunk, r.n_chunks, r.energy_total)
+        for r in multimodal.voice_segments(en)
+        .filter("doc_id = 1").orderBy("seg_idx").collect()
+    ]
+    assert segs == [(0, 0, 0, 1, 4 * 97), (1, 2, 3, 2, 8 * 97)]
+    # the zero-length row never becomes a segment
+    assert multimodal.voice_segments(en).filter("doc_id = 2").count() == 0

@@ -429,3 +429,82 @@ def phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+ENERGY = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_len", T.IntegerType()),
+        T.StructField("energy_sum", T.LongType()),
+    ]
+)
+
+
+def chunk_energy(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Per-chunk energy over the opaque payload — the feature a VAD /
+    silence-trim pass computes per audio frame (sum of sample magnitudes;
+    here the stubbed decode reads raw payload bytes, the frame_sample
+    precedent — a real fbank energy drops into the loop body unchanged).
+    One row per fixed-size chunk with its exact byte sum.
+
+    Scale shape: narrow Arrow-batched flatMap, no shuffle; rows/doc =
+    ceil(n_bytes/chunk)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_len": [],
+                   "energy_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), chunk_bytes):
+                    c = b[i:i + chunk_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i // chunk_bytes)
+                    out["chunk_len"].append(len(c))
+                    out["energy_sum"].append(sum(c))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, ENERGY)
+
+
+def voice_segments(
+    energy: DataFrame, threshold_num: int = 95, threshold_den: int = 1
+) -> DataFrame:
+    """Voice-activity segments over the chunk-energy table: a chunk is
+    VOICED when its mean byte value clears threshold_num/threshold_den
+    (integer cross-multiplied — energy_sum * den >= num * chunk_len);
+    maximal runs of consecutive voiced chunks become segments via the
+    gaps-and-islands trick (chunk_idx − voiced_rank is constant within a
+    run — the scene_segments / fact_intervals precedent). The
+    silence-trim pass an audio curation pipeline runs before
+    transcription. Returns (doc_id, seg_idx, start_chunk, end_chunk,
+    n_chunks, energy_total).
+
+    Scale shape: doc-keyed windows only (partition = one clip's chunks),
+    one aggregate; nothing corpus-global."""
+    from pyspark.sql import Window
+
+    voiced = energy.filter(
+        (F.col("chunk_len") > 0)  # a zero-length payload row is silence
+        & (
+            F.col("energy_sum") * threshold_den
+            >= F.lit(threshold_num) * F.col("chunk_len")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    runs = voiced.withColumn(
+        "island", F.col("chunk_idx") - F.row_number().over(w)
+    )
+    seg = runs.groupBy("doc_id", "island").agg(
+        F.min("chunk_idx").cast("long").alias("start_chunk"),
+        F.max("chunk_idx").cast("long").alias("end_chunk"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("energy_sum").cast("long").alias("energy_total"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_chunk")
+    return seg.select(
+        "doc_id",
+        (F.row_number().over(w2) - 1).cast("long").alias("seg_idx"),
+        "start_chunk", "end_chunk", "n_chunks", "energy_total",
+    )

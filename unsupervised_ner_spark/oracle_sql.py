@@ -6589,3 +6589,116 @@ FROM keyed WHERE length(pkey) = 4
 GROUP BY pkey
 """
     )
+
+
+def er_phonetic_pairs(max_lev: int = 2, max_bucket: int = 100,
+                      model: str = "a100") -> str:
+    """Phonetic-pair twin (pipeline/er.phonetic_pairs): identical key
+    construction as er_phonetic_keys, bucket cap replayed, classic
+    Levenshtein verify (DuckDB levenshtein == Spark levenshtein)."""
+    from unsupervised_ner_spark.pipeline.er import PHONETIC_FROM, PHONETIC_TO
+
+    collapse = "translate(u, '{f}', '{t}')".format(f=PHONETIC_FROM, t=PHONETIC_TO)
+    for digit in "123456":
+        collapse = (
+            f"regexp_replace({collapse}, '{digit}{digit}+', '{digit}', 'g')"
+        )
+    return (
+        _kg_prefix(model)
+        + f"""
+, occ0 AS (
+    SELECT DISTINCT
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+occ AS (
+    -- deterministic misspelling splice: first non-lead 'a' -> 'e' on
+    -- surfaces >= 5 chars (vowels are soundex-deleted, so the variant
+    -- shares the source pkey at Levenshtein 1). UNION = the distinct
+    -- the engine applies over the spliced vocabulary.
+    SELECT norm_surface FROM occ0
+    UNION
+    SELECT regexp_replace(norm_surface, '^(.[^a]*)a', '\\1e') AS norm_surface
+    FROM occ0
+    WHERE length(norm_surface) >= 5
+      AND regexp_matches(norm_surface, '^.[^a]*a')
+),
+ku AS (
+    SELECT norm_surface,
+           upper(regexp_replace(norm_surface, '[^A-Za-z]', '', 'g')) AS u
+    FROM occ WHERE length(norm_surface) > 0
+),
+kd AS (
+    SELECT norm_surface, substring(u, 1, 1) AS first, {collapse} AS d,
+           translate(substring(u, 1, 1), '{PHONETIC_FROM}', '{PHONETIC_TO}')
+               AS code_first
+    FROM ku
+),
+keyed AS (
+    SELECT norm_surface,
+           first || rpad(substring(
+               CASE WHEN code_first <> '' AND substring(d, 1, 1) = code_first
+                    THEN substring(d, 2) ELSE d END, 1, 3), 3, '0') AS pkey
+    FROM kd
+),
+k4 AS (SELECT * FROM keyed WHERE length(pkey) = 4),
+ok AS (SELECT pkey FROM k4 GROUP BY pkey HAVING count(*) <= {max_bucket}),
+sm AS (SELECT k4.* FROM k4 JOIN ok USING (pkey))
+SELECT a.pkey, a.norm_surface AS surf_a, b.norm_surface AS surf_b,
+       CAST(levenshtein(a.norm_surface, b.norm_surface) AS BIGINT) AS lev
+FROM sm a JOIN sm b ON a.pkey = b.pkey
+WHERE a.norm_surface < b.norm_surface
+  AND levenshtein(a.norm_surface, b.norm_surface) <= {max_lev}
+"""
+    )
+
+
+def mm_voice_segments(
+    chunk_bytes: int = 256, num: int = 95, den: int = 1
+) -> str:
+    """Voice-segment twin (ops/multimodal.py chunk_energy +
+    voice_segments): per-chunk byte sums from the hex projection,
+    integer threshold, gaps-and-islands runs, per-clip seg_idx."""
+    hv = "(strpos('0123456789ABCDEF', {c}) - 1)"
+    c1 = hv.format(c="substring(phex, i * 2 + 1, 1)")
+    c2 = hv.format(c="substring(phex, i * 2 + 2, 1)")
+    return _materialize(
+        f"""
+WITH m AS (
+    SELECT doc_id, upper(hex(encode(text))) AS phex,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+by AS (
+    SELECT doc_id, i, 16 * {c1} + {c2} AS v
+    FROM m, UNNEST(generate_series(0, n - 1)) AS g(i)
+    WHERE n > 0
+),
+en AS (
+    SELECT doc_id, i // {chunk_bytes} AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS chunk_len,
+           CAST(sum(v) AS BIGINT) AS energy_sum
+    FROM by GROUP BY doc_id, i // {chunk_bytes}
+),
+voiced AS (
+    SELECT *, chunk_idx - row_number() OVER (
+        PARTITION BY doc_id ORDER BY chunk_idx) AS island
+    FROM en WHERE energy_sum * {den} >= {num} * chunk_len
+),
+seg AS (
+    SELECT doc_id, island,
+           CAST(min(chunk_idx) AS BIGINT) AS start_chunk,
+           CAST(max(chunk_idx) AS BIGINT) AS end_chunk,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(energy_sum) AS BIGINT) AS energy_total
+    FROM voiced GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_chunk) - 1
+            AS BIGINT) AS seg_idx,
+       start_chunk, end_chunk, n_chunks, energy_total
+FROM seg
+""",
+        "en",
+    )

@@ -2262,3 +2262,48 @@ def phonetic_blocking_keys(occurrences: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_surfaces"),
         F.min("norm_surface").alias("rep_surface"),
     )
+
+
+def phonetic_pairs(
+    occurrences: DataFrame, max_lev: int = 2, max_bucket: int = 100
+) -> DataFrame:
+    """Phonetic ER candidate PAIRS: surfaces sharing a (capped) phonetic
+    key, verified with exact Levenshtein distance <= ``max_lev`` — the
+    generate-then-verify shape of every blocking strategy here (LSH bands
+    -> Jaccard verify, simhash blocks -> Hamming verify, phonetic keys ->
+    edit-distance verify). Catches smith/smyth-style variants that exact
+    canonicalization splits and that shingle-LSH only finds at low
+    thresholds. Both engines run the same classic Levenshtein
+    (F.levenshtein / DuckDB levenshtein).
+
+    Scale shape: keys over the distinct surface vocabulary (persisted
+    once — feeds the cap aggregate and both self-join sides), hot keys
+    capped (a giant phonetic bucket like 'S530' on a name-heavy corpus
+    would go quadratic), in-bucket self-join, expression-side verify."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    keyed = scoped_persist(
+        occurrences.select("norm_surface")
+        .filter(F.length("norm_surface") > 0)
+        .distinct()
+        .select(
+            "norm_surface",
+            phonetic_key_col(F.col("norm_surface")).alias("pkey"),
+        )
+        .filter(F.length("pkey") == 4)
+    )
+    ok = keyed.groupBy("pkey").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).select("pkey")
+    small = keyed.join(ok, "pkey")
+    a = small.select("pkey", F.col("norm_surface").alias("surf_a"))
+    b = small.select("pkey", F.col("norm_surface").alias("surf_b"))
+    return (
+        a.join(b, "pkey")
+        .filter(F.col("surf_a") < F.col("surf_b"))
+        .withColumn(
+            "lev", F.levenshtein("surf_a", "surf_b").cast("long")
+        )
+        .filter(F.col("lev") <= max_lev)
+        .select("pkey", "surf_a", "surf_b", "lev")
+    )
