@@ -840,6 +840,137 @@ def q_mm_voice_segments(spark, sf_dir):
     return multimodal.voice_segments(en)
 
 
+def q_kg_pronoun_coref(spark, sf_dir):
+    """Pronominal coreference (coref.resolve_pronouns): nearest preceding
+    type-compatible typed mention within 3 sentences. The pronoun table
+    is a deterministic splice (doc_id-derived pronoun at sent 1 and 3 of
+    every doc — the corpus itself has no pronouns), so the gate exercises
+    back distances 1 and 3 against the REAL production typed mentions;
+    'he'/'she' rows (doc_id % 4 in {0,1}) prove the type-agreement
+    negative — this corpus has no PERSON mentions, so both engines must
+    resolve them to NOTHING — while 'it'/'they' rows resolve positively."""
+    from unsupervised_ner_spark.pipeline import coref
+
+    typed = _typed_production(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    prons = (
+        d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("doc_id").alias("did"),
+        )
+        .withColumn("sent_idx", F.explode(F.array(F.lit(1), F.lit(3))))
+        .select(
+            "url",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            F.lit(0).cast("long").alias("tok_idx"),
+            F.element_at(
+                F.array(F.lit("he"), F.lit("she"), F.lit("it"), F.lit("they")),
+                (F.col("did") % 4 + 1).cast("int"),
+            ).alias("pronoun"),
+        )
+    )
+    return coref.resolve_pronouns(
+        prons,
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group"),
+    )
+
+
+def q_kg_dates(spark, sf_dir):
+    """Temporal-expression extraction + ISO normalization
+    (webtext.extract_dates) over a deterministic date splice (encoding-
+    splice precedent): doc_id-varying ISO dates on every 3rd doc, textual
+    'Month D, YYYY' on every 4th — every month and both pattern families
+    appear in the gate; docs hit by both splices prove per-family
+    extraction is independent."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    y = (F.lit(1900) + did % 120).cast("string")
+    mo = (F.lit(1) + did % 12).cast("int")
+    dy = (F.lit(1) + did % 28).cast("string")
+    months = F.array(*[F.lit(m) for m in webtext.MONTHS])
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" released on "), y, F.lit("-"),
+                F.lpad(mo.cast("string"), 2, "0"), F.lit("-"),
+                F.lpad(dy, 2, "0"), F.lit(" ."),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" announced on "), F.element_at(months, mo),
+                F.lit(" "), dy, F.lit(", "), y, F.lit(" ."),
+            ),
+        ).otherwise(""),
+    )
+    return webtext.extract_dates(d.select("doc_id", dirty.alias("text")))
+
+
+def q_txt_html_tables(spark, sf_dir):
+    """HTML table / infobox KV extraction (webtext.extract_tables) over a
+    deterministic table splice: every doc gets an infobox (one value
+    wrapped in <b> to prove tag-stripping, plus a single-cell spanner row
+    proving the n_cells >= 2 drop), every 2nd doc a second bare table
+    (proving per-table indexing)."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    tbl1 = F.concat(
+        F.lit('<table class="infobox"><tr><th>Name</th><td><b>Doc '),
+        ids,
+        F.lit("</b></td></tr><tr><th>Lang</th><td>"),
+        F.col("lang"),
+        F.lit("</td></tr><tr><td>orphan</td></tr></table>"),
+    )
+    tbl2 = F.concat(
+        F.lit("<table><tr><td>k"), (did % 7).cast("string"),
+        F.lit("</td><td>v"), (did % 5).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    dirty = F.concat(
+        F.col("text"), tbl1, F.when(did % 2 == 0, tbl2).otherwise("")
+    )
+    return webtext.extract_tables(d.select("doc_id", dirty.alias("text")))
+
+
+def q_kg_grounded_facts(spark, sf_dir):
+    """Date-grounded facts: the production triples joined to each doc's
+    temporal anchor (MIN extracted ISO date + date count from kg_dates) —
+    the timestamping consumer the extraction feeds (facts inherit their
+    document's date; the SCD2/as-of operators take it from here). Doc-
+    keyed shuffle join of two doc-bounded tables."""
+    trip = q_kg_triples(spark, sf_dir)
+    dates = q_kg_dates(spark, sf_dir)
+    doc_date = dates.groupBy("doc_id").agg(
+        F.min("date_iso").alias("doc_date"),
+        F.count("*").cast("long").alias("n_dates"),
+    )
+    return trip.join(
+        doc_date, trip.url == doc_date.doc_id.cast("string")
+    ).select(
+        "url", "sent_idx", "subj", "subj_type", "pred_norm",
+        "obj", "obj_type", "doc_date", "n_dates",
+    )
+
+
+def q_kg_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient on the entity co-occurrence
+    graph (er.clustering_coefficients): integer sufficient statistics
+    2*t(v) / deg(v)(deg(v)-1), degree table and triangle corners off the
+    persisted-once aggregated edge table."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.clustering_coefficients(er.cooccurrence_edges(typed))
+
+
 def q_kg_reciprocal_pairs(spark, sf_dir):
     """Reciprocated entity pairs (both triple directions observed) over
     the production triples UNION the deterministic reciprocity splice."""
@@ -2981,6 +3112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_phonetic_keys": q_er_phonetic_keys,
         "er_phonetic_pairs": q_er_phonetic_pairs,
         "mm_voice_segments": q_mm_voice_segments,
+        "kg_pronoun_coref": q_kg_pronoun_coref,
+        "kg_dates": q_kg_dates,
+        "kg_clustering_coeff": q_kg_clustering_coeff,
+        "txt_html_tables": q_txt_html_tables,
+        "kg_grounded_facts": q_kg_grounded_facts,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3191,6 +3327,11 @@ def oracle_sql() -> dict[str, str]:
         "er_phonetic_keys": O.er_phonetic_keys(),
         "er_phonetic_pairs": O.er_phonetic_pairs(),
         "mm_voice_segments": O.mm_voice_segments(),
+        "kg_pronoun_coref": O.kg_pronoun_coref(),
+        "kg_dates": O.kg_dates(),
+        "kg_clustering_coeff": O.kg_clustering_coeff(),
+        "txt_html_tables": O.txt_html_tables(),
+        "kg_grounded_facts": O.kg_grounded_facts(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "er_phonetic_keys",
     "er_phonetic_pairs",
     "mm_voice_segments",
+    "kg_pronoun_coref",
+    "kg_dates",
+    "kg_clustering_coeff",
+    "txt_html_tables",
+    "kg_grounded_facts",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

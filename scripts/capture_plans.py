@@ -1401,6 +1401,49 @@ def main() -> None:
                    "hashpartitioning(doc_id#" in p140
                    and "hashpartitioning(chunk_idx" not in p140))
 
+    # 141. pronoun coref: antecedent lookup is a sentence-co-partitioned
+    # equi-join (never a nested loop / cartesian); the winner window
+    # partitions per pronoun occurrence; no Python UDF
+    p141 = plan_of(entry.q_kg_pronoun_coref(spark, SF))
+    sections.append(("Pronoun coreference (kg_pronoun_coref)", p141))
+    checks.append(("pronoun coref: no cartesian/nested-loop join",
+                   "CartesianProduct" not in p141
+                   and "BroadcastNestedLoopJoin" not in p141))
+    checks.append(("pronoun coref: no python row UDF",
+                   "BatchEvalPython" not in p141))
+
+    # 142. date extraction: pure map — regex explodes inside codegen,
+    # no exchange, no join
+    p142 = plan_of(entry.q_kg_dates(spark, SF))
+    sections.append(("Temporal expressions (kg_dates)", p142))
+    checks.append(("dates: no exchange (map-only)",
+                   "Exchange" not in p142))
+    checks.append(("dates: no join", "Join" not in p142))
+
+    # 143. clustering coefficients: aggregated edge table persisted once
+    # (degree aggregate + three triangle-join scans), no corpus broadcast
+    p143 = plan_of(entry.q_kg_clustering_coeff(spark, SF))
+    sections.append(("Clustering coefficients (kg_clustering_coeff)", p143))
+    checks.append(("clustering coeff: edge table persisted once",
+                   "InMemoryTableScan" in p143))
+    checks.append(("clustering coeff: no cartesian",
+                   "CartesianProduct" not in p143))
+
+    # 144. html tables: pure map — nested regex explodes inside codegen
+    p144 = plan_of(entry.q_txt_html_tables(spark, SF))
+    sections.append(("HTML table extraction (txt_html_tables)", p144))
+    checks.append(("html tables: no exchange (map-only)",
+                   "Exchange" not in p144))
+    checks.append(("html tables: no join", "Join" not in p144))
+
+    # 145. grounded facts: doc-keyed shuffle join (url), no cartesian,
+    # no python row UDF on the date side
+    p145 = plan_of(entry.q_kg_grounded_facts(spark, SF))
+    sections.append(("Date-grounded facts (kg_grounded_facts)", p145))
+    checks.append(("grounded facts: no cartesian/nested-loop join",
+                   "CartesianProduct" not in p145
+                   and "BroadcastNestedLoopJoin" not in p145))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -1,0 +1,140 @@
+"""Unit tests: pronoun coreference (pipeline/coref.py), temporal
+expression extraction (ops/webtext.extract_dates), and local clustering
+coefficients (pipeline/er.clustering_coefficients)."""
+
+from __future__ import annotations
+
+from unsupervised_ner_spark.ops import webtext
+from unsupervised_ner_spark.pipeline import er
+from unsupervised_ner_spark.pipeline.coref import resolve_pronouns
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, sent_idx long, mention_idx long, surface string, "
+        "pred_group string",
+    )
+
+
+def _prons(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, sent_idx long, tok_idx long, pronoun string"
+    )
+
+
+def test_coref_type_agreement_and_recency(spark):
+    ments = _mentions(
+        spark,
+        [
+            ("d1", 0, 0, "paris", "LOCATION"),
+            ("d1", 1, 0, "alice", "PERSON"),
+            ("d1", 1, 1, "bob", "PERSON"),
+            ("d1", 2, 0, "junk", "OTHER"),
+        ],
+    )
+    prons = _prons(
+        spark,
+        [
+            ("d1", 3, 0, "he"),   # -> bob (sent 1 nearest PERSON, last mention)
+            ("d1", 3, 1, "it"),   # -> paris (sent 1 PERSONs rejected, OTHER skipped)
+            ("d1", 3, 2, "they"), # -> bob (any group, nearest sentence wins)
+        ],
+    )
+    got = {
+        (r.pronoun, r.tok_idx): (r.antecedent, r.antecedent_type,
+                                 r.ant_sent_idx, r.back_dist)
+        for r in resolve_pronouns(prons, ments).collect()
+    }
+    assert got[("he", 0)] == ("bob", "PERSON", 1, 2)
+    assert got[("it", 1)] == ("paris", "LOCATION", 0, 3)
+    assert got[("they", 2)] == ("bob", "PERSON", 1, 2)
+
+
+def test_coref_window_and_unresolved(spark):
+    ments = _mentions(spark, [("d1", 0, 0, "alice", "PERSON")])
+    prons = _prons(
+        spark,
+        [
+            ("d1", 4, 0, "he"),   # 4 back > max_back=3 -> unresolved
+            ("d1", 3, 0, "he"),   # exactly max_back -> resolved
+            ("d1", 3, 1, "it"),   # PERSON incompatible -> unresolved
+            ("d2", 3, 0, "he"),   # other doc -> unresolved
+            ("d1", 0, 0, "he"),   # same sentence is NOT an antecedent
+        ],
+    )
+    rows = resolve_pronouns(prons, ments).collect()
+    assert [(r.url, r.sent_idx, r.tok_idx, r.back_dist) for r in rows] == [
+        ("d1", 3, 0, 3)
+    ]
+
+
+def test_extract_dates_families_and_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "released on 2021-07-09 and again on 1999-12-31 ok"),
+            (2, "announced on March 5, 1999 then December 25, 2020 ."),
+            (3, "nothing here"),
+            (4, "mixed 2000-01-02 and May 7, 2001 ."),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.kind, r.date_iso, r.raw)
+        for r in webtext.extract_dates(df).collect()
+    )
+    assert got == [
+        (1, "iso", "1999-12-31", "1999-12-31"),
+        (1, "iso", "2021-07-09", "2021-07-09"),
+        (2, "text", "1999-03-05", "March 5, 1999"),
+        (2, "text", "2020-12-25", "December 25, 2020"),
+        (4, "iso", "2000-01-02", "2000-01-02"),
+        (4, "text", "2001-05-07", "May 7, 2001"),
+    ]
+
+
+def test_clustering_coefficients_triangle_plus_pendant(spark):
+    # triangle a-b-c plus pendant edge a-d: coeff(a) = 2*1/(3*2),
+    # coeff(b) = coeff(c) = 2*1/(2*1) = 1, coeff(d) undefined (den 0)
+    edges = spark.createDataFrame(
+        [
+            ("a", "T", "b", "T"),
+            ("a", "T", "c", "T"),
+            ("b", "T", "c", "T"),
+            ("a", "T", "d", "T"),
+        ],
+        "ent_a string, type_a string, ent_b string, type_b string",
+    )
+    got = {
+        r.ent: (r.degree, r.n_tri, r.coeff_num, r.coeff_den)
+        for r in er.clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        "a": (3, 1, 2, 6),
+        "b": (2, 1, 2, 2),
+        "c": (2, 1, 2, 2),
+        "d": (1, 0, 0, 0),
+    }
+
+
+def test_extract_tables_kv_and_edges(spark):
+    html = (
+        "pre <table><tr><th>Name</th><td><b>Ada</b> Lovelace</td></tr>"
+        "<tr><td>solo</td></tr>"
+        "<tr><td>Born</td><td>1815</td><td>London</td></tr></table>"
+        " mid <TABLE border=1><TR><TD>k</TD><TD>v</TD></TR></TABLE> post"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "no tables at all")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.table_idx, r.row_idx, r.key, r.value, r.n_cells)
+        for r in webtext.extract_tables(df).collect()
+    )
+    # single-cell spanner row dropped; inner tags stripped; 3-cell row
+    # keeps its first two cells with n_cells=3; uppercase tags match (?i)
+    assert got == [
+        (1, 0, 0, "Name", "Ada Lovelace", 2),
+        (1, 0, 2, "Born", "1815", 3),
+        (1, 1, 0, "k", "v", 2),
+    ]

@@ -688,3 +688,116 @@ def robots_allowed(parsed: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+# --- temporal expressions (agreement subset: classes, alternation,
+# bounded quantifiers — no lookaround) ------------------------------------
+MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+ISO_DATE_RE = r"\b(\d{4})-(\d{2})-(\d{2})\b"
+TEXT_DATE_RE = r"\b(" + "|".join(MONTHS) + r") (\d{1,2}), (\d{4})\b"
+
+
+def extract_dates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Temporal-expression extraction + normalization — the fact-
+    timestamping primitive of KG construction (a triple grounded in a
+    sentence inherits that sentence's dates; the as-of/SCD2 operators
+    downstream consume exactly this shape). Two pattern families:
+    ISO ``YYYY-MM-DD`` and textual ``Month D, YYYY``, both normalized to
+    the ISO string so downstream date logic is representation-blind.
+    Patterns are module constants imported by the DuckDB oracle.
+
+    Returns one row per extracted occurrence:
+    (doc_id, kind 'iso'|'text', date_iso, raw).
+
+    Scale shape: pure map — two regexp_extract_all + explodes inside
+    whole-stage codegen, rows bounded by matches; no exchange at all.
+    """
+    months_arr = F.array(*[F.lit(m) for m in MONTHS])
+    iso = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(ISO_DATE_RE), F.lit(0))
+        ).alias("raw"),
+    ).select(
+        "doc_id",
+        F.lit("iso").alias("kind"),
+        F.col("raw").alias("date_iso"),
+        "raw",
+    )
+    txt = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(TEXT_DATE_RE), F.lit(0))
+        ).alias("raw"),
+    )
+    month_num = F.array_position(
+        months_arr, F.regexp_extract("raw", TEXT_DATE_RE, 1)
+    )
+    txt = txt.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.concat(
+            F.regexp_extract("raw", TEXT_DATE_RE, 3),
+            F.lit("-"),
+            F.lpad(month_num.cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(F.regexp_extract("raw", TEXT_DATE_RE, 2), 2, "0"),
+        ).alias("date_iso"),
+        "raw",
+    )
+    return iso.unionByName(txt)
+
+
+# --- table / infobox extraction (agreement subset: inline flags,
+# non-greedy, classes — no lookaround) ------------------------------------
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def extract_tables(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """HTML table / infobox fact extraction — the Wikipedia-infobox-style
+    KV harvest that seeds a KG from semi-structured web pages (the
+    DBpedia extraction-framework shape). Tables explode to rows, rows to
+    cells; the first two tag-stripped cells become (key, value); rows
+    with fewer than two cells (spanners, separators) are dropped.
+    Returns (doc_id, table_idx, row_idx, key, value, n_cells).
+
+    Scale shape: pure map — three nested regexp_extract_all + posexplode
+    stages inside whole-stage codegen, rows bounded by the page's own
+    table cells; no exchange, no join. Regex constants are imported by
+    the DuckDB oracle."""
+
+    def clean(c: Column) -> Column:
+        return F.trim(F.regexp_replace(c, TAG_RE, ""))
+
+    tbl = df.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(text_col, F.lit(TABLE_RE), F.lit(1))
+        ).alias("table_idx", "tbl"),
+    )
+    rows = tbl.select(
+        "doc_id",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all("tbl", F.lit(TR_RE), F.lit(1))
+        ).alias("row_idx", "rowhtml"),
+    )
+    cells = rows.withColumn(
+        "cells", F.regexp_extract_all("rowhtml", F.lit(CELL_RE), F.lit(1))
+    )
+    return (
+        cells.filter(F.size("cells") >= 2)
+        .select(
+            "doc_id",
+            F.col("table_idx").cast("long").alias("table_idx"),
+            F.col("row_idx").cast("long").alias("row_idx"),
+            clean(F.get("cells", 0)).alias("key"),
+            clean(F.get("cells", 1)).alias("value"),
+            F.size("cells").cast("long").alias("n_cells"),
+        )
+    )

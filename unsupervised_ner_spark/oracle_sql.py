@@ -6702,3 +6702,217 @@ FROM seg
 """,
         "en",
     )
+
+
+def kg_pronoun_coref(model: str = "a100") -> str:
+    """Pronoun-coreference twin (pipeline/coref.resolve_pronouns): the
+    doc_id-derived pronoun splice replayed, candidate generation as a
+    back-distance VALUES join onto the typed CTE, identical type-
+    agreement CASE and (back_dist, mention_idx DESC, surface) winner
+    ordering."""
+    return (
+        _kg_prefix(model)
+        + """
+, pron AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           CAST(v.s AS BIGINT) AS sent_idx,
+           CAST(0 AS BIGINT) AS tok_idx,
+           (['he', 'she', 'it', 'they'])[CAST(doc_id % 4 + 1 AS INT)]
+               AS pronoun
+    FROM documents, (VALUES (1), (3)) v(s)
+),
+cand AS (
+    SELECT p.url, p.sent_idx, p.tok_idx, p.pronoun,
+           CAST(d.b AS BIGINT) AS back_dist,
+           t.sent_idx AS ant_sent_idx, t.mention_idx, t.surface,
+           t.pred_group
+    FROM pron p
+    JOIN (VALUES (1), (2), (3)) d(b) ON p.sent_idx - d.b >= 0
+    JOIN typed t ON t.url = p.url AND t.sent_idx = p.sent_idx - d.b
+    WHERE t.pred_group <> 'OTHER'
+      AND CASE
+            WHEN p.pronoun IN ('he', 'she', 'him', 'her', 'his', 'hers')
+              THEN t.pred_group = 'PERSON'
+            WHEN p.pronoun IN ('it', 'its')
+              THEN t.pred_group <> 'PERSON'
+            ELSE TRUE
+          END
+),
+best AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY url, sent_idx, tok_idx
+        ORDER BY back_dist ASC, mention_idx DESC, surface ASC,
+                 pred_group ASC) AS rn
+    FROM cand
+)
+SELECT url, sent_idx, tok_idx, pronoun, surface AS antecedent,
+       pred_group AS antecedent_type,
+       CAST(ant_sent_idx AS BIGINT) AS ant_sent_idx, back_dist
+FROM best WHERE rn = 1
+"""
+    )
+
+
+def kg_dates() -> str:
+    """Temporal-expression twin (ops/webtext.extract_dates): the doc_id-
+    derived date splice replayed, then both pattern families extracted
+    with the ENGINE'S OWN regex constants (imported — the twins cannot
+    drift) and normalized to the identical ISO string."""
+    from unsupervised_ner_spark.ops.webtext import (
+        ISO_DATE_RE,
+        MONTHS,
+        TEXT_DATE_RE,
+    )
+
+    months_sql = "[" + ", ".join(f"'{m}'" for m in MONTHS) + "]"
+    return f"""
+WITH dirty AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN
+                ' released on ' || CAST(1900 + doc_id % 120 AS VARCHAR)
+                || '-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || ' .'
+              ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN
+                ' announced on '
+                || {months_sql}[CAST(1 + doc_id % 12 AS INT)]
+                || ' ' || CAST(1 + doc_id % 28 AS VARCHAR)
+                || ', ' || CAST(1900 + doc_id % 120 AS VARCHAR) || ' .'
+              ELSE '' END AS t
+    FROM documents
+),
+tx AS (
+    SELECT doc_id, m
+    FROM dirty, UNNEST(regexp_extract_all(t, '{TEXT_DATE_RE}')) AS u(m)
+)
+SELECT doc_id, 'iso' AS kind, m AS date_iso, m AS raw
+FROM dirty, UNNEST(regexp_extract_all(t, '{ISO_DATE_RE}')) AS u(m)
+UNION ALL
+SELECT doc_id, 'text' AS kind,
+       regexp_extract(m, '{TEXT_DATE_RE}', 3) || '-'
+       || lpad(CAST(list_position({months_sql},
+                    regexp_extract(m, '{TEXT_DATE_RE}', 1)) AS VARCHAR),
+               2, '0')
+       || '-' || lpad(regexp_extract(m, '{TEXT_DATE_RE}', 2), 2, '0')
+           AS date_iso,
+       m AS raw
+FROM tx
+"""
+
+
+def kg_clustering_coeff(model: str = "a100") -> str:
+    """Clustering-coefficient twin (pipeline/er.clustering_coefficients):
+    triangle corners off the kg_triangles node-iterator joins, degrees
+    off the symmetrized aggregated edge table, integer sufficient
+    statistics only (no float in the hashed columns)."""
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+tri AS (
+    SELECT e1.ka AS a, e1.kb AS b, e2.kb AS c
+    FROM ek e1
+    JOIN ek e2 ON e2.ka = e1.kb
+    JOIN ek e3 ON e3.ka = e1.ka AND e3.kb = e2.kb
+),
+corners AS (
+    SELECT a AS k FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+ntri AS (SELECT k, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY k),
+deg AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT ka AS k FROM ek UNION ALL SELECT kb FROM ek)
+    GROUP BY k
+)
+SELECT string_split(deg.k, '|')[1] AS ent,
+       string_split(deg.k, '|')[2] AS etype,
+       degree,
+       COALESCE(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       CAST(2 * COALESCE(n_tri, 0) AS BIGINT) AS coeff_num,
+       CAST(degree * (degree - 1) AS BIGINT) AS coeff_den
+FROM deg LEFT JOIN ntri ON ntri.k = deg.k
+""",
+        "ek",
+    )
+
+
+def txt_html_tables() -> str:
+    """Table-extraction twin (ops/webtext.extract_tables): the table
+    splice replayed, tables -> rows -> cells via nested
+    regexp_extract_all + generate_series indexing, identical tag-strip
+    and 2-cell drop. Regex constants imported from the engine module."""
+    from unsupervised_ner_spark.ops.webtext import (
+        CELL_RE,
+        TABLE_RE,
+        TAG_RE,
+        TR_RE,
+    )
+
+    return f"""
+WITH dirty AS (
+    SELECT doc_id,
+           text
+           || '<table class="infobox"><tr><th>Name</th><td><b>Doc '
+           || CAST(doc_id AS VARCHAR)
+           || '</b></td></tr><tr><th>Lang</th><td>' || lang
+           || '</td></tr><tr><td>orphan</td></tr></table>'
+           || CASE WHEN doc_id % 2 = 0 THEN
+                '<table><tr><td>k' || CAST(doc_id % 7 AS VARCHAR)
+                || '</td><td>v' || CAST(doc_id % 5 AS VARCHAR)
+                || '</td></tr></table>'
+              ELSE '' END AS t
+    FROM documents
+),
+tb0 AS (
+    SELECT doc_id, regexp_extract_all(t, '{TABLE_RE}', 1) AS tbls FROM dirty
+),
+tb AS (
+    SELECT doc_id, ti - 1 AS table_idx, tbls[CAST(ti AS INT)] AS tbl
+    FROM tb0, UNNEST(generate_series(1, len(tbls))) AS g(ti)
+),
+rw0 AS (
+    SELECT doc_id, table_idx, regexp_extract_all(tbl, '{TR_RE}', 1) AS rws
+    FROM tb
+),
+rw AS (
+    SELECT doc_id, table_idx, ri - 1 AS row_idx,
+           rws[CAST(ri AS INT)] AS rowhtml
+    FROM rw0, UNNEST(generate_series(1, len(rws))) AS g(ri)
+),
+cl AS (
+    SELECT doc_id, table_idx, row_idx,
+           regexp_extract_all(rowhtml, '{CELL_RE}', 1) AS cells
+    FROM rw
+)
+SELECT doc_id,
+       CAST(table_idx AS BIGINT) AS table_idx,
+       CAST(row_idx AS BIGINT) AS row_idx,
+       trim(regexp_replace(cells[1], '{TAG_RE}', '', 'g')) AS key,
+       trim(regexp_replace(cells[2], '{TAG_RE}', '', 'g')) AS value,
+       CAST(len(cells) AS BIGINT) AS n_cells
+FROM cl WHERE len(cells) >= 2
+"""
+
+
+def kg_grounded_facts(model: str = "a100") -> str:
+    """Grounded-facts twin: kg_triples joined to the per-doc MIN ISO
+    date + count off the kg_dates chain (both composed as CTEs, the
+    kg_predicates precedent)."""
+    return f"""
+WITH trip AS ({kg_triples(model)})
+, dts AS ({kg_dates()})
+, doc_date AS (
+    SELECT doc_id, min(date_iso) AS doc_date,
+           CAST(count(*) AS BIGINT) AS n_dates
+    FROM dts GROUP BY doc_id
+)
+SELECT t.url, t.sent_idx, t.subj, t.subj_type, t.pred_norm,
+       t.obj, t.obj_type, d.doc_date, d.n_dates
+FROM trip t JOIN doc_date d ON t.url = CAST(d.doc_id AS VARCHAR)
+"""

@@ -703,6 +703,52 @@ def triangles(edges: DataFrame, orient: str = "degree") -> DataFrame:
     )
 
 
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the entity
+    co-occurrence graph — the cohesion dashboard beside triangles/k-core
+    (Watts & Strogatz 1998): coeff(v) = 2*t(v) / (deg(v)*(deg(v)-1)).
+    Emitted as INTEGER sufficient statistics (coeff_num = 2*t,
+    coeff_den = deg*(deg-1)) so the hash gate carries no float — the
+    kg_assortativity / dedup_jaccard precedent; the ratio is a cheap
+    derived column for the consumer.
+
+    Returns (ent, etype, degree, n_tri, coeff_num, coeff_den); degree-1
+    nodes carry coeff_den = 0 (the conventional undefined case, left to
+    the consumer rather than silently zeroed).
+
+    Scale shape: the aggregated edge table is persisted once (it feeds
+    the degree aggregate AND the degree-ordered triangle enumeration,
+    which scans it three more times); triangle corners are one narrow
+    union + aggregate over the triangle set; the final join is
+    node-keyed between two bounded aggregates. Nothing corpus-sized is
+    broadcast or collected."""
+    e = scoped_persist(edges.select("ent_a", "type_a", "ent_b", "type_b"))
+    tri = triangles(e)
+    corners = (
+        tri.select(F.concat_ws("|", "ent_a", "type_a").alias("k"))
+        .unionAll(tri.select(F.concat_ws("|", "ent_b", "type_b").alias("k")))
+        .unionAll(tri.select(F.concat_ws("|", "ent_c", "type_c").alias("k")))
+    )
+    ntri = corners.groupBy("k").agg(F.count("*").cast("long").alias("n_tri"))
+    deg = (
+        e.select(F.concat_ws("|", "ent_a", "type_a").alias("k"))
+        .unionAll(e.select(F.concat_ws("|", "ent_b", "type_b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    out = deg.join(ntri, "k", "left").withColumn(
+        "n_tri", F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))
+    )
+    return out.select(
+        F.split("k", r"\|")[0].alias("ent"),
+        F.split("k", r"\|")[1].alias("etype"),
+        "degree",
+        "n_tri",
+        (F.col("n_tri") * 2).cast("long").alias("coeff_num"),
+        (F.col("degree") * (F.col("degree") - 1)).cast("long").alias("coeff_den"),
+    )
+
+
 def common_neighbors(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """Common-neighbor counts over the entity co-occurrence graph — the
     link-prediction primitive (pairs sharing many neighbors are candidate
