@@ -960,6 +960,53 @@ def q_kg_grounded_facts(spark, sf_dir):
     )
 
 
+def q_kg_fact_certainty(spark, sf_dir):
+    """Assertion-status classification (triples.fact_certainty) over the
+    production triples UNION a deterministic certainty splice (the
+    conflict-splice precedent — the word-salad pred vocabulary contains
+    no negation/hedge cues, measured): every 6th doc contributes one
+    triple whose predicate cycles through negated / hedged / asserted
+    cue phrases, so all three labels and the negated-beats-hedged
+    precedence appear in the gate while the real triples prove the
+    'asserted' default."""
+    from unsupervised_ner_spark.pipeline.triples import fact_certainty
+
+    trip = q_kg_triples(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    cues = F.array(
+        F.lit("not approved for"),
+        F.lit("may treat"),
+        F.lit("never causes"),
+        F.lit("possibly prevents"),
+        F.lit("treats"),
+    )
+    splice = docs.filter(did % 6 == 0).select(
+        did.cast("string").alias("url"),
+        F.lit(999).cast("long").alias("sent_idx"),
+        F.concat(F.lit("drug"), (did % 24).cast("string")).alias("subj"),
+        F.lit("THERAPEUTIC_OR_PREVENTIVE_PROCEDURE").alias("subj_type"),
+        F.element_at(cues, (F.expr("doc_id DIV 6") % 5 + 1).cast("int")).alias(
+            "pred_norm"
+        ),
+        F.concat(F.lit("cond"), (did % 7).cast("string")).alias("obj"),
+        F.lit("DISEASE").alias("obj_type"),
+    )
+    cols = ["url", "sent_idx", "subj", "subj_type", "pred_norm", "obj",
+            "obj_type"]
+    return fact_certainty(trip.select(*cols).unionByName(splice.select(*cols)))
+
+
+def q_kg_wl_colors(spark, sf_dir):
+    """Weisfeiler-Lehman refinement colors (er.wl_colors, 2 rounds) on
+    the entity co-occurrence graph; the oracle unrolls the identical
+    rounds so the md5 color classes match bit-exactly."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.wl_colors(er.cooccurrence_edges(typed), rounds=2)
+
+
 def q_kg_clustering_coeff(spark, sf_dir):
     """Per-node local clustering coefficient on the entity co-occurrence
     graph (er.clustering_coefficients): integer sufficient statistics
@@ -3117,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "txt_html_tables": q_txt_html_tables,
         "kg_grounded_facts": q_kg_grounded_facts,
+        "kg_fact_certainty": q_kg_fact_certainty,
+        "kg_wl_colors": q_kg_wl_colors,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3332,6 +3381,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering_coeff": O.kg_clustering_coeff(),
         "txt_html_tables": O.txt_html_tables(),
         "kg_grounded_facts": O.kg_grounded_facts(),
+        "kg_fact_certainty": O.kg_fact_certainty(),
+        "kg_wl_colors": O.kg_wl_colors(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

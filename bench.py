@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "kg_clustering_coeff",
     "txt_html_tables",
     "kg_grounded_facts",
+    "kg_fact_certainty",
+    "kg_wl_colors",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

@@ -1444,6 +1444,24 @@ def main() -> None:
                    "CartesianProduct" not in p145
                    and "BroadcastNestedLoopJoin" not in p145))
 
+    # 146. fact certainty: classification is a pure map over the triple
+    # union (no extra exchange beyond the triple chain's own, no window)
+    p146 = plan_of(entry.q_kg_fact_certainty(spark, SF))
+    sections.append(("Fact certainty (kg_fact_certainty)", p146))
+    checks.append(("fact certainty: no cartesian",
+                   "CartesianProduct" not in p146))
+    checks.append(("fact certainty: no python row UDF",
+                   "BatchEvalPython" not in p146))
+
+    # 147. WL colors: symmetrized adjacency persisted once and scanned
+    # every round; per-round exchanges are node-keyed joins/aggregates
+    p147 = plan_of(entry.q_kg_wl_colors(spark, SF))
+    sections.append(("WL refinement colors (kg_wl_colors)", p147))
+    checks.append(("wl colors: adjacency persisted once",
+                   "InMemoryTableScan" in p147))
+    checks.append(("wl colors: no cartesian",
+                   "CartesianProduct" not in p147))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

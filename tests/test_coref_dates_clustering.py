@@ -138,3 +138,44 @@ def test_extract_tables_kv_and_edges(spark):
         (1, 0, 2, "Born", "1815", 3),
         (1, 1, 0, "k", "v", 2),
     ]
+
+
+def test_fact_certainty_precedence_and_cues(spark):
+    from unsupervised_ner_spark.pipeline.triples import fact_certainty
+
+    trips = spark.createDataFrame(
+        [
+            ("d", 0, "a", "T", "treats", "b", "T"),
+            ("d", 0, "a", "T", "may not treat", "b", "T"),   # neg beats hedge
+            ("d", 0, "a", "T", "without nor", "b", "T"),     # min cue = nor
+            ("d", 0, "a", "T", "possibly likely", "b", "T"), # min cue = likely
+        ],
+        "url string, sent_idx long, subj string, subj_type string, "
+        "pred_norm string, obj string, obj_type string",
+    )
+    got = {r.pred_norm: (r.certainty, r.cue)
+           for r in fact_certainty(trips).collect()}
+    assert got["treats"] == ("asserted", "")
+    assert got["may not treat"] == ("negated", "not")
+    assert got["without nor"] == ("negated", "nor")
+    assert got["possibly likely"] == ("hedged", "likely")
+
+
+def test_wl_colors_path_graph_md5_replication(spark):
+    import hashlib
+
+    # path a-b-c: endpoints are WL-equivalent, the middle is not
+    edges = spark.createDataFrame(
+        [("a", "T", "b", "T"), ("b", "T", "c", "T")],
+        "ent_a string, type_a string, ent_b string, type_b string",
+    )
+    got = {r.ent: r.wl_color for r in er.wl_colors(edges, rounds=2).collect()}
+
+    def h(color, sig):
+        return hashlib.md5(f"{color}|{sig}".encode()).hexdigest()[:8]
+
+    deg1_r1 = h("0", "0")          # one neighbor
+    deg2_r1 = h("0", "0,0")        # two neighbors
+    assert got["a"] == got["c"] == h(deg1_r1, deg2_r1)
+    assert got["b"] == h(deg2_r1, ",".join(sorted([deg1_r1, deg1_r1])))
+    assert got["a"] != got["b"]

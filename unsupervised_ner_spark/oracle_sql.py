@@ -6916,3 +6916,90 @@ SELECT t.url, t.sent_idx, t.subj, t.subj_type, t.pred_norm,
        t.obj, t.obj_type, d.doc_date, d.n_dates
 FROM trip t JOIN doc_date d ON t.url = CAST(d.doc_id AS VARCHAR)
 """
+
+
+def kg_fact_certainty(model: str = "a100") -> str:
+    """Certainty twin (pipeline/triples.fact_certainty): production
+    triples UNION the doc_id-derived cue splice, identical CASE
+    precedence (negated beats hedged) and alphabetically-smallest-cue
+    selection via list_intersect + min aggregate. Cue lexicons imported
+    from the engine module."""
+    from unsupervised_ner_spark.pipeline.triples import HEDGE_CUES, NEG_CUES
+
+    neg_sql = "[" + ", ".join(f"'{w}'" for w in NEG_CUES) + "]"
+    hedge_sql = "[" + ", ".join(f"'{w}'" for w in HEDGE_CUES) + "]"
+    return f"""
+WITH trip AS ({kg_triples(model)})
+, splice AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           CAST(999 AS BIGINT) AS sent_idx,
+           'drug' || CAST(doc_id % 24 AS VARCHAR) AS subj,
+           'THERAPEUTIC_OR_PREVENTIVE_PROCEDURE' AS subj_type,
+           (['not approved for', 'may treat', 'never causes',
+             'possibly prevents', 'treats'])
+               [CAST((doc_id // 6) % 5 + 1 AS INT)] AS pred_norm,
+           'cond' || CAST(doc_id % 7 AS VARCHAR) AS obj,
+           'DISEASE' AS obj_type
+    FROM documents WHERE doc_id % 6 = 0
+),
+unioned AS (
+    SELECT url, sent_idx, subj, subj_type, pred_norm, obj, obj_type
+    FROM trip
+    UNION ALL
+    SELECT url, sent_idx, subj, subj_type, pred_norm, obj, obj_type
+    FROM splice
+),
+cued AS (
+    SELECT *,
+           list_intersect(string_split(pred_norm, ' '), {neg_sql}) AS negs,
+           list_intersect(string_split(pred_norm, ' '), {hedge_sql}) AS heds
+    FROM unioned
+)
+SELECT url, sent_idx, subj, subj_type, pred_norm, obj, obj_type,
+       CASE WHEN len(negs) > 0 THEN 'negated'
+            WHEN len(heds) > 0 THEN 'hedged'
+            ELSE 'asserted' END AS certainty,
+       CASE WHEN len(negs) > 0 THEN list_aggregate(negs, 'min')
+            WHEN len(heds) > 0 THEN list_aggregate(heds, 'min')
+            ELSE '' END AS cue
+FROM cued
+"""
+
+
+def kg_wl_colors(model: str = "a100", rounds: int = 2) -> str:
+    """WL-refinement twin (pipeline/er.wl_colors): the symmetrized
+    adjacency MATERIALIZED (it feeds every round twice), rounds unrolled
+    as join + string_agg(ORDER BY color) + md5 — byte-identical to the
+    engine's array_sort/concat_ws/md5 chain (colors are ASCII hex, so
+    the sort orders agree)."""
+    parts = [
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS k, ent_b || '|' || type_b AS nb FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS k, ent_a || '|' || type_a AS nb FROM eg
+),
+c0 AS (SELECT DISTINCT k, '0' AS color FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{r} AS (
+    SELECT s.k, string_agg(c.color, ',' ORDER BY c.color) AS sig
+    FROM sym s JOIN c{r - 1} c ON c.k = s.nb GROUP BY s.k
+),
+c{r} AS (
+    SELECT c.k, substring(md5(c.color || '|' || a.sig), 1, 8) AS color
+    FROM c{r - 1} c JOIN a{r} a ON a.k = c.k
+)"""
+        )
+    parts.append(
+        f"""
+SELECT string_split(k, '|')[1] AS ent,
+       string_split(k, '|')[2] AS etype,
+       color AS wl_color
+FROM c{rounds}
+"""
+    )
+    return _materialize("".join(parts), "sym")

@@ -2353,3 +2353,60 @@ def phonetic_pairs(
         .filter(F.col("lev") <= max_lev)
         .select("pkey", "surf_a", "surf_b", "lev")
     )
+
+
+def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman refinement colors over the entity co-occurrence
+    graph — the structural-role signature (1-WL / color refinement,
+    Weisfeiler & Lehman 1968; the node feature behind WL graph kernels
+    and the expressiveness ceiling of message-passing GNNs). Every node
+    starts with color '0'; each round rehashes (own color | sorted
+    multiset of neighbor colors) through md5, so after round 1 the color
+    encodes the degree, after round 2 the degree sequence of the
+    neighborhood, and so on. Two nodes with different colors are
+    provably non-isomorphic in their r-hop structure — the cheap
+    entity-role clustering a KG dashboard wants.
+
+    Returns (ent, etype, wl_color) with wl_color an 8-hex-char class id.
+
+    Scale shape: the symmetrized adjacency is persisted once and reused
+    every round; each round is ONE node-keyed shuffle join (neighbor
+    color lookup) + ONE map-side-combining aggregate whose value is a
+    sorted concat of bounded color strings — a hot hub aggregates one
+    row. Rounds are a constant (the oracle unrolls them), so the whole
+    refinement is O(rounds) bounded-table joins, never corpus-sized."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("k"),
+            F.concat_ws("|", "ent_b", "type_b").alias("nb"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("k"),
+                F.concat_ws("|", "ent_a", "type_a").alias("nb"),
+            )
+        )
+    )
+    colors = sym.select("k").distinct().withColumn("color", F.lit("0"))
+    for _ in range(int(rounds)):
+        nbc = sym.join(
+            colors.select(
+                F.col("k").alias("nb"), F.col("color").alias("nb_color")
+            ),
+            "nb",
+        )
+        sig = nbc.groupBy("k").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("nb_color"))).alias(
+                "sig"
+            )
+        )
+        colors = colors.join(sig, "k").select(
+            "k",
+            F.substring(
+                F.md5(F.concat_ws("|", "color", "sig")), 1, 8
+            ).alias("color"),
+        )
+    return colors.select(
+        F.split("k", r"\|")[0].alias("ent"),
+        F.split("k", r"\|")[1].alias("etype"),
+        F.col("color").alias("wl_color"),
+    )

@@ -590,3 +590,42 @@ def mine_chain_rules(
         "p1", "p2", "q", "n_body", "n_head",
         F.expr("n_head * 1000000 DIV n_body").cast("long").alias("conf_ppm"),
     )
+
+
+# certainty cue lexicons (word-level, lowercase — matched against the
+# already-normalized pred_norm token stream)
+NEG_CUES = ("cannot", "never", "no", "nor", "not", "without")
+HEDGE_CUES = ("appears", "could", "likely", "may", "might", "possibly",
+              "suggests")
+
+
+def fact_certainty(triples: DataFrame) -> DataFrame:
+    """Assertion-status classification for extracted facts — the
+    precision lever every open-IE consumer applies before loading a KG
+    (Stanovsky et al.-style factuality-lite): a fact whose predicate
+    path carries a negation cue is NOT a positive fact, a hedged one is
+    a candidate. Three-way label over the pred_norm token stream:
+    'negated' (negation cue present — wins over hedge), 'hedged'
+    (hedge cue), else 'asserted'; ``cue`` is the alphabetically smallest
+    matching cue word (array_min — deterministic in both engines, unlike
+    intersection order), '' when asserted.
+
+    Scale shape: pure map over the triple table — token split + two
+    bounded-literal array intersections inside codegen; no exchange."""
+    toks = F.split(F.col("pred_norm"), " ", -1)
+    neg = F.array_intersect(toks, F.array(*[F.lit(w) for w in NEG_CUES]))
+    hedge = F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in HEDGE_CUES])
+    )
+    return triples.select(
+        "url", "sent_idx", "subj", "subj_type", "pred_norm", "obj",
+        "obj_type",
+        F.when(F.size(neg) > 0, F.lit("negated"))
+        .when(F.size(hedge) > 0, F.lit("hedged"))
+        .otherwise(F.lit("asserted"))
+        .alias("certainty"),
+        F.when(F.size(neg) > 0, F.array_min(neg))
+        .when(F.size(hedge) > 0, F.array_min(hedge))
+        .otherwise(F.lit(""))
+        .alias("cue"),
+    )
