@@ -1007,6 +1007,105 @@ def q_kg_wl_colors(spark, sf_dir):
     return er.wl_colors(er.cooccurrence_edges(typed), rounds=2)
 
 
+def q_rel_skyline(spark, sf_dir):
+    """2-D skyline / Pareto frontier (curation.skyline2d) over orders:
+    the earliest-and-cheapest frontier (minimize order day, minimize
+    price) — distinct-point collapse, per-x min-y candidates (bounded by
+    distinct order days), one sort-sweep window over that bounded
+    candidate table. Dims are pre-normalized to exact integers (epoch
+    day; cents via round(x*100) — the stored doubles are 2-decimal
+    prices, so the product lands within 1e-9 of an integer and both
+    engines round identically) so the hashed surface carries no float/
+    timestamp dtype drift."""
+    from unsupervised_ner_spark.ops.curation import skyline2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("order_day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return skyline2d(o, "order_day", "cents")
+
+
+def q_kg_itemsets3(spark, sf_dir):
+    """Frequent entity 3-itemsets (er.frequent_itemsets3, Apriori
+    level 3, minsup 2) over the per-sentence entity events of the
+    production typed mentions — candidate n-ary relations the pairwise
+    co-occurrence graph cannot represent. The real corpus has NO triple
+    with support >= 2 at either gate scale (measured), so the events are
+    UNIONed with a deterministic splice (pronoun-splice precedent): trio
+    {alpha,beta,gamma} on every 8th doc, overlapping trio
+    {alpha,beta,delta} on every 12th, plus one doc-varying 'extraN'
+    entity per spliced sentence whose extensions stay at support 1 — so
+    the gate exercises BOTH the frequent path (overlapping trios, shared
+    sub-pairs) and the Apriori prune (the extraN candidates)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def trio(mod, third):
+        return docs.filter(did % mod == 0).select(
+            did.cast("string").alias("url"),
+            F.lit(999).cast("long").alias("sent_idx"),
+            F.explode(
+                F.array(
+                    F.lit("alpha"), F.lit("beta"), F.lit(third),
+                    F.concat(F.lit("extra"), (did % 97).cast("string")),
+                )
+            ).alias("surface"),
+            F.lit("SOFTWARE").alias("pred_group"),
+        )
+
+    cols = ["url", "sent_idx", "surface", "pred_group"]
+    events = (
+        typed.select(*cols)
+        .unionByName(trio(8, "gamma"))
+        .unionByName(trio(12, "delta"))
+    )
+    return er.frequent_itemsets3(events, minsup=2)
+
+
+def q_kg_nominal_coref(spark, sf_dir):
+    """Definite-NP coreference (coref.resolve_definite_nps): the nominal
+    sieve beside the pronoun one — and its POSITIVE complement: the
+    corpus has no PERSON mentions, so the pronoun gate can only prove
+    type agreement by absence; here the spliced anaphors require the
+    groups the corpus DOES contain (THERAPEUTIC_OR_PREVENTIVE_PROCEDURE
+    / DISEASE / MEASURE by doc_id % 3), so resolutions fire across back
+    distances 1 and 2."""
+    from unsupervised_ner_spark.pipeline import coref
+
+    typed = _typed_production(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    groups = F.array(
+        F.lit("THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),
+        F.lit("DISEASE"),
+        F.lit("MEASURE"),
+    )
+    nps = (
+        d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("doc_id").alias("did"),
+        )
+        .withColumn("sent_idx", F.explode(F.array(F.lit(1), F.lit(2))))
+        .select(
+            "url",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            F.lit(0).cast("long").alias("tok_idx"),
+            F.element_at(groups, (F.col("did") % 3 + 1).cast("int")).alias(
+                "np_group"
+            ),
+        )
+    )
+    return coref.resolve_definite_nps(
+        nps,
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group"),
+    )
+
+
 def q_kg_clustering_coeff(spark, sf_dir):
     """Per-node local clustering coefficient on the entity co-occurrence
     graph (er.clustering_coefficients): integer sufficient statistics
@@ -3166,6 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_grounded_facts": q_kg_grounded_facts,
         "kg_fact_certainty": q_kg_fact_certainty,
         "kg_wl_colors": q_kg_wl_colors,
+        "rel_skyline": q_rel_skyline,
+        "kg_itemsets3": q_kg_itemsets3,
+        "kg_nominal_coref": q_kg_nominal_coref,
         "txt_filter_funnel": q_txt_filter_funnel,
         "kg_appositive_types": q_kg_appositive_types,
         "kg_pred_functionality": q_kg_pred_functionality,
@@ -3383,6 +3485,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_grounded_facts": O.kg_grounded_facts(),
         "kg_fact_certainty": O.kg_fact_certainty(),
         "kg_wl_colors": O.kg_wl_colors(),
+        "rel_skyline": O.rel_skyline(),
+        "kg_itemsets3": O.kg_itemsets3(),
+        "kg_nominal_coref": O.kg_nominal_coref(),
         "txt_filter_funnel": O.txt_filter_funnel(),
         "kg_appositive_types": O.kg_appositive_types(
             APPOS_MOD, APPOS_INST, APPOS_CLS

@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "kg_grounded_facts",
     "kg_fact_certainty",
     "kg_wl_colors",
+    "rel_skyline",
+    "kg_itemsets3",
+    "kg_nominal_coref",
     "txt_filter_funnel",
     "kg_appositive_types",
     "kg_pred_functionality",

@@ -1462,6 +1462,30 @@ def main() -> None:
     checks.append(("wl colors: no cartesian",
                    "CartesianProduct" not in p147))
 
+    # 148. skyline: the global sweep window runs over the bounded per-x
+    # candidate table (two aggregates before it), no join at all
+    p148 = plan_of(entry.q_rel_skyline(spark, SF))
+    sections.append(("2-D skyline (rel_skyline)", p148))
+    checks.append(("skyline: no join", "Join" not in p148))
+    checks.append(("skyline: windowed sweep present", "Window" in p148))
+
+    # 149. itemsets: event + pair tables persisted once, every join
+    # sentence-co-partitioned or keyed on the bounded frequent-pair
+    # table, no cartesian
+    p149 = plan_of(entry.q_kg_itemsets3(spark, SF))
+    sections.append(("Apriori 3-itemsets (kg_itemsets3)", p149))
+    checks.append(("itemsets: event/pair tables persisted",
+                   "InMemoryTableScan" in p149))
+    checks.append(("itemsets: no cartesian",
+                   "CartesianProduct" not in p149))
+
+    # 150. nominal coref: same plan contract as the pronoun sieve
+    p150 = plan_of(entry.q_kg_nominal_coref(spark, SF))
+    sections.append(("Nominal coreference (kg_nominal_coref)", p150))
+    checks.append(("nominal coref: no cartesian/nested-loop join",
+                   "CartesianProduct" not in p150
+                   and "BroadcastNestedLoopJoin" not in p150))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

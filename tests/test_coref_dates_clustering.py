@@ -179,3 +179,64 @@ def test_wl_colors_path_graph_md5_replication(spark):
     assert got["a"] == got["c"] == h(deg1_r1, deg2_r1)
     assert got["b"] == h(deg2_r1, ",".join(sorted([deg1_r1, deg1_r1])))
     assert got["a"] != got["b"]
+
+
+def test_skyline2d_dominance_and_counts(spark):
+    from unsupervised_ner_spark.ops.curation import skyline2d
+
+    rows = [(1, 5), (1, 5), (1, 7), (2, 3), (3, 3), (3, 9), (4, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted((r.x, r.y, r.n_rows) for r in skyline2d(df, "x", "y").collect())
+    # (1,7) dominated by (1,5); (3,3) dominated by (2,3) (equal y,
+    # smaller x); (3,9) dominated by everything cheaper
+    assert got == [(1, 5, 2), (2, 3, 1), (4, 1, 1)]
+
+
+def test_frequent_itemsets3_apriori(spark):
+    from unsupervised_ner_spark.pipeline.er import frequent_itemsets3
+
+    sents = {
+        ("d1", 0): ["aa", "bb", "cc"],
+        ("d1", 1): ["aa", "bb", "cc", "dd"],
+        ("d2", 0): ["aa", "bb", "dd"],
+    }
+    rows = [
+        (url, s, ent, "T")
+        for (url, s), ents in sents.items()
+        for ent in ents
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sent_idx long, surface string, pred_group string"
+    )
+    got = sorted(
+        (r.ent_a, r.ent_b, r.ent_c, r.support)
+        for r in frequent_itemsets3(df, minsup=2).collect()
+    )
+    # abc in 2 sentences, abd in 2; acd/bcd only once (cd pair infrequent)
+    assert got == [("aa", "bb", "cc", 2), ("aa", "bb", "dd", 2)]
+
+
+def test_nominal_coref_group_equality(spark):
+    from unsupervised_ner_spark.pipeline.coref import resolve_definite_nps
+
+    ments = _mentions(
+        spark,
+        [
+            ("d1", 0, 0, "aspirin", "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),
+            ("d1", 1, 0, "flu", "DISEASE"),
+            ("d1", 1, 1, "malaria", "DISEASE"),
+        ],
+    )
+    nps = spark.createDataFrame(
+        [
+            ("d1", 2, 0, "DISEASE"),     # -> malaria (latest in sent 1)
+            ("d1", 2, 1, "THERAPEUTIC_OR_PREVENTIVE_PROCEDURE"),  # -> aspirin
+            ("d1", 2, 2, "MEASURE"),     # no such mention -> unresolved
+        ],
+        "url string, sent_idx long, tok_idx long, np_group string",
+    )
+    got = {
+        r.tok_idx: (r.antecedent, r.ant_sent_idx, r.back_dist)
+        for r in resolve_definite_nps(nps, ments).collect()
+    }
+    assert got == {0: ("malaria", 1, 1), 1: ("aspirin", 0, 2)}

@@ -172,3 +172,52 @@ def filter_funnel(documents: DataFrame) -> DataFrame:
             ).over(w)
         ).cast("long").alias("n_remaining"),
     )
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MINIMIZED) — the
+    Börzsönyi et al. ICDE'01 operator: the distinct points no other point
+    weakly dominates (<= in both dimensions, < in at least one). The
+    multi-objective "best tradeoffs" query (cheapest-and-earliest orders,
+    shortest-and-highest-quality documents) a plain ORDER BY cannot
+    answer. Returns the skyline points as (x, y, n_rows) with n_rows the
+    exact number of input rows sitting on each point.
+
+    Algorithm (exact, three bounded stages — never the naive O(n^2)
+    dominance self-join):
+      1. collapse to distinct points with counts (bounded by distinct
+         value pairs, not corpus size);
+      2. per x, only the min-y point can survive (any other same-x point
+         is dominated by it) — one aggregate, output bounded by distinct
+         x values;
+      3. the classic sort-sweep as ONE window over that bounded
+         candidate table: a candidate is skyline iff its y is strictly
+         below every preceding candidate's y in (x asc) order
+         (min(y) OVER rows-to-1-preceding; NULL for the global min-x).
+    The window's input is the per-x candidate table — the only
+    single-partition stage runs over |distinct x| rows, not the corpus.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    pts = df.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy("x").orderBy(F.col("y").asc())
+    cand = (
+        pts.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sweep = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        cand.withColumn("m", F.min("y").over(sweep))
+        .filter(F.col("m").isNull() | (F.col("y") < F.col("m")))
+        .select(
+            F.col("x").alias(x_col),
+            F.col("y").alias(y_col),
+            "n_rows",
+        )
+    )

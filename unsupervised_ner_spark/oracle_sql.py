@@ -7003,3 +7003,152 @@ FROM c{rounds}
 """
     )
     return _materialize("".join(parts), "sym")
+
+
+def rel_skyline() -> str:
+    """Skyline twin (ops/curation.skyline2d on orders): distinct points
+    with counts, per-x min-y candidate, rows-to-1-preceding min sweep —
+    the identical three bounded stages."""
+    return """
+WITH dims AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS x,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+),
+pts AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_rows
+    FROM dims GROUP BY 1, 2
+),
+cand AS (
+    SELECT x, y, n_rows FROM (
+        SELECT *, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+        FROM pts
+    ) WHERE rn = 1
+),
+sweep AS (
+    SELECT x, y, n_rows,
+           min(y) OVER (ORDER BY x ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m
+    FROM cand
+)
+SELECT x AS order_day, y AS cents, n_rows
+FROM sweep WHERE m IS NULL OR y < m
+"""
+
+
+def kg_itemsets3(model: str = "a100", minsup: int = 2) -> str:
+    """Apriori-3 twin (pipeline/er.frequent_itemsets3): the identical
+    chain — per-sentence pairs, frequent-pair prune, third-entity
+    extension, (kb, kc) sub-pair prune, sentence-support >= minsup.
+    The event and pair tables are MATERIALIZED (each feeds multiple
+    references)."""
+    return _materialize(
+        _kg_prefix(model)
+        + f"""
+, ent AS (
+    SELECT DISTINCT url, sent_idx,
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS ent,
+           pred_group AS etype
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+ek AS (
+    -- real events UNION the deterministic trio splice (two overlapping
+    -- trios + a doc-varying extraN whose extensions stay at support 1);
+    -- DISTINCT = the engine's per-sentence entity dedup
+    SELECT DISTINCT url, sent_idx, k FROM (
+        SELECT url, sent_idx, ent || '|' || etype AS k
+        FROM ent WHERE length(ent) > 0
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), CAST(999 AS BIGINT),
+               e || '|SOFTWARE'
+        FROM documents,
+             UNNEST(['alpha', 'beta', 'gamma']) AS u(e)
+        WHERE doc_id % 8 = 0
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), CAST(999 AS BIGINT),
+               'extra' || CAST(doc_id % 97 AS VARCHAR) || '|SOFTWARE'
+        FROM documents WHERE doc_id % 8 = 0
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), CAST(999 AS BIGINT),
+               e || '|SOFTWARE'
+        FROM documents,
+             UNNEST(['alpha', 'beta', 'delta']) AS u(e)
+        WHERE doc_id % 12 = 0
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), CAST(999 AS BIGINT),
+               'extra' || CAST(doc_id % 97 AS VARCHAR) || '|SOFTWARE'
+        FROM documents WHERE doc_id % 12 = 0
+    )
+),
+p AS (
+    SELECT a.url, a.sent_idx, a.k AS ka, b.k AS kb
+    FROM ek a JOIN ek b
+      ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.k < b.k
+),
+fp AS (
+    SELECT ka, kb FROM p GROUP BY ka, kb HAVING count(*) >= {minsup}
+),
+pf AS (SELECT p.* FROM p JOIN fp USING (ka, kb)),
+cand AS (
+    SELECT pf.url, pf.sent_idx, pf.ka, pf.kb, c.k AS kc
+    FROM pf JOIN ek c
+      ON c.url = pf.url AND c.sent_idx = pf.sent_idx AND pf.kb < c.k
+),
+cand2 AS (
+    SELECT cand.* FROM cand
+    JOIN fp f2 ON f2.ka = cand.kb AND f2.kb = cand.kc
+),
+tri AS (
+    SELECT ka, kb, kc, CAST(count(*) AS BIGINT) AS support
+    FROM cand2 GROUP BY ka, kb, kc HAVING count(*) >= {minsup}
+)
+SELECT string_split(ka, '|')[1] AS ent_a, string_split(ka, '|')[2] AS type_a,
+       string_split(kb, '|')[1] AS ent_b, string_split(kb, '|')[2] AS type_b,
+       string_split(kc, '|')[1] AS ent_c, string_split(kc, '|')[2] AS type_c,
+       support
+FROM tri
+""",
+        "ek",
+        "p",
+        "fp",
+    )
+
+
+def kg_nominal_coref(model: str = "a100") -> str:
+    """Nominal-coreference twin (pipeline/coref.resolve_definite_nps):
+    the doc_id-derived definite-NP splice replayed, group-equality
+    agreement, identical winner ordering."""
+    return (
+        _kg_prefix(model)
+        + """
+, np AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           CAST(v.s AS BIGINT) AS sent_idx,
+           CAST(0 AS BIGINT) AS tok_idx,
+           (['THERAPEUTIC_OR_PREVENTIVE_PROCEDURE', 'DISEASE', 'MEASURE'])
+               [CAST(doc_id % 3 + 1 AS INT)] AS np_group
+    FROM documents, (VALUES (1), (2)) v(s)
+),
+cand AS (
+    SELECT p.url, p.sent_idx, p.tok_idx, p.np_group,
+           CAST(d.b AS BIGINT) AS back_dist,
+           t.sent_idx AS ant_sent_idx, t.mention_idx, t.surface
+    FROM np p
+    JOIN (VALUES (1), (2), (3)) d(b) ON p.sent_idx - d.b >= 0
+    JOIN typed t ON t.url = p.url AND t.sent_idx = p.sent_idx - d.b
+    WHERE t.pred_group <> 'OTHER' AND t.pred_group = p.np_group
+),
+best AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY url, sent_idx, tok_idx
+        ORDER BY back_dist ASC, mention_idx DESC, surface ASC) AS rn
+    FROM cand
+)
+SELECT url, sent_idx, tok_idx, np_group, surface AS antecedent,
+       CAST(ant_sent_idx AS BIGINT) AS ant_sent_idx, back_dist
+FROM best WHERE rn = 1
+"""
+    )

@@ -91,3 +91,54 @@ def resolve_pronouns(
             F.col("back_dist").cast("long").alias("back_dist"),
         )
     )
+
+
+def resolve_definite_nps(
+    nps: DataFrame, typed_mentions: DataFrame, max_back: int = 3
+) -> DataFrame:
+    """Definite-NP (nominal) coreference: "the drug", "the disease" →
+    the nearest preceding mention of the REQUIRED group (the second
+    deterministic sieve after pronouns — same recency machinery, but the
+    anaphor names its antecedent's type outright, so agreement is an
+    equality test instead of the pronoun class map). Input
+    (url, sent_idx, tok_idx, np_group); output mirrors
+    ``resolve_pronouns`` with ``np_group`` in place of ``pronoun``.
+
+    Scale shape: identical to resolve_pronouns — constant explode,
+    sentence-co-partitioned equi-join, per-anaphor window."""
+    cand = (
+        nps.withColumn(
+            "back_dist",
+            F.explode(F.sequence(F.lit(1), F.lit(int(max_back)))),
+        )
+        .withColumn("ant_sent_idx", F.col("sent_idx") - F.col("back_dist"))
+        .filter(F.col("ant_sent_idx") >= 0)
+    )
+    ments = typed_mentions.filter(F.col("pred_group") != "OTHER").select(
+        "url",
+        F.col("sent_idx").alias("ant_sent_idx"),
+        "mention_idx",
+        "surface",
+        "pred_group",
+    )
+    joined = cand.join(ments, ["url", "ant_sent_idx"]).filter(
+        F.col("pred_group") == F.col("np_group")
+    )
+    w = Window.partitionBy("url", "sent_idx", "tok_idx").orderBy(
+        F.col("back_dist").asc(),
+        F.col("mention_idx").desc(),
+        F.col("surface").asc(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            "sent_idx",
+            "tok_idx",
+            "np_group",
+            F.col("surface").alias("antecedent"),
+            F.col("ant_sent_idx").cast("long").alias("ant_sent_idx"),
+            F.col("back_dist").cast("long").alias("back_dist"),
+        )
+    )

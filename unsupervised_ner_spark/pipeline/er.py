@@ -2410,3 +2410,69 @@ def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
         F.split("k", r"\|")[1].alias("etype"),
         F.col("color").alias("wl_color"),
     )
+
+
+def frequent_itemsets3(typed_mentions: DataFrame, minsup: int = 2) -> DataFrame:
+    """Frequent entity 3-itemsets over per-sentence entity events — the
+    Apriori level-3 pass (Agrawal & Srikant VLDB'94): entity triples
+    co-occurring in >= ``minsup`` sentences, the n-ary extension of the
+    pairwise co-occurrence graph (a frequent triple is a candidate
+    n-ary relation / event frame the pair graph cannot represent).
+
+    Pipeline: per-sentence pairs -> pair support >= minsup (the Apriori
+    candidate prune — an infrequent pair can never extend to a frequent
+    triple) -> extend each surviving pair occurrence with a third
+    same-sentence entity kb < kc -> prune extensions whose (kb, kc)
+    sub-pair is infrequent -> count sentences per triple -> >= minsup.
+    Both prunes are pure optimizations (a triple with support >= minsup
+    forces every sub-pair frequent), so the output is the exact Apriori
+    answer; the oracle replays the identical chain.
+
+    Scale shape: the sentence-entity event table is persisted once and
+    feeds the pair join (twice) + the extension join; pair support is a
+    bounded aggregate; every join is (url, sent_idx)-co-partitioned
+    (sentence-local fan-out, bounded by entities-per-sentence cubed at
+    worst, and the frequent-pair prunes cut it before the explosion) or
+    keyed on the bounded frequent-pair table. Returns
+    (ent_a..type_c ordered by the "ent|etype" key, support)."""
+    ents = _sentence_entities(typed_mentions)
+    e = ents.select(
+        "url", "sent_idx", F.concat_ws("|", "ent", "etype").alias("k")
+    )
+    p = (
+        e.select("url", "sent_idx", F.col("k").alias("ka"))
+        .join(e.select("url", "sent_idx", F.col("k").alias("kb")),
+              ["url", "sent_idx"])
+        .filter(F.col("ka") < F.col("kb"))
+    )
+    p = scoped_persist(p)
+    fp = scoped_persist(
+        p.groupBy("ka", "kb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= int(minsup))
+        .select("ka", "kb")
+    )
+    pf = p.join(fp, ["ka", "kb"])
+    cand = pf.join(
+        e.select("url", "sent_idx", F.col("k").alias("kc")),
+        ["url", "sent_idx"],
+    ).filter(F.col("kb") < F.col("kc"))
+    cand = cand.join(
+        fp.select(F.col("ka").alias("kb"), F.col("kb").alias("kc")),
+        ["kb", "kc"],
+    )
+    tri = (
+        cand.groupBy("ka", "kb", "kc")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= int(minsup))
+    )
+
+    def part(key, j):
+        return F.split(key, r"\|")[j]
+
+    return tri.select(
+        part("ka", 0).alias("ent_a"), part("ka", 1).alias("type_a"),
+        part("kb", 0).alias("ent_b"), part("kb", 1).alias("type_b"),
+        part("kc", 0).alias("ent_c"), part("kc", 1).alias("type_c"),
+        "support",
+    )
