@@ -3196,6 +3196,50 @@ def q_er_anchor_aliases(spark, sf_dir):
     )
 
 
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities on the directed canonical triple graph
+    (er.hits): 2 unrolled integer power rounds with max-renormalization
+    over the distinct subj_id->obj_id edge list — the direction-aware
+    complement of kg_pagerank (authorities = entities facts point AT);
+    oracle unrolls the identical half-steps."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.hits(
+        er.triple_support(q_kg_canonical_triples(spark, sf_dir)), rounds=2
+    )
+
+
+def q_kg_landmark_centrality(spark, sf_dir):
+    """Per-landmark closeness profile (er.landmark_centrality): the 3
+    top-degree entities each run their OWN 3-round BFS (frontier keyed
+    (seed, node), unlike the min-merged kg_bfs_dist) and report reach,
+    integer harmonic closeness, and bounded eccentricity."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.landmark_centrality(
+        er.cooccurrence_edges(typed), rounds=3, n_seeds=3
+    )
+
+
+def q_kg_relation_candidates(spark, sf_dir):
+    """Distant-supervision relation candidates (triples.relation_candidates,
+    Mintz et al. 2009): every ordered same-sentence typed-mention pair
+    left-joined against the KB aggregated from the engine's own triple
+    stream — silver labels for relation-extraction training, 'NA' for the
+    no-relation class. Both inputs flatten the SAME persisted tagging pass
+    (the kg_canonical_triples precedent)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import triples as T
+    from unsupervised_ner_spark.pipeline.runner import typed_mentions_from_tagged
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tagged = scoped_persist(stages["tagged"])
+    typed = typed_mentions_from_tagged(tagged)
+    return T.relation_candidates(typed, stages["triples"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3220,6 +3264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence_npmi": q_kg_cooccurrence_npmi,
         "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
+        "kg_hits": q_kg_hits,
+        "kg_landmark_centrality": q_kg_landmark_centrality,
+        "kg_relation_candidates": q_kg_relation_candidates,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3428,6 +3475,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence_npmi": O.kg_cooccurrence_npmi(),
         "kg_entity_degree": O.kg_entity_degree(),
         "kg_pagerank": O.kg_pagerank(),
+        "kg_hits": O.kg_hits(rounds=2),
+        "kg_landmark_centrality": O.kg_landmark_centrality(rounds=3, n_seeds=3),
+        "kg_relation_candidates": O.kg_relation_candidates(),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "kg_cooccurrence_npmi",
     "kg_entity_degree",
     "kg_pagerank",
+    "kg_hits",
+    "kg_landmark_centrality",
+    "kg_relation_candidates",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

@@ -1486,6 +1486,38 @@ def main() -> None:
                    "CartesianProduct" not in p150
                    and "BroadcastNestedLoopJoin" not in p150))
 
+    # 151. HITS: distinct edge list persisted once (feeds 2*rounds
+    # join/agg pairs), per-round max as broadcast 1-row join, no
+    # cartesian blowup beyond those single-row broadcasts
+    p151 = plan_of(entry.q_kg_hits(spark, SF))
+    sections.append(("HITS hubs/authorities (kg_hits)", p151))
+    checks.append(("hits: edge/node tables persisted once",
+                   "InMemoryTableScan" in p151))
+    checks.append(("hits: renormalization max is a broadcast join",
+                   "BroadcastNestedLoopJoin BuildRight, Cross" in p151
+                   or "BroadcastHashJoin" in p151))
+
+    # 152. landmark centrality: adjacency persisted once; the only
+    # global window is the bounded seed-selection rank
+    p152 = plan_of(entry.q_kg_landmark_centrality(spark, SF))
+    sections.append(("Landmark centrality (kg_landmark_centrality)", p152))
+    checks.append(("landmark: adjacency/frontier persisted",
+                   "InMemoryTableScan" in p152))
+    checks.append(("landmark: no cartesian",
+                   "CartesianProduct" not in p152))
+
+    # 153. relation candidates: KB aggregated BEFORE the candidate join
+    # (HashAggregate feeds the join build side), no cartesian
+    p153 = plan_of(entry.q_kg_relation_candidates(spark, SF))
+    sections.append(("Relation candidates (kg_relation_candidates)", p153))
+    checks.append(("relation candidates: no cartesian/nested-loop join",
+                   "CartesianProduct" not in p153
+                   and "BroadcastNestedLoopJoin" not in p153))
+    checks.append(("relation candidates: equi-joins only (hash-"
+                   "partitionable at scale; AQE broadcasts at this SF)",
+                   "BroadcastHashJoin" in p153 or "SortMergeJoin" in p153
+                   or "ShuffledHashJoin" in p153))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -401,11 +401,12 @@ LEFT JOIN expanded e ON tok.url = e.url AND tok.sent_idx = e.sent_idx
     )
 
 
-def kg_triples(model: str = "a100") -> str:
-    return (
-        _kg_prefix(model)
-        + f"""
-, typed_f AS (
+def _triples_ctes() -> str:
+    """The kg_triples body as reusable CTEs on top of ``_kg_prefix``
+    (``typed_f``/``pairs``/``gaps``/``trip``) — so oracles needing BOTH
+    the typed mention table and the triple stream (kg_relation_candidates)
+    compose one prefix chain instead of nesting two."""
+    return f""", typed_f AS (
     SELECT *, row_number() OVER (PARTITION BY url, sent_idx ORDER BY begin_tok) AS rn
     FROM typed WHERE pred_group <> 'OTHER'
 ),
@@ -431,14 +432,18 @@ gaps AS (
      AND t.token_idx > p.ae AND t.token_idx < p.bb
      AND regexp_matches(lower(t.word), '[a-z0-9]')
     GROUP BY ALL
-)
-SELECT url, sent_idx, subj, subj_type,
-       coalesce(nullif(gap_txt, ''), 'related_to') AS pred,
-       coalesce(nullif(norm_txt, ''), 'related_to') AS pred_norm,
-       obj, obj_type
-FROM gaps
-"""
-    )
+),
+tripc AS (
+    SELECT url, sent_idx, subj, subj_type,
+           coalesce(nullif(gap_txt, ''), 'related_to') AS pred,
+           coalesce(nullif(norm_txt, ''), 'related_to') AS pred_norm,
+           obj, obj_type
+    FROM gaps
+)"""
+
+
+def kg_triples(model: str = "a100") -> str:
+    return _kg_prefix(model) + _triples_ctes() + "\nSELECT * FROM tripc\n"
 
 
 def kg_predicates(model: str = "a100", top_k: int = 10) -> str:
@@ -7152,3 +7157,168 @@ SELECT url, sent_idx, tok_idx, np_group, surface AS antecedent,
 FROM best WHERE rn = 1
 """
     )
+
+
+def kg_hits(
+    model: str = "a100", rounds: int = 2, scale: int = 1_000_000
+) -> str:
+    """HITS twin (pipeline/er.py hits): distinct directed edges from the
+    triple_support chain, ``rounds`` unrolled hub/authority half-steps
+    with the SAME integer renormalization ``raw * scale // max(raw)`` —
+    max and sum are order-free, so the scores are bit-exact across
+    engines (the kg_pagerank precedent)."""
+    body = f"""
+WITH ts AS ({kg_triple_support(model)})
+, dedges AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ts),
+gnodes AS (SELECT src AS k FROM dedges UNION SELECT dst FROM dedges),
+h0 AS (SELECT k, CAST({scale} AS BIGINT) AS v FROM gnodes)"""
+    mat = ["dedges", "gnodes"]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        body += f""",
+araw{i} AS (
+    SELECT n.k, CAST(coalesce(sum(h.v), 0) AS BIGINT) AS raw
+    FROM gnodes n
+    LEFT JOIN dedges e ON e.dst = n.k
+    LEFT JOIN {prev_h} h ON h.k = e.src
+    GROUP BY n.k
+),
+a{i} AS (
+    SELECT k, CAST((raw * CAST({scale} AS BIGINT))
+                   // (SELECT GREATEST(max(raw), 1) FROM araw{i})
+              AS BIGINT) AS v
+    FROM araw{i}
+),
+hraw{i} AS (
+    SELECT n.k, CAST(coalesce(sum(a.v), 0) AS BIGINT) AS raw
+    FROM gnodes n
+    LEFT JOIN dedges e ON e.src = n.k
+    LEFT JOIN a{i} a ON a.k = e.dst
+    GROUP BY n.k
+),
+h{i} AS (
+    SELECT k, CAST((raw * CAST({scale} AS BIGINT))
+                   // (SELECT GREATEST(max(raw), 1) FROM hraw{i})
+              AS BIGINT) AS v
+    FROM hraw{i}
+)"""
+        mat += [f"araw{i}", f"a{i}", f"hraw{i}"]
+        if i < rounds:
+            mat.append(f"h{i}")
+        prev_h = f"h{i}"
+    body += f"""
+SELECT n.k AS node_id, h.v AS hub_scaled, a.v AS auth_scaled
+FROM gnodes n
+JOIN h{rounds} h ON h.k = n.k
+JOIN a{rounds} a ON a.k = n.k
+"""
+    return _materialize(body, *mat)
+
+
+def kg_landmark_centrality(
+    model: str = "a100", rounds: int = 3, n_seeds: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """Landmark-centrality twin (pipeline/er.py landmark_centrality):
+    per-seed unrolled BFS (frontier keyed (seed, k), unlike the
+    min-merged kg_bfs_dist) + the integer harmonic-closeness aggregate
+    ``sum(scale // dist)``."""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+seeds AS (
+    SELECT src, CAST(row_number() OVER (ORDER BY deg DESC, src) AS BIGINT)
+           AS seed_rank
+    FROM deg
+    QUALIFY seed_rank <= {n_seeds}
+),
+d0 AS (SELECT src AS seed, src AS k, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        body += f""",
+d{i} AS (
+    SELECT seed, k, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT seed, k, dist FROM {prev}
+        UNION ALL
+        SELECT d.seed, s.dst AS k, d.dist + 1 AS dist
+        FROM sym s JOIN {prev} d ON s.src = d.k
+    ) GROUP BY seed, k
+)"""
+        prev = f"d{i}"
+    body += f"""
+, prof AS (
+    SELECT seed,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(CAST({scale} AS BIGINT) // dist) AS BIGINT)
+               AS harmonic_scaled,
+           CAST(max(dist) AS BIGINT) AS ecc_bounded
+    FROM {prev} WHERE dist > 0 GROUP BY seed
+)
+SELECT split_part(p.seed, '|', 1) AS ent, split_part(p.seed, '|', 2) AS etype,
+       s.seed_rank, p.n_reached, p.harmonic_scaled, p.ecc_bounded
+FROM prof p JOIN seeds s ON s.src = p.seed
+"""
+    return _materialize(
+        body, "sym", "seeds", *[f"d{i}" for i in range(rounds)]
+    )
+
+
+def kg_relation_candidates(model: str = "a100") -> str:
+    """Distant-supervision candidate twin (pipeline/triples.py
+    relation_candidates): every ordered same-sentence pair of non-OTHER
+    normalized mentions, left-joined against the KB aggregated from the
+    triple stream (min pred_norm / distinct-pred count / evidence count)
+    — 'NA' when the pair is unknown. Composes ONE _kg_prefix chain with
+    the shared _triples_ctes body (no nested second prefix)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    body = (
+        _kg_prefix(model)
+        + _triples_ctes()
+        + f"""
+, rcm AS (
+    SELECT url, sent_idx, mention_idx, surface, pred_group AS etype,
+           {norm.format(c='surface')} AS norm
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+rcm2 AS (
+    SELECT *, row_number() OVER (PARTITION BY url, sent_idx
+                                 ORDER BY mention_idx) AS rn
+    FROM rcm WHERE length(norm) > 0
+),
+kb AS (
+    SELECT norm_a, type_a, norm_b, type_b,
+           min(pred_norm) AS kb_pred,
+           CAST(count(DISTINCT pred_norm) AS BIGINT) AS n_kb_preds,
+           CAST(count(*) AS BIGINT) AS kb_sents
+    FROM (
+        SELECT {norm.format(c='subj')} AS norm_a, subj_type AS type_a,
+               {norm.format(c='obj')} AS norm_b, obj_type AS type_b,
+               pred_norm
+        FROM tripc
+    ) WHERE length(norm_a) > 0 AND length(norm_b) > 0
+    GROUP BY norm_a, type_a, norm_b, type_b
+)
+SELECT a.url, CAST(a.sent_idx AS BIGINT) AS sent_idx,
+       CAST(a.mention_idx AS BIGINT) AS idx_a,
+       CAST(b.mention_idx AS BIGINT) AS idx_b,
+       a.surface AS surf_a, a.etype AS type_a,
+       b.surface AS surf_b, b.etype AS type_b,
+       CAST(CASE WHEN b.rn = a.rn + 1 THEN 1 ELSE 0 END AS BIGINT) AS adjacent,
+       coalesce(kb.kb_pred, 'NA') AS silver_pred,
+       CAST(coalesce(kb.n_kb_preds, 0) AS BIGINT) AS n_kb_preds,
+       CAST(coalesce(kb.kb_sents, 0) AS BIGINT) AS kb_sents
+FROM rcm2 a
+JOIN rcm2 b ON a.url = b.url AND a.sent_idx = b.sent_idx AND a.rn < b.rn
+LEFT JOIN kb ON kb.norm_a = a.norm AND kb.type_a = a.etype
+            AND kb.norm_b = b.norm AND kb.type_b = b.etype
+"""
+    )
+    return _materialize(body, "rcm2", "kb")

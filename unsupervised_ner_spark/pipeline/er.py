@@ -2476,3 +2476,153 @@ def frequent_itemsets3(typed_mentions: DataFrame, minsup: int = 2) -> DataFrame:
         part("kc", 0).alias("ent_c"), part("kc", 1).alias("type_c"),
         "support",
     )
+
+
+def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED canonical triple graph
+    (Kleinberg 1999) — the KG curation ranking the undirected PageRank
+    cannot give: authorities are the entities many subjects point AT
+    (the things facts are about), hubs are the subjects that point at
+    many good authorities (the pages'/entities' fact emitters). The
+    reference's bootstrap loop (reference `cython_nested_dict.pyx` /
+    bootstrap aggregation, SURVEY §2 A7-A9) ranks harvested entities by
+    raw count; HITS is the graph-aware refinement.
+
+    Integer-exact power iteration (the er.pagerank precedent): every
+    round computes raw sums in BIGINT and renormalizes by the CURRENT
+    MAX via ``raw * scale div max`` — max and sum are order-free, so
+    Spark and the unrolled-CTE DuckDB oracle agree bit-for-bit (no L2
+    norm, no float). ``rounds`` fixed synchronous rounds — the
+    hash-gateable prefix, the kcore/pagerank precedent.
+
+    Scale shape: the distinct edge list is persisted once and drives
+    2*rounds bounded equi-join + aggregate pairs (each keyed on a node
+    id — hub nodes are single reducer keys after partial aggregation);
+    the per-round max is a 1-row aggregate broadcast back (no driver
+    action, no collect). Overflow envelope: raw <= n_nodes * scale, so
+    raw * scale <= n * 1e12 — safe in BIGINT below ~9e6 nodes; at larger
+    graphs drop scale to 1e5 (documented, not silently clamped)."""
+    edges = scoped_persist(
+        support.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        ).distinct()
+    )
+    nodes = scoped_persist(
+        edges.select(F.col("src").alias("k"))
+        .unionAll(edges.select(F.col("dst").alias("k")))
+        .distinct()
+    )
+    h = nodes.select("k", F.lit(int(scale)).cast("long").alias("v"))
+    a = None
+
+    def _step(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One half-round: sum vec over edges into key_out, renormalize."""
+        raw = (
+            edges.join(vec.withColumnRenamed("k", key_in), key_in)
+            .groupBy(key_out)
+            .agg(F.sum("v").cast("long").alias("raw"))
+        )
+        full = (
+            nodes.join(raw.withColumnRenamed(key_out, "k"), "k", "left")
+            .select("k", F.coalesce("raw", F.lit(0)).cast("long").alias("raw"))
+        )
+        mx = full.agg(F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx"))
+        return scoped_persist(
+            full.crossJoin(F.broadcast(mx)).select(
+                "k",
+                F.expr(f"CAST((raw * CAST({int(scale)} AS BIGINT)) div mx AS BIGINT)")
+                .alias("v"),
+            )
+        )
+
+    for _ in range(int(rounds)):
+        a = _step(h, "src", "dst")   # authority <- sum of hub over in-edges
+        h = _step(a, "dst", "src")   # hub <- sum of authority over out-edges
+    out = (
+        nodes.join(h.withColumnRenamed("v", "hub_scaled"), "k")
+        .join(a.withColumnRenamed("v", "auth_scaled"), "k")
+    )
+    return out.select(
+        F.col("k").alias("node_id"),
+        F.col("hub_scaled").cast("long").alias("hub_scaled"),
+        F.col("auth_scaled").cast("long").alias("auth_scaled"),
+    )
+
+
+def landmark_centrality(
+    edges: DataFrame, rounds: int = 3, n_seeds: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-landmark closeness profile over the co-occurrence graph — the
+    landmark leg of landmark-based distance estimation (Potamias et al.
+    2009): for each of the ``n_seeds`` top-degree entities, run its OWN
+    bounded BFS (unlike er.bfs_distances, which min-merges all seeds into
+    one frontier) and aggregate the classic centrality summaries:
+    ``n_reached`` (nodes within ``rounds`` hops), ``harmonic_scaled``
+    (sum of scale div dist — harmonic closeness, defined even on
+    disconnected graphs), and ``ecc_bounded`` (max observed hop — the
+    eccentricity lower bound). The dashboard a KG serving layer uses to
+    pick landmarks: a good landmark reaches much of the graph in few
+    hops.
+
+    All-integer (scale div dist), fixed rounds — oracle unrolls the same
+    relaxations, distances exact.
+
+    Scale shape: identical per-round join/min-aggregate structure as
+    er.bfs_distances with the frontier keyed by (seed, node) — n_seeds
+    is a small constant, so state is at most n_seeds * |V| rows; the
+    symmetrized adjacency is persisted once and reused every round. The
+    final per-seed aggregate is n_seeds rows."""
+    from pyspark.sql import Window
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    seeds = deg.select(
+        "src", F.row_number().over(w).cast("long").alias("seed_rank")
+    ).filter(F.col("seed_rank") <= int(n_seeds))
+    dist = scoped_persist(
+        seeds.select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("k"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    for _ in range(int(rounds)):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("k", "src"), "src")
+            .select("seed", F.col("dst").alias("k"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = scoped_persist(
+            dist.unionByName(relaxed)
+            .groupBy("seed", "k")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    prof = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.expr(f"CAST({int(scale)} AS BIGINT) div dist"))
+            .cast("long").alias("harmonic_scaled"),
+            F.max("dist").cast("long").alias("ecc_bounded"),
+        )
+    )
+    out = prof.join(seeds.withColumnRenamed("src", "seed"), "seed")
+
+    def part(j):
+        return F.split(F.col("seed"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        "seed_rank", "n_reached", "harmonic_scaled", "ecc_bounded",
+    )
