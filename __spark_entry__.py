@@ -3222,6 +3222,30 @@ def q_kg_landmark_centrality(spark, sf_dir):
     )
 
 
+def q_kg_modularity(spark, sf_dir):
+    """Per-community Newman modularity contribution (er.modularity): the
+    LPA communities of kg_communities scored against the degree-preserving
+    null model in exact integer ppm — the clustering-quality dashboard;
+    oracle replays the unrolled LPA rounds + the same integer arithmetic."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.modularity(er.cooccurrence_edges(typed), iterations=4)
+
+
+def q_kg_kge_eval(spark, sf_dir):
+    """TransE filtered-ranking eval harness (kgtrain.kge_eval): every
+    distinct production triple ranked against its type-blocked candidate
+    set under deterministic hash embeddings — per-predicate MR/Hits@k
+    sufficient statistics; swap in trained vectors and the protocol is
+    unchanged."""
+    from unsupervised_ner_spark.ops import kgtrain
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return kgtrain.kge_eval(stages["triples"], dim=4, emb_mod=1000)
+
+
 def q_kg_relation_candidates(spark, sf_dir):
     """Distant-supervision relation candidates (triples.relation_candidates,
     Mintz et al. 2009): every ordered same-sentence typed-mention pair
@@ -3267,6 +3291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_landmark_centrality": q_kg_landmark_centrality,
         "kg_relation_candidates": q_kg_relation_candidates,
+        "kg_modularity": q_kg_modularity,
+        "kg_kge_eval": q_kg_kge_eval,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3478,6 +3504,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": O.kg_hits(rounds=2),
         "kg_landmark_centrality": O.kg_landmark_centrality(rounds=3, n_seeds=3),
         "kg_relation_candidates": O.kg_relation_candidates(),
+        "kg_modularity": O.kg_modularity(iterations=4),
+        "kg_kge_eval": O.kg_kge_eval(dim=4, emb_mod=1000),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

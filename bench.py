@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "kg_hits",
     "kg_landmark_centrality",
     "kg_relation_candidates",
+    "kg_modularity",
+    "kg_kge_eval",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

@@ -1518,6 +1518,28 @@ def main() -> None:
                    "BroadcastHashJoin" in p153 or "SortMergeJoin" in p153
                    or "ShuffledHashJoin" in p153))
 
+    # 154. modularity: LPA label table persisted once (feeds both edge-
+    # endpoint joins + the member aggregate); m is a broadcast 1-row join
+    p154 = plan_of(entry.q_kg_modularity(spark, SF))
+    sections.append(("Community modularity (kg_modularity)", p154))
+    checks.append(("modularity: label/adjacency tables persisted",
+                   "InMemoryTableScan" in p154))
+    checks.append(("modularity: edge-count rides a broadcast 1-row join",
+                   "BroadcastNestedLoopJoin BuildRight, Cross" in p154
+                   or "BroadcastHashJoin" in p154))
+
+    # 155. KGE eval: fact table persisted once (positives + vocab +
+    # truth all flatten it); candidate expansion is an equi-join on the
+    # type key; embedding hashing stays in codegen (no python UDF)
+    p155 = plan_of(entry.q_kg_kge_eval(spark, SF))
+    sections.append(("KGE filtered-ranking eval (kg_kge_eval)", p155))
+    checks.append(("kge eval: fact/vocab tables persisted",
+                   "InMemoryTableScan" in p155))
+    checks.append(("kge eval: no cartesian",
+                   "CartesianProduct" not in p155))
+    checks.append(("kge eval: hash embeddings in codegen (no BatchEvalPython)",
+                   "BatchEvalPython" not in p155))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

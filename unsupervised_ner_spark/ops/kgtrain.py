@@ -254,3 +254,99 @@ def triple_dataset(triples: DataFrame, k: int = 2) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return pos.unionByName(neg).select("*", split.alias("split"))
+
+
+def _hash_emb_term(prefix: str, col, i: int, mod: int) -> F.Column:
+    """Dimension ``i`` of the deterministic hash embedding: md5_int32 of
+    'prefix#value#i' mod ``mod`` — the engine/oracle-shared stand-in for
+    trained KGE weights (torch is absent from this container; a real
+    embedding table would join in by key and the protocol below is
+    unchanged)."""
+    return (
+        md5_int32(F.concat_ws("#", F.lit(prefix), col, F.lit(str(i))))
+        % F.lit(int(mod))
+    ).cast("long")
+
+
+def kge_eval(
+    triples: DataFrame, dim: int = 4, emb_mod: int = 1000
+) -> DataFrame:
+    """TransE link-prediction evaluation harness (Bordes et al. 2013,
+    the standard filtered-ranking protocol): for every DISTINCT test
+    triple (s, p, o), rank the true object o among all type-compatible
+    candidate entities c by the integer L1 score
+    ``sum_i |emb_s[i] + emb_p[i] - emb_c[i]|``, with known true triples
+    (s, p, c') filtered OUT of the candidate list (the "filtered"
+    setting that removes false negatives). Embeddings are deterministic
+    hash vectors (_hash_emb_term) so the harness is hash-gateable
+    end-to-end; swap in a trained table and the ranks become the real
+    MR/Hits@k. Ties break on the candidate key (score asc, ent asc) —
+    a total order both engines replay.
+
+    Returns per-predicate sufficient statistics: (pred_norm, n_test,
+    n_cands, sum_rank, hits1, hits3, hits10) — MR = sum_rank/n_test and
+    Hits@k = hitsk/n_test are downstream float derivations that never
+    enter the hashed surface (the NPMI precedent).
+
+    Scale shape: the candidate join is type-blocked (test triples x
+    same-type vocabulary — the eval protocol's inherent O(T x E_type)
+    cost; every published KGE eval pays it) with the vocabulary bounded
+    by distinct entities, broadcast when small. The ranking window
+    partitions per test triple — bounded by the type's vocabulary size,
+    never corpus-sized. At 100 TB the standard mitigations compose
+    unchanged: shard the vocabulary and take per-shard top-k before
+    ranking, or hash-sample candidates (sampled MRR), both upstream of
+    the same window."""
+    dtrip = scoped_persist(
+        triples.select("subj", "subj_type", "pred_norm", "obj", "obj_type")
+        .distinct()
+    )
+    vocab = scoped_persist(
+        dtrip.select(F.col("subj").alias("ent"), F.col("subj_type").alias("etype"))
+        .unionByName(
+            dtrip.select(F.col("obj").alias("ent"), F.col("obj_type").alias("etype"))
+        )
+        .distinct()
+    )
+    cand = dtrip.join(
+        vocab.select(F.col("ent").alias("c"), F.col("etype").alias("obj_type")),
+        "obj_type",
+    )
+    truth = dtrip.select(
+        "subj", "subj_type", "pred_norm",
+        F.col("obj").alias("c"), "obj_type",
+        F.lit(1).cast("long").alias("is_true"),
+    ).distinct()
+    cand = cand.join(
+        truth, ["subj", "subj_type", "pred_norm", "c", "obj_type"], "left"
+    ).filter(F.col("is_true").isNull() | (F.col("c") == F.col("obj")))
+    dist = sum(
+        F.abs(
+            _hash_emb_term("e", F.col("subj"), i, emb_mod)
+            + _hash_emb_term("r", F.col("pred_norm"), i, emb_mod)
+            - _hash_emb_term("e", F.col("c"), i, emb_mod)
+        )
+        for i in range(int(dim))
+    ).cast("long")
+    w = Window.partitionBy(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type"
+    ).orderBy(F.asc("dist"), F.asc("c"))
+    ranked = (
+        cand.withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    per_triple = ranked.groupBy(
+        "subj", "subj_type", "pred_norm", "obj", "obj_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_cands"),
+        F.min(F.when(F.col("c") == F.col("obj"), F.col("rank")))
+        .cast("long").alias("rank"),
+    )
+    return per_triple.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum("n_cands").cast("long").alias("n_cands"),
+        F.sum("rank").cast("long").alias("sum_rank"),
+        F.sum((F.col("rank") <= 1).cast("long")).cast("long").alias("hits1"),
+        F.sum((F.col("rank") <= 3).cast("long")).cast("long").alias("hits3"),
+        F.sum((F.col("rank") <= 10).cast("long")).cast("long").alias("hits10"),
+    )

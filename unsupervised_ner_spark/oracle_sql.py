@@ -4529,12 +4529,10 @@ FROM b GROUP BY reg_domain
 """
 
 
-def kg_communities(model: str = "a100", iterations: int = 4) -> str:
-    """Label-propagation twin (pipeline/er.py label_propagation):
-    ``iterations`` unrolled synchronous rounds over the symmetrized
-    co-occurrence adjacency, each round the deterministic
-    (count DESC, label ASC) row_number vote — identical total order in
-    both engines, so community ids are bit-exact."""
+def _lpa_ctes(iterations: int) -> tuple[str, list[str], str]:
+    """Shared LPA round chain (kg_communities + kg_modularity): the
+    ``sym``/``l0``/vote-round CTE text (assumes an ``eg`` edge CTE in
+    scope), the CTE names to materialize, and the final label CTE name."""
     steps = []
     mats = ["sym"]
     prev = "l0"
@@ -4557,17 +4555,27 @@ l{i} AS (
         if i < iterations:
             mats.append(f"l{i}")
         prev = f"l{i}"
-    chain = ",\n".join(steps)
-    return _materialize(
-        f"""
-WITH eg AS ({kg_cooccurrence(model)})
-, sym AS (
+    chain = """sym AS (
     SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
     UNION ALL
     SELECT ent_b || '|' || type_b AS src, ent_a || '|' || type_a AS dst FROM eg
 ),
 l0 AS (SELECT DISTINCT src AS k, src AS lbl FROM sym),
-{chain},
+""" + ",\n".join(steps)
+    return chain, mats, prev
+
+
+def kg_communities(model: str = "a100", iterations: int = 4) -> str:
+    """Label-propagation twin (pipeline/er.py label_propagation):
+    ``iterations`` unrolled synchronous rounds over the symmetrized
+    co-occurrence adjacency, each round the deterministic
+    (count DESC, label ASC) row_number vote — identical total order in
+    both engines, so community ids are bit-exact."""
+    chain, mats, prev = _lpa_ctes(iterations)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, {chain},
 sizes AS (
     SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
     FROM {prev} GROUP BY lbl
@@ -4577,6 +4585,51 @@ SELECT string_split(f.k, '|')[1] AS ent, string_split(f.k, '|')[2] AS etype,
 FROM {prev} f JOIN sizes s USING (lbl)
 """,
         *mats, prev,
+    )
+
+
+def kg_modularity(
+    model: str = "a100", iterations: int = 4, scale: int = 1_000_000
+) -> str:
+    """Modularity twin (pipeline/er.py modularity): the SAME unrolled LPA
+    chain, then per-community integer Newman contribution
+    ``scale*in_c // m - scale*deg_c^2 // (4*m^2)`` (the exact
+    (2*in_c)//(2m) == in_c//m simplification, applied on both engines)."""
+    chain, mats, prev = _lpa_ctes(iterations)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, {chain},
+memb AS (SELECT k, lbl FROM {prev}),
+mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eg),
+ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+intra AS (
+    SELECT la.lbl, CAST(count(*) AS BIGINT) AS in_edges
+    FROM ek
+    JOIN memb la ON la.k = ek.ka
+    JOIN memb lb ON lb.k = ek.kb
+    WHERE la.lbl = lb.lbl
+    GROUP BY la.lbl
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+grp AS (
+    SELECT mb.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d.deg) AS BIGINT) AS deg_sum
+    FROM memb mb JOIN deg d ON d.src = mb.k
+    GROUP BY mb.lbl
+)
+SELECT g.lbl AS community, g.n_nodes,
+       CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges, g.deg_sum,
+       CAST((CAST({scale} AS BIGINT) * coalesce(i.in_edges, 0)) // t.m
+            - (CAST({scale} AS BIGINT) * g.deg_sum * g.deg_sum)
+              // (4 * t.m * t.m) AS BIGINT) AS q_ppm
+FROM grp g
+LEFT JOIN intra i ON i.lbl = g.lbl
+CROSS JOIN mtot t
+""",
+        "eg", *mats, "memb",
     )
 
 
@@ -7322,3 +7375,73 @@ LEFT JOIN kb ON kb.norm_a = a.norm AND kb.type_a = a.etype
 """
     )
     return _materialize(body, "rcm2", "kb")
+
+
+def kg_kge_eval(model: str = "a100", dim: int = 4, emb_mod: int = 1000) -> str:
+    """KGE filtered-ranking twin (ops/kgtrain.py kge_eval): deterministic
+    hash embeddings (_hex8_int_sql nibble arithmetic == md5_int32),
+    type-blocked candidates, filtered truth removal, (dist asc, c asc)
+    row_number rank, per-predicate integer sufficient statistics."""
+
+    def emb(prefix: str, col: str, i: int) -> str:
+        h = _hex8_int_sql(f"md5('{prefix}#' || {col} || '#{i}')")
+        return f"({h} % {emb_mod})"
+
+    dist = " + ".join(
+        f"abs({emb('e', 'subj', i)} + {emb('r', 'pred_norm', i)}"
+        f" - {emb('e', 'c', i)})"
+        for i in range(dim)
+    )
+    body = (
+        _kg_prefix(model)
+        + _triples_ctes()
+        + f"""
+, dtrip AS (
+    SELECT DISTINCT subj, subj_type, pred_norm, obj, obj_type FROM tripc
+),
+vocab AS (
+    SELECT DISTINCT ent, etype FROM (
+        SELECT subj AS ent, subj_type AS etype FROM dtrip
+        UNION ALL
+        SELECT obj, obj_type FROM dtrip
+    )
+),
+cand0 AS (
+    SELECT d.subj, d.subj_type, d.pred_norm, d.obj, d.obj_type, v.ent AS c
+    FROM dtrip d JOIN vocab v ON v.etype = d.obj_type
+),
+truth AS (
+    SELECT DISTINCT subj, subj_type, pred_norm, obj AS c, obj_type FROM dtrip
+),
+cand AS (
+    SELECT c0.* FROM cand0 c0
+    LEFT JOIN truth t
+      ON t.subj = c0.subj AND t.subj_type = c0.subj_type
+     AND t.pred_norm = c0.pred_norm AND t.c = c0.c
+     AND t.obj_type = c0.obj_type
+    WHERE t.c IS NULL OR c0.c = c0.obj
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY subj, subj_type, pred_norm, obj, obj_type
+        ORDER BY dist ASC, c ASC) AS rank
+    FROM (SELECT *, CAST({dist} AS BIGINT) AS dist FROM cand)
+),
+per_triple AS (
+    SELECT subj, subj_type, pred_norm, obj, obj_type,
+           CAST(count(*) AS BIGINT) AS n_cands,
+           CAST(min(CASE WHEN c = obj THEN rank END) AS BIGINT) AS rank
+    FROM ranked
+    GROUP BY subj, subj_type, pred_norm, obj, obj_type
+)
+SELECT pred_norm,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(n_cands) AS BIGINT) AS n_cands,
+       CAST(sum(rank) AS BIGINT) AS sum_rank,
+       CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+FROM per_triple GROUP BY pred_norm
+"""
+    )
+    return _materialize(body, "dtrip", "vocab")

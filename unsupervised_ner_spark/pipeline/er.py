@@ -1464,30 +1464,10 @@ def entity_provenance(typed_mentions: DataFrame, doc_domains: DataFrame) -> Data
     )
 
 
-def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
-    """Synchronous label-propagation communities over the entity
-    co-occurrence graph — the topic-clustering step between connected
-    components (too coarse: one giant discourse island) and k-core (no
-    assignment): every entity adopts the most common label among its
-    neighbours each round, so densely interlinked entity groups converge
-    to one community id (Raghavan et al. 2007, the near-linear community
-    baseline).
-
-    Determinism: classic LPA breaks count ties randomly; here the vote is
-    ``(count DESC, label ASC)`` — a total order, so ``iterations`` fixed
-    synchronous rounds are bit-reproducible and the DuckDB oracle replays
-    them with unrolled CTEs (the pagerank precedent). Labels start as the
-    node's own key; the co-occurrence graph is symmetric so every node
-    has >= 1 neighbour and is relabelled every round.
-
-    Scale shape: per round, one src-keyed equi-join of the (node-sized)
-    label table against the aggregated adjacency, one map-side-combining
-    (dst, label) count, and one per-node argmax window — the window
-    partition is a node's label HISTOGRAM (bounded by its degree, and
-    after the first rounds by its neighbourhood's community count), never
-    corpus-sized. The adjacency is persisted once and reused every round.
-    A hub is one window partition — skew-bounded by its degree, the same
-    exposure pagerank's reducer has."""
+def _lpa_labels(edges: DataFrame, iterations: int) -> tuple[DataFrame, DataFrame]:
+    """Shared LPA core (label_propagation + modularity): symmetrized
+    adjacency (persisted once) and the key-level (k, lbl) label table
+    after ``iterations`` synchronous deterministic-vote rounds."""
     from pyspark.sql import Window
 
     sym = scoped_persist(
@@ -1516,6 +1496,34 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("k"), "lbl")
         )
+    return sym, labels
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities over the entity
+    co-occurrence graph — the topic-clustering step between connected
+    components (too coarse: one giant discourse island) and k-core (no
+    assignment): every entity adopts the most common label among its
+    neighbours each round, so densely interlinked entity groups converge
+    to one community id (Raghavan et al. 2007, the near-linear community
+    baseline).
+
+    Determinism: classic LPA breaks count ties randomly; here the vote is
+    ``(count DESC, label ASC)`` — a total order, so ``iterations`` fixed
+    synchronous rounds are bit-reproducible and the DuckDB oracle replays
+    them with unrolled CTEs (the pagerank precedent). Labels start as the
+    node's own key; the co-occurrence graph is symmetric so every node
+    has >= 1 neighbour and is relabelled every round.
+
+    Scale shape: per round, one src-keyed equi-join of the (node-sized)
+    label table against the aggregated adjacency, one map-side-combining
+    (dst, label) count, and one per-node argmax window — the window
+    partition is a node's label HISTOGRAM (bounded by its degree, and
+    after the first rounds by its neighbourhood's community count), never
+    corpus-sized. The adjacency is persisted once and reused every round.
+    A hub is one window partition — skew-bounded by its degree, the same
+    exposure pagerank's reducer has."""
+    sym, labels = _lpa_labels(edges, iterations)
     sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("comm_size"))
     out = labels.join(sizes, "lbl")
 
@@ -2625,4 +2633,66 @@ def landmark_centrality(
     return out.select(
         part(0).alias("ent"), part(1).alias("etype"),
         "seed_rank", "n_reached", "harmonic_scaled", "ecc_bounded",
+    )
+
+
+def modularity(
+    edges: DataFrame, iterations: int = 4, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-community Newman modularity contribution over the LPA
+    communities — the quality score that turns kg_communities from an
+    assignment into an evaluated clustering (Newman & Girvan 2004):
+    ``q_ppm = scale*in_c div m - scale*deg_c^2 div (4*m^2)`` per
+    community c, where in_c counts intra-community undirected edges,
+    deg_c sums member degrees, and m is the total undirected edge count.
+    Positive q_ppm = denser than the degree-preserving random graph; the
+    corpus-level Q is the column sum. All-integer (the exact
+    (2*in_c)//(2m) == in_c//m simplification is applied identically in
+    the DuckDB twin), so the score is bit-exact across engines.
+
+    Returns (community, n_nodes, in_edges, deg_sum, q_ppm).
+
+    Scale shape: the LPA label table is persisted once and feeds three
+    bounded consumers (both endpoint joins of the edge table + the
+    member/degree aggregate); m rides a broadcast 1-row aggregate. The
+    endpoint joins are node-keyed equi-joins of the aggregated edge
+    table — hot entities are single join keys, the pagerank exposure.
+    Overflow envelope: scale*deg_sum^2 <= scale*4m^2, BIGINT-safe below
+    ~1.5e6 edges at scale=1e6; at larger graphs drop scale (documented,
+    the hits posture)."""
+    sym, labels = _lpa_labels(edges, iterations)
+    labels = scoped_persist(labels)
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    ek = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("ka"),
+        F.concat_ws("|", "ent_b", "type_b").alias("kb"),
+    )
+    intra = (
+        ek.join(labels.select(F.col("k").alias("ka"), F.col("lbl").alias("la")), "ka")
+        .join(labels.select(F.col("k").alias("kb"), F.col("lbl").alias("lb")), "kb")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("in_edges"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    grp = (
+        labels.join(deg.withColumnRenamed("src", "k"), "k")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("deg_sum"),
+        )
+    )
+    out = (
+        grp.join(intra, "lbl", "left")
+        .withColumn("in_edges", F.coalesce("in_edges", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+    )
+    return out.select(
+        F.col("lbl").alias("community"), "n_nodes", "in_edges", "deg_sum",
+        F.expr(
+            f"CAST((CAST({int(scale)} AS BIGINT) * in_edges) div m"
+            f" - (CAST({int(scale)} AS BIGINT) * deg_sum * deg_sum)"
+            " div (4 * m * m) AS BIGINT)"
+        ).alias("q_ppm"),
     )
