@@ -3246,6 +3246,88 @@ def q_kg_kge_eval(spark, sf_dir):
     return kgtrain.kge_eval(stages["triples"], dim=4, emb_mod=1000)
 
 
+def q_er_pair_features(spark, sf_dir):
+    """ER pairwise feature table (er.pair_features): phonetic-blocked
+    candidate pairs with the Magellan-style integer similarity vector
+    (levenshtein / lengths / token overlap / shingle-Jaccard stats) —
+    the training input of an ER match classifier; same misspelling
+    splice as er_phonetic_pairs so buckets provably pair."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    surf = occ.select("norm_surface")
+    variants = surf.filter(
+        (F.length("norm_surface") >= 5)
+        & F.col("norm_surface").rlike("^.[^a]*a")
+    ).select(
+        F.regexp_replace("norm_surface", "^(.[^a]*)a", "$1e").alias(
+            "norm_surface"
+        )
+    )
+    return er.pair_features(surf.unionByName(variants))
+
+
+PATH_SPLICE_A = ["hub0", "hub0", "via-a", "via-b", "mid1", "mid1", "out-a", "out-b"]
+PATH_SPLICE_B = ["via-a", "via-b", "mid1", "mid1", "out-a", "out-b", "mid2", "mid2"]
+
+
+def q_kg_path_counts(spark, sf_dir):
+    """Landmark shortest-path counts (er.landmark_path_counts): Brandes'
+    forward sigma sweep from the 3 top-degree entities, 3 level-
+    synchronous rounds — hop distance AND exact shortest-path multiplicity
+    per reached node; oracle unrolls the same frontier/anti-join rounds.
+
+    Gate splice (the kg_conflicts protocol — measured in DuckDB first:
+    the word-salad co-occurrence graph is star-sparse, max degree 4/6 at
+    sf0.001/0.01, so every natural sigma is 1 and BFS dies at depth 1):
+    a doc_id-derived 'SPL'-typed diamond ladder — a 12-leaf hub (degree
+    14 > any corpus node, so it IS seed 1) feeding two parallel 2-paths
+    into mid1 and onward — makes sigma=2 at depths 2-3, rounds 2-3
+    anti-joins, and the beyond-horizon cutoff (mid2 at dist 4) all
+    provably fire; corpus nodes still fill seeds 2-3."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    leaves = d.select(
+        F.lit("hub0").alias("ent_a"),
+        F.concat(F.lit("leaf"), F.pmod(did, 12).cast("string")).alias("ent_b"),
+    ).distinct()
+    pat = d.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in PATH_SPLICE_A]),
+            (F.pmod(did, 8) + 1).cast("int"),
+        ).alias("ent_a"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in PATH_SPLICE_B]),
+            (F.pmod(did, 8) + 1).cast("int"),
+        ).alias("ent_b"),
+    ).distinct()
+    splice = leaves.unionByName(pat).select(
+        "ent_a", F.lit("SPL").alias("type_a"),
+        "ent_b", F.lit("SPL").alias("type_b"),
+        F.lit(1).cast("long").alias("n_sents"),
+        F.lit(1).cast("long").alias("n_docs"),
+    )
+    edges = er.cooccurrence_edges(typed).unionByName(splice)
+    return er.landmark_path_counts(edges, rounds=3, n_seeds=3)
+
+
+def q_txt_sitemaps(spark, sf_dir):
+    """Sitemap-protocol ingestion (webtext.build_sitemaps +
+    parse_sitemaps): deterministic per-host XML sitemaps parsed back to
+    (loc, lastmod, changefreq, priority_pct) rows — the crawl-scheduler
+    input beside robots_check and crawl_frontier."""
+    from unsupervised_ner_spark.ops import webtext
+
+    d = _t(spark, sf_dir, "documents")
+    return webtext.parse_sitemaps(webtext.build_sitemaps(d))
+
+
 def q_kg_relation_candidates(spark, sf_dir):
     """Distant-supervision relation candidates (triples.relation_candidates,
     Mintz et al. 2009): every ordered same-sentence typed-mention pair
@@ -3293,6 +3375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_candidates": q_kg_relation_candidates,
         "kg_modularity": q_kg_modularity,
         "kg_kge_eval": q_kg_kge_eval,
+        "er_pair_features": q_er_pair_features,
+        "kg_path_counts": q_kg_path_counts,
+        "txt_sitemaps": q_txt_sitemaps,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3506,6 +3591,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_relation_candidates": O.kg_relation_candidates(),
         "kg_modularity": O.kg_modularity(iterations=4),
         "kg_kge_eval": O.kg_kge_eval(dim=4, emb_mod=1000),
+        "er_pair_features": O.er_pair_features(),
+        "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
+        "txt_sitemaps": O.txt_sitemaps(),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "kg_relation_candidates",
     "kg_modularity",
     "kg_kge_eval",
+    "er_pair_features",
+    "kg_path_counts",
+    "txt_sitemaps",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

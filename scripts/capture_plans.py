@@ -1540,6 +1540,33 @@ def main() -> None:
     checks.append(("kge eval: hash embeddings in codegen (no BatchEvalPython)",
                    "BatchEvalPython" not in p155))
 
+    # 156. pair features: keyed vocabulary persisted once (cap aggregate
+    # + both self-join sides); features are pure codegen (no python UDF)
+    p156 = plan_of(entry.q_er_pair_features(spark, SF))
+    sections.append(("ER pair features (er_pair_features)", p156))
+    checks.append(("pair features: keyed vocab persisted",
+                   "InMemoryTableScan" in p156))
+    checks.append(("pair features: no python eval in feature expressions",
+                   "BatchEvalPython" not in p156))
+
+    # 157. path counts: adjacency + visited state persisted; per-round
+    # frontier joins are equi-joins (no cartesian)
+    p157 = plan_of(entry.q_kg_path_counts(spark, SF))
+    sections.append(("Landmark path counts (kg_path_counts)", p157))
+    checks.append(("path counts: adjacency/state persisted",
+                   "InMemoryTableScan" in p157))
+    checks.append(("path counts: no cartesian",
+                   "CartesianProduct" not in p157))
+
+    # 158. sitemaps: build is one hash aggregate; parse is a pure map
+    # (no join anywhere in the chain)
+    p158 = plan_of(entry.q_txt_sitemaps(spark, SF))
+    sections.append(("Sitemap build+parse (txt_sitemaps)", p158))
+    checks.append(("sitemaps: no join in the chain", "Join" not in p158))
+    checks.append(("sitemaps: single host-keyed aggregate",
+                   "HashAggregate" in p158 or "ObjectHashAggregate" in p158
+                   or "SortAggregate" in p158))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

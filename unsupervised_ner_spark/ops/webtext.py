@@ -801,3 +801,92 @@ def extract_tables(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size("cells").cast("long").alias("n_cells"),
         )
     )
+
+
+def build_sitemaps(documents: DataFrame) -> DataFrame:
+    """Deterministic per-host XML sitemaps (stand-in for fetching
+    /sitemap.xml — the robots_rules precedent; parsing a real file is
+    the same regex projection): every document becomes one ``<url>``
+    entry (loc / lastmod / changefreq / priority, all doc_id-derived so
+    every parse branch occurs), grouped under 17 synthetic hosts with
+    entries concatenated in doc_id order. Output: (host, xml).
+
+    Scale shape: one map + one map-side-combining aggregate keyed on
+    host; the per-host collect is bounded by pages-per-host (a real
+    sitemap is capped at 50k URLs by spec — the same envelope)."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("site-"), F.pmod(did, 17).cast("string"), F.lit(".example.com")
+    )
+    lastmod = F.concat(
+        F.lit("2024-"),
+        F.lpad((F.pmod(did, 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.pmod(did, 28) + 1).cast("string"), 2, "0"),
+    )
+    changefreq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (F.pmod(did, 3) + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host,
+        F.lit("/page-"), did.cast("string"), F.lit(".html</loc>"),
+        F.lit("<lastmod>"), lastmod, F.lit("</lastmod>"),
+        F.lit("<changefreq>"), changefreq, F.lit("</changefreq>"),
+        F.lit("<priority>0."), F.pmod(did, 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    g = documents.select(host.alias("host"), did.alias("doc_id"),
+                         entry.alias("entry"))
+    agg = g.groupBy("host").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s["entry"],
+            ),
+            "",
+        ).alias("body")
+    )
+    return agg.select(
+        "host",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'), F.col("body"),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """Sitemap-protocol parser (sitemaps.org XML): split the ``<urlset>``
+    into ``<url>`` entries (position-preserving), project loc / lastmod /
+    changefreq and the priority as an exact integer percentage — the
+    crawl-scheduler input beside robots_allowed and crawl_frontier.
+    Output: (host, entry_idx, loc, lastmod, changefreq, priority_pct).
+
+    Scale shape: pure map (regexp_extract_all + posexplode + per-entry
+    regexp projections, all codegen; entry arrays bounded by the 50k/
+    sitemap spec cap); no exchange, no join."""
+    ents = F.regexp_extract_all(F.col("xml"), F.lit("<url>(.*?)</url>"), 1)
+    ex = sitemaps.select("host", F.posexplode(ents).alias("entry_idx", "e"))
+
+    def field(tag):
+        return F.regexp_extract(F.col("e"), f"<{tag}>([^<]*)</{tag}>", 1)
+
+    return ex.select(
+        "host",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        field("loc").alias("loc"),
+        field("lastmod").alias("lastmod"),
+        field("changefreq").alias("changefreq"),
+        (
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.col("e"), r"<priority>0\.([0-9])</priority>", 1
+                    ),
+                    F.lit(""),
+                ).cast("long"),
+                F.lit(0),
+            ) * 10
+        ).cast("long").alias("priority_pct"),
+    ).filter(F.length("loc") > 0)

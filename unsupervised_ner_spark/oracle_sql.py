@@ -7445,3 +7445,222 @@ FROM per_triple GROUP BY pred_norm
 """
     )
     return _materialize(body, "dtrip", "vocab")
+
+
+def er_pair_features(
+    max_bucket: int = 100, scale: int = 1_000_000, model: str = "a100"
+) -> str:
+    """Pair-feature twin (pipeline/er.pair_features): identical phonetic
+    key construction + misspelling splice as er_phonetic_pairs, then the
+    full integer feature vector per in-bucket pair (levenshtein, lengths,
+    distinct-token overlap, char-3-gram shingle Jaccard statistics)."""
+    from unsupervised_ner_spark.pipeline.er import PHONETIC_FROM, PHONETIC_TO
+
+    collapse = "translate(u, '{f}', '{t}')".format(f=PHONETIC_FROM, t=PHONETIC_TO)
+    for digit in "123456":
+        collapse = (
+            f"regexp_replace({collapse}, '{digit}{digit}+', '{digit}', 'g')"
+        )
+    shingle = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length('^' || {c} || '$') - 2, 1)), "
+        "i -> substr('^' || {c} || '$', i, 3)))"
+    )
+    toks = "list_distinct(str_split({c}, ' '))"
+    return (
+        _kg_prefix(model)
+        + f"""
+, occ0 AS (
+    SELECT DISTINCT
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+occ AS (
+    SELECT norm_surface FROM occ0
+    UNION
+    SELECT regexp_replace(norm_surface, '^(.[^a]*)a', '\\1e') AS norm_surface
+    FROM occ0
+    WHERE length(norm_surface) >= 5
+      AND regexp_matches(norm_surface, '^.[^a]*a')
+),
+ku AS (
+    SELECT norm_surface,
+           upper(regexp_replace(norm_surface, '[^A-Za-z]', '', 'g')) AS u
+    FROM occ WHERE length(norm_surface) > 0
+),
+kd AS (
+    SELECT norm_surface, substring(u, 1, 1) AS first, {collapse} AS d,
+           translate(substring(u, 1, 1), '{PHONETIC_FROM}', '{PHONETIC_TO}')
+               AS code_first
+    FROM ku
+),
+keyed AS (
+    SELECT norm_surface,
+           first || rpad(substring(
+               CASE WHEN code_first <> '' AND substring(d, 1, 1) = code_first
+                    THEN substring(d, 2) ELSE d END, 1, 3), 3, '0') AS pkey
+    FROM kd
+),
+k4 AS (SELECT * FROM keyed WHERE length(pkey) = 4),
+ok AS (SELECT pkey FROM k4 GROUP BY pkey HAVING count(*) <= {max_bucket}),
+sm AS (SELECT k4.* FROM k4 JOIN ok USING (pkey)),
+pr AS (
+    SELECT a.pkey, a.norm_surface AS surf_a, b.norm_surface AS surf_b
+    FROM sm a JOIN sm b ON a.pkey = b.pkey
+    WHERE a.norm_surface < b.norm_surface
+),
+fe AS (
+    SELECT pkey, surf_a, surf_b,
+           {shingle.format(c='surf_a')} AS sha,
+           {shingle.format(c='surf_b')} AS shb
+    FROM pr
+),
+fz AS (
+    SELECT pkey, surf_a, surf_b,
+           CAST(len(list_intersect(sha, shb)) AS BIGINT) AS sh_inter,
+           CAST(len(sha) + len(shb) - len(list_intersect(sha, shb))
+                AS BIGINT) AS sh_union
+    FROM fe
+)
+SELECT pkey, surf_a, surf_b,
+       CAST(levenshtein(surf_a, surf_b) AS BIGINT) AS lev,
+       CAST(length(surf_a) AS BIGINT) AS len_a,
+       CAST(length(surf_b) AS BIGINT) AS len_b,
+       CAST(len({toks.format(c='surf_a')}) AS BIGINT) AS n_tok_a,
+       CAST(len({toks.format(c='surf_b')}) AS BIGINT) AS n_tok_b,
+       CAST(len(list_intersect({toks.format(c='surf_a')},
+                               {toks.format(c='surf_b')})) AS BIGINT)
+           AS tok_overlap,
+       sh_inter, sh_union,
+       CAST((CAST({scale} AS BIGINT) * sh_inter) // sh_union AS BIGINT)
+           AS sh_jaccard_ppm
+FROM fz
+"""
+    )
+
+
+def kg_path_counts(
+    model: str = "a100", rounds: int = 3, n_seeds: int = 3
+) -> str:
+    """Landmark shortest-path-count twin (pipeline/er.py
+    landmark_path_counts): unrolled level-synchronous Brandes forward
+    sweep — per round, sigma sums ONLY from the dist=i-1 frontier into
+    NOT EXISTS-unseen nodes — over the co-occurrence graph UNION the
+    doc_id-derived diamond-ladder splice (q_kg_path_counts docstring)."""
+    from __spark_entry__ import PATH_SPLICE_A, PATH_SPLICE_B
+
+    la = "['" + "', '".join(PATH_SPLICE_A) + "']"
+    lb = "['" + "', '".join(PATH_SPLICE_B) + "']"
+    body = f"""
+WITH eg0 AS ({kg_cooccurrence(model)})
+, spl AS (
+    SELECT DISTINCT 'hub0' AS ent_a,
+           'leaf' || CAST(doc_id % 12 AS VARCHAR) AS ent_b
+    FROM documents
+    UNION
+    SELECT DISTINCT ({la})[(doc_id % 8) + 1] AS ent_a,
+           ({lb})[(doc_id % 8) + 1] AS ent_b
+    FROM documents
+),
+eg AS (
+    SELECT ent_a, type_a, ent_b, type_b FROM eg0
+    UNION ALL
+    SELECT ent_a, 'SPL' AS type_a, ent_b, 'SPL' AS type_b FROM spl
+),
+sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+seeds AS (
+    SELECT src, CAST(row_number() OVER (ORDER BY deg DESC, src) AS BIGINT)
+           AS seed_rank
+    FROM deg
+    QUALIFY seed_rank <= {n_seeds}
+),
+s0 AS (
+    SELECT src AS seed, src AS k, CAST(0 AS BIGINT) AS dist,
+           CAST(1 AS BIGINT) AS sigma
+    FROM seeds
+)"""
+    prev = "s0"
+    mats = ["sym", "seeds"]
+    for i in range(1, rounds + 1):
+        body += f""",
+n{i} AS (
+    SELECT f.seed, s.dst AS k, CAST(sum(f.sigma) AS BIGINT) AS sigma
+    FROM sym s JOIN {prev} f ON s.src = f.k
+    WHERE f.dist = {i - 1}
+    GROUP BY f.seed, s.dst
+),
+s{i} AS (
+    SELECT * FROM {prev}
+    UNION ALL
+    SELECT n.seed, n.k, CAST({i} AS BIGINT) AS dist, n.sigma
+    FROM n{i} n
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                      WHERE p.seed = n.seed AND p.k = n.k)
+)"""
+        mats.append(prev)
+        prev = f"s{i}"
+    body += f"""
+SELECT sd.seed_rank,
+       split_part(st.k, '|', 1) AS ent, split_part(st.k, '|', 2) AS etype,
+       st.dist, st.sigma
+FROM {prev} st JOIN seeds sd ON sd.src = st.seed
+"""
+    return _materialize(body, *dict.fromkeys(mats))
+
+
+def txt_sitemaps() -> str:
+    """Sitemap twin (ops/webtext.build_sitemaps + parse_sitemaps): the
+    SAME doc_id-derived XML built with string_agg(ORDER BY doc_id), then
+    the regex projection replayed per <url> entry."""
+    entry = (
+        "'<url><loc>https://' || host || '/page-' ||"
+        " CAST(doc_id AS VARCHAR) || '.html</loc>'"
+        " || '<lastmod>2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')"
+        " || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'"
+        " || '<changefreq>' ||"
+        " (['daily', 'weekly', 'monthly'])[(doc_id % 3) + 1] || '</changefreq>'"
+        " || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) ||"
+        " '</priority></url>'"
+    )
+    return f"""
+WITH e AS (
+    SELECT 'site-' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+           doc_id
+    FROM documents
+),
+e2 AS (SELECT host, doc_id, {entry} AS entry FROM e),
+sm AS (
+    SELECT host,
+           '<?xml version="1.0"?><urlset>' ||
+           string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+    FROM e2 GROUP BY host
+),
+ux AS (
+    SELECT host, regexp_extract_all(xml, '<url>(.*?)</url>', 1) AS ents
+    FROM sm
+),
+ex AS (
+    SELECT host, CAST(u.i - 1 AS BIGINT) AS entry_idx, ents[u.i] AS en
+    FROM ux, UNNEST(generate_series(1, len(ents))) AS u(i)
+),
+parsed AS (
+    SELECT host, entry_idx,
+           regexp_extract(en, '<loc>([^<]*)</loc>', 1) AS loc,
+           regexp_extract(en, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+           regexp_extract(en, '<changefreq>([^<]*)</changefreq>', 1)
+               AS changefreq,
+           CAST(coalesce(nullif(
+               regexp_extract(en, '<priority>0\\.([0-9])</priority>', 1),
+               ''), '0') AS BIGINT) * 10 AS priority_pct
+    FROM ex
+)
+SELECT host, entry_idx, loc, lastmod, changefreq,
+       CAST(priority_pct AS BIGINT) AS priority_pct
+FROM parsed WHERE length(loc) > 0
+"""

@@ -2696,3 +2696,147 @@ def modularity(
             " div (4 * m * m) AS BIGINT)"
         ).alias("q_ppm"),
     )
+
+
+def pair_features(
+    surfaces: DataFrame, max_bucket: int = 100, scale: int = 1_000_000
+) -> DataFrame:
+    """ER pairwise FEATURE table over the phonetic candidate channel —
+    the Magellan-style (Konda et al. VLDB'16) training input an ER
+    match classifier consumes: instead of phonetic_pairs' hard
+    Levenshtein cutoff, every in-bucket candidate pair is emitted with
+    its similarity feature vector and the THRESHOLD DECISION is left to
+    the downstream model. Features (all exact integers): Levenshtein,
+    surface lengths, distinct whitespace-token counts and overlap, and
+    char-3-gram shingle Jaccard as (intersection, union, scaled ppm
+    ratio) sufficient statistics.
+
+    Scale shape: identical blocking posture as phonetic_pairs (distinct
+    surface vocabulary persisted once — cap aggregate + both self-join
+    sides; hot phonetic buckets capped); the feature expressions are
+    pure codegen over the pair rows (shingle arrays are bounded by
+    surface length, never corpus-sized)."""
+    keyed = scoped_persist(
+        surfaces.select("norm_surface")
+        .filter(F.length("norm_surface") > 0)
+        .distinct()
+        .select(
+            "norm_surface",
+            phonetic_key_col(F.col("norm_surface")).alias("pkey"),
+        )
+        .filter(F.length("pkey") == 4)
+    )
+    ok = keyed.groupBy("pkey").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).select("pkey")
+    small = keyed.join(ok, "pkey")
+    a = small.select("pkey", F.col("norm_surface").alias("surf_a"))
+    b = small.select("pkey", F.col("norm_surface").alias("surf_b"))
+    p = (
+        a.join(b, "pkey")
+        .filter(F.col("surf_a") < F.col("surf_b"))
+        .withColumn("sha", _char_shingles(F.col("surf_a")))
+        .withColumn("shb", _char_shingles(F.col("surf_b")))
+        .withColumn(
+            "sh_inter",
+            F.size(F.array_intersect("sha", "shb")).cast("long"),
+        )
+    )
+
+    def toks(c):
+        return F.array_distinct(F.split(F.col(c), " "))
+
+    p = p.withColumn(
+        "sh_union",
+        (F.size("sha") + F.size("shb") - F.col("sh_inter")).cast("long"),
+    )
+    return p.select(
+        "pkey", "surf_a", "surf_b",
+        F.levenshtein("surf_a", "surf_b").cast("long").alias("lev"),
+        F.length("surf_a").cast("long").alias("len_a"),
+        F.length("surf_b").cast("long").alias("len_b"),
+        F.size(toks("surf_a")).cast("long").alias("n_tok_a"),
+        F.size(toks("surf_b")).cast("long").alias("n_tok_b"),
+        F.size(F.array_intersect(toks("surf_a"), toks("surf_b")))
+        .cast("long").alias("tok_overlap"),
+        "sh_inter", "sh_union",
+        F.expr(
+            f"CAST((CAST({int(scale)} AS BIGINT) * sh_inter) div sh_union"
+            " AS BIGINT)"
+        ).alias("sh_jaccard_ppm"),
+    )
+
+
+def landmark_path_counts(
+    edges: DataFrame, rounds: int = 3, n_seeds: int = 3
+) -> DataFrame:
+    """Shortest-path COUNTS from the top-degree landmarks — the sigma
+    table of Brandes' betweenness algorithm (Brandes 2001, the forward
+    sweep): for each landmark and every node within ``rounds`` hops, the
+    hop distance AND the exact number of distinct shortest paths. Path
+    redundancy is the KG-robustness signal distance alone hides (a node
+    at distance 2 via 40 paths is structurally closer than one at
+    distance 2 via a single bridge).
+
+    Exact integers by level-synchronous construction: all shortest paths
+    to a node at BFS level i enter from level i-1, so accumulating sigma
+    only from the CURRENT frontier (dist = i-1) into NOT-YET-SEEN nodes
+    is exactly Brandes' forward pass; the oracle unrolls the same rounds
+    with NOT EXISTS anti-joins.
+
+    Scale shape: the bfs_distances posture (adjacency persisted once,
+    one frontier-keyed equi-join + one aggregate per round) plus one
+    node-keyed anti-join per round against the bounded visited table.
+    Sigma growth is bounded by products of frontier degrees over
+    ``rounds`` hops — BIGINT-safe for any realistic degree at r=3."""
+    from pyspark.sql import Window
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    seeds = scoped_persist(
+        deg.select(
+            "src", F.row_number().over(w).cast("long").alias("seed_rank")
+        ).filter(F.col("seed_rank") <= int(n_seeds))
+    )
+    state = scoped_persist(
+        seeds.select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("k"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    for i in range(1, int(rounds) + 1):
+        frontier = state.filter(F.col("dist") == i - 1)
+        relaxed = (
+            sym.join(
+                frontier.select(F.col("k").alias("src"), "seed", "sigma"),
+                "src",
+            )
+            .groupBy("seed", F.col("dst").alias("k"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        new = relaxed.join(
+            state.select("seed", "k"), ["seed", "k"], "left_anti"
+        ).select("seed", "k", F.lit(i).cast("long").alias("dist"), "sigma")
+        state = scoped_persist(state.unionByName(new))
+    out = state.join(seeds.withColumnRenamed("src", "seed"), "seed")
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        "seed_rank", part(0).alias("ent"), part(1).alias("etype"),
+        "dist", "sigma",
+    )
