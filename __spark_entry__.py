@@ -3317,6 +3317,45 @@ def q_kg_path_counts(spark, sf_dir):
     return er.landmark_path_counts(edges, rounds=3, n_seeds=3)
 
 
+def q_kg_motif_census(spark, sf_dir):
+    """Typed triangle-motif census (er.motif_census): the heterogeneous-
+    graphlet rollup of the triangle table keyed by the sorted type
+    multiset — the schema-level cohesion dashboard."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.motif_census(er.triangles(er.cooccurrence_edges(typed)))
+
+
+def q_kg_ego_export(spark, sf_dir):
+    """K-hop ego-network export (er.ego_subgraph): the induced 2-hop
+    subgraph around the top-PageRank entity with endpoint distances —
+    the KG serving primitive; root selection composes the integer
+    pagerank so the export is bit-reproducible."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.ego_subgraph(er.cooccurrence_edges(typed), hops=2)
+
+
+def q_kg_local_bridges(spark, sf_dir):
+    """Local bridges / weak ties (er.local_bridges): every co-occurrence
+    edge with its triangle support and the zero-triangle bridge flag —
+    where the KG is one bad extraction away from merging communities."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.local_bridges(er.cooccurrence_edges(typed))
+
+
+def q_txt_budget_select(spark, sf_dir):
+    """Token-budget data selection (textstats.budget_select): docs in
+    (lm-quality desc, doc_id) order accumulate tokens via the two-level
+    banded prefix sum (no global single-partition sort over the corpus);
+    selected while within half the corpus's tokens."""
+    return textstats.budget_select(_t(spark, sf_dir, "documents"))
+
+
 def q_txt_sitemaps(spark, sf_dir):
     """Sitemap-protocol ingestion (webtext.build_sitemaps +
     parse_sitemaps): deterministic per-host XML sitemaps parsed back to
@@ -3378,6 +3417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
+        "kg_motif_census": q_kg_motif_census,
+        "kg_ego_export": q_kg_ego_export,
+        "kg_local_bridges": q_kg_local_bridges,
+        "txt_budget_select": q_txt_budget_select,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3594,6 +3637,10 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),
+        "kg_motif_census": O.kg_motif_census(),
+        "kg_ego_export": O.kg_ego_export(hops=2),
+        "kg_local_bridges": O.kg_local_bridges(),
+        "txt_budget_select": O.txt_budget_select(),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

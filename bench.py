@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "er_pair_features",
     "kg_path_counts",
     "txt_sitemaps",
+    "kg_motif_census",
+    "kg_ego_export",
+    "kg_local_bridges",
+    "txt_budget_select",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

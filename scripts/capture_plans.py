@@ -1567,6 +1567,43 @@ def main() -> None:
                    "HashAggregate" in p158 or "ObjectHashAggregate" in p158
                    or "SortAggregate" in p158))
 
+    # 159. motif census: one aggregate over the triangle chain, no
+    # python eval (array_sort of 3 literals is codegen)
+    p159 = plan_of(entry.q_kg_motif_census(spark, SF))
+    sections.append(("Typed motif census (kg_motif_census)", p159))
+    checks.append(("motif census: no python eval",
+                   "BatchEvalPython" not in p159))
+    checks.append(("motif census: triangle wedge tables persisted",
+                   "InMemoryTableScan" in p159))
+
+    # 160. ego export: edge table persisted once (pagerank + induction);
+    # root broadcast; no cartesian beyond the 1-row root cross join
+    p160 = plan_of(entry.q_kg_ego_export(spark, SF))
+    sections.append(("Ego-subgraph export (kg_ego_export)", p160))
+    checks.append(("ego export: edge/dist tables persisted",
+                   "InMemoryTableScan" in p160))
+    checks.append(("ego export: root rides a broadcast",
+                   "BroadcastExchange" in p160))
+
+    # 161. local bridges: edge table persisted once (wedge sides + left
+    # join back); no cartesian
+    p161 = plan_of(entry.q_kg_local_bridges(spark, SF))
+    sections.append(("Local bridges (kg_local_bridges)", p161))
+    checks.append(("local bridges: edge table persisted",
+                   "InMemoryTableScan" in p161))
+    checks.append(("local bridges: no cartesian",
+                   "CartesianProduct" not in p161))
+
+    # 162. budget select: the corpus-sized window partitions on the score
+    # BAND (never a global single-partition corpus sort); the only
+    # unpartitioned window is over the bounded band-total table
+    p162 = plan_of(entry.q_txt_budget_select(spark, SF))
+    sections.append(("Token-budget selection (txt_budget_select)", p162))
+    checks.append(("budget select: scored doc table persisted",
+                   "InMemoryTableScan" in p162))
+    checks.append(("budget select: banded window present",
+                   "Window" in p162))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

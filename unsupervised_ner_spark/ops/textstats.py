@@ -1095,3 +1095,72 @@ def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 4000)
             "(covered_tokens * CAST(1000000 AS BIGINT)) div total_tokens"
         ).alias("coverage_ppm"),
     )
+
+
+def budget_select(
+    documents: DataFrame, scale: int = 1_000_000, band: int = 10_000
+) -> DataFrame:
+    """Quality-ordered selection under a token budget — the data-curation
+    step after scoring (the SemDeDup/DSIR-era "keep the best half"
+    recipe): documents sorted by (lm_score_scaled desc, doc_id asc)
+    accumulate a running token total, and a doc is selected while the
+    running total stays within the budget (here: half the corpus's
+    tokens, computed from the corpus itself so the gate scales).
+
+    Returns every doc: (doc_id, score, n_tokens, cum_tokens, budget,
+    selected).
+
+    Scale shape: the global ordered prefix sum is computed WITHOUT a
+    global single-partition sort (the ops/packing.py two-level-rank
+    pattern): docs partition into score BANDS (score div band — band
+    order = score order), the running sum is a per-band window, and the
+    cross-band offset is an exclusive prefix sum over the BOUNDED
+    band-total table (<= scale/band rows) joined back — so the only
+    single-partition window touches the band table, never the corpus.
+    The oracle replays the semantics with a plain global window (same
+    total order => identical cum_tokens)."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    lm = lm_doc_score(documents, scale)
+    toks = documents.select(
+        "doc_id", F.size(tokens_ws(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    d = (
+        toks.join(lm.select("doc_id", "lm_score_scaled"), "doc_id", "left")
+        .withColumn(
+            "score", F.coalesce("lm_score_scaled", F.lit(0)).cast("long")
+        )
+        .withColumn("band", F.expr(f"score div {int(band)}").cast("long"))
+    )
+    d = scoped_persist(d)
+    win = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("in_band_cum", F.sum("n_tokens").over(win))
+    btot = d.groupBy("band").agg(F.sum("n_tokens").cast("long").alias("b_tokens"))
+    owin = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "band",
+        F.coalesce(F.sum("b_tokens").over(owin), F.lit(0))
+        .cast("long").alias("offset"),
+    )
+    total = d.agg(F.expr("CAST(sum(n_tokens) div 2 AS BIGINT)").alias("budget"))
+    out = (
+        within.join(offs, "band")
+        .withColumn(
+            "cum_tokens",
+            (F.col("offset") + F.col("in_band_cum")).cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "doc_id", "score", "n_tokens", "cum_tokens", "budget",
+        (F.col("cum_tokens") <= F.col("budget")).cast("long").alias("selected"),
+    )

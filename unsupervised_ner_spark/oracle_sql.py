@@ -7664,3 +7664,147 @@ SELECT host, entry_idx, loc, lastmod, changefreq,
        CAST(priority_pct AS BIGINT) AS priority_pct
 FROM parsed WHERE length(loc) > 0
 """
+
+
+def kg_motif_census(model: str = "a100") -> str:
+    """Typed-motif census twin (pipeline/er.py motif_census): sorted type
+    multiset key (list_sort == array_sort on ASCII type names) over the
+    triangle-table chain."""
+    return f"""
+WITH tri AS ({kg_triangles(model)})
+SELECT array_to_string(list_sort([type_a, type_b, type_c]), '|') AS motif,
+       CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(count(DISTINCT ent_a) AS BIGINT) AS n_corner_a,
+       CAST(count(DISTINCT ent_b) AS BIGINT) AS n_corner_b,
+       CAST(count(DISTINCT ent_c) AS BIGINT) AS n_corner_c
+FROM tri GROUP BY motif
+"""
+
+
+def kg_ego_export(model: str = "a100", hops: int = 2) -> str:
+    """Ego-subgraph twin (pipeline/er.py ego_subgraph): top-PageRank root
+    ((rank desc, ent, etype) total order over the kg_pagerank chain),
+    ``hops`` unrolled min-relaxations, induced-edge join with both
+    endpoint distances."""
+    body = f"""
+WITH ege AS ({kg_cooccurrence(model)})
+, pr AS ({kg_pagerank(model)})
+, root AS (
+    SELECT ent || '|' || etype AS k, ent AS root_ent, etype AS root_type
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rank_scaled DESC, ent, etype)
+               AS rn
+        FROM pr
+    ) WHERE rn = 1
+),
+esym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM ege
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM ege
+),
+ed0 AS (SELECT k, CAST(0 AS BIGINT) AS dist FROM root)"""
+    prev = "ed0"
+    for i in range(1, hops + 1):
+        body += f""",
+ed{i} AS (
+    SELECT k, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT k, dist FROM {prev}
+        UNION ALL
+        SELECT s.dst AS k, d.dist + 1 AS dist
+        FROM esym s JOIN {prev} d ON s.src = d.k
+    ) GROUP BY k
+)"""
+        prev = f"ed{i}"
+    body += f"""
+, eek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb,
+           n_sents, n_docs
+    FROM ege
+)
+SELECT r.root_ent, r.root_type,
+       split_part(eek.ka, '|', 1) AS ent_a, split_part(eek.ka, '|', 2) AS type_a,
+       da.dist AS dist_a,
+       split_part(eek.kb, '|', 1) AS ent_b, split_part(eek.kb, '|', 2) AS type_b,
+       db.dist AS dist_b,
+       eek.n_sents, eek.n_docs
+FROM eek
+JOIN {prev} da ON da.k = eek.ka
+JOIN {prev} db ON db.k = eek.kb
+CROSS JOIN root r
+"""
+    return _materialize(
+        body, "ege", "esym", *[f"ed{i}" for i in range(hops)], prev
+    )
+
+
+def kg_local_bridges(model: str = "a100") -> str:
+    """Local-bridge twin (pipeline/er.py local_bridges): per-edge
+    triangle support via the two-neighbor-expansion wedge join, LEFT
+    join back with coalesce-0, bridge flag."""
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, ek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb,
+           n_sents, n_docs
+    FROM eg
+),
+sym AS (
+    SELECT ka AS src, kb AS dst FROM ek
+    UNION ALL
+    SELECT kb AS src, ka AS dst FROM ek
+),
+tri AS (
+    SELECT e.ka, e.kb, CAST(count(*) AS BIGINT) AS n_common
+    FROM ek e
+    JOIN sym sa ON sa.src = e.ka
+    JOIN sym sb ON sb.src = e.kb AND sb.dst = sa.dst
+    GROUP BY e.ka, e.kb
+)
+SELECT split_part(e.ka, '|', 1) AS ent_a, split_part(e.ka, '|', 2) AS type_a,
+       split_part(e.kb, '|', 1) AS ent_b, split_part(e.kb, '|', 2) AS type_b,
+       e.n_sents, e.n_docs,
+       CAST(coalesce(t.n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN coalesce(t.n_common, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_bridge
+FROM ek e LEFT JOIN tri t ON t.ka = e.ka AND t.kb = e.kb
+""",
+        "ek", "sym",
+    )
+
+
+def txt_budget_select(scale: int = 1_000_000) -> str:
+    """Budget-selection twin (ops/textstats.py budget_select): the SAME
+    (score desc, doc_id asc) total order replayed with a plain global
+    running-sum window (the engine's two-level band decomposition is an
+    execution strategy, not a semantics change), half-corpus budget,
+    truncating division on positive longs."""
+    return _materialize(
+        f"""
+WITH lm AS ({txt_lm_score(scale)})
+, tkn AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+d AS (
+    SELECT t.doc_id, t.n_tokens,
+           CAST(coalesce(l.lm_score_scaled, 0) AS BIGINT) AS score
+    FROM tkn t LEFT JOIN lm l USING (doc_id)
+),
+c AS (
+    SELECT doc_id, score, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+    FROM d
+),
+b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM d)
+SELECT c.doc_id, c.score, c.n_tokens, c.cum_tokens, b.budget,
+       CAST(CASE WHEN c.cum_tokens <= b.budget THEN 1 ELSE 0 END AS BIGINT)
+           AS selected
+FROM c CROSS JOIN b
+""",
+        "d",
+    )

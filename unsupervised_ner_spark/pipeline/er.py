@@ -2840,3 +2840,160 @@ def landmark_path_counts(
         "seed_rank", part(0).alias("ent"), part(1).alias("etype"),
         "dist", "sigma",
     )
+
+
+def motif_census(tri: DataFrame) -> DataFrame:
+    """Typed triangle-motif census — the heterogeneous-graphlet rollup of
+    the triangle table (the schema-level structure dashboard: which
+    entity-TYPE triples actually close triangles, e.g. DISEASE-DRUG-GENE
+    vs three LOCATIONs): triangles keyed by their SORTED type multiset
+    (order-free, so the census is independent of corner orientation),
+    with distinct-corner-entity counts as the diversity signal.
+
+    Scale shape: one map (array_sort over 3 bounded literals) + one
+    map-side-combining aggregate keyed by the motif string — output
+    bounded by |types|^3 / 6."""
+    motif = F.array_join(
+        F.array_sort(F.array("type_a", "type_b", "type_c")), "|"
+    )
+    return tri.select(
+        motif.alias("motif"), "ent_a", "ent_b", "ent_c"
+    ).groupBy("motif").agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.countDistinct("ent_a").cast("long").alias("n_corner_a"),
+        F.countDistinct("ent_b").cast("long").alias("n_corner_b"),
+        F.countDistinct("ent_c").cast("long").alias("n_corner_c"),
+    )
+
+
+def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
+    """K-hop ego-network export around the top-PageRank entity — the KG
+    serving primitive ("show me everything near the most central
+    entity"): the induced subgraph whose endpoints BOTH lie within
+    ``hops`` of the root, each edge annotated with both endpoint
+    distances and the root. Root selection composes the integer
+    er.pagerank (rank desc, ent asc, etype asc — a total order), so the
+    export is bit-reproducible.
+
+    Scale shape: the edge table is persisted once (feeds pagerank's
+    symmetrization AND the induction joins); the BFS is the
+    bfs_distances posture (``hops`` join+min-aggregate rounds from a
+    1-row frontier); induction is two node-keyed equi-joins of the edge
+    table against the hop-bounded reach set (at 100 TB the reach set of
+    one root broadcasts). The root pick is a 1-row window over the
+    node-bounded rank table."""
+    from pyspark.sql import Window
+
+    edges = scoped_persist(edges)
+    pr = pagerank(edges)
+    w = Window.orderBy(F.desc("rank_scaled"), F.asc("ent"), F.asc("etype"))
+    root = (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat_ws("|", "ent", "etype").alias("k"),
+            F.col("ent").alias("root_ent"),
+            F.col("etype").alias("root_type"),
+        )
+    )
+    root = scoped_persist(root)
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    dist = scoped_persist(root.select("k", F.lit(0).cast("long").alias("dist")))
+    for _ in range(int(hops)):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("k", "src"), "src")
+            .select(F.col("dst").alias("k"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = scoped_persist(
+            dist.unionByName(relaxed)
+            .groupBy("k")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    ek = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("ka"),
+        F.concat_ws("|", "ent_b", "type_b").alias("kb"),
+        "n_sents", "n_docs",
+    )
+    out = (
+        ek.join(
+            dist.select(F.col("k").alias("ka"), F.col("dist").alias("dist_a")),
+            "ka",
+        )
+        .join(
+            dist.select(F.col("k").alias("kb"), F.col("dist").alias("dist_b")),
+            "kb",
+        )
+        .crossJoin(F.broadcast(root.select("root_ent", "root_type")))
+    )
+
+    def part(key, j):
+        return F.split(F.col(key), r"\|")[j]
+
+    return out.select(
+        "root_ent", "root_type",
+        part("ka", 0).alias("ent_a"), part("ka", 1).alias("type_a"), "dist_a",
+        part("kb", 0).alias("ent_b"), part("kb", 1).alias("type_b"), "dist_b",
+        "n_sents", "n_docs",
+    )
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """Local-bridge detection over the entity co-occurrence graph — the
+    Granovetter "weak ties" analysis (Granovetter 1973; Easley-Kleinberg
+    ch. 3): an edge is a LOCAL BRIDGE when its endpoints share no
+    neighbor (it sits in zero triangles), i.e. it is the only short
+    route between its two neighborhoods. Bridges are where a KG is
+    fragile (one wrong extraction merges two unrelated discourse
+    communities) and where curators look first.
+
+    Returns every edge with its triangle support and the bridge flag:
+    (ent_a, type_a, ent_b, type_b, n_sents, n_docs, n_common,
+    is_bridge).
+
+    Scale shape: the per-edge triangle count is the ktruss support join
+    (edge table persisted once, two neighbor expansions meeting on the
+    shared witness z — hub edges expand by their degree, the standard
+    wedge exposure AQE splits) followed by one LEFT join back; edges in
+    no triangle fall out of the wedge join and re-enter with count 0 —
+    the bridge set itself never shuffles twice."""
+    ek = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("ka"),
+            F.concat_ws("|", "ent_b", "type_b").alias("kb"),
+            "n_sents", "n_docs",
+        )
+    )
+    sym = ek.select(F.col("ka").alias("src"), F.col("kb").alias("dst")).unionAll(
+        ek.select(F.col("kb").alias("src"), F.col("ka").alias("dst"))
+    )
+    tri = (
+        ek.select("ka", "kb")
+        .join(sym.select(F.col("src").alias("ka"), F.col("dst").alias("z")), "ka")
+        .join(sym.select(F.col("src").alias("kb"), F.col("dst").alias("z")),
+              ["kb", "z"])
+        .groupBy("ka", "kb")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = ek.join(tri, ["ka", "kb"], "left").withColumn(
+        "n_common", F.coalesce("n_common", F.lit(0)).cast("long")
+    )
+
+    def part(key, j):
+        return F.split(F.col(key), r"\|")[j]
+
+    return out.select(
+        part("ka", 0).alias("ent_a"), part("ka", 1).alias("type_a"),
+        part("kb", 0).alias("ent_b"), part("kb", 1).alias("type_b"),
+        "n_sents", "n_docs", "n_common",
+        (F.col("n_common") == 0).cast("long").alias("is_bridge"),
+    )
