@@ -3356,6 +3356,57 @@ def q_txt_budget_select(spark, sf_dir):
     return textstats.budget_select(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_gopher_flags(spark, sf_dir):
+    """Gopher-style named quality rules (textstats.gopher_flags): per-doc
+    integer pass/fail per rule + conjunction keep; thresholds calibrated
+    so every varying rule fires both ways at both gate scales (measured
+    first — the kg_conflicts protocol)."""
+    return textstats.gopher_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_sameas(spark, sf_dir):
+    """owl:sameAs RDF export of the ER resolution (er.sameas_ntriples):
+    every alias surface links to its canonical entity URI — the linked-
+    data deliverable beside kg_ntriples; rides the same persisted tagging
+    chain as the other ER queries."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import er
+    from unsupervised_ner_spark.pipeline.runner import typed_mentions_from_tagged
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    tagged = scoped_persist(stages["tagged"])
+    typed = typed_mentions_from_tagged(tagged)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    _entities, membership = er.resolve_entities(occ)
+    return er.sameas_ntriples(er.entity_aliases(occ, membership))
+
+
+def q_ann_kmeans_update(spark, sf_dir):
+    """One distributed Lloyd (k-means) update over the adaptive IVF
+    codebook (simsearch.kmeans_update): per-cell member counts + integer-
+    quantized component sums — the index-training step behind IVF/PQ;
+    output bounded by k x d."""
+    from unsupervised_ner_spark.ops import simsearch
+
+    return simsearch.kmeans_update(_t(spark, sf_dir, "embeddings"))
+
+
+def q_kg_pred_signatures(spark, sf_dir):
+    """Predicate domain/range signature induction
+    (triples.predicate_signatures): per-predicate type-pair counts,
+    deterministic signature rank, modal flag, and the integer majority-
+    dominance rule — the ontology-induction dashboard; measured at both
+    gate scales so both flag branches fire."""
+    from unsupervised_ner_spark.pipeline.triples import predicate_signatures
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return predicate_signatures(stages["triples"])
+
+
 def q_txt_sitemaps(spark, sf_dir):
     """Sitemap-protocol ingestion (webtext.build_sitemaps +
     parse_sitemaps): deterministic per-host XML sitemaps parsed back to
@@ -3421,6 +3472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ego_export": q_kg_ego_export,
         "kg_local_bridges": q_kg_local_bridges,
         "txt_budget_select": q_txt_budget_select,
+        "txt_gopher_flags": q_txt_gopher_flags,
+        "kg_sameas": q_kg_sameas,
+        "ann_kmeans_update": q_ann_kmeans_update,
+        "kg_pred_signatures": q_kg_pred_signatures,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3641,6 +3696,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_ego_export": O.kg_ego_export(hops=2),
         "kg_local_bridges": O.kg_local_bridges(),
         "txt_budget_select": O.txt_budget_select(),
+        "txt_gopher_flags": O.txt_gopher_flags(),
+        "kg_sameas": O.kg_sameas(),
+        "ann_kmeans_update": O.ann_kmeans_update(),
+        "kg_pred_signatures": O.kg_pred_signatures(),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

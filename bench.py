@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "kg_ego_export",
     "kg_local_bridges",
     "txt_budget_select",
+    "txt_gopher_flags",
+    "kg_sameas",
+    "ann_kmeans_update",
+    "kg_pred_signatures",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

@@ -758,8 +758,9 @@ def main() -> None:
     # (BroadcastNestedLoopJoin of a 1-row aggregate), never a collect
     p75 = plan_of(entry.q_txt_host_hits(spark, SF))
     sections.append(("Host HITS hubs/authorities (txt_host_hits)", p75))
-    checks.append(("host hits: edge table persisted once",
-                   "InMemoryTableScan" in p75))
+    checks.append(("host hits: score/edge tables checkpointed (lineage truncated"
+                   " — plain persist doubles the LOGICAL plan per half-step)",
+                   "ExistingRDD" in p75))
     checks.append(("host hits: 1-row max joins as broadcast",
                    "BroadcastNestedLoopJoin" in p75))
 
@@ -1491,8 +1492,9 @@ def main() -> None:
     # cartesian blowup beyond those single-row broadcasts
     p151 = plan_of(entry.q_kg_hits(spark, SF))
     sections.append(("HITS hubs/authorities (kg_hits)", p151))
-    checks.append(("hits: edge/node tables persisted once",
-                   "InMemoryTableScan" in p151))
+    checks.append(("hits: node table persisted once + step vectors "
+                   "checkpointed (lineage truncated)",
+                   "InMemoryTableScan" in p151 and "ExistingRDD" in p151))
     checks.append(("hits: renormalization max is a broadcast join",
                    "BroadcastNestedLoopJoin BuildRight, Cross" in p151
                    or "BroadcastHashJoin" in p151))
@@ -1603,6 +1605,42 @@ def main() -> None:
                    "InMemoryTableScan" in p162))
     checks.append(("budget select: banded window present",
                    "Window" in p162))
+
+    # 163. gopher flags: pure map — no exchange, no join, no python
+    p163 = plan_of(entry.q_txt_gopher_flags(spark, SF))
+    sections.append(("Gopher rule flags (txt_gopher_flags)", p163))
+    checks.append(("gopher flags: no exchange (pure narrow map)",
+                   "Exchange" not in p163))
+    checks.append(("gopher flags: no python eval",
+                   "BatchEvalPython" not in p163))
+
+    # 164. sameAs export: pure projection over the alias chain (the only
+    # joins/windows are the alias chain's own)
+    p164 = plan_of(entry.q_kg_sameas(spark, SF))
+    sections.append(("owl:sameAs export (kg_sameas)", p164))
+    checks.append(("sameas: no python eval", "BatchEvalPython" not in p164))
+    checks.append(("sameas: ER chain persisted once",
+                   "InMemoryTableScan" in p164))
+
+    # 165. kmeans update: codebook broadcast, corpus never broadcast, one
+    # bounded-output aggregate; no python eval
+    p165 = plan_of(entry.q_ann_kmeans_update(spark, SF))
+    sections.append(("Distributed Lloyd update (ann_kmeans_update)", p165))
+    checks.append(("kmeans update: codebook broadcast join",
+                   "BroadcastNestedLoopJoin" in p165 or "BroadcastExchange" in p165))
+    checks.append(("kmeans update: partial aggregate (map-side combine)",
+                   "partial" in p165.lower()))
+    checks.append(("kmeans update: no python eval",
+                   "BatchEvalPython" not in p165))
+
+    # 166. predicate signatures: window runs over the bounded signature
+    # aggregate (HashAggregate below the Window), no join
+    p166 = plan_of(entry.q_kg_pred_signatures(spark, SF))
+    sections.append(("Predicate domain/range signatures (kg_pred_signatures)", p166))
+    checks.append(("pred signatures: window present over aggregate",
+                   "Window" in p166 and "HashAggregate" in p166))
+    checks.append(("pred signatures: no sort-merge join (agg-then-window only)",
+                   "SortMergeJoin" not in p166))
 
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]

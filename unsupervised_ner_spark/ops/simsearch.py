@@ -567,3 +567,57 @@ def ann_recall(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def kmeans_update(
+    embeddings: DataFrame, n_centroids: int | None = None, scale: int = 1000
+) -> DataFrame:
+    """One distributed Lloyd (k-means) update step over the IVF codebook —
+    the training loop behind every IVF/PQ index (the reference family's
+    bootstrapped signature clusters are the same shape: assign, then
+    re-center): assign every vector to its nearest sampled centroid, then
+    recompute each centroid as per-cell component sums + member counts.
+    Returns (centroid_id, pos, n_members, sum_q) — the sufficient
+    statistics of the new centroid (mean = sum_q / (scale * n_members)),
+    k x d rows total.
+
+    Components are quantized to integers BEFORE summing
+    (``floor(comp * scale)``): float->double cast, the multiply, and
+    ``floor`` are exact IEEE ops both engines share bit-for-bit, and
+    integer sums are order-independent — so the hashed surface stays
+    deterministic where a float sum would depend on reduction order
+    (the established no-floats-in-the-gate rule).
+
+    Scale shape: ONE broadcast of the codebook (<= 65536 rows by
+    construction) against the corpus for assignment (per-vector window is
+    vec_id-keyed — no hot reducer), then posexplode to (centroid_id, pos)
+    keys and ONE map-side-combining aggregate whose output is bounded by
+    k x d regardless of corpus size — the canonical distributed k-means
+    step (each task emits at most k x d partials). The assignment is
+    computed inline (not via ivf_assign + self-join) so the corpus is
+    shuffled once, not twice."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = sampled_centroids(emb, n_centroids)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "centroid_id",
+            _d2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    m = assigned.select(
+        "centroid_id", F.posexplode("v").alias("pos", "comp")
+    )
+    q = F.floor(F.col("comp") * F.lit(int(scale))).cast("long")
+    return (
+        m.groupBy("centroid_id", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(q).cast("long").alias("sum_q"),
+        )
+    )

@@ -1164,3 +1164,70 @@ def budget_select(
         "doc_id", "score", "n_tokens", "cum_tokens", "budget",
         (F.col("cum_tokens") <= F.col("budget")).cast("long").alias("selected"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that")
+
+
+def gopher_flags(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: int = 300,   # x100: mean word length >= 3.00
+    mean_len_hi: int = 450,   # x100: mean word length <= 4.50
+    min_alpha_pct: int = 90,
+    min_stopwords: int = 2,
+    min_distinct_pct: int = 45,
+) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021 §A1.1) — the
+    named-rule filter bundle a curation pipeline applies before
+    training: per document one integer pass/fail per rule plus the
+    conjunction ``keep``. Rules: word-count window, mean-word-length
+    window, alphabetic-word fraction, stop-word presence, and lexical
+    diversity (distinct-token fraction — the repetition family's
+    document-level summary). All comparisons are integer
+    cross-multiplications (no float ratio enters the hashed surface).
+
+    Thresholds are parameters; the defaults are calibrated to the gate
+    corpus so every VARYING rule fires both ways at sf0.001/0.01
+    (measured in DuckDB first: words 10-99, mean-len x100 370-530
+    median ~450, stop hits 0-14 median 3, distinct pct 27-100 median
+    ~46); the alpha rule is constant-pass on this all-alpha corpus and
+    its fail branch is covered by the unit test (the pronoun-coref
+    negative-branch precedent).
+
+    Scale shape: pure map — every statistic is an expression over the
+    in-row token array (aggregate/filter/array_distinct inside codegen);
+    no explode, no exchange, no join."""
+    toks = tokens_ws(F.col("text"))
+    low = F.transform(toks, F.lower)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter(low, lambda x: x.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(low)).cast("long")
+    f_wordcount = (n >= min_words) & (n <= max_words)
+    f_meanlen = (F.lit(int(mean_len_lo)) * n <= 100 * sum_len) & (
+        100 * sum_len <= F.lit(int(mean_len_hi)) * n
+    )
+    f_alpha = 100 * n_alpha >= F.lit(int(min_alpha_pct)) * n
+    f_stop = n_stop >= min_stopwords
+    f_lexdiv = 100 * n_distinct >= F.lit(int(min_distinct_pct)) * n
+    keep = f_wordcount & f_meanlen & f_alpha & f_stop & f_lexdiv
+    return documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.cast("long").alias("sum_word_len"),
+        n_stop.alias("n_stopwords"),
+        n_distinct.alias("n_distinct"),
+        f_wordcount.cast("long").alias("f_wordcount"),
+        f_meanlen.cast("long").alias("f_meanlen"),
+        f_alpha.cast("long").alias("f_alpha"),
+        f_stop.cast("long").alias("f_stopwords"),
+        f_lexdiv.cast("long").alias("f_lexdiv"),
+        keep.cast("long").alias("keep"),
+    )

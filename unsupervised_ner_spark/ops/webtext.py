@@ -429,12 +429,14 @@ def host_hits(
     edges = scoped_persist(
         graph.filter(~F.col("internal"))
         .select("src_host", "dst_host")
-        .distinct()
+        .distinct(),
+        how="checkpoint",
     )
     nodes = scoped_persist(
         edges.select(F.col("src_host").alias("host"))
         .unionAll(edges.select(F.col("dst_host").alias("host")))
-        .distinct()
+        .distinct(),
+        how="checkpoint",
     )
     hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
     auth = None
@@ -453,7 +455,8 @@ def host_hits(
         a_all = scoped_persist(
             nodes.join(a_raw, "host", "left").select(
                 "host", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
-            )
+            ),
+            how="checkpoint",
         )
         amax = a_all.agg(F.greatest(F.max("a"), F.lit(1)).alias("amax"))
         auth = a_all.crossJoin(F.broadcast(amax)).select(
@@ -469,7 +472,8 @@ def host_hits(
         h_all = scoped_persist(
             nodes.join(h_raw, "host", "left").select(
                 "host", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
-            )
+            ),
+            how="checkpoint",
         )
         hmax = h_all.agg(F.greatest(F.max("h"), F.lit(1)).alias("hmax"))
         hub = h_all.crossJoin(F.broadcast(hmax)).select(

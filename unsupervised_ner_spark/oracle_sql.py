@@ -7808,3 +7808,129 @@ FROM c CROSS JOIN b
 """,
         "d",
     )
+
+
+def txt_gopher_flags(
+    min_words: int = 50, max_words: int = 100_000,
+    mean_len_lo: int = 300, mean_len_hi: int = 450,
+    min_alpha_pct: int = 90, min_stopwords: int = 2,
+    min_distinct_pct: int = 45,
+) -> str:
+    """Gopher rule-flag twin (ops/textstats.py gopher_flags): identical
+    integer cross-multiplied thresholds over the same whitespace token
+    stream."""
+    from unsupervised_ner_spark.ops.textstats import GOPHER_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS sum_word_len,
+           CAST(len(list_filter(toks,
+                x -> list_contains([{sw}], lower(x)))) AS BIGINT)
+               AS n_stopwords,
+           CAST(len(list_distinct(list_transform(toks, x -> lower(x))))
+                AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                AS BIGINT) AS n_alpha
+    FROM t
+)
+SELECT doc_id, n_words, sum_word_len, n_stopwords, n_distinct,
+       CAST(CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_wordcount,
+       CAST(CASE WHEN {mean_len_lo} * n_words <= 100 * sum_word_len
+                  AND 100 * sum_word_len <= {mean_len_hi} * n_words
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_meanlen,
+       CAST(CASE WHEN 100 * n_alpha >= {min_alpha_pct} * n_words
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+       CAST(CASE WHEN n_stopwords >= {min_stopwords}
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
+       CAST(CASE WHEN 100 * n_distinct >= {min_distinct_pct} * n_words
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_lexdiv,
+       CAST(CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+                  AND {mean_len_lo} * n_words <= 100 * sum_word_len
+                  AND 100 * sum_word_len <= {mean_len_hi} * n_words
+                  AND 100 * n_alpha >= {min_alpha_pct} * n_words
+                  AND n_stopwords >= {min_stopwords}
+                  AND 100 * n_distinct >= {min_distinct_pct} * n_words
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+def kg_sameas(model: str = "a100") -> str:
+    """owl:sameAs export twin (pipeline/er.py sameas_ntriples): pure
+    string construction over the er_entity_aliases chain (md5 surface
+    node URI -> canonical entity URI)."""
+    return f"""
+WITH al AS ({er_entity_aliases(model)})
+SELECT '<urn:kg:s:' || md5(alias || '|' || etype) ||
+       '> <http://www.w3.org/2002/07/owl#sameAs> <urn:kg:e:' ||
+       entity_id || '> .' AS ntriple,
+       entity_id, etype, alias, CAST(rank AS BIGINT) AS rank
+FROM al
+"""
+
+
+def ann_kmeans_update(n_centroids: int | None = None, scale: int = 1000) -> str:
+    """Distributed Lloyd-update twin (ops/simsearch.py kmeans_update):
+    the same md5-sampled codebook + 9dp expansion-form assignment as
+    ann_ivf_assign, then per-(cell, component) member counts and
+    integer-quantized component sums. Quantization (float->double cast,
+    *scale multiply, floor) is exact IEEE on both engines and integer
+    sums are order-independent, so the hashed surface is deterministic.
+    The pos/comp zip uses DuckDB's parallel-unnest (equal-length lists
+    zip positionally)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
+m AS (
+    SELECT a.centroid_id,
+           unnest(generate_series(1, len(e.v))) - 1 AS pos,
+           unnest(e.v) AS comp
+    FROM assign a JOIN e USING (vec_id)
+)
+SELECT centroid_id, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(floor(comp * {scale}) AS BIGINT)) AS BIGINT) AS sum_q
+FROM m GROUP BY centroid_id, pos
+"""
+
+
+def kg_pred_signatures(model: str = "a100", num: int = 1, den: int = 2) -> str:
+    """Predicate domain/range signature twin
+    (pipeline/triples.predicate_signatures): one aggregate to the
+    (pred, subj_type, obj_type) vocabulary, then the per-predicate total,
+    deterministic signature rank, modal flag, and the integer
+    cross-multiplied num/den majority-dominance rule on the modal row."""
+    return f"""
+WITH trip AS ({kg_triples(model)}),
+sig AS (
+    SELECT pred_norm, subj_type, obj_type,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM trip GROUP BY pred_norm, subj_type, obj_type
+),
+rk AS (
+    SELECT pred_norm, subj_type, obj_type, n_pairs,
+           CAST(sum(n_pairs) OVER (PARTITION BY pred_norm) AS BIGINT)
+               AS n_total,
+           CAST(row_number() OVER (
+                PARTITION BY pred_norm
+                ORDER BY n_pairs DESC, subj_type ASC, obj_type ASC
+           ) AS BIGINT) AS sig_rank
+    FROM sig
+)
+SELECT pred_norm, subj_type, obj_type, n_pairs, n_total, sig_rank,
+       CAST(CASE WHEN sig_rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_modal,
+       CAST(CASE WHEN sig_rank = 1 AND n_pairs * {den} >= n_total * {num}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dominant
+FROM rk
+"""

@@ -2509,11 +2509,22 @@ def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFra
     the per-round max is a 1-row aggregate broadcast back (no driver
     action, no collect). Overflow envelope: raw <= n_nodes * scale, so
     raw * scale <= n * 1e12 — safe in BIGINT below ~9e6 nodes; at larger
-    graphs drop scale to 1e5 (documented, not silently clamped)."""
+    graphs drop scale to 1e5 (documented, not silently clamped).
+
+    Lineage: edges and each half-step result are CHECKPOINTED, not
+    SQL-cached. Each step's relation appears twice in the next plan (the
+    1-row max aggregate + the renormalization map), so with plain persist
+    the LOGICAL plan doubles per half-step — Catalyst re-analyzes an
+    exponentially growing tree even though the physical side hits the
+    cache (measured: 54 s -> ~8 s at sf0.001 on a 69-edge graph; the cost
+    was driver-side planning, not execution). LogicalRDD truncation keeps
+    every step's plan O(1)-deep — the standard iterative-algorithm
+    tradeoff already documented at caching.scoped_persist."""
     edges = scoped_persist(
         support.select(
             F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
-        ).distinct()
+        ).distinct(),
+        how="checkpoint",
     )
     nodes = scoped_persist(
         edges.select(F.col("src").alias("k"))
@@ -2540,7 +2551,8 @@ def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFra
                 "k",
                 F.expr(f"CAST((raw * CAST({int(scale)} AS BIGINT)) div mx AS BIGINT)")
                 .alias("v"),
-            )
+            ),
+            how="checkpoint",
         )
 
     for _ in range(int(rounds)):
@@ -2996,4 +3008,27 @@ def local_bridges(edges: DataFrame) -> DataFrame:
         part("kb", 0).alias("ent_b"), part("kb", 1).alias("type_b"),
         "n_sents", "n_docs", "n_common",
         (F.col("n_common") == 0).cast("long").alias("is_bridge"),
+    )
+
+
+def sameas_ntriples(aliases: DataFrame) -> DataFrame:
+    """owl:sameAs export of the ER resolution — the RDF interchange
+    deliverable beside er.to_ntriples (reference parity: the engine's
+    ER decisions become consumable linked data): every alias surface
+    form links its surface-node URI to its canonical entity URI via
+    owl:sameAs, so a downstream triplestore can collapse mentions the
+    same way the engine did. Input: er.entity_aliases output.
+
+    Scale shape: pure map over the alias table (md5 + concat in
+    codegen); no exchange, no join."""
+    surface_node = F.md5(F.concat_ws("|", "alias", "etype"))
+    line = F.concat(
+        F.lit("<urn:kg:s:"), surface_node,
+        F.lit("> <http://www.w3.org/2002/07/owl#sameAs> <urn:kg:e:"),
+        F.col("entity_id"), F.lit("> ."),
+    )
+    return aliases.select(
+        line.alias("ntriple"),
+        "entity_id", "etype", "alias",
+        F.col("rank").cast("long").alias("rank"),
     )
