@@ -3246,6 +3246,20 @@ def q_kg_kge_eval(spark, sf_dir):
     return kgtrain.kge_eval(stages["triples"], dim=4, emb_mod=1000)
 
 
+def q_kg_kge_distmult(spark, sf_dir):
+    """DistMult (bilinear) filtered-ranking eval (kgtrain.kge_eval with
+    score_fn="distmult"): the multiplicative KGE family under the
+    identical filtered protocol — product score ranked DESC via its
+    negation, so the two families' MR/Hits@k are directly comparable."""
+    from unsupervised_ner_spark.ops import kgtrain
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return kgtrain.kge_eval(
+        stages["triples"], dim=4, emb_mod=1000, score_fn="distmult"
+    )
+
+
 def q_er_pair_features(spark, sf_dir):
     """ER pairwise feature table (er.pair_features): phonetic-blocked
     candidate pairs with the Magellan-style integer similarity vector
@@ -3465,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_candidates": q_kg_relation_candidates,
         "kg_modularity": q_kg_modularity,
         "kg_kge_eval": q_kg_kge_eval,
+        "kg_kge_distmult": q_kg_kge_distmult,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
@@ -3689,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relation_candidates": O.kg_relation_candidates(),
         "kg_modularity": O.kg_modularity(iterations=4),
         "kg_kge_eval": O.kg_kge_eval(dim=4, emb_mod=1000),
+        "kg_kge_distmult": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="distmult"),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),

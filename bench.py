@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "kg_sameas",
     "ann_kmeans_update",
     "kg_pred_signatures",
+    "kg_kge_distmult",
     "kg_ppr",
     "kg_paths_2hop",
     "kg_graph_components",

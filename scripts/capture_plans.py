@@ -1171,8 +1171,8 @@ def main() -> None:
     # join+agg pairs — never an all-pairs product
     p113 = plan_of(entry.q_kg_bfs_dist(spark, SF))
     sections.append(("Multi-source BFS distances (kg_bfs_dist)", p113))
-    checks.append(("bfs: adjacency/frontier persisted once",
-                   "InMemoryTableScan" in p113))
+    checks.append(("bfs: adjacency/frontier checkpointed (lineage truncated)",
+                   "ExistingRDD" in p113))
     checks.append(("bfs: no cartesian product", "Cartesian" not in p113))
 
     # 114. as-of snapshot: a pure filter over the interval table (the
@@ -1503,8 +1503,8 @@ def main() -> None:
     # global window is the bounded seed-selection rank
     p152 = plan_of(entry.q_kg_landmark_centrality(spark, SF))
     sections.append(("Landmark centrality (kg_landmark_centrality)", p152))
-    checks.append(("landmark: adjacency/frontier persisted",
-                   "InMemoryTableScan" in p152))
+    checks.append(("landmark: adjacency/frontier checkpointed (lineage truncated)",
+                   "ExistingRDD" in p152))
     checks.append(("landmark: no cartesian",
                    "CartesianProduct" not in p152))
 
@@ -1551,12 +1551,13 @@ def main() -> None:
     checks.append(("pair features: no python eval in feature expressions",
                    "BatchEvalPython" not in p156))
 
-    # 157. path counts: adjacency + visited state persisted; per-round
+    # 157. path counts: adjacency + visited state checkpointed (state
+    # feeds filter+anti-join+union — 3 appearances per round); per-round
     # frontier joins are equi-joins (no cartesian)
     p157 = plan_of(entry.q_kg_path_counts(spark, SF))
     sections.append(("Landmark path counts (kg_path_counts)", p157))
-    checks.append(("path counts: adjacency/state persisted",
-                   "InMemoryTableScan" in p157))
+    checks.append(("path counts: adjacency/state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p157))
     checks.append(("path counts: no cartesian",
                    "CartesianProduct" not in p157))
 
@@ -1582,8 +1583,9 @@ def main() -> None:
     # root broadcast; no cartesian beyond the 1-row root cross join
     p160 = plan_of(entry.q_kg_ego_export(spark, SF))
     sections.append(("Ego-subgraph export (kg_ego_export)", p160))
-    checks.append(("ego export: edge/dist tables persisted",
-                   "InMemoryTableScan" in p160))
+    checks.append(("ego export: edge/dist tables checkpointed (lineage truncated"
+                   " — dist feeds relax+merge+induction twice each)",
+                   "ExistingRDD" in p160))
     checks.append(("ego export: root rides a broadcast",
                    "BroadcastExchange" in p160))
 
@@ -1632,6 +1634,15 @@ def main() -> None:
                    "partial" in p165.lower()))
     checks.append(("kmeans update: no python eval",
                    "BatchEvalPython" not in p165))
+
+    # 165b. DistMult eval: identical plan family as kg_kge_eval (the only
+    # change is the score expression) — type-blocked join + per-triple window
+    p165b = plan_of(entry.q_kg_kge_distmult(spark, SF))
+    sections.append(("DistMult filtered-ranking eval (kg_kge_distmult)", p165b))
+    checks.append(("kge distmult: per-triple ranking window present",
+                   "Window" in p165b))
+    checks.append(("kge distmult: no python eval in the ranking chain",
+                   "BatchEvalPython" not in p165b.split("Window")[0]))
 
     # 166. predicate signatures: window runs over the bounded signature
     # aggregate (HashAggregate below the Window), no join

@@ -133,3 +133,50 @@ def test_kge_eval_filtered_setting(spark):
     exp = _kge_py([tuple(r) for r in rows])
     assert (got["p"].n_test, got["p"].n_cands, got["p"].sum_rank,
             got["p"].hits1, got["p"].hits3, got["p"].hits10) == exp["p"]
+
+
+def _kge_py_distmult(trips, dim=4, mod=1000):
+    """Python replication of the DistMult branch: bilinear product score
+    ranked DESC (via its negation) under the same filtered protocol."""
+    dtrip = sorted(set(trips))
+    vocab = sorted({(s, st) for s, st, p, o, ot in dtrip}
+                   | {(o, ot) for s, st, p, o, ot in dtrip})
+    truth = {(s, st, p, o, ot) for s, st, p, o, ot in dtrip}
+    per_pred: dict[str, list] = {}
+    for s, st, p, o, ot in dtrip:
+        cands = [c for c, ct in vocab if ct == ot
+                 and ((s, st, p, c, ot) not in truth or c == o)]
+
+        def key(c):
+            es, ep, ec = _emb("e", s, dim, mod), _emb("r", p, dim, mod), _emb("e", c, dim, mod)
+            return (-sum(es[i] * ep[i] * ec[i] for i in range(dim)), c)
+
+        order = sorted(cands, key=key)
+        rank = order.index(o) + 1
+        per_pred.setdefault(p, []).append((len(cands), rank))
+    return {
+        p: (len(xs), sum(n for n, _ in xs), sum(r for _, r in xs),
+            sum(1 for _, r in xs if r <= 1), sum(1 for _, r in xs if r <= 3),
+            sum(1 for _, r in xs if r <= 10))
+        for p, xs in per_pred.items()
+    }
+
+
+def test_kge_distmult_matches_python_replication(spark):
+    # 5 same-type candidate objects: measured ranks diverge between the
+    # families (transe 3 vs distmult 4 for ("A","p","o0")) so the test
+    # proves the multiplicative score actually changed the ordering.
+    rows = [("A", "S", "p", "o0", "T")] + [
+        (f"B{j}", "S", "q", f"o{j}", "T") for j in range(4)
+    ]
+    exp = _kge_py_distmult([tuple(r) for r in rows])
+    got = {
+        r.pred_norm: (r.n_test, r.n_cands, r.sum_rank, r.hits1, r.hits3, r.hits10)
+        for r in kgtrain.kge_eval(
+            _trips(spark, rows), score_fn="distmult"
+        ).collect()
+    }
+    assert got == exp
+    # the two families must genuinely disagree on at least one ranking
+    transe = _kge_py([tuple(r) for r in rows])
+    assert exp != transe

@@ -269,7 +269,8 @@ def _hash_emb_term(prefix: str, col, i: int, mod: int) -> F.Column:
 
 
 def kge_eval(
-    triples: DataFrame, dim: int = 4, emb_mod: int = 1000
+    triples: DataFrame, dim: int = 4, emb_mod: int = 1000,
+    score_fn: str = "transe",
 ) -> DataFrame:
     """TransE link-prediction evaluation harness (Bordes et al. 2013,
     the standard filtered-ranking protocol): for every DISTINCT test
@@ -296,7 +297,14 @@ def kge_eval(
     never corpus-sized. At 100 TB the standard mitigations compose
     unchanged: shard the vocabulary and take per-shard top-k before
     ranking, or hash-sample candidates (sampled MRR), both upstream of
-    the same window."""
+    the same window.
+
+    ``score_fn`` selects the model family, everything else identical:
+    "transe" (translational, L1 distance ASC) or "distmult" (bilinear
+    Yang et al. 2015, ``sum_i emb_s[i] * emb_r[i] * emb_c[i]`` DESC —
+    ranked via its negation so one ascending window serves both).
+    Overflow: per-dim product < emb_mod^3 = 1e9, summed over dim << a
+    long."""
     dtrip = scoped_persist(
         triples.select("subj", "subj_type", "pred_norm", "obj", "obj_type")
         .distinct()
@@ -320,14 +328,26 @@ def kge_eval(
     cand = cand.join(
         truth, ["subj", "subj_type", "pred_norm", "c", "obj_type"], "left"
     ).filter(F.col("is_true").isNull() | (F.col("c") == F.col("obj")))
-    dist = sum(
-        F.abs(
-            _hash_emb_term("e", F.col("subj"), i, emb_mod)
-            + _hash_emb_term("r", F.col("pred_norm"), i, emb_mod)
-            - _hash_emb_term("e", F.col("c"), i, emb_mod)
-        )
-        for i in range(int(dim))
-    ).cast("long")
+    if score_fn == "transe":
+        dist = sum(
+            F.abs(
+                _hash_emb_term("e", F.col("subj"), i, emb_mod)
+                + _hash_emb_term("r", F.col("pred_norm"), i, emb_mod)
+                - _hash_emb_term("e", F.col("c"), i, emb_mod)
+            )
+            for i in range(int(dim))
+        ).cast("long")
+    elif score_fn == "distmult":
+        dist = (
+            -sum(
+                _hash_emb_term("e", F.col("subj"), i, emb_mod)
+                * _hash_emb_term("r", F.col("pred_norm"), i, emb_mod)
+                * _hash_emb_term("e", F.col("c"), i, emb_mod)
+                for i in range(int(dim))
+            )
+        ).cast("long")
+    else:  # pragma: no cover - guarded by the two callers
+        raise ValueError(f"unknown score_fn: {score_fn}")
     w = Window.partitionBy(
         "subj", "subj_type", "pred_norm", "obj", "obj_type"
     ).orderBy(F.asc("dist"), F.asc("c"))

@@ -7377,21 +7377,33 @@ LEFT JOIN kb ON kb.norm_a = a.norm AND kb.type_a = a.etype
     return _materialize(body, "rcm2", "kb")
 
 
-def kg_kge_eval(model: str = "a100", dim: int = 4, emb_mod: int = 1000) -> str:
+def kg_kge_eval(
+    model: str = "a100", dim: int = 4, emb_mod: int = 1000,
+    score_fn: str = "transe",
+) -> str:
     """KGE filtered-ranking twin (ops/kgtrain.py kge_eval): deterministic
     hash embeddings (_hex8_int_sql nibble arithmetic == md5_int32),
     type-blocked candidates, filtered truth removal, (dist asc, c asc)
-    row_number rank, per-predicate integer sufficient statistics."""
+    row_number rank, per-predicate integer sufficient statistics.
+    ``score_fn``: "transe" (L1, asc) or "distmult" (negated bilinear
+    product so the same ascending rank serves both)."""
 
     def emb(prefix: str, col: str, i: int) -> str:
         h = _hex8_int_sql(f"md5('{prefix}#' || {col} || '#{i}')")
         return f"({h} % {emb_mod})"
 
-    dist = " + ".join(
-        f"abs({emb('e', 'subj', i)} + {emb('r', 'pred_norm', i)}"
-        f" - {emb('e', 'c', i)})"
-        for i in range(dim)
-    )
+    if score_fn == "transe":
+        dist = " + ".join(
+            f"abs({emb('e', 'subj', i)} + {emb('r', 'pred_norm', i)}"
+            f" - {emb('e', 'c', i)})"
+            for i in range(dim)
+        )
+    else:
+        dist = "-(" + " + ".join(
+            f"{emb('e', 'subj', i)} * {emb('r', 'pred_norm', i)}"
+            f" * {emb('e', 'c', i)}"
+            for i in range(dim)
+        ) + ")"
     body = (
         _kg_prefix(model)
         + _triples_ctes()

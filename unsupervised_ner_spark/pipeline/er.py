@@ -2082,7 +2082,8 @@ def bfs_distances(
                 F.concat_ws("|", "ent_b", "type_b").alias("src"),
                 F.concat_ws("|", "ent_a", "type_a").alias("dst"),
             )
-        )
+        ),
+        how="checkpoint",
     )
     from pyspark.sql import Window
 
@@ -2092,7 +2093,8 @@ def bfs_distances(
         F.col("rnk") <= n_seeds
     )
     dist = scoped_persist(
-        seeds.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist"))
+        seeds.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist")),
+        how="checkpoint",
     )
     for _ in range(rounds):
         relaxed = (
@@ -2102,7 +2104,8 @@ def bfs_distances(
         dist = scoped_persist(
             dist.unionByName(relaxed)
             .groupBy("k")
-            .agg(F.min("dist").cast("long").alias("dist"))
+            .agg(F.min("dist").cast("long").alias("dist")),
+            how="checkpoint",
         )
 
     def part(j):
@@ -2603,7 +2606,8 @@ def landmark_centrality(
                 F.concat_ws("|", "ent_b", "type_b").alias("src"),
                 F.concat_ws("|", "ent_a", "type_a").alias("dst"),
             )
-        )
+        ),
+        how="checkpoint",
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     w = Window.orderBy(F.desc("deg"), F.asc("src"))
@@ -2615,17 +2619,22 @@ def landmark_centrality(
             F.col("src").alias("seed"),
             F.col("src").alias("k"),
             F.lit(0).cast("long").alias("dist"),
-        )
+        ),
+        how="checkpoint",
     )
     for _ in range(int(rounds)):
         relaxed = (
             sym.join(dist.withColumnRenamed("k", "src"), "src")
             .select("seed", F.col("dst").alias("k"), (F.col("dist") + 1).alias("dist"))
         )
+        # checkpoint, not SQL cache: dist appears twice per round (relax
+        # join + min-merge union), so plain persist doubles the LOGICAL
+        # plan per round (the er.hits pathology)
         dist = scoped_persist(
             dist.unionByName(relaxed)
             .groupBy("seed", "k")
-            .agg(F.min("dist").cast("long").alias("dist"))
+            .agg(F.min("dist").cast("long").alias("dist")),
+            how="checkpoint",
         )
     prof = (
         dist.filter(F.col("dist") > 0)
@@ -2812,14 +2821,16 @@ def landmark_path_counts(
                 F.concat_ws("|", "ent_b", "type_b").alias("src"),
                 F.concat_ws("|", "ent_a", "type_a").alias("dst"),
             )
-        )
+        ),
+        how="checkpoint",
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     w = Window.orderBy(F.desc("deg"), F.asc("src"))
     seeds = scoped_persist(
         deg.select(
             "src", F.row_number().over(w).cast("long").alias("seed_rank")
-        ).filter(F.col("seed_rank") <= int(n_seeds))
+        ).filter(F.col("seed_rank") <= int(n_seeds)),
+        how="checkpoint",
     )
     state = scoped_persist(
         seeds.select(
@@ -2827,7 +2838,8 @@ def landmark_path_counts(
             F.col("src").alias("k"),
             F.lit(0).cast("long").alias("dist"),
             F.lit(1).cast("long").alias("sigma"),
-        )
+        ),
+        how="checkpoint",
     )
     for i in range(1, int(rounds) + 1):
         frontier = state.filter(F.col("dist") == i - 1)
@@ -2842,7 +2854,10 @@ def landmark_path_counts(
         new = relaxed.join(
             state.select("seed", "k"), ["seed", "k"], "left_anti"
         ).select("seed", "k", F.lit(i).cast("long").alias("dist"), "sigma")
-        state = scoped_persist(state.unionByName(new))
+        # checkpoint: state appears THREE times per round (frontier
+        # filter, anti-join, union) — plain persist triples the LOGICAL
+        # plan per round (the er.hits pathology)
+        state = scoped_persist(state.unionByName(new), how="checkpoint")
     out = state.join(seeds.withColumnRenamed("src", "seed"), "seed")
 
     def part(j):
@@ -2893,10 +2908,18 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
     1-row frontier); induction is two node-keyed equi-joins of the edge
     table against the hop-bounded reach set (at 100 TB the reach set of
     one root broadcasts). The root pick is a 1-row window over the
-    node-bounded rank table."""
+    node-bounded rank table.
+
+    Lineage: edges / root / per-hop dist are CHECKPOINTED (LogicalRDD
+    truncation, the er.hits fix): dist appears TWICE per hop (the relax
+    join and the min-merge union) and twice again in the induction, and
+    root embeds the whole pagerank loop — with plain persist the LOGICAL
+    plan of the final query held ~8 copies of the full upstream lineage
+    and Catalyst planning dominated runtime (30 s warm median at sf0.1
+    before the fix)."""
     from pyspark.sql import Window
 
-    edges = scoped_persist(edges)
+    edges = scoped_persist(edges, how="checkpoint")
     pr = pagerank(edges)
     w = Window.orderBy(F.desc("rank_scaled"), F.asc("ent"), F.asc("etype"))
     root = (
@@ -2908,7 +2931,7 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
             F.col("etype").alias("root_type"),
         )
     )
-    root = scoped_persist(root)
+    root = scoped_persist(root, how="checkpoint")
     sym = scoped_persist(
         edges.select(
             F.concat_ws("|", "ent_a", "type_a").alias("src"),
@@ -2920,7 +2943,10 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
             )
         )
     )
-    dist = scoped_persist(root.select("k", F.lit(0).cast("long").alias("dist")))
+    dist = scoped_persist(
+        root.select("k", F.lit(0).cast("long").alias("dist")),
+        how="checkpoint",
+    )
     for _ in range(int(hops)):
         relaxed = (
             sym.join(dist.withColumnRenamed("k", "src"), "src")
@@ -2929,7 +2955,8 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
         dist = scoped_persist(
             dist.unionByName(relaxed)
             .groupBy("k")
-            .agg(F.min("dist").cast("long").alias("dist"))
+            .agg(F.min("dist").cast("long").alias("dist")),
+            how="checkpoint",
         )
     ek = edges.select(
         F.concat_ws("|", "ent_a", "type_a").alias("ka"),
