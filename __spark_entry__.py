@@ -3331,6 +3331,66 @@ def q_kg_path_counts(spark, sf_dir):
     return er.landmark_path_counts(edges, rounds=3, n_seeds=3)
 
 
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (er.sorted_neighborhood_pairs):
+    banded lexicographic rank + window-3 neighbor pairing + Levenshtein
+    verify. The vocabulary is UNIONed with an 'x'-suffix splice (surfaces
+    >= 5 chars): suffix variants sort ADJACENTLY to their source at edit
+    distance 1 — the phonetic splice is vowel-keyed and would not sort
+    nearby — measured first (269/264 verified pairs, gaps 1..3, at
+    sf0.001/0.01), so the gate exercises rank pairing + verify rather
+    than an empty pass."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    surf = occ.select("norm_surface")
+    variants = surf.filter(F.length("norm_surface") >= 5).select(
+        F.concat(F.col("norm_surface"), F.lit("x")).alias("norm_surface")
+    )
+    return er.sorted_neighborhood_pairs(
+        surf.unionByName(variants), window=3, max_lev=2
+    )
+
+
+def q_kg_betweenness(spark, sf_dir):
+    """Landmark-sampled betweenness centrality (er.landmark_betweenness):
+    Brandes' backward dependency accumulation over the SAME spliced graph
+    as kg_path_counts — the diamond ladder guarantees sigma=2 nodes so the
+    fractional ``sigma_v * (scale + delta_w) div sigma_w`` term provably
+    fires with sigma_w > sigma_v (measured: bc('via-a') lands at half-ppm
+    values a sigma-1 chain cannot produce)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    leaves = d.select(
+        F.lit("hub0").alias("ent_a"),
+        F.concat(F.lit("leaf"), F.pmod(did, 12).cast("string")).alias("ent_b"),
+    ).distinct()
+    pat = d.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in PATH_SPLICE_A]),
+            (F.pmod(did, 8) + 1).cast("int"),
+        ).alias("ent_a"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in PATH_SPLICE_B]),
+            (F.pmod(did, 8) + 1).cast("int"),
+        ).alias("ent_b"),
+    ).distinct()
+    splice = leaves.unionByName(pat).select(
+        "ent_a", F.lit("SPL").alias("type_a"),
+        "ent_b", F.lit("SPL").alias("type_b"),
+        F.lit(1).cast("long").alias("n_sents"),
+        F.lit(1).cast("long").alias("n_docs"),
+    )
+    edges = er.cooccurrence_edges(typed).unionByName(splice)
+    return er.landmark_betweenness(edges, rounds=3, n_seeds=3)
+
+
 def q_kg_motif_census(spark, sf_dir):
     """Typed triangle-motif census (er.motif_census): the heterogeneous-
     graphlet rollup of the triangle table keyed by the sorted type
@@ -3491,6 +3551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas": q_kg_sameas,
         "ann_kmeans_update": q_ann_kmeans_update,
         "kg_pred_signatures": q_kg_pred_signatures,
+        "kg_betweenness": q_kg_betweenness,
+        "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "kg_paths_2hop": q_kg_paths_2hop,
         "kg_graph_components": q_kg_graph_components,
         "kg_kcore": q_kg_kcore,
@@ -3716,6 +3778,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas": O.kg_sameas(),
         "ann_kmeans_update": O.ann_kmeans_update(),
         "kg_pred_signatures": O.kg_pred_signatures(),
+        "kg_betweenness": O.kg_betweenness(rounds=3, n_seeds=3),
+        "er_sorted_neighborhood": O.er_sorted_neighborhood(window=3, max_lev=2),
         "kg_paths_2hop": O.kg_paths_2hop(),
         "kg_graph_components": O.kg_graph_components(),
         "kg_kcore": O.kg_kcore(),

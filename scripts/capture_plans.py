@@ -1653,6 +1653,28 @@ def main() -> None:
     checks.append(("pred signatures: no sort-merge join (agg-then-window only)",
                    "SortMergeJoin" not in p166))
 
+    # 167. landmark betweenness: forward + backward sweeps all ride
+    # checkpointed state (lineage truncated), no cartesian anywhere
+    p167 = plan_of(entry.q_kg_betweenness(spark, SF))
+    sections.append(("Landmark betweenness (kg_betweenness)", p167))
+    checks.append(("betweenness: state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p167))
+    checks.append(("betweenness: no cartesian product",
+                   "CartesianProduct" not in p167))
+
+    # 168. sorted neighborhood: banded rank (no global single-partition
+    # sort of the vocabulary — the band-total prefix window is the only
+    # unpartitioned window, over a bounded table), offsets broadcast,
+    # ranked vocab persisted once
+    p168 = plan_of(entry.q_er_sorted_neighborhood(spark, SF))
+    sections.append(("Sorted-neighborhood blocking (er_sorted_neighborhood)", p168))
+    checks.append(("sorted neighborhood: band offsets broadcast",
+                   "BroadcastExchange" in p168))
+    checks.append(("sorted neighborhood: ranked vocab persisted once",
+                   "InMemoryTableScan" in p168))
+    checks.append(("sorted neighborhood: no python eval",
+                   "BatchEvalPython" not in p168.split("InMemoryTableScan")[-1]))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

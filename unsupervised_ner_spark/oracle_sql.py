@@ -7552,14 +7552,13 @@ FROM fz
     )
 
 
-def kg_path_counts(
-    model: str = "a100", rounds: int = 3, n_seeds: int = 3
-) -> str:
-    """Landmark shortest-path-count twin (pipeline/er.py
-    landmark_path_counts): unrolled level-synchronous Brandes forward
-    sweep — per round, sigma sums ONLY from the dist=i-1 frontier into
-    NOT EXISTS-unseen nodes — over the co-occurrence graph UNION the
-    doc_id-derived diamond-ladder splice (q_kg_path_counts docstring)."""
+def _landmark_forward_sql(
+    model: str, rounds: int, n_seeds: int
+) -> tuple[str, str, list]:
+    """Shared forward-sweep CTE chain (pipeline/er.py _landmark_forward
+    twin) over the co-occurrence graph UNION the doc_id-derived
+    diamond-ladder splice: returns (body, final-state CTE name,
+    CTEs to materialize). Used by kg_path_counts and kg_betweenness."""
     from __spark_entry__ import PATH_SPLICE_A, PATH_SPLICE_B
 
     la = "['" + "', '".join(PATH_SPLICE_A) + "']"
@@ -7617,11 +7616,65 @@ s{i} AS (
 )"""
         mats.append(prev)
         prev = f"s{i}"
+    return body, prev, mats
+
+
+def kg_path_counts(
+    model: str = "a100", rounds: int = 3, n_seeds: int = 3
+) -> str:
+    """Landmark shortest-path-count twin (pipeline/er.py
+    landmark_path_counts): unrolled level-synchronous Brandes forward
+    sweep — per round, sigma sums ONLY from the dist=i-1 frontier into
+    NOT EXISTS-unseen nodes — over the spliced graph
+    (_landmark_forward_sql)."""
+    body, prev, mats = _landmark_forward_sql(model, rounds, n_seeds)
     body += f"""
 SELECT sd.seed_rank,
        split_part(st.k, '|', 1) AS ent, split_part(st.k, '|', 2) AS etype,
        st.dist, st.sigma
 FROM {prev} st JOIN seeds sd ON sd.src = st.seed
+"""
+    return _materialize(body, *dict.fromkeys(mats))
+
+
+def kg_betweenness(
+    model: str = "a100", rounds: int = 3, n_seeds: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """Landmark-betweenness twin (pipeline/er.py landmark_betweenness):
+    the shared forward sweep, then the backward dependency accumulation
+    unrolled level-by-level from the horizon down — per level one
+    LEFT JOIN of the level-d state against adjacency x the finalized
+    level-(d+1) deltas, ``sigma * (scale + delta_w) // sigma_w`` summed
+    per node (all operands positive, so // == Spark's div)."""
+    body, prev, mats = _landmark_forward_sql(model, rounds, n_seeds)
+    body += f""",
+b{rounds} AS (
+    SELECT seed, k, dist, sigma, CAST(0 AS BIGINT) AS delta
+    FROM {prev} WHERE dist = {rounds}
+)"""
+    for d in range(rounds - 1, -1, -1):
+        body += f""",
+b{d} AS (
+    SELECT v.seed, v.k, v.dist, v.sigma,
+           CAST(coalesce(sum(
+               v.sigma * (CAST({scale} AS BIGINT) + w.delta) // w.sigma
+           ), 0) AS BIGINT) AS delta
+    FROM (SELECT * FROM {prev} WHERE dist = {d}) v
+    LEFT JOIN sym e ON e.src = v.k
+    LEFT JOIN b{d + 1} w ON w.k = e.dst AND w.seed = v.seed
+    GROUP BY v.seed, v.k, v.dist, v.sigma
+)"""
+        mats.append(f"b{d + 1}")
+    allb = " UNION ALL ".join(
+        f"SELECT * FROM b{d}" for d in range(rounds + 1)
+    )
+    body += f"""
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       CAST(count(*) AS BIGINT) AS n_landmarks,
+       CAST(sum(delta) AS BIGINT) AS bc_scaled
+FROM ({allb}) WHERE dist > 0
+GROUP BY k
 """
     return _materialize(body, *dict.fromkeys(mats))
 
@@ -7946,3 +7999,50 @@ SELECT pred_norm, subj_type, obj_type, n_pairs, n_total, sig_rank,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_dominant
 FROM rk
 """
+
+
+def er_sorted_neighborhood(
+    window: int = 3, max_lev: int = 2, model: str = "a100"
+) -> str:
+    """Sorted-neighborhood twin (pipeline/er.sorted_neighborhood_pairs):
+    plain GLOBAL row_number over the same normalized surface vocabulary
+    (+ the suffix splice the query unions in) — the engine's banded
+    two-level rank must equal it (first-character bands are contiguous
+    under lexicographic order; the budget_select equivalence precedent)
+    — then the rank-distance <= window self-join and the Levenshtein
+    verify."""
+    body = (
+        _kg_prefix(model)
+        + f"""
+, occ0 AS (
+    SELECT DISTINCT
+           trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_surface
+    FROM typed WHERE pred_group <> 'OTHER'
+),
+occ AS (
+    -- deterministic shared-prefix splice: 'x'-suffixed variants of
+    -- surfaces >= 5 chars sort adjacently to their source at
+    -- Levenshtein 1 (the phonetic-pairs splice is vowel-keyed and
+    -- would NOT sort nearby) — measured first: 269/264 verified pairs
+    -- with gaps spanning 1..3 at sf0.001/0.01
+    SELECT norm_surface FROM occ0
+    UNION
+    SELECT norm_surface || 'x' FROM occ0 WHERE length(norm_surface) >= 5
+),
+r AS (
+    SELECT norm_surface,
+           CAST(row_number() OVER (ORDER BY norm_surface) - 1 AS BIGINT)
+               AS rnk
+    FROM occ WHERE length(norm_surface) > 0
+)
+SELECT a.norm_surface AS surf_a, b.norm_surface AS surf_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+       CAST(levenshtein(a.norm_surface, b.norm_surface) AS BIGINT) AS lev
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {window}
+WHERE levenshtein(a.norm_surface, b.norm_surface) <= {max_lev}
+"""
+    )
+    # r feeds BOTH self-join sides and chains the typed production CTEs —
+    # DuckDB re-inlines multi-referenced CTEs, so materialize it
+    return _materialize(body, "r")

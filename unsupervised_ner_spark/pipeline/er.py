@@ -2788,28 +2788,15 @@ def pair_features(
     )
 
 
-def landmark_path_counts(
-    edges: DataFrame, rounds: int = 3, n_seeds: int = 3
-) -> DataFrame:
-    """Shortest-path COUNTS from the top-degree landmarks — the sigma
-    table of Brandes' betweenness algorithm (Brandes 2001, the forward
-    sweep): for each landmark and every node within ``rounds`` hops, the
-    hop distance AND the exact number of distinct shortest paths. Path
-    redundancy is the KG-robustness signal distance alone hides (a node
-    at distance 2 via 40 paths is structurally closer than one at
-    distance 2 via a single bridge).
-
-    Exact integers by level-synchronous construction: all shortest paths
-    to a node at BFS level i enter from level i-1, so accumulating sigma
-    only from the CURRENT frontier (dist = i-1) into NOT-YET-SEEN nodes
-    is exactly Brandes' forward pass; the oracle unrolls the same rounds
-    with NOT EXISTS anti-joins.
-
-    Scale shape: the bfs_distances posture (adjacency persisted once,
-    one frontier-keyed equi-join + one aggregate per round) plus one
-    node-keyed anti-join per round against the bounded visited table.
-    Sigma growth is bounded by products of frontier degrees over
-    ``rounds`` hops — BIGINT-safe for any realistic degree at r=3."""
+def _landmark_forward(
+    edges: DataFrame, rounds: int, n_seeds: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Brandes forward sweep shared by landmark_path_counts and
+    landmark_betweenness: symmetrized adjacency, the top-degree seeds,
+    and the full (seed, k, dist, sigma) state after ``rounds``
+    level-synchronous rounds. Every intermediate is CHECKPOINTED (the
+    er.hits lineage rule: state feeds filter + anti-join + union — three
+    appearances per round)."""
     from pyspark.sql import Window
 
     sym = scoped_persist(
@@ -2854,10 +2841,33 @@ def landmark_path_counts(
         new = relaxed.join(
             state.select("seed", "k"), ["seed", "k"], "left_anti"
         ).select("seed", "k", F.lit(i).cast("long").alias("dist"), "sigma")
-        # checkpoint: state appears THREE times per round (frontier
-        # filter, anti-join, union) — plain persist triples the LOGICAL
-        # plan per round (the er.hits pathology)
         state = scoped_persist(state.unionByName(new), how="checkpoint")
+    return sym, seeds, state
+
+
+def landmark_path_counts(
+    edges: DataFrame, rounds: int = 3, n_seeds: int = 3
+) -> DataFrame:
+    """Shortest-path COUNTS from the top-degree landmarks — the sigma
+    table of Brandes' betweenness algorithm (Brandes 2001, the forward
+    sweep): for each landmark and every node within ``rounds`` hops, the
+    hop distance AND the exact number of distinct shortest paths. Path
+    redundancy is the KG-robustness signal distance alone hides (a node
+    at distance 2 via 40 paths is structurally closer than one at
+    distance 2 via a single bridge).
+
+    Exact integers by level-synchronous construction: all shortest paths
+    to a node at BFS level i enter from level i-1, so accumulating sigma
+    only from the CURRENT frontier (dist = i-1) into NOT-YET-SEEN nodes
+    is exactly Brandes' forward pass; the oracle unrolls the same rounds
+    with NOT EXISTS anti-joins.
+
+    Scale shape: the bfs_distances posture (adjacency persisted once,
+    one frontier-keyed equi-join + one aggregate per round) plus one
+    node-keyed anti-join per round against the bounded visited table.
+    Sigma growth is bounded by products of frontier degrees over
+    ``rounds`` hops — BIGINT-safe for any realistic degree at r=3."""
+    sym, seeds, state = _landmark_forward(edges, rounds, n_seeds)
     out = state.join(seeds.withColumnRenamed("src", "seed"), "seed")
 
     def part(j):
@@ -3058,4 +3068,159 @@ def sameas_ntriples(aliases: DataFrame) -> DataFrame:
         line.alias("ntriple"),
         "entity_id", "etype", "alias",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def landmark_betweenness(
+    edges: DataFrame, rounds: int = 3, n_seeds: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality — Brandes 2001 complete:
+    the forward sigma sweep (shared with landmark_path_counts via
+    _landmark_forward) followed by the BACKWARD dependency accumulation
+    ``delta(v) = sum over successors w of sigma_v * (scale + delta_w)
+    div sigma_w`` processed level-by-level from the BFS horizon down to
+    the sources. Exact betweenness needs all-pairs; the standard
+    approximation (Brandes & Pich 2007) runs the accumulation from a
+    landmark sample — here the same top-degree seeds as the other
+    landmark queries — and sums the per-source dependencies. ``delta``
+    is ppm-scaled integer arithmetic: every term is an exact long
+    ``mul-then-div`` and the per-node sum is order-free, so engine and
+    oracle agree bit-for-bit (truncation loses < 1 ppm per term, the
+    documented estimator semantics — not a float in the gate).
+
+    In an unweighted graph every adjacency edge between consecutive BFS
+    levels (dist_w = dist_v + 1, same seed) is a shortest-path-DAG edge,
+    so the successor join is one equi-join of the level-d state against
+    the finalized level-(d+1) deltas per round — no DAG materialization.
+    Sources (dist=0) are excluded from the output (a source never lies
+    strictly between a pair rooted at itself).
+
+    Scale shape: O(rounds) join+aggregate pairs over the bounded reach
+    set, same posture as the forward sweep; per-level delta tables are
+    CHECKPOINTED (each feeds the next level AND the final union — the
+    er.hits lineage rule)."""
+    sym, seeds, state = _landmark_forward(edges, rounds, n_seeds)
+    # horizon level: no successors inside the horizon -> delta 0 (final)
+    acc = scoped_persist(
+        state.filter(F.col("dist") == int(rounds)).select(
+            "seed", "k", "dist", "sigma",
+            F.lit(0).cast("long").alias("delta"),
+        ),
+        how="checkpoint",
+    )
+    for d in range(int(rounds) - 1, -1, -1):
+        w_lvl = acc.filter(F.col("dist") == d + 1).select(
+            F.col("k").alias("dst"), F.col("seed").alias("w_seed"),
+            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+        )
+        v_lvl = state.filter(F.col("dist") == d)
+        contrib = (
+            sym.join(v_lvl.withColumnRenamed("k", "src"), "src")
+            .join(w_lvl, ["dst"])
+            .filter(F.col("seed") == F.col("w_seed"))
+            .groupBy("seed", F.col("src").alias("k"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"sigma * (CAST({int(scale)} AS BIGINT) + delta_w)"
+                        " div sigma_w"
+                    )
+                ).cast("long").alias("delta")
+            )
+        )
+        lvl = (
+            v_lvl.join(contrib, ["seed", "k"], "left")
+            .select(
+                "seed", "k", "dist", "sigma",
+                F.coalesce("delta", F.lit(0)).cast("long").alias("delta"),
+            )
+        )
+        acc = scoped_persist(acc.unionByName(lvl), how="checkpoint")
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return (
+        acc.filter(F.col("dist") > 0)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_landmarks"),
+            F.sum("delta").cast("long").alias("bc_scaled"),
+        )
+        .select(
+            part(0).alias("ent"), part(1).alias("etype"),
+            "n_landmarks", "bc_scaled",
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    occurrences: DataFrame, window: int = 3, max_lev: int = 2
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo 1995) — the
+    third classic blocking family beside LSH bands and phonetic keys:
+    sort the distinct surface vocabulary lexicographically and pair
+    every surface with its next ``window`` neighbors in the sorted
+    order, then verify with exact Levenshtein <= ``max_lev``. Catches
+    shared-prefix variants ("aspirin"/"aspirine") that phonetic keys
+    merge only when the edit is vowel-like and LSH only at low
+    thresholds. Output: (surf_a, surf_b, gap, lev) per verified pair,
+    surf_a sorted before surf_b, gap = rank distance (1..window).
+
+    Scale shape: the global lexicographic rank is the budget_select
+    TWO-LEVEL banded decomposition — per-band (first-character) window
+    + exclusive prefix over the bounded band-total table — never a
+    corpus-sized single-partition sort; first-character bands are
+    contiguous under lexicographic order, so banded rank == the global
+    row_number the oracle computes (the budget_select equivalence
+    precedent, unit-tested). Pairing is ONE equi-join of the ranked
+    table against itself shifted by an exploded 1..window offset
+    (output ~ window x |vocab|, never quadratic); the ranked vocabulary
+    is persisted once feeding both join sides."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    keys = (
+        occurrences.select("norm_surface")
+        .filter(F.length("norm_surface") > 0)
+        .distinct()
+        .withColumn("band", F.substring("norm_surface", 1, 1))
+    )
+    keys = scoped_persist(keys)
+    bw = Window.partitionBy("band").orderBy(F.asc("norm_surface"))
+    in_band = keys.withColumn(
+        "band_rank", F.row_number().over(bw).cast("long")
+    )
+    totals = keys.groupBy("band").agg(F.count("*").cast("long").alias("n"))
+    # exclusive prefix over the band-total table: bounded by the first-
+    # character alphabet (<= a few dozen rows), the documented
+    # single-partition window over a BOUNDED table
+    tw = Window.orderBy(F.asc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "band",
+        F.coalesce(F.sum("n").over(tw), F.lit(0)).cast("long").alias("off"),
+    )
+    ranked = scoped_persist(
+        in_band.join(F.broadcast(offsets), "band").select(
+            "norm_surface",
+            (F.col("off") + F.col("band_rank") - 1).cast("long").alias("rnk"),
+        )
+    )
+    a = ranked.select(
+        F.col("norm_surface").alias("surf_a"), F.col("rnk").alias("rnk_a")
+    ).withColumn(
+        "gap", F.explode(F.array(*[F.lit(i) for i in range(1, int(window) + 1)]))
+    ).withColumn("rnk_b", (F.col("rnk_a") + F.col("gap")).cast("long"))
+    b = ranked.select(
+        F.col("norm_surface").alias("surf_b"), F.col("rnk").alias("rnk_b")
+    )
+    return (
+        a.join(b, "rnk_b")
+        .withColumn("lev", F.levenshtein("surf_a", "surf_b").cast("long"))
+        .filter(F.col("lev") <= int(max_lev))
+        .select("surf_a", "surf_b", F.col("gap").cast("long").alias("gap"), "lev")
     )
