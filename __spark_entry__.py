@@ -3021,6 +3021,18 @@ def q_kg_bfs_dist(spark, sf_dir):
     return er.bfs_distances(er.cooccurrence_edges(typed), rounds=3, n_seeds=3)
 
 
+def q_kg_anf(spark, sf_dir):
+    """ANF / HyperBall neighborhood-function sketches (er.anf_registers):
+    per-node 16-register HLL of the r-hop ball for r = 0..2 by iterated
+    register max-merge over the co-occurrence graph; hashed surface is
+    the integer sufficient statistics (n_present, sum_pow) — the float
+    ball-size estimate is the derived er.anf_estimate, never hashed."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.anf_registers(er.cooccurrence_edges(typed), rounds=2)
+
+
 # a day with nonzero interval coverage at BOTH gate scales (measured in
 # DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
 ASOF_DAY = 19799
@@ -3257,6 +3269,22 @@ def q_kg_kge_distmult(spark, sf_dir):
     stages = run_pipeline(pages, lang_filter=None)
     return kgtrain.kge_eval(
         stages["triples"], dim=4, emb_mod=1000, score_fn="distmult"
+    )
+
+
+def q_kg_kge_complex(spark, sf_dir):
+    """ComplEx filtered-ranking eval (kgtrain.kge_eval with
+    score_fn="complex"): the complex-valued bilinear family (Trouillon
+    et al. 2016) under the identical filtered protocol — the imaginary
+    relation component makes the score asymmetric in (subject, object),
+    the capability DistMult lacks; ranked DESC via negation so the same
+    ascending window serves all three families."""
+    from unsupervised_ner_spark.ops import kgtrain
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return kgtrain.kge_eval(
+        stages["triples"], dim=4, emb_mod=1000, score_fn="complex"
     )
 
 
@@ -3540,6 +3568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_kge_eval": q_kg_kge_eval,
         "kg_kge_distmult": q_kg_kge_distmult,
+        "kg_kge_complex": q_kg_kge_complex,
+        "kg_anf": q_kg_anf,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
@@ -3767,6 +3797,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_modularity": O.kg_modularity(iterations=4),
         "kg_kge_eval": O.kg_kge_eval(dim=4, emb_mod=1000),
         "kg_kge_distmult": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="distmult"),
+        "kg_kge_complex": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="complex"),
+        "kg_anf": O.kg_anf(rounds=2),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),

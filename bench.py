@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "ann_kmeans_update",
     "kg_pred_signatures",
     "kg_kge_distmult",
+    "kg_kge_complex",
+    "kg_anf",
     "kg_betweenness",
     "er_sorted_neighborhood",
     "kg_ppr",

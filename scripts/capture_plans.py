@@ -1675,6 +1675,27 @@ def main() -> None:
     checks.append(("sorted neighborhood: no python eval",
                    "BatchEvalPython" not in p168.split("InMemoryTableScan")[-1]))
 
+    # 169. ComplEx eval: identical plan family as kg_kge_eval — the
+    # asymmetric score is pure codegen arithmetic, ranking window intact
+    p169 = plan_of(entry.q_kg_kge_complex(spark, SF))
+    sections.append(("ComplEx filtered-ranking eval (kg_kge_complex)", p169))
+    checks.append(("kge complex: per-triple ranking window present",
+                   "RunningWindowFunction" in p169 or "Window" in p169))
+    checks.append(("kge complex: no python eval in the ranking chain",
+                   "BatchEvalPython" not in p169))
+
+    # 170. ANF/HyperBall: per-round register state checkpointed (the
+    # er.hits lineage rule — state feeds stats + join + union), no
+    # cartesian, max-merge is a partial (map-side combining) aggregate
+    p170 = plan_of(entry.q_kg_anf(spark, SF))
+    sections.append(("ANF / HyperBall sketches (kg_anf)", p170))
+    checks.append(("anf: register state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p170))
+    checks.append(("anf: no cartesian product",
+                   "CartesianProduct" not in p170))
+    checks.append(("anf: map-side partial max-merge",
+                   "partial_max" in p170 or "partial_" in p170))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

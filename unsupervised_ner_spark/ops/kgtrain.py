@@ -300,9 +300,11 @@ def kge_eval(
     the same window.
 
     ``score_fn`` selects the model family, everything else identical:
-    "transe" (translational, L1 distance ASC) or "distmult" (bilinear
+    "transe" (translational, L1 distance ASC), "distmult" (bilinear
     Yang et al. 2015, ``sum_i emb_s[i] * emb_r[i] * emb_c[i]`` DESC —
-    ranked via its negation so one ascending window serves both).
+    ranked via its negation so one ascending window serves all
+    families), or "complex" (Trouillon et al. 2016 — complex-valued
+    bilinear form, the asymmetric-relation family; see the branch).
     Overflow: per-dim product < emb_mod^3 = 1e9, summed over dim << a
     long."""
     dtrip = scoped_persist(
@@ -346,7 +348,38 @@ def kge_eval(
                 for i in range(int(dim))
             )
         ).cast("long")
-    else:  # pragma: no cover - guarded by the two callers
+    elif score_fn == "complex":
+        # ComplEx (Trouillon et al. 2016): Re(<w_r, e_s, conj(e_o)>) =
+        # sum_i rr*(sr*or + si*oi) + ri*(sr*oi - si*or), with separate
+        # real/imag hash embeddings ("er"/"ei" entities, "rr"/"ri"
+        # relations); ranked DESC via negation like DistMult. The
+        # imaginary relation part makes the score ASYMMETRIC in (s, o) —
+        # the family's point: it can model directional predicates
+        # DistMult provably cannot. Overflow: 2 products of three
+        # < emb_mod^3 per dim, summed over dim << a long.
+        def _cx(i: int, a: str, b: str, col_a, col_b):
+            return (
+                _hash_emb_term(a, col_a, i, emb_mod)
+                * _hash_emb_term(b, col_b, i, emb_mod)
+            )
+
+        s, p, c = F.col("subj"), F.col("pred_norm"), F.col("c")
+        dist = (
+            -sum(
+                _hash_emb_term("rr", p, i, emb_mod)
+                * (
+                    _cx(i, "er", "er", s, c)
+                    + _cx(i, "ei", "ei", s, c)
+                )
+                + _hash_emb_term("ri", p, i, emb_mod)
+                * (
+                    _cx(i, "er", "ei", s, c)
+                    - _cx(i, "ei", "er", s, c)
+                )
+                for i in range(int(dim))
+            )
+        ).cast("long")
+    else:  # pragma: no cover - guarded by the three callers
         raise ValueError(f"unknown score_fn: {score_fn}")
     w = Window.partitionBy(
         "subj", "subj_type", "pred_norm", "obj", "obj_type"

@@ -7385,8 +7385,9 @@ def kg_kge_eval(
     hash embeddings (_hex8_int_sql nibble arithmetic == md5_int32),
     type-blocked candidates, filtered truth removal, (dist asc, c asc)
     row_number rank, per-predicate integer sufficient statistics.
-    ``score_fn``: "transe" (L1, asc) or "distmult" (negated bilinear
-    product so the same ascending rank serves both)."""
+    ``score_fn``: "transe" (L1, asc), "distmult" (negated bilinear
+    product so the same ascending rank serves all families), or
+    "complex" (negated complex bilinear form, Trouillon et al. 2016)."""
 
     def emb(prefix: str, col: str, i: int) -> str:
         h = _hex8_int_sql(f"md5('{prefix}#' || {col} || '#{i}')")
@@ -7398,6 +7399,18 @@ def kg_kge_eval(
             f" - {emb('e', 'c', i)})"
             for i in range(dim)
         )
+    elif score_fn == "complex":
+        # Re(<w_r, e_s, conj(e_o)>), negated: rr*(sr*or + si*oi)
+        # + ri*(sr*oi - si*or) per dim — the kgtrain.kge_eval branch
+        dist = "-(" + " + ".join(
+            f"{emb('rr', 'pred_norm', i)}"
+            f" * ({emb('er', 'subj', i)} * {emb('er', 'c', i)}"
+            f" + {emb('ei', 'subj', i)} * {emb('ei', 'c', i)})"
+            f" + {emb('ri', 'pred_norm', i)}"
+            f" * ({emb('er', 'subj', i)} * {emb('ei', 'c', i)}"
+            f" - {emb('ei', 'subj', i)} * {emb('er', 'c', i)})"
+            for i in range(dim)
+        ) + ")"
     else:
         dist = "-(" + " + ".join(
             f"{emb('e', 'subj', i)} * {emb('r', 'pred_norm', i)}"
@@ -7677,6 +7690,66 @@ FROM ({allb}) WHERE dist > 0
 GROUP BY k
 """
     return _materialize(body, *dict.fromkeys(mats))
+
+
+def kg_anf(model: str = "a100", rounds: int = 2) -> str:
+    """ANF / HyperBall twin (pipeline/er.py anf_registers): per-node
+    16-register HLL sketches of the r-hop ball, ``rounds`` unrolled
+    rounds of element-wise max-merge over the symmetrized co-occurrence
+    graph; hashed surface is the integer sufficient statistics
+    (n_present, sum_pow = sum 2^(49 - r_max)) per (node, radius).
+    Identical md5 bucket/rho construction as txt_hll_registers."""
+    rho = """CASE WHEN lz = 12 THEN 49
+                     ELSE lz * 4
+                          + CASE WHEN d = '1' THEN 3
+                                 WHEN d IN ('2', '3') THEN 2
+                                 WHEN d IN ('4', '5', '6', '7') THEN 1
+                                 ELSE 0 END
+                          + 1 END"""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+nodes AS (SELECT DISTINCT src AS k FROM sym),
+z AS (
+    SELECT k, substring(md5(k), 1, 1) AS bucket,
+           length(regexp_extract(substring(md5(k), 2, 12), '^0*')) AS lz,
+           substring(substring(md5(k), 2, 12),
+                     length(regexp_extract(substring(md5(k), 2, 12), '^0*')) + 1,
+                     1) AS d
+    FROM nodes
+),
+r0 AS (
+    SELECT k, bucket, CAST({rho} AS BIGINT) AS r_max FROM z
+)"""
+    prev = "r0"
+    for i in range(1, int(rounds) + 1):
+        body += f""",
+r{i} AS (
+    SELECT k, bucket, CAST(max(r_max) AS BIGINT) AS r_max FROM (
+        SELECT k, bucket, r_max FROM {prev}
+        UNION ALL
+        SELECT s.dst AS k, r.bucket, r.r_max
+        FROM sym s JOIN {prev} r ON s.src = r.k
+    ) GROUP BY k, bucket
+)"""
+        prev = f"r{i}"
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       CAST({i} AS BIGINT) AS radius,
+       CAST(count(*) AS BIGINT) AS n_present,
+       CAST(sum(CAST(1 AS BIGINT) << CAST(49 - r_max AS INTEGER)) AS BIGINT)
+           AS sum_pow
+FROM r{i} GROUP BY k"""
+        for i in range(int(rounds) + 1)
+    )
+    body += "\n" + stats + "\n"
+    return _materialize(
+        body, "sym", *[f"r{i}" for i in range(int(rounds) + 1)]
+    )
 
 
 def txt_sitemaps() -> str:

@@ -3224,3 +3224,109 @@ def sorted_neighborhood_pairs(
         .filter(F.col("lev") <= int(max_lev))
         .select("surf_a", "surf_b", F.col("gap").cast("long").alias("gap"), "lev")
     )
+
+
+def anf_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Approximate neighborhood function — ANF (Palmer et al. KDD'02) in
+    its HyperBall form (Boldi & Vigna WWW'11): for every node and every
+    radius r in 0..``rounds``, a HyperLogLog sketch of the ball B_r(v)
+    (the set of nodes within r hops), computed by iterating element-wise
+    register MAX-merge of neighbor sketches. |B_r(v)| over r is the
+    per-node neighborhood function — the primitive behind distributed
+    effective-diameter / centrality estimation at sizes where exact BFS
+    from every node is quadratic and hopeless; HyperBall's insight is
+    that the ENTIRE per-round state is (nodes x registers) regardless of
+    graph size, and a round is one edge-keyed equi-join + one max
+    aggregate — the bfs_distances posture with registers instead of a
+    scalar distance.
+
+    Registers are the deterministic md5-derived HLL of ops/sketches
+    (bucket = first hex char of md5(node key) -> 16 registers, ~26% rse
+    — the demo width; production bumps P_HEX like hll_registers, same
+    plan), rho from the next 12 hex chars. The hashed surface is
+    all-integer sufficient statistics per (node, radius): ``n_present``
+    (registers occupied) and ``sum_pow = sum_j 2^(49 - r_max_j)`` — the
+    exact integer numerator of the HLL estimator's sum 2^-r_max =
+    sum_pow / 2^49 (r_max <= 49, so each term is an exact long and the
+    sum is order-free). The float estimate is a derived, never-hashed
+    division (the NPMI / hll_estimate precedent).
+
+    Scale shape: adjacency persisted once; each round joins the
+    edge-sized sym table with the (nodes x <=16)-row register table and
+    max-aggregates — map-side combine does the merging (duplicate
+    (node, bucket) rows collapse before the shuffle). Register state is
+    CHECKPOINTED per round: it feeds the per-radius stats aggregate,
+    the next round's join, AND the union (the er.hits lineage rule).
+    A hub is at most 16 reducer keys in the max-aggregate — no skew
+    amplification."""
+    from unsupervised_ner_spark.ops.sketches import _rho_from_suffix
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        ),
+        how="checkpoint",
+    )
+    nodes = sym.select(F.col("src").alias("k")).distinct()
+    h = F.md5(F.col("k"))
+    reg = scoped_persist(
+        nodes.select(
+            "k",
+            F.substring(h, 1, 1).alias("bucket"),
+            _rho_from_suffix(F.substring(h, 2, 12)).alias("r_max"),
+        ),
+        how="checkpoint",
+    )
+
+    def stats(r: DataFrame, radius: int) -> DataFrame:
+        return r.groupBy("k").agg(
+            F.lit(radius).cast("long").alias("radius"),
+            F.count("*").cast("long").alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - r_max AS INT))")
+            ).cast("long").alias("sum_pow"),
+        )
+
+    out = stats(reg, 0)
+    for radius in range(1, int(rounds) + 1):
+        prop = sym.join(reg.withColumnRenamed("k", "src"), "src").select(
+            F.col("dst").alias("k"), "bucket", "r_max"
+        )
+        reg = scoped_persist(
+            reg.unionByName(prop)
+            .groupBy("k", "bucket")
+            .agg(F.max("r_max").cast("long").alias("r_max")),
+            how="checkpoint",
+        )
+        out = out.unionByName(stats(reg, radius))
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        "radius", "n_present", "sum_pow",
+    )
+
+
+def anf_estimate(anf: DataFrame, m: int = 16) -> DataFrame:
+    """Derived float |B_r(v)| estimate from anf_registers output (never
+    hashed): alpha_m * m^2 / (sum_pow/2^49 + zeros), with the standard
+    small-range linear-counting correction (the hll_estimate formula
+    over per-node registers)."""
+    alpha = 0.673 if m == 16 else 0.7213 / (1.0 + 1.079 / m)
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    raw = F.lit(alpha * m * m) / (
+        F.col("sum_pow").cast("double") / F.lit(float(2**49)) + zeros
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return anf.select("ent", "etype", "radius", est.alias("estimate"))
