@@ -3033,6 +3033,19 @@ def q_kg_anf(spark, sf_dir):
     return er.anf_registers(er.cooccurrence_edges(typed), rounds=2)
 
 
+def q_kg_mis(spark, sf_dir):
+    """Maximal independent set (er.maximal_independent_set): Luby-style
+    parallel greedy with deterministic md5 priorities over the
+    co-occurrence graph — per round, (priority, key)-local-minimum
+    undecided nodes join the MIS and their undecided neighbors are
+    excluded; 3 unrolled rounds, remaining nodes reported 'open'. The
+    output is a maximal set of pairwise never-co-occurring entities."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.maximal_independent_set(er.cooccurrence_edges(typed), rounds=3)
+
+
 # a day with nonzero interval coverage at BOTH gate scales (measured in
 # DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
 ASOF_DAY = 19799
@@ -3570,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kge_distmult": q_kg_kge_distmult,
         "kg_kge_complex": q_kg_kge_complex,
         "kg_anf": q_kg_anf,
+        "kg_mis": q_kg_mis,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
@@ -3799,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kge_distmult": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="distmult"),
         "kg_kge_complex": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="complex"),
         "kg_anf": O.kg_anf(rounds=2),
+        "kg_mis": O.kg_mis(rounds=3),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "kg_kge_distmult",
     "kg_kge_complex",
     "kg_anf",
+    "kg_mis",
     "kg_betweenness",
     "er_sorted_neighborhood",
     "kg_ppr",

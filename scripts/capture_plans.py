@@ -1696,6 +1696,17 @@ def main() -> None:
     checks.append(("anf: map-side partial max-merge",
                    "partial_max" in p170 or "partial_" in p170))
 
+    # 171. MIS: undecided state checkpointed per round, the defeat test
+    # is an anti-join (no python), nothing cartesian
+    p171 = plan_of(entry.q_kg_mis(spark, SF))
+    sections.append(("Maximal independent set (kg_mis)", p171))
+    checks.append(("mis: undecided state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p171))
+    checks.append(("mis: no cartesian product",
+                   "CartesianProduct" not in p171))
+    checks.append(("mis: no python eval",
+                   "BatchEvalPython" not in p171))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -7752,6 +7752,69 @@ FROM r{i} GROUP BY k"""
     )
 
 
+def kg_mis(model: str = "a100", rounds: int = 3) -> str:
+    """Parallel-greedy MIS twin (pipeline/er.py maximal_independent_set):
+    md5-int32 priorities (_hex8_int_sql), per round a node joins the MIS
+    iff NO undecided neighbor precedes it in (priority, key) order; its
+    undecided neighbors become excluded; ``rounds`` unrolled."""
+    prio = _hex8_int_sql("md5(k)")
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+u0 AS (
+    SELECT k, {prio} AS prio FROM (SELECT DISTINCT src AS k FROM sym)
+)"""
+    prev = "u0"
+    outs = []
+    mats = ["sym", "u0"]
+    for r in range(1, int(rounds) + 1):
+        body += f""",
+w{r} AS (
+    SELECT u.k FROM {prev} u
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sym s JOIN {prev} v ON v.k = s.dst
+        WHERE s.src = u.k
+          AND (v.prio < u.prio OR (v.prio = u.prio AND v.k < u.k))
+    )
+),
+x{r} AS (
+    SELECT DISTINCT s.dst AS k
+    FROM sym s
+    JOIN w{r} w ON w.k = s.src
+    JOIN {prev} v ON v.k = s.dst
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} q WHERE q.k = s.dst)
+),
+u{r} AS (
+    SELECT u.k, u.prio FROM {prev} u
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.k = u.k)
+      AND NOT EXISTS (SELECT 1 FROM x{r} x WHERE x.k = u.k)
+)"""
+        outs.append(
+            f"SELECT k, 'mis' AS status, CAST({r} AS BIGINT) AS round FROM w{r}"
+        )
+        outs.append(
+            f"SELECT k, 'excluded', CAST({r} AS BIGINT) FROM x{r}"
+        )
+        mats += [f"w{r}", f"x{r}", f"u{r}"]
+        prev = f"u{r}"
+    outs.append(
+        f"SELECT k, 'open', CAST({int(rounds)} AS BIGINT) FROM {prev}"
+    )
+    body += f""",
+allout AS (
+{chr(10).join('    ' + o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+)
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       status, round
+FROM allout
+"""
+    return _materialize(body, *mats[:-1])
+
+
 def txt_sitemaps() -> str:
     """Sitemap twin (ops/webtext.build_sitemaps + parse_sitemaps): the
     SAME doc_id-derived XML built with string_agg(ORDER BY doc_id), then

@@ -3330,3 +3330,106 @@ def anf_estimate(anf: DataFrame, m: int = 16) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return anf.select("ent", "etype", "radius", est.alias("estimate"))
+
+
+def maximal_independent_set(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Parallel greedy maximal independent set over the entity graph —
+    Luby's symmetry-breaking scheme (Luby 1986) in its deterministic
+    fixed-priority form (parallel greedy with random priorities; Blelloch
+    et al. SPAA'12 prove O(log^2 n) rounds w.h.p.): every node gets an
+    md5-derived priority, and per round every still-undecided node whose
+    (priority, key) is a LOCAL MINIMUM among its undecided neighbors
+    joins the MIS; its undecided neighbors become excluded. MIS is the
+    classic distributed symmetry-breaking primitive — here it yields a
+    maximal set of pairwise NON-co-occurring entities (a diversity
+    anchor set: no two picks ever appear in the same sentence), and the
+    same kernel is the scheduling/coloring building block.
+
+    Output: (ent, etype, status, round) — status 'mis' or 'excluded'
+    with the deciding round (1-based), or 'open' with round = ``rounds``
+    for nodes still undecided at the horizon (the fixed-round contract
+    of the BFS family; the oracle unrolls identically).
+
+    Scale shape: adjacency persisted once; per round TWO edge-keyed
+    equi-joins against the node-sized undecided table (restrict edges to
+    undecided endpoints), one "defeated by a neighbor" anti-join, one
+    distinct for the exclusions — all map-side-combinable, nothing
+    corpus-quadratic. The undecided table SHRINKS geometrically (that is
+    Luby's theorem), so later rounds are cheaper; state is checkpointed
+    per round (feeds the edge restriction twice, the anti-join, and the
+    output union — the er.hits lineage rule)."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        ),
+        how="checkpoint",
+    )
+    und = scoped_persist(
+        sym.select(F.col("src").alias("k"))
+        .distinct()
+        .select("k", md5_int32(F.col("k")).alias("prio")),
+        how="checkpoint",
+    )
+    out = None
+    for r in range(1, int(rounds) + 1):
+        # edges with BOTH endpoints undecided, priorities attached
+        e = sym.join(
+            und.select(F.col("k").alias("src"), F.col("prio").alias("sp")),
+            "src",
+        ).join(
+            und.select(F.col("k").alias("dst"), F.col("prio").alias("dp")),
+            "dst",
+        )
+        # a node loses if any undecided neighbor precedes it in
+        # (priority, key) order — md5 collisions fall back to key order
+        beaten = (
+            e.filter(
+                F.struct(F.col("dp"), F.col("dst"))
+                < F.struct(F.col("sp"), F.col("src"))
+            )
+            .select(F.col("src").alias("k"))
+            .distinct()
+        )
+        win = scoped_persist(und.join(beaten, "k", "left_anti").select("k"))
+        excl = (
+            e.join(win.withColumnRenamed("k", "src"), "src")
+            .select(F.col("dst").alias("k"))
+            .distinct()
+        )
+        decided = win.select(
+            "k", F.lit("mis").alias("status"),
+            F.lit(r).cast("long").alias("round"),
+        ).unionByName(
+            excl.select(
+                "k", F.lit("excluded").alias("status"),
+                F.lit(r).cast("long").alias("round"),
+            )
+        )
+        out = decided if out is None else out.unionByName(decided)
+        und = scoped_persist(
+            und.join(
+                decided.select("k"), "k", "left_anti"
+            ),
+            how="checkpoint",
+        )
+    out = out.unionByName(
+        und.select(
+            "k", F.lit("open").alias("status"),
+            F.lit(int(rounds)).cast("long").alias("round"),
+        )
+    )
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"), "status", "round"
+    )

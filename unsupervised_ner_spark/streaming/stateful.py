@@ -197,3 +197,146 @@ def stream_first_seen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (event-time gap + state timeout)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_row(key: tuple, sess: tuple) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "session_start_ms": [sess[0]],
+            "session_end_ms": [sess[1]],
+            "n_events": [sess[2]],
+        }
+    )
+
+
+def _session_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # watermark passed last_event + gap with no new arrivals: the
+        # session is CLOSED — emit the finalized row and drop the state
+        sess = tuple(state.get)
+        state.remove()
+        yield _session_row(key, sess)
+        return
+    batch = pd.concat(list(pdfs))
+    ts_ms = sorted(int(t) for t in batch["ts"].astype("int64") // 1_000_000)
+    # in-batch gaps-and-islands: split the sorted arrivals on > gap
+    sessions: list[list[int]] = []  # [start, end, n]
+    for t in ts_ms:
+        if sessions and t - sessions[-1][1] <= SESSION_GAP_MS:
+            sessions[-1][1] = t
+            sessions[-1][2] += 1
+        else:
+            sessions.append([t, t, 1])
+    if state.exists:
+        start_ms, end_ms, n = state.get
+        first = sessions[0]
+        if first[0] <= end_ms + SESSION_GAP_MS:
+            # contiguous with (or late-inside) the open session: fold in
+            first[0] = min(first[0], start_ms)
+            first[1] = max(first[1], end_ms)
+            first[2] += n
+        else:
+            # the open session's gap elapsed in event time even though
+            # the timeout hadn't fired yet (a later event arrived first):
+            # close it ahead of the new ones
+            sessions.insert(0, [start_ms, end_ms, n])
+    # everything but the newest session is closed by construction
+    for sess in sessions[:-1]:
+        yield _session_row(key, tuple(sess))
+    last = sessions[-1]
+    state.update((last[0], last[1], last[2]))
+    # close when the WATERMARK (not wall clock) passes end + gap — the
+    # event-time semantics of the batch gaps-and-islands twin. Timeouts
+    # must be set strictly beyond the current watermark.
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last[1] + SESSION_GAP_MS, wm + 1))
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Streaming (user_id, ts) -> one row per CLOSED session (start, end,
+    event count), a session being a maximal run of a user's events with
+    no gap > 30 min — the streaming twin of the batch gaps-and-islands
+    sessionization (rel_window_sessions): instead of a corpus-wide
+    window-lag pass, each user's open session is one bounded state row
+    that closes either by EVENT-TIME timeout (watermark passes its last
+    event + gap with no arrivals) or eagerly when a later event proves
+    the gap elapsed; arrivals within a trigger are gap-split in-batch
+    (the same gaps-and-islands rule, applied to the sorted micro-batch).
+
+    Scale posture: state is (3 longs) x (users with an OPEN session) —
+    bounded by active users, not event volume; the state store partitions
+    on user_id, the key the batch window would shuffle on anyway. Late
+    events inside the watermark merge into the open session; events later
+    than the watermark are dropped upstream by the watermark filter (the
+    windowed-counts late-drop semantics, restart-safe through the
+    checkpoint)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_sessions(
+    spark: Any,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """File-source stream of (user_id, ts) events -> closed-session rows
+    appended to parquet. Returns the started StreamingQuery; open-session
+    state survives restarts through ``checkpoint_dir`` (a session spanning
+    an interruption closes exactly once, with events from both runs)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        sessionize_events(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
