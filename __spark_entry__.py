@@ -3046,6 +3046,18 @@ def q_kg_mis(spark, sf_dir):
     return er.maximal_independent_set(er.cooccurrence_edges(typed), rounds=3)
 
 
+def q_kg_densest(spark, sf_dir):
+    """Densest-subgraph approximation (er.densest_subgraph_peel): 4
+    Bahmani-et-al parallel peel rounds with eps = 0.1 over the
+    co-occurrence graph; exact integer cross-multiplied peel test and
+    exact-fraction best-snapshot argmax — the KG hairball / hot-subtopic
+    detector."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.densest_subgraph_peel(er.cooccurrence_edges(typed), rounds=4)
+
+
 # a day with nonzero interval coverage at BOTH gate scales (measured in
 # DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
 ASOF_DAY = 19799
@@ -3584,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kge_complex": q_kg_kge_complex,
         "kg_anf": q_kg_anf,
         "kg_mis": q_kg_mis,
+        "kg_densest": q_kg_densest,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
@@ -3814,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kge_complex": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="complex"),
         "kg_anf": O.kg_anf(rounds=2),
         "kg_mis": O.kg_mis(rounds=3),
+        "kg_densest": O.kg_densest(rounds=4),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),

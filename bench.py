@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "kg_kge_complex",
     "kg_anf",
     "kg_mis",
+    "kg_densest",
     "kg_betweenness",
     "er_sorted_neighborhood",
     "kg_ppr",

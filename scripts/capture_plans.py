@@ -1707,6 +1707,17 @@ def main() -> None:
     checks.append(("mis: no python eval",
                    "BatchEvalPython" not in p171))
 
+    # 172. densest subgraph: alive state checkpointed per peel round,
+    # no cartesian, degree aggregate partially (map-side) combined
+    p172 = plan_of(entry.q_kg_densest(spark, SF))
+    sections.append(("Densest-subgraph peel (kg_densest)", p172))
+    checks.append(("densest: alive state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p172))
+    checks.append(("densest: no cartesian product",
+                   "CartesianProduct" not in p172))
+    checks.append(("densest: no python eval",
+                   "BatchEvalPython" not in p172))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

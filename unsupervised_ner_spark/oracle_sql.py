@@ -7815,6 +7815,78 @@ FROM allout
     return _materialize(body, *mats[:-1])
 
 
+def kg_densest(
+    model: str = "a100", rounds: int = 4, eps_num: int = 11, eps_den: int = 10,
+) -> str:
+    """Densest-subgraph peel twin (pipeline/er.py densest_subgraph_peel):
+    ``rounds`` unrolled Bahmani-et-al peel rounds — per round delete every
+    node with deg * n * eps_den <= eps_num * e2 (e2 = symmetrized edge
+    count) — then the exact-fraction pairwise argmax over the snapshot
+    stats picks the best-density round; in_best = peeled strictly after
+    it."""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+a0 AS (SELECT DISTINCT src AS k FROM sym),
+e0 AS (SELECT src, dst FROM sym)"""
+    mats = ["sym", "a0", "e0"]
+    outs = []
+    for r in range(1, int(rounds) + 1):
+        p = r - 1
+        body += f""",
+d{p} AS (SELECT src AS k, CAST(count(*) AS BIGINT) AS deg
+         FROM e{p} GROUP BY src),
+p{r} AS (
+    SELECT a.k FROM a{p} a LEFT JOIN d{p} d ON d.k = a.k
+    WHERE COALESCE(d.deg, 0) * (SELECT count(*) FROM a{p}) * {int(eps_den)}
+          <= {int(eps_num)} * (SELECT count(*) FROM e{p})
+),
+a{r} AS (
+    SELECT k FROM a{p}
+    WHERE NOT EXISTS (SELECT 1 FROM p{r} WHERE p{r}.k = a{p}.k)
+),
+e{r} AS (
+    SELECT s.src, s.dst FROM sym s
+    JOIN a{r} x ON x.k = s.src JOIN a{r} y ON y.k = s.dst
+)"""
+        outs.append(f"SELECT k, CAST({r} AS BIGINT) AS pr FROM p{r}")
+        mats += [f"p{r}", f"a{r}", f"e{r}"]
+    outs.append(
+        f"SELECT k, CAST({int(rounds) + 1} AS BIGINT) FROM a{int(rounds)}"
+    )
+    snaps = "\nUNION ALL\n".join(
+        f"    SELECT {r} AS r, (SELECT count(*) FROM a{r}) AS n,"
+        f" (SELECT count(*) FROM e{r}) AS e2"
+        for r in range(int(rounds) + 1)
+    )
+    body += f""",
+snaps AS (
+{snaps}
+),
+best AS (
+    SELECT min(r) AS r FROM snaps s
+    WHERE s.n > 0 AND NOT EXISTS (
+        SELECT 1 FROM snaps t WHERE t.n > 0
+          AND (t.e2 * s.n > s.e2 * t.n
+               OR (t.e2 * s.n = s.e2 * t.n AND t.r < s.r))
+    )
+),
+allp AS (
+{chr(10).join('    ' + o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+)
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       pr AS peel_round,
+       CAST(CASE WHEN pr > (SELECT r FROM best) THEN 1 ELSE 0 END AS BIGINT)
+           AS in_best
+FROM allp
+"""
+    return _materialize(body, *mats)
+
+
 def txt_sitemaps() -> str:
     """Sitemap twin (ops/webtext.build_sitemaps + parse_sitemaps): the
     SAME doc_id-derived XML built with string_agg(ORDER BY doc_id), then

@@ -3433,3 +3433,116 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return out.select(
         part(0).alias("ent"), part(1).alias("etype"), "status", "round"
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame, rounds: int = 4, eps_num: int = 11, eps_den: int = 10,
+) -> DataFrame:
+    """Densest-subgraph 2(1+eps)-approximation by parallel peeling
+    (Charikar 2000 made MapReduce-parallel by Bahmani, Kumar & Vassilvitskii
+    VLDB'12): repeatedly delete EVERY node whose degree is at most
+    2(1+eps) x the current average density |E|/|V|; the best-density
+    snapshot over the peel is within 2(1+eps) of the optimum, and the
+    graph shrinks geometrically so O(log n / eps) rounds suffice. The
+    densest entity cluster is the KG hairball detector — the community
+    whose co-occurrence is too dense to be topical (boilerplate
+    surfaces, navigation noise) or the genuinely hot subtopic.
+
+    All-integer determinism: the peel test ``deg <= 2(1+eps)|E|/|V|``
+    is evaluated as ``deg * n * eps_den <= eps_num * e2`` (e2 = 2|E| in
+    the symmetrized table, eps = eps_num/eps_den - 1); the best snapshot
+    is the pairwise EXACT fraction comparison ``e_r * n_s >= e_s * n_r``
+    (ties -> earliest round) over the <= rounds+1 snapshot stats rows —
+    no float density anywhere. Overflow bound: e2 * n must fit a long
+    (fine through ~10^9 nodes x 10^13 edge-ends; beyond that widen to
+    decimal — the comparison stays exact either way).
+
+    Output: (ent, etype, peel_round, in_best) — peel_round 1-based,
+    ``rounds + 1`` for survivors of the whole peel; in_best = 1 iff the
+    node is a member of the argmax-density snapshot (peel_round >
+    best round). At least one node peels every round (min degree <=
+    average <= the threshold), so the peel always progresses.
+
+    Scale shape: adjacency persisted once; per round two equi-joins
+    restrict edges to alive endpoints, one degree aggregate, one
+    anti-join — the MIS/BFS family posture; alive-state checkpointed per
+    round. The per-round (n, e2) snapshot counts are the only driver
+    actions — O(rounds) scalar reads, the adaptive-cap precedent."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        ),
+        how="checkpoint",
+    )
+    alive = scoped_persist(
+        sym.select(F.col("src").alias("k")).distinct(), how="checkpoint"
+    )
+    snaps: list[tuple[int, int, int]] = []  # (round, n, e2)
+    peeled: list[DataFrame] = []
+    for r in range(1, int(rounds) + 1):
+        e_alive = sym.join(
+            alive.withColumnRenamed("k", "src"), "src"
+        ).join(alive.select(F.col("k").alias("dst")), "dst")
+        e_alive = scoped_persist(e_alive)
+        n = alive.count()
+        e2 = e_alive.count()
+        snaps.append((r - 1, n, e2))
+        if n == 0:
+            break
+        deg = e_alive.groupBy("src").agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        peel = (
+            alive.join(deg.withColumnRenamed("src", "k"), "k", "left")
+            .filter(
+                F.coalesce(F.col("deg"), F.lit(0))
+                * F.lit(int(n)) * F.lit(int(eps_den))
+                <= F.lit(int(eps_num)) * F.lit(int(e2))
+            )
+            .select("k", F.lit(r).cast("long").alias("peel_round"))
+        )
+        peeled.append(scoped_persist(peel))
+        alive = scoped_persist(
+            alive.join(peel.select("k"), "k", "left_anti"),
+            how="checkpoint",
+        )
+    # final snapshot after the last peel
+    n_fin = alive.count()
+    if n_fin:
+        e2_fin = (
+            sym.join(alive.withColumnRenamed("k", "src"), "src")
+            .join(alive.select(F.col("k").alias("dst")), "dst")
+            .count()
+        )
+    else:
+        e2_fin = 0
+    snaps.append((len(snaps), n_fin, e2_fin))
+    # exact-fraction argmax: best r s.t. no s has e_s/n_s > e_r/n_r
+    nonzero = [(r, n, e2) for r, n, e2 in snaps if n > 0]
+    best_r = min(
+        (r for r, n, e2 in nonzero
+         if not any(
+             t_e2 * n > e2 * t_n or (t_e2 * n == e2 * t_n and t_r < r)
+             for t_r, t_n, t_e2 in nonzero
+         )),
+    )
+    out = alive.select(
+        "k", F.lit(int(rounds) + 1).cast("long").alias("peel_round")
+    )
+    for p in peeled:
+        out = out.unionByName(p)
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"), "peel_round",
+        (F.col("peel_round") > F.lit(int(best_r)))
+        .cast("long").alias("in_best"),
+    )
