@@ -3058,6 +3058,25 @@ def q_kg_densest(spark, sf_dir):
     return er.densest_subgraph_peel(er.cooccurrence_edges(typed), rounds=4)
 
 
+def q_txt_max_coverage(spark, sf_dir):
+    """Greedy max-coverage document selection (curation.
+    max_coverage_select): the 5 documents that together cover the most
+    distinct typed entities, picked one at a time by marginal gain —
+    the submodular (1-1/e) curation primitive; deterministic
+    (gain DESC, url ASC) tie-break replayed by the oracle."""
+    from unsupervised_ner_spark.ops import curation
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    occ = er.entity_occurrences(
+        typed.select("url", "sent_idx", "mention_idx", "surface", "pred_group")
+    )
+    pairs = occ.select(
+        "url", F.concat_ws("|", "norm_surface", "etype").alias("ent")
+    )
+    return curation.max_coverage_select(pairs, k=5)
+
+
 # a day with nonzero interval coverage at BOTH gate scales (measured in
 # DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
 ASOF_DAY = 19799
@@ -3597,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": q_kg_anf,
         "kg_mis": q_kg_mis,
         "kg_densest": q_kg_densest,
+        "txt_max_coverage": q_txt_max_coverage,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
@@ -3828,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_anf": O.kg_anf(rounds=2),
         "kg_mis": O.kg_mis(rounds=3),
         "kg_densest": O.kg_densest(rounds=4),
+        "txt_max_coverage": O.txt_max_coverage(k=5),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),

@@ -1718,6 +1718,31 @@ def main() -> None:
     checks.append(("densest: no python eval",
                    "BatchEvalPython" not in p172))
 
+    # 173. greedy max-coverage: the query's own loop runs eagerly (the
+    # result is k local rows), so capture the ROUND plan: per-doc
+    # marginal count + top-1, which must compile to TakeOrdered
+    # (per-partition heads), never a global sort, with a partial
+    # (map-side) count
+    from unsupervised_ner_spark.ops.curation import coverage_round_top1
+    from unsupervised_ner_spark.pipeline import er as _er
+
+    _typed = entry._typed_production(spark, SF)
+    _occ = _er.entity_occurrences(
+        _typed.select("url", "sent_idx", "mention_idx", "surface",
+                      "pred_group")
+    )
+    _pairs = _occ.select(
+        "url", F.concat_ws("|", "norm_surface", "etype").alias("ent")
+    ).distinct()
+    p173 = plan_of(coverage_round_top1(_pairs))
+    sections.append(("Greedy max-coverage round (txt_max_coverage)", p173))
+    checks.append(("max-coverage: top-1 is TakeOrdered, not a global sort",
+                   "TakeOrderedAndProject" in p173))
+    checks.append(("max-coverage: map-side partial count",
+                   "partial_count" in p173))
+    checks.append(("max-coverage: no python eval",
+                   "BatchEvalPython" not in p173))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

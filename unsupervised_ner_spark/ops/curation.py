@@ -221,3 +221,69 @@ def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def coverage_round_top1(remaining: DataFrame) -> DataFrame:
+    """One greedy round of max_coverage_select: per-doc marginal count +
+    (gain DESC, url ASC) top-1. Split out so the round's physical plan
+    is capturable — the orderBy(...).limit(1) must compile to
+    TakeOrdered (per-partition heads), never a global sort."""
+    return (
+        remaining.groupBy("url")
+        .agg(F.count("*").cast("long").alias("gain"))
+        .orderBy(F.desc("gain"), F.asc("url"))
+        .limit(1)
+    )
+
+
+def max_coverage_select(doc_entities: DataFrame, k: int = 5) -> DataFrame:
+    """Greedy maximum-coverage document selection — the submodular
+    data-curation primitive (Nemhauser, Wolsey & Fisher 1978: greedy is
+    a (1 - 1/e)-approximation; the CELF/distributed-greedy line scales
+    it): pick ``k`` documents one at a time, each maximizing the number
+    of NOT-YET-COVERED entities it mentions. This is "which k pages give
+    the broadest entity coverage" — the seed-set selection a curation
+    pipeline runs before expensive annotation, and the exact objective
+    behind coverage-driven training-data selection.
+
+    Input: (url, ent) pairs, deduplicated internally. Output: one row
+    per selection round — (round, url, gain) with gain = marginal
+    new-entity count (strictly positive; selection stops early if
+    everything is covered). Ties break deterministically (gain DESC,
+    url ASC), replayed by the oracle's ORDER BY ... LIMIT 1.
+
+    Scale shape: the pair table is persisted once; each round is one
+    anti-join against the covered-entity table (bounded by distinct
+    entities, not corpus size), one map-side-combining per-doc count,
+    and a TakeOrdered top-1 (per-partition heads, never a global sort);
+    the covered table is checkpointed per round (feeds the anti-join and
+    the next union — the er.hits lineage rule). The k driver-side
+    single-row collects are O(k) scalar reads (the adaptive-cap
+    precedent). k is the budget, typically << log of anything — the
+    round count is the user's choice, not a convergence bound."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    pairs = scoped_persist(
+        doc_entities.select("url", "ent").distinct(), how="checkpoint"
+    )
+    spark = pairs.sparkSession
+    covered = None
+    chosen: list[tuple[int, str, int]] = []
+    for r in range(1, int(k) + 1):
+        remaining = (
+            pairs if covered is None
+            else pairs.join(covered, "ent", "left_anti")
+        )
+        best = coverage_round_top1(remaining).collect()
+        if not best:
+            break
+        url, gain = best[0].url, int(best[0].gain)
+        chosen.append((r, url, gain))
+        new_cov = pairs.filter(F.col("url") == url).select("ent")
+        covered = scoped_persist(
+            new_cov if covered is None else covered.unionByName(new_cov),
+            how="checkpoint",
+        )
+    return spark.createDataFrame(
+        chosen, "round long, url string, gain long"
+    )

@@ -7887,6 +7887,54 @@ FROM allp
     return _materialize(body, *mats)
 
 
+def txt_max_coverage(model: str = "a100", k: int = 5) -> str:
+    """Greedy max-coverage twin (ops/curation.py max_coverage_select):
+    (url, ent) pairs from the typed production chain, ``k`` unrolled
+    greedy rounds — per round the (gain DESC, url ASC) top-1 over the
+    marginal counts against the NOT EXISTS-covered entity set."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(surface),"
+            " '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))")
+    body = (
+        _kg_prefix(model)
+        + f"""
+, p0 AS (
+    SELECT DISTINCT url, {norm} || '|' || pred_group AS ent
+    FROM typed
+    WHERE pred_group <> 'OTHER' AND length({norm}) > 0
+)"""
+    )
+    mats = ["p0"]
+    outs = []
+    prev_rem = "p0"
+    cov = None
+    for r in range(1, int(k) + 1):
+        body += f""",
+mcv_m{r} AS (
+    SELECT url, CAST(count(*) AS BIGINT) AS gain
+    FROM {prev_rem} GROUP BY url
+),
+mcv_b{r} AS (
+    SELECT url, gain FROM mcv_m{r} ORDER BY gain DESC, url ASC LIMIT 1
+),
+mcv_c{r} AS (
+    {"SELECT ent FROM " + cov + " UNION ALL " if cov else ""}SELECT p.ent FROM p0 p JOIN mcv_b{r} USING (url)
+),
+mcv_rem{r} AS (
+    SELECT t.url, t.ent FROM {prev_rem} t
+    WHERE NOT EXISTS (SELECT 1 FROM mcv_c{r} c WHERE c.ent = t.ent)
+)"""
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, url, gain FROM mcv_b{r}"
+        )
+        mats += [f"mcv_b{r}", f"mcv_c{r}", f"mcv_rem{r}"]
+        prev_rem = f"mcv_rem{r}"
+        cov = f"mcv_c{r}"
+    body += f"""
+{chr(10).join(o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+"""
+    return _materialize(body, *mats[:-1])
+
+
 def txt_sitemaps() -> str:
     """Sitemap twin (ops/webtext.build_sitemaps + parse_sitemaps): the
     SAME doc_id-derived XML built with string_agg(ORDER BY doc_id), then
