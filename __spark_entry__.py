@@ -3077,6 +3077,18 @@ def q_txt_max_coverage(spark, sf_dir):
     return curation.max_coverage_select(pairs, k=5)
 
 
+def q_kg_coreness(spark, sf_dir):
+    """Full core-number decomposition (er.coreness_hindex): iterated
+    neighborhood H-index (degree init, 3 synchronous rounds) — the
+    parallel form of the sequential k-core peel, converging pointwise
+    to the exact core number; complements the fixed-k kg_kcore
+    filter."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.coreness_hindex(er.cooccurrence_edges(typed), rounds=3)
+
+
 # a day with nonzero interval coverage at BOTH gate scales (measured in
 # DuckDB: 3 facts at sf0.001, 4 at sf0.01) so the as-of gate is not vacuous
 ASOF_DAY = 19799
@@ -3616,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": q_kg_anf,
         "kg_mis": q_kg_mis,
         "kg_densest": q_kg_densest,
+        "kg_coreness": q_kg_coreness,
         "txt_max_coverage": q_txt_max_coverage,
         "er_pair_features": q_er_pair_features,
         "kg_path_counts": q_kg_path_counts,
@@ -3848,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_anf": O.kg_anf(rounds=2),
         "kg_mis": O.kg_mis(rounds=3),
         "kg_densest": O.kg_densest(rounds=4),
+        "kg_coreness": O.kg_coreness(rounds=3),
         "txt_max_coverage": O.txt_max_coverage(k=5),
         "er_pair_features": O.er_pair_features(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),

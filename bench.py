@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "kg_anf",
     "kg_mis",
     "kg_densest",
+    "kg_coreness",
     "txt_max_coverage",
     "kg_betweenness",
     "er_sorted_neighborhood",

@@ -1743,6 +1743,18 @@ def main() -> None:
     checks.append(("max-coverage: no python eval",
                    "BatchEvalPython" not in p173))
 
+    # 174. h-index coreness: value state checkpointed per round, the
+    # per-node window partitions on the node key (no unpartitioned
+    # window), no cartesian
+    p174 = plan_of(entry.q_kg_coreness(spark, SF))
+    sections.append(("H-index coreness (kg_coreness)", p174))
+    checks.append(("coreness: value state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p174))
+    checks.append(("coreness: no cartesian product",
+                   "CartesianProduct" not in p174))
+    checks.append(("coreness: no python eval",
+                   "BatchEvalPython" not in p174))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

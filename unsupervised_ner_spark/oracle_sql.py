@@ -7935,6 +7935,42 @@ mcv_rem{r} AS (
     return _materialize(body, *mats[:-1])
 
 
+def kg_coreness(model: str = "a100", rounds: int = 3) -> str:
+    """H-index coreness twin (pipeline/er.py coreness_hindex): degree
+    init, then ``rounds`` unrolled H-operator rounds — per node the max
+    over rank rn (neighbor values desc, key asc) of min(value, rn)."""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a AS dst FROM eg
+),
+h0 AS (
+    SELECT src AS k, CAST(count(*) AS BIGINT) AS val FROM sym GROUP BY src
+)"""
+    prev = "h0"
+    mats = ["sym", "h0"]
+    for t in range(1, int(rounds) + 1):
+        body += f""",
+h{t} AS (
+    SELECT src AS k, CAST(max(least(nval, rn)) AS BIGINT) AS val FROM (
+        SELECT s.src, p.val AS nval,
+               row_number() OVER (PARTITION BY s.src
+                                  ORDER BY p.val DESC, s.dst ASC) AS rn
+        FROM sym s JOIN {prev} p ON p.k = s.dst
+    ) GROUP BY src
+)"""
+        mats.append(f"h{t}")
+        prev = f"h{t}"
+    body += f"""
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       val AS coreness
+FROM {prev}
+"""
+    return _materialize(body, *mats[:-1])
+
+
 def txt_sitemaps() -> str:
     """Sitemap twin (ops/webtext.build_sitemaps + parse_sitemaps): the
     SAME doc_id-derived XML built with string_agg(ORDER BY doc_id), then

@@ -3546,3 +3546,74 @@ def densest_subgraph_peel(
         (F.col("peel_round") > F.lit(int(best_r)))
         .cast("long").alias("in_best"),
     )
+
+
+def coreness_hindex(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Core-number decomposition by iterated neighborhood H-index (Lü,
+    Zhou, Zhang & Stanley, PNAS 2016): start every node at its degree
+    and repeatedly replace each node's value with the H-INDEX of its
+    neighbors' values (the largest h such that at least h neighbors
+    hold value >= h); the sequence is pointwise non-increasing and
+    converges exactly to the k-core number. This turns the inherently
+    SEQUENTIAL classic coreness peel (remove min-degree nodes one k at a
+    time) into synchronous local rounds — the form a 1000-executor
+    cluster can actually run — and complements the fixed-k `kcore`
+    filter with the full decomposition (every node's core number, the
+    standard graph-robustness / tier-assignment signal).
+
+    Output: (ent, etype, coreness) after ``rounds`` H-operator rounds —
+    an upper bound that decreases monotonically to the exact core
+    number (the fixed-round contract of the BFS family; exact
+    convergence is property-tested against the brute-force peel in the
+    unit suite).
+
+    Scale shape: adjacency persisted once; a round is one edge-keyed
+    equi-join (attach neighbor values) + one per-node window + one
+    aggregate; value state checkpointed per round (feeds the join and
+    the next round — the er.hits lineage rule). The per-node window
+    partitions on the node key with partition size = degree; for
+    extreme hubs the identical H-index is computable from the bounded
+    value domain instead (per-(node, value) counts + a cumulative sum
+    over values <= max degree) — same result, no per-neighbor sort;
+    the window form is the gate shape."""
+    from pyspark.sql import Window
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        ),
+        how="checkpoint",
+    )
+    h = scoped_persist(
+        sym.groupBy("src")
+        .agg(F.count("*").cast("long").alias("val"))
+        .withColumnRenamed("src", "k"),
+        how="checkpoint",
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("nval"), F.asc("dst"))
+    for _ in range(int(rounds)):
+        nb = sym.join(
+            h.select(F.col("k").alias("dst"), F.col("val").alias("nval")),
+            "dst",
+        )
+        h = scoped_persist(
+            nb.withColumn("rn", F.row_number().over(w).cast("long"))
+            .groupBy("src")
+            .agg(F.max(F.least(F.col("nval"), F.col("rn"))).alias("val"))
+            .withColumnRenamed("src", "k"),
+            how="checkpoint",
+        )
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return h.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        F.col("val").cast("long").alias("coreness"),
+    )
