@@ -3594,6 +3594,165 @@ def q_kg_relation_candidates(spark, sf_dir):
     return T.relation_candidates(typed, stages["triples"])
 
 
+def _scc_splice_edges(spark, sf_dir):
+    """Deterministic doc_id-derived DIRECTED edge splice for the SCC gate
+    (the _recip_splice_triples rationale — the word-salad triple graph is
+    acyclic, measured 0 multi-node SCCs at sf0.001/0.01): group
+    a = (doc_id DIV 6) %% 4, branch m = doc_id %% 6 emits per group a
+    3-cycle z{a}-c0 -> z{a}-c1 -> z{a}-c2 -> z{a}-c0 (the multi-node
+    SCC), an outlet z{a}-c0 -> m{a}-out (same color class as the cycle,
+    retires only in OUTER round 2 — the round-2 branch witness), an
+    intake a{a}-in -> z{a}-c1 (own color class, lexicographically below
+    the cycle so the cycle's color stays internal), and a DAG pair
+    g{a}-p -> g{a}-q (singleton SCCs)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.expr("doc_id DIV 6") % 4).cast("string")
+    m = (F.col("doc_id") % 6 + 1).cast("int")
+
+    def pick(pre, post):
+        return F.element_at(
+            F.array(*[F.concat(F.lit(p), a, F.lit(s)) for p, s in zip(pre, post)]),
+            m,
+        )
+
+    src = pick(
+        ["z", "z", "z", "z", "a", "g"],
+        ["-c0", "-c1", "-c2", "-c0", "-in", "-p"],
+    )
+    dst = pick(
+        ["z", "z", "z", "m", "z", "g"],
+        ["-c1", "-c2", "-c0", "-out", "-c1", "-q"],
+    )
+    return docs.select(src.alias("src"), dst.alias("dst"))
+
+
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components (er.scc_coloring — Orzan coloring /
+    FW-BW): distinct directed triple edges UNION the deterministic cycle
+    splice; 2 outer rounds of (3 forward max-color merges, pivot filter,
+    3 same-color backward reach steps). The cyclic-knowledge detector a
+    DAG-assuming downstream (taxonomy, topo order) needs first."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    edges = (
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(_scc_splice_edges(spark, sf_dir))
+        .distinct()
+    )
+    return er.scc_coloring(edges, inner_rounds=3, outer_rounds=2)
+
+
+def q_kg_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (er.sssp_weighted): 4
+    Bellman-Ford relaxations from the hub entity over the co-occurrence
+    graph with the integer tie-strength metric w = max(1, 4 - n_sents)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.sssp_weighted(er.cooccurrence_edges(typed), rounds=4)
+
+
+def q_kg_butterflies(spark, sf_dir):
+    """Bipartite butterfly (4-cycle) counts per entity over the
+    document-entity incidence graph (er.butterflies): C(shared_docs, 2)
+    per co-document entity pair, aggregated per entity — the bipartite
+    cohesion / templated-spam signal."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.butterflies(er.doc_cooccurrence_edges(typed))
+
+
+def q_txt_textrank(spark, sf_dir):
+    """TextRank keyword extraction (textstats.textrank_keywords —
+    Mihalcea & Tarau 2004): integer weighted PageRank over the
+    word_pmi_stats window co-occurrence graph, global top-20 with
+    deterministic ties."""
+    return textstats.textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
+def q_er_em_weights(spark, sf_dir):
+    """Fellegi-Sunter m/u weight sufficient statistics (er.fs_weights)
+    over the er_pair_features channel (same misspelling splice):
+    rule-seeded match label, four binarized agreement features —
+    the probabilistic record-linkage scoring table."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.fs_weights(q_er_pair_features(spark, sf_dir))
+
+
+def q_kg_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest (er.boruvka_msf, 2 rounds) over
+    the co-occurrence graph with integer dissimilarity
+    1000000 div n_sents — single-linkage clustering's dendrogram
+    skeleton without the quadratic similarity matrix."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.boruvka_msf(er.cooccurrence_edges(typed), rounds=2)
+
+
+def q_kg_taxonomy_depth(spark, sf_dir):
+    """Ontology depth layering (taxonomy.taxonomy_depth) over the capped
+    Hearst is-a closure: per-node longest root-path depth + distinct
+    root-ancestor count; roots report (0, 0)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure,
+        taxonomy_depth,
+    )
+
+    return taxonomy_depth(
+        taxonomy_closure(hearst_hypernyms(_hearst_sentences(spark, sf_dir)),
+                         max_hops=8)
+    )
+
+
+def q_txt_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (textstats.bm25_topk): top-10 docs for the
+    fixed query terms under k1=1.2, b=0.75 with the 9dp-integer score
+    (the txt_tfidf determinism precedent)."""
+    return textstats.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ppjoin(spark, sf_dir):
+    """Exact all-pairs Jaccard-threshold join via prefix filtering
+    (dedup.ppjoin_pairs — SSJoin/PPJoin/Vernica et al.): complete at
+    tau = 0.5 with NO false negatives, the exactness complement of the
+    df-capped dedup_jaccard channel."""
+    return dedup.ppjoin_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_condensation(spark, sf_dir):
+    """SCC condensation DAG (er.scc_condensation): the acyclic quotient
+    of the directed triple graph — resolved nodes contract to their
+    scc_id, horizon-opens stand as singletons; same edge set + cycle
+    splice as kg_scc."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    edges = (
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(_scc_splice_edges(spark, sf_dir))
+        .distinct()
+    )
+    return er.scc_condensation(edges, inner_rounds=3, outer_rounds=2)
+
+
+def q_kg_entity_facts(spark, sf_dir):
+    """Top-3 facts per canonical subject entity (er.entity_top_facts —
+    LinkSUM-shaped): rank by (n_support DESC, object salience DESC,
+    pred, obj_id) over the cross-document support table."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.entity_top_facts(
+        er.triple_support(q_kg_canonical_triples(spark, sf_dir)), k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3631,6 +3790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coreness": q_kg_coreness,
         "txt_max_coverage": q_txt_max_coverage,
         "er_pair_features": q_er_pair_features,
+        "er_em_weights": q_er_em_weights,
+        "txt_textrank": q_txt_textrank,
         "kg_path_counts": q_kg_path_counts,
         "txt_sitemaps": q_txt_sitemaps,
         "kg_motif_census": q_kg_motif_census,
@@ -3828,6 +3989,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snapshot_expiry": q_rel_snapshot_expiry,
         "mm_audio_windows": q_mm_audio_windows,
         "kg_bfs_dist": q_kg_bfs_dist,
+        "kg_scc": q_kg_scc,
+        "kg_sssp": q_kg_sssp,
+        "kg_butterflies": q_kg_butterflies,
+        "kg_msf": q_kg_msf,
+        "kg_taxonomy_depth": q_kg_taxonomy_depth,
+        "txt_bm25": q_txt_bm25,
+        "dedup_ppjoin": q_dedup_ppjoin,
+        "kg_condensation": q_kg_condensation,
+        "kg_entity_facts": q_kg_entity_facts,
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_quotations": q_kg_quotations,
         "rel_profile": q_rel_profile,
@@ -3864,6 +4034,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_coreness": O.kg_coreness(rounds=3),
         "txt_max_coverage": O.txt_max_coverage(k=5),
         "er_pair_features": O.er_pair_features(),
+        "er_em_weights": O.er_em_weights(),
+        "txt_textrank": O.txt_textrank(),
         "kg_path_counts": O.kg_path_counts(rounds=3, n_seeds=3),
         "txt_sitemaps": O.txt_sitemaps(),
         "kg_motif_census": O.kg_motif_census(),
@@ -4138,6 +4310,17 @@ def oracle_sql() -> dict[str, str]:
         "rel_snapshot_expiry": O.rel_snapshot_expiry(),
         "mm_audio_windows": O.mm_audio_windows(),
         "kg_bfs_dist": O.kg_bfs_dist(),
+        "kg_scc": O.kg_scc(),
+        "kg_sssp": O.kg_sssp(),
+        "kg_butterflies": O.kg_butterflies(),
+        "kg_msf": O.kg_msf(),
+        "kg_taxonomy_depth": O.kg_taxonomy_depth(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "txt_bm25": O.txt_bm25(),
+        "dedup_ppjoin": O.dedup_ppjoin(),
+        "kg_condensation": O.kg_condensation(),
+        "kg_entity_facts": O.kg_entity_facts(),
         "kg_asof_snapshot": O.kg_asof_snapshot(ASOF_DAY),
         "kg_quotations": O.kg_quotations(),
         "rel_profile": O.rel_profile(),

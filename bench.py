@@ -249,6 +249,17 @@ BENCH_QUERIES = [
     "rel_snapshot_expiry",
     "mm_audio_windows",
     "kg_bfs_dist",
+    "kg_scc",
+    "kg_sssp",
+    "kg_butterflies",
+    "kg_msf",
+    "kg_taxonomy_depth",
+    "txt_bm25",
+    "dedup_ppjoin",
+    "kg_condensation",
+    "kg_entity_facts",
+    "er_em_weights",
+    "txt_textrank",
     "kg_asof_snapshot",
     "kg_quotations",
     "rel_profile",

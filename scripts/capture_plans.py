@@ -1755,6 +1755,150 @@ def main() -> None:
     checks.append(("coreness: no python eval",
                    "BatchEvalPython" not in p174))
 
+    # 175. SCC coloring: per-outer-round state checkpointed (the color
+    # table feeds every inner step AND the pivot filter; the
+    # active-restricted edge table feeds all inner joins), no cartesian,
+    # no python eval
+    p175 = plan_of(entry.q_kg_scc(spark, SF))
+    sections.append(("SCC coloring (kg_scc)", p175))
+    checks.append(("scc: color/reach state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p175))
+    checks.append(("scc: no cartesian product",
+                   "CartesianProduct" not in p175))
+    checks.append(("scc: no python eval",
+                   "BatchEvalPython" not in p175))
+
+    # 176. weighted SSSP: the symmetrized weighted adjacency is
+    # checkpointed once and reused every relaxation (the bfs_distances
+    # rule). The per-round checkpoint hides the relaxation from the final
+    # plan (Scan ExistingRDD), so the ROUND plan is captured separately
+    # (the max-coverage precedent) and must show the frontier equi-join
+    # + map-side partial min.
+    p176 = plan_of(entry.q_kg_sssp(spark, SF))
+    sections.append(("Weighted SSSP (kg_sssp)", p176))
+    checks.append(("sssp: final state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p176))
+    checks.append(("sssp: no cartesian product",
+                   "CartesianProduct" not in p176))
+    _wsym = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2)], "src string, dst string, w long"
+    )
+    _wd = spark.createDataFrame([("a", 0)], "k string, dist long")
+    p176r = plan_of(_er.sssp_relax_round(_wsym, _wd))
+    sections.append(("Weighted SSSP relaxation round (kg_sssp)", p176r))
+    checks.append(("sssp round: map-side partial min in relaxation",
+                   "partial_min" in p176r))
+    checks.append(("sssp round: no python eval",
+                   "BatchEvalPython" not in p176r))
+
+    # 177. butterflies: closed-form C(c,2) per already-aggregated pair
+    # row — one partial-sum aggregate over the symmetrizing union, no
+    # join at all downstream of the pair table, no python eval
+    p177 = plan_of(entry.q_kg_butterflies(spark, SF))
+    sections.append(("Butterfly counts (kg_butterflies)", p177))
+    checks.append(("butterflies: map-side partial sum",
+                   "partial_sum" in p177))
+    checks.append(("butterflies: no python eval",
+                   "BatchEvalPython" not in p177))
+    checks.append(("butterflies: no cartesian product",
+                   "CartesianProduct" not in p177))
+
+    # 178. textrank: the symmetrized edge table + strength are
+    # checkpointed once (feed every power step); the power-step sums and
+    # the final aggregate partially aggregate map-side; no python eval
+    p178 = plan_of(entry.q_txt_textrank(spark, SF))
+    sections.append(("TextRank keywords (txt_textrank)", p178))
+    checks.append(("textrank: edge/strength tables checkpointed",
+                   "ExistingRDD" in p178))
+    checks.append(("textrank: map-side partial sum in power step",
+                   "partial_sum" in p178))
+    checks.append(("textrank: no python eval",
+                   "BatchEvalPython" not in p178))
+    checks.append(("textrank: no cartesian product",
+                   "CartesianProduct" not in p178))
+
+    # 179. FS weights: constant 4-way stack fan-out + one map-side
+    # combining aggregate over the 4-row feature vocabulary
+    p179 = plan_of(entry.q_er_em_weights(spark, SF))
+    sections.append(("Fellegi-Sunter weights (er_em_weights)", p179))
+    checks.append(("fs: map-side partial aggregation",
+                   "partial_sum" in p179))
+    checks.append(("fs: no python eval", "BatchEvalPython" not in p179))
+    checks.append(("fs: no cartesian product",
+                   "CartesianProduct" not in p179))
+
+    # 180. Borůvka MSF: weighted edge table + labels checkpointed per
+    # round; min-edge selection is a component-partitioned window (never
+    # an unpartitioned global sort); no cartesian, no python eval
+    p180 = plan_of(entry.q_kg_msf(spark, SF))
+    sections.append(("Borůvka MSF (kg_msf)", p180))
+    checks.append(("msf: per-round state checkpointed (lineage truncated)",
+                   "ExistingRDD" in p180))
+    checks.append(("msf: no cartesian product",
+                   "CartesianProduct" not in p180))
+    checks.append(("msf: no python eval", "BatchEvalPython" not in p180))
+
+    # 181. BM25: the query-term filter lands BEFORE the tf aggregate and
+    # any join (per-query cost = |query| postings, not the corpus); df
+    # and totals ride in as broadcasts; map-side partial aggregation
+    p181 = plan_of(entry.q_txt_bm25(spark, SF))
+    sections.append(("BM25 ranked retrieval (txt_bm25)", p181))
+    checks.append(("bm25: query dims broadcast",
+                   "BroadcastHashJoin" in p181 or "BroadcastNestedLoopJoin"
+                   in p181))
+    checks.append(("bm25: map-side partial aggregation",
+                   "partial_count" in p181 or "partial_sum" in p181))
+    checks.append(("bm25: no python eval", "BatchEvalPython" not in p181))
+    checks.append(("bm25: no cartesian product",
+                   "CartesianProduct" not in p181))
+
+    # 182. taxonomy depth: bounded consumer over the closure — root
+    # anti-join + map-side-combining depth aggregate, no python eval
+    p182 = plan_of(entry.q_kg_taxonomy_depth(spark, SF))
+    sections.append(("Taxonomy depth (kg_taxonomy_depth)", p182))
+    checks.append(("taxdepth: no python eval",
+                   "BatchEvalPython" not in p182))
+    checks.append(("taxdepth: no cartesian product",
+                   "CartesianProduct" not in p182))
+
+    # 183. PPJoin: shingle table persisted once (feeds df aggregate,
+    # prefix ranking, and both verify sides); per-doc prefix ranking is
+    # a doc-partitioned window (no global sort); candidate join +
+    # verify only — no cartesian, no python eval
+    p183 = plan_of(entry.q_dedup_ppjoin(spark, SF))
+    sections.append(("PPJoin exact similarity join (dedup_ppjoin)", p183))
+    checks.append(("ppjoin: shingle table persisted once",
+                   "InMemoryRelation" in p183))
+    checks.append(("ppjoin: no cartesian product",
+                   "CartesianProduct" not in p183))
+    checks.append(("ppjoin: no python eval",
+                   "BatchEvalPython" not in p183))
+
+    # 184. SCC condensation: label joins + bounded pair aggregate on top
+    # of the checkpointed scc state; no cartesian, no python eval
+    p184 = plan_of(entry.q_kg_condensation(spark, SF))
+    sections.append(("SCC condensation DAG (kg_condensation)", p184))
+    checks.append(("condensation: scc state checkpointed",
+                   "ExistingRDD" in p184))
+    checks.append(("condensation: no cartesian product",
+                   "CartesianProduct" not in p184))
+    checks.append(("condensation: no python eval",
+                   "BatchEvalPython" not in p184))
+
+    # 185. entity top-facts: salience union-aggregate over the bounded
+    # support table; rank window partitions on subj_id (per-entity sort,
+    # never global); map-side partial sum
+    p185 = plan_of(entry.q_kg_entity_facts(spark, SF))
+    sections.append(("Entity top-facts (kg_entity_facts)", p185))
+    checks.append(("entity facts: map-side partial sum in salience",
+                   "partial_sum" in p185))
+    checks.append(("entity facts: rank window partitioned on subj_id",
+                   "hashpartitioning(subj_id" in p185))
+    checks.append(("entity facts: no cartesian product",
+                   "CartesianProduct" not in p185))
+    checks.append(("entity facts: no python eval",
+                   "BatchEvalPython" not in p185))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -979,3 +979,100 @@ def lsh_quality(
             ).cast("long").alias("precision_scaled"),
         )
     )
+
+
+def ppjoin_pairs(
+    documents: DataFrame, k: int = 3, tau_ppm: int = 500_000
+) -> DataFrame:
+    """EXACT all-pairs Jaccard-threshold join by PREFIX FILTERING
+    (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08; the MapReduce form is Vernica et al. SIGMOD'10): every
+    pair with shingle Jaccard >= tau is returned, with NO false
+    negatives — the guarantee :func:`jaccard_candidates`'s df cap
+    deliberately trades away. Tokens are globally ordered by
+    (df ASC, shingle ASC); a doc's PREFIX is its first
+    |x| - ceil(tau*|x|) + 1 tokens in that order, and the classic
+    pigeonhole argument makes prefix-token sharing a complete
+    candidate rule: J(x,y) >= tau implies |x ∩ y| >= ceil(tau*|x|),
+    x's non-prefix suffix holds only ceil(tau*|x|) - 1 tokens, so the
+    globally-smallest common token must sit inside BOTH prefixes
+    (property-tested against the brute-force join). Candidates are
+    verified with the exact integer cross-multiplication
+    n_common * 1e6 >= tau_ppm * (n_a + n_b - n_common).
+
+    Output: (doc_a, doc_b, n_common, n_a, n_b) — the
+    jaccard_candidates surface, exact-complete at threshold tau.
+
+    Scale shape: the prefix rule is WHY this scales — prefixes keep
+    only each doc's RAREST tokens (df ASC), so equi-join buckets are
+    small by construction (the hot boilerplate shingles that make the
+    naive join quadratic are precisely the ones prefix filtering
+    excludes); shorter-than-needed prefixes would lose completeness,
+    longer ones only add candidates. Per-doc ordering is a doc-keyed
+    window (never a global sort); the df table is vocabulary-bounded;
+    verify joins touch candidate pairs only. ceil is exact integer
+    ((tau_ppm*n + 999999) div 1e6) on both engines."""
+    sh = scoped_persist(shingles(documents, k))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    shd = scoped_persist(sh.join(dfreq, "shingle"))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    sizes = shd.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    ranked = (
+        shd.withColumn("rn", F.row_number().over(wdoc).cast("long"))
+        .join(sizes, "doc_id")
+        .withColumn(
+            "plen",
+            F.col("n_sh")
+            - F.expr(f"({int(tau_ppm)} * n_sh + 999999) div 1000000")
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("plen")).select(
+        "doc_id", "shingle"
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * 1_000_000
+            >= F.lit(int(tau_ppm))
+            * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")

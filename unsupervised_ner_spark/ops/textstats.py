@@ -1231,3 +1231,182 @@ def gopher_flags(
         f_lexdiv.cast("long").alias("f_lexdiv"),
         keep.cast("long").alias("keep"),
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    window: int = 2,
+    min_pair: int = 2,
+    iterations: int = 3,
+    scale: int = 1_000_000_000,
+    topk: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): PageRank
+    over the word co-occurrence window graph — the unsupervised
+    keyphrase primitive (corpus-salient vocabulary for index terms,
+    tag suggestions, KG attribute seeding). Edges are the
+    :func:`word_pmi_stats` forward-window pairs (same window, same
+    ``min_pair`` head cut) SYMMETRIZED to unordered weighted edges;
+    ranks run ``iterations`` synchronous weighted power steps in the
+    er.pagerank integer scheme — per-node out-strength division and
+    85/15 damping in pure long arithmetic, so the DuckDB oracle
+    replays the exact ranks (no float summation order). Output: the
+    global top-``topk`` words as (word, strength, rank_scaled, rnk)
+    with (rank DESC, word ASC) deterministic ties.
+
+    Scale shape: pair generation is expression-side (word_pmi_stats —
+    no positional self-join); the symmetrized edge table is bounded by
+    the observed pair vocabulary and persisted once, feeding the
+    strength aggregate and every power step; each step is one src-keyed
+    equi-join plus one map-side-combining sum (the er.pagerank shuffle
+    pair). The final top-k is a TakeOrdered over the word vocabulary,
+    never a corpus sort. Overflow: rank ~ scale=1e9, edge weights are
+    pair counts — rank*w fits a long while max pair count < ~9e9."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    pairs = word_pmi_stats(documents, window=window, min_pair=min_pair)
+    und = (
+        pairs.filter(F.col("w1") != F.col("w2"))  # self-loops carry no
+        # keyword signal and would double under symmetrization
+        .select(
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+            F.col("n_pair").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    sym = scoped_persist(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        ),
+        how="checkpoint",
+    )
+    strength = scoped_persist(
+        sym.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+        .select(F.col("src").alias("k"), "s"),
+        how="checkpoint",
+    )
+    tele = 15 * scale // 100
+    r = strength.select("k", "s", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(int(iterations)):
+        msgs = sym.join(
+            r.select(
+                F.col("k").alias("src"),
+                F.col("rank").alias("srank"),
+                F.col("s").alias("ss"),
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("k"),
+            F.expr("(srank * w) div ss").alias("c"),
+        )
+        incoming = msgs.groupBy("k").agg(F.sum("c").alias("inc"))
+        r = strength.join(incoming, "k", "left").select(
+            "k", "s",
+            F.expr(
+                f"CAST({tele} AS BIGINT)"
+                " + (85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"
+            ).alias("rank"),
+        )
+    from pyspark.sql import Window
+
+    w0 = Window.orderBy(F.desc("rank"), F.asc("k"))
+    return (
+        r.select(
+            F.col("k").alias("word"),
+            F.col("s").alias("strength"),
+            F.col("rank").alias("rank_scaled"),
+            F.row_number().over(w0).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= int(topk))
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("join", "table", "spark"),
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Walker SIGIR'94; k1 = 1.2,
+    b = 0.75) — the lexical-search baseline every RAG / retrieval
+    pipeline starts from, and the missing sibling of :func:`tfidf_topk`
+    (tf-idf ranks terms per doc; BM25 ranks DOCS per query with length
+    normalization and tf saturation). Scores the fixed ``query_terms``
+    against the corpus and returns the top-``k`` documents.
+
+    Cross-engine determinism (the tfidf_topk 9dp precedent): tf, df,
+    dl, n_docs, total_tokens are exact integers; the per-term float
+    score idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl*n_docs/total)) with
+    idf = ln(1 + (n_docs - df + 0.5)/(df + 0.5)) is rounded to a 9dp
+    BIGINT per (doc, term) and the doc score is the INTEGER SUM of
+    those — identical association order on both engines, ties broken
+    by doc_id ASC.
+
+    Scale shape: tf is one explode + map-side-combining aggregate
+    FILTERED to the query terms before any join (the per-query touched
+    set is |query| postings lists, not the corpus); df/doclen are
+    bounded aggregates; the constants (n_docs, total_tokens, per-term
+    df) ride in via broadcast-able 1-row / |query|-row dims; the final
+    top-k is a TakeOrdered, never a global sort."""
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    arr = F.transform(tokens_ws(F.col("text")), F.lower)
+    base = documents.select("doc_id", arr.alias("arr"))
+    dl = base.select(
+        "doc_id", F.size("arr").cast("long").alias("dl")
+    )
+    toks = base.select(
+        "doc_id", F.explode("arr").alias("term")
+    ).filter(F.array_contains(qlit, F.col("term")))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("arr")).cast("long").alias("total_tokens"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_i9",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * F.col("dl").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("total_tokens").cast("double")
+                    )
+                )
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("score_i9").cast("long").alias("bm25_i9"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25_i9"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= int(k))
+    )

@@ -8338,3 +8338,505 @@ WHERE levenshtein(a.norm_surface, b.norm_surface) <= {max_lev}
     # r feeds BOTH self-join sides and chains the typed production CTEs —
     # DuckDB re-inlines multi-referenced CTEs, so materialize it
     return _materialize(body, "r")
+
+
+SCC_SPLICE_SQL = """
+    SELECT (['z','z','z','z','a','g'])[CAST(doc_id % 6 AS INT) + 1]
+           || CAST((doc_id // 6) % 4 AS VARCHAR)
+           || (['-c0','-c1','-c2','-c0','-in','-p'])[CAST(doc_id % 6 AS INT) + 1]
+               AS src,
+           (['z','z','z','m','z','g'])[CAST(doc_id % 6 AS INT) + 1]
+           || CAST((doc_id // 6) % 4 AS VARCHAR)
+           || (['-c1','-c2','-c0','-out','-c1','-q'])[CAST(doc_id % 6 AS INT) + 1]
+               AS dst
+    FROM documents
+"""
+
+
+def kg_scc(
+    model: str = "a100", inner_rounds: int = 3, outer_rounds: int = 2,
+    tail: str | None = None,
+) -> str:
+    """SCC coloring twin (pipeline/er.py scc_coloring): directed distinct
+    triple edges UNION the deterministic cycle splice
+    (__spark_entry__._scc_splice_edges — the word-salad triple graph is
+    acyclic, measured), then per outer round ``inner_rounds`` unrolled
+    forward max-color merges, pivot filter (k = c), ``inner_rounds``
+    unrolled same-color backward reach steps, retire + shrink."""
+    body = f"""
+WITH trip AS ({kg_triples(model)}),
+splice AS ({SCC_SPLICE_SQL}),
+dedges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT subj AS src, obj AS dst FROM trip
+        UNION ALL
+        SELECT src, dst FROM splice
+    )
+),
+act1 AS (
+    SELECT DISTINCT k FROM (
+        SELECT src AS k FROM dedges UNION ALL SELECT dst FROM dedges
+    )
+)"""
+    mats = ["dedges", "act1"]
+    outs = []
+    for o in range(1, int(outer_rounds) + 1):
+        body += f""",
+se{o} AS (
+    SELECT d.src, d.dst FROM dedges d
+    JOIN act{o} x ON x.k = d.src JOIN act{o} y ON y.k = d.dst
+),
+sc{o}_0 AS (SELECT k, k AS c FROM act{o})"""
+        mats += [f"se{o}", f"sc{o}_0"]
+        prev = f"sc{o}_0"
+        for i in range(1, int(inner_rounds) + 1):
+            body += f""",
+sc{o}_{i} AS (
+    SELECT k, max(c) AS c FROM (
+        SELECT k, c FROM {prev}
+        UNION ALL
+        SELECT e.dst AS k, p.c FROM se{o} e JOIN {prev} p ON p.k = e.src
+    ) GROUP BY k
+)"""
+            mats.append(f"sc{o}_{i}")
+            prev = f"sc{o}_{i}"
+        color = prev
+        body += f""",
+sr{o}_0 AS (SELECT k, c FROM {color} WHERE k = c)"""
+        mats.append(f"sr{o}_0")
+        prevr = f"sr{o}_0"
+        for j in range(1, int(inner_rounds) + 1):
+            body += f""",
+sr{o}_{j} AS (
+    SELECT DISTINCT k, c FROM (
+        SELECT k, c FROM {prevr}
+        UNION ALL
+        SELECT e.src AS k, r.c
+        FROM se{o} e
+        JOIN {prevr} r ON r.k = e.dst
+        JOIN {color} s ON s.k = e.src
+        WHERE s.c = r.c
+    )
+)"""
+            mats.append(f"sr{o}_{j}")
+            prevr = f"sr{o}_{j}"
+        outs.append(
+            f"SELECT k, c AS scc_id, 'scc' AS status,"
+            f" CAST({o} AS BIGINT) AS round FROM {prevr}"
+        )
+        body += f""",
+act{o + 1} AS (
+    SELECT k FROM act{o} a
+    WHERE NOT EXISTS (SELECT 1 FROM {prevr} r WHERE r.k = a.k)
+)"""
+        mats.append(f"act{o + 1}")
+    outs.append(
+        f"SELECT k, '', 'open', CAST({int(outer_rounds)} AS BIGINT)"
+        f" FROM act{int(outer_rounds) + 1}"
+    )
+    body += f""",
+sccout AS (
+{chr(10).join('    ' + o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+)
+{tail or "SELECT k AS node, scc_id, status, round FROM sccout"}
+"""
+    return _materialize(body, *mats)
+
+
+def kg_condensation(
+    model: str = "a100", inner_rounds: int = 3, outer_rounds: int = 2
+) -> str:
+    """Condensation-DAG twin (pipeline/er.py scc_condensation): the full
+    kg_scc body, labels = scc_id for resolved nodes / own key for opens,
+    two label joins onto the directed edge table, self-pairs dropped,
+    edge-multiplicity aggregate."""
+    tail = """, sclab AS (
+    SELECT k, CASE WHEN status = 'scc' THEN scc_id ELSE k END AS lab
+    FROM sccout
+)
+SELECT a.lab AS scc_a, b.lab AS scc_b, CAST(count(*) AS BIGINT) AS n_edges
+FROM dedges d JOIN sclab a ON a.k = d.src JOIN sclab b ON b.k = d.dst
+WHERE a.lab <> b.lab
+GROUP BY a.lab, b.lab"""
+    return kg_scc(model, inner_rounds, outer_rounds, tail=tail)
+
+
+def kg_entity_facts(model: str = "a100", k: int = 3) -> str:
+    """Entity top-facts twin (pipeline/er.py entity_top_facts): the
+    kg_triple_support table, symmetrized salience aggregate, per-subject
+    (n_support DESC, obj_sal DESC, pred, obj_id) window top-``k``."""
+    return f"""
+WITH ts AS ({kg_triple_support(model)}),
+efsal AS (
+    SELECT ent, CAST(sum(n_support) AS BIGINT) AS sal FROM (
+        SELECT subj_id AS ent, n_support FROM ts
+        UNION ALL
+        SELECT obj_id, n_support FROM ts
+    ) GROUP BY ent
+)
+SELECT subj_id, subj_type, subj_repr, pred, obj_id, obj_type, obj_repr,
+       n_support, n_docs, obj_sal, rnk
+FROM (
+    SELECT t.*, s.sal AS obj_sal,
+           CAST(row_number() OVER (
+               PARTITION BY t.subj_id
+               ORDER BY t.n_support DESC, s.sal DESC, t.pred ASC,
+                        t.obj_id ASC) AS BIGINT) AS rnk
+    FROM ts t JOIN efsal s ON s.ent = t.obj_id
+) WHERE rnk <= {int(k)}
+"""
+
+
+def kg_sssp(model: str = "a100", rounds: int = 4) -> str:
+    """Weighted-SSSP twin (pipeline/er.py sssp_weighted): symmetrized
+    co-occurrence adjacency with w = greatest(1, 4 - n_sents), top-1
+    degree seed ((deg DESC, key ASC) ties), ``rounds`` unrolled
+    Bellman-Ford min-relaxations."""
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, wsym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst,
+           greatest(1, 4 - n_sents) AS w
+    FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a,
+           greatest(1, 4 - n_sents)
+    FROM eg
+),
+wdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM wsym GROUP BY src),
+wseed AS (
+    SELECT src FROM (
+        SELECT src, row_number() OVER (ORDER BY deg DESC, src) AS rnk FROM wdeg
+    ) WHERE rnk <= 1
+),
+wd0 AS (SELECT src AS k, CAST(0 AS BIGINT) AS dist FROM wseed)"""
+    prev = "wd0"
+    for i in range(1, int(rounds) + 1):
+        body += f""",
+wd{i} AS (
+    SELECT k, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT k, dist FROM {prev}
+        UNION ALL
+        SELECT s.dst AS k, d.dist + s.w AS dist
+        FROM wsym s JOIN {prev} d ON s.src = d.k
+    ) GROUP BY k
+)"""
+        prev = f"wd{i}"
+    body += f"""
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype, dist
+FROM {prev}
+"""
+    return _materialize(body, "wsym", *[f"wd{i}" for i in range(int(rounds))])
+
+
+def kg_butterflies(model: str = "a100") -> str:
+    """Butterfly-count twin (pipeline/er.py butterflies): the doc-level
+    co-occurrence pair table, per pair C(n_docs, 2), symmetrized and
+    aggregated per entity."""
+    return f"""
+WITH deg AS ({kg_doc_cooccurrence(model)}),
+bp AS (
+    SELECT ent_a, type_a, ent_b, type_b,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS bfly,
+           n_docs AS nd
+    FROM deg
+),
+bsym AS (
+    SELECT ent_a AS ent, type_a AS etype, bfly, nd FROM bp
+    UNION ALL
+    SELECT ent_b, type_b, bfly, nd FROM bp
+)
+SELECT ent, etype,
+       CAST(count(*) AS BIGINT) AS n_partners,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_partners,
+       CAST(sum(bfly) AS BIGINT) AS n_bfly
+FROM bsym
+GROUP BY ent, etype
+"""
+
+
+def txt_textrank(
+    window: int = 2, min_pair: int = 2, iterations: int = 3,
+    scale: int = 1_000_000_000, topk: int = 20,
+) -> str:
+    """TextRank twin (ops/textstats.textrank_keywords): the txt_word_pmi
+    pair table symmetrized to unordered weighted edges, ``iterations``
+    unrolled integer weighted power steps (per-edge (rank*w) // strength
+    contributions, 85/15 damping), (rank DESC, word ASC) top-``topk``."""
+    tele = 15 * int(scale) // 100
+    body = f"""
+WITH wp AS ({txt_word_pmi(window, min_pair)}),
+tr_und AS (
+    SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+           CAST(sum(n_pair) AS BIGINT) AS w
+    FROM wp WHERE w1 <> w2
+    GROUP BY least(w1, w2), greatest(w1, w2)
+),
+tr_sym AS (
+    SELECT a AS src, b AS dst, w FROM tr_und
+    UNION ALL
+    SELECT b, a, w FROM tr_und
+),
+tr_s AS (
+    SELECT src AS k, CAST(sum(w) AS BIGINT) AS s FROM tr_sym GROUP BY src
+),
+tr_r0 AS (SELECT k, s, CAST({int(scale)} AS BIGINT) AS rank FROM tr_s)"""
+    mats = ["tr_und", "tr_sym", "tr_s", "tr_r0"]
+    prev = "tr_r0"
+    for i in range(1, int(iterations) + 1):
+        body += f""",
+tr_m{i} AS (
+    SELECT s.dst AS k, CAST(sum((r.rank * s.w) // r.s) AS BIGINT) AS inc
+    FROM tr_sym s JOIN {prev} r ON r.k = s.src
+    GROUP BY s.dst
+),
+tr_r{i} AS (
+    SELECT t.k, t.s,
+           CAST({tele} AS BIGINT)
+           + (85 * coalesce(m.inc, CAST(0 AS BIGINT))) // 100 AS rank
+    FROM tr_s t LEFT JOIN tr_m{i} m ON m.k = t.k
+)"""
+        mats += [f"tr_m{i}", f"tr_r{i}"]
+        prev = f"tr_r{i}"
+    body += f"""
+SELECT word, strength, rank_scaled, rnk FROM (
+    SELECT k AS word, s AS strength, rank AS rank_scaled,
+           CAST(row_number() OVER (ORDER BY rank DESC, k) AS BIGINT) AS rnk
+    FROM {prev}
+) WHERE rnk <= {int(topk)}
+"""
+    return _materialize(body, *mats[:-1])
+
+
+def er_em_weights(model: str = "a100") -> str:
+    """Fellegi-Sunter sufficient-statistics twin (pipeline/er.fs_weights):
+    the er_pair_features channel, rule-seeded label (lev <= 1), four
+    binarized agreement features stacked and aggregated."""
+    return f"""
+WITH pf AS ({er_pair_features(model=model)}),
+fslab AS (
+    SELECT CASE WHEN lev <= 1 THEN 1 ELSE 0 END AS m,
+           CASE WHEN tok_overlap >= 1 THEN 1 ELSE 0 END AS f_tok,
+           CASE WHEN sh_jaccard_ppm >= 500000 THEN 1 ELSE 0 END AS f_jac,
+           CASE WHEN abs(len_a - len_b) <= 1 THEN 1 ELSE 0 END AS f_len,
+           CASE WHEN substr(surf_a, 1, 2) = substr(surf_b, 1, 2)
+                THEN 1 ELSE 0 END AS f_pre2
+    FROM pf
+),
+fsst AS (
+    SELECT m, 'tok_overlap' AS feature, f_tok AS agree FROM fslab
+    UNION ALL SELECT m, 'shingle_jaccard', f_jac FROM fslab
+    UNION ALL SELECT m, 'len_diff_le1', f_len FROM fslab
+    UNION ALL SELECT m, 'prefix2_eq', f_pre2 FROM fslab
+)
+SELECT feature,
+       CAST(sum(m) AS BIGINT) AS n_match,
+       CAST(sum(m * agree) AS BIGINT) AS n_match_agree,
+       CAST(sum(1 - m) AS BIGINT) AS n_nonmatch,
+       CAST(sum((1 - m) * agree) AS BIGINT) AS n_nonmatch_agree
+FROM fsst
+GROUP BY feature
+"""
+
+
+def kg_msf(model: str = "a100", rounds: int = 2) -> str:
+    """Borůvka MSF twin (pipeline/er.py boruvka_msf): integer
+    dissimilarity w = 1000000 // n_sents with (w, src>dst) total order,
+    per round a (component)-partitioned min-edge window over both
+    directions, then a RECURSIVE min-label fixpoint over the selected
+    component-contraction edges (= the star loop's certificate)."""
+    body = f"""
+WITH RECURSIVE eg AS ({kg_cooccurrence(model)})
+, me AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst,
+           CAST(1000000 // n_sents AS BIGINT) AS w,
+           ent_a || '|' || type_a || '>' || ent_b || '|' || type_b AS ekey
+    FROM eg
+),
+mc0 AS (
+    SELECT k, k AS comp FROM (
+        SELECT src AS k FROM me UNION SELECT dst FROM me
+    )
+)"""
+    mats = ["me", "mc0"]
+    outs = []
+    for r in range(1, int(rounds) + 1):
+        p = r - 1
+        body += f""",
+mcand{r} AS (
+    SELECT m.src, m.dst, m.w, m.ekey, c1.comp AS pca, c2.comp AS pcb
+    FROM me m
+    JOIN mc{p} c1 ON c1.k = m.src
+    JOIN mc{p} c2 ON c2.k = m.dst
+    WHERE c1.comp <> c2.comp
+),
+msel{r} AS (
+    SELECT DISTINCT src, dst, w, ekey, pca, pcb FROM (
+        SELECT *, row_number() OVER (PARTITION BY c ORDER BY w, ekey) AS rn
+        FROM (
+            SELECT pca AS c, src, dst, w, ekey, pca, pcb FROM mcand{r}
+            UNION ALL
+            SELECT pcb, src, dst, w, ekey, pca, pcb FROM mcand{r}
+        )
+    ) WHERE rn = 1
+),
+mreach{r} AS (
+    SELECT comp AS node, comp AS lab FROM (SELECT DISTINCT comp FROM mc{p})
+    UNION
+    SELECT e.b AS node, q.lab
+    FROM mreach{r} q JOIN (
+        SELECT pca AS a, pcb AS b FROM msel{r}
+        UNION ALL
+        SELECT pcb, pca FROM msel{r}
+    ) e ON e.a = q.node
+),
+mnew{r} AS (SELECT node, min(lab) AS comp FROM mreach{r} GROUP BY node),
+mc{r} AS (
+    SELECT c.k, n.comp FROM mc{p} c JOIN mnew{r} n ON n.node = c.comp
+)"""
+        outs.append(
+            f"SELECT split_part(src, '|', 1) AS ent_a,"
+            f" split_part(src, '|', 2) AS type_a,"
+            f" split_part(dst, '|', 1) AS ent_b,"
+            f" split_part(dst, '|', 2) AS type_b,"
+            f" w, CAST({r} AS BIGINT) AS round FROM msel{r}"
+        )
+        mats += [f"mcand{r}", f"msel{r}", f"mnew{r}", f"mc{r}"]
+    body += f"""
+{chr(10).join(o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+"""
+    return _materialize(body, *mats[: -1])
+
+
+def txt_bm25(query_terms: tuple[str, ...] = ("join", "table", "spark"),
+             k: int = 10) -> str:
+    """BM25 twin (ops/textstats.bm25_topk): identical float association
+    order and the 9dp-round BIGINT per (doc, term), integer-summed per
+    doc (the txt_tfidf determinism precedent), (score DESC, doc ASC)
+    top-``k``."""
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    return _materialize(
+        f"""
+WITH barr AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> ''), x -> lower(x)) AS arr
+    FROM documents
+),
+bdl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM barr),
+btot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(arr)) AS BIGINT) AS total_tokens
+    FROM barr
+),
+btf AS (
+    SELECT doc_id, u.t AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM barr, UNNEST(arr) AS u(t)
+    WHERE u.t IN ({qlist})
+    GROUP BY doc_id, u.t
+),
+bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
+bscored AS (
+    SELECT t.doc_id,
+           CAST(round(
+               ln(1.0 + (CAST(o.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                                  * CAST(o.n_docs AS DOUBLE)
+                                  / CAST(o.total_tokens AS DOUBLE)))
+               * 1e9) AS BIGINT) AS score_i9
+    FROM btf t JOIN bdf d USING (term) JOIN bdl l USING (doc_id), btot o
+),
+bdoc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(score_i9) AS BIGINT) AS bm25_i9
+    FROM bscored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, bm25_i9, rnk FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY bm25_i9 DESC, doc_id ASC)
+                   AS BIGINT) AS rnk
+    FROM bdoc
+) WHERE rnk <= {int(k)}
+""",
+        "barr", "btf",
+    )
+
+
+def kg_taxonomy_depth(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Ontology-depth twin (pipeline/taxonomy.taxonomy_depth): roots =
+    hypers never occurring as a hypo in the capped closure; depth = max
+    hops to any root, n_roots = distinct root ancestors; roots report
+    (0, 0)."""
+    return f"""
+WITH clo AS ({kg_taxonomy_closure(mod, hypo_terms, hyper_terms,
+                                  hyper2_terms, max_hops)}),
+tdroots AS (
+    SELECT DISTINCT hyper AS node FROM clo
+    WHERE hyper NOT IN (SELECT DISTINCT hypo FROM clo)
+),
+tddepth AS (
+    SELECT c.hypo AS node, CAST(max(c.hops) AS BIGINT) AS depth,
+           CAST(count(DISTINCT c.hyper) AS BIGINT) AS n_roots
+    FROM clo c JOIN tdroots r ON r.node = c.hyper
+    GROUP BY c.hypo
+)
+SELECT node, depth, n_roots FROM tddepth
+UNION ALL
+SELECT node, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM tdroots
+"""
+
+
+def dedup_ppjoin(k: int = 3, tau_ppm: int = 500_000) -> str:
+    """PPJoin twin (ops/dedup.ppjoin_pairs): (df ASC, shingle ASC) global
+    token order, per-doc prefix length n - ceil(tau*n) + 1 (exact integer
+    ceil), prefix-token candidate join, exact cross-multiplied Jaccard
+    verify."""
+    return _materialize(
+        f"""
+WITH {_SHINGLES_CTE.strip()},
+ppdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         FROM sh GROUP BY shingle),
+ppsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+         FROM sh GROUP BY doc_id),
+ppr AS (
+    SELECT s.doc_id, s.shingle,
+           CAST(row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY d.df ASC, s.shingle ASC)
+                AS BIGINT) AS rn,
+           z.n_sh
+    FROM sh s JOIN ppdf d USING (shingle) JOIN ppsz z USING (doc_id)
+),
+pppre AS (
+    SELECT doc_id, shingle FROM ppr
+    WHERE rn <= n_sh - (({int(tau_ppm)} * n_sh + 999999) // 1000000) + 1
+),
+ppcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pppre a JOIN pppre b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+ppcom AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM ppcand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       za.n_sh AS n_a, zb.n_sh AS n_b
+FROM ppcom p
+JOIN ppsz za ON za.doc_id = p.doc_a
+JOIN ppsz zb ON zb.doc_id = p.doc_b
+WHERE p.n_common * 1000000 >= {int(tau_ppm)} * (za.n_sh + zb.n_sh - p.n_common)
+""",
+        "sh", "pppre", "ppcand",
+    )

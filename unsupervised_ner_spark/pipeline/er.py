@@ -3617,3 +3617,464 @@ def coreness_hindex(edges: DataFrame, rounds: int = 3) -> DataFrame:
         part(0).alias("ent"), part(1).alias("etype"),
         F.col("val").cast("long").alias("coreness"),
     )
+
+
+def scc_coloring(
+    directed: DataFrame, inner_rounds: int = 3, outer_rounds: int = 2
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by the coloring
+    / forward-backward scheme (Orzan 2004; the FW-BW-Trim family of
+    Slota et al. IPDPS'14; McLendon et al. JPDC 2005) — the directed
+    complement of :func:`graph_components` (which symmetrizes and thus
+    computes WEAK components). On the triple graph an SCC is a set of
+    entities all mutually reachable through directed facts — cyclic
+    knowledge (ownership loops, mutual-subsidiary tangles), exactly what
+    a DAG-assuming downstream (taxonomy, topological ordering) must have
+    surfaced first.
+
+    Per outer round over the still-active subgraph: (1) COLOR — every
+    node starts as its own color and ``inner_rounds`` synchronous
+    max-merges propagate colors FORWARD along edges, so color(v) ends as
+    the max key that reaches v within the horizon; every SCC is
+    monochrome under the fixpoint coloring. (2) PIVOT + BACKWARD — each
+    color class's pivot is the node equal to its color; a backward
+    reachability sweep from the pivots RESTRICTED to same-color nodes
+    marks exactly the pivot's SCC (reaches pivot AND shares its
+    ancestor-max), which is retired with scc_id = color. Nodes still
+    active after ``outer_rounds`` report status 'open' (the fixed-round
+    contract of the BFS family; the oracle unrolls identically, and the
+    fixpoint behavior is unit-tested against a brute-force Tarjan).
+
+    Output: (node, scc_id, status, round) — status 'scc' with the
+    retiring outer round, or 'open' with round = ``outer_rounds`` and
+    scc_id = ''.
+
+    Scale shape: per outer round the active-restricted edge table is
+    persisted once and feeds every inner step; each inner step is one
+    edge-keyed equi-join against the node-sized color/reach table plus
+    one map-side-combining max/distinct aggregate — O(outer * inner)
+    bounded shuffle pairs, nothing corpus-quadratic. Color state is
+    checkpointed per step (each state feeds the next join AND the pivot
+    filter — the er.hits lineage rule). Retired nodes shrink the active
+    set monotonically, so later rounds are strictly cheaper."""
+    nodes = scoped_persist(
+        directed.select(F.col("src").alias("k"))
+        .unionAll(directed.select(F.col("dst").alias("k")))
+        .distinct(),
+        how="checkpoint",
+    )
+    active = nodes
+    out = None
+    for o in range(1, int(outer_rounds) + 1):
+        e = scoped_persist(
+            directed.join(active.withColumnRenamed("k", "src"), "src").join(
+                active.withColumnRenamed("k", "dst"), "dst"
+            ),
+            how="checkpoint",
+        )
+        color = scoped_persist(
+            active.select("k", F.col("k").alias("c")), how="checkpoint"
+        )
+        for _ in range(int(inner_rounds)):
+            pushed = e.join(
+                color.withColumnRenamed("k", "src"), "src"
+            ).select(F.col("dst").alias("k"), "c")
+            color = scoped_persist(
+                color.unionByName(pushed)
+                .groupBy("k")
+                .agg(F.max("c").alias("c")),
+                how="checkpoint",
+            )
+        reach = scoped_persist(
+            color.filter(F.col("k") == F.col("c")).select("k", "c"),
+            how="checkpoint",
+        )
+        for _ in range(int(inner_rounds)):
+            back = (
+                e.withColumnRenamed("dst", "rk")
+                .join(
+                    reach.select(F.col("k").alias("rk"), F.col("c").alias("rc")),
+                    "rk",
+                )
+                .join(
+                    color.select(F.col("k").alias("src"), F.col("c").alias("sc")),
+                    "src",
+                )
+                .filter(F.col("sc") == F.col("rc"))
+                .select(F.col("src").alias("k"), F.col("rc").alias("c"))
+            )
+            reach = scoped_persist(
+                reach.unionByName(back).distinct(), how="checkpoint"
+            )
+        decided = reach.select(
+            "k",
+            F.col("c").alias("scc_id"),
+            F.lit("scc").alias("status"),
+            F.lit(o).cast("long").alias("round"),
+        )
+        out = decided if out is None else out.unionByName(decided)
+        active = scoped_persist(
+            active.join(reach.select("k"), "k", "left_anti"),
+            how="checkpoint",
+        )
+    out = out.unionByName(
+        active.select(
+            "k",
+            F.lit("").alias("scc_id"),
+            F.lit("open").alias("status"),
+            F.lit(int(outer_rounds)).cast("long").alias("round"),
+        )
+    )
+    return out.withColumnRenamed("k", "node")
+
+
+def sssp_relax_round(sym: DataFrame, dist: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation: push dist+w along every adjacency row
+    whose source is settled, min-merge with the standing distances. Split
+    out so capture_plans can assert the ROUND plan (frontier-keyed
+    equi-join + map-side-combining min) — the per-round checkpoint hides
+    it from the final query plan."""
+    relaxed = sym.join(dist.withColumnRenamed("k", "src"), "src").select(
+        F.col("dst").alias("k"), (F.col("dist") + F.col("w")).alias("dist")
+    )
+    return (
+        dist.unionByName(relaxed)
+        .groupBy("k")
+        .agg(F.min("dist").cast("long").alias("dist"))
+    )
+
+
+def sssp_weighted(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Single-source WEIGHTED shortest paths from the hub entity —
+    synchronous Bellman-Ford relaxation (the Pregel/GraphX SSSP shape)
+    over the co-occurrence graph with the integer tie-strength metric
+    w = max(1, 4 - n_sents): strongly co-mentioned pairs are CLOSE
+    (w = 1), one-off co-mentions are FAR (w = 3) — the weighted
+    complement of :func:`bfs_distances` (hop metric) and the distance
+    semantics entity-relatedness ranking actually wants. Source = the
+    single highest-degree node ((deg DESC, key ASC) ties, the
+    bfs_distances rule); ``rounds`` synchronous relaxations bound the
+    horizon (fixed-round contract, oracle unrolls identically). Output:
+    (ent, etype, dist) for every node with a settled path, all integer.
+
+    Scale shape: identical to bfs_distances — the symmetrized weighted
+    adjacency is persisted once and reused every round; each round is
+    one frontier-keyed equi-join + one min-aggregate, O(rounds) shuffle
+    pairs; a hub node is one reducer key in the min-aggregate."""
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+            F.greatest(F.lit(1), F.lit(4) - F.col("n_sents"))
+            .cast("long")
+            .alias("w"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+                F.greatest(F.lit(1), F.lit(4) - F.col("n_sents"))
+                .cast("long")
+                .alias("w"),
+            )
+        ),
+        how="checkpoint",
+    )
+    from pyspark.sql import Window
+
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w0 = Window.orderBy(F.desc("deg"), F.asc("src"))
+    seed = deg.select("src", F.row_number().over(w0).alias("rnk")).filter(
+        F.col("rnk") <= 1
+    )
+    dist = scoped_persist(
+        seed.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist")),
+        how="checkpoint",
+    )
+    for _ in range(int(rounds)):
+        dist = scoped_persist(sssp_relax_round(sym, dist), how="checkpoint")
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return dist.select(part(0).alias("ent"), part(1).alias("etype"), "dist")
+
+
+def butterflies(doc_edges: DataFrame) -> DataFrame:
+    """Per-entity BUTTERFLY (bipartite 4-cycle) counts over the
+    document-entity incidence graph — the bipartite clustering primitive
+    (Wang et al. VLDB'19 "Vertex Priority Based Butterfly Counting"):
+    a butterfly is two documents sharing the SAME two entities, the
+    smallest non-trivial bipartite motif and the standard cohesion
+    signal for bipartite community detection (k-bitruss) and
+    spam-cluster mining (two templated pages stamping out the same
+    entity pair). For an entity pair sharing c documents the pair
+    carries C(c, 2) butterflies; an entity's count sums over its
+    partners. Output: (ent, etype, n_partners, n_multi_partners,
+    n_bfly) — partners = co-document entities, multi = partners sharing
+    >= 2 docs, all integers (measured at sf0.001: 2 multi-doc pairs,
+    max shared docs 4, so the non-zero branch fires on real data).
+
+    Scale shape: rides the already-aggregated
+    :func:`doc_cooccurrence_edges` table (bounded by distinct entity
+    pairs, never corpus size); the count is one symmetrizing union +
+    one map-side-combining aggregate keyed on the entity — C(c,2)
+    computed per pair row in closed form, no enumeration of the
+    quadratically many concrete butterflies."""
+    pairs = doc_edges.select(
+        "ent_a", "type_a", "ent_b", "type_b",
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        .cast("long")
+        .alias("bfly"),
+        F.col("n_docs").alias("nd"),
+    )
+    a = pairs.select(
+        F.col("ent_a").alias("ent"), F.col("type_a").alias("etype"),
+        "bfly", "nd",
+    )
+    b = pairs.select(
+        F.col("ent_b").alias("ent"), F.col("type_b").alias("etype"),
+        "bfly", "nd",
+    )
+    return a.unionByName(b).groupBy("ent", "etype").agg(
+        F.count("*").cast("long").alias("n_partners"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_partners"),
+        F.sum("bfly").cast("long").alias("n_bfly"),
+    )
+
+
+def fs_weights(features: DataFrame) -> DataFrame:
+    """Fellegi-Sunter match/unmatch weight SUFFICIENT STATISTICS over
+    the ER pair-feature channel (Fellegi & Sunter JASA 1969) — the
+    classical probabilistic record-linkage model: every comparison
+    feature f gets m_f = P(agree | match) and u_f = P(agree | unmatch),
+    and a candidate pair is scored by sum of log(m_f/u_f) over agreeing
+    features. Here the m/u probabilities are estimated from the
+    rule-seeded label the deterministic channel already provides
+    (match = Levenshtein <= 1, the phonetic_pairs acceptance rule —
+    the standard "seed FS from an unambiguous rule, then iterate EM"
+    bootstrap), and the gated surface is the INTEGER sufficient
+    statistics per feature: (feature, n_match, n_match_agree,
+    n_nonmatch, n_nonmatch_agree). The float weights log(m/u) /
+    log((1-m)/(1-u)) are cheap derived columns and never enter the
+    hashed gate (the NPMI precedent).
+
+    Agreement features (binarized from pair_features' exact integers):
+    token overlap >= 1, shingle Jaccard >= 0.5, |len_a - len_b| <= 1,
+    and 2-char prefix equality.
+
+    Scale shape: one narrow map over the already-blocked pair table
+    (bounded by bucket caps, never corpus-quadratic), a 4-way stack
+    (constant fan-out), and one map-side-combining aggregate over the
+    4-row feature vocabulary."""
+    lab = features.select(
+        F.when(F.col("lev") <= 1, 1).otherwise(0).cast("long").alias("m"),
+        F.when(F.col("tok_overlap") >= 1, 1)
+        .otherwise(0).cast("long").alias("f_tok"),
+        F.when(F.col("sh_jaccard_ppm") >= 500_000, 1)
+        .otherwise(0).cast("long").alias("f_jac"),
+        F.when(
+            F.abs(F.col("len_a") - F.col("len_b")) <= 1, 1
+        ).otherwise(0).cast("long").alias("f_len"),
+        F.when(
+            F.substring("surf_a", 1, 2) == F.substring("surf_b", 1, 2), 1
+        ).otherwise(0).cast("long").alias("f_pre2"),
+    )
+    stacked = lab.select(
+        "m",
+        F.expr(
+            "stack(4, 'tok_overlap', f_tok, 'shingle_jaccard', f_jac,"
+            " 'len_diff_le1', f_len, 'prefix2_eq', f_pre2)"
+            " AS (feature, agree)"
+        ),
+    )
+    return stacked.groupBy("feature").agg(
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum(F.col("m") * F.col("agree")).cast("long").alias("n_match_agree"),
+        F.sum(1 - F.col("m")).cast("long").alias("n_nonmatch"),
+        F.sum((1 - F.col("m")) * F.col("agree"))
+        .cast("long")
+        .alias("n_nonmatch_agree"),
+    )
+
+
+def boruvka_msf(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Borůvka minimum spanning forest over the co-occurrence graph
+    (Borůvka 1926; the canonical O(log n)-round distributed MSF —
+    Pemmaraju/Sardeshmukh, and the MST step of single-linkage
+    clustering at scale): edge weight is the integer DISSIMILARITY
+    w = 1_000_000 div n_sents (strong co-mention ties are light), total
+    order (w, src>dst key) makes the MSF unique — no tie ambiguity, so
+    the DuckDB oracle replays it exactly. Per round every component
+    selects its minimum outgoing edge; selected edges join the forest
+    and the touched components merge (min-label CC over the
+    component-contraction graph — Sollin's step). ``rounds`` fixed
+    rounds (the BFS-family contract): 2 rounds resolve forests of
+    size <= 4 components per tree; remaining merges are the next
+    rounds' work. Output: the selected forest edges (ent/type pairs, w,
+    selecting round).
+
+    The KG use: the MSF over co-mention dissimilarity IS single-linkage
+    clustering's dendrogram skeleton — cutting it at a weight threshold
+    yields flat entity-topic clusters without ever materializing the
+    quadratic similarity matrix.
+
+    Scale shape: the weighted edge table is checkpointed once (feeds
+    every round's candidate join); per round TWO node-sized label joins
+    attach component ids, one (component)-keyed window picks the min
+    edge per component (bounded by #components), and the contraction CC
+    runs over the SELECTED edge set only (<= #components edges — the
+    large/small-star loop, O(log n) rounds on an edge set that shrinks
+    geometrically). Nothing corpus-quadratic; labels checkpoint per
+    round."""
+    from pyspark.sql import Window
+
+    e = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+            F.expr("1000000 div n_sents").cast("long").alias("w"),
+        ).withColumn("ekey", F.concat_ws(">", "src", "dst")),
+        how="checkpoint",
+    )
+    comp = scoped_persist(
+        e.select(F.col("src").alias("k"))
+        .unionAll(e.select(F.col("dst").alias("k")))
+        .distinct()
+        .select("k", F.col("k").alias("comp")),
+        how="checkpoint",
+    )
+    out = None
+    for r in range(1, int(rounds) + 1):
+        cand = (
+            e.join(
+                comp.select(F.col("k").alias("src"), F.col("comp").alias("ca")),
+                "src",
+            )
+            .join(
+                comp.select(F.col("k").alias("dst"), F.col("comp").alias("cb")),
+                "dst",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        dirs = cand.select(
+            F.col("ca").alias("c"), "src", "dst", "w", "ekey", "ca", "cb"
+        ).unionByName(
+            cand.select(
+                F.col("cb").alias("c"), "src", "dst", "w", "ekey", "ca", "cb"
+            )
+        )
+        wsel = Window.partitionBy("c").orderBy(F.asc("w"), F.asc("ekey"))
+        sel = scoped_persist(
+            dirs.withColumn("rn", F.row_number().over(wsel))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "w", "ekey", "ca", "cb")
+            .distinct(),
+            how="checkpoint",
+        )
+        picked = sel.select(
+            "src", "dst", "w", F.lit(r).cast("long").alias("round")
+        )
+        out = picked if out is None else out.unionByName(picked)
+        cnodes = comp.select(F.col("comp").alias("node_id")).distinct()
+        cedges = sel.select(
+            F.col("ca").alias("node_a"), F.col("cb").alias("node_b")
+        ).distinct()
+        newlab, _iters = connected_components_star(cnodes, cedges)
+        comp = scoped_persist(
+            comp.join(
+                newlab.select(
+                    F.col("node_id").alias("comp"),
+                    F.col("component").alias("newc"),
+                ),
+                "comp",
+                "left",
+            ).select("k", F.coalesce("newc", "comp").alias("comp")),
+            how="checkpoint",
+        )
+
+    def part(c, j):
+        return F.split(F.col(c), r"\|")[j]
+
+    return out.select(
+        part("src", 0).alias("ent_a"), part("src", 1).alias("type_a"),
+        part("dst", 0).alias("ent_b"), part("dst", 1).alias("type_b"),
+        "w", "round",
+    )
+
+
+def scc_condensation(
+    directed: DataFrame, inner_rounds: int = 3, outer_rounds: int = 2
+) -> DataFrame:
+    """Condensation DAG of the directed triple graph — every SCC
+    contracted to one node (the classic acyclic quotient every
+    topological downstream actually runs on): resolved nodes map to
+    their scc_id, horizon-'open' nodes stand as their own singleton
+    (honest under the fixed-round contract — an open node's cycle
+    membership is simply not yet proven). Output: (scc_a, scc_b,
+    n_edges) — distinct label pairs with the original directed edge
+    multiplicity, self-pairs (intra-SCC edges) dropped.
+
+    Scale shape: the scc labeling (see :func:`scc_coloring`) plus two
+    node-sized label joins onto the edge table and one
+    map-side-combining aggregate bounded by distinct label pairs."""
+    labels = scc_coloring(directed, inner_rounds, outer_rounds).select(
+        F.col("node").alias("k"),
+        F.when(F.col("status") == "scc", F.col("scc_id"))
+        .otherwise(F.col("node"))
+        .alias("lab"),
+    )
+    return (
+        directed.join(
+            labels.select(F.col("k").alias("src"), F.col("lab").alias("scc_a")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("k").alias("dst"), F.col("lab").alias("scc_b")),
+            "dst",
+        )
+        .filter(F.col("scc_a") != F.col("scc_b"))
+        .groupBy("scc_a", "scc_b")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
+def entity_top_facts(support: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` facts per canonical subject entity — the entity-card /
+    KG-summarization serving primitive (LinkSUM-shaped, Thalhammer et
+    al. ESWC'16: rank a target's facts by evidence strength and the
+    IMPORTANCE of the linked object, so "covid — causes — pneumonia"
+    beats a one-off tail fact): facts rank by (n_support DESC, object
+    salience DESC, pred ASC, obj_id ASC), where an entity's salience is
+    the total triple support it participates in on either side — all
+    integers, total order, no floats.
+
+    Scale shape: salience is one symmetrizing union + map-side
+    aggregate over the BOUNDED support table (distinct graph edges);
+    the rank window partitions on subj_id (per-entity sort, never
+    global); output k rows per subject."""
+    from pyspark.sql import Window
+
+    sal = (
+        support.select(F.col("subj_id").alias("ent"), "n_support")
+        .unionAll(support.select(F.col("obj_id").alias("ent"), "n_support"))
+        .groupBy("ent")
+        .agg(F.sum("n_support").cast("long").alias("sal"))
+    )
+    ranked = support.join(
+        sal.select(F.col("ent").alias("obj_id"), F.col("sal").alias("obj_sal")),
+        "obj_id",
+    )
+    w = Window.partitionBy("subj_id").orderBy(
+        F.desc("n_support"), F.desc("obj_sal"), F.asc("pred"), F.asc("obj_id")
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= int(k))
+        .select(
+            "subj_id", "subj_type", "subj_repr", "pred",
+            "obj_id", "obj_type", "obj_repr",
+            "n_support", "n_docs", "obj_sal", "rnk",
+        )
+    )

@@ -261,3 +261,45 @@ def taxonomy_closure_incremental(
     return _minplus_rounds(d0, rounds, max_hops).filter(
         F.col("hypo") != F.col("hyper")
     )
+
+
+def taxonomy_depth(closure: DataFrame) -> DataFrame:
+    """Ontology depth layering over the (capped) is-a closure — the
+    DAG-level assignment ontology curation asks for first (how deep is
+    each concept, how many independent roots subsume it): a node's depth
+    is the LONGEST root-path length within the closure cap, the layer a
+    topological layout or a level-wise materialization schedule uses.
+
+    Roots are hypers that never occur as a hypo (cycle members occur as
+    hypos, so a cycle can never masquerade as a root); every node with at
+    least one root ancestor reports (node, depth = max hops to any root,
+    n_roots = distinct root ancestors), and roots themselves report
+    (root, 0, 0). Nodes trapped in root-less cycles are absent by
+    construction — the closure cap already bounds them (documented, same
+    rationale as taxonomy_closure's max_hops).
+
+    Scale shape: two bounded aggregates over the closure table
+    (vocabulary-sized, never corpus-sized) and one anti-join for the
+    root set; the depth aggregate map-side combines on the node key."""
+    hypos = closure.select("hypo").distinct()
+    roots = (
+        closure.select(F.col("hyper").alias("node"))
+        .distinct()
+        .join(hypos.withColumnRenamed("hypo", "node"), "node", "left_anti")
+    )
+    depths = (
+        closure.join(roots.withColumnRenamed("node", "hyper"), "hyper")
+        .groupBy("hypo")
+        .agg(
+            F.max("hops").cast("long").alias("depth"),
+            F.countDistinct("hyper").cast("long").alias("n_roots"),
+        )
+        .withColumnRenamed("hypo", "node")
+    )
+    return depths.unionByName(
+        roots.select(
+            "node",
+            F.lit(0).cast("long").alias("depth"),
+            F.lit(0).cast("long").alias("n_roots"),
+        )
+    )
