@@ -3753,6 +3753,26 @@ def q_kg_entity_facts(spark, sf_dir):
     )
 
 
+def q_kg_pra(spark, sf_dir):
+    """PRA relation-path feature table (er.pra_features — Lao & Cohen):
+    2-hop path types between entity pairs with path/middle counts and
+    the direct-edge label; degree-capped middles via paths_2hop."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline import er
+
+    support = scoped_persist(
+        er.triple_support(q_kg_canonical_triples(spark, sf_dir))
+    )
+    return er.pra_features(support)
+
+
+def q_txt_rake(spark, sf_dir):
+    """RAKE keyphrases (textstats.rake_keyphrases — Rose et al. 2010):
+    stopword-delimited phrase candidates, deg/freq word scores, integer
+    phrase sums; the phrase-level complement of txt_textrank."""
+    return textstats.rake_keyphrases(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3998,6 +4018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin": q_dedup_ppjoin,
         "kg_condensation": q_kg_condensation,
         "kg_entity_facts": q_kg_entity_facts,
+        "kg_pra": q_kg_pra,
+        "txt_rake": q_txt_rake,
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_quotations": q_kg_quotations,
         "rel_profile": q_rel_profile,
@@ -4321,6 +4343,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ppjoin": O.dedup_ppjoin(),
         "kg_condensation": O.kg_condensation(),
         "kg_entity_facts": O.kg_entity_facts(),
+        "kg_pra": O.kg_pra(),
+        "txt_rake": O.txt_rake(),
         "kg_asof_snapshot": O.kg_asof_snapshot(ASOF_DAY),
         "kg_quotations": O.kg_quotations(),
         "rel_profile": O.rel_profile(),

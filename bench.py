@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "dedup_ppjoin",
     "kg_condensation",
     "kg_entity_facts",
+    "kg_pra",
+    "txt_rake",
     "er_em_weights",
     "txt_textrank",
     "kg_asof_snapshot",

@@ -1410,3 +1410,110 @@ def bm25_topk(
         per_doc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= int(k))
     )
+
+
+def rake_keyphrases(
+    documents: DataFrame, max_phrase: int = 3, topk: int = 15
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010) —
+    the PHRASE-level complement of :func:`textrank_keywords` (word
+    ranks): candidate phrases are maximal stopword-free token runs
+    (length capped at ``max_phrase``), each content word scores
+    deg(w)/freq(w) where freq counts the word's phrase appearances and
+    deg sums the lengths of the phrases containing it (co-occurrence
+    degree, RAKE's preference for words living in long phrases), and a
+    phrase scores the SUM of its word scores. Determinism: deg/freq is
+    9dp-rounded to a BIGINT per word (the txt_tfidf precedent) and
+    phrases sum those integers; top-``topk`` by (score DESC, phrase
+    ASC).
+
+    Output: (phrase, n_words, n_occurrences, score_i9, rnk).
+
+    Scale shape: phrase segmentation is gaps-and-islands over the
+    exploded token stream keyed (doc_id) — run id = token_idx minus the
+    per-doc non-stop rank, windows partitioned per document, never
+    global; word stats and the phrase score join are bounded by the
+    phrase/word vocabularies; the final top-k is one bounded window."""
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.transform(tokens_ws(F.col("text")), F.lower)).alias(
+            "pos", "word"
+        ),
+    ).withColumn(
+        "is_stop",
+        F.array_contains(sw, F.col("word"))
+        | ~F.col("word").rlike("^[a-z][a-z0-9-]*$"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        toks.withColumn(
+            "nsrank",
+            F.sum(F.when(F.col("is_stop"), 0).otherwise(1)).over(wdoc),
+        )
+        .filter(~F.col("is_stop"))
+        .withColumn("run_id", F.col("pos") - F.col("nsrank"))
+    )
+    wrun = Window.partitionBy("doc_id", "run_id").orderBy("pos")
+    phrases = (
+        runs.withColumn("prank", F.row_number().over(wrun))
+        .filter(F.col("prank") <= int(max_phrase))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    occ = scoped_persist(phrases.select("phrase", "n_words"))
+    words = occ.select(
+        F.explode(F.split("phrase", " ")).alias("word"), "n_words"
+    )
+    wstats = words.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    ).withColumn(
+        "wscore_i9",
+        F.round(
+            F.col("deg").cast("double")
+            / F.col("freq").cast("double")
+            * F.lit(1e9)
+        ).cast("long"),
+    )
+    pscore = (
+        occ.select("phrase", "n_words")
+        .distinct()  # score each phrase TYPE once (occurrences would
+        # multiply the sum by n_occurrences)
+        .select(
+            "phrase", "n_words",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(wstats.select("word", "wscore_i9"), "word")
+        .groupBy("phrase", "n_words")
+        .agg(F.sum("wscore_i9").cast("long").alias("one_score"))
+    )
+    agg = (
+        occ.groupBy("phrase")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .join(pscore, "phrase")
+    )
+    wtop = Window.orderBy(F.desc("one_score"), F.asc("phrase"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rnk") <= int(topk))
+        .select(
+            "phrase", "n_words", "n_occurrences",
+            F.col("one_score").alias("score_i9"), "rnk",
+        )
+    )

@@ -8840,3 +8840,114 @@ WHERE p.n_common * 1000000 >= {int(tau_ppm)} * (za.n_sh + zb.n_sh - p.n_common)
 """,
         "sh", "pppre", "ppcand",
     )
+
+
+def kg_pra(model: str = "a100") -> str:
+    """PRA feature-table twin (pipeline/er.py pra_features): the
+    kg_paths_2hop product (cycles excluded) aggregated to path types,
+    left-joined against the min-predicate direct-edge aggregate of the
+    support table."""
+    return f"""
+WITH pth AS ({kg_paths_2hop(model)}),
+ts AS ({kg_triple_support(model)}),
+prf AS (
+    SELECT a_id, c_id, pred_ab, pred_bc,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT mid_id) AS BIGINT) AS n_mids
+    FROM pth WHERE is_cycle = 0
+    GROUP BY a_id, c_id, pred_ab, pred_bc
+),
+prd AS (
+    SELECT subj_id AS a_id, obj_id AS c_id, min(pred) AS direct_pred
+    FROM ts GROUP BY subj_id, obj_id
+)
+SELECT f.a_id, f.c_id, f.pred_ab, f.pred_bc, f.n_paths, f.n_mids,
+       CAST(CASE WHEN d.direct_pred IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS known_link,
+       COALESCE(d.direct_pred, '') AS direct_pred
+FROM prf f LEFT JOIN prd d ON d.a_id = f.a_id AND d.c_id = f.c_id
+"""
+
+
+def txt_rake(max_phrase: int = 3, topk: int = 15) -> str:
+    """RAKE twin (ops/textstats.rake_keyphrases): stopword-delimited
+    maximal runs (length-capped), deg/freq word scores 9dp-rounded,
+    integer phrase sums, (score DESC, phrase ASC) top-``topk``."""
+    return _materialize(
+        f"""
+WITH rktoks AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> ''), x -> lower(x)) AS arr
+    FROM documents
+),
+rkpos AS (
+    SELECT doc_id, arr[CAST(i AS INT)] AS word, i - 1 AS pos
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr))) AS i
+          FROM rktoks)
+),
+rkflag AS (
+    SELECT doc_id, word, pos,
+           (word IN (SELECT unnest({_EN_SW}))
+            OR NOT regexp_matches(word, '^[a-z][a-z0-9-]*$')) AS is_stop
+    FROM rkpos
+),
+rkruns AS (
+    SELECT doc_id, word, pos,
+           pos - sum(CASE WHEN is_stop THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+           is_stop
+    FROM rkflag
+),
+rkcap AS (
+    SELECT doc_id, run_id, word, pos,
+           row_number() OVER (PARTITION BY doc_id, run_id
+                              ORDER BY pos) AS prank
+    FROM rkruns WHERE NOT is_stop
+),
+rkph AS (
+    SELECT doc_id, run_id,
+           string_agg(word, ' ' ORDER BY pos) AS phrase,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM rkcap WHERE prank <= {int(max_phrase)}
+    GROUP BY doc_id, run_id
+),
+rkw AS (
+    SELECT unnest(string_split(phrase, ' ')) AS word, n_words FROM rkph
+),
+rkws AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(n_words) AS BIGINT) AS deg
+    FROM rkw GROUP BY word
+),
+rkwsc AS (
+    SELECT word,
+           CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1e9)
+                AS BIGINT) AS wscore_i9
+    FROM rkws
+),
+rkpsc AS (
+    SELECT p.phrase, p.n_words,
+           CAST(sum(w.wscore_i9) AS BIGINT) AS one_score
+    FROM (
+        SELECT phrase, n_words,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM (SELECT DISTINCT phrase, n_words FROM rkph)
+    ) p JOIN rkwsc w USING (word)
+    GROUP BY p.phrase, p.n_words
+),
+rkagg AS (
+    SELECT o.phrase, s.n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences, s.one_score
+    FROM rkph o JOIN rkpsc s ON s.phrase = o.phrase
+    GROUP BY o.phrase, s.n_words, s.one_score
+)
+SELECT phrase, n_words, n_occurrences, one_score AS score_i9, rnk FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY one_score DESC, phrase ASC)
+                   AS BIGINT) AS rnk
+    FROM rkagg
+) WHERE rnk <= {int(topk)}
+""",
+        "rkph", "rkws",
+    )

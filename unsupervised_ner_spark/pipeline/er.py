@@ -4078,3 +4078,39 @@ def entity_top_facts(support: DataFrame, k: int = 3) -> DataFrame:
             "n_support", "n_docs", "obj_sal", "rnk",
         )
     )
+
+
+def pra_features(
+    support: DataFrame, max_mid_degree: int | None = None
+) -> DataFrame:
+    """Path-Ranking-Algorithm feature table (Lao & Cohen ECML'10; the
+    relation-path features KB-completion models like PRA/SFE train on):
+    for every ordered entity pair connected by a 2-hop path, one row per
+    PATH TYPE (pred_ab, pred_bc) with the path count and distinct-middle
+    diversity, labeled with whether a DIRECT edge already links the pair
+    (the positive class) and its predicate — "X -born_in-> Y -capital_of->
+    Z predicts X -citizen_of-> Z" is exactly this table's signal.
+
+    Output: (a_id, c_id, pred_ab, pred_bc, n_paths, n_mids, known_link,
+    direct_pred) — direct_pred is the min predicate over existing direct
+    edges ('' when none), all else integers; cycles (a == c) excluded.
+
+    Scale shape: rides :func:`paths_2hop` (degree-capped middles — the
+    hub that composes with everything predicts nothing) plus one
+    map-side-combining aggregate to the path-type vocabulary and one
+    left join against the DIRECT-edge aggregate of the bounded support
+    table; the support table feeds both (persist upstream)."""
+    paths = paths_2hop(support, max_mid_degree).filter(F.col("is_cycle") == 0)
+    feat = paths.groupBy("a_id", "c_id", "pred_ab", "pred_bc").agg(
+        F.count("*").cast("long").alias("n_paths"),
+        F.countDistinct("mid_id").cast("long").alias("n_mids"),
+    )
+    direct = support.groupBy(
+        F.col("subj_id").alias("a_id"), F.col("obj_id").alias("c_id")
+    ).agg(F.min("pred").alias("direct_pred"))
+    return feat.join(direct, ["a_id", "c_id"], "left").select(
+        "a_id", "c_id", "pred_ab", "pred_bc", "n_paths", "n_mids",
+        F.when(F.col("direct_pred").isNull(), 0)
+        .otherwise(1).cast("long").alias("known_link"),
+        F.coalesce("direct_pred", F.lit("")).alias("direct_pred"),
+    )
