@@ -3773,6 +3773,94 @@ def q_txt_rake(spark, sf_dir):
     return textstats.rake_keyphrases(_t(spark, sf_dir, "documents"))
 
 
+def _infer_splice_triples(spark, sf_dir):
+    """The rule splice with deterministic HOLES for the inference gate:
+    trusts is withheld where a % 4 == 0 and likes where a % 4 == 1, so
+    knows=>trusts (fwd, 750000 ppm) and knows=>likes (inv, 750000 ppm)
+    stay above threshold yet propose exactly the withheld facts — the
+    anti-join leaves a non-empty, fully predictable candidate set (the
+    splice docstrings' no-empty-pass rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.expr("doc_id DIV 5") % 12
+    m = (F.col("doc_id") % 5 + 1).cast("int")
+    off = F.element_at(
+        F.array(F.lit(1), F.lit(1), F.lit(11), F.lit(2), F.lit(4)), m
+    )
+    pred = F.element_at(
+        F.array(
+            F.lit("knows"), F.lit("trusts"), F.lit("likes"),
+            F.lit("reaches"), F.lit("near"),
+        ),
+        m,
+    )
+    node = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 2, "0"))
+    return (
+        docs.select(
+            node(a).alias("subj"), pred.alias("pred_norm"),
+            node((a + off) % 12).alias("obj"), a.alias("a"), m.alias("m"),
+        )
+        .filter(
+            ~((F.col("m") == 2) & (F.col("a") % 4 == 0))
+            & ~((F.col("m") == 3) & (F.col("a") % 4 == 1))
+        )
+        .select("subj", "pred_norm", "obj")
+    )
+
+
+def q_kg_inferred_triples(spark, sf_dir):
+    """One-step forward chaining (triples.apply_rules — the AMIE rule-
+    APPLICATION step): mine 2-atom rules over production triples UNION
+    the holed inference splice, instantiate the kept rules, anti-join
+    existing facts; output is the KB-completion candidate queue."""
+    from unsupervised_ner_spark.pipeline.triples import apply_rules
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"].select(
+        "subj", "pred_norm", "obj"
+    )
+    return apply_rules(trip.unionByName(_infer_splice_triples(spark, sf_dir)))
+
+
+def _claims_splice(spark, sf_dir):
+    """Deterministic (src, subj, pred, obj) claim splice for the truth-
+    discovery gate: 10 sources x 20 subjects; sources s7-s9 claim the
+    wrong object on even subjects (their quality drops to ~500000 ppm);
+    on subject q01 only {s0,s1,s7,s8,s9} claim, so the naive majority is
+    the lie (3 vs 2) and ONLY reliability weighting recovers the truth —
+    the gate proves the flip, not just the happy path."""
+    docs = _t(spark, sf_dir, "documents")
+    s = F.col("doc_id") % 10
+    k = F.expr("doc_id DIV 10") % 20
+    knum = F.lpad(k.cast("string"), 2, "0")
+    obj = (
+        F.when((k == 1) & (s >= 7), F.lit("f01"))
+        .when(k == 1, F.lit("t01"))
+        .when((s >= 7) & (k % 2 == 0), F.concat(F.lit("f"), knum))
+        .otherwise(F.concat(F.lit("t"), knum))
+    )
+    return (
+        docs.select(
+            F.concat(F.lit("s"), s.cast("string")).alias("src"),
+            F.concat(F.lit("q"), knum).alias("subj"),
+            F.lit("capital_of").alias("pred_norm"),
+            obj.alias("obj"),
+            s.alias("s"), k.alias("k"),
+        )
+        .filter((F.col("k") != 1) | F.col("s").isin(0, 1, 7, 8, 9))
+        .select("src", "subj", "pred_norm", "obj")
+    )
+
+
+def q_kg_truth_discovery(spark, sf_dir):
+    """Source-reliability-weighted conflict resolution (triples.
+    truth_discovery — one Sums/TruthFinder iteration) over the
+    deterministic claim splice; `changed` rows are where weighting
+    flipped the naive majority."""
+    from unsupervised_ner_spark.pipeline.triples import truth_discovery
+
+    return truth_discovery(_claims_splice(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4020,6 +4108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_facts": q_kg_entity_facts,
         "kg_pra": q_kg_pra,
         "txt_rake": q_txt_rake,
+        "kg_inferred_triples": q_kg_inferred_triples,
+        "kg_truth_discovery": q_kg_truth_discovery,
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_quotations": q_kg_quotations,
         "rel_profile": q_rel_profile,
@@ -4345,6 +4435,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_facts": O.kg_entity_facts(),
         "kg_pra": O.kg_pra(),
         "txt_rake": O.txt_rake(),
+        "kg_inferred_triples": O.kg_inferred_triples(),
+        "kg_truth_discovery": O.kg_truth_discovery(),
         "kg_asof_snapshot": O.kg_asof_snapshot(ASOF_DAY),
         "kg_quotations": O.kg_quotations(),
         "rel_profile": O.rel_profile(),

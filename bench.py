@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "kg_entity_facts",
     "kg_pra",
     "txt_rake",
+    "kg_inferred_triples",
+    "kg_truth_discovery",
     "er_em_weights",
     "txt_textrank",
     "kg_asof_snapshot",

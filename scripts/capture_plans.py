@@ -1899,6 +1899,58 @@ def main() -> None:
     checks.append(("entity facts: no python eval",
                    "BatchEvalPython" not in p185))
 
+    # 186. PRA features: path-type aggregate over the degree-capped
+    # 2-hop product + left join vs the direct-edge aggregate; support
+    # table persisted once (feeds paths and direct side)
+    p186 = plan_of(entry.q_kg_pra(spark, SF))
+    sections.append(("PRA path-type features (kg_pra)", p186))
+    checks.append(("pra: support table persisted once",
+                   "InMemoryRelation" in p186))
+    checks.append(("pra: no cartesian product",
+                   "CartesianProduct" not in p186))
+    checks.append(("pra: no python eval", "BatchEvalPython" not in p186))
+
+    # 187. RAKE: phrase windows partitioned per document (never global
+    # except the final bounded top-k), phrase table persisted once
+    # (feeds word stats, type scores, and occurrence counts)
+    p187 = plan_of(entry.q_txt_rake(spark, SF))
+    sections.append(("RAKE keyphrases (txt_rake)", p187))
+    checks.append(("rake: phrase table persisted once",
+                   "InMemoryRelation" in p187))
+    checks.append(("rake: run segmentation windows partitioned per doc",
+                   "hashpartitioning(doc_id" in p187))
+    checks.append(("rake: no cartesian product",
+                   "CartesianProduct" not in p187))
+    checks.append(("rake: no python eval", "BatchEvalPython" not in p187))
+
+    # 188. rule application: fact table persisted once (feeds mining,
+    # instantiation, anti-join); kept rule set broadcast into the
+    # instantiation joins; anti-join present
+    p188 = plan_of(entry.q_kg_inferred_triples(spark, SF))
+    sections.append(("Forward chaining (kg_inferred_triples)", p188))
+    checks.append(("inferred: fact table persisted once",
+                   "InMemoryRelation" in p188))
+    checks.append(("inferred: rules broadcast into instantiation",
+                   "BroadcastHashJoin" in p188))
+    checks.append(("inferred: anti-join vs existing facts",
+                   "LeftAnti" in p188))
+    checks.append(("inferred: no cartesian product",
+                   "CartesianProduct" not in p188))
+
+    # 189. truth discovery: claim table persisted once (votes, source
+    # quality, re-vote); source-quality table broadcast; windows
+    # partitioned on (subj, pred_norm), never global
+    p189 = plan_of(entry.q_kg_truth_discovery(spark, SF))
+    sections.append(("Truth discovery (kg_truth_discovery)", p189))
+    checks.append(("truth: claim table persisted once",
+                   "InMemoryRelation" in p189))
+    checks.append(("truth: source quality broadcast into re-vote",
+                   "BroadcastHashJoin" in p189))
+    checks.append(("truth: windows partitioned on (subj, pred_norm)",
+                   "hashpartitioning(subj" in p189))
+    checks.append(("truth: no cartesian product",
+                   "CartesianProduct" not in p189))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

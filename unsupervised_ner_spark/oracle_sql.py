@@ -8951,3 +8951,155 @@ SELECT phrase, n_words, n_occurrences, one_score AS score_i9, rnk FROM (
 """,
         "rkph", "rkws",
     )
+
+
+_INFER_SPLICE_SQL = """
+isplice AS (
+    SELECT 'e' || lpad(CAST(a AS VARCHAR), 2, '0') AS subj,
+           (['knows','trusts','likes','reaches','near'])[m + 1] AS pred_norm,
+           'e' || lpad(CAST((a + ([1,1,11,2,4])[m + 1]) % 12 AS VARCHAR),
+                       2, '0') AS obj
+    FROM (
+        SELECT (doc_id // 5) % 12 AS a, CAST(doc_id % 5 AS INT) AS m
+        FROM documents
+    )
+    WHERE NOT (m = 1 AND a % 4 = 0) AND NOT (m = 2 AND a % 4 = 1)
+)"""
+
+
+def kg_inferred_triples(
+    model: str = "a100", min_conf_ppm: int = 500000, min_joint: int = 2
+) -> str:
+    """Forward-chaining twin (pipeline/triples.apply_rules): mine the
+    2-atom rules exactly as kg_rule_mining does (over production triples
+    UNION the INFERENCE splice — the rule splice with deterministic HOLES
+    punched in trusts/likes so the anti-join leaves real candidates),
+    keep rules by (conf_ppm, n_joint), instantiate fwd/inv over the fact
+    table, drop self-loops, anti-join existing facts, aggregate per
+    candidate."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+{_INFER_SPLICE_SQL.strip()},
+facts AS (
+    SELECT DISTINCT subj, pred_norm, obj FROM (
+        SELECT subj, pred_norm, obj FROM trip
+        UNION ALL SELECT subj, pred_norm, obj FROM isplice
+    )
+),
+np AS (
+    SELECT pred_norm AS p, CAST(count(*) AS BIGINT) AS n_p
+    FROM facts GROUP BY pred_norm
+),
+fwd AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'fwd' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.subj AND a.obj = b.obj
+    WHERE a.pred_norm <> b.pred_norm
+    GROUP BY a.pred_norm, b.pred_norm
+),
+inv AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'inv' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.obj AND a.obj = b.subj
+    WHERE a.subj <> a.obj
+    GROUP BY a.pred_norm, b.pred_norm
+),
+u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv),
+keep AS (
+    SELECT u.p, u.q, u.direction,
+           CAST(u.n_joint * 1000000 // np.n_p AS BIGINT) AS conf_ppm
+    FROM u JOIN np ON np.p = u.p
+    WHERE u.n_joint * 1000000 >= {int(min_conf_ppm)} * np.n_p
+      AND u.n_joint >= {int(min_joint)}
+),
+cand AS (
+    SELECT f.subj AS subj, r.q AS pred_norm, f.obj AS obj,
+           r.p, r.direction, r.conf_ppm
+    FROM facts f JOIN keep r ON r.p = f.pred_norm AND r.direction = 'fwd'
+    UNION ALL
+    SELECT f.obj AS subj, r.q AS pred_norm, f.subj AS obj,
+           r.p, r.direction, r.conf_ppm
+    FROM facts f JOIN keep r ON r.p = f.pred_norm AND r.direction = 'inv'
+    WHERE f.subj <> f.obj
+)
+SELECT c.subj, c.pred_norm, c.obj,
+       CAST(count(DISTINCT c.p || '->' || c.direction) AS BIGINT) AS n_rules,
+       CAST(max(c.conf_ppm) AS BIGINT) AS max_conf_ppm,
+       array_to_string(list_sort(list_distinct(list(c.p))), '|') AS src_preds
+FROM cand c
+WHERE c.subj <> c.obj
+  AND NOT EXISTS (
+      SELECT 1 FROM facts f
+      WHERE f.subj = c.subj AND f.pred_norm = c.pred_norm AND f.obj = c.obj
+  )
+GROUP BY c.subj, c.pred_norm, c.obj
+""",
+        "facts", "keep",
+    )
+
+
+_CLAIMS_SPLICE_SQL = """
+tdc AS (
+    SELECT DISTINCT 's' || CAST(s AS VARCHAR) AS src,
+           'q' || lpad(CAST(k AS VARCHAR), 2, '0') AS subj,
+           'capital_of' AS pred_norm,
+           CASE WHEN k = 1 AND s >= 7 THEN 'f01'
+                WHEN k = 1 THEN 't01'
+                WHEN s >= 7 AND k % 2 = 0
+                    THEN 'f' || lpad(CAST(k AS VARCHAR), 2, '0')
+                ELSE 't' || lpad(CAST(k AS VARCHAR), 2, '0') END AS obj
+    FROM (
+        SELECT doc_id % 10 AS s, (doc_id // 10) % 20 AS k FROM documents
+    )
+    WHERE k <> 1 OR s IN (0, 1, 7, 8, 9)
+)"""
+
+
+def kg_truth_discovery() -> str:
+    """Truth-discovery twin (pipeline/triples.truth_discovery): distinct
+    claims (the deterministic claim splice — sources s7-s9 lie on even
+    keys; on key 1 only {s0,s1,s7,s8,s9} claim so the naive majority is
+    the lie and quality weighting flips it), per-(subj,pred) majority,
+    source quality_ppm, quality-weighted re-vote."""
+    return _materialize(
+        f"""
+WITH {_CLAIMS_SPLICE_SQL.strip()},
+votes AS (
+    SELECT subj, pred_norm, obj, CAST(count(*) AS BIGINT) AS n_src
+    FROM tdc GROUP BY subj, pred_norm, obj
+),
+maj AS (
+    SELECT subj, pred_norm, obj AS majority_obj FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY subj, pred_norm ORDER BY n_src DESC, obj ASC
+        ) AS mrk FROM votes
+    ) WHERE mrk = 1
+),
+srcq AS (
+    SELECT c.src,
+           CAST(sum(CASE WHEN c.obj = m.majority_obj THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS quality_ppm
+    FROM tdc c JOIN maj m USING (subj, pred_norm)
+    GROUP BY c.src
+),
+scored AS (
+    SELECT c.subj, c.pred_norm, c.obj,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(q.quality_ppm) AS BIGINT) AS score_sum
+    FROM tdc c JOIN srcq q USING (src)
+    GROUP BY c.subj, c.pred_norm, c.obj
+)
+SELECT s.subj, s.pred_norm, s.obj, s.n_sources, s.score_sum,
+       m.majority_obj,
+       CAST(CASE WHEN s.obj <> m.majority_obj THEN 1 ELSE 0 END AS BIGINT)
+           AS changed
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY subj, pred_norm ORDER BY score_sum DESC, obj ASC
+    ) AS wrk FROM scored
+) s JOIN maj m USING (subj, pred_norm)
+WHERE s.wrk = 1
+""",
+        "tdc", "maj",
+    )

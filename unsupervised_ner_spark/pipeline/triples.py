@@ -763,3 +763,158 @@ def predicate_signatures(
             & (F.col("n_pairs") * F.lit(int(den)) >= F.col("n_total") * F.lit(int(num)))
         ).cast("long").alias("is_dominant"),
     )
+
+
+def apply_rules(
+    triples: DataFrame, min_conf_ppm: int = 500000, min_joint: int = 2
+) -> DataFrame:
+    """One-step forward chaining — the rule-APPLICATION step that turns
+    :func:`mine_rules` output into KB-completion candidates (Galarraga et
+    al., AMIE, WWW'13 §6 "predicting facts"): mine the 2-atom rules, keep
+    those with ``conf_ppm >= min_conf_ppm`` AND ``n_joint >= min_joint``,
+    instantiate each over the distinct fact table (fwd: p(x,y) => q(x,y);
+    inv: p(x,y) => q(y,x)), drop self-loop candidates, and ANTI-join
+    against the existing facts — the output is NEW facts only, the
+    curator's suggestion queue.
+
+    Output: (subj, pred_norm, obj, n_rules, max_conf_ppm, src_preds) —
+    n_rules counts distinct supporting (body-pred, direction) rules,
+    src_preds is the '|'-joined sorted distinct body-predicate list.
+
+    Scale shape: the distinct fact table persists once and feeds rule
+    mining, both instantiation sides, and the anti-join; the kept rule
+    set is schema-bounded (<= |preds|^2 rows) and BROADCAST to the
+    instantiation joins, so candidate generation is a map-side join over
+    one fact scan; the anti-join and the final aggregate shuffle on the
+    candidate fact key — the only corpus-sized exchanges."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    facts = scoped_persist(
+        triples.select("subj", "pred_norm", "obj").distinct()
+    )
+    rules = (
+        mine_rules(facts)
+        .filter(
+            (F.col("conf_ppm") >= int(min_conf_ppm))
+            & (F.col("n_joint") >= int(min_joint))
+        )
+        .select("p", "q", "direction", "conf_ppm")
+    )
+    fwd = facts.join(
+        F.broadcast(rules.filter(F.col("direction") == "fwd")),
+        facts["pred_norm"] == F.col("p"),
+    ).select(
+        F.col("subj"), F.col("q").alias("cand_pred"), F.col("obj").alias("cand_obj"),
+        "p", "direction", "conf_ppm",
+    ).withColumnRenamed("subj", "cand_subj")
+    inv = (
+        facts.filter(F.col("subj") != F.col("obj"))
+        .join(
+            F.broadcast(rules.filter(F.col("direction") == "inv")),
+            facts["pred_norm"] == F.col("p"),
+        )
+        .select(
+            F.col("obj").alias("cand_subj"), F.col("q").alias("cand_pred"),
+            F.col("subj").alias("cand_obj"), "p", "direction", "conf_ppm",
+        )
+    )
+    cand = fwd.unionByName(inv).filter(F.col("cand_subj") != F.col("cand_obj"))
+    new = cand.join(
+        facts.select(
+            F.col("subj").alias("cand_subj"),
+            F.col("pred_norm").alias("cand_pred"),
+            F.col("obj").alias("cand_obj"),
+        ),
+        ["cand_subj", "cand_pred", "cand_obj"],
+        "left_anti",
+    )
+    return new.groupBy("cand_subj", "cand_pred", "cand_obj").agg(
+        F.countDistinct(F.concat_ws("->", "p", "direction"))
+        .cast("long").alias("n_rules"),
+        F.max("conf_ppm").cast("long").alias("max_conf_ppm"),
+        F.array_join(F.array_sort(F.collect_set("p")), "|").alias("src_preds"),
+    ).select(
+        F.col("cand_subj").alias("subj"),
+        F.col("cand_pred").alias("pred_norm"),
+        F.col("cand_obj").alias("obj"),
+        "n_rules", "max_conf_ppm", "src_preds",
+    )
+
+
+def truth_discovery(claims: DataFrame) -> DataFrame:
+    """Source-reliability-weighted fact resolution — one Sums/TruthFinder
+    iteration (Yin, Han & Yu KDD'07; the conflict-RESOLUTION step after
+    :func:`functional_conflicts` flags the queue): from distinct claims
+    (src, subj, pred_norm, obj), (1) take the naive per-(subj, pred)
+    majority object (distinct-source votes; ties n_src DESC then obj
+    ASC), (2) score every SOURCE by its agreement rate with those
+    majorities (quality_ppm = n_agree * 10^6 DIV n_claims — the "a source
+    that lies elsewhere counts for less here" signal), (3) re-vote every
+    claim with quality-weighted scores and keep the per-(subj, pred)
+    winner (score DESC, obj ASC). ``changed`` = 1 where the weighted
+    winner differs from the naive majority — the rows where reliability
+    weighting actually mattered.
+
+    Output: (subj, pred_norm, obj, n_sources, score_sum, majority_obj,
+    changed) — one row per (subj, pred_norm), all integers/strings.
+
+    Scale shape: the distinct claim table persists once and feeds the
+    vote aggregate, the source scoring, and the re-vote; majorities and
+    the winner run over the (subj, pred) vocabulary; the source-quality
+    table is bounded by the SOURCE dimension and BROADCAST into the
+    re-vote join; every aggregate is map-side-combining on claim keys —
+    no corpus-quadratic step anywhere."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    c = scoped_persist(
+        claims.select("src", "subj", "pred_norm", "obj").distinct()
+    )
+    votes = c.groupBy("subj", "pred_norm", "obj").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    w_maj = Window.partitionBy("subj", "pred_norm").orderBy(
+        F.desc("n_src"), F.asc("obj")
+    )
+    maj = (
+        votes.withColumn("mrk", F.row_number().over(w_maj))
+        .filter(F.col("mrk") == 1)
+        .select("subj", "pred_norm", F.col("obj").alias("majority_obj"))
+    )
+    srcq = (
+        c.join(maj, ["subj", "pred_norm"])
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n_claims"),
+            F.sum((F.col("obj") == F.col("majority_obj")).cast("long"))
+            .cast("long").alias("n_agree"),
+        )
+        .select(
+            "src",
+            F.expr("n_agree * 1000000 DIV n_claims")
+            .cast("long").alias("quality_ppm"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(srcq), "src")
+        .groupBy("subj", "pred_norm", "obj")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("quality_ppm").cast("long").alias("score_sum"),
+        )
+    )
+    w_win = Window.partitionBy("subj", "pred_norm").orderBy(
+        F.desc("score_sum"), F.asc("obj")
+    )
+    return (
+        scored.withColumn("wrk", F.row_number().over(w_win))
+        .filter(F.col("wrk") == 1)
+        .join(maj, ["subj", "pred_norm"])
+        .select(
+            "subj", "pred_norm", "obj", "n_sources", "score_sum",
+            "majority_obj",
+            (F.col("obj") != F.col("majority_obj"))
+            .cast("long").alias("changed"),
+        )
+    )
