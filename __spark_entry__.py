@@ -3861,6 +3861,80 @@ def q_kg_truth_discovery(spark, sf_dir):
     return truth_discovery(_claims_splice(spark, sf_dir))
 
 
+def q_kg_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy graph coloring (er.jp_coloring) over the
+    co-occurrence graph: per round, (priority, key)-local-minimum
+    uncolored nodes take the mex of their colored neighbors' colors —
+    round winners are an independent set so concurrent assignment never
+    conflicts; 3 unrolled rounds, leftovers 'open' with color -1. Color
+    classes = contention-free entity batches (no two same-color entities
+    ever share a sentence)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.jp_coloring(er.cooccurrence_edges(typed), rounds=3)
+
+
+def q_kg_katz(spark, sf_dir):
+    """Truncated Katz index (er.katz_index): beta=1/2 walk-count link
+    prediction to length 3 over the co-occurrence graph, relay nodes
+    degree-capped by the shared adaptive cube-root rule; katz_ppm is the
+    exact integer 500000*n1 + 250000*n2 + 125000*n3."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.katz_index(er.cooccurrence_edges(typed))
+
+
+ACRO_MOD = 5
+ACRO_VALID_REM = 0
+ACRO_BOGUS_REM = 2
+ACRO_BOGUS_SHORT = "XQZ"
+ACRO_LONG = [
+    "World Health Organization", "Central Processing Unit",
+    "Magnetic Resonance Imaging", "Gross Domestic Product",
+    "European Central Bank", "Large Language Model",
+    "General Purpose Technology",
+]
+ACRO_SHORT = ["WHO", "CPU", "MRI", "GDP", "ECB", "LLM", "GPT"]
+
+
+def q_kg_acronyms(spark, sf_dir):
+    """Schwartz-Hearst-style acronym definitions (taxonomy.acronym_pairs)
+    over the sentence table. The word-salad corpus contains no natural
+    "Long Form (LF)" text, so every ACRO_MOD-th doc gets a deterministic
+    valid definition splice and every (ACRO_MOD k + 2)-th an
+    initials-MISMATCHED candidate ("(XQZ)") that the validation must kill
+    (the Hearst-gate precedent; the oracle replays both byte-identically)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import acronym_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    lf = F.element_at(
+        F.array(*[F.lit(t) for t in ACRO_LONG]),
+        (F.col("doc_id") % len(ACRO_LONG) + 1).cast("int"),
+    )
+    sf = F.element_at(
+        F.array(*[F.lit(t) for t in ACRO_SHORT]),
+        (F.col("doc_id") % len(ACRO_SHORT) + 1).cast("int"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % ACRO_MOD == ACRO_VALID_REM,
+            F.concat("text", F.lit("\n"), lf, F.lit(" ("), sf,
+                     F.lit(") appeared")),
+        ).when(
+            F.col("doc_id") % ACRO_MOD == ACRO_BOGUS_REM,
+            F.concat("text", F.lit("\n"), lf,
+                     F.lit(" (" + ACRO_BOGUS_SHORT + ") appeared")),
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return acronym_pairs(sents)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3894,6 +3968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kge_complex": q_kg_kge_complex,
         "kg_anf": q_kg_anf,
         "kg_mis": q_kg_mis,
+        "kg_coloring": q_kg_coloring,
+        "kg_katz": q_kg_katz,
+        "kg_acronyms": q_kg_acronyms,
         "kg_densest": q_kg_densest,
         "kg_coreness": q_kg_coreness,
         "txt_max_coverage": q_txt_max_coverage,
@@ -4142,6 +4219,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_kge_complex": O.kg_kge_eval(dim=4, emb_mod=1000, score_fn="complex"),
         "kg_anf": O.kg_anf(rounds=2),
         "kg_mis": O.kg_mis(rounds=3),
+        "kg_coloring": O.kg_coloring(rounds=3),
+        "kg_katz": O.kg_katz(),
+        "kg_acronyms": O.kg_acronyms(
+            ACRO_MOD, ACRO_VALID_REM, ACRO_BOGUS_REM, ACRO_LONG, ACRO_SHORT,
+            ACRO_BOGUS_SHORT,
+        ),
         "kg_densest": O.kg_densest(rounds=4),
         "kg_coreness": O.kg_coreness(rounds=3),
         "txt_max_coverage": O.txt_max_coverage(k=5),

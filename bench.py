@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "kg_kge_complex",
     "kg_anf",
     "kg_mis",
+    "kg_coloring",
+    "kg_katz",
+    "kg_acronyms",
     "kg_densest",
     "kg_coreness",
     "txt_max_coverage",

@@ -1951,6 +1951,40 @@ def main() -> None:
     checks.append(("truth: no cartesian product",
                    "CartesianProduct" not in p189))
 
+    # 190. JP coloring: per-round state checkpointed (lineage truncated,
+    # so the final plan reads from checkpoint RDDs, not a 3-round tree);
+    # no cartesian product, no python eval
+    p190 = plan_of(entry.q_kg_coloring(spark, SF))
+    sections.append(("Jones-Plassmann coloring (kg_coloring)", p190))
+    checks.append(("coloring: round state checkpointed",
+                   "Scan ExistingRDD" in p190))
+    checks.append(("coloring: no cartesian product",
+                   "CartesianProduct" not in p190))
+    checks.append(("coloring: no python eval", "BatchEvalPython" not in p190))
+
+    # 191. Katz index: symmetrized adjacency persisted once (feeds the
+    # degree aggregate + all three hop joins), hop joins are equi-joins,
+    # final aggregate map-side combines (partial_ before the exchange)
+    p191 = plan_of(entry.q_kg_katz(spark, SF))
+    sections.append(("Truncated Katz index (kg_katz)", p191))
+    checks.append(("katz: adjacency persisted once",
+                   "InMemoryRelation" in p191))
+    checks.append(("katz: no cartesian product",
+                   "CartesianProduct" not in p191))
+    checks.append(("katz: map-side partial aggregation",
+                   "partial_" in p191))
+    checks.append(("katz: no python eval", "BatchEvalPython" not in p191))
+
+    # 192. acronyms: pure narrow extraction — regexp + array expressions
+    # + one aggregate; NO join anywhere, no python eval
+    p192 = plan_of(entry.q_kg_acronyms(spark, SF))
+    sections.append(("Acronym definitions (kg_acronyms)", p192))
+    checks.append(("acronyms: no join at all",
+                   "Join" not in p192 and "CartesianProduct" not in p192))
+    checks.append(("acronyms: map-side partial aggregation",
+                   "partial_" in p192))
+    checks.append(("acronyms: no python eval", "BatchEvalPython" not in p192))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

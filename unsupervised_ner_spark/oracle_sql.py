@@ -9103,3 +9103,210 @@ WHERE s.wrk = 1
 """,
         "tdc", "maj",
     )
+
+
+def kg_coloring(model: str = "a100", rounds: int = 3) -> str:
+    """Jones-Plassmann coloring twin (pipeline/er.py jp_coloring): the MIS
+    local-minimum winner rule per round, winners take the mex of their
+    already-colored neighbors' colors (exact list_reduce fold over the
+    sorted distinct color list — the engine's F.aggregate twin);
+    ``rounds`` unrolled, horizon leftovers 'open' with color -1."""
+    prio = _hex8_int_sql("md5(k)")
+    mexf = (
+        "coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), ncs), "
+        "(acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END), "
+        "CAST(0 AS BIGINT))"
+    )
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+u0 AS (
+    SELECT k, {prio} AS prio FROM (SELECT DISTINCT src AS k FROM sym)
+)"""
+    prev = "u0"
+    mats = ["sym", "u0"]
+    colored_prev = None
+    for r in range(1, int(rounds) + 1):
+        body += f""",
+w{r} AS (
+    SELECT u.k FROM {prev} u
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sym s JOIN {prev} v ON v.k = s.dst
+        WHERE s.src = u.k
+          AND (v.prio < u.prio OR (v.prio = u.prio AND v.k < u.k))
+    )
+)"""
+        if colored_prev is None:
+            body += f""",
+c{r} AS (
+    SELECT k, CAST(0 AS BIGINT) AS color, CAST(1 AS BIGINT) AS round FROM w{r}
+),
+col{r} AS (SELECT k, color, round FROM c{r})"""
+        else:
+            body += f""",
+used{r} AS (
+    SELECT s.src AS k, list_sort(list(DISTINCT c.color)) AS ncs
+    FROM sym s
+    JOIN w{r} w ON w.k = s.src
+    JOIN {colored_prev} c ON c.k = s.dst
+    GROUP BY s.src
+),
+c{r} AS (
+    SELECT w.k, {mexf} AS color, CAST({r} AS BIGINT) AS round
+    FROM w{r} w LEFT JOIN used{r} u2 ON u2.k = w.k
+),
+col{r} AS (
+    SELECT k, color, round FROM {colored_prev}
+    UNION ALL
+    SELECT k, color, round FROM c{r}
+)"""
+            mats.append(f"used{r}")
+        body += f""",
+u{r} AS (
+    SELECT u.k, u.prio FROM {prev} u
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.k = u.k)
+)"""
+        mats += [f"w{r}", f"c{r}", f"col{r}", f"u{r}"]
+        prev = f"u{r}"
+        colored_prev = f"col{r}"
+    body += f""",
+allout AS (
+    SELECT k, 'colored' AS status, round, color FROM {colored_prev}
+    UNION ALL
+    SELECT k, 'open', CAST({int(rounds)} AS BIGINT), CAST(-1 AS BIGINT)
+    FROM {prev}
+)
+SELECT split_part(k, '|', 1) AS ent, split_part(k, '|', 2) AS etype,
+       status, round, color
+FROM allout
+"""
+    return _materialize(body, *mats[:-1])
+
+
+def kg_katz(model: str = "a100") -> str:
+    """Truncated Katz twin (pipeline/er.py katz_index): symmetrized
+    adjacency, relay nodes degree-capped by the shared exact cube root
+    clamp [16, 4096], three chained hop joins counting directed walks,
+    unordered (a < b) pair aggregate, exact ppm score
+    500000*n1 + 250000*n2 + 125000*n3."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c FROM sym))"
+    )
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, sym AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst FROM eg
+    UNION ALL
+    SELECT ent_b || '|' || type_b, ent_a || '|' || type_a FROM eg
+),
+kdeg AS (SELECT src AS k, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+kok AS (SELECT k FROM kdeg WHERE deg <= {cap}),
+h1 AS (SELECT src AS a, dst AS x FROM sym),
+h2 AS (
+    SELECT h1.a, s.dst AS x
+    FROM h1 JOIN kok ON kok.k = h1.x JOIN sym s ON s.src = h1.x
+),
+h3 AS (
+    SELECT h2.a, s.dst AS x
+    FROM h2 JOIN kok ON kok.k = h2.x JOIN sym s ON s.src = h2.x
+),
+lv AS (
+    SELECT a, x AS b, 1 AS level FROM h1
+    UNION ALL SELECT a, x, 2 FROM h2
+    UNION ALL SELECT a, x, 3 FROM h3
+),
+kagg AS (
+    SELECT a, b,
+           CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+    FROM lv WHERE a < b GROUP BY a, b
+)
+SELECT split_part(a, '|', 1) AS ent_a, split_part(a, '|', 2) AS type_a,
+       split_part(b, '|', 1) AS ent_b, split_part(b, '|', 2) AS type_b,
+       n1, n2, n3,
+       CAST(500000 * n1 + 250000 * n2 + 125000 * n3 AS BIGINT) AS katz_ppm
+FROM kagg
+""",
+        "sym", "kdeg", "kok", "h1", "h2", "h3",
+    )
+
+
+def kg_acronyms(
+    mod: int,
+    valid_rem: int,
+    bogus_rem: int,
+    long_terms: list[str],
+    short_terms: list[str],
+    bogus_short: str,
+) -> str:
+    """Acronym-definition twin (pipeline/taxonomy.acronym_pairs): the
+    engine's ACRO_PAT imported verbatim, last-len(acro)-words initialism
+    validation via list_slice/list_transform (the F.slice/F.transform
+    twins), long form trimmed to the matched words and lowercased, one
+    aggregate. The deterministic splice (valid definition on
+    doc_id % mod = valid_rem, initials-MISMATCHED candidate on
+    doc_id % mod = bogus_rem — the branch the validation must kill) is
+    replayed byte-identically."""
+    from unsupervised_ner_spark.pipeline.taxonomy import ACRO_PAT
+
+    # DuckDB single-quoted literals do NOT process backslash escapes, so
+    # the Java-regex string embeds verbatim (only quotes need doubling).
+    pat = ACRO_PAT.replace("'", "''")
+    long_arr = "[" + ", ".join(f"'{t}'" for t in long_terms) + "]"
+    short_arr = "[" + ", ".join(f"'{t}'" for t in short_terms) + "]"
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH picked AS (
+    SELECT doc_id, text,
+           ({long_arr})[CAST(doc_id % {len(long_terms)} AS INT) + 1] AS lf,
+           ({short_arr})[CAST(doc_id % {len(short_terms)} AS INT) + 1] AS sf
+    FROM documents
+),
+docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = {valid_rem}
+                THEN text || chr(10) || lf || ' (' || sf || ') appeared'
+                WHEN doc_id % {mod} = {bogus_rem}
+                THEN text || chr(10) || lf || ' ({bogus_short}) appeared'
+                ELSE text END AS text
+    FROM picked
+),
+{sents.strip()},
+cand AS (
+    SELECT url,
+           trim(regexp_extract(sent, '{pat}', 1)) AS lf,
+           regexp_extract(sent, '{pat}', 2) AS acro
+    FROM sents
+),
+cw AS (
+    SELECT url, acro, string_split(lf, ' ') AS words, length(acro) AS n
+    FROM cand WHERE length(acro) > 0
+),
+cv AS (
+    SELECT url, acro,
+           CASE WHEN len(words) >= n
+                THEN array_to_string(list_transform(
+                         list_slice(words, len(words) - n + 1, len(words)),
+                         t -> upper(left(t, 1))), '')
+           END AS initials,
+           CASE WHEN len(words) >= n
+                THEN lower(array_to_string(
+                         list_slice(words, len(words) - n + 1, len(words)), ' '))
+           END AS long_norm
+    FROM cw
+)
+SELECT acro, long_norm,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM cv WHERE initials = acro
+GROUP BY acro, long_norm
+"""

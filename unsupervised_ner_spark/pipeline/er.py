@@ -4114,3 +4114,218 @@ def pra_features(
         .otherwise(1).cast("long").alias("known_link"),
         F.coalesce("direct_pred", F.lit("")).alias("direct_pred"),
     )
+
+
+def jp_coloring(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Greedy distributed graph coloring — Jones & Plassmann (SIAM J. Sci.
+    Comput. 1993), the scheduling complement of
+    :func:`maximal_independent_set` built from the SAME symmetry-breaking
+    kernel: every node gets a deterministic md5 priority, and per round
+    every still-uncolored node whose (priority, key) is a LOCAL MINIMUM
+    among its uncolored neighbors takes the smallest color not used by
+    any already-colored neighbor (the mex). Round winners form an
+    independent set (two adjacent nodes cannot both be local minima), so
+    concurrent assignment never conflicts — the classic proof that the
+    greedy sequential coloring parallelizes. A proper coloring of the
+    co-occurrence graph is the conflict-free batching primitive: color
+    classes are sets of entities that never share a sentence, so per-color
+    passes (ER merges, cache shards, embedding updates) are contention-free.
+
+    Output: (ent, etype, status, round, color) — 'colored' with the
+    1-based deciding round and color >= 0, or 'open' with round =
+    ``rounds`` and color = -1 for nodes past the fixed-round horizon
+    (the BFS-family contract; the oracle unrolls identically).
+
+    All-integer determinism: priorities are md5-int32 with key-order
+    tie-break; the mex over the sorted distinct neighbor colors is the
+    exact fold ``acc := acc + 1 if x == acc`` — no floats anywhere.
+
+    Scale shape: adjacency persisted once (checkpointed — it feeds the
+    undecided restriction twice, the winner/used-color joins, every
+    round); per round two edge-keyed equi-joins against the node-sized
+    uncolored table, one defeated anti-join, one used-color join against
+    the bounded colored table + a map-side-combining collect_set, and the
+    O(deg)-cost mex fold per winner. Uncolored state and the growing
+    colored table are checkpointed per round (each feeds >= 3 consumers
+    next round — the er.hits lineage rule). Nothing corpus-quadratic."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        ),
+        how="checkpoint",
+    )
+    und = scoped_persist(
+        sym.select(F.col("src").alias("k"))
+        .distinct()
+        .select("k", md5_int32(F.col("k")).alias("prio")),
+        how="checkpoint",
+    )
+    colored = None  # (k, color, round) — grows by the winner set per round
+    for r in range(1, int(rounds) + 1):
+        e = sym.join(
+            und.select(F.col("k").alias("src"), F.col("prio").alias("sp")),
+            "src",
+        ).join(
+            und.select(F.col("k").alias("dst"), F.col("prio").alias("dp")),
+            "dst",
+        )
+        beaten = (
+            e.filter(
+                F.struct(F.col("dp"), F.col("dst"))
+                < F.struct(F.col("sp"), F.col("src"))
+            )
+            .select(F.col("src").alias("k"))
+            .distinct()
+        )
+        win = scoped_persist(und.join(beaten, "k", "left_anti").select("k"))
+        if colored is None:
+            newly = win.select(
+                "k", F.lit(0).cast("long").alias("color"),
+                F.lit(r).cast("long").alias("round"),
+            )
+        else:
+            used = (
+                sym.join(win.withColumnRenamed("k", "src"), "src")
+                .join(
+                    colored.select(
+                        F.col("k").alias("dst"), F.col("color").alias("nc")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.array_sort(F.collect_set("nc")).alias("ncs"))
+            )
+            # mex of the sorted distinct neighbor colors: exact fold.
+            mex = F.aggregate(
+                F.col("ncs"),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+            )
+            newly = (
+                win.join(used.withColumnRenamed("src", "k"), "k", "left")
+                .select(
+                    "k",
+                    F.coalesce(mex, F.lit(0).cast("long")).alias("color"),
+                    F.lit(r).cast("long").alias("round"),
+                )
+            )
+        colored = scoped_persist(
+            newly if colored is None else colored.unionByName(newly),
+            how="checkpoint",
+        )
+        und = scoped_persist(
+            und.join(colored.select("k"), "k", "left_anti"),
+            how="checkpoint",
+        )
+    out = colored.select(
+        "k", F.lit("colored").alias("status"), "round", "color"
+    ).unionByName(
+        und.select(
+            "k", F.lit("open").alias("status"),
+            F.lit(int(rounds)).cast("long").alias("round"),
+            F.lit(-1).cast("long").alias("color"),
+        )
+    )
+
+    def part(j):
+        return F.split(F.col("k"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        "status", "round", "color",
+    )
+
+
+def katz_index(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Truncated Katz index (Katz 1953; Liben-Nowell & Kleinberg CIKM'03)
+    over the symmetrized co-occurrence graph — the WALK-counting link
+    predictor beside :func:`common_neighbors` (which counts only length-2
+    witnesses): score(a, b) = sum_l beta^l * |walks_l(a, b)| truncated at
+    l = 3 with beta = 1/2, so longer detours still vote but geometrically
+    less. Walks (not simple paths) are the Katz semantics — revisits
+    count, exactly what the three chained equi-joins enumerate.
+
+    Output: one row per unordered connected-within-3 pair (ent_a, type_a,
+    ent_b, type_b, n1, n2, n3, katz_ppm) — n_l = directed walk counts
+    a -> b (equal in both directions by symmetry, counted once with
+    a < b), katz_ppm = 500000*n1 + 250000*n2 + 125000*n3 EXACT integer
+    (beta^l at ppm scale); n1 > 0 marks known edges, the n1 = 0 rows are
+    the ranked prediction candidates.
+
+    Scale shape: walk enumeration through a hub is deg^l, so INTERMEDIATE
+    nodes are degree-capped with the shared corpus-adaptive
+    clamp(icbrt_ceil(n_sym), 16, 4096) rule (endpoints uncapped — the cap
+    only gates who may relay a walk; the common_neighbors/paths_2hop
+    posture, replayed exactly by the oracle). The symmetrized adjacency
+    is persisted once (it feeds the degree aggregate and all three hop
+    joins); each hop is one equi-join bounded by n_edges * cap; the final
+    aggregate map-side combines onto the bounded pair space."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    sym = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
+    )
+    if max_degree is None:
+        max_degree = max(16, min(4096, icbrt_ceil(max(sym.count(), 1))))
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ok = deg.filter(F.col("deg") <= max_degree).select(
+        F.col("src").alias("relay")
+    )
+    h1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    h2 = scoped_persist(
+        h1.join(ok, h1["x"] == ok["relay"])
+        .join(sym, h1["x"] == sym["src"])
+        .select("a", F.col("dst").alias("x"))
+    )
+    h3 = (
+        h2.join(ok, h2["x"] == ok["relay"])
+        .join(sym, h2["x"] == sym["src"])
+        .select("a", F.col("dst").alias("x"))
+    )
+    lv = (
+        h1.select("a", F.col("x").alias("b"), F.lit(1).alias("level"))
+        .unionByName(h2.select("a", F.col("x").alias("b"), F.lit(2).alias("level")))
+        .unionByName(h3.select("a", F.col("x").alias("b"), F.lit(3).alias("level")))
+    )
+    agg = (
+        lv.filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("level") == 1, 1).otherwise(0))
+            .cast("long").alias("n1"),
+            F.sum(F.when(F.col("level") == 2, 1).otherwise(0))
+            .cast("long").alias("n2"),
+            F.sum(F.when(F.col("level") == 3, 1).otherwise(0))
+            .cast("long").alias("n3"),
+        )
+    )
+
+    def part(k, j):
+        return F.split(F.col(k), r"\|")[j]
+
+    return agg.select(
+        part("a", 0).alias("ent_a"), part("a", 1).alias("type_a"),
+        part("b", 0).alias("ent_b"), part("b", 1).alias("type_b"),
+        "n1", "n2", "n3",
+        (
+            F.col("n1") * F.lit(500000)
+            + F.col("n2") * F.lit(250000)
+            + F.col("n3") * F.lit(125000)
+        ).cast("long").alias("katz_ppm"),
+    )

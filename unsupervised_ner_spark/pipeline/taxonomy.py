@@ -303,3 +303,57 @@ def taxonomy_depth(closure: DataFrame) -> DataFrame:
             F.lit(0).cast("long").alias("n_roots"),
         )
     )
+
+
+# Schwartz-Hearst-style acronym definition: a TitleCase token run
+# immediately followed by a parenthesized 2-6-letter uppercase candidate.
+# Same Java-regex / RE2 agreement subset as the patterns above; the
+# DuckDB oracle imports this exact string.
+ACRO_PAT = r"((?:[A-Z][a-z0-9]+ )+)\(([A-Z]{2,6})\)"
+
+
+def acronym_pairs(sentences: DataFrame) -> DataFrame:
+    """sentences(url, sent_idx, sent) -> (acro, long_norm, n_sents,
+    n_docs): corpus-aggregated acronym definitions in the deterministic
+    initialism subset of Schwartz & Hearst (JAMIA 2003 / PSB 2003): a
+    candidate is a TitleCase word run directly before "(ACRO)" (first
+    match per sentence — ``regexp_extract`` semantics, identical in both
+    engines), VALIDATED by requiring the initials of the last
+    ``len(ACRO)`` long-form words to spell the acronym exactly (the
+    original algorithm's left-extension search collapsed to its
+    initialism core so both engines replay it closed-form; candidates
+    whose initials mismatch — e.g. a parenthesized ticker or citation —
+    are dropped, and the long form is TRIMMED to exactly those matched
+    words before normalization). The (acronym -> expansion) table is the
+    alias bootstrap ER consumes next to anchor texts.
+
+    Scale shape: one narrow regexp scan over sentences plus pure
+    array expressions (split / slice / initial-fold — no join, no UDF),
+    then one map-side-combining aggregate keyed on the bounded
+    (acro, long_norm) vocabulary. A hot definition is one reducer key;
+    nothing is corpus-quadratic."""
+    cand = sentences.select(
+        "url",
+        F.trim(F.regexp_extract("sent", ACRO_PAT, 1)).alias("lf"),
+        F.regexp_extract("sent", ACRO_PAT, 2).alias("acro"),
+    ).filter(F.length("acro") > 0)
+    words = F.split(F.col("lf"), " ")
+    n = F.length("acro")
+    initials = F.when(
+        F.size(words) >= n,
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice(words, n * -1, n),
+                lambda w: F.upper(F.substring(w, 1, 1)),
+            ),
+        ),
+    )
+    long_norm = F.lower(F.concat_ws(" ", F.slice(words, n * -1, n)))
+    valid = cand.filter(initials == F.col("acro")).select(
+        "url", "acro", long_norm.alias("long_norm")
+    )
+    return valid.groupBy("acro", "long_norm").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )
