@@ -3861,6 +3861,50 @@ def q_kg_truth_discovery(spark, sf_dir):
     return truth_discovery(_claims_splice(spark, sf_dir))
 
 
+def q_kg_topo_layers(spark, sf_dir):
+    """Kahn topological layering (er.topo_layers) of the SCC condensation
+    DAG — per round, zero-indegree nodes peel into layer round-1 (= the
+    longest path reaching them); unproven-cycle leftovers at the 5-round
+    horizon report ('open', -1). Same edge set + cycle splice as
+    kg_scc/kg_condensation."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    edges = (
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(_scc_splice_edges(spark, sf_dir))
+        .distinct()
+    )
+    return er.topo_layers(
+        er.scc_condensation(edges, inner_rounds=3, outer_rounds=2), rounds=5
+    )
+
+
+def q_txt_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies (textstats.good_turing_fof):
+    N_r per observed frequency with the (r+1)*N_{r+1} adjusted-count
+    numerator — the smoothing estimator's exact integer input."""
+    return textstats.good_turing_fof(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join audit (layout.bloom_semijoin_stats): orders
+    probed against the BUILDING-segment customer keys through a 1024-bit
+    2-hash filter — exact pass/match/false-positive accounting plus the
+    bit-density column; the no-false-negative cell is structurally
+    empty."""
+    from unsupervised_ner_spark.ops.layout import bloom_semijoin_stats
+
+    probe = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    build = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    return bloom_semijoin_stats(probe, build, m=1024, k=2)
+
+
 def q_kg_coloring(spark, sf_dir):
     """Jones-Plassmann greedy graph coloring (er.jp_coloring) over the
     co-occurrence graph: per round, (priority, key)-local-minimum
@@ -3969,6 +4013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": q_kg_anf,
         "kg_mis": q_kg_mis,
         "kg_coloring": q_kg_coloring,
+        "kg_topo_layers": q_kg_topo_layers,
+        "txt_good_turing": q_txt_good_turing,
+        "rel_bloom_semijoin": q_rel_bloom_semijoin,
         "kg_katz": q_kg_katz,
         "kg_acronyms": q_kg_acronyms,
         "kg_densest": q_kg_densest,
@@ -4220,6 +4267,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_anf": O.kg_anf(rounds=2),
         "kg_mis": O.kg_mis(rounds=3),
         "kg_coloring": O.kg_coloring(rounds=3),
+        "kg_topo_layers": O.kg_topo_layers(rounds=5),
+        "txt_good_turing": O.txt_good_turing(),
+        "rel_bloom_semijoin": O.rel_bloom_semijoin(m=1024, k=2),
         "kg_katz": O.kg_katz(),
         "kg_acronyms": O.kg_acronyms(
             ACRO_MOD, ACRO_VALID_REM, ACRO_BOGUS_REM, ACRO_LONG, ACRO_SHORT,

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "kg_anf",
     "kg_mis",
     "kg_coloring",
+    "kg_topo_layers",
+    "txt_good_turing",
+    "rel_bloom_semijoin",
     "kg_katz",
     "kg_acronyms",
     "kg_densest",
@@ -314,6 +317,8 @@ def main() -> None:
     # fail loudly if a newly gated query is not in the perf record
     missing = sorted(set(qs) - set(BENCH_QUERIES))
     assert not missing, f"bench set missing gated queries: {missing}"
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+    bench_queries = [n for n in BENCH_QUERIES if n in only] if only else BENCH_QUERIES
     # warm worker processes (dimension bundles, codegen) outside the timed
     # windows — steady-state throughput is the metric (see BENCH.md)
     materialize(
@@ -321,7 +326,7 @@ def main() -> None:
     )
     # kg_pipeline_synth (production KG pipeline over a synthetic page
     # corpus, reported as docs/sec) is timed inside the same passes
-    names = BENCH_QUERIES + ["kg_pipeline_synth"]
+    names = bench_queries + (["kg_pipeline_synth"] if not only else [])
     reps_all: dict[str, list[float]] = {n: [] for n in names}
     t_start = time.time()
     pass_costs: list[float] = []

@@ -1985,6 +1985,40 @@ def main() -> None:
                    "partial_" in p192))
     checks.append(("acronyms: no python eval", "BatchEvalPython" not in p192))
 
+    # 193. topo layering: per-round alive state checkpointed; peels are
+    # anti-joins; no cartesian product, no python eval
+    p193 = plan_of(entry.q_kg_topo_layers(spark, SF))
+    sections.append(("Kahn topological layering (kg_topo_layers)", p193))
+    checks.append(("topo: round state checkpointed",
+                   "Scan ExistingRDD" in p193))
+    checks.append(("topo: zero-indegree peel is an anti-join",
+                   "LeftAnti" in p193))
+    checks.append(("topo: no cartesian product",
+                   "CartesianProduct" not in p193))
+    checks.append(("topo: no python eval", "BatchEvalPython" not in p193))
+
+    # 194. Good-Turing: two cascaded map-side-combining aggregates +
+    # one bounded self-join; no window over a single global partition
+    p194 = plan_of(entry.q_txt_good_turing(spark, SF))
+    sections.append(("Good-Turing fof (txt_good_turing)", p194))
+    checks.append(("gt: map-side partial aggregation", "partial_" in p194))
+    checks.append(("gt: no global single-partition window",
+                   "Window" not in p194))
+    checks.append(("gt: no python eval", "BatchEvalPython" not in p194))
+
+    # 195. bloom semi-join: bit table and truth keys ride BROADCAST joins
+    # (the probe side never shuffles); final aggregate is 3 groups
+    p195 = plan_of(entry.q_rel_bloom_semijoin(spark, SF))
+    sections.append(("Bloom semi-join audit (rel_bloom_semijoin)", p195))
+    checks.append(("bloom: bit/truth tables broadcast",
+                   "BroadcastHashJoin" in p195))
+    # the only key exchange is the BUILD-side distinct (bounded); the
+    # probe side joins exclusively by broadcast — no shuffle join at all
+    checks.append(("bloom: no shuffle join anywhere",
+                   "SortMergeJoin" not in p195
+                   and "ShuffledHashJoin" not in p195))
+    checks.append(("bloom: no python eval", "BatchEvalPython" not in p195))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

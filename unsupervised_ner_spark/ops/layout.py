@@ -264,3 +264,69 @@ def zone_map(
         | (F.col("min_h") > h_hi)
     )
     return agg.withColumn("overlaps", overlaps)
+
+
+def bloom_semijoin_stats(
+    probe: DataFrame, build: DataFrame, m: int = 1024, k: int = 2
+) -> DataFrame:
+    """Bloom-filter semi-join pruning audit (Bloom CACM 1970; the runtime
+    row-level filter Spark itself injects as `InjectRuntimeFilter`, made
+    explicit and measurable): hash every BUILD key into ``k`` positions
+    of an ``m``-bit filter, test every PROBE row, and account exactly —
+    how many probe rows pass the bloom, how many of those truly match,
+    and how many are FALSE POSITIVES (shuffled/fetched for nothing). The
+    no-false-NEGATIVE guarantee is structural: a true match's positions
+    were all set by its own build key, so (bloom_pass = 0 AND is_match =
+    1) can never appear — the invariant the unit test asserts.
+
+    Input: ``probe``/``build`` each with one ``key`` (long) column.
+    Output: (bloom_pass, is_match, n_rows, n_bits_set) — at most 3 rows
+    plus the filter-density evidence; all integers, md5-deterministic
+    (DuckDB replays the positions nibble-exactly).
+
+    Scale shape: the bit table is DISTINCT positions <= m rows — always
+    broadcastable regardless of build size (that is the whole point of a
+    bloom filter: constant-size summary of an unbounded key set); probe
+    membership = two broadcast left joins + a null test, no shuffle of
+    the probe side; the truth flag joins the DISTINCT build keys (the
+    semi-join it stands in for); final aggregate is 3 groups."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    def pos(i):
+        return (
+            md5_int32(F.concat(F.col("key").cast("string"), F.lit(f"#{i}")))
+            % F.lit(int(m))
+        ).cast("long")
+
+    bkeys = scoped_persist(build.select("key").distinct())
+    bits = scoped_persist(
+        bkeys.select(
+            F.explode(F.array(*[pos(i) for i in range(int(k))])).alias("bit")
+        ).distinct()
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    p = probe.select(
+        "key", *[pos(i).alias(f"p{i}") for i in range(int(k))]
+    )
+    for i in range(int(k)):
+        p = p.join(
+            F.broadcast(
+                bits.select(F.col("bit").alias(f"p{i}"), F.lit(1).alias(f"h{i}"))
+            ),
+            f"p{i}",
+            "left",
+        )
+    truth = bkeys.select("key", F.lit(1).alias("tm"))
+    allhit = F.lit(True)
+    for i in range(int(k)):
+        allhit = allhit & F.col(f"h{i}").isNotNull()
+    flagged = p.join(F.broadcast(truth), "key", "left").select(
+        F.when(allhit, 1).otherwise(0).cast("long").alias("bloom_pass"),
+        F.when(F.col("tm").isNotNull(), 1)
+        .otherwise(0).cast("long").alias("is_match"),
+    )
+    return (
+        flagged.groupBy("bloom_pass", "is_match")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(nbits))
+    )

@@ -1517,3 +1517,40 @@ def rake_keyphrases(
             F.col("one_score").alias("score_i9"), "rnk",
         )
     )
+
+
+def good_turing_fof(documents: DataFrame) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; Gale &
+    Sampson 1995 "Simple Good-Turing") — the smoothing estimator's exact
+    input: N_r = how many word TYPES occur exactly r times. The adjusted
+    count r* = (r+1) * N_{r+1} / N_r and the unseen-mass estimate
+    P_0 = N_1 / N are pure derivations of this table, so the gated
+    surface carries the INTEGER sufficient statistics only: per observed
+    frequency r, (freq = r, n_types = N_r, n_tokens = r * N_r,
+    gt_num = (r+1) * N_{r+1}, with gt_num = 0 where N_{r+1} is absent —
+    exactly the gap Simple Good-Turing's log-linear fit exists to fill).
+
+    Scale shape: one narrow lowered-whitespace explode, one
+    map-side-combining term-frequency aggregate (vocabulary-bounded),
+    one fof aggregate (bounded by DISTINCT frequencies — O(sqrt(corpus
+    tokens)) by the Zipf/partition argument), and the N_{r+1} lookup is
+    a self equi-join of that tiny table on r+1, never a window over a
+    single global partition."""
+    toks = documents.select(
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    fof = tf.groupBy("r").agg(F.count("*").cast("long").alias("n_types"))
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"),
+        (F.col("r") * F.col("n_types")).cast("long").alias("gt_num"),
+    )
+    return (
+        fof.join(nxt, "r", "left")
+        .select(
+            F.col("r").alias("freq"),
+            "n_types",
+            (F.col("r") * F.col("n_types")).cast("long").alias("n_tokens"),
+            F.coalesce("gt_num", F.lit(0).cast("long")).alias("gt_num"),
+        )
+    )

@@ -9310,3 +9310,132 @@ SELECT acro, long_norm,
 FROM cv WHERE initials = acro
 GROUP BY acro, long_norm
 """
+
+
+def kg_topo_layers(
+    model: str = "a100", inner_rounds: int = 3, outer_rounds: int = 2,
+    rounds: int = 5,
+) -> str:
+    """Kahn-layering twin (pipeline/er.py topo_layers): the full kg_scc +
+    condensation body, node set = condensation-edge endpoints, then
+    ``rounds`` unrolled zero-indegree peels (layer = round - 1); nodes
+    still alive at the horizon — unproven-cycle opens — emit
+    ('open', -1)."""
+    tail = """, sclab AS (
+    SELECT k, CASE WHEN status = 'scc' THEN scc_id ELSE k END AS lab
+    FROM sccout
+),
+cond AS (
+    SELECT DISTINCT a.lab AS src, b.lab AS dst
+    FROM dedges d JOIN sclab a ON a.k = d.src JOIN sclab b ON b.k = d.dst
+    WHERE a.lab <> b.lab
+),
+tn0 AS (SELECT DISTINCT src AS k FROM cond UNION SELECT DISTINCT dst FROM cond),
+te0 AS (SELECT src, dst FROM cond)"""
+    outs = []
+    mats = ["sclab", "cond", "tn0", "te0"]
+    for r in range(1, int(rounds) + 1):
+        tail += f""",
+ts{r} AS (
+    SELECT k FROM tn{r - 1} n
+    WHERE NOT EXISTS (SELECT 1 FROM te{r - 1} e WHERE e.dst = n.k)
+),
+tn{r} AS (
+    SELECT k FROM tn{r - 1} n
+    WHERE NOT EXISTS (SELECT 1 FROM ts{r} s WHERE s.k = n.k)
+),
+te{r} AS (
+    SELECT src, dst FROM te{r - 1} e
+    WHERE NOT EXISTS (SELECT 1 FROM ts{r} s WHERE s.k = e.src)
+)"""
+        outs.append(
+            f"SELECT k, 'layered' AS status, CAST({r - 1} AS BIGINT) AS layer"
+            f" FROM ts{r}"
+        )
+        mats += [f"ts{r}", f"tn{r}", f"te{r}"]
+    outs.append(f"SELECT k, 'open', CAST(-1 AS BIGINT) FROM tn{int(rounds)}")
+    tail += """,
+topoout AS (
+""" + "\n    UNION ALL\n".join("    " + o for o in outs) + """
+)
+SELECT k AS scc, status, layer FROM topoout"""
+    return _materialize(
+        kg_scc(model, inner_rounds, outer_rounds, tail=tail), *mats[:-1]
+    )
+
+
+def txt_good_turing() -> str:
+    """Good-Turing fof twin (ops/textstats.py good_turing_fof): lowered
+    whitespace tokens, term-frequency aggregate, N_r table, N_{r+1}
+    self-join with coalesce-0."""
+    return _materialize(
+        """
+WITH gtk AS (
+    SELECT lower(u.t) AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+gtf AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM gtk GROUP BY tok),
+gfof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM gtf GROUP BY r)
+SELECT f.r AS freq, f.n_types,
+       CAST(f.r * f.n_types AS BIGINT) AS n_tokens,
+       CAST(coalesce(nx.gt_num, 0) AS BIGINT) AS gt_num
+FROM gfof f
+LEFT JOIN (
+    SELECT r - 1 AS r, CAST(r * n_types AS BIGINT) AS gt_num FROM gfof
+) nx ON nx.r = f.r
+""",
+        "gtf", "gfof",
+    )
+
+
+def rel_bloom_semijoin(m: int = 1024, k: int = 2) -> str:
+    """Bloom semi-join audit twin (ops/layout.py bloom_semijoin_stats over
+    orders probed against BUILDING customers): k md5 positions mod m per
+    key (nibble-exact _hex8_int_sql), distinct build bit set, probe
+    all-positions membership, truth flag via the distinct build keys,
+    3-group aggregate + constant bit-density column."""
+    def pos(key_expr: str, i: int) -> str:
+        return (
+            "("
+            + _hex8_int_sql(f"md5(CAST({key_expr} AS VARCHAR) || '#{i}')")
+            + f") % {int(m)}"
+        )
+
+    hit_joins = "\n".join(
+        f"    LEFT JOIN bbits b{i} ON b{i}.bit = p.p{i}" for i in range(int(k))
+    )
+    allhit = " AND ".join(f"b{i}.bit IS NOT NULL" for i in range(int(k)))
+    probe_pos = ",\n           ".join(
+        f"{pos('o_custkey', i)} AS p{i}" for i in range(int(k))
+    )
+    build_pos = ", ".join(pos("key", i) for i in range(int(k)))
+    return _materialize(
+        f"""
+WITH bkeys AS (
+    SELECT DISTINCT c_custkey AS key FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+),
+bbits AS (
+    SELECT DISTINCT u.bit FROM bkeys, UNNEST([{build_pos}]) AS u(bit)
+),
+bprobe AS (
+    SELECT o_custkey AS key,
+           {probe_pos}
+    FROM orders
+),
+bflag AS (
+    SELECT CAST(CASE WHEN {allhit} THEN 1 ELSE 0 END AS BIGINT) AS bloom_pass,
+           CAST(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_match
+    FROM bprobe p
+{hit_joins}
+    LEFT JOIN bkeys t ON t.key = p.key
+)
+SELECT bloom_pass, is_match, CAST(count(*) AS BIGINT) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM bbits) AS n_bits_set
+FROM bflag GROUP BY bloom_pass, is_match
+""",
+        "bkeys", "bbits",
+    )

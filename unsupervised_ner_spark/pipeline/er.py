@@ -4329,3 +4329,63 @@ def katz_index(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
             + F.col("n3") * F.lit(125000)
         ).cast("long").alias("katz_ppm"),
     )
+
+
+def topo_layers(dag: DataFrame, rounds: int = 6) -> DataFrame:
+    """Kahn topological layering of the condensation DAG — the scheduling
+    view every topological downstream (dependency-ordered fact
+    materialization, stratified rule evaluation, hierarchy rendering)
+    actually consumes: per round, every node with NO remaining incoming
+    edge peels off into the next layer (layer = round - 1); a node's
+    layer is exactly the length of the longest path reaching it, so the
+    layering is the level-synchronous parallel topological sort (Kahn
+    1962). Input is :func:`scc_condensation` output (scc_a, scc_b,
+    n_edges); node set = edge endpoints (isolated SCCs never entered the
+    condensation edge table and have trivial layer 0 by convention —
+    documented, not emitted). Because horizon-'open' SCC singletons can
+    still sit on unproven cycles, leftovers after ``rounds`` peels are
+    emitted 'open' with layer -1 (the fixed-round contract; a true cycle
+    never peels, which is the acyclicity check falling out for free).
+
+    Scale shape: alive-node and alive-edge tables both bounded by the
+    CONDENSATION (distinct SCC labels / label pairs — never corpus- or
+    even node-sized for real graphs); per round one distinct projection
+    + two anti-joins; peeled sources only ever remove edges by SRC (a
+    peelable node has no incoming edge by definition), so edge pruning
+    is one anti-join too. State is checkpointed per round (feeds the
+    source test, both anti-joins, and the output union — the er.hits
+    lineage rule); the geometric shrink argument of the BFS family
+    applies."""
+    edges = dag.select(
+        F.col("scc_a").alias("src"), F.col("scc_b").alias("dst")
+    ).distinct()
+    alive_e = scoped_persist(edges, how="checkpoint")
+    alive_n = scoped_persist(
+        alive_e.select(F.col("src").alias("k"))
+        .unionAll(alive_e.select(F.col("dst").alias("k")))
+        .distinct(),
+        how="checkpoint",
+    )
+    out = None
+    for r in range(1, int(rounds) + 1):
+        has_in = alive_e.select(F.col("dst").alias("k")).distinct()
+        src_r = scoped_persist(alive_n.join(has_in, "k", "left_anti"))
+        layer = src_r.select(
+            "k", F.lit("layered").alias("status"),
+            F.lit(r - 1).cast("long").alias("layer"),
+        )
+        out = layer if out is None else out.unionByName(layer)
+        alive_n = scoped_persist(
+            alive_n.join(src_r, "k", "left_anti"), how="checkpoint"
+        )
+        alive_e = scoped_persist(
+            alive_e.join(src_r.withColumnRenamed("k", "src"), "src", "left_anti"),
+            how="checkpoint",
+        )
+    out = out.unionByName(
+        alive_n.select(
+            "k", F.lit("open").alias("status"),
+            F.lit(-1).cast("long").alias("layer"),
+        )
+    )
+    return out.select(F.col("k").alias("scc"), "status", "layer")
