@@ -2186,6 +2186,54 @@ def q_rel_interval_join(spark, sf_dir):
     return _long(out, "click_id", "iv_view_id")
 
 
+FUNNEL_DROP_MOD = 5
+
+
+def q_rel_funnel(spark, sf_dir):
+    """Ordered conversion funnel (ops/asof.py funnel_steps):
+    view -> click -> purchase with strict event-time ordering; per user
+    the step reached plus the inter-step gaps in microseconds (gaps, not
+    epochs, are hashed — the asof timezone rule). All 15/150 synth users
+    complete the funnel naturally (measured), so the gate filter
+    deterministically drops user-residue click / purchase events to make
+    the reached_step 1 and 2 exit branches fire (3/3/9 and 30/30/90 at
+    the gate scales)."""
+    from unsupervised_ner_spark.ops.asof import funnel_steps
+
+    e = _t(spark, sf_dir, "events").filter(
+        ~((F.col("user_id") % FUNNEL_DROP_MOD == 1)
+          & (F.col("event_type") == "click"))
+        & ~((F.col("user_id") % FUNNEL_DROP_MOD == 2)
+            & (F.col("event_type") == "purchase"))
+    )
+    return funnel_steps(e, steps=("view", "click", "purchase"))
+
+
+RETENTION_CHURN_MOD = 3
+RETENTION_CHURN_DAY = 19737   # 2024-01-15 as a wall-clock day index
+RETENTION_LATE_DAY = 19730    # 2024-01-08
+
+
+def q_rel_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (ops/asof.py retention_cohorts):
+    cohort = first-activity week (wall-clock day DIV 7 — tz-free in
+    both engines), per (cohort, offset) distinct active users + exact
+    integer retention_ppm. Every synth user is active in every week
+    (measured), so the gate filter churns user residue 1 mid-window and
+    delays residue 2's first event — decay (500000 ppm) and a second
+    cohort both fire at both gate scales."""
+    from unsupervised_ner_spark.ops.asof import retention_cohorts
+
+    day = F.expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT)")
+    e = _t(spark, sf_dir, "events").filter(
+        ~((F.col("user_id") % RETENTION_CHURN_MOD == 1)
+          & (day >= RETENTION_CHURN_DAY))
+        & ~((F.col("user_id") % RETENTION_CHURN_MOD == 2)
+            & (day < RETENTION_LATE_DAY))
+    )
+    return retention_cohorts(e, period_days=7)
+
+
 def q_kg_closure_delta(spark, sf_dir):
     """INCREMENTAL closure maintenance (taxonomy_closure_incremental):
     yesterday's closure (even doc_ids) + today's delta edges (odd
@@ -3861,6 +3909,133 @@ def q_kg_truth_discovery(spark, sf_dir):
     return truth_discovery(_claims_splice(spark, sf_dir))
 
 
+C4_MOD = 7
+C4_LOREM_REM = 1
+C4_BRACE_REM = 3
+C4_POLICY_REM = 5
+
+
+def q_txt_c4_filters(spark, sf_dir):
+    """C4-style named cleaning rules (textstats.c4_filters): line stats +
+    lorem/brace/policy blocklist flags + keep. The single-line word-salad
+    corpus trips none of the blocklists, so three doc_id residues get the
+    deterministic offending splices (lorem line, code brace, policy
+    phrase with a terminal period — the one terminal-punctuated line in
+    the corpus); the oracle replays them byte-identically."""
+    from unsupervised_ner_spark.ops.textstats import c4_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % C4_MOD == C4_LOREM_REM,
+            F.concat("text", F.lit("\nlorem ipsum dolor sit amet consectetur")),
+        ).when(
+            F.col("doc_id") % C4_MOD == C4_BRACE_REM,
+            F.concat("text", F.lit("\nfunction() { return 1; }")),
+        ).when(
+            F.col("doc_id") % C4_MOD == C4_POLICY_REM,
+            F.concat(
+                "text",
+                F.lit("\nplease review our cookie policy before continuing."),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return c4_filters(docs, min_long_lines=1, min_line_words=5)
+
+
+# list lengths 5/5/7 are coprime to ROLE_MOD=6, so every person, role,
+# and org fires at the gate scales (a len-4 role list only ever hit the
+# even indices, measured before shipping)
+ROLE_MOD = 6
+ROLE_PERSONS = ["Ada Lovelace", "Alan Turing", "Grace Hopper",
+                "Linus Torvalds", "Tim Berners"]
+ROLE_ROLES = ["founder", "chief executive", "president", "director",
+              "chairman"]
+ROLE_ORGS = ["Acme Corp", "Globex", "Initech", "Umbrella", "Hooli",
+             "Stark Industries", "Wayne Enterprises"]
+
+
+def q_kg_role_facts(spark, sf_dir):
+    """Role-appositive relation extraction (triples.role_pattern_facts):
+    "<Person>, <role> of <Org>," -> (subj, role, obj) facts. The
+    word-salad corpus has no natural role appositives, so every
+    ROLE_MOD-th doc gets the deterministic splice (the Hearst-gate
+    precedent; the oracle replays it byte-identically)."""
+    from unsupervised_ner_spark.pipeline.triples import role_pattern_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    p = F.element_at(
+        F.array(*[F.lit(t) for t in ROLE_PERSONS]),
+        (F.col("doc_id") % len(ROLE_PERSONS) + 1).cast("int"),
+    )
+    r = F.element_at(
+        F.array(*[F.lit(t) for t in ROLE_ROLES]),
+        (F.col("doc_id") % len(ROLE_ROLES) + 1).cast("int"),
+    )
+    o = F.element_at(
+        F.array(*[F.lit(t) for t in ROLE_ORGS]),
+        (F.col("doc_id") % len(ROLE_ORGS) + 1).cast("int"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % ROLE_MOD == 0,
+            F.concat("text", F.lit("\n"), p, F.lit(", "), r, F.lit(" of "),
+                     o, F.lit(", said so")),
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return role_pattern_facts(sents)
+
+
+MEAS_MOD = 4
+MEAS_REM = 1
+MEAS_ENTS = ["Eiffel Tower", "Blue Whale", "Mount Fuji", "Golden Gate",
+             "Great Pyramid"]
+MEAS_VERBS = ["is", "measures", "weighs", "costs"]
+MEAS_UNIT_TERMS = ["km", "m", "cm", "kg", "g", "mg", "percent"]
+
+
+def q_kg_measurements(spark, sf_dir):
+    """Grounded quantity extraction (triples.measurement_facts):
+    "<Entity> <verb> <int> <unit>" -> literal-valued facts with the
+    exact-integer base normalization (mm / mg / ppm). Every
+    (MEAS_MOD k + MEAS_REM)-th doc gets a deterministic measurement
+    splice with num = (doc_id * 7) % 240 + 1 (the oracle replays it
+    byte-identically)."""
+    from unsupervised_ner_spark.pipeline.triples import measurement_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    e = F.element_at(
+        F.array(*[F.lit(t) for t in MEAS_ENTS]),
+        (F.col("doc_id") % len(MEAS_ENTS) + 1).cast("int"),
+    )
+    v = F.element_at(
+        F.array(*[F.lit(t) for t in MEAS_VERBS]),
+        (F.col("doc_id") % len(MEAS_VERBS) + 1).cast("int"),
+    )
+    u = F.element_at(
+        F.array(*[F.lit(t) for t in MEAS_UNIT_TERMS]),
+        (F.col("doc_id") % len(MEAS_UNIT_TERMS) + 1).cast("int"),
+    )
+    num = ((F.col("doc_id") * 7) % 240 + 1).cast("long")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % MEAS_MOD == MEAS_REM,
+            F.concat("text", F.lit("\n"), e, F.lit(" "), v, F.lit(" "),
+                     num.cast("string"), F.lit(" "), u),
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return measurement_facts(sents)
+
+
 def q_kg_topo_layers(spark, sf_dir):
     """Kahn topological layering (er.topo_layers) of the SCC condensation
     DAG — per round, zero-indegree nodes peel into layer round-1 (= the
@@ -3886,6 +4061,47 @@ def q_txt_good_turing(spark, sf_dir):
     N_r per observed frequency with the (r+1)*N_{r+1} adjusted-count
     numerator — the smoothing estimator's exact integer input."""
     return textstats.good_turing_fof(_t(spark, sf_dir, "documents"))
+
+
+DRIFT_A_SPLICE = "archaism fading fading fading trending"
+DRIFT_B_SPLICE = "neologism trending trending trending fading"
+
+
+def q_txt_vocab_drift(spark, sf_dir):
+    """Vocabulary drift between snapshots (textstats.vocab_drift): even
+    doc_ids = snapshot A, odd = B; per token the integer sufficient
+    statistics + the drift class by exact cross-multiplication. The
+    uniform word-salad corpus is 100% 'stable' (measured), so the gate
+    splices append snapshot-specific tokens — gone / new / 3:1 up /
+    1:3 down all fire at both gate scales (the oracle replays the splice
+    byte-identically)."""
+    from unsupervised_ner_spark.ops.textstats import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" " + DRIFT_A_SPLICE))
+            .otherwise(F.lit(" " + DRIFT_B_SPLICE)),
+        ),
+    )
+    return vocab_drift(docs, ratio_num=2)
+
+
+def q_kg_matching(spark, sf_dir):
+    """Parallel greedy maximal matching (er.maximal_matching): Israeli-
+    Itai local-minimum edges over the co-occurrence graph with
+    deterministic md5 edge priorities — per round, (priority, ekey)-
+    minimum-at-both-endpoints edges join the matching, adjacent alive
+    edges drop; 2 unrolled rounds, leftovers 'open'. Gate coverage
+    (measured): matched@1, matched@2 and dropped@1 fire at both scales —
+    the iteration is proven in-gate; the graph converges in 2 rounds, so
+    the 'open' and dropped@2 branches are unit-test-covered instead (the
+    path-graph test; the gopher constant-branch precedent)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.maximal_matching(er.cooccurrence_edges(typed), rounds=2)
 
 
 def q_rel_bloom_semijoin(spark, sf_dir):
@@ -4014,6 +4230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mis": q_kg_mis,
         "kg_coloring": q_kg_coloring,
         "kg_topo_layers": q_kg_topo_layers,
+        "txt_c4_filters": q_txt_c4_filters,
+        "kg_role_facts": q_kg_role_facts,
+        "kg_measurements": q_kg_measurements,
+        "rel_retention": q_rel_retention,
+        "txt_vocab_drift": q_txt_vocab_drift,
+        "kg_matching": q_kg_matching,
         "txt_good_turing": q_txt_good_turing,
         "rel_bloom_semijoin": q_rel_bloom_semijoin,
         "kg_katz": q_kg_katz,
@@ -4065,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_quantiles": q_rel_quantiles,
         "rel_interval_join": q_rel_interval_join,
+        "rel_funnel": q_rel_funnel,
         "mm_phash": q_mm_phash,
         "mm_phash_pairs": q_mm_phash_pairs,
         "kg_closure_delta": q_kg_closure_delta,
@@ -4268,6 +4491,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_mis": O.kg_mis(rounds=3),
         "kg_coloring": O.kg_coloring(rounds=3),
         "kg_topo_layers": O.kg_topo_layers(rounds=5),
+        "txt_c4_filters": O.txt_c4_filters(
+            C4_LOREM_REM, C4_BRACE_REM, C4_POLICY_REM, mod=C4_MOD,
+        ),
+        "rel_retention": O.rel_retention(
+            period_days=7, churn_mod=RETENTION_CHURN_MOD,
+            churn_day=RETENTION_CHURN_DAY, late_day=RETENTION_LATE_DAY,
+        ),
+        "txt_vocab_drift": O.txt_vocab_drift(
+            ratio_num=2, a_splice=DRIFT_A_SPLICE, b_splice=DRIFT_B_SPLICE,
+        ),
+        "kg_matching": O.kg_matching(rounds=2),
+        "kg_role_facts": O.kg_role_facts(
+            ROLE_MOD, ROLE_PERSONS, ROLE_ROLES, ROLE_ORGS,
+        ),
+        "kg_measurements": O.kg_measurements(
+            MEAS_MOD, MEAS_REM, MEAS_ENTS, MEAS_VERBS, MEAS_UNIT_TERMS,
+        ),
         "txt_good_turing": O.txt_good_turing(),
         "rel_bloom_semijoin": O.rel_bloom_semijoin(m=1024, k=2),
         "kg_katz": O.kg_katz(),
@@ -4332,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_grouping_sets": O.rel_grouping_sets(),
         "rel_quantiles": O.rel_quantiles(),
         "rel_interval_join": O.rel_interval_join(),
+        "rel_funnel": O.rel_funnel(drop_mod=FUNNEL_DROP_MOD),
         "mm_phash": O.mm_phash(),
         "mm_phash_pairs": O.mm_phash_pairs(),
         "kg_closure_delta": O.kg_closure_delta(

@@ -59,9 +59,14 @@ BENCH_QUERIES = [
     "kg_kge_complex",
     "kg_anf",
     "kg_mis",
+    "kg_matching",
     "kg_coloring",
     "kg_topo_layers",
+    "txt_c4_filters",
+    "kg_role_facts",
+    "kg_measurements",
     "txt_good_turing",
+    "txt_vocab_drift",
     "rel_bloom_semijoin",
     "kg_katz",
     "kg_acronyms",
@@ -101,6 +106,8 @@ BENCH_QUERIES = [
     "rel_grouping_sets",
     "rel_quantiles",
     "rel_interval_join",
+    "rel_funnel",
+    "rel_retention",
     "mm_phash",
     "mm_phash_pairs",
     "kg_closure_delta",

@@ -2019,6 +2019,78 @@ def main() -> None:
                    and "ShuffledHashJoin" not in p195))
     checks.append(("bloom: no python eval", "BatchEvalPython" not in p195))
 
+    # 196. C4 filters: pure narrow map — no join, no exchange beyond the
+    # scan, no python eval
+    p196 = plan_of(entry.q_txt_c4_filters(spark, SF))
+    sections.append(("C4 named rules (txt_c4_filters)", p196))
+    checks.append(("c4: no join at all",
+                   "Join" not in p196 and "CartesianProduct" not in p196))
+    checks.append(("c4: no exchange (map-only)", "Exchange" not in p196))
+    checks.append(("c4: no python eval", "BatchEvalPython" not in p196))
+
+    # 197. role facts: regexp scan + one map-side-combining aggregate,
+    # no join
+    p197 = plan_of(entry.q_kg_role_facts(spark, SF))
+    sections.append(("Role-pattern facts (kg_role_facts)", p197))
+    checks.append(("roles: no join at all",
+                   "Join" not in p197 and "CartesianProduct" not in p197))
+    checks.append(("roles: map-side partial aggregation", "partial_" in p197))
+    checks.append(("roles: no python eval", "BatchEvalPython" not in p197))
+
+    # 198. measurements: pure narrow map (regexp + bounded unit CASE)
+    p198 = plan_of(entry.q_kg_measurements(spark, SF))
+    sections.append(("Measurement facts (kg_measurements)", p198))
+    checks.append(("meas: no join at all",
+                   "Join" not in p198 and "CartesianProduct" not in p198))
+    checks.append(("meas: no exchange (map-only)", "Exchange" not in p198))
+    checks.append(("meas: no python eval", "BatchEvalPython" not in p198))
+
+    # 199. conversion funnel: every stage keyed on user_id — equi-joins
+    # only (never a nested loop over event history), map-side-combining
+    # per-step min aggregates, no python eval
+    p199 = plan_of(entry.q_rel_funnel(spark, SF))
+    sections.append(("Conversion funnel (rel_funnel)", p199))
+    checks.append(("funnel: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p199
+                   and "BroadcastNestedLoopJoin" not in p199))
+    checks.append(("funnel: map-side partial aggregation", "partial_" in p199))
+    checks.append(("funnel: no python eval", "BatchEvalPython" not in p199))
+
+    # 200. cohort retention: user-keyed aggregates + equi-joins of
+    # user-bounded tables — never a window over event history
+    p200 = plan_of(entry.q_rel_retention(spark, SF))
+    sections.append(("Cohort retention (rel_retention)", p200))
+    checks.append(("retention: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p200
+                   and "BroadcastNestedLoopJoin" not in p200))
+    checks.append(("retention: map-side partial aggregation",
+                   "partial_" in p200))
+    checks.append(("retention: no window over events", "Window" not in p200))
+    checks.append(("retention: no python eval", "BatchEvalPython" not in p200))
+
+    # 201. vocab drift: explode + ONE (tok)-keyed aggregate — the A/B
+    # merge is the conditional-sum pivot, never a vocabulary join; the
+    # totals enter as a 1-row broadcast cross join
+    p201 = plan_of(entry.q_txt_vocab_drift(spark, SF))
+    sections.append(("Vocabulary drift (txt_vocab_drift)", p201))
+    checks.append(("drift: no shuffle join (pivot-merged, not joined)",
+                   "SortMergeJoin" not in p201
+                   and "ShuffledHashJoin" not in p201))
+    checks.append(("drift: map-side partial aggregation", "partial_" in p201))
+    checks.append(("drift: no python eval", "BatchEvalPython" not in p201))
+
+    # 202. maximal matching: node-min AGGREGATE + equi-joins per round
+    # (never an edge-edge self-join), checkpointed round state
+    p202 = plan_of(entry.q_kg_matching(spark, SF))
+    sections.append(("Greedy maximal matching (kg_matching)", p202))
+    checks.append(("matching: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p202
+                   and "BroadcastNestedLoopJoin" not in p202))
+    checks.append(("matching: map-side partial aggregation",
+                   "partial_" in p202))
+    checks.append(("matching: round state materialized (lineage cut)",
+                   "ExistingRDD" in p202))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -162,3 +162,109 @@ def interval_join(
             (F.col("_p_us") - F.col("_s_us")).cast("long").alias("us_into_interval"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered conversion funnel over the event stream — the product
+    analytics primitive: per user, the EARLIEST step-1 event, then the
+    earliest step-2 event STRICTLY AFTER it, then the earliest step-3
+    after that (strict event-time order with event_id as the
+    deterministic tie-break inside an equal timestamp). Emits how far
+    each user got plus the inter-step gaps in microseconds — gaps, not
+    absolute timestamps, are hashed (absolute epoch values are
+    session-timezone-sensitive across engines; a difference is not —
+    the asof_join precedent).
+
+    Output: (user_id, reached_step 0..len(steps), gap12_us, gap23_us, ...
+    with -1 where the step was never reached).
+
+    Scale shape: one user-keyed min-aggregate per step plus a user-keyed
+    equi-join per step boundary — every stage is keyed on user_id (the
+    partitioning the event store shuffles on anyway); a hot user is one
+    reducer key (AQE skew-join), nothing corpus-quadratic, no window
+    over event history."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # (time, id) total order packed into a struct-min per user
+    ev = events.select(
+        "user_id", "event_type", ts_us.alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    cur = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(F.struct("t", "eid")).alias("s1"))
+        .select("user_id", F.col("s1.t").alias("t1"))
+    )
+    out = cur
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(out.select("user_id", F.col(f"t{i - 1}")), "user_id")
+            .filter(F.col("t") > F.col(f"t{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min(F.struct("t", "eid")).alias("s"))
+            .select("user_id", F.col("s.t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    gaps = [
+        F.coalesce(F.col(f"t{i}") - F.col(f"t{i - 1}"), F.lit(-1))
+        .cast("long")
+        .alias(f"gap{i - 1}{i}_us")
+        for i in range(2, len(steps) + 1)
+    ]
+    return out.select(
+        "user_id", reached.cast("long").alias("reached_step"), *gaps
+    )
+
+
+def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix — the longitudinal complement of
+    :func:`funnel_steps`: cohort = the user's FIRST activity period
+    (wall-clock day index = datediff vs 1970-01-01 on the NTZ timestamp
+    — timezone-free in BOTH engines, unlike epoch extraction, which
+    reads the session timezone; then exact integer floor-division by
+    ``period_days``), and per (cohort, period offset) the count of
+    cohort users active in that offset, the cohort size (the offset-0
+    row — structurally present because a user is active in their own
+    first period), and retention_ppm as the exact integer
+    ``n_users * 1e6 DIV cohort_size``.
+
+    Scale shape: one distinct (user, period) aggregate, one user-keyed
+    min-aggregate for the cohort table, one user-keyed equi-join of two
+    user-bounded tables, then a map-side-combining aggregate onto the
+    tiny (cohort x offset) matrix and a cohort-keyed self-join of that
+    matrix for the size column — nothing bigger than (users) ever
+    shuffles twice, and a hot user is a single reducer key."""
+    period = F.expr(
+        f"CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+        f" DIV {int(period_days)} AS BIGINT)"
+    )
+    active = (
+        events.select("user_id", period.alias("period"))
+        .distinct()
+    )
+    first = active.groupBy("user_id").agg(
+        F.min("period").alias("cohort_period")
+    )
+    mat = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    size = mat.filter(F.col("period_offset") == 0).select(
+        "cohort_period", F.col("n_users").alias("cohort_size")
+    )
+    return mat.join(size, "cohort_period").select(
+        "cohort_period", "period_offset", "n_users", "cohort_size",
+        F.expr("CAST(n_users * 1000000 DIV cohort_size AS BIGINT)")
+        .alias("retention_ppm"),
+    )

@@ -1554,3 +1554,115 @@ def good_turing_fof(documents: DataFrame) -> DataFrame:
             F.coalesce("gt_num", F.lit(0).cast("long")).alias("gt_num"),
         )
     )
+
+
+C4_POLICY_PHRASES = [
+    "cookie policy", "privacy policy", "terms of use", "use of cookies",
+]
+
+
+def c4_filters(
+    documents: DataFrame, min_long_lines: int = 1, min_line_words: int = 5
+) -> DataFrame:
+    """C4-style named cleaning rules (Raffel et al. JMLR 2020 §2.2) — the
+    LINE-level and phrase-blocklist complement of :func:`gopher_flags`'
+    token-level bundle: per document, line statistics (total lines,
+    lines with >= ``min_line_words`` words, terminal-punctuation lines —
+    C4 keeps only those; emitted as a statistic here because the corpus
+    has no terminal-punctuated lines to vary on) and the pass flags
+    f_lorem ("lorem ipsum" placeholder), f_brace (curly brace — code),
+    f_policy (boilerplate policy phrases), f_minlines (>= ``min_long_lines``
+    substantive lines), plus the conjunction ``keep``. The corpus
+    documents are single-line, so the line-count rules vary only through
+    splices and f_minlines' fail branch is unit-test-covered (the
+    gopher alpha-rule precedent).
+
+    Scale shape: pure map — every rule is an expression over the in-row
+    line array (split / filter / rlike inside codegen); no explode, no
+    exchange, no join."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), F.trim),
+        lambda l: F.length(l) > 1,
+    )
+    nwords = lambda l: F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))  # noqa: E731
+    n_lines = F.size(lines).cast("long")
+    n_long = F.size(
+        F.filter(lines, lambda l: nwords(l) >= int(min_line_words))
+    ).cast("long")
+    n_term = F.size(
+        F.filter(lines, lambda l: l.rlike("[.!?]$"))
+    ).cast("long")
+    low = F.lower(F.col("text"))
+    f_lorem = ~low.contains("lorem ipsum")
+    f_brace = ~F.col("text").contains("{")
+    f_policy = F.lit(True)
+    for ph in C4_POLICY_PHRASES:
+        f_policy = f_policy & ~low.contains(ph)
+    f_minlines = n_long >= int(min_long_lines)
+    keep = f_lorem & f_brace & f_policy & f_minlines
+    return documents.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_long.alias("n_long_lines"),
+        n_term.alias("n_terminal_lines"),
+        f_lorem.cast("long").alias("f_lorem"),
+        f_brace.cast("long").alias("f_brace"),
+        f_policy.cast("long").alias("f_policy"),
+        f_minlines.cast("long").alias("f_minlines"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+def vocab_drift(documents: DataFrame, ratio_num: int = 2) -> DataFrame:
+    """Corpus vocabulary drift between two snapshots — the distribution-
+    shift monitor every periodically-recrawled training corpus needs
+    (the dedup_snapshot_diff idea lifted from documents to the TOKEN
+    distribution): snapshot A = even doc_ids, snapshot B = odd (the
+    established even/odd snapshot convention), lowered whitespace
+    unigram counts per side, and per token the drift class decided by
+    EXACT integer cross-multiplication of the two relative frequencies
+    (n_b * total_a vs ratio_num * n_a * total_b — no float division
+    anywhere): 'new' (absent from A), 'gone' (absent from B), 'up' /
+    'down' (relative frequency moved by more than ``ratio_num`` x),
+    else 'stable'. The output carries the integer sufficient statistics
+    (n_a, n_b, the shared totals) plus the class, so KL / JS divergence
+    and alert thresholds are cheap derivations outside the gate.
+
+    Scale shape: one narrow explode + one (tok, side) map-side-combining
+    aggregate, a vocabulary-bounded full-outer self-merge via the
+    conditional-sum pivot (no join at all — the (tok, side) aggregate
+    re-aggregates by tok), and the two totals enter as a 1-row broadcast
+    cross join; nothing corpus-sized moves after the first aggregate."""
+    toks = documents.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(
+            F.transform(tokens_ws(F.col("text")), F.lower)
+        ).alias("tok"),
+    )
+    per = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("total_a"),
+        F.sum("n_b").cast("long").alias("total_b"),
+    )
+    r = F.lit(int(ratio_num)).cast("long")
+    cls = (
+        F.when(F.col("n_a") == 0, F.lit("new"))
+        .when(F.col("n_b") == 0, F.lit("gone"))
+        .when(
+            F.col("n_b") * F.col("total_a")
+            > r * F.col("n_a") * F.col("total_b"),
+            F.lit("up"),
+        )
+        .when(
+            F.col("n_a") * F.col("total_b")
+            > r * F.col("n_b") * F.col("total_a"),
+            F.lit("down"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "tok", "n_a", "n_b", "total_a", "total_b", cls.alias("drift"),
+    )

@@ -9439,3 +9439,376 @@ FROM bflag GROUP BY bloom_pass, is_match
 """,
         "bkeys", "bbits",
     )
+
+
+def txt_c4_filters(
+    lorem_rem: int, brace_rem: int, policy_rem: int, mod: int = 7,
+    min_long_lines: int = 1, min_line_words: int = 5,
+) -> str:
+    """C4 named-rule twin (ops/textstats.py c4_filters): line statistics
+    over the newline-split trimmed non-blank lines, blocklist flags,
+    conjunction keep; the deterministic splice (lorem / brace / policy
+    lines on three doc_id residues) replayed byte-identically."""
+    from unsupervised_ner_spark.ops.textstats import C4_POLICY_PHRASES
+
+    policy = " AND ".join(
+        f"lower(text) NOT LIKE '%{p}%'" for p in C4_POLICY_PHRASES
+    )
+    nw = ("len(list_filter(regexp_split_to_array(l, '\\s+'), "
+          "x -> x <> ''))")
+    return f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = {lorem_rem}
+                THEN text || chr(10) || 'lorem ipsum dolor sit amet consectetur'
+                WHEN doc_id % {mod} = {brace_rem}
+                THEN text || chr(10) || 'function() {{ return 1; }}'
+                WHEN doc_id % {mod} = {policy_rem}
+                THEN text || chr(10)
+                     || 'please review our cookie policy before continuing.'
+                ELSE text END AS text
+    FROM documents
+),
+c4l AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)),
+                       l -> length(l) > 1) AS lines
+    FROM docs2
+),
+c4s AS (
+    SELECT doc_id, text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+                l -> {nw} >= {min_line_words})) AS BIGINT) AS n_long_lines,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(l, '[.!?]$'))) AS BIGINT)
+               AS n_terminal_lines
+    FROM c4l
+)
+SELECT doc_id, n_lines, n_long_lines, n_terminal_lines,
+       CAST(CASE WHEN lower(text) NOT LIKE '%lorem ipsum%'
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_lorem,
+       CAST(CASE WHEN text NOT LIKE '%{{%' THEN 1 ELSE 0 END AS BIGINT)
+           AS f_brace,
+       CAST(CASE WHEN {policy} THEN 1 ELSE 0 END AS BIGINT) AS f_policy,
+       CAST(CASE WHEN n_long_lines >= {min_long_lines}
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_minlines,
+       CAST(CASE WHEN lower(text) NOT LIKE '%lorem ipsum%'
+                  AND text NOT LIKE '%{{%' AND ({policy})
+                  AND n_long_lines >= {min_long_lines}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM c4s
+"""
+
+
+def kg_role_facts(
+    mod: int, person_terms: list[str], role_terms: list[str],
+    org_terms: list[str],
+) -> str:
+    """Role-pattern twin (pipeline/triples.py role_pattern_facts): the
+    engine's ROLE_PAT imported verbatim, entities lowercased, one
+    aggregate; the "<P>, <role> of <O>, said so" splice replayed
+    byte-identically."""
+    from unsupervised_ner_spark.pipeline.triples import ROLE_PAT
+
+    pat = ROLE_PAT.replace("'", "''")
+    p_arr = "[" + ", ".join(f"'{t}'" for t in person_terms) + "]"
+    r_arr = "[" + ", ".join(f"'{t}'" for t in role_terms) + "]"
+    o_arr = "[" + ", ".join(f"'{t}'" for t in org_terms) + "]"
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH picked AS (
+    SELECT doc_id, text,
+           ({p_arr})[CAST(doc_id % {len(person_terms)} AS INT) + 1] AS p,
+           ({r_arr})[CAST(doc_id % {len(role_terms)} AS INT) + 1] AS r,
+           ({o_arr})[CAST(doc_id % {len(org_terms)} AS INT) + 1] AS o
+    FROM documents
+),
+docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = 0
+                THEN text || chr(10) || p || ', ' || r || ' of ' || o
+                     || ', said so'
+                ELSE text END AS text
+    FROM picked
+),
+{sents.strip()},
+cand AS (
+    SELECT url,
+           lower(regexp_extract(sent, '{pat}', 1)) AS subj,
+           regexp_extract(sent, '{pat}', 2) AS role,
+           lower(regexp_extract(sent, '{pat}', 3)) AS obj
+    FROM sents
+)
+SELECT subj, role, obj,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM cand WHERE length(subj) > 0 AND length(obj) > 0
+GROUP BY subj, role, obj
+"""
+
+
+def kg_measurements(
+    mod: int, rem: int, ent_terms: list[str], verb_terms: list[str],
+    unit_terms: list[str],
+) -> str:
+    """Measurement twin (pipeline/triples.py measurement_facts): the
+    engine's MEAS_PAT imported verbatim, integer base normalization per
+    unit class (mm / mg / ppm); the "<E> <verb> <num> <unit>" splice
+    (num = (doc_id * 7) % 240 + 1) replayed byte-identically."""
+    from unsupervised_ner_spark.pipeline.triples import MEAS_PAT, MEAS_UNITS
+
+    pat = MEAS_PAT.replace("'", "''")
+    e_arr = "[" + ", ".join(f"'{t}'" for t in ent_terms) + "]"
+    v_arr = "[" + ", ".join(f"'{t}'" for t in verb_terms) + "]"
+    u_arr = "[" + ", ".join(f"'{t}'" for t in unit_terms) + "]"
+    cls = " ".join(
+        f"WHEN unit = '{u}' THEN '{c}'" for u, (c, _) in MEAS_UNITS.items()
+    )
+    mul = " ".join(
+        f"WHEN unit = '{u}' THEN {k}" for u, (_, k) in MEAS_UNITS.items()
+    )
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs2")
+    assert "docs2" in sents
+    return f"""
+WITH picked AS (
+    SELECT doc_id, text,
+           ({e_arr})[CAST(doc_id % {len(ent_terms)} AS INT) + 1] AS e,
+           ({v_arr})[CAST(doc_id % {len(verb_terms)} AS INT) + 1] AS v,
+           ({u_arr})[CAST(doc_id % {len(unit_terms)} AS INT) + 1] AS u,
+           CAST((doc_id * 7) % 240 + 1 AS BIGINT) AS num
+    FROM documents
+),
+docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = {rem}
+                THEN text || chr(10) || e || ' ' || v || ' '
+                     || CAST(num AS VARCHAR) || ' ' || u
+                ELSE text END AS text
+    FROM picked
+),
+{sents.strip()},
+mcand AS (
+    SELECT url, sent_idx,
+           lower(regexp_extract(sent, '{pat}', 1)) AS ent,
+           regexp_extract(sent, '{pat}', 2) AS verb,
+           regexp_extract(sent, '{pat}', 3) AS raw,
+           regexp_extract(sent, '{pat}', 4) AS unit
+    FROM sents
+)
+SELECT url, sent_idx, ent, verb,
+       CAST(raw AS BIGINT) AS value_raw,
+       unit,
+       CASE {cls} END AS unit_class,
+       CAST(CAST(raw AS BIGINT) * (CASE {mul} END) AS BIGINT) AS value_base
+FROM mcand WHERE length(ent) > 0 AND length(raw) > 0
+"""
+
+
+def rel_funnel(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    drop_mod: int = 5,
+) -> str:
+    """Conversion-funnel twin (ops/asof.py funnel_steps): per user the
+    earliest step-1 event, then the earliest step-2 STRICTLY after it,
+    then the earliest step-3 after that — min(t) per stage is exactly
+    the engine's struct-min's time component (the (t, event_id)
+    tie-break orders equal-time events but only t is extracted, so the
+    engines agree by construction). Gaps in microseconds, -1 where the
+    step was never reached; absolute epochs never hashed (the asof_join
+    timezone rule). The gate filter deterministically drops user
+    residues' click / purchase events so the reached_step 1 and 2
+    branches fire (all 15 synth users otherwise complete the funnel,
+    measured)."""
+    s1, s2, s3 = steps
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    WHERE NOT (user_id % {drop_mod} = 1 AND event_type = '{s2}')
+      AND NOT (user_id % {drop_mod} = 2 AND event_type = '{s3}')
+),
+f1 AS (
+    SELECT user_id, min(t) AS t1 FROM ev
+    WHERE event_type = '{s1}' GROUP BY user_id
+),
+f2 AS (
+    SELECT e.user_id, min(e.t) AS t2
+    FROM ev e JOIN f1 USING (user_id)
+    WHERE e.event_type = '{s2}' AND e.t > f1.t1 GROUP BY e.user_id
+),
+f3 AS (
+    SELECT e.user_id, min(e.t) AS t3
+    FROM ev e JOIN f2 USING (user_id)
+    WHERE e.event_type = '{s3}' AND e.t > f2.t2 GROUP BY e.user_id
+)
+SELECT f1.user_id,
+       CAST(1 + CAST(f2.user_id IS NOT NULL AS INT)
+              + CAST(f3.user_id IS NOT NULL AS INT) AS BIGINT)
+           AS reached_step,
+       CAST(COALESCE(f2.t2 - f1.t1, -1) AS BIGINT) AS gap12_us,
+       CAST(COALESCE(f3.t3 - f2.t2, -1) AS BIGINT) AS gap23_us
+FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+"""
+
+
+def rel_retention(
+    period_days: int = 7,
+    churn_mod: int = 3,
+    churn_day: int = 19737,
+    late_day: int = 19730,
+) -> str:
+    """Cohort-retention twin (ops/asof.py retention_cohorts): cohort =
+    min activity period per user (wall-clock day index CAST(ts AS DATE) -
+    DATE '1970-01-01' — timezone-free like Spark's datediff on the NTZ
+    column — then exact integer floor-division), matrix = distinct
+    cohort users per period offset, size = the structurally-present
+    offset-0 row, retention_ppm = exact integer n*1e6 // size. The gate
+    filter deterministically churns user residue 1 at ``churn_day`` and
+    delays residue 2's first activity to ``late_day`` (every synth user
+    is otherwise active in every week — measured), so retention decay
+    AND a second cohort both fire."""
+    day = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+    return f"""
+WITH ract AS (
+    SELECT DISTINCT user_id,
+           {day} // {int(period_days)} AS period
+    FROM events
+    WHERE NOT (user_id % {int(churn_mod)} = 1 AND {day} >= {int(churn_day)})
+      AND NOT (user_id % {int(churn_mod)} = 2 AND {day} < {int(late_day)})
+),
+rfirst AS (
+    SELECT user_id, min(period) AS cohort_period FROM ract GROUP BY user_id
+),
+rmat AS (
+    SELECT f.cohort_period, a.period - f.cohort_period AS period_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM ract a JOIN rfirst f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT m.cohort_period, m.period_offset, m.n_users,
+       s.n_users AS cohort_size,
+       CAST(m.n_users * 1000000 // s.n_users AS BIGINT) AS retention_ppm
+FROM rmat m JOIN rmat s
+  ON s.cohort_period = m.cohort_period AND s.period_offset = 0
+"""
+
+
+def txt_vocab_drift(
+    ratio_num: int = 2,
+    a_splice: str = "archaism fading fading fading trending",
+    b_splice: str = "neologism trending trending trending fading",
+) -> str:
+    """Vocabulary-drift twin (ops/textstats.py vocab_drift): even/odd
+    doc_id snapshots, lowered whitespace unigrams, per-token (n_a, n_b)
+    via conditional sums, totals as a 1-row cross join, drift class by
+    exact integer cross-multiplication (never a float frequency). The
+    uniform word-salad corpus is 100% 'stable' (measured), so the gate
+    splices append snapshot-specific tokens — 'archaism' (A only ->
+    gone), 'neologism' (B only -> new), 3:1 'trending' / 1:3 'fading'
+    (past the 2x cross-multiplied ratio -> up / down)."""
+    r = int(ratio_num)
+    return _materialize(
+        f"""
+WITH vdocs AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 0
+                        THEN ' {a_splice}' ELSE ' {b_splice}' END AS text
+    FROM documents
+),
+vtk AS (
+    SELECT doc_id % 2 = 0 AS in_a, lower(u.t) AS tok
+    FROM vdocs,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+vper AS (
+    SELECT tok,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM vtk GROUP BY tok
+),
+vtot AS (
+    SELECT CAST(sum(n_a) AS BIGINT) AS total_a,
+           CAST(sum(n_b) AS BIGINT) AS total_b
+    FROM vper
+)
+SELECT tok, n_a, n_b, total_a, total_b,
+       CASE WHEN n_a = 0 THEN 'new'
+            WHEN n_b = 0 THEN 'gone'
+            WHEN n_b * total_a > {r} * n_a * total_b THEN 'up'
+            WHEN n_a * total_b > {r} * n_b * total_a THEN 'down'
+            ELSE 'stable' END AS drift
+FROM vper CROSS JOIN vtot
+""",
+        "vper",
+    )
+
+
+def kg_matching(model: str = "a100", rounds: int = 2) -> str:
+    """Parallel-greedy maximal-matching twin (pipeline/er.py
+    maximal_matching): md5-int32 edge priorities (_hex8_int_sql), per
+    round an edge is matched iff NO other alive edge sharing an endpoint
+    precedes it in (priority, ekey) order (= the engine's min-at-both-
+    endpoints rule — ekeys are unique, so local-min and no-smaller-
+    neighbor coincide); alive edges touching a matched endpoint drop;
+    ``rounds`` unrolled, leftovers 'open'."""
+    prio = _hex8_int_sql("md5(ekey)")
+    body = f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, a0 AS (
+    SELECT src, dst, ekey, {prio} AS prio
+    FROM (
+        SELECT ent_a || '|' || type_a AS src,
+               ent_b || '|' || type_b AS dst,
+               ent_a || '|' || type_a || '|' || ent_b || '|' || type_b
+                   AS ekey
+        FROM eg
+    )
+)"""
+    prev = "a0"
+    outs = []
+    mats = ["a0"]
+    for r in range(1, int(rounds) + 1):
+        body += f""",
+w{r} AS (
+    SELECT e.src, e.dst, e.ekey FROM {prev} e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} o
+        WHERE o.ekey <> e.ekey
+          AND (o.src = e.src OR o.src = e.dst
+               OR o.dst = e.src OR o.dst = e.dst)
+          AND (o.prio < e.prio OR (o.prio = e.prio AND o.ekey < e.ekey))
+    )
+),
+n{r} AS (SELECT src AS node FROM w{r} UNION SELECT dst FROM w{r}),
+x{r} AS (
+    SELECT e.ekey FROM {prev} e
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.ekey = e.ekey)
+      AND (EXISTS (SELECT 1 FROM n{r} m WHERE m.node = e.src)
+           OR EXISTS (SELECT 1 FROM n{r} m WHERE m.node = e.dst))
+),
+a{r} AS (
+    SELECT e.* FROM {prev} e
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.ekey = e.ekey)
+      AND NOT EXISTS (SELECT 1 FROM x{r} x WHERE x.ekey = e.ekey)
+)"""
+        outs.append(
+            f"SELECT ekey, 'matched' AS status,"
+            f" CAST({r} AS BIGINT) AS round FROM w{r}"
+        )
+        outs.append(f"SELECT ekey, 'dropped', CAST({r} AS BIGINT) FROM x{r}")
+        mats += [f"w{r}", f"n{r}", f"x{r}", f"a{r}"]
+        prev = f"a{r}"
+    outs.append(f"SELECT ekey, 'open', CAST({int(rounds)} AS BIGINT) FROM {prev}")
+    body += f""",
+mallout AS (
+{chr(10).join('    ' + o + (' UNION ALL' if i < len(outs) - 1 else '') for i, o in enumerate(outs))}
+)
+SELECT split_part(ekey, '|', 1) AS ent_a, split_part(ekey, '|', 2) AS type_a,
+       split_part(ekey, '|', 3) AS ent_b, split_part(ekey, '|', 4) AS type_b,
+       status, round
+FROM mallout
+"""
+    return _materialize(body, *mats[:-1])

@@ -4389,3 +4389,117 @@ def topo_layers(dag: DataFrame, rounds: int = 6) -> DataFrame:
         )
     )
     return out.select(F.col("k").alias("scc"), "status", "layer")
+
+
+def maximal_matching(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Parallel greedy maximal MATCHING over the entity co-occurrence
+    graph — the edge-world sibling of :func:`maximal_independent_set`
+    from the same local-minimum kernel (Israeli & Itai 1986; Blelloch,
+    Fineman & Shun SPAA'12 prove the parallel local-min rule computes
+    EXACTLY the sequential greedy matching in priority order, in
+    O(log^2 m) rounds w.h.p.): every edge gets an md5-derived priority,
+    and per round every alive edge that is the (priority, key) MINIMUM
+    among all alive edges touching either of its endpoints joins the
+    matching; alive edges sharing an endpoint with a winner drop. A
+    matching is the disjoint-pairing primitive — here it pairs each
+    entity with at most one strongest partner (dense-cluster thinning,
+    conflict-free merge scheduling for ER).
+
+    Output: one row per input edge — (ent_a, type_a, ent_b, type_b,
+    status, round) with status 'matched' / 'dropped' and the deciding
+    1-based round, or 'open' with round = ``rounds`` at the horizon
+    (the fixed-round contract of the BFS family; the oracle unrolls
+    identically).
+
+    Scale shape: the edge table is persisted once; per round the
+    endpoint-minimum table is ONE map-side-combining min-aggregate over
+    2|E| (node-keyed), winners are two node-keyed equi-joins of the
+    alive table against it (struct-equality filter — never an edge-edge
+    self-join, which is the quadratic trap on hot nodes), drops are a
+    semi-join against the node-sized matched-endpoint table, and the
+    alive table SHRINKS geometrically (Israeli-Itai's theorem); state is
+    checkpointed per round (the er.hits lineage rule)."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    ekey = F.concat_ws("|", "ent_a", "type_a", "ent_b", "type_b")
+    alive = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+            ekey.alias("ekey"),
+            md5_int32(ekey).alias("prio"),
+        ),
+        how="checkpoint",
+    )
+    out = None
+    for r in range(1, int(rounds) + 1):
+        pe = F.struct("prio", "ekey")
+        nmin = (
+            alive.select(F.col("src").alias("node"), pe.alias("pe"))
+            .unionAll(alive.select(F.col("dst").alias("node"), pe.alias("pe")))
+            .groupBy("node")
+            .agg(F.min("pe").alias("mn"))
+        )
+        nmin = scoped_persist(nmin)
+        win = scoped_persist(
+            alive.join(
+                nmin.select(F.col("node").alias("src"),
+                            F.col("mn").alias("mn_s")),
+                "src",
+            )
+            .join(
+                nmin.select(F.col("node").alias("dst"),
+                            F.col("mn").alias("mn_d")),
+                "dst",
+            )
+            .filter((pe == F.col("mn_s")) & (pe == F.col("mn_d")))
+            .select("src", "dst", "ekey")
+        )
+        mnodes = scoped_persist(
+            win.select(F.col("src").alias("node"))
+            .unionAll(win.select(F.col("dst").alias("node")))
+        )
+        rest = alive.join(win.select("ekey"), "ekey", "left_anti")
+        dropped = (
+            rest.join(
+                mnodes.withColumnRenamed("node", "src").distinct(),
+                "src", "left_semi",
+            )
+            .select("ekey")
+            .unionAll(
+                rest.join(
+                    mnodes.withColumnRenamed("node", "dst").distinct(),
+                    "dst", "left_semi",
+                ).select("ekey")
+            )
+            .distinct()
+        )
+        decided = win.select(
+            "ekey", F.lit("matched").alias("status"),
+            F.lit(r).cast("long").alias("round"),
+        ).unionByName(
+            dropped.select(
+                "ekey", F.lit("dropped").alias("status"),
+                F.lit(r).cast("long").alias("round"),
+            )
+        )
+        out = decided if out is None else out.unionByName(decided)
+        alive = scoped_persist(
+            alive.join(decided.select("ekey"), "ekey", "left_anti"),
+            how="checkpoint",
+        )
+    out = out.unionByName(
+        alive.select(
+            "ekey", F.lit("open").alias("status"),
+            F.lit(int(rounds)).cast("long").alias("round"),
+        )
+    )
+
+    def part(j):
+        return F.split(F.col("ekey"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent_a"), part(1).alias("type_a"),
+        part(2).alias("ent_b"), part(3).alias("type_b"),
+        "status", "round",
+    )

@@ -918,3 +918,100 @@ def truth_discovery(claims: DataFrame) -> DataFrame:
             .cast("long").alias("changed"),
         )
     )
+
+
+# Role-appositive relation pattern: "<Entity>, <role> of <Entity>," —
+# the classic high-precision relation extractor (Hearst-style surface
+# pattern lifted to BINARY relations). Java-regex / RE2 agreement subset;
+# the DuckDB oracle imports this exact string.
+ROLE_PAT = (
+    "([A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*), "
+    "([a-z]+(?: [a-z]+)?) of "
+    "([A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*),"
+)
+
+
+def role_pattern_facts(sentences: DataFrame) -> DataFrame:
+    """sentences(url, sent_idx, sent) -> (subj, role, obj, n_sents,
+    n_docs): corpus-aggregated role facts from the appositive relation
+    pattern "<Person>, <role> of <Org>," (first match per sentence —
+    ``regexp_extract`` semantics, identical in both engines). The role
+    phrase (1-2 lowercase words: "founder", "chief executive") becomes
+    the normalized predicate; both entity surfaces lowercase onto the
+    same node keys the taxonomy extractors use. This is the third
+    surface-pattern channel (is-a typing, acronym aliases, now BINARY
+    role relations) feeding the same canonical graph.
+
+    Scale shape: one narrow regexp scan + one map-side-combining
+    aggregate on the bounded (subj, role, obj) fact vocabulary; no join,
+    nothing corpus-quadratic."""
+    cand = sentences.select(
+        "url",
+        F.lower(F.regexp_extract("sent", ROLE_PAT, 1)).alias("subj"),
+        F.regexp_extract("sent", ROLE_PAT, 2).alias("role"),
+        F.lower(F.regexp_extract("sent", ROLE_PAT, 3)).alias("obj"),
+    ).filter((F.length("subj") > 0) & (F.length("obj") > 0))
+    return cand.groupBy("subj", "role", "obj").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.countDistinct("url").cast("long").alias("n_docs"),
+    )
+
+
+# Grounded quantity pattern: "<Entity> <verb> <int> <unit>". Same
+# agreement subset; integer values only (the float literal stays out of
+# the extractor by construction).
+MEAS_PAT = (
+    # unit alternation is LONGEST-FIRST ("mg" before "m" before "g") and
+    # right-delimited by punctuation/space/end — RE2 has no lookahead, so
+    # the delimiter is a non-capturing group both engines support; both
+    # engines use leftmost-first alternation, so ordered-by-length keeps
+    # their captures identical.
+    "([A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*) "
+    "(is|measures|weighs|costs) ([0-9]+) "
+    "(percent|km|cm|kg|mg|m|g)(?:[ .,]|$)"
+)
+
+# unit -> (class, base multiplier): lengths in mm, masses in mg,
+# ratios in ppm — every base value an exact integer.
+MEAS_UNITS = {
+    "km": ("length", 1_000_000),
+    "m": ("length", 1_000),
+    "cm": ("length", 10),
+    "kg": ("mass", 1_000_000),
+    "g": ("mass", 1_000),
+    "mg": ("mass", 1),
+    "percent": ("ratio", 10_000),
+}
+
+
+def measurement_facts(sentences: DataFrame) -> DataFrame:
+    """sentences(url, sent_idx, sent) -> grounded quantity facts
+    (url, sent_idx, ent, verb, value_raw, unit, unit_class, value_base):
+    first "<Entity> <verb> <int> <unit>" match per sentence, the entity
+    lowercased onto the shared node key, the value normalized to the
+    unit class's integer base (mm / mg / ppm) so downstream comparisons
+    ("which entities weigh more than X") are exact-integer and
+    unit-free. Literal-valued facts are the KG's attribute channel
+    beside the entity-entity relation channels.
+
+    Scale shape: pure narrow map (one regexp scan + a bounded CASE on
+    the unit vocabulary); no aggregate, no join."""
+    cand = sentences.select(
+        "url", "sent_idx",
+        F.lower(F.regexp_extract("sent", MEAS_PAT, 1)).alias("ent"),
+        F.regexp_extract("sent", MEAS_PAT, 2).alias("verb"),
+        F.regexp_extract("sent", MEAS_PAT, 3).alias("raw"),
+        F.regexp_extract("sent", MEAS_PAT, 4).alias("unit"),
+    ).filter((F.length("ent") > 0) & (F.length("raw") > 0))
+    cls = F.lit(None).cast("string")
+    mul = F.lit(None).cast("long")
+    for u, (c, k) in MEAS_UNITS.items():
+        cls = F.when(F.col("unit") == u, F.lit(c)).otherwise(cls)
+        mul = F.when(F.col("unit") == u, F.lit(k).cast("long")).otherwise(mul)
+    return cand.select(
+        "url", "sent_idx", "ent", "verb",
+        F.col("raw").cast("long").alias("value_raw"),
+        "unit",
+        cls.alias("unit_class"),
+        (F.col("raw").cast("long") * mul).cast("long").alias("value_base"),
+    )
