@@ -2234,6 +2234,31 @@ def q_rel_retention(spark, sf_dir):
     return retention_cohorts(e, period_days=7)
 
 
+def q_rel_transitions(spark, sf_dir):
+    """Clickstream Markov transition matrix (ops/asof.py
+    event_transitions): per-user (prev -> next) event-type counts with
+    '_start'/'_end' sentinels and exact-integer conditional ppm — one
+    window pass on the user partitioning, then bounded-matrix
+    aggregates."""
+    from unsupervised_ner_spark.ops.asof import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_kg_bipartite(spark, sf_dir):
+    """Bipartiteness / odd-cycle accounting (er.bipartite_parity): BFS
+    parity 2-coloring from each component's canonical root over the
+    co-occurrence graph; per component the reached/open counts, the
+    odd-edge (equal-parity) count, and the conservative within-horizon
+    bipartite flag. Both flag branches fire at the gate scales
+    (measured): the word-salad graph carries triangle-bearing components
+    AND genuinely 2-colorable islands."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.bipartite_parity(er.cooccurrence_edges(typed), rounds=4)
+
+
 def q_kg_closure_delta(spark, sf_dir):
     """INCREMENTAL closure maintenance (taxonomy_closure_incremental):
     yesterday's closure (even doc_ids) + today's delta edges (odd
@@ -4236,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention": q_rel_retention,
         "txt_vocab_drift": q_txt_vocab_drift,
         "kg_matching": q_kg_matching,
+        "rel_transitions": q_rel_transitions,
+        "kg_bipartite": q_kg_bipartite,
         "txt_good_turing": q_txt_good_turing,
         "rel_bloom_semijoin": q_rel_bloom_semijoin,
         "kg_katz": q_kg_katz,
@@ -4502,6 +4529,8 @@ def oracle_sql() -> dict[str, str]:
             ratio_num=2, a_splice=DRIFT_A_SPLICE, b_splice=DRIFT_B_SPLICE,
         ),
         "kg_matching": O.kg_matching(rounds=2),
+        "rel_transitions": O.rel_transitions(),
+        "kg_bipartite": O.kg_bipartite(rounds=4),
         "kg_role_facts": O.kg_role_facts(
             ROLE_MOD, ROLE_PERSONS, ROLE_ROLES, ROLE_ORGS,
         ),

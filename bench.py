@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "kg_anf",
     "kg_mis",
     "kg_matching",
+    "kg_bipartite",
     "kg_coloring",
     "kg_topo_layers",
     "txt_c4_filters",
@@ -108,6 +109,7 @@ BENCH_QUERIES = [
     "rel_interval_join",
     "rel_funnel",
     "rel_retention",
+    "rel_transitions",
     "mm_phash",
     "mm_phash_pairs",
     "kg_closure_delta",

@@ -2091,6 +2091,30 @@ def main() -> None:
     checks.append(("matching: round state materialized (lineage cut)",
                    "ExistingRDD" in p202))
 
+    # 203. event transitions: one user-partitioned window + bounded
+    # matrix aggregates — no nested loop, no python eval
+    p203 = plan_of(entry.q_rel_transitions(spark, SF))
+    sections.append(("Clickstream transitions (rel_transitions)", p203))
+    checks.append(("transitions: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p203
+                   and "BroadcastNestedLoopJoin" not in p203))
+    checks.append(("transitions: map-side partial aggregation",
+                   "partial_" in p203))
+    checks.append(("transitions: no python eval",
+                   "BatchEvalPython" not in p203))
+
+    # 204. bipartite parity: star-loop CC + frontier BFS — equi-joins
+    # only, checkpointed round state
+    p204 = plan_of(entry.q_kg_bipartite(spark, SF))
+    sections.append(("Bipartite parity (kg_bipartite)", p204))
+    checks.append(("bipartite: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p204
+                   and "BroadcastNestedLoopJoin" not in p204))
+    checks.append(("bipartite: map-side partial aggregation",
+                   "partial_" in p204))
+    checks.append(("bipartite: round state materialized (lineage cut)",
+                   "ExistingRDD" in p204))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

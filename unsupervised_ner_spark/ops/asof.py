@@ -268,3 +268,51 @@ def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
         F.expr("CAST(n_users * 1000000 DIV cohort_size AS BIGINT)")
         .alias("retention_ppm"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Clickstream Markov transition table — the behavioral model next to
+    :func:`funnel_steps`' fixed path: per user, events ordered by
+    (event time, event_id), every event contributes the transition
+    (previous type -> its type) with a '_start' sentinel at the head,
+    and each user's last event contributes (type, '_end'). Output per
+    (from_type, to_type): the transition count, the from-state total,
+    and the exact-integer conditional probability
+    ``trans_ppm = n_trans * 1e6 DIV n_from``.
+
+    Scale shape: ONE window pass partitioned by user_id (the event
+    store's native sharding; a hot user is one partition — the same
+    posture as rel_window_sessions), then a map-side-combining aggregate
+    onto the bounded (type x type) matrix and a from_type-keyed
+    self-merge of that tiny table; nothing corpus-sized shuffles
+    twice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    seq = events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = seq.select(
+        F.coalesce("prev_type", F.lit("_start")).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).unionAll(
+        seq.filter(F.col("next_type").isNull()).select(
+            F.col("event_type").alias("from_type"),
+            F.lit("_end").alias("to_type"),
+        )
+    )
+    mat = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    tot = mat.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from")
+    )
+    return mat.join(tot, "from_type").select(
+        "from_type", "to_type", "n_trans", "n_from",
+        F.expr("CAST(n_trans * 1000000 DIV n_from AS BIGINT)")
+        .alias("trans_ppm"),
+    )

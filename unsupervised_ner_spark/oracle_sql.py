@@ -9812,3 +9812,110 @@ SELECT split_part(ekey, '|', 1) AS ent_a, split_part(ekey, '|', 2) AS type_a,
 FROM mallout
 """
     return _materialize(body, *mats[:-1])
+
+
+def rel_transitions() -> str:
+    """Clickstream-Markov twin (ops/asof.py event_transitions): per user
+    lag/lead over (epoch micros, event_id) — epoch order equals NTZ
+    wall-clock order whatever the session timezone, and only counts are
+    hashed — '_start' head sentinel + per-user '_end' tail row, bounded
+    (type x type) aggregate, from-state totals, exact integer ppm."""
+    return """
+WITH tseq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+ttr AS (
+    SELECT coalesce(prev_type, '_start') AS from_type,
+           event_type AS to_type
+    FROM tseq
+    UNION ALL
+    SELECT event_type, '_end' FROM tseq WHERE next_type IS NULL
+),
+tmat AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+    FROM ttr GROUP BY 1, 2
+),
+ttot AS (
+    SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+    FROM tmat GROUP BY 1
+)
+SELECT m.from_type, m.to_type, m.n_trans, t.n_from,
+       CAST(m.n_trans * 1000000 // t.n_from AS BIGINT) AS trans_ppm
+FROM tmat m JOIN ttot t USING (from_type)
+"""
+
+
+def kg_bipartite(model: str = "a100", rounds: int = 4) -> str:
+    """Bipartiteness twin (pipeline/er.py bipartite_parity): components
+    via the RECURSIVE min-reachable fixpoint (= the engine's star-loop
+    certificate, the kg_graph_components precedent), BFS min-distance
+    from each component's min-label root with ``rounds`` unrolled
+    relaxations (first-reach frontier and min-relaxation agree on BFS
+    distance), parity = dist % 2, odd edges = original undirected edges
+    with both endpoints reached at equal parity, per-component
+    accounting + the conservative within-horizon bipartite flag."""
+    inner = kg_cooccurrence(model)
+    body = f"""
+WITH RECURSIVE eg AS ({inner})
+, bek AS (
+    SELECT ent_a || '|' || type_a AS ka, ent_b || '|' || type_b AS kb FROM eg
+),
+bnds AS (SELECT ka AS k FROM bek UNION SELECT kb AS k FROM bek),
+bsym AS (
+    SELECT ka AS a, kb AS b FROM bek UNION ALL SELECT kb AS a, ka AS b FROM bek
+),
+breach AS (
+    SELECT k AS node, k AS lab FROM bnds
+    UNION
+    SELECT e.b AS node, r.lab FROM breach r JOIN bsym e ON e.a = r.node
+),
+bcomp AS (SELECT node, min(lab) AS component FROM breach GROUP BY node),
+bd0 AS (
+    SELECT DISTINCT component AS k, CAST(0 AS BIGINT) AS d FROM bcomp
+)"""
+    prev = "bd0"
+    mats = ["bek", "bcomp", "bd0"]
+    for i in range(1, int(rounds) + 1):
+        body += f""",
+bd{i} AS (
+    SELECT k, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT k, d FROM {prev}
+        UNION ALL
+        SELECT s.b AS k, x.d + 1 AS d
+        FROM bsym s JOIN {prev} x ON s.a = x.k
+    ) GROUP BY k
+)"""
+        mats.append(f"bd{i}")
+        prev = f"bd{i}"
+    body += f""",
+bpar AS (SELECT k, d % 2 AS par FROM {prev}),
+bodd AS (
+    SELECT c.component, CAST(count(*) AS BIGINT) AS n_odd_edges
+    FROM bek e
+    JOIN bpar pa ON pa.k = e.ka
+    JOIN bpar pb ON pb.k = e.kb
+    JOIN bcomp c ON c.node = e.ka
+    WHERE pa.par = pb.par
+    GROUP BY c.component
+),
+bre AS (
+    SELECT c.component,
+           CAST(count(*) AS BIGINT) AS comp_size,
+           CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reached
+    FROM bcomp c LEFT JOIN bpar p ON p.k = c.node
+    GROUP BY c.component
+)
+SELECT r.component, r.comp_size, r.n_reached,
+       CAST(r.comp_size - r.n_reached AS BIGINT) AS n_open,
+       CAST(coalesce(o.n_odd_edges, 0) AS BIGINT) AS n_odd_edges,
+       CAST(CASE WHEN r.comp_size = r.n_reached
+                  AND o.n_odd_edges IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS bipartite
+FROM bre r LEFT JOIN bodd o USING (component)
+"""
+    return _materialize(body, *mats)

@@ -4503,3 +4503,99 @@ def maximal_matching(edges: DataFrame, rounds: int = 2) -> DataFrame:
         part(2).alias("ent_b"), part(3).alias("type_b"),
         "status", "round",
     )
+
+
+def bipartite_parity(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Distributed bipartiteness test with odd-cycle accounting — the
+    2-coloring primitive: per connected component, BFS parity layers
+    from the component's canonical ROOT (its CC min-label member — one
+    deterministic seed per component, so parities never disagree across
+    seeds), then an edge whose endpoints are BOTH reached at EQUAL
+    parity certifies an odd cycle; a fully-reached component with zero
+    such edges is certified 2-colorable. In the entity co-occurrence
+    graph, bipartite islands are strictly-bridging discourse structures
+    (entities never co-mentioned with their own "side"); odd components
+    carry triangles.
+
+    Output per component: (component, comp_size, n_reached, n_open,
+    n_odd_edges, bipartite) — bipartite = 1 iff fully reached within
+    the ``rounds`` horizon AND zero odd edges (the conservative
+    fixed-round contract of the BFS family; the oracle unrolls
+    identically).
+
+    Scale shape: components come from the O(log n) star loop (shared,
+    property-tested); the BFS is the standard frontier expansion — per
+    round one edge-keyed equi-join against the frontier + one anti-join
+    against the reached set, state checkpointed; the odd-edge check is
+    two node-keyed equi-joins of the ORIGINAL (one-row-per-undirected-
+    edge) table against the parity table; every aggregate map-side
+    combines on component id."""
+    e = scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("a"),
+            F.concat_ws("|", "ent_b", "type_b").alias("b"),
+        ),
+        how="checkpoint",
+    )
+    nodes = (
+        e.select(F.col("a").alias("node_id"))
+        .unionAll(e.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    labels, _iters = connected_components_star(nodes, e.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b")
+    ))
+    labels = scoped_persist(labels, how="checkpoint")
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    dist = scoped_persist(
+        labels.filter(F.col("node_id") == F.col("component")).select(
+            F.col("node_id").alias("k"), F.lit(0).cast("long").alias("d")
+        )
+    )
+    for r in range(1, int(rounds) + 1):
+        frontier = dist.filter(F.col("d") == r - 1)
+        nxt = (
+            sym.join(frontier.withColumnRenamed("k", "src"), "src")
+            .select(F.col("dst").alias("k"))
+            .distinct()
+            .join(dist.select("k"), "k", "left_anti")
+            .select("k", F.lit(r).cast("long").alias("d"))
+        )
+        dist = scoped_persist(dist.unionAll(nxt), how="checkpoint")
+    par = dist.select("k", (F.col("d") % 2).alias("par"))
+    odd = (
+        e.join(par.select(F.col("k").alias("a"), F.col("par").alias("pa")),
+               "a")
+        .join(par.select(F.col("k").alias("b"), F.col("par").alias("pb")),
+              "b")
+        .filter(F.col("pa") == F.col("pb"))
+        .join(labels.select(F.col("node_id").alias("a"), "component"), "a")
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("n_odd_edges"))
+    )
+    reach = (
+        labels.join(par.withColumnRenamed("k", "node_id"), "node_id",
+                    "left")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("comp_size"),
+            F.sum(F.when(F.col("par").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_reached"),
+        )
+    )
+    return (
+        reach.join(odd, "component", "left")
+        .select(
+            "component", "comp_size", "n_reached",
+            (F.col("comp_size") - F.col("n_reached")).alias("n_open"),
+            F.coalesce("n_odd_edges", F.lit(0).cast("long"))
+            .alias("n_odd_edges"),
+            F.when(
+                (F.col("comp_size") == F.col("n_reached"))
+                & F.col("n_odd_edges").isNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("bipartite"),
+        )
+    )
