@@ -506,6 +506,28 @@ def q_kg_taxonomy_closure(spark, sf_dir):
     )
 
 
+def q_kg_lca(spark, sf_dir):
+    """Taxonomy lowest common ancestor (taxonomy.taxonomy_lca): per pair
+    of co-subsumed concepts the ancestor minimizing (max hops, sum hops,
+    key) over the capped is-a closure, with the shared adaptive
+    per-ancestor descendant cap (never binding at the gate scales —
+    measured; the cap branch is unit-tested). Coverage measured: both
+    the symmetric direct-parent case (hops 1,1) and the asymmetric
+    deep-chain case (hops 1,2 / 2,1) fire, with mid-level AND root
+    concepts appearing as winners."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        hearst_hypernyms,
+        taxonomy_closure,
+        taxonomy_lca,
+    )
+
+    return taxonomy_lca(
+        taxonomy_closure(
+            hearst_hypernyms(_hearst_sentences(spark, sf_dir)), max_hops=8
+        )
+    )
+
+
 def q_kg_transitive_reduction(spark, sf_dir):
     """Transitive-reduction flags over the collapsed Hearst edges: an edge
     is redundant when the capped closure contains a 2-segment witness
@@ -4263,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_matching": q_kg_matching,
         "rel_transitions": q_rel_transitions,
         "kg_bipartite": q_kg_bipartite,
+        "kg_lca": q_kg_lca,
         "txt_good_turing": q_txt_good_turing,
         "rel_bloom_semijoin": q_rel_bloom_semijoin,
         "kg_katz": q_kg_katz,
@@ -4531,6 +4554,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_matching": O.kg_matching(rounds=2),
         "rel_transitions": O.rel_transitions(),
         "kg_bipartite": O.kg_bipartite(rounds=4),
+        "kg_lca": O.kg_lca(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
         "kg_role_facts": O.kg_role_facts(
             ROLE_MOD, ROLE_PERSONS, ROLE_ROLES, ROLE_ORGS,
         ),

@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "kg_butterflies",
     "kg_msf",
     "kg_taxonomy_depth",
+    "kg_lca",
     "txt_bm25",
     "dedup_ppjoin",
     "kg_condensation",

@@ -2115,6 +2115,18 @@ def main() -> None:
     checks.append(("bipartite: round state materialized (lineage cut)",
                    "ExistingRDD" in p204))
 
+    # 205. taxonomy LCA: ancestor-keyed equi-join pair product under the
+    # descendant cap + pair-keyed min aggregates — no window over pairs,
+    # scored table persisted once (feeds best/lca/hop-join)
+    p205 = plan_of(entry.q_kg_lca(spark, SF))
+    sections.append(("Taxonomy LCA (kg_lca)", p205))
+    checks.append(("lca: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p205
+                   and "BroadcastNestedLoopJoin" not in p205))
+    checks.append(("lca: map-side partial aggregation", "partial_" in p205))
+    checks.append(("lca: no window over the pair set", "Window" not in p205))
+    checks.append(("lca: no python eval", "BatchEvalPython" not in p205))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

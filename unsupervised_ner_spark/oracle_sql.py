@@ -9919,3 +9919,55 @@ SELECT r.component, r.comp_size, r.n_reached,
 FROM bre r LEFT JOIN bodd o USING (component)
 """
     return _materialize(body, *mats)
+
+
+def kg_lca(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+    max_hops: int = 8,
+) -> str:
+    """Taxonomy-LCA twin (pipeline/taxonomy.py taxonomy_lca): pairs
+    sharing a strict common ancestor within the capped closure, ancestor
+    argmin under (max(hops), sum(hops), key) via the exact packed score
+    + equal-score min(anc) tie-break + a join back for the winner's hop
+    columns. The per-ancestor descendant cap replays the engine's
+    adaptive rule clamp(icbrt_ceil(N_concepts), 50, 5000) from count(*)
+    (exact-integer cube root both sides)."""
+    cl = kg_taxonomy_closure(mod, hypo_terms, hyper_terms, hyper2_terms,
+                             max_hops)
+    return _materialize(
+        f"""
+WITH lcl AS ({cl}),
+lnt AS (
+    SELECT count(*) AS n, CAST(round(pow(count(*), 1.0/3), 0) AS BIGINT) AS c
+    FROM (SELECT hypo AS k FROM lcl UNION SELECT hyper FROM lcl)
+),
+lcap AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS mx FROM lnt),
+lkept AS (
+    SELECT hyper FROM lcl GROUP BY hyper
+    HAVING count(*) <= (SELECT mx FROM lcap)
+),
+la AS (SELECT c.hypo, c.hyper, c.hops FROM lcl c JOIN lkept USING (hyper)),
+lp AS (
+    SELECT x.hypo AS node_a, y.hypo AS node_b, x.hyper AS anc,
+           x.hops AS hops_a, y.hops AS hops_b,
+           CAST(GREATEST(x.hops, y.hops) * 1048576 + x.hops + y.hops
+                AS BIGINT) AS score
+    FROM la x JOIN la y ON x.hyper = y.hyper AND x.hypo < y.hypo
+),
+lb AS (
+    SELECT node_a, node_b, min(score) AS score FROM lp GROUP BY 1, 2
+),
+ll AS (
+    SELECT p.node_a, p.node_b, min(p.anc) AS lca
+    FROM lp p JOIN lb USING (node_a, node_b, score)
+    GROUP BY 1, 2
+)
+SELECT l.node_a, l.node_b, l.lca, q.hops_a, q.hops_b
+FROM ll l JOIN lp q
+  ON q.node_a = l.node_a AND q.node_b = l.node_b AND q.anc = l.lca
+""",
+        "lcl", "lp",
+    )

@@ -357,3 +357,82 @@ def acronym_pairs(sentences: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_sents"),
         F.countDistinct("url").cast("long").alias("n_docs"),
     )
+
+
+def taxonomy_lca(closure: DataFrame, max_desc: int | None = None) -> DataFrame:
+    """Lowest common ancestor per unordered pair of co-subsumed concepts
+    over the (capped) is-a closure — the ontology similarity primitive
+    (Wu-Palmer / Resnik similarity and type-generalization both start
+    from the LCA): for every pair (node_a < node_b) sharing at least one
+    STRICT common ancestor, the ancestor minimizing the deterministic
+    total order (max(hops_a, hops_b), hops_a + hops_b, ancestor key) —
+    the closest ancestor by worst-side distance, ties to the balanced
+    one, then lexicographic. Output: (node_a, node_b, lca, hops_a,
+    hops_b).
+
+    ``max_desc``: per-ancestor descendant cap, default the shared
+    adaptive rule clamp(icbrt_ceil(N_concepts), 50, 5000). Pairing
+    through an ancestor is quadratic in its descendant set and a
+    near-root subsumes EVERYTHING — the classic pairing trap the LSH
+    bucket cap exists for — so ancestors above the cap are excluded
+    from pairing: when a lower common ancestor exists it always beats a
+    capped general on the (max, sum) order anyway; pairs whose ONLY
+    common ancestors are capped generals drop (the df-capped-channel
+    precedent — the cap is part of the operator's semantics and the
+    oracle replays it from count(*)).
+
+    Scale shape: descendant counts are one map-side-combining aggregate
+    on the ancestor key; the pair product is an equi-join on the
+    ancestor restricted to capped ancestors (bounded fan-out by
+    construction); argmin is a (pair)-keyed min aggregate over an
+    exact-integer packed score (hops <= closure cap, so the pack never
+    overflows) + an equal-score min(anc) tie-break + one join back for
+    the winner's hop columns — no window over the pair set."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    if max_desc is None:
+        n_concepts = (
+            closure.select(F.col("hypo").alias("k"))
+            .unionAll(closure.select(F.col("hyper").alias("k")))
+            .distinct()
+            .count()
+        )
+        max_desc = min(max(icbrt_ceil(n_concepts), 50), 5000)
+    kept = (
+        closure.groupBy("hyper")
+        .agg(F.count("*").alias("n_desc"))
+        .filter(F.col("n_desc") <= int(max_desc))
+        .select("hyper")
+    )
+    a = closure.join(kept, "hyper").select("hypo", "hyper", "hops")
+    x = a.select(
+        F.col("hypo").alias("node_a"), F.col("hyper").alias("anc"),
+        F.col("hops").alias("hops_a"),
+    )
+    y = a.select(
+        F.col("hypo").alias("node_b"), F.col("hyper").alias("anc"),
+        F.col("hops").alias("hops_b"),
+    )
+    pairs = x.join(y, "anc").filter(F.col("node_a") < F.col("node_b"))
+    scored = pairs.select(
+        "node_a", "node_b", "anc", "hops_a", "hops_b",
+        (
+            F.greatest("hops_a", "hops_b") * F.lit(1_048_576)
+            + F.col("hops_a") + F.col("hops_b")
+        ).cast("long").alias("score"),
+    )
+    scored = scoped_persist(scored)
+    best = scored.groupBy("node_a", "node_b").agg(
+        F.min("score").alias("score")
+    )
+    lca = (
+        scored.join(best, ["node_a", "node_b", "score"])
+        .groupBy("node_a", "node_b")
+        .agg(F.min("anc").alias("lca"))
+    )
+    return lca.join(
+        scored.select("node_a", "node_b",
+                      F.col("anc").alias("lca"), "hops_a", "hops_b"),
+        ["node_a", "node_b", "lca"],
+    ).select("node_a", "node_b", "lca", "hops_a", "hops_b")
