@@ -390,6 +390,8 @@ def main() -> None:
     # reps are already streamed per-query to stderr above, and the full
     # detail is persisted to a side file next to this script.
     detail = {
+        "medians": times,
+        "total_all_queries": total,
         "reps": reps_all,
         "bench_reps": BENCH_REPS,
         "passes_completed": len(pass_costs),
@@ -400,20 +402,35 @@ def main() -> None:
         "synth_pages": SYNTH_PAGES,
     }
     (REPO / "bench_reps_detail.json").write_text(json.dumps(detail, indent=1))
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "bench_reps": BENCH_REPS,
-                "passes": len(pass_costs),
-                "sf": sf,
-                "synth_docs_per_sec": round(SYNTH_PAGES / kg_secs, 1),
-            }
-        )
-    )
+    # The driver's artifact of record keeps only the TAIL (~2 KB) of
+    # stdout — r4's line died of exactly this (VERDICT r04 item 1), and
+    # at 260 gated queries a full per-query dict is ~6.5 KB, so the
+    # printed line carries the headline (value = sum of ALL medians) plus
+    # the HEAVIEST queries only, sized to stay safely under the window;
+    # the complete medians + raw reps live in bench_reps_detail.json
+    # (committed) and are streamed per-query to stderr above.
+    top = dict(sorted(times.items(), key=lambda kv: (-kv[1], kv[0])))
+    head = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(times),
+        "bench_reps": BENCH_REPS,
+        "passes": len(pass_costs),
+        "sf": sf,
+        "synth_docs_per_sec": round(SYNTH_PAGES / kg_secs, 1),
+        "full_detail": "bench_reps_detail.json",
+    }
+    budget_bytes = 1800 - len(json.dumps(head, separators=(",", ":")))
+    for k, v in top.items():
+        frag = len(json.dumps({k: v}, separators=(",", ":"))) + 1
+        if budget_bytes - frag < 0:
+            break
+        head["queries"][k] = v
+        budget_bytes -= frag
+    head["queries_omitted"] = len(times) - len(head["queries"])
+    print(json.dumps(head, separators=(",", ":")))
     spark.stop()
 
 
