@@ -469,6 +469,81 @@ def _hearst_sentences(spark, sf_dir):
     )
 
 
+RUNS_MOD = 37
+RUNS_HALF_RES = 1
+RUNS_VARIANTS = 7
+RUNS_HALF_TOKS = 8
+RUNS_BLOCKS = [
+    " ".join(f"seg{v}tok{i}" for i in range(13)) for v in range(RUNS_VARIANTS)
+]
+
+
+def _runs_docs(spark, sf_dir):
+    """Documents with the deterministic duplicate-passage splice: the
+    word-salad corpus has no long repeated passages, so every
+    RUNS_MOD-th doc gets a 13-token variant block (variant = doc_id %
+    RUNS_VARIANTS; 37 coprime with 7, so all variants recur) and docs on
+    residue RUNS_HALF_RES get the block's first RUNS_HALF_TOKS tokens —
+    full-full pairs share 13-token runs, full-half pairs 8-token runs,
+    exercising maximal coalescing at two lengths. The oracle replays the
+    splice byte-identically from the same RUNS_BLOCKS constants."""
+    docs = _t(spark, sf_dir, "documents")
+    vid = (F.col("doc_id") % RUNS_VARIANTS + 1).cast("int")
+    full = F.element_at(F.array(*[F.lit(b) for b in RUNS_BLOCKS]), vid)
+    half = F.element_at(
+        F.array(
+            *[F.lit(" ".join(b.split()[:RUNS_HALF_TOKS])) for b in RUNS_BLOCKS]
+        ),
+        vid,
+    )
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % RUNS_MOD == 0, F.concat("text", F.lit("\n"), full)
+        )
+        .when(
+            F.col("doc_id") % RUNS_MOD == RUNS_HALF_RES,
+            F.concat("text", F.lit("\n"), half),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def q_dedup_substring_runs(spark, sf_dir):
+    """Exact-substring duplicate runs (Lee et al. 2022 shape): maximal
+    shared token runs between doc pairs via k-gram anchors + diagonal
+    gaps-and-islands coalescing, over the run-spliced documents."""
+    from unsupervised_ner_spark.ops.dedup import shared_substring_runs
+
+    return shared_substring_runs(_runs_docs(spark, sf_dir))
+
+
+def q_dedup_apply_cuts(spark, sf_dir):
+    """Exact-substring dedup APPLY step (dedup.apply_substring_cuts):
+    doc_b-side cut intervals merged per doc, covered token positions
+    dropped, kept-text md5 + accounting — the corpus rewrite."""
+    from unsupervised_ner_spark.ops.dedup import apply_substring_cuts
+
+    return apply_substring_cuts(_runs_docs(spark, sf_dir))
+
+
+def q_txt_readability(spark, sf_dir):
+    """Flesch-Kincaid readability sufficient statistics + integer-division
+    FK grade x100 (textstats.readability) — the curation signal the
+    length/punct quality gates do not carry."""
+    return textstats.readability(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_type_inference(spark, sf_dir):
+    """Distant-supervision type inference for never-typed surfaces
+    (er.type_inference): OTHER-only mentions receive the majority type of
+    the typed entities they share sentences with — the KG-completion step
+    over the production tagging pass."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.type_inference(_typed_production(spark, sf_dir))
+
+
 def q_kg_hearst_hypernyms(spark, sf_dir):
     """Hearst-pattern taxonomy induction (is-a / such-as hypernym edges)
     over the spliced sentence table — the gate proves real pattern
@@ -2136,6 +2211,68 @@ def q_rel_quantiles(spark, sf_dir):
         F.max("n").cast("long").alias("n"),
         at(25).alias("q25"), at(50).alias("q50"), at(75).alias("q75"),
     )
+
+
+def q_rel_outliers(spark, sf_dir):
+    """Robust MAD-based anomaly summary per event type — the data-quality
+    op next to rel_quantiles: exact discrete median of integer cents
+    (rank-at-ceil(n/2), no interpolation), exact discrete median of
+    absolute deviations (MAD), and the count of |x - med| > 5 * MAD
+    outliers; all-integer, both medians via the same rank device the
+    oracle replays. Two group-partitioned windows over the event store's
+    native user/type sharding + one aggregate — no sketch, no float in
+    the hashed surface (value -> cents via round(value*100), the
+    half-way-free 2-decimal device)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = F.floor((F.col("n") * 50 + 99) / 100)
+
+    def med_of(df, col):
+        w = Window.partitionBy("event_type").orderBy(col)
+        r = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        return r.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == mid, F.col(col))).cast("long")
+            .alias(f"med_{col}")
+        )
+
+    med = med_of(ev, "cents")
+    dev = ev.join(med, "event_type").select(
+        "event_type", "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+        "med_cents",
+    )
+    mad = med_of(dev.select("event_type", "adev"), "adev")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("med_cents").cast("long").alias("med_cents"),
+            F.max("med_adev").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 5 * F.col("med_adev"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max("adev").cast("long").alias("max_dev"),
+        )
+    )
+
+
+def q_kg_graph_stats(spark, sf_dir):
+    """One-row graph health dashboard (er.graph_stats): node/edge counts,
+    density_ppm, max degree, and the exact-integer degree Gini — the
+    skew signal that decides whether hub salting is needed."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.graph_stats(er.cooccurrence_edges(typed))
 
 
 def q_kg_taxonomy_rollup(spark, sf_dir):
@@ -4368,6 +4505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_sent_dedup": q_txt_sent_dedup,
         "txt_word_pmi": q_txt_word_pmi,
         "dedup_shared_ngrams": q_dedup_shared_ngrams,
+        "dedup_substring_runs": q_dedup_substring_runs,
+        "dedup_apply_cuts": q_dedup_apply_cuts,
+        "txt_readability": q_txt_readability,
+        "kg_type_inference": q_kg_type_inference,
+        "rel_outliers": q_rel_outliers,
+        "kg_graph_stats": q_kg_graph_stats,
         "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
@@ -4666,6 +4809,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_shared_ngrams": O.dedup_shared_ngrams(
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
+        "dedup_substring_runs": O.dedup_substring_runs(
+            RUNS_MOD, RUNS_HALF_RES, RUNS_BLOCKS, RUNS_HALF_TOKS
+        ),
+        "dedup_apply_cuts": O.dedup_apply_cuts(
+            RUNS_MOD, RUNS_HALF_RES, RUNS_BLOCKS, RUNS_HALF_TOKS
+        ),
+        "txt_readability": O.txt_readability(),
+        "kg_type_inference": O.kg_type_inference(),
+        "rel_outliers": O.rel_outliers(),
+        "kg_graph_stats": O.kg_graph_stats(),
         "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),

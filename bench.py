@@ -288,6 +288,12 @@ BENCH_QUERIES = [
     "rel_zone_map",
     "kg_doc_cooccurrence",
     "txt_vocab_coverage",
+    "dedup_substring_runs",
+    "dedup_apply_cuts",
+    "txt_readability",
+    "kg_type_inference",
+    "rel_outliers",
+    "kg_graph_stats",
     "er_anchor_aliases",
 ]
 

@@ -2127,6 +2127,79 @@ def main() -> None:
     checks.append(("lca: no window over the pair set", "Window" not in p205))
     checks.append(("lca: no python eval", "BatchEvalPython" not in p205))
 
+    # 206. exact-substring runs: fingerprint-keyed anchor equi-join (no
+    # cartesian), pair-diagonal-local window, map-side partial aggs
+    p206 = plan_of(entry.q_dedup_substring_runs(spark, SF))
+    sections.append(("Exact-substring runs (dedup_substring_runs)", p206))
+    checks.append(("substring runs: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p206
+                   and "BroadcastNestedLoopJoin" not in p206))
+    checks.append(("substring runs: map-side partial aggregation",
+                   "partial_" in p206))
+    checks.append(("substring runs: island window is pair-diagonal-local",
+                   "windowspecdefinition(doc_a" in p206))
+    checks.append(("substring runs: no python eval",
+                   "BatchEvalPython" not in p206))
+
+    # 207. type inference: entity-keyed LeftAnti + sentence-local vote
+    # equi-join + cascaded bounded aggregates — no window, no python
+    p207 = plan_of(entry.q_kg_type_inference(spark, SF))
+    sections.append(("Distant-supervision type inference (kg_type_inference)", p207))
+    checks.append(("type inference: never-typed filter is LeftAnti",
+                   "LeftAnti" in p207))
+    checks.append(("type inference: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p207
+                   and "BroadcastNestedLoopJoin" not in p207))
+    checks.append(("type inference: map-side partial aggregation",
+                   "partial_" in p207))
+    checks.append(("type inference: no window", "Window" not in p207))
+
+    # 208. cut application: bounded cuts table, doc-local interval-merge
+    # window, doc-keyed joins, narrow array reconstruction — no python
+    p208 = plan_of(entry.q_dedup_apply_cuts(spark, SF))
+    sections.append(("Substring cut application (dedup_apply_cuts)", p208))
+    checks.append(("apply cuts: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p208
+                   and "BroadcastNestedLoopJoin" not in p208))
+    checks.append(("apply cuts: map-side partial aggregation",
+                   "partial_" in p208))
+    checks.append(("apply cuts: no python eval",
+                   "BatchEvalPython" not in p208))
+
+    # 209. readability: one narrow map — no exchange, no join, no python
+    p209 = plan_of(entry.q_txt_readability(spark, SF))
+    sections.append(("FK readability (txt_readability)", p209))
+    checks.append(("readability: zero shuffle", "Exchange" not in p209))
+    checks.append(("readability: no python eval",
+                   "BatchEvalPython" not in p209))
+    checks.append(("readability: column-pruned scan (doc_id, text only)",
+                   "ReadSchema: struct<doc_id:bigint,text:string>" in p209))
+
+    # 210. MAD outliers: two group-partitioned windows + bounded joins,
+    # no python, no nested loop
+    p210 = plan_of(entry.q_rel_outliers(spark, SF))
+    sections.append(("MAD outlier summary (rel_outliers)", p210))
+    checks.append(("outliers: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p210
+                   and "BroadcastNestedLoopJoin" not in p210))
+    checks.append(("outliers: group-partitioned windows (never global)",
+                   "windowspecdefinition(event_type" in p210
+                   and "windowspecdefinition()" not in p210))
+    checks.append(("outliers: no python eval",
+                   "BatchEvalPython" not in p210))
+
+    # 211. graph stats: bounded degree aggregate + single-row output —
+    # the only window runs over the BOUNDED degree table
+    p211 = plan_of(entry.q_kg_graph_stats(spark, SF))
+    sections.append(("Graph health dashboard (kg_graph_stats)", p211))
+    checks.append(("graph stats: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p211
+                   and "BroadcastNestedLoopJoin" not in p211))
+    checks.append(("graph stats: map-side partial aggregation",
+                   "partial_" in p211))
+    checks.append(("graph stats: no python eval",
+                   "BatchEvalPython" not in p211))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

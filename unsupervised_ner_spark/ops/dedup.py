@@ -1076,3 +1076,173 @@ def ppjoin_pairs(
         )
     )
     return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def shared_substring_runs(
+    documents: DataFrame, k: int = 4, min_len: int = 6, max_occ: int = 1024
+) -> DataFrame:
+    """Exact-substring duplicate RUNS (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", the suffix-array
+    exact-substring method re-expressed relationally): maximal shared
+    token runs of length >= ``min_len`` between distinct document pairs,
+    found by anchoring k-token window fingerprints across documents and
+    coalescing consecutive anchors on the same alignment diagonal
+    (pos_a - pos_b) into maximal intervals — the gaps-and-islands device.
+    Where ``shared_ngram_spans`` indexes individual recurring windows,
+    this returns the MAXIMAL repeated passage with both endpoints, i.e.
+    the actual cut list a span-level dedup pass applies.
+
+    Output: (doc_a, doc_b, pos_a, pos_b, run_len) — one row per maximal
+    shared run (1-based token positions), all integers.
+
+    Scale shape: windows are generated expression-side (narrow, never
+    shuffled); eligibility is ONE fingerprint aggregate whose df-cap
+    (``max_occ``) bounds the anchor self-join at max_occ^2 rows per
+    fingerprint — the Zipf-head boilerplate control (at open-web scale
+    boilerplate is additionally stripped upstream; the cap is a disclosed
+    parameter the oracle replays, not a silent truncation). The anchor
+    join is fingerprint-keyed (bucketed by content, AQE-splittable) and
+    the island window partitions on (doc_a, doc_b, diagonal) — pair-local
+    state, never corpus-wide. At production scale the pair side is fed
+    from LSH candidate clusters (dedup_clusters) rather than the
+    exhaustive corpus; the operator itself is unchanged."""
+    arr = tokens_ws(F.col("text"))
+    n = F.size("arr")
+    wins = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i, F.lit(k)))).alias("fp"),
+            i.alias("pos"),
+        ),
+    )
+    keyed = (
+        documents.select(F.col("doc_id"), arr.alias("arr"))
+        .filter(n >= k)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select(
+            F.col("w.fp").alias("win_fp"), "doc_id",
+            F.col("w.pos").cast("long").alias("pos"),
+        )
+    )
+    eligible = (
+        keyed.groupBy("win_fp")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("n_occ") <= max_occ))
+        .select("win_fp")
+    )
+    aw = keyed.join(eligible, "win_fp")
+    a = aw.select(
+        "win_fp", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = aw.select(
+        "win_fp", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    anchors = (
+        a.join(b, "win_fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        anchors.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("pos_a"),
+            F.min("pos_b").cast("long").alias("pos_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).cast("long").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "run_len")
+    )
+    return runs
+
+
+def apply_substring_cuts(
+    documents: DataFrame,
+    k: int = 4,
+    min_len: int = 6,
+    max_occ: int = 1024,
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022 §3: cut
+    every later copy, keep the first): for each doc that appears as the
+    KEPT-LATER side (doc_b — doc ids order pairs, so b is the younger
+    copy) of a shared run, merge its cut intervals (overlapping runs
+    against different partners coalesce — the interval-merge
+    gaps-and-islands: new island when start exceeds the running max end),
+    drop the covered token positions, and emit the dedup accounting plus
+    the md5 of the kept text — the corpus rewrite a span-level dedup pass
+    actually ships.
+
+    Output (affected docs only): (doc_id, n_tokens, n_cut_tokens,
+    n_tokens_after, kept_md5).
+
+    Scale shape: the runs/cuts table is bounded by detected duplication,
+    not corpus size; interval merge is a doc-local window over that
+    bounded table; the interval list joins back doc-keyed and the
+    reconstruction is one narrow higher-order-array map per affected doc
+    (positions NOT in any merged interval -> tokens -> one md5). A doc
+    duplicated against millions of partners contributes max_occ-capped
+    runs and ONE interval list row."""
+    from pyspark.sql import Window
+
+    runs = shared_substring_runs(documents, k=k, min_len=min_len, max_occ=max_occ)
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("cstart"),
+        (F.col("pos_b") + F.col("run_len") - 1).alias("cend"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("cstart", "cend")
+    prev_max = F.max("cend").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cuts.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("cstart") > prev_max), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("cstart").alias("s"), F.max("cend").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_cut_tokens"),
+    )
+    arr = tokens_ws(F.col("text"))
+    toks = documents.select(F.col("doc_id"), arr.alias("arr"))
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda p: ~F.exists(
+            F.col("ivs"), lambda iv: (p >= iv["s"]) & (p <= iv["e"])
+        ),
+    )
+    return (
+        toks.join(ivs, "doc_id")
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_tokens"),
+            "n_cut_tokens",
+            (F.size("arr") - F.col("n_cut_tokens")).cast("long")
+            .alias("n_tokens_after"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        kept_pos, lambda p: F.element_at(F.col("arr"), p)
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )

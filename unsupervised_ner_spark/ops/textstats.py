@@ -1666,3 +1666,49 @@ def vocab_drift(documents: DataFrame, ratio_num: int = 2) -> DataFrame:
     return per.crossJoin(F.broadcast(tot)).select(
         "tok", "n_a", "n_b", "total_a", "total_b", cls.alias("drift"),
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch-Kincaid readability as exact-integer sufficient statistics —
+    the curation signal C4/Gopher-style filters do not carry (a doc can
+    pass every length/punct gate and still be unreadable tag soup or
+    graduate-level prose; pretraining mixes are balanced on this).
+
+    Per doc: word count, sentence count (terminal-punctuation tokens,
+    clamped >= 1 so the formula is total), syllable count (vowel-group
+    heuristic per word, clamped >= 1 — the standard approximation), and
+    the FK grade scaled x100 computed with INTEGER division only
+    (fk_x100 = 3900*w // s + 118000*syl // w - 1559), so the hashed
+    surface carries no float. The vowel-group count is
+    len(split(lower(tok), '[aeiouy]+')) - 1 with trailing-empty-keeping
+    split semantics on BOTH engines (Spark split limit -1, DuckDB
+    regexp_split_to_array — verified identical on boundary tokens).
+
+    Scale shape: one narrow map over the corpus (all higher-order array
+    expressions, JVM-side), no shuffle at all."""
+    arr = tokens_ws(F.col("text"))
+    syl = lambda t: F.greatest(  # noqa: E731
+        F.lit(1), F.size(F.split(F.lower(t), "[aeiouy]+", -1)) - 1
+    )
+    per = (
+        documents.select(F.col("doc_id"), arr.alias("arr"))
+        .filter(F.size("arr") > 0)
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_words"),
+            F.greatest(
+                F.lit(1),
+                F.size(F.filter(F.col("arr"), lambda t: t.rlike("[.!?]$"))),
+            ).cast("long").alias("n_sents"),
+            F.aggregate(
+                F.transform(F.col("arr"), syl), F.lit(0), lambda a, x: a + x
+            ).cast("long").alias("n_syllables"),
+        )
+    )
+    return per.withColumn(
+        "fk_x100",
+        F.expr(
+            "CAST(3900 * n_words div n_sents"
+            " + 118000 * n_syllables div n_words - 1559 AS BIGINT)"
+        ),
+    )

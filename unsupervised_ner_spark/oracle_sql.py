@@ -9971,3 +9971,330 @@ FROM ll l JOIN lp q
 """,
         "lcl", "lp",
     )
+
+
+def kg_type_inference(model: str = "a100") -> str:
+    """Type-inference twin (pipeline/er.py type_inference): distinct
+    per-sentence OTHER / typed entity events, never-typed anti filter,
+    sentence-local vote join, (votes DESC, type ASC) argmax."""
+    return _materialize(
+        _kg_prefix(model)
+        + f"""
+, ev AS (
+    SELECT DISTINCT url, sent_idx, {_NORM_SURF} AS ent, pred_group AS etype
+    FROM typed
+),
+ev2 AS (SELECT * FROM ev WHERE length(ent) > 0),
+unt AS (SELECT DISTINCT url, sent_idx, ent FROM ev2 WHERE etype = 'OTHER'),
+typ AS (SELECT url, sent_idx, ent, etype FROM ev2 WHERE etype <> 'OTHER'),
+nev AS (
+    SELECT DISTINCT u.ent FROM unt u
+    ANTI JOIN (SELECT DISTINCT ent FROM typ) t USING (ent)
+),
+votes AS (
+    SELECT u.ent, t.etype, CAST(count(*) AS BIGINT) AS n
+    FROM unt u
+    JOIN nev USING (ent)
+    JOIN typ t ON u.url = t.url AND u.sent_idx = t.sent_idx AND t.ent <> u.ent
+    GROUP BY u.ent, t.etype
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY ent ORDER BY n DESC, etype ASC) AS rnk,
+           CAST(sum(n) OVER (PARTITION BY ent) AS BIGINT) AS tot,
+           CAST(count(*) OVER (PARTITION BY ent) AS BIGINT) AS ntypes
+    FROM votes
+)
+SELECT ent, etype AS inferred_type, n AS top_votes,
+       tot AS n_votes, ntypes AS n_types_voted
+FROM r WHERE rnk = 1
+""",
+        "ev2", "unt", "typ",
+    )
+
+
+def _substring_runs_ctes(
+    mod: int,
+    half_res: int,
+    blocks: list[str],
+    half_toks: int,
+    k: int,
+    min_len: int,
+    max_occ: int,
+) -> str:
+    """Shared CTE chain for the exact-substring family
+    (ops/dedup.shared_substring_runs twin), ending in ``runs``: the
+    run-spliced docs2 corpus, k-token window md5 anchors, df-capped
+    eligibility, cross-doc anchor join, diagonal gaps-and-islands
+    coalescing into maximal shared runs. The deterministic doc_id-derived
+    splice (full block every ``mod``-th doc, the block's first
+    ``half_toks`` tokens on residue ``half_res``) is replayed
+    byte-identically from the same Python constants the engine uses."""
+    n = len(blocks)
+    halves = [" ".join(b.split()[:half_toks]) for b in blocks]
+
+    def case_of(terms: list[str]) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN '{t}'" for i, t in enumerate(terms)
+        )
+        return f"(CASE CAST(doc_id % {n} AS INT) {whens} END)"
+
+    return f"""docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = 0
+                THEN text || chr(10) || {case_of(blocks)}
+                WHEN doc_id % {mod} = {half_res}
+                THEN text || chr(10) || {case_of(halves)}
+                ELSE text END AS text
+    FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS} AS arr FROM docs2),
+wins AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(arr, CAST(i AS INT), CAST(i AS INT) + {k} - 1), ' ')) AS win_fp,
+           CAST(i AS BIGINT) AS pos
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {k} + 1)) AS i
+          FROM toks WHERE len(arr) >= {k})
+),
+elig AS (
+    SELECT win_fp FROM wins GROUP BY win_fp
+    HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {max_occ}
+),
+aw AS (SELECT w.* FROM wins w JOIN elig USING (win_fp)),
+anch AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+    FROM aw a JOIN aw b ON a.win_fp = b.win_fp AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT *,
+           pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+           ) AS grp
+    FROM anch
+),
+runs AS (
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS pos_a,
+           CAST(min(pos_b) AS BIGINT) AS pos_b,
+           CAST(max(pos_a) - min(pos_a) + {k} AS BIGINT) AS run_len
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING max(pos_a) - min(pos_a) + {k} >= {min_len}
+)"""
+
+
+def dedup_substring_runs(
+    mod: int,
+    half_res: int,
+    blocks: list[str],
+    half_toks: int,
+    k: int = 4,
+    min_len: int = 6,
+    max_occ: int = 1024,
+) -> str:
+    """Exact-substring run twin — see _substring_runs_ctes."""
+    return _materialize(
+        "WITH "
+        + _substring_runs_ctes(mod, half_res, blocks, half_toks, k, min_len, max_occ)
+        + "\nSELECT * FROM runs",
+        "wins", "aw",
+    )
+
+
+def dedup_apply_cuts(
+    mod: int,
+    half_res: int,
+    blocks: list[str],
+    half_toks: int,
+    k: int = 4,
+    min_len: int = 6,
+    max_occ: int = 1024,
+) -> str:
+    """Cut-application twin (ops/dedup.apply_substring_cuts): doc_b-side
+    cut intervals from the shared runs, distinct, interval-merged by the
+    running-max-end gaps-and-islands, then per affected doc the dedup
+    accounting plus the md5 of the kept (uncut-position) tokens joined by
+    single spaces."""
+    return _materialize(
+        "WITH "
+        + _substring_runs_ctes(mod, half_res, blocks, half_toks, k, min_len, max_occ)
+        + f"""
+, cuts AS (
+    SELECT DISTINCT doc_b AS doc_id, pos_b AS cstart,
+           pos_b + run_len - 1 AS cend
+    FROM runs
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN max(cend) OVER (
+                    PARTITION BY doc_id ORDER BY cstart, cend
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR cstart > max(cend) OVER (
+                    PARTITION BY doc_id ORDER BY cstart, cend
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+                THEN 1 ELSE 0 END AS new_island
+    FROM cuts
+),
+grouped AS (
+    SELECT *,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY cstart, cend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS grp
+    FROM flagged
+),
+merged AS (
+    SELECT doc_id, min(cstart) AS s, max(cend) AS e
+    FROM grouped GROUP BY doc_id, grp
+),
+stats AS (
+    SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cut_tokens
+    FROM merged GROUP BY doc_id
+),
+atoks AS (
+    SELECT t.doc_id, t.arr FROM toks t JOIN stats s ON s.doc_id = t.doc_id
+),
+pos AS (
+    SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS p FROM atoks
+),
+kept AS (
+    SELECT doc_id, p, arr[CAST(p AS INT)] AS tok
+    FROM pos
+    WHERE NOT EXISTS (
+        SELECT 1 FROM merged m
+        WHERE m.doc_id = pos.doc_id AND pos.p BETWEEN m.s AND m.e
+    )
+)
+, keptagg AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+    FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(len(a.arr) AS BIGINT) AS n_tokens,
+       s.n_cut_tokens,
+       CAST(len(a.arr) - s.n_cut_tokens AS BIGINT) AS n_tokens_after,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM atoks a
+JOIN stats s ON s.doc_id = a.doc_id
+LEFT JOIN keptagg k ON k.doc_id = a.doc_id
+""",
+        "wins", "aw", "toks", "runs", "merged",
+    )
+
+
+def txt_readability() -> str:
+    """Readability twin (ops/textstats.readability): whitespace tokens,
+    terminal-punctuation sentence count (clamped >= 1), vowel-group
+    syllables (clamped >= 1 per word, trailing-empty-keeping split on
+    both engines), FK grade x100 by integer division only."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+per AS (
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_words,
+           CAST(greatest(1, len(list_filter(arr,
+                t -> regexp_matches(t, '[.!?]$')))) AS BIGINT) AS n_sents,
+           CAST(list_sum(list_transform(arr,
+                t -> greatest(1, len(regexp_split_to_array(lower(t),
+                     '[aeiouy]+')) - 1))) AS BIGINT) AS n_syllables
+    FROM toks WHERE len(arr) > 0
+)
+SELECT doc_id, n_words, n_sents, n_syllables,
+       CAST(3900 * n_words // n_sents
+            + 118000 * n_syllables // n_words - 1559 AS BIGINT) AS fk_x100
+FROM per
+"""
+
+
+def kg_graph_stats(model: str = "a100", scale: int = 1_000_000) -> str:
+    """Graph-dashboard twin (pipeline/er.py graph_stats): symmetrized
+    degree aggregate, (deg ASC, node ASC) rank window over the bounded
+    degree table, one-row exact-integer density + Gini summary."""
+    return _materialize(
+        f"""
+WITH edges AS ({kg_cooccurrence(model)}),
+sym AS (
+    SELECT ent_a || '|' || type_a AS src FROM edges
+    UNION ALL
+    SELECT ent_b || '|' || type_b AS src FROM edges
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+ranked AS (
+    SELECT deg, src,
+           CAST(row_number() OVER (ORDER BY deg ASC, src ASC) AS BIGINT) AS i
+    FROM deg
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg) AS BIGINT) AS sum_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           CAST(sum(i * deg) AS BIGINT) AS rank_dot
+    FROM ranked
+)
+SELECT n_nodes,
+       CAST(sum_deg // 2 AS BIGINT) AS n_edges,
+       sum_deg, max_deg,
+       CASE WHEN n_nodes > 1
+            THEN CAST({scale} * sum_deg // (n_nodes * (n_nodes - 1)) AS BIGINT)
+            ELSE 0 END AS density_ppm,
+       CASE WHEN n_nodes > 0 AND sum_deg > 0
+            THEN CAST((2 * rank_dot - (n_nodes + 1) * sum_deg) * {scale}
+                      // (n_nodes * sum_deg) AS BIGINT)
+            ELSE 0 END AS gini_ppm
+FROM agg
+""",
+        "edges",
+    )
+
+
+def rel_outliers() -> str:
+    """MAD-outlier twin (q_rel_outliers): integer cents, exact discrete
+    median + MAD via the rank-at-ceil(n/2) device, |x-med| > 5*MAD count."""
+    return _materialize(
+        """
+WITH ev AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r1 AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+),
+med AS (
+    SELECT event_type,
+           CAST(max(CASE WHEN rn = floor((n * 50 + 99) / 100)
+                    THEN cents END) AS BIGINT) AS med_cents
+    FROM r1 GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.cents,
+           abs(e.cents - m.med_cents) AS adev, m.med_cents
+    FROM ev e JOIN med m USING (event_type)
+),
+r2 AS (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type,
+           CAST(max(CASE WHEN rn = floor((n * 50 + 99) / 100)
+                    THEN adev END) AS BIGINT) AS med_adev
+    FROM r2 GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med_cents) AS BIGINT) AS med_cents,
+       CAST(max(m.med_adev) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.adev > 5 * m.med_adev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(max(d.adev) AS BIGINT) AS max_dev
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+        "ev", "dev",
+    )

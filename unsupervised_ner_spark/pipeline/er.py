@@ -4599,3 +4599,123 @@ def bipartite_parity(edges: DataFrame, rounds: int = 4) -> DataFrame:
             ).otherwise(F.lit(0)).cast("long").alias("bipartite"),
         )
     )
+
+
+def type_inference(typed_mentions: DataFrame) -> DataFrame:
+    """Distant-supervision type inference for NEVER-typed surfaces — the
+    KG-completion step that assigns a candidate type to mentions the
+    signature pass left as OTHER (reference parity: the reference emits
+    OTHER/untagged for out-of-signature descriptors,
+    batched_main_NER.py's untagged path; completing them from context is
+    the engine-new extension): a surface that only ever tags OTHER
+    corpus-wide receives the majority type of the TYPED entities it
+    shares sentences with (deterministic tie-break: votes DESC, type
+    ASC via the min-struct argmin — the entity_ambiguity device).
+
+    Output: (ent, inferred_type, top_votes, n_votes, n_types_voted) —
+    all integers/strings, hash-stable.
+
+    Scale shape: both event tables are DISTINCT per-sentence aggregates
+    (bounded by content, map-side combining); the "never typed anywhere"
+    filter is an entity-keyed ANTI join between two bounded entity sets;
+    the vote join is keyed on (url, sent_idx) — co-partitioned and
+    sentence-local, never corpus-quadratic (the cooccurrence_edges
+    posture); the vote aggregate and the per-entity argmin are two more
+    cascaded bounded aggregates. No window, no broadcast of anything
+    corpus-sized, no driver action."""
+    norm = norm_surface_col(F.col("surface"))
+    ev = typed_mentions.select(
+        "url", "sent_idx",
+        norm.alias("ent"), F.col("pred_group").alias("etype"),
+    ).filter(F.length("ent") > 0)
+    untyped = (
+        ev.filter(F.col("etype") == "OTHER")
+        .select("url", "sent_idx", "ent").distinct()
+    )
+    typed = (
+        ev.filter(F.col("etype") != "OTHER")
+        .select("url", "sent_idx", "ent", "etype").distinct()
+    )
+    never = untyped.select("ent").distinct().join(
+        typed.select("ent").distinct(), "ent", "left_anti"
+    )
+    votes = (
+        untyped.join(never, "ent")
+        .join(
+            typed.select(
+                "url", "sent_idx",
+                F.col("ent").alias("src_ent"), "etype",
+            ),
+            ["url", "sent_idx"],
+        )
+        .filter(F.col("src_ent") != F.col("ent"))
+        .groupBy("ent", "etype")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("etype").alias("etype")))
+    return (
+        votes.groupBy("ent")
+        .agg(
+            F.sum("n").cast("long").alias("n_votes"),
+            F.count("*").cast("long").alias("n_types_voted"),
+            top.alias("top"),
+        )
+        .select(
+            "ent",
+            F.col("top.etype").alias("inferred_type"),
+            (-F.col("top.neg_n")).cast("long").alias("top_votes"),
+            "n_votes", "n_types_voted",
+        )
+    )
+
+
+def graph_stats(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """One-row graph health dashboard over the co-occurrence edge table —
+    the summary a KG operator reads before trusting any downstream
+    analytics: node/edge counts, density, max degree, and the EXACT
+    integer Gini coefficient of the degree distribution (the skew signal
+    that says whether hub salting is needed at all). Gini uses the
+    sorted-rank identity G = (2*sum(i*d_i) - (n+1)*sum(d)) / (n*sum(d))
+    with ranks over (deg ASC, node ASC) — tie order cannot change the
+    sum because equal degrees commute — emitted as gini_ppm by integer
+    division only; density_ppm = scale * sum_deg div (n * (n-1)) (sum_deg
+    counts each edge twice, cancelling the 2 in n(n-1)/2).
+
+    Scale shape: symmetrize (narrow union) -> ONE node-keyed degree
+    aggregate (bounded by distinct entities) -> one rank window + one
+    global aggregate over that BOUNDED degree table (the bounded-
+    histogram window precedent — never over corpus rows) -> a single
+    output row. Zero-node/one-node guards keep ANSI division alive."""
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("src")
+    ).unionAll(edges.select(F.concat_ws("|", "ent_b", "type_b").alias("src")))
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ranked = deg.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.asc("deg"), F.asc("src")))
+        .cast("long"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+        F.sum(F.col("i") * F.col("deg")).cast("long").alias("rank_dot"),
+    )
+    return agg.select(
+        "n_nodes",
+        F.expr("sum_deg div 2").cast("long").alias("n_edges"),
+        "sum_deg", "max_deg",
+        F.when(
+            F.col("n_nodes") > 1,
+            F.expr(f"{scale} * sum_deg div (n_nodes * (n_nodes - 1))"),
+        ).otherwise(F.lit(0)).cast("long").alias("density_ppm"),
+        F.when(
+            (F.col("n_nodes") > 0) & (F.col("sum_deg") > 0),
+            F.expr(
+                f"(2 * rank_dot - (n_nodes + 1) * sum_deg) * {scale}"
+                " div (n_nodes * sum_deg)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("gini_ppm"),
+    )
