@@ -873,6 +873,45 @@ def q_kg_chain_rules(spark, sf_dir):
     )
 
 
+def q_kg_rule_pca(spark, sf_dir):
+    """AMIE rules with BOTH confidence estimators
+    (triples.mine_rules_pca): standard + PCA confidence under partial
+    completeness — the estimator AMIE actually ranks by; over production
+    triples UNION the rule splice (the kg_rule_mining input) UNION a
+    PCA-divergence splice: every 7th doc adds a knows-ONLY subject
+    (x<did%4> knows y<did%4>) whose head-pred facts are absent, so the
+    PCA denominator provably shrinks below n_p (pca_conf > conf fires —
+    without it the dense rule splice gives every subject every
+    predicate and the two estimators coincide)."""
+    from unsupervised_ner_spark.pipeline.triples import mine_rules_pca
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"].select(
+        "subj", "pred_norm", "obj"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pca_splice = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("x"), (F.col("doc_id") % 4).cast("string"))
+        .alias("subj"),
+        F.lit("knows").alias("pred_norm"),
+        F.concat(F.lit("y"), (F.col("doc_id") % 4).cast("string"))
+        .alias("obj"),
+    )
+    return mine_rules_pca(
+        trip.unionByName(_rule_splice_triples(spark, sf_dir))
+        .unionByName(pca_splice)
+    )
+
+
+def q_rel_partition_skew(spark, sf_dir):
+    """Shuffle-partition skew simulator (layout.partition_skew): rows /
+    distinct keys / largest single key per simulated partition under the
+    portable md5 hash — hot-key skew vs hash imbalance separated."""
+    from unsupervised_ner_spark.ops.layout import partition_skew
+
+    return partition_skew(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
 def q_kg_triple_dataset(spark, sf_dir):
     """Labeled triple-classification dataset (kgtrain.triple_dataset):
     distinct positives + type-constrained tail-corruption negatives
@@ -2273,6 +2312,97 @@ def q_kg_graph_stats(spark, sf_dir):
 
     typed = _typed_production(spark, sf_dir)
     return er.graph_stats(er.cooccurrence_edges(typed))
+
+
+def q_rel_changepoint(spark, sf_dir):
+    """Exact-integer CUSUM changepoint per event type
+    (asof.cusum_changepoint): the stream-monitoring op beside
+    rel_transitions."""
+    from unsupervised_ner_spark.ops.asof import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+def q_ann_cluster_quality(spark, sf_dir):
+    """IVF clustering diagnostics (simsearch.cluster_quality): per-cell
+    members / quantized inertia / worst distance + nearest-other-centroid
+    separation — the Davies-Bouldin ingredients as exact integers."""
+    from unsupervised_ner_spark.ops.simsearch import cluster_quality
+
+    return cluster_quality(_t(spark, sf_dir, "embeddings"))
+
+
+def q_kg_richclub(spark, sf_dir):
+    """Rich-club coefficient curve (er.rich_club): per degree threshold
+    k, nodes with deg > k, edges with both endpoints deg > k, and exact
+    integer phi_ppm — the hub-wiring signal beside kg_graph_stats'
+    Gini."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.rich_club(er.cooccurrence_edges(typed))
+
+
+def q_rel_trend(spark, sf_dir):
+    """Exact-integer OLS trend per event type (asof.trend_ols): min-day
+    shifted sufficient statistics, sign-factored slope_ppm — the drift
+    monitor beside rel_changepoint."""
+    from unsupervised_ner_spark.ops.asof import trend_ols
+
+    return trend_ols(_t(spark, sf_dir, "events"))
+
+
+def q_rel_scd2(spark, sf_dir):
+    """SCD Type-2 dimension history from the event change log
+    (asof.scd2_history): per-user consecutive same-state runs compressed
+    into [valid_from_us, valid_to_us) intervals, last run open."""
+    from unsupervised_ner_spark.ops.asof import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+def q_rel_q3_topk(spark, sf_dir):
+    """TPC-H Q3-shaped 3-table analytics query: BUILDING-segment orders
+    placed before 1998-07-01 with lineitems shipped after it, revenue =
+    sum of EXACT integer micro-cents (round(ep*100) * (100 -
+    round(disc*100)) — 2-decimal columns make both roundings half-way
+    free), top 10 by (revenue DESC, orderkey ASC). The capability
+    showcase: both date filters push to the parquet scans, the customer
+    dim broadcasts, orders joins lineitem on the orderkey shuffle key,
+    the aggregate map-side combines, the top-k is a TakeOrdered — never
+    a global sort."""
+    cutoff = "1998-07-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_q"),
+    )
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum("rev_q").cast("long").alias("revenue_q"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            ).cast("long").alias("order_day"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("revenue_q"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue_q", "order_day")
+    )
 
 
 def q_kg_taxonomy_rollup(spark, sf_dir):
@@ -4511,6 +4641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_inference": q_kg_type_inference,
         "rel_outliers": q_rel_outliers,
         "kg_graph_stats": q_kg_graph_stats,
+        "rel_changepoint": q_rel_changepoint,
+        "ann_cluster_quality": q_ann_cluster_quality,
+        "kg_rule_pca": q_kg_rule_pca,
+        "rel_partition_skew": q_rel_partition_skew,
+        "rel_q3_topk": q_rel_q3_topk,
+        "kg_richclub": q_kg_richclub,
+        "rel_trend": q_rel_trend,
+        "rel_scd2": q_rel_scd2,
         "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
@@ -4819,6 +4957,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_inference": O.kg_type_inference(),
         "rel_outliers": O.rel_outliers(),
         "kg_graph_stats": O.kg_graph_stats(),
+        "rel_changepoint": O.rel_changepoint(),
+        "ann_cluster_quality": O.ann_cluster_quality(),
+        "kg_rule_pca": O.kg_rule_pca(),
+        "rel_partition_skew": O.rel_partition_skew(),
+        "rel_q3_topk": O.rel_q3_topk(),
+        "kg_richclub": O.kg_richclub(),
+        "rel_trend": O.rel_trend(),
+        "rel_scd2": O.rel_scd2(),
         "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),

@@ -2200,6 +2200,113 @@ def main() -> None:
     checks.append(("graph stats: no python eval",
                    "BatchEvalPython" not in p211))
 
+    # 212. CUSUM changepoint: everything downstream of ONE bounded
+    # (type, day) aggregate; type-partitioned windows; no python
+    p212 = plan_of(entry.q_rel_changepoint(spark, SF))
+    sections.append(("CUSUM changepoint (rel_changepoint)", p212))
+    checks.append(("changepoint: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p212
+                   and "BroadcastNestedLoopJoin" not in p212))
+    checks.append(("changepoint: map-side partial aggregation",
+                   "partial_" in p212))
+    checks.append(("changepoint: type-partitioned windows (never global)",
+                   "windowspecdefinition(event_type" in p212
+                   and "windowspecdefinition()" not in p212))
+    checks.append(("changepoint: no python eval",
+                   "BatchEvalPython" not in p212))
+
+    # 213. cluster quality: codebook broadcast against the corpus (the
+    # kmeans_update posture), bounded separation join, no python
+    p213 = plan_of(entry.q_ann_cluster_quality(spark, SF))
+    sections.append(("Cluster diagnostics (ann_cluster_quality)", p213))
+    checks.append(("cluster quality: codebook broadcast-joined",
+                   "BroadcastNestedLoopJoin" in p213
+                   or "BroadcastHashJoin" in p213))
+    checks.append(("cluster quality: no corpus cartesian",
+                   "CartesianProduct" not in p213))
+    checks.append(("cluster quality: map-side partial aggregation",
+                   "partial_" in p213))
+    checks.append(("cluster quality: no python eval",
+                   "BatchEvalPython" not in p213))
+
+    # 214. PCA rule mining: distinct fact table persisted once (feeds 5
+    # consumers), entity-keyed equi-joins only, bounded rule aggregates
+    p214 = plan_of(entry.q_kg_rule_pca(spark, SF))
+    sections.append(("PCA-confidence rules (kg_rule_pca)", p214))
+    checks.append(("rule pca: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p214
+                   and "BroadcastNestedLoopJoin" not in p214))
+    checks.append(("rule pca: fact table persisted once",
+                   "InMemoryTableScan" in p214))
+    checks.append(("rule pca: map-side partial aggregation",
+                   "partial_" in p214))
+
+    # 215. partition skew: key-bounded aggregate then P-bounded
+    # aggregate — never shuffles raw rows by the candidate key
+    p215 = plan_of(entry.q_rel_partition_skew(spark, SF))
+    sections.append(("Partition-skew simulator (rel_partition_skew)", p215))
+    checks.append(("partition skew: no join at all",
+                   "Join" not in p215))
+    checks.append(("partition skew: map-side partial aggregation",
+                   "partial_" in p215))
+    checks.append(("partition skew: column-pruned scan (key only)",
+                   "ReadSchema: struct<l_suppkey:bigint>" in p215))
+
+    # 216. TPC-H Q3 showcase: both date filters pushed to the parquet
+    # scans, customer dim broadcast, top-10 as TakeOrdered (never a
+    # global sort), map-side partial aggregation
+    p216 = plan_of(entry.q_rel_q3_topk(spark, SF))
+    sections.append(("TPC-H Q3 top-k (rel_q3_topk)", p216))
+    checks.append(("q3: order-date filter pushed to the orders scan",
+                   "PushedFilters: [IsNotNull(o_orderdate), "
+                   "LessThan(o_orderdate" in p216))
+    checks.append(("q3: ship-date filter pushed to the lineitem scan",
+                   "GreaterThan(l_shipdate" in p216))
+    checks.append(("q3: customer dim broadcast",
+                   "BroadcastHashJoin" in p216))
+    checks.append(("q3: top-k is TakeOrdered, never a global sort",
+                   "TakeOrderedAndProject" in p216
+                   and "Sort [revenue_q" not in p216))
+    checks.append(("q3: map-side partial aggregation",
+                   "partial_" in p216))
+
+    # 217. rich club: degree/min-degree histograms bounded, the
+    # cumulative curve windows run over the bounded histogram only
+    p217 = plan_of(entry.q_kg_richclub(spark, SF))
+    sections.append(("Rich-club curve (kg_richclub)", p217))
+    checks.append(("rich club: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p217
+                   and "BroadcastNestedLoopJoin" not in p217))
+    checks.append(("rich club: map-side partial aggregation",
+                   "partial_" in p217))
+    checks.append(("rich club: no python eval",
+                   "BatchEvalPython" not in p217))
+
+    # 218. OLS trend: everything downstream of ONE bounded (type, day)
+    # aggregate; no window at all; min-day table broadcast
+    p218 = plan_of(entry.q_rel_trend(spark, SF))
+    sections.append(("OLS trend (rel_trend)", p218))
+    checks.append(("trend: no window at all",
+                   "Window" not in p218))
+    checks.append(("trend: min-day table broadcast",
+                   "BroadcastHashJoin" in p218))
+    checks.append(("trend: map-side partial aggregation",
+                   "partial_" in p218))
+    checks.append(("trend: no python eval",
+                   "BatchEvalPython" not in p218))
+
+    # 219. SCD2: user-partitioned windows only (never global); the lead
+    # window runs over the bounded island table
+    p219 = plan_of(entry.q_rel_scd2(spark, SF))
+    sections.append(("SCD2 history (rel_scd2)", p219))
+    checks.append(("scd2: user-partitioned windows (never global)",
+                   "windowspecdefinition(user_id" in p219
+                   and "windowspecdefinition()" not in p219))
+    checks.append(("scd2: map-side partial aggregation",
+                   "partial_" in p219))
+    checks.append(("scd2: no python eval",
+                   "BatchEvalPython" not in p219))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -316,3 +316,174 @@ def event_transitions(events: DataFrame) -> DataFrame:
         F.expr("CAST(n_trans * 1000000 DIV n_from AS BIGINT)")
         .alias("trans_ppm"),
     )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Exact-integer CUSUM changepoint detection per event type — the
+    rate-shift monitor beside event_transitions/retention_cohorts: daily
+    counts (wall-clock day index vs 1970-01-01, the retention
+    timezone-free device), cumulative deviation against the uniform rate
+    as the cross-multiplied integer dev_i = cum_i * n_days - i * total
+    (a float-free CUSUM: dev/(n_days*total) is the classic normalized
+    statistic, its argmax is identical), peak day by (|dev| DESC, day
+    ASC) via the min-struct argmin. A spike or regime change bends the
+    cumulative-count curve away from the straight uniform line exactly
+    where |dev| peaks.
+
+    Scale shape: ONE map-side-combining (type, day) aggregate bounds
+    everything downstream by types x days — the windows and the final
+    argmin run over that bounded daily table, never over event rows; a
+    hot day is one reducer key in the daily aggregate."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "day",
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("s"),
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("c").over(wp).cast("long").alias("total"),
+        F.count("*").over(wp).cast("long").alias("n_days"),
+    )
+    dev = cum.select(
+        "event_type", "day", "n_days", "total",
+        (F.col("s") * F.col("n_days") - F.col("i") * F.col("total"))
+        .alias("dev"),
+    )
+    peak = F.min(
+        F.struct(
+            (-F.abs(F.col("dev"))).alias("neg_abs"),
+            F.col("day").alias("day"),
+            F.col("dev").alias("dev"),
+        )
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.max("total").cast("long").alias("total"),
+            peak.alias("p"),
+        )
+        .select(
+            "event_type", "n_days", "total",
+            F.col("p.day").alias("peak_day"),
+            F.col("p.dev").cast("long").alias("peak_dev"),
+        )
+    )
+
+
+def trend_ols(events: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Exact-integer least-squares trend per event type — the monotone
+    drift monitor beside cusum_changepoint (which finds WHERE the rate
+    bends, while this measures the overall direction): daily counts on
+    the wall-clock day index, then the closed-form OLS slope over
+    (day, count) as the integer pair slope_num = n*Sxy - Sx*Sy,
+    slope_den = n*Sxx - Sx*Sx (den >= 0, zero iff a single day). Days
+    are shifted to day' = day - min(day) per type BEFORE the sums — the
+    slope is shift-invariant and the shift keeps every sufficient
+    statistic near the origin (Sx ~ n*span, not n*epoch_day), which is
+    what keeps n*Sxy inside int64 at corpus scale. slope_ppm =
+    sign(num) * (scale*|num| div den) — the sign is factored out so the
+    engine and the oracle never disagree on negative integer division
+    (floor vs truncate); the exact artifact is the (num, den) pair.
+
+    Scale shape: ONE map-side-combining (type, day) aggregate bounds
+    everything; the min-day shift and the five sufficient statistics
+    are one more aggregate over that bounded daily table. Never a
+    window, never a join."""
+    ev = events.select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    mins = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d = daily.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("day") - F.col("day0")).alias("x"), F.col("c").alias("y")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        "event_type", "n_days",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(
+            den > 0,
+            F.signum(num).cast("long")
+            * F.expr(
+                f"{scale} * abs(n_days * sxy - sx * sy)"
+                " div (n_days * sxx - sx * sx)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("slope_ppm"),
+    )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build from the event
+    change log — the MERGE-history sibling of rel_merge_upsert's
+    point-in-time upsert: per user, consecutive runs of the same
+    event_type (the tracked attribute) compress into validity intervals
+    [valid_from_us, valid_to_us) with the last run open (valid_to NULL,
+    is_current=1). Timestamps are carried as exact epoch microseconds
+    (portable across engines; no timezone arithmetic). This is the
+    gaps-and-islands compress applied to dimension-history building —
+    what an Iceberg MERGE INTO ... WHEN MATCHED AND changed pipeline
+    materializes incrementally, built here in one batch pass.
+
+    Scale shape: one lag window on the user partitioning (the event
+    store's native sharding — rel_transitions precedent), one
+    (user, island) map-side-combining aggregate, then the lead window
+    runs over the BOUNDED island table, never over event rows."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = ev.select(
+        "user_id", "state", "ts_us", "event_id",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    runs = chg.select(
+        "user_id", "state", "ts_us",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("island"),
+    )
+    islands = runs.groupBy("user_id", "island").agg(
+        F.min("state").alias("state"),
+        F.min("ts_us").cast("long").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return islands.select(
+        "user_id", "island", "state", "valid_from_us", "n_events",
+        F.lead("valid_from_us").over(w2).cast("long").alias("valid_to_us"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).cast("long"),
+    )

@@ -330,3 +330,37 @@ def bloom_semijoin_stats(
         .agg(F.count("*").cast("long").alias("n_rows"))
         .crossJoin(F.broadcast(nbits))
     )
+
+
+def partition_skew(
+    df: DataFrame, key_col: str, n_partitions: int = 32
+) -> DataFrame:
+    """Shuffle-partition skew simulator — the dashboard read BEFORE
+    choosing a join/agg key at scale: rows, distinct keys, and the
+    largest single key per simulated partition under a uniform portable
+    hash (md5_int32 % P — the engine/oracle-shared device, NOT Spark's
+    internal Murmur3, so the oracle replays the exact histogram). A
+    partition whose n_rows is dominated by max_key_rows is hot-KEY skew
+    (salting territory); many keys piling into one partition is hash
+    imbalance (more partitions fix it, salting does not) — the two
+    failure modes need different medicine, and this table separates
+    them.
+
+    Scale shape: ONE key-level map-side-combining aggregate (bounded by
+    distinct keys) then one P-bounded aggregate — the simulation never
+    shuffles the raw rows by the candidate key."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    keyed = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    part = (md5_int32(F.col("key").cast("string")) % n_partitions).cast("long")
+    return (
+        keyed.select(part.alias("partition"), "c")
+        .groupBy("partition")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        )
+    )

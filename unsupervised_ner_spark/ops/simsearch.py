@@ -621,3 +621,78 @@ def kmeans_update(
             F.sum(q).cast("long").alias("sum_q"),
         )
     )
+
+
+def cluster_quality(
+    embeddings: DataFrame, n_centroids: int | None = None, scale: int = 1_000_000
+) -> DataFrame:
+    """Clustering diagnostics over the IVF codebook — the dashboard read
+    between kmeans_update steps (the Davies-Bouldin ingredients as exact
+    integers): per cell its member count, quantized inertia (sum of
+    9dp-rounded squared distances, floor(d2*scale) BEFORE summing — the
+    kmeans_update no-floats-in-the-gate device), worst member distance,
+    and the nearest OTHER centroid with its quantized distance (the
+    separation term; a cell whose inertia rivals its separation is
+    under-split). Empty cells are kept with zero members — exactly the
+    cells a re-seeding pass wants to see.
+
+    Scale shape: the codebook is broadcast-assigned against the corpus
+    (ONE shuffle, the kmeans_update posture) into a cell-bounded
+    aggregate; the separation table is codebook x codebook — bounded at
+    65536^2 worst-case but sqrt(N)-adaptive in practice, computed
+    entirely between two broadcast-sized tables; the final join is
+    cell-keyed between two bounded tables."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = scoped_persist(sampled_centroids(emb, n_centroids))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    d2q = F.floor(F.col("d2") * scale).cast("long")
+    per_cell = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id", _d2(F.col("v"), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(d2q).cast("long").alias("inertia_q"),
+            F.max(d2q).cast("long").alias("max_d2_q"),
+        )
+    )
+    a = cents.select(F.col("centroid_id"), F.col("cv"))
+    b = cents.select(
+        F.col("centroid_id").alias("other_id"), F.col("cv").alias("ov")
+    )
+    sep = (
+        a.join(F.broadcast(b), F.col("centroid_id") != F.col("other_id"))
+        .select(
+            "centroid_id",
+            F.struct(
+                F.floor(_d2(F.col("cv"), F.col("ov")) * scale)
+                .cast("long").alias("d2c_q"),
+                F.col("other_id").alias("other_id"),
+            ).alias("cand"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.min("cand").alias("nn"))
+        .select(
+            "centroid_id",
+            F.col("nn.other_id").alias("nn_centroid_id"),
+            F.col("nn.d2c_q").alias("nn_d2_q"),
+        )
+    )
+    return (
+        sep.join(per_cell, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce("inertia_q", F.lit(0)).cast("long").alias("inertia_q"),
+            F.coalesce("max_d2_q", F.lit(0)).cast("long").alias("max_d2_q"),
+            "nn_centroid_id", "nn_d2_q",
+        )
+    )

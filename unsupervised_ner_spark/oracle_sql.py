@@ -10298,3 +10298,351 @@ GROUP BY d.event_type
 """,
         "ev", "dev",
     )
+
+
+def ann_cluster_quality(
+    n_centroids: int | None = None, scale: int = 1_000_000
+) -> str:
+    """Cluster-diagnostics twin (ops/simsearch.cluster_quality): IVF
+    assignment, per-cell member/quantized-inertia/worst-distance
+    aggregates, nearest-other-centroid separation over the codebook,
+    empty cells kept with zero members."""
+    return _materialize(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_IVF_ASSIGN_CTES.format(n_centroids=_n_centroids_sql(n_centroids)).strip()},
+ad AS (
+    SELECT a.vec_id, a.centroid_id,
+           CAST(floor(d.d2 * {scale}) AS BIGINT) AS d2q
+    FROM assign a
+    JOIN d ON d.vec_id = a.vec_id AND d.centroid_id = a.centroid_id
+),
+per AS (
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d2q) AS BIGINT) AS inertia_q,
+           CAST(max(d2q) AS BIGINT) AS max_d2_q
+    FROM ad GROUP BY centroid_id
+),
+cc AS (
+    SELECT a.centroid_id, b.centroid_id AS other_id,
+           CAST(floor(round(
+               list_dot_product(a.cv, a.cv) - 2 * list_dot_product(a.cv, b.cv)
+               + list_dot_product(b.cv, b.cv), 9) * {scale}) AS BIGINT) AS d2c_q
+    FROM c a JOIN c b ON a.centroid_id <> b.centroid_id
+),
+sep AS (
+    SELECT centroid_id, other_id AS nn_centroid_id, d2c_q AS nn_d2_q FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY centroid_id ORDER BY d2c_q ASC, other_id ASC
+               ) AS rn
+        FROM cc) WHERE rn = 1
+)
+SELECT s.centroid_id,
+       CAST(coalesce(p.n_members, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(p.inertia_q, 0) AS BIGINT) AS inertia_q,
+       CAST(coalesce(p.max_d2_q, 0) AS BIGINT) AS max_d2_q,
+       s.nn_centroid_id, s.nn_d2_q
+FROM sep s LEFT JOIN per p ON p.centroid_id = s.centroid_id
+""",
+        "c", "d",
+    )
+
+
+def rel_changepoint() -> str:
+    """CUSUM changepoint twin (q_rel_changepoint): daily counts per event
+    type (wall-clock day index — the rel_retention timezone-free device),
+    exact-integer deviation cum*n_days - i*total against the uniform
+    rate, peak by (|dev| DESC, day ASC)."""
+    return _materialize(
+        """
+WITH daily AS (
+    SELECT event_type, CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, day
+),
+cum AS (
+    SELECT event_type, day, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+    FROM daily
+),
+dev AS (
+    SELECT event_type, day, n_days, total,
+           s * n_days - i * total AS dev
+    FROM cum
+),
+r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(dev) DESC, day ASC
+           ) AS rn
+    FROM dev
+)
+SELECT event_type, n_days, total,
+       day AS peak_day, CAST(dev AS BIGINT) AS peak_dev
+FROM r WHERE rn = 1
+""",
+        "daily",
+    )
+
+
+def kg_rule_pca(model: str = "a100") -> str:
+    """PCA-confidence rule twin (pipeline/triples.mine_rules_pca): the
+    kg_rule_mining body plus the distinct (pred, subject) channel — PCA
+    denominator = body facts whose head-subject has SOME head-pred fact
+    (fwd keys the body subject, inv the body object)."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+{_RULE_SPLICE_SQL.strip()},
+facts AS (
+    SELECT DISTINCT subj, pred_norm, obj FROM (
+        SELECT subj, pred_norm, obj FROM trip
+        UNION ALL SELECT subj, pred_norm, obj FROM splice
+        UNION ALL
+        -- PCA-divergence splice (q_kg_rule_pca twin): knows-only subjects
+        SELECT 'x' || CAST(doc_id % 4 AS VARCHAR) AS subj,
+               'knows' AS pred_norm,
+               'y' || CAST(doc_id % 4 AS VARCHAR) AS obj
+        FROM documents WHERE doc_id % 7 = 0
+    )
+),
+np AS (
+    SELECT pred_norm AS p, CAST(count(*) AS BIGINT) AS n_p
+    FROM facts GROUP BY pred_norm
+),
+qsubj AS (SELECT DISTINCT pred_norm AS q, subj AS qs FROM facts),
+fwd AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'fwd' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.subj AND a.obj = b.obj
+    WHERE a.pred_norm <> b.pred_norm
+    GROUP BY a.pred_norm, b.pred_norm
+),
+inv AS (
+    SELECT a.pred_norm AS p, b.pred_norm AS q,
+           CAST(count(*) AS BIGINT) AS n_joint, 'inv' AS direction
+    FROM facts a JOIN facts b ON a.subj = b.obj AND a.obj = b.subj
+    WHERE a.subj <> a.obj
+    GROUP BY a.pred_norm, b.pred_norm
+),
+fwdp AS (
+    SELECT a.pred_norm AS p, s.q,
+           CAST(count(*) AS BIGINT) AS n_pca, 'fwd' AS direction
+    FROM facts a JOIN qsubj s ON s.qs = a.subj
+    WHERE a.pred_norm <> s.q
+    GROUP BY a.pred_norm, s.q
+),
+invp AS (
+    SELECT a.pred_norm AS p, s.q,
+           CAST(count(*) AS BIGINT) AS n_pca, 'inv' AS direction
+    FROM facts a JOIN qsubj s ON s.qs = a.obj
+    WHERE a.subj <> a.obj
+    GROUP BY a.pred_norm, s.q
+),
+u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv),
+up AS (SELECT * FROM fwdp UNION ALL SELECT * FROM invp)
+SELECT u.p, u.q, u.direction, u.n_joint, np.n_p, up.n_pca,
+       CAST(u.n_joint * 1000000 // np.n_p AS BIGINT) AS conf_ppm,
+       CAST(u.n_joint * 1000000 // up.n_pca AS BIGINT) AS pca_conf_ppm
+FROM u
+JOIN up ON up.p = u.p AND up.q = u.q AND up.direction = u.direction
+JOIN np ON np.p = u.p
+""",
+        "facts", "qsubj",
+    )
+
+
+def rel_partition_skew(key: str = "l_suppkey", n_partitions: int = 32) -> str:
+    """Partition-skew twin (ops/layout.partition_skew): key-level counts,
+    portable md5_int32 % P placement, P-bounded histogram."""
+    return f"""
+WITH k AS (
+    SELECT {key} AS key, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY {key}
+),
+p AS (
+    SELECT {_hex8_int_sql("md5(CAST(key AS VARCHAR))")} % {n_partitions}
+               AS partition,
+           c
+    FROM k
+)
+SELECT CAST(partition AS BIGINT) AS partition,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows
+FROM p GROUP BY partition
+"""
+
+
+def rel_q3_topk(cutoff: str = "1998-07-01") -> str:
+    """TPC-H Q3-shaped twin (q_rel_q3_topk): BUILDING segment, both date
+    filters, exact integer micro-cent revenue, top 10 by
+    (revenue DESC, orderkey ASC)."""
+    return f"""
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_q
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+),
+agg AS (
+    SELECT o.o_orderkey,
+           CAST(sum(li.rev_q) AS BIGINT) AS revenue_q,
+           CAST(max(datediff('day', DATE '1970-01-01', o.o_orderdate))
+                AS BIGINT) AS order_day
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN li ON li.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{cutoff}'
+    GROUP BY o.o_orderkey
+)
+SELECT o_orderkey, revenue_q, order_day
+FROM agg ORDER BY revenue_q DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def kg_richclub(model: str = "a100", scale: int = 1_000_000) -> str:
+    """Rich-club twin (pipeline/er.py rich_club): degree aggregate, edge
+    min-degree histogram via two node-keyed joins, one cumulative window
+    over the bounded degree histogram, exact-integer phi_ppm."""
+    return _materialize(
+        f"""
+WITH edges AS ({kg_cooccurrence(model)}),
+e AS (
+    SELECT ent_a || '|' || type_a AS src, ent_b || '|' || type_b AS dst
+    FROM edges
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+    ) GROUP BY node
+),
+mh AS (
+    SELECT least(da.deg, db.deg) AS k, CAST(count(*) AS BIGINT) AS edges_at
+    FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+    GROUP BY 1
+),
+dh AS (
+    SELECT deg AS k, CAST(count(*) AS BIGINT) AS nodes_at
+    FROM deg GROUP BY deg
+),
+cum AS (
+    SELECT dh.k, dh.nodes_at,
+           CAST(COALESCE(mh.edges_at, 0) AS BIGINT) AS edges_at
+    FROM dh LEFT JOIN mh ON dh.k = mh.k
+),
+curve AS (
+    SELECT k,
+           CAST(sum(nodes_at) OVER ()
+                - sum(nodes_at) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_rich,
+           CAST(sum(edges_at) OVER ()
+                - sum(edges_at) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS e_rich
+    FROM cum
+)
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich > 1
+            THEN CAST(2 * e_rich * {scale} // (n_rich * (n_rich - 1))
+                 AS BIGINT)
+            ELSE 0 END AS phi_ppm
+FROM curve
+""",
+        "edges", "e", "deg",
+    )
+
+
+def rel_trend(scale: int = 1_000_000) -> str:
+    """OLS trend twin (ops/asof.trend_ols): daily counts, min-day shift,
+    five integer sufficient statistics, sign-factored exact-integer
+    slope_ppm (negative division never reaches the engines)."""
+    return _materialize(
+        f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, day
+),
+mins AS (
+    SELECT event_type, min(day) AS day0 FROM daily GROUP BY event_type
+),
+s AS (
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.day - m.day0) AS BIGINT) AS sx,
+           CAST(sum(d.c) AS BIGINT) AS sy,
+           CAST(sum((d.day - m.day0) * d.c) AS BIGINT) AS sxy,
+           CAST(sum((d.day - m.day0) * (d.day - m.day0)) AS BIGINT) AS sxx
+    FROM daily d JOIN mins m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n_days * sxx - sx * sx > 0
+            THEN CAST(
+                (CASE WHEN n_days * sxy - sx * sy > 0 THEN 1
+                      WHEN n_days * sxy - sx * sy < 0 THEN -1
+                      ELSE 0 END)
+                * (abs(n_days * sxy - sx * sy) * {scale}
+                   // (n_days * sxx - sx * sx))
+                AS BIGINT)
+            ELSE 0 END AS slope_ppm
+FROM s
+""",
+        "daily",
+    )
+
+
+def rel_scd2() -> str:
+    """SCD2 history twin (ops/asof.scd2_history): lag-change flag on the
+    (ts, event_id) order per user, running-sum island ids, island
+    aggregate, lead(valid_from) over the bounded island table."""
+    return _materialize(
+        """
+WITH ev AS (
+    SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+chg AS (
+    SELECT user_id, state, ts_us, event_id,
+           CASE WHEN lag(state) OVER w IS NULL
+                     OR lag(state) OVER w <> state
+                THEN 1 ELSE 0 END AS chg
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs AS (
+    SELECT user_id, state, ts_us,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS island
+    FROM chg
+),
+islands AS (
+    SELECT user_id, island,
+           min(state) AS state,
+           CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, island
+)
+SELECT user_id, island, state, valid_from_us, n_events,
+       CAST(lead(valid_from_us) OVER (
+           PARTITION BY user_id ORDER BY island) AS BIGINT) AS valid_to_us,
+       CAST(CASE WHEN lead(valid_from_us) OVER (
+           PARTITION BY user_id ORDER BY island) IS NULL
+           THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM islands
+""",
+        "ev",
+    )

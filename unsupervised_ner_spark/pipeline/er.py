@@ -4719,3 +4719,73 @@ def graph_stats(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
             ),
         ).otherwise(F.lit(0)).cast("long").alias("gini_ppm"),
     )
+
+
+def rich_club(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Rich-club coefficient curve over the co-occurrence graph — the
+    hub-wiring signal graph_stats' Gini cannot carry: for each degree
+    threshold k (every distinct degree value), phi(k) = 2*E_k /
+    (N_k*(N_k-1)) where N_k counts nodes with degree > k and E_k counts
+    edges whose BOTH endpoints have degree > k (Colizza et al. 2006,
+    un-normalized phi). A phi(k) that stays near 1 as k rises means the
+    hubs form a near-clique among themselves — exactly the topology
+    where hub-salting one side of a join is not enough because the hot
+    keys also co-occur with EACH OTHER. Emitted as exact-integer
+    phi_ppm (zero when N_k < 2, the guard row a dashboard still wants).
+
+    Scale shape: ONE node-keyed degree aggregate (bounded by distinct
+    entities); E_k never enumerates per-threshold edge sets — each edge
+    contributes min(deg_a, deg_b) via two entity-keyed equi-joins
+    against the bounded degree table, then collapses into a bounded
+    min-degree histogram; since every min-degree IS a degree value, one
+    left join + ONE ordered window over the bounded degree histogram
+    yields the full cumulative curve (the bounded-histogram window
+    precedent — never a window over edges)."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.concat_ws("|", "ent_a", "type_a").alias("src"),
+        F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_b"))
+    m_hist = (
+        e.join(da, "src").join(db, "dst")
+        .select(F.least("deg_a", "deg_b").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("edges_at"))
+    )
+    deg_hist = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count("*").cast("long").alias("nodes_at")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        deg_hist.join(m_hist, "k", "left")
+        .select(
+            "k", "nodes_at",
+            F.coalesce("edges_at", F.lit(0)).cast("long").alias("edges_at"),
+        )
+        .select(
+            "k",
+            (F.sum("nodes_at").over(wall) - F.sum("nodes_at").over(w))
+            .cast("long").alias("n_rich"),
+            (F.sum("edges_at").over(wall) - F.sum("edges_at").over(w))
+            .cast("long").alias("e_rich"),
+        )
+    )
+    return cum.select(
+        "k", "n_rich", "e_rich",
+        F.when(
+            F.col("n_rich") > 1,
+            F.expr(f"2 * e_rich * {scale} div (n_rich * (n_rich - 1))"),
+        ).otherwise(F.lit(0)).cast("long").alias("phi_ppm"),
+    )

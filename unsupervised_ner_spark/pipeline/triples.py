@@ -1015,3 +1015,89 @@ def measurement_facts(sentences: DataFrame) -> DataFrame:
         cls.alias("unit_class"),
         (F.col("raw").cast("long") * mul).cast("long").alias("value_base"),
     )
+
+
+def mine_rules_pca(triples: DataFrame) -> DataFrame:
+    """AMIE rule mining with BOTH confidence estimators (Galarraga et al.
+    WWW'13 §4.4): standard confidence (denominator = ALL body facts) and
+    PCA confidence under the partial-completeness assumption — the
+    denominator counts only body facts whose head-subject is KNOWN to
+    have some head-predicate fact (fwd: p(x,y) with ∃y' q(x,y'); inv:
+    head q(y,x), so p(x,y) with ∃x' q(y,x')). On an open-world KG the
+    standard estimator punishes rules for the KG's own incompleteness;
+    PCA is the estimator AMIE actually ranks by. pca_conf_ppm >=
+    conf_ppm always (its denominator is a subset), both exact integer
+    ppm.
+
+    Scale shape: mine_rules' posture plus one more bounded channel — the
+    distinct (pred, subject) table joins the body facts on the subject
+    key (entity-keyed equi-join, schema-bounded fan-out |preds on
+    subject|); the distinct fact table is persisted once and feeds all
+    five consumers (two joint sides, two PCA channels, marginal)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    facts = scoped_persist(
+        triples.select("subj", "pred_norm", "obj").distinct()
+    )
+    n_p = facts.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_p")
+    ).select(F.col("pred_norm").alias("p"), "n_p")
+    f1 = facts.select(
+        F.col("subj").alias("x"), F.col("pred_norm").alias("p"),
+        F.col("obj").alias("y"),
+    )
+    qsubj = facts.select(
+        F.col("pred_norm").alias("q"), F.col("subj").alias("qs")
+    ).distinct()
+    fwd = (
+        f1.join(
+            facts.select(
+                F.col("subj").alias("x"), F.col("pred_norm").alias("q"),
+                F.col("obj").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+        .withColumn("direction", F.lit("fwd"))
+    )
+    fwd_pca = (
+        f1.join(qsubj, f1["x"] == qsubj["qs"])
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_pca"))
+        .withColumn("direction", F.lit("fwd"))
+    )
+    inv = (
+        f1.filter(F.col("x") != F.col("y"))
+        .join(
+            facts.select(
+                F.col("obj").alias("x"), F.col("pred_norm").alias("q"),
+                F.col("subj").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+        .withColumn("direction", F.lit("inv"))
+    )
+    inv_pca = (
+        f1.filter(F.col("x") != F.col("y"))
+        .join(qsubj, f1["y"] == qsubj["qs"])
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_pca"))
+        .withColumn("direction", F.lit("inv"))
+    )
+    joint = fwd.unionByName(inv)
+    pca = fwd_pca.unionByName(inv_pca)
+    return (
+        joint.join(pca, ["p", "q", "direction"])
+        .join(n_p, "p")
+        .select(
+            "p", "q", "direction", "n_joint", "n_p", "n_pca",
+            F.expr("n_joint * 1000000 DIV n_p").cast("long").alias("conf_ppm"),
+            F.expr("n_joint * 1000000 DIV n_pca").cast("long")
+            .alias("pca_conf_ppm"),
+        )
+    )
