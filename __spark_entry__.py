@@ -2332,6 +2332,135 @@ def q_ann_cluster_quality(spark, sf_dir):
     return cluster_quality(_t(spark, sf_dir, "embeddings"))
 
 
+def q_txt_canonical_conflicts(spark, sf_dir):
+    """Canonical-group content audit (webtext.canonical_conflicts): the
+    synthetic redirect graph's groups of 8 fingerprint-compared; every
+    5th group gets a group-constant fingerprint splice so BOTH the
+    conflict and the clean branch fire."""
+    from unsupervised_ner_spark.ops.webtext import canonical_conflicts
+
+    d = _t(spark, sf_dir, "documents")
+    url = lambda c: F.concat(F.lit("https://ex.org/p"), c.cast("string"))  # noqa: E731
+    edges = d.filter(F.col("doc_id") % 8 != 0).select(
+        url(F.col("doc_id")).alias("src"),
+        url(F.col("doc_id") - 1).alias("dst"),
+    )
+    grp = F.expr("doc_id div 8")
+    pages = d.select(
+        url(F.col("doc_id")).alias("url"),
+        F.when(
+            grp % 5 == 0,
+            F.md5(F.concat(F.lit("g"), grp.cast("string"))),
+        ).otherwise(F.md5(F.col("text"))).alias("fp"),
+    )
+    return canonical_conflicts(edges, pages)
+
+
+def q_rel_interarrival(spark, sf_dir):
+    """Inter-arrival cadence per event type (asof.interarrival): exact
+    discrete median / p90 / max gap in microseconds over per-(user,
+    type) consecutive gaps — the burstiness diagnostic."""
+    from unsupervised_ner_spark.ops.asof import interarrival
+
+    return interarrival(_t(spark, sf_dir, "events"))
+
+
+def q_rel_value_deciles(spark, sf_dir):
+    """Exact user-value deciles + gain curve WITHOUT a global sort
+    (asof.value_deciles): global rank decomposed as bounded-histogram
+    cum + within-value row_number — the scale-safe ntile."""
+    from unsupervised_ner_spark.ops.asof import value_deciles
+
+    return value_deciles(_t(spark, sf_dir, "events"))
+
+
+def q_txt_heaps_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (textstats.heaps_growth): exact token
+    + distinct-term counts at power-of-2 doc checkpoints via bit-length
+    bucket histograms — no prefix is ever materialized."""
+    from unsupervised_ner_spark.ops.textstats import heaps_growth
+
+    return heaps_growth(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_late_events(spark, sf_dir):
+    """Watermark-lateness histogram (asof.late_events): decimal-magnitude
+    delay buckets per event type with exact share_ppm — the diagnostic
+    that sizes a streaming watermark."""
+    from unsupervised_ner_spark.ops.asof import late_events
+
+    return late_events(_t(spark, sf_dir, "events"))
+
+
+def q_rel_corr_pairs(spark, sf_dir):
+    """Pairwise daily-count correlation (asof.corr_pairs): exact integer
+    sufficient statistics over shared days + two-step exact-order
+    corr2_ppm — the co-movement companion of rel_trend."""
+    from unsupervised_ner_spark.ops.asof import corr_pairs
+
+    return corr_pairs(_t(spark, sf_dir, "events"))
+
+
+def q_txt_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (textstats.rrf_fusion): BM25 and
+    pure-integer TF-IDF top-20 runs fused by 10^6 div (60+rank) — the
+    hybrid-search combiner, all-integer end to end."""
+    from unsupervised_ner_spark.ops.textstats import rrf_fusion
+
+    return rrf_fusion(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_hard_negatives(spark, sf_dir):
+    """Label-aware hard-negative mining (simsearch.hard_negatives):
+    per query vector the top-5 most-similar DIFFERENT-label vectors —
+    the contrastive-training negatives (ANCE-style), under the
+    brute-force ordering contract."""
+    from unsupervised_ner_spark.ops.simsearch import hard_negatives
+
+    return hard_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+def q_txt_cosine_pairs(spark, sf_dir):
+    """Sparse TF-cosine near-dup pairs (textstats.cosine_pairs) over the
+    rare-term (df <= 20) vocabulary — the weighted sibling of
+    dedup_jaccard. The word-salad corpus vocabulary is all high-df, so a
+    deterministic rare-term splice is appended per doc: ' zq<did div 7>
+    zr<did div 3>' (+' zq..' again for even docs, so dots vary) — pairs
+    sharing BOTH group terms pass min_shared=2, with exact integer dot /
+    norms / cos2_ppm over the rare subspace."""
+    from unsupervised_ner_spark.ops.textstats import cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    zq = F.concat(F.lit(" zq"), F.expr("doc_id div 7").cast("string"))
+    zr = F.concat(F.lit(" zr"), F.expr("doc_id div 3").cast("string"))
+    spliced = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), zq, zr,
+            F.when(did % 2 == 0, zq).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cosine_pairs(spliced, max_df=20, min_shared=2)
+
+
+def q_txt_redirect_chains(spark, sf_dir):
+    """Redirect/canonical chain resolution by pointer doubling
+    (webtext.redirect_chains): the synthetic functional graph points doc
+    i at doc i-1 unless i % 8 == 0 (the terminal), so chains up to 7
+    hops resolve in 3 doubling rounds; every non-terminal url emits its
+    terminal + exact hop distance."""
+    from unsupervised_ner_spark.ops.webtext import redirect_chains
+
+    d = _t(spark, sf_dir, "documents")
+    url = lambda c: F.concat(F.lit("https://ex.org/p"), c.cast("string"))  # noqa: E731
+    edges = d.filter(F.col("doc_id") % 8 != 0).select(
+        url(F.col("doc_id")).alias("src"),
+        url(F.col("doc_id") - 1).alias("dst"),
+    )
+    return redirect_chains(edges)
+
+
 def q_kg_richclub(spark, sf_dir):
     """Rich-club coefficient curve (er.rich_club): per degree threshold
     k, nodes with deg > k, edges with both endpoints deg > k, and exact
@@ -4649,6 +4778,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_richclub": q_kg_richclub,
         "rel_trend": q_rel_trend,
         "rel_scd2": q_rel_scd2,
+        "txt_cosine_pairs": q_txt_cosine_pairs,
+        "txt_redirect_chains": q_txt_redirect_chains,
+        "txt_rank_fusion": q_txt_rank_fusion,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "rel_late_events": q_rel_late_events,
+        "rel_corr_pairs": q_rel_corr_pairs,
+        "rel_value_deciles": q_rel_value_deciles,
+        "txt_heaps_growth": q_txt_heaps_growth,
+        "txt_canonical_conflicts": q_txt_canonical_conflicts,
+        "rel_interarrival": q_rel_interarrival,
         "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
@@ -4965,6 +5104,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_richclub": O.kg_richclub(),
         "rel_trend": O.rel_trend(),
         "rel_scd2": O.rel_scd2(),
+        "txt_cosine_pairs": O.txt_cosine_pairs(),
+        "txt_redirect_chains": O.txt_redirect_chains(),
+        "txt_rank_fusion": O.txt_rank_fusion(),
+        "ann_hard_negatives": O.ann_hard_negatives(),
+        "rel_late_events": O.rel_late_events(),
+        "rel_corr_pairs": O.rel_corr_pairs(),
+        "rel_value_deciles": O.rel_value_deciles(),
+        "txt_heaps_growth": O.txt_heaps_growth(),
+        "txt_canonical_conflicts": O.txt_canonical_conflicts(),
+        "rel_interarrival": O.rel_interarrival(),
         "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),

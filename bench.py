@@ -302,6 +302,16 @@ BENCH_QUERIES = [
     "kg_richclub",
     "rel_trend",
     "rel_scd2",
+    "txt_cosine_pairs",
+    "txt_redirect_chains",
+    "txt_rank_fusion",
+    "ann_hard_negatives",
+    "rel_late_events",
+    "rel_corr_pairs",
+    "rel_value_deciles",
+    "txt_heaps_growth",
+    "txt_canonical_conflicts",
+    "rel_interarrival",
     "er_anchor_aliases",
 ]
 

@@ -2307,6 +2307,127 @@ def main() -> None:
     checks.append(("scd2: no python eval",
                    "BatchEvalPython" not in p219))
 
+    # 220. sparse cosine pairs: rare-term postings persisted once (feeds
+    # both join sides + norms), no cartesian, map-side combine
+    p220 = plan_of(entry.q_txt_cosine_pairs(spark, SF))
+    sections.append(("Sparse TF-cosine pairs (txt_cosine_pairs)", p220))
+    checks.append(("cosine pairs: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p220
+                   and "BroadcastNestedLoopJoin" not in p220))
+    checks.append(("cosine pairs: rare postings persisted once",
+                   "InMemoryTableScan" in p220))
+    checks.append(("cosine pairs: map-side partial aggregation",
+                   "partial_" in p220))
+    checks.append(("cosine pairs: no python eval",
+                   "BatchEvalPython" not in p220))
+
+    # 221. redirect chains: pointer table persisted per doubling round,
+    # equi-joins only, no python
+    p221 = plan_of(entry.q_txt_redirect_chains(spark, SF))
+    sections.append(("Redirect-chain resolution (txt_redirect_chains)", p221))
+    checks.append(("redirect chains: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p221
+                   and "BroadcastNestedLoopJoin" not in p221))
+    checks.append(("redirect chains: pointer table persisted",
+                   "InMemoryTableScan" in p221))
+    checks.append(("redirect chains: no python eval",
+                   "BatchEvalPython" not in p221))
+
+    # 222. RRF fusion: query-filtered postings (bm25 posture) twice, the
+    # fusion join is k_each-bounded, dims broadcast, no python
+    p222 = plan_of(entry.q_txt_rank_fusion(spark, SF))
+    sections.append(("RRF rank fusion (txt_rank_fusion)", p222))
+    checks.append(("rrf: map-side partial aggregation",
+                   "partial_" in p222))
+    checks.append(("rrf: idf/totals dims broadcast",
+                   "BroadcastHashJoin" in p222))
+    checks.append(("rrf: no python eval",
+                   "BatchEvalPython" not in p222))
+
+    # 223. hard negatives: query side broadcast against ONE corpus scan
+    # (the bruteforce posture), per-query bounded window
+    p223 = plan_of(entry.q_ann_hard_negatives(spark, SF))
+    sections.append(("Hard-negative mining (ann_hard_negatives)", p223))
+    checks.append(("hard negatives: query side broadcast",
+                   "BroadcastNestedLoopJoin" in p223
+                   or "BroadcastHashJoin" in p223))
+    checks.append(("hard negatives: query-partitioned window (never global)",
+                   "windowspecdefinition(query_id" in p223
+                   and "windowspecdefinition()" not in p223))
+    checks.append(("hard negatives: no python eval",
+                   "BatchEvalPython" not in p223))
+
+    # 224. late events: narrow map into ONE (type, bucket)-bounded
+    # aggregate, type-bounded share broadcast, no window
+    p224 = plan_of(entry.q_rel_late_events(spark, SF))
+    sections.append(("Watermark lateness (rel_late_events)", p224))
+    checks.append(("late events: no window at all",
+                   "Window" not in p224))
+    checks.append(("late events: type-total broadcast",
+                   "BroadcastHashJoin" in p224))
+    checks.append(("late events: map-side partial aggregation",
+                   "partial_" in p224))
+    checks.append(("late events: no python eval",
+                   "BatchEvalPython" not in p224))
+
+    # 225. corr pairs: raw event rows never join — the pairing is a
+    # self equi-join ON DAY of the bounded daily table
+    p225 = plan_of(entry.q_rel_corr_pairs(spark, SF))
+    sections.append(("Daily-count correlation (rel_corr_pairs)", p225))
+    checks.append(("corr pairs: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p225
+                   and "BroadcastNestedLoopJoin" not in p225))
+    checks.append(("corr pairs: map-side partial aggregation",
+                   "partial_" in p225))
+    checks.append(("corr pairs: no python eval",
+                   "BatchEvalPython" not in p225))
+
+    # 226. value deciles: the scale-safe ntile — no global sort of the
+    # user table; the only unpartitioned windows run over the bounded
+    # value histogram / 10-row decile table
+    p226 = plan_of(entry.q_rel_value_deciles(spark, SF))
+    sections.append(("Exact value deciles (rel_value_deciles)", p226))
+    checks.append(("value deciles: value-partitioned rank window present",
+                   "windowspecdefinition(v" in p226))
+    checks.append(("value deciles: map-side partial aggregation",
+                   "partial_" in p226))
+    checks.append(("value deciles: no python eval",
+                   "BatchEvalPython" not in p226))
+
+    # 227. heaps growth: nothing corpus-sized is sorted — the cumulative
+    # window runs over the generated <=64-row checkpoint spine
+    p227 = plan_of(entry.q_txt_heaps_growth(spark, SF))
+    sections.append(("Heaps-law growth (txt_heaps_growth)", p227))
+    checks.append(("heaps: no nested-loop/cartesian join",
+                   "CartesianProduct" not in p227))
+    checks.append(("heaps: map-side partial aggregation",
+                   "partial_" in p227))
+    checks.append(("heaps: no python eval",
+                   "BatchEvalPython" not in p227))
+
+    # 228. canonical conflicts: rides the doubled pointer table, anti-join
+    # terminals, ONE canonical-keyed aggregate
+    p228 = plan_of(entry.q_txt_canonical_conflicts(spark, SF))
+    sections.append(
+        ("Canonical-group conflicts (txt_canonical_conflicts)", p228))
+    checks.append(("canonical conflicts: no cartesian",
+                   "CartesianProduct" not in p228))
+    checks.append(("canonical conflicts: pointer table persisted",
+                   "InMemoryTableScan" in p228))
+    checks.append(("canonical conflicts: map-side partial aggregation",
+                   "partial_" in p228))
+
+    # 229. interarrival: (user, type) lag + type-partitioned rank windows
+    # on the native sharding — never a global window
+    p229 = plan_of(entry.q_rel_interarrival(spark, SF))
+    sections.append(("Inter-arrival cadence (rel_interarrival)", p229))
+    checks.append(("interarrival: partitioned windows only (never global)",
+                   "windowspecdefinition()" not in p229))
+    checks.append(("interarrival: map-side partial aggregation",
+                   "partial_" in p229))
+    checks.append(("interarrival: no python eval",
+                   "BatchEvalPython" not in p229))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

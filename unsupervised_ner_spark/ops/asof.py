@@ -487,3 +487,228 @@ def scd2_history(events: DataFrame) -> DataFrame:
         "is_current",
         F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).cast("long"),
     )
+
+
+def late_events(events: DataFrame, delay_mod: int = 97) -> DataFrame:
+    """Watermark-lateness histogram — the diagnostic that SIZES a
+    structured-streaming watermark before deploying one (too tight drops
+    events, too loose holds state): per event type, how many events
+    arrive with a given processing delay, bucketed by decimal magnitude
+    (on-time, <10 s, <100 s, <1000 s, >=1000 s), with each bucket's max
+    delay and exact-integer share of the type's traffic in ppm. The
+    processing delay is synthesized deterministically from the event id
+    (delay_s = (event_id mod ``delay_mod``)^2 — a heavy-tailed shape:
+    most events near-on-time, a long quadratic tail), standing in for a
+    (proc_ts - event_ts) column a real ingest table carries.
+
+    Scale shape: one narrow map (delay + bucket per row, no join) into
+    ONE map-side-combining (type, bucket) aggregate bounded by
+    types x 5; the share join is against the types-bounded total."""
+    d = F.pmod(F.col("event_id"), F.lit(delay_mod))
+    delay_s = (d * d).cast("long")
+    bucket = (
+        F.when(delay_s == 0, F.lit(0))
+        .when(delay_s < 10, F.lit(1))
+        .when(delay_s < 100, F.lit(2))
+        .when(delay_s < 1000, F.lit(3))
+        .otherwise(F.lit(4))
+    ).cast("long")
+    ev = events.select(
+        "event_type", delay_s.alias("delay_s"), bucket.alias("bucket")
+    )
+    hist = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("delay_s").cast("long").alias("max_delay_s"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return hist.join(F.broadcast(tot), "event_type").select(
+        "event_type", "bucket", "n_events", "max_delay_s",
+        F.expr("n_events * 1000000 div n_total").cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def corr_pairs(events: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Pairwise correlation of event types' daily-count series — the
+    co-movement companion of trend_ols (one series' direction) and
+    cusum_changepoint (one series' bend): for each type pair, the exact
+    integer sufficient statistics over their SHARED days (n, sums,
+    cross/self products), Pearson numerator corr_num = n*Sxy - Sx*Sy and
+    both variance terms, plus corr_sign and corr2_ppm ~ 10^6 * r^2.
+
+    corr2_ppm uses the two-step exact-order division
+    (|num|*scale div var_x) * |num| div var_y — mathematically within
+    1 ppm of r^2*10^6 but chosen because the one-step num^2*scale
+    overflows int64 exactly where the statistic is healthiest; both
+    engines run the identical integer steps so the gate compares the
+    same number. int64 envelope: |num| < 9*10^12.
+
+    Scale shape: ONE bounded (type, day) aggregate; the pairing is a
+    self equi-join ON DAY of that bounded table (fan-out = types^2 per
+    day, schema-bounded); one (type_a, type_b) aggregate ends it. Raw
+    event rows never join."""
+    ev = events.select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("y"),
+    )
+    j = a.join(
+        b, (F.col("day") == F.col("day_b")) & (F.col("type_a") < F.col("type_b"))
+    )
+    s = j.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    base = s.select(
+        "type_a", "type_b", "n_days",
+        num.cast("long").alias("corr_num"),
+        vx.cast("long").alias("var_x"),
+        vy.cast("long").alias("var_y"),
+        F.signum(num).cast("long").alias("corr_sign"),
+    )
+    return base.withColumn(
+        "corr2_ppm",
+        F.when(
+            (F.col("var_x") > 0) & (F.col("var_y") > 0),
+            F.expr(
+                f"(abs(corr_num) * {scale} div var_x)"
+                " * abs(corr_num) div var_y"
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def value_deciles(events: DataFrame) -> DataFrame:
+    """Exact user-value deciles + gain curve WITHOUT a global sort — the
+    scale-safe ntile construction (a naive ntile(10) OVER (ORDER BY
+    value) plans a single-partition global sort, the one window shape
+    this engine bans): per user the exact integer cent total, then the
+    user's global rank under (value DESC, user_id ASC) decomposed as
+    cum_users_of_strictly_larger_values (ONE window over the BOUNDED
+    value histogram) + row_number within the user's own value group
+    (a value-partitioned window) — identical to the global-sort rank,
+    never materializing a global order. decile = (rank-1)*10 div N.
+    Emits per decile: users, cent total, exact share_ppm and cumulative
+    share — the lift/gain table a spend-concentration dashboard reads
+    ("the top decile carries X% of value").
+
+    Scale shape: one user-keyed aggregate (the event store's native
+    sharding), one histogram aggregate bounded by DISTINCT cent totals,
+    the two windows above (bounded / value-partitioned), a value-keyed
+    equi-join back, one 10-row aggregate."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    users = events.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("v")
+    )
+    hist = users.groupBy("v").agg(F.count("*").cast("long").alias("n_at"))
+    wh = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = hist.select(
+        "v",
+        F.coalesce(F.sum("n_at").over(wh), F.lit(0))
+        .cast("long").alias("cum_before"),
+        F.sum("n_at").over(wall).cast("long").alias("n_total"),
+    )
+    wv = Window.partitionBy("v").orderBy("user_id")
+    ranked = users.join(cums, "v").select(
+        "user_id", "v",
+        (F.col("cum_before") + F.row_number().over(wv)).alias("rank"),
+        "n_total",
+    )
+    tot = users.agg(F.sum("v").cast("long").alias("total_cents"))
+    dec = ranked.select(
+        "v",
+        F.expr("(rank - 1) * 10 div n_total").cast("long").alias("decile"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("sum_cents"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_users", "sum_cents",
+            F.expr("sum_cents * 1000000 div total_cents").cast("long")
+            .alias("share_ppm"),
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.sum("share_ppm").over(wd).cast("long"),
+        )
+    )
+
+
+def interarrival(events: DataFrame) -> DataFrame:
+    """Inter-arrival cadence per event type — the burstiness diagnostic
+    beside late_events (delay sizing) and cusum_changepoint (rate
+    bends): consecutive gaps are measured per (user, type) stream (the
+    cadence a session/watermark policy actually faces), then per type
+    the exact discrete median, p90, and max gap in microseconds via the
+    rank-at-ceil device (rel_outliers precedent — rank over the value
+    itself, so equal values make the picked value deterministic with no
+    tie-break column).
+
+    Scale shape: one lag window on the (user, type) native sharding, one
+    type-partitioned rank window over the gap rows (the event store's
+    own key — never a global sort), one bounded aggregate."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            "user_id", "event_type", us.alias("t_us"), "event_id",
+            F.lag(us).over(wl).alias("prev_us"),
+        )
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            (F.col("t_us") - F.col("prev_us")).cast("long").alias("gap_us"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    r = gaps.select(
+        "event_type", "gap_us",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type"))
+        .cast("long").alias("n"),
+    )
+    med = F.expr("(n * 50 + 99) div 100")
+    p90 = F.expr("(n * 90 + 99) div 100")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.max(F.when(F.col("rn") == med, F.col("gap_us")))
+        .cast("long").alias("med_gap_us"),
+        F.max(F.when(F.col("rn") == p90, F.col("gap_us")))
+        .cast("long").alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

@@ -696,3 +696,53 @@ def cluster_quality(
             "nn_centroid_id", "nn_d2_q",
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Label-aware hard-negative mining — the contrastive-training data
+    op the ANN family exists to feed: for each query vector, the top-k
+    most-cosine-similar vectors whose LABEL DIFFERS (the negatives a
+    random sampler would almost never draw, and the ones that actually
+    move a metric-learning loss; Xiong et al. ICLR'21 ANCE). Returns
+    (query_id, query_label, rank, neighbor_id, neighbor_label) with the
+    cosine_topk_bruteforce ordering contract (cos DESC, id ASC — the
+    float-association-order precedent the brute-force query already
+    gates).
+
+    Scale shape: identical to cosine_topk_bruteforce — the query side
+    broadcasts against ONE corpus scan, the label filter is a narrow
+    predicate on that join (no second shuffle), and the per-query top-k
+    is a bounded window. The production path at 10^9 vectors swaps the
+    corpus scan for the IVF cell probe (ivf_topk_probe) — same contract,
+    cell-bounded candidates."""
+    emb = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("query_label"),
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label"))
+    )
+    cos = (
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv")))
+    ).alias("cos")
+    scored = joined.select("query_id", "query_label", "vec_id", "label", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+        )
+    )

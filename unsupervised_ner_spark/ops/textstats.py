@@ -1712,3 +1712,224 @@ def readability(documents: DataFrame) -> DataFrame:
             " + 118000 * n_syllables div n_words - 1559 AS BIGINT)"
         ),
     )
+
+
+def cosine_pairs(
+    documents: DataFrame, max_df: int | None = 20, min_shared: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sparse TF-cosine near-duplicate pairs over the rare-term
+    vocabulary — the WEIGHTED sibling of jaccard_candidates (sets) and
+    dedup_embedding_cosine (dense vectors): per candidate pair the
+    integer dot product of term-frequency vectors, both squared norms,
+    and cos^2 as exact-integer ppm (squaring avoids the sqrt — cosine
+    ordering is preserved because cos >= 0 here).
+
+    ``max_df`` prunes the PAIRING vocabulary exactly like
+    jaccard_candidates: terms in more than max_df docs (stopwords,
+    boilerplate) can neither pair nor vote, so dot / norms / cos2 are
+    all over the rare-term subspace — the standard df-pruned similarity
+    (common terms carry no near-dup signal and make the self-join
+    corpus-quadratic at 100 TB). The subspace is the CONTRACT, not an
+    approximation: both engines compute the identical restricted cosine.
+
+    int64 envelope: cos2_ppm multiplies dot^2 by 10^6, exact while
+    dot < 3*10^6 (fine for pages of ~10^3 rare-term occurrences); ANSI
+    mode fails loudly past it rather than wrapping.
+
+    Scale shape: tf aggregate map-side combines; the df table is
+    vocabulary-bounded; pairing is the rare-term postings self-join
+    (bucketed by term, df-capped so no term fans out past max_df^2);
+    norms are a doc-bounded aggregate joined back on the pair keys."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    rare = (
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df).select("term")
+        if max_df is not None else tf.select("term").distinct()
+    )
+    rtf = scoped_persist(tf.join(rare, "term"))
+    norms = rtf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
+    )
+    a, b = rtf.alias("a"), rtf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("shared_terms"),
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"),
+        )
+        .filter(F.col("shared_terms") >= min_shared)
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("norm2_b"))
+    return (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_terms", "dot", "norm2_a", "norm2_b",
+            F.expr(f"dot * dot * {scale} div (norm2_a * norm2_b)")
+            .cast("long").alias("cos2_ppm"),
+        )
+    )
+
+
+def rrf_fusion(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("join", "table", "spark"),
+    k_each: int = 20, k: int = 10, rrf_k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of
+    two retrieval runs for the fixed query — the standard hybrid-search
+    combiner (lexical + semantic in production; here BM25 + pure-integer
+    TF-IDF doc scoring, which differ exactly where length normalization
+    and tf saturation matter): each run contributes
+    scale div (rrf_k + rank) for docs in its top-``k_each``, absent docs
+    contribute 0, fused order is (rrf_ppm DESC, doc_id ASC) top-``k``.
+    Every fused quantity is an exact integer — 10^6 div (60+rank) is the
+    same integer on both engines, so unlike score-based fusion there is
+    no normalization or float-association hazard at all (the reason RRF
+    wins in production: it never has to reconcile score scales).
+
+    Scale shape: rides bm25_topk's posture (query-filtered postings,
+    bounded dims, TakeOrdered) twice; the fusion itself is a full outer
+    join of two k_each-row tables — driver-trivial at any corpus size."""
+    bm = bm25_topk(documents, query_terms, k=k_each).select(
+        "doc_id", F.col("rnk").alias("bm25_rank")
+    )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    arr = F.transform(tokens_ws(F.col("text")), F.lower)
+    base = documents.select("doc_id", arr.alias("arr"))
+    toks = base.select("doc_id", F.explode("arr").alias("term")).filter(
+        F.array_contains(qlit, F.col("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = base.agg(F.count("*").cast("long").alias("n_docs"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            * F.lit(1e9)
+        ).cast("long").alias("idf_i9"),
+    )
+    ti = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_i9")).cast("long").alias("ti_i9"))
+    )
+    from pyspark.sql import Window
+
+    wt = Window.orderBy(F.desc("ti_i9"), F.asc("doc_id"))
+    tr = (
+        ti.withColumn("tfidf_rank", F.row_number().over(wt).cast("long"))
+        .filter(F.col("tfidf_rank") <= int(k_each))
+        .select("doc_id", "tfidf_rank")
+    )
+    fused = (
+        bm.join(tr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("tfidf_rank", F.lit(0)).cast("long").alias("tfidf_rank"),
+        )
+        .withColumn(
+            "rrf_ppm",
+            (
+                F.when(
+                    F.col("bm25_rank") > 0,
+                    F.expr(f"{scale} div ({rrf_k} + bm25_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("tfidf_rank") > 0,
+                    F.expr(f"{scale} div ({rrf_k} + tfidf_rank)"),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= int(k))
+    )
+
+
+def heaps_growth(documents: DataFrame) -> DataFrame:
+    """Heaps-law vocabulary-growth curve — the input to the V = K*n^beta
+    fit that predicts tokenizer OOV rates and vocabulary sizes before
+    training one: at each power-of-2 document checkpoint (docs with
+    doc_id < 2^k), the exact corpus token count and DISTINCT-term count.
+    No ordered scan materializes any prefix: a term belongs to the first
+    checkpoint containing its MINIMUM doc_id, a doc to the first
+    containing its own id, and both collapse into bucket histograms
+    cumulated by ONE window over a <=64-row table. The bucket index is
+    the integer bit length (binary-string length — exact in both
+    engines; float log2 at exact powers is the icbrt libm hazard this
+    device exists to avoid).
+
+    Scale shape: one lowered explode, one (term -> min doc) aggregate
+    (vocabulary-bounded), one per-doc token count (narrow), two bucket
+    histograms (<= 64 rows each), one generated checkpoint spine, one
+    cumulative window over it. Nothing corpus-sized is ever sorted."""
+    def bucket(c):
+        return F.when(c == 0, F.lit(0)).otherwise(
+            F.length(F.conv(c.cast("string"), 10, 2))
+        ).cast("long")
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("term"),
+    )
+    tmin = toks.groupBy("term").agg(F.min("doc_id").alias("m"))
+    vhist = tmin.groupBy(bucket(F.col("m")).alias("k")).agg(
+        F.count("*").cast("long").alias("v_at")
+    )
+    dstats = documents.select(
+        "doc_id", F.size(tokens_ws(F.col("text"))).cast("long").alias("n_tok")
+    )
+    dhist = dstats.groupBy(bucket(F.col("doc_id")).alias("k")).agg(
+        F.count("*").cast("long").alias("d_at"),
+        F.sum("n_tok").cast("long").alias("t_at"),
+    )
+    kmax = dstats.agg(
+        F.max(bucket(F.col("doc_id"))).cast("long").alias("km")
+    )
+    spine = kmax.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("km"))).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(dhist, "k", "left")
+        .join(vhist, "k", "left")
+        .select(
+            "k",
+            F.coalesce("d_at", F.lit(0)).alias("d_at"),
+            F.coalesce("t_at", F.lit(0)).alias("t_at"),
+            F.coalesce("v_at", F.lit(0)).alias("v_at"),
+        )
+        .select(
+            "k",
+            F.sum("d_at").over(w).cast("long").alias("n_docs"),
+            F.sum("t_at").over(w).cast("long").alias("n_tokens"),
+            F.sum("v_at").over(w).cast("long").alias("vocab"),
+        )
+    )

@@ -10646,3 +10646,459 @@ FROM islands
 """,
         "ev",
     )
+
+
+def txt_cosine_pairs(
+    max_df: int = 20, min_shared: int = 2, scale: int = 1_000_000
+) -> str:
+    """Sparse TF-cosine pair twin (ops/textstats.cosine_pairs over the
+    q_txt_cosine_pairs splice): rare-term (df <= max_df) postings
+    self-join, integer dot / squared norms / cos2_ppm."""
+    return _materialize(
+        f"""
+WITH docs AS (
+    SELECT doc_id,
+           text || ' zq' || CAST(doc_id // 7 AS VARCHAR)
+                || ' zr' || CAST(doc_id // 3 AS VARCHAR)
+                || CASE WHEN doc_id % 2 = 0
+                        THEN ' zq' || CAST(doc_id // 7 AS VARCHAR)
+                        ELSE '' END AS text
+    FROM documents
+),
+tk AS (
+    SELECT doc_id, lower(u.t) AS term
+    FROM docs,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tk GROUP BY doc_id, term
+),
+rare AS (
+    SELECT term FROM tf GROUP BY term HAVING count(*) <= {max_df}
+),
+rtf AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+norms AS (
+    SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+    FROM rtf GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_terms,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+    FROM rtf a JOIN rtf b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
+)
+SELECT p.doc_a, p.doc_b, p.shared_terms, p.dot,
+       na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       CAST(p.dot * p.dot * {scale} // (na.norm2 * nb.norm2) AS BIGINT)
+           AS cos2_ppm
+FROM pairs p
+JOIN norms na ON p.doc_a = na.doc_id
+JOIN norms nb ON p.doc_b = nb.doc_id
+""",
+        "tf", "rtf", "norms",
+    )
+
+
+def txt_redirect_chains() -> str:
+    """Redirect-chain twin (ops/webtext.redirect_chains over the
+    q_txt_redirect_chains synthetic functional graph): RECURSIVE walk to
+    the terminal, keeping the deepest row per url."""
+    return _materialize(
+        """
+WITH RECURSIVE e AS (
+    SELECT 'https://ex.org/p' || CAST(doc_id AS VARCHAR) AS src,
+           'https://ex.org/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+    FROM documents WHERE doc_id % 8 <> 0
+),
+walk AS (
+    SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+    UNION ALL
+    SELECT w.url, e.dst, CAST(w.hops + 1 AS BIGINT)
+    FROM walk w JOIN e ON w.cur = e.src
+)
+SELECT url, cur AS canonical_url, hops FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+    FROM walk
+) WHERE rn = 1
+""",
+        "e",
+    )
+
+
+def txt_rank_fusion(
+    query_terms: tuple[str, ...] = ("join", "table", "spark"),
+    k_each: int = 20, k: int = 10, rrf_k: int = 60,
+    scale: int = 1_000_000,
+) -> str:
+    """RRF twin (ops/textstats.rrf_fusion): the txt_bm25 body at k_each
+    plus a pure-integer tf*idf_i9 run, fused by scale // (rrf_k + rank)
+    with absent-run contribution 0, (rrf DESC, doc ASC) top-k."""
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH bm AS ({txt_bm25(query_terms, k=k_each)}),
+farr AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> ''), x -> lower(x)) AS arr
+    FROM documents
+),
+ftf AS (
+    SELECT doc_id, u.t AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM farr, UNNEST(arr) AS u(t)
+    WHERE u.t IN ({qlist})
+    GROUP BY doc_id, u.t
+),
+fdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ftf GROUP BY term),
+fn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM farr),
+fidf AS (
+    SELECT term,
+           CAST(round(ln(CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+                AS BIGINT) AS idf_i9
+    FROM fdf, fn n
+),
+fti AS (
+    SELECT t.doc_id, CAST(sum(t.tf * i.idf_i9) AS BIGINT) AS ti_i9
+    FROM ftf t JOIN fidf i USING (term) GROUP BY t.doc_id
+),
+ftr AS (
+    SELECT doc_id, tfidf_rank FROM (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY ti_i9 DESC, doc_id ASC)
+                            AS BIGINT) AS tfidf_rank
+        FROM fti
+    ) WHERE tfidf_rank <= {int(k_each)}
+),
+fused AS (
+    SELECT COALESCE(bm.doc_id, ftr.doc_id) AS doc_id,
+           CAST(COALESCE(bm.rnk, 0) AS BIGINT) AS bm25_rank,
+           CAST(COALESCE(ftr.tfidf_rank, 0) AS BIGINT) AS tfidf_rank
+    FROM bm FULL OUTER JOIN ftr ON bm.doc_id = ftr.doc_id
+),
+frrf AS (
+    SELECT doc_id, bm25_rank, tfidf_rank,
+           CAST((CASE WHEN bm25_rank > 0
+                      THEN {scale} // ({rrf_k} + bm25_rank) ELSE 0 END)
+                + (CASE WHEN tfidf_rank > 0
+                        THEN {scale} // ({rrf_k} + tfidf_rank) ELSE 0 END)
+                AS BIGINT) AS rrf_ppm
+    FROM fused
+)
+SELECT doc_id, bm25_rank, tfidf_rank, rrf_ppm, fused_rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC)
+                   AS BIGINT) AS fused_rank
+    FROM frrf
+) WHERE fused_rank <= {int(k)}
+"""
+
+
+def ann_hard_negatives(n_queries: int = 8, k: int = 5) -> str:
+    """Hard-negative twin (ops/simsearch.hard_negatives): the
+    ann_bruteforce body with the different-label predicate on the
+    broadcast join."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, label AS query_label
+    FROM e WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, q.query_label, e.vec_id, e.label,
+           list_dot_product(e.v, q.qv) /
+           (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND e.label <> q.query_label
+),
+r AS (
+    SELECT query_id, query_label, vec_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank,
+       vec_id AS neighbor_id, label AS neighbor_label
+FROM r WHERE rank <= {k}
+"""
+
+
+def rel_late_events(delay_mod: int = 97) -> str:
+    """Lateness-histogram twin (ops/asof.late_events): quadratic
+    synthetic delay, decimal-magnitude buckets, type-bounded share
+    join."""
+    return _materialize(
+        f"""
+WITH ld AS (
+    SELECT event_type,
+           CAST((event_id % {delay_mod}) * (event_id % {delay_mod})
+                AS BIGINT) AS delay_s
+    FROM events
+),
+lb AS (
+    SELECT event_type, delay_s,
+           CAST(CASE WHEN delay_s = 0 THEN 0
+                     WHEN delay_s < 10 THEN 1
+                     WHEN delay_s < 100 THEN 2
+                     WHEN delay_s < 1000 THEN 3
+                     ELSE 4 END AS BIGINT) AS bucket
+    FROM ld
+),
+lh AS (
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(delay_s) AS BIGINT) AS max_delay_s
+    FROM lb GROUP BY event_type, bucket
+),
+lt AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+    FROM lb GROUP BY event_type
+)
+SELECT h.event_type, h.bucket, h.n_events, h.max_delay_s,
+       CAST(h.n_events * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM lh h JOIN lt t USING (event_type)
+""",
+        "lb",
+    )
+
+
+def rel_corr_pairs(scale: int = 1_000_000) -> str:
+    """Daily-count correlation twin (ops/asof.corr_pairs): shared-day
+    self-join of the bounded daily table, exact integer sufficient
+    statistics, two-step exact-order corr2_ppm."""
+    return _materialize(
+        f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, day
+),
+j AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.c AS x, b.c AS y
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+),
+s AS (
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM j GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS corr_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS var_x,
+       CAST(n_days * syy - sy * sy AS BIGINT) AS var_y,
+       CAST(CASE WHEN n_days * sxy - sx * sy > 0 THEN 1
+                 WHEN n_days * sxy - sx * sy < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS corr_sign,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+            THEN CAST((abs(n_days * sxy - sx * sy) * {scale}
+                       // (n_days * sxx - sx * sx))
+                      * abs(n_days * sxy - sx * sy)
+                      // (n_days * syy - sy * sy) AS BIGINT)
+            ELSE 0 END AS corr2_ppm
+FROM s
+""",
+        "daily",
+    )
+
+
+def rel_value_deciles() -> str:
+    """Exact-decile twin (ops/asof.value_deciles): global rank decomposed
+    as bounded-histogram cum_before + within-value row_number, decile
+    aggregate with exact shares."""
+    return _materialize(
+        """
+WITH vu AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY user_id
+),
+vh AS (SELECT v, CAST(count(*) AS BIGINT) AS n_at FROM vu GROUP BY v),
+vc AS (
+    SELECT v,
+           CAST(COALESCE(sum(n_at) OVER (ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before,
+           CAST(sum(n_at) OVER () AS BIGINT) AS n_total
+    FROM vh
+),
+vr AS (
+    SELECT u.user_id, u.v,
+           c.cum_before
+           + row_number() OVER (PARTITION BY u.v ORDER BY u.user_id) AS rank,
+           c.n_total
+    FROM vu u JOIN vc c USING (v)
+),
+vd AS (
+    SELECT v, CAST((rank - 1) * 10 // n_total AS BIGINT) AS decile FROM vr
+),
+vp AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(v) AS BIGINT) AS sum_cents
+    FROM vd GROUP BY decile
+),
+vt AS (SELECT CAST(sum(v) AS BIGINT) AS total_cents FROM vu),
+vs AS (
+    SELECT decile, n_users, sum_cents,
+           CAST(sum_cents * 1000000 // t.total_cents AS BIGINT) AS share_ppm
+    FROM vp, vt t
+)
+SELECT decile, n_users, sum_cents, share_ppm,
+       CAST(sum(share_ppm) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_share_ppm
+FROM vs
+""",
+        "vu", "vh",
+    )
+
+
+def txt_heaps_growth() -> str:
+    """Heaps-growth twin (ops/textstats.heaps_growth): bit-length bucket
+    histograms (binary-string length — the exact-integer log2 device),
+    generated checkpoint spine, one cumulative window."""
+    return _materialize(
+        """
+WITH htk AS (
+    SELECT doc_id, lower(u.t) AS term
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+hmin AS (SELECT term, min(doc_id) AS m FROM htk GROUP BY term),
+hv AS (
+    SELECT CAST(CASE WHEN m = 0 THEN 0 ELSE length(bin(m)) END AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS v_at
+    FROM hmin GROUP BY 1
+),
+hd0 AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+hd AS (
+    SELECT CAST(CASE WHEN doc_id = 0 THEN 0
+                     ELSE length(bin(doc_id)) END AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS d_at,
+           CAST(sum(n_tok) AS BIGINT) AS t_at
+    FROM hd0 GROUP BY 1
+),
+hspine AS (
+    SELECT CAST(u.k AS BIGINT) AS k
+    FROM (SELECT max(k) AS km FROM hd),
+         UNNEST(generate_series(0, km)) AS u(k)
+),
+hrow AS (
+    SELECT s.k,
+           CAST(COALESCE(d.d_at, 0) AS BIGINT) AS d_at,
+           CAST(COALESCE(d.t_at, 0) AS BIGINT) AS t_at,
+           CAST(COALESCE(v.v_at, 0) AS BIGINT) AS v_at
+    FROM hspine s LEFT JOIN hd d ON s.k = d.k LEFT JOIN hv v ON s.k = v.k
+)
+SELECT k,
+       CAST(sum(d_at) OVER w AS BIGINT) AS n_docs,
+       CAST(sum(t_at) OVER w AS BIGINT) AS n_tokens,
+       CAST(sum(v_at) OVER w AS BIGINT) AS vocab
+FROM hrow
+WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "htk",
+    )
+
+
+def txt_canonical_conflicts() -> str:
+    """Canonical-conflict twin (ops/webtext.canonical_conflicts over the
+    q_txt_canonical_conflicts graph + fingerprint splice): RECURSIVE
+    walk to terminals, self-canonical for non-sources, fingerprint
+    countDistinct per canonical group."""
+    return _materialize(
+        """
+WITH RECURSIVE e AS (
+    SELECT 'https://ex.org/p' || CAST(doc_id AS VARCHAR) AS src,
+           'https://ex.org/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+    FROM documents WHERE doc_id % 8 <> 0
+),
+pages AS (
+    SELECT 'https://ex.org/p' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN (doc_id // 8) % 5 = 0
+                THEN md5('g' || CAST(doc_id // 8 AS VARCHAR))
+                ELSE md5(text) END AS fp
+    FROM documents
+),
+walk AS (
+    SELECT src AS url, dst AS cur, 1 AS hops FROM e
+    UNION ALL
+    SELECT w.url, e.dst, w.hops + 1 FROM walk w JOIN e ON w.cur = e.src
+),
+resolved AS (
+    SELECT url, cur AS canonical_url FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY hops DESC)
+               AS rn
+        FROM walk
+    ) WHERE rn = 1
+),
+members AS (
+    SELECT url, canonical_url FROM resolved
+    UNION ALL
+    SELECT p.url, p.url AS canonical_url FROM pages p
+    WHERE p.url NOT IN (SELECT src FROM e)
+)
+SELECT m.canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT p.fp) AS BIGINT) AS n_fingerprints,
+       CAST(CASE WHEN count(DISTINCT p.fp) > 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_conflict
+FROM members m JOIN pages p USING (url)
+GROUP BY m.canonical_url
+""",
+        "e", "pages",
+    )
+
+
+def rel_interarrival() -> str:
+    """Inter-arrival twin (ops/asof.interarrival): per-(user, type) lag
+    gaps, type-partitioned rank-at-ceil median / p90, max."""
+    return _materialize(
+        """
+WITH ia AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+),
+gaps AS (
+    SELECT event_type, CAST(t_us - prev_us AS BIGINT) AS gap_us
+    FROM ia WHERE prev_us IS NOT NULL
+),
+r AS (
+    SELECT event_type, gap_us,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+                AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM gaps
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_us END)
+            AS BIGINT) AS med_gap_us,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN gap_us END)
+            AS BIGINT) AS p90_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM r GROUP BY event_type
+""",
+        "gaps",
+    )
