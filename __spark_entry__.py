@@ -2332,6 +2332,25 @@ def q_ann_cluster_quality(spark, sf_dir):
     return cluster_quality(_t(spark, sf_dir, "embeddings"))
 
 
+def q_txt_token_entropy(spark, sf_dir):
+    """Per-doc unigram-entropy sufficient statistics
+    (textstats.token_entropy): exact n_tokens / n_types + per-term-
+    rounded integer-summed c*ln(c) — the distribution-shape quality
+    signal."""
+    from unsupervised_ner_spark.ops.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_weekday_profile(spark, sf_dir):
+    """Day-of-week seasonality per event type (asof.weekday_profile):
+    epoch-day arithmetic weekday (never an engine dayofweek builtin),
+    exact uniformity deviation and share."""
+    from unsupervised_ner_spark.ops.asof import weekday_profile
+
+    return weekday_profile(_t(spark, sf_dir, "events"))
+
+
 def q_txt_canonical_conflicts(spark, sf_dir):
     """Canonical-group content audit (webtext.canonical_conflicts): the
     synthetic redirect graph's groups of 8 fingerprint-compared; every
@@ -4788,6 +4807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_heaps_growth": q_txt_heaps_growth,
         "txt_canonical_conflicts": q_txt_canonical_conflicts,
         "rel_interarrival": q_rel_interarrival,
+        "txt_token_entropy": q_txt_token_entropy,
+        "rel_weekday_profile": q_rel_weekday_profile,
         "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
@@ -5114,6 +5135,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_heaps_growth": O.txt_heaps_growth(),
         "txt_canonical_conflicts": O.txt_canonical_conflicts(),
         "rel_interarrival": O.rel_interarrival(),
+        "txt_token_entropy": O.txt_token_entropy(),
+        "rel_weekday_profile": O.rel_weekday_profile(),
         "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),

@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "txt_heaps_growth",
     "txt_canonical_conflicts",
     "rel_interarrival",
+    "txt_token_entropy",
+    "rel_weekday_profile",
     "er_anchor_aliases",
 ]
 

@@ -2428,6 +2428,27 @@ def main() -> None:
     checks.append(("interarrival: no python eval",
                    "BatchEvalPython" not in p229))
 
+    # 230. token entropy: two map-side-combining aggregates, no join,
+    # no window, no python
+    p230 = plan_of(entry.q_txt_token_entropy(spark, SF))
+    sections.append(("Token entropy (txt_token_entropy)", p230))
+    checks.append(("entropy: no join at all", "Join" not in p230))
+    checks.append(("entropy: no window at all", "Window" not in p230))
+    checks.append(("entropy: map-side partial aggregation",
+                   "partial_" in p230))
+    checks.append(("entropy: no python eval",
+                   "BatchEvalPython" not in p230))
+
+    # 231. weekday profile: narrow map into a (type x 7)-bounded
+    # aggregate, type total broadcast
+    p231 = plan_of(entry.q_rel_weekday_profile(spark, SF))
+    sections.append(("Weekday profile (rel_weekday_profile)", p231))
+    checks.append(("weekday: no window at all", "Window" not in p231))
+    checks.append(("weekday: type-total broadcast",
+                   "BroadcastHashJoin" in p231))
+    checks.append(("weekday: map-side partial aggregation",
+                   "partial_" in p231))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -712,3 +712,35 @@ def interarrival(events: DataFrame) -> DataFrame:
         .cast("long").alias("p90_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+def weekday_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly-cycle
+    read beside trend_ols (drift) and cusum_changepoint (bends): counts
+    per (type, weekday) with the exact integer uniformity deviation
+    dev = 7*c - total (zero everywhere iff perfectly uniform; the
+    chi-square numerator's signed root) and exact share_ppm. The weekday
+    index is pure epoch-day arithmetic — (day + 3) mod 7 with Monday=0,
+    anchored on 1970-01-01 being a Thursday — NEVER an engine dayofweek()
+    builtin (locale/week-start semantics differ across engines; integer
+    arithmetic does not).
+
+    Scale shape: one narrow map into ONE (type x 7)-bounded aggregate,
+    share against the broadcast type total."""
+    day = F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    ev = events.select(
+        "event_type", F.pmod(day + 3, F.lit(7)).cast("long").alias("dow")
+    )
+    hist = ev.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return hist.join(F.broadcast(tot), "event_type").select(
+        "event_type", "dow", "n_events",
+        (F.lit(7) * F.col("n_events") - F.col("n_total"))
+        .cast("long").alias("dev_7c_total"),
+        F.expr("n_events * 1000000 div n_total").cast("long")
+        .alias("share_ppm"),
+    )

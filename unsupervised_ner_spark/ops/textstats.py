@@ -1933,3 +1933,35 @@ def heaps_growth(documents: DataFrame) -> DataFrame:
             F.sum("v_at").over(w).cast("long").alias("vocab"),
         )
     )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document unigram-entropy sufficient statistics — the
+    distribution-shape quality signal the ratio bundles (quality/
+    repetition/gopher) don't carry: a spam page of one token repeated
+    500 times and a natural page of 500 tokens have identical length but
+    entropies of 0 vs ~ln(V). H = ln(n) - S/(n*10^9) where the gated
+    surface carries S = sum over terms of round(c*ln(c)*1e9) — rounded
+    PER TERM then integer-summed (the bm25/tfidf 9dp precedent: float
+    association order never crosses the engine boundary), plus exact
+    n_tokens / n_types. c=1 terms contribute exactly 0.
+
+    Scale shape: one lowered explode into a (doc, term) map-side-
+    combining aggregate, one doc-keyed aggregate. No join, no window."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_ws(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    x = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double"))
+        * F.lit(1e9)
+    ).cast("long")
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(x).cast("long").alias("clnc_i9_sum"),
+    )

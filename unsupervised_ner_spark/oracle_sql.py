@@ -11102,3 +11102,58 @@ FROM r GROUP BY event_type
 """,
         "gaps",
     )
+
+
+def txt_token_entropy() -> str:
+    """Entropy-statistics twin (ops/textstats.token_entropy): per-term
+    round(c*ln(c)*1e9) integer-summed per doc."""
+    return _materialize(
+        """
+WITH etk AS (
+    SELECT doc_id, lower(u.t) AS term
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+),
+etf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+    FROM etk GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e9)
+                     AS BIGINT)) AS BIGINT) AS clnc_i9_sum
+FROM etf GROUP BY doc_id
+""",
+        "etf",
+    )
+
+
+def rel_weekday_profile() -> str:
+    """Weekday-profile twin (ops/asof.weekday_profile): (epoch_day + 3)
+    mod 7 arithmetic weekday, bounded histogram, exact deviation and
+    share."""
+    return _materialize(
+        """
+WITH wev AS (
+    SELECT event_type,
+           CAST((CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) + 3)
+                % 7 AS BIGINT) AS dow
+    FROM events
+),
+wh AS (
+    SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_events
+    FROM wev GROUP BY event_type, dow
+),
+wt AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+    FROM wev GROUP BY event_type
+)
+SELECT h.event_type, h.dow, h.n_events,
+       CAST(7 * h.n_events - t.n_total AS BIGINT) AS dev_7c_total,
+       CAST(h.n_events * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM wh h JOIN wt t USING (event_type)
+""",
+        "wev",
+    )
