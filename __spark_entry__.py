@@ -2342,6 +2342,27 @@ def q_txt_token_entropy(spark, sf_dir):
     return token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_collocation_llr(spark, sf_dir):
+    """Dunning G2 collocations (textstats.collocation_llr): adjacent-
+    bigram contingency over the corpus bigram universe, four per-cell-
+    i9-rounded BIGINT terms doubled — the significance-tested phrase
+    ranking beside txt_word_pmi's raw sufficient statistics."""
+    return textstats.collocation_llr(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency OLS sufficient statistics
+    (textstats.zipf_slope): one exact-integer row — n_terms + the four
+    i9-rounded log-space sums; the float slope is derived downstream."""
+    return textstats.zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_burstiness(spark, sf_dir):
+    """Per-term dispersion (textstats.term_burstiness — Church & Gale):
+    cf / df / max_tf / sum_tf2, the content-vs-function-word separator."""
+    return textstats.term_burstiness(_t(spark, sf_dir, "documents"))
+
+
 def q_rel_weekday_profile(spark, sf_dir):
     """Day-of-week seasonality per event type (asof.weekday_profile):
     epoch-day arithmetic weekday (never an engine dayofweek builtin),
@@ -4252,6 +4273,41 @@ def q_kg_condensation(spark, sf_dir):
     return er.scc_condensation(edges, inner_rounds=3, outer_rounds=2)
 
 
+def q_kg_bowtie(spark, sf_dir):
+    """Web bow-tie decomposition (er.bowtie_classes — Broder et al. 2000):
+    CORE = largest SCC of the directed triple graph (+ cycle splice, the
+    kg_scc edge set), IN/OUT via 6-round frontier BFS sweeps, horizon
+    artifacts surfaced as 'loop' instead of silently folded."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    edges = (
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(_scc_splice_edges(spark, sf_dir))
+        .distinct()
+    )
+    return er.bowtie_classes(
+        edges, inner_rounds=3, outer_rounds=2, reach_rounds=6
+    )
+
+
+def q_kg_rpq(spark, sf_dir):
+    """Regular path query p/q* (er.rpq_two_step — the SPARQL 1.1 property
+    path): p, q = the two most frequent normalized predicates derived from
+    the data (count DESC, pred ASC), Kleene closure via min-plus doubling
+    capped at 8 q-hops; the oracle replays it as a depth-capped RECURSIVE
+    CTE."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    return er.rpq_two_step(
+        trip.select("subj", F.col("pred_norm").alias("pred"), "obj"),
+        max_hops=8,
+    )
+
+
 def q_kg_entity_facts(spark, sf_dir):
     """Top-3 facts per canonical subject entity (er.entity_top_facts —
     LinkSUM-shaped): rank by (n_support DESC, object salience DESC,
@@ -4809,6 +4865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_interarrival": q_rel_interarrival,
         "txt_token_entropy": q_txt_token_entropy,
         "rel_weekday_profile": q_rel_weekday_profile,
+        "txt_collocation_llr": q_txt_collocation_llr,
+        "txt_zipf_slope": q_txt_zipf_slope,
+        "txt_burstiness": q_txt_burstiness,
         "kg_tag_transitions": q_kg_tag_transitions,
         "dedup_lsh_stats": q_dedup_lsh_stats,
         "kg_negative_samples": q_kg_negative_samples,
@@ -4943,6 +5002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bm25": q_txt_bm25,
         "dedup_ppjoin": q_dedup_ppjoin,
         "kg_condensation": q_kg_condensation,
+        "kg_bowtie": q_kg_bowtie,
+        "kg_rpq": q_kg_rpq,
         "kg_entity_facts": q_kg_entity_facts,
         "kg_pra": q_kg_pra,
         "txt_rake": q_txt_rake,
@@ -5137,6 +5198,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_interarrival": O.rel_interarrival(),
         "txt_token_entropy": O.txt_token_entropy(),
         "rel_weekday_profile": O.rel_weekday_profile(),
+        "txt_collocation_llr": O.txt_collocation_llr(),
+        "txt_zipf_slope": O.txt_zipf_slope(),
+        "txt_burstiness": O.txt_burstiness(),
         "kg_tag_transitions": O.kg_tag_transitions(),
         "dedup_lsh_stats": O.dedup_lsh_stats(max_bucket=2),
         "kg_negative_samples": O.kg_negative_samples(),
@@ -5332,6 +5396,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_bm25": O.txt_bm25(),
         "dedup_ppjoin": O.dedup_ppjoin(),
         "kg_condensation": O.kg_condensation(),
+        "kg_bowtie": O.kg_bowtie(),
+        "kg_rpq": O.kg_rpq(),
         "kg_entity_facts": O.kg_entity_facts(),
         "kg_pra": O.kg_pra(),
         "txt_rake": O.txt_rake(),

@@ -314,6 +314,11 @@ BENCH_QUERIES = [
     "rel_interarrival",
     "txt_token_entropy",
     "rel_weekday_profile",
+    "kg_bowtie",
+    "kg_rpq",
+    "txt_collocation_llr",
+    "txt_zipf_slope",
+    "txt_burstiness",
     "er_anchor_aliases",
 ]
 

@@ -2449,6 +2449,62 @@ def main() -> None:
     checks.append(("weekday: map-side partial aggregation",
                    "partial_" in p231))
 
+    # 232. bow-tie: the CORE pick's 1-row broadcast happens inside the
+    # checkpointed core/fwd/back subplans (not visible here) — the final
+    # plan must be exactly the three flag LEFT equi-joins over
+    # checkpoint-backed node sets, nothing nested-loop/cartesian
+    p232 = plan_of(entry.q_kg_bowtie(spark, SF))
+    sections.append(("Bow-tie decomposition (kg_bowtie)", p232))
+    checks.append(("bowtie: classification is left equi-joins",
+                   "LeftOuter" in p232))
+    checks.append(("bowtie: BFS rounds checkpoint-backed",
+                   "Scan ExistingRDD" in p232))
+    checks.append(("bowtie: no cartesian product",
+                   "Cartesian" not in p232
+                   and "BroadcastNestedLoopJoin" not in p232))
+
+    # 233. RPQ p/q*: predicate picks ride in as broadcasts; the closure
+    # rounds are checkpoint-backed; the final composition is an equi-join
+    # + partial min aggregate
+    p233 = plan_of(entry.q_kg_rpq(spark, SF))
+    sections.append(("RPQ p/q* (kg_rpq)", p233))
+    checks.append(("rpq: predicate filters broadcast",
+                   "BroadcastHashJoin" in p233))
+    checks.append(("rpq: closure rounds checkpoint-backed",
+                   "Scan ExistingRDD" in p233))
+    checks.append(("rpq: map-side partial min", "partial_min" in p233))
+    checks.append(("rpq: no cartesian product", "Cartesian" not in p233))
+
+    # 234. G2 collocations: bigrams expression-side (no positional
+    # self-join), marginals joined back per side, the 1-row total a
+    # broadcast nested-loop of exactly one row (crossJoin of a 1-row agg)
+    p234 = plan_of(entry.q_txt_collocation_llr(spark, SF))
+    sections.append(("Dunning G2 collocations (txt_collocation_llr)", p234))
+    checks.append(("llr: no window", "Window" not in p234))
+    checks.append(("llr: map-side partial aggregation", "partial_" in p234))
+    checks.append(("llr: pair table persisted once",
+                   p234.count("InMemoryTableScan") >= 2))
+    checks.append(("llr: no Python in the plan",
+                   "BatchEvalPython" not in p234))
+
+    # 235. Zipf slope: one explode into a vocab aggregate, ONE global
+    # window over the vocabulary (the documented acceptable sort), one
+    # 1-row aggregate — and nothing else
+    p235 = plan_of(entry.q_txt_zipf_slope(spark, SF))
+    sections.append(("Zipf rank-frequency OLS (txt_zipf_slope)", p235))
+    checks.append(("zipf: exactly one window over the vocabulary",
+                   p235.count("Window (") == 1))
+    checks.append(("zipf: no join at all", "Join" not in p235))
+    checks.append(("zipf: map-side partial aggregation", "partial_" in p235))
+
+    # 236. burstiness: two stacked aggregates, no join, no window
+    p236 = plan_of(entry.q_txt_burstiness(spark, SF))
+    sections.append(("Term burstiness (txt_burstiness)", p236))
+    checks.append(("burstiness: no join", "Join" not in p236))
+    checks.append(("burstiness: no window", "Window" not in p236))
+    checks.append(("burstiness: map-side partial aggregation",
+                   "partial_" in p236))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

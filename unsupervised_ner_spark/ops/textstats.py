@@ -1965,3 +1965,173 @@ def token_entropy(documents: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_types"),
         F.sum(x).cast("long").alias("clnc_i9_sum"),
     )
+
+
+def collocation_llr(documents: DataFrame, min_pair: int = 2) -> DataFrame:
+    """Adjacent-bigram collocation strength by Dunning's log-likelihood
+    ratio (Dunning, CL 1993) — the significance-tested complement of
+    word_pmi_stats: PMI over-rewards rare pairs (two hapaxes together
+    score the maximum), G2 weighs the evidence MASS, which is what a
+    phrase-vocabulary builder (Mikolov-style word2phrase) actually ranks.
+
+    Contingency per bigram (w1, w2) over the corpus bigram universe:
+    k11 = n(w1 w2), row n1x = n(w1 *), col nx2 = n(* w2), N = total
+    bigrams; k12/k21/k22 derived. llr_i6 = 2 * sum over the four cells
+    of round(k * ln(k*N / (row*col)) * 1e6) — each cell rounded to a
+    BIGINT BEFORE the sum (the token-entropy/bm25 fixed-point device:
+    float association order never crosses the engine boundary), empty
+    cells contribute exactly 0. MICRO (1e6) precision, deliberately
+    coarser than the 9dp family: each cell multiplies ln() by k, so a
+    1-ulp libm divergence between the JVM and DuckDB drifts the product
+    by ~k*2e-16 — at 1e9 scaling that reaches the .5 rounding boundary
+    (observed: 2 flipped cells at sf0.01), at 1e6 the boundary window
+    is 1000x wider than the drift. The integer contingency (k11, n1x,
+    nx2, n_total) is gated alongside, so the float-free sufficient
+    statistics are independently checkable.
+
+    Scale shape: bigrams generated EXPRESSION-SIDE inside the token
+    array (no positional self-join); ONE pair aggregate bounded by the
+    bigram vocabulary; row/col marginals are vocabulary-sized aggregates
+    OF THAT TABLE (no second corpus pass) joined back per side; the
+    1-row total rides in broadcast. min_pair cuts to the dense head
+    AFTER marginals, so the contingency stays exact."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    arr = F.transform(tokens_ws(F.col("text")), F.lower)
+    docs = documents.select(arr.alias("arr"))
+    n = F.size("arr")
+    pair_at = lambda i: F.struct(  # noqa: E731
+        F.element_at(F.col("arr"), i).alias("w1"),
+        F.element_at(F.col("arr"), i + 1).alias("w2"),
+    )
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+    pairs = docs.select(
+        F.explode(
+            F.when(n > 1, F.transform(F.sequence(F.lit(1), n - 1), pair_at))
+            .otherwise(empty)
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pc = scoped_persist(
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("k11"))
+    )
+    row = pc.groupBy("w1").agg(F.sum("k11").cast("long").alias("n1x"))
+    col = pc.groupBy("w2").agg(F.sum("k11").cast("long").alias("nx2"))
+    tot = pc.agg(F.sum("k11").cast("long").alias("n_total"))
+    j = (
+        pc.filter(F.col("k11") >= int(min_pair))
+        .join(row, "w1")
+        .join(col, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def cell(k, r, c):
+        # round(k * ln(k*N/(r*c)) * 1e6) as BIGINT; k == 0 -> 0
+        t = (
+            k.cast("double")
+            * (
+                F.log(k.cast("double") * F.col("n_total").cast("double"))
+                - F.log(r.cast("double") * c.cast("double"))
+            )
+            * F.lit(1e6)
+        )
+        return F.when(k > 0, F.round(t).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    k11 = F.col("k11")
+    k12 = F.col("n1x") - k11
+    k21 = F.col("nx2") - k11
+    k22 = F.col("n_total") - F.col("n1x") - F.col("nx2") + k11
+    llr = 2 * (
+        cell(k11, F.col("n1x"), F.col("nx2"))
+        + cell(k12, F.col("n1x"), F.col("n_total") - F.col("nx2"))
+        + cell(k21, F.col("n_total") - F.col("n1x"), F.col("nx2"))
+        + cell(
+            k22,
+            F.col("n_total") - F.col("n1x"),
+            F.col("n_total") - F.col("nx2"),
+        )
+    )
+    return j.select(
+        "w1", "w2", "k11", "n1x", "nx2", "n_total",
+        llr.cast("long").alias("llr_i6"),
+    )
+
+
+def zipf_slope(documents: DataFrame) -> DataFrame:
+    """Zipf rank-frequency fit — the one-row corpus-health gauge (natural
+    text slopes near -1 in log-log space; template farms and token salads
+    bend it): OLS sufficient statistics over (ln rank, ln tf) for every
+    vocabulary term, rank = row_number by (tf DESC, term ASC).
+
+    Output is ONE row of exact integers (the trend_ols num/den
+    discipline, lifted to log space with the 9dp device): n_terms plus
+    per-term-rounded sums sx_i9 = sum round(ln(rank)*1e9), sy_i9,
+    sxy_i9 = sum round(ln(rank)*ln(tf)*1e9), sxx_i9 — the float slope
+    (n*sxy - sx*sy)/(n*sxx - sx^2) is a downstream derivation and never
+    enters the hashed surface.
+
+    Scale shape: one explode into a vocabulary-bounded tf aggregate; the
+    rank is a single global window over the VOCABULARY table (never the
+    corpus — at web scale this is the one acceptable single-partition
+    sort, ~10^7 rows; a range-partitioned rank would replace it above
+    that), then one 1-row aggregate."""
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            F.explode(
+                F.transform(tokens_ws(F.col("text")), F.lower)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = tf.select(
+        "tf", F.row_number().over(w).cast("long").alias("rank")
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("tf").cast("double"))
+    i9 = lambda c: F.round(c * F.lit(1e9)).cast("long")  # noqa: E731
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(i9(lr)).cast("long").alias("sx_i9"),
+        F.sum(i9(lf)).cast("long").alias("sy_i9"),
+        F.sum(i9(lr * lf)).cast("long").alias("sxy_i9"),
+        F.sum(i9(lr * lr)).cast("long").alias("sxx_i9"),
+    )
+
+
+def term_burstiness(documents: DataFrame, min_cf: int = 2) -> DataFrame:
+    """Per-term dispersion statistics (Church & Gale 1995 "Poisson
+    mixtures"; Katz's burstiness) — the content/function-word separator
+    built from exact integers: content words arrive in BURSTS (high
+    per-doc tf once the doc mentions them), function words are evenly
+    spread. Per term over the corpus: cf = total occurrences, df = docs
+    containing it, max_tf, sum_tf2 = sum of squared per-doc tf. Burst
+    rate cf/df, variance-to-mean (sum_tf2*n - cf^2)/(cf*n) and the
+    Katz repeat probability are all downstream derivations of these
+    four integers.
+
+    Scale shape: one explode into a (doc, term) map-side-combining
+    aggregate, then one term-keyed aggregate bounded by the vocabulary.
+    No join, no window."""
+    tf = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.transform(tokens_ws(F.col("text")), F.lower)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("cf"),
+            F.count("*").cast("long").alias("df"),
+            F.max("tf").cast("long").alias("max_tf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_tf2"),
+        )
+        .filter(F.col("cf") >= int(min_cf))
+    )

@@ -11157,3 +11157,211 @@ FROM wh h JOIN wt t USING (event_type)
 """,
         "wev",
     )
+
+
+def kg_bowtie(
+    model: str = "a100",
+    inner_rounds: int = 3,
+    outer_rounds: int = 2,
+    reach_rounds: int = 6,
+) -> str:
+    """Bow-tie twin (pipeline/er.py bowtie_classes): the full kg_scc body,
+    largest-SCC pick (n DESC, scc_id ASC LIMIT 1), ``reach_rounds``
+    unrolled forward/backward BFS rounds over dedges, then the 5-way
+    core/loop/in/out/other CASE — the engine's frontier sweeps and these
+    unrolled rounds agree exactly because both compute reachability
+    within the same hop horizon over the same distinct edge set."""
+    tail = """, btsize AS (
+    SELECT scc_id, count(*) AS n FROM sccout WHERE status = 'scc'
+    GROUP BY scc_id
+),
+btcore AS (
+    SELECT s.k FROM sccout s
+    JOIN (SELECT scc_id FROM btsize ORDER BY n DESC, scc_id ASC LIMIT 1) c
+      ON s.scc_id = c.scc_id
+),
+btfw0 AS (SELECT k FROM btcore),
+btbk0 AS (SELECT k FROM btcore)"""
+    for i in range(1, int(reach_rounds) + 1):
+        tail += f""",
+btfw{i} AS (
+    SELECT DISTINCT k FROM (
+        SELECT k FROM btfw{i - 1}
+        UNION ALL
+        SELECT d.dst FROM dedges d JOIN btfw{i - 1} f ON f.k = d.src
+    )
+),
+btbk{i} AS (
+    SELECT DISTINCT k FROM (
+        SELECT k FROM btbk{i - 1}
+        UNION ALL
+        SELECT d.src FROM dedges d JOIN btbk{i - 1} b ON b.k = d.dst
+    )
+)"""
+    tail += f"""
+SELECT a.k AS node,
+       CASE WHEN c.k IS NOT NULL THEN 'core'
+            WHEN b.k IS NOT NULL AND f.k IS NOT NULL THEN 'loop'
+            WHEN b.k IS NOT NULL THEN 'in'
+            WHEN f.k IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM act1 a
+LEFT JOIN btcore c ON c.k = a.k
+LEFT JOIN btfw{int(reach_rounds)} f ON f.k = a.k
+LEFT JOIN btbk{int(reach_rounds)} b ON b.k = a.k
+"""
+    sql = kg_scc(model, inner_rounds, outer_rounds, tail=tail)
+    mats = ["btcore"] + [
+        f"bt{d}{i}"
+        for d in ("fw", "bk")
+        for i in range(1, int(reach_rounds) + 1)
+    ]
+    return _materialize(sql, *mats)
+
+
+def kg_rpq(model: str = "a100", max_hops: int = 8) -> str:
+    """RPQ ``p/q*`` twin (pipeline/er.py rpq_two_step): the same
+    data-derived predicate pair (count DESC, pred ASC row_number), a
+    depth-capped RECURSIVE q-closure with min(hops) (== the engine's
+    min-plus doubling — both compute shortest q-walk length <= cap), one
+    p-edge composition UNION the bare p-edges at 0 hops, min aggregate."""
+    return _materialize(
+        f"""
+WITH RECURSIVE trip AS ({kg_triples(model)}),
+rpqc AS (
+    SELECT pred_norm AS pred, count(*) AS n FROM trip GROUP BY pred_norm
+),
+rpqr AS (
+    SELECT pred, row_number() OVER (ORDER BY n DESC, pred ASC) AS rnk
+    FROM rpqc
+),
+rpqe AS (
+    SELECT DISTINCT t.subj AS src, t.obj AS mid
+    FROM trip t JOIN rpqr r ON r.pred = t.pred_norm
+    WHERE r.rnk = 1 AND t.subj <> t.obj
+),
+rpqq AS (
+    SELECT DISTINCT t.subj AS a, t.obj AS b
+    FROM trip t JOIN rpqr r ON r.pred = t.pred_norm
+    WHERE r.rnk = 2 AND t.subj <> t.obj
+),
+rpqreach AS (
+    SELECT a, b, 1 AS hops FROM rpqq
+    UNION
+    SELECT r.a, e.b, r.hops + 1
+    FROM rpqreach r JOIN rpqq e ON e.a = r.b
+    WHERE r.hops < {int(max_hops)}
+),
+rpqclo AS (
+    SELECT a, b, min(hops) AS hops FROM rpqreach WHERE a <> b GROUP BY a, b
+)
+SELECT src, dst, CAST(min(hops) AS BIGINT) AS q_hops
+FROM (
+    SELECT src, mid AS dst, 0 AS hops FROM rpqe
+    UNION ALL
+    SELECT p.src, q.b AS dst, q.hops FROM rpqe p JOIN rpqclo q ON q.a = p.mid
+)
+GROUP BY src, dst
+""",
+        "trip", "rpqe", "rpqq",
+    )
+
+
+def _llr_cell_sql(k: str, r: str, c: str) -> str:
+    """One G2 contingency cell: round(k * ln(k*N/(r*c)) * 1e6) as BIGINT,
+    0 when the cell is empty — mirrors ops/textstats.collocation_llr's
+    per-cell rounding exactly (ln split the same way: ln(k*N) - ln(r*c);
+    MICRO precision — see the engine docstring's ulp-drift rationale)."""
+    return (
+        f"CASE WHEN {k} > 0 THEN CAST(round(CAST({k} AS DOUBLE) * "
+        f"(ln(CAST({k} AS DOUBLE) * CAST(n_total AS DOUBLE)) - "
+        f"ln(CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE))) * 1e6) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def txt_collocation_llr(min_pair: int = 2) -> str:
+    """Dunning G2 collocation twin (ops/textstats.collocation_llr):
+    adjacent bigrams via generate_series, marginals over the bigram
+    table itself, four per-cell-rounded BIGINT terms doubled."""
+    c11 = _llr_cell_sql("k11", "n1x", "nx2")
+    c12 = _llr_cell_sql("n1x - k11", "n1x", "n_total - nx2")
+    c21 = _llr_cell_sql("nx2 - k11", "n_total - n1x", "nx2")
+    c22 = _llr_cell_sql(
+        "n_total - n1x - nx2 + k11", "n_total - n1x", "n_total - nx2"
+    )
+    return _materialize(
+        f"""
+WITH cltk AS (
+    SELECT {_LOWTOKS} AS arr FROM documents
+),
+clbg AS (
+    SELECT arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + 1] AS w2
+    FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM cltk WHERE len(arr) > 1)
+),
+clpc AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+    FROM clbg GROUP BY w1, w2
+),
+clrow AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS n1x FROM clpc GROUP BY w1),
+clcol AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS nx2 FROM clpc GROUP BY w2),
+cltot AS (SELECT CAST(sum(k11) AS BIGINT) AS n_total FROM clpc)
+SELECT p.w1, p.w2, p.k11, r.n1x, c.nx2, t.n_total,
+       CAST(2 * ({c11} + {c12} + {c21} + {c22}) AS BIGINT) AS llr_i6
+FROM clpc p
+JOIN clrow r ON r.w1 = p.w1
+JOIN clcol c ON c.w2 = p.w2, cltot t
+WHERE p.k11 >= {int(min_pair)}
+""",
+        "clpc",
+    )
+
+
+def txt_zipf_slope() -> str:
+    """Zipf-fit twin (ops/textstats.zipf_slope): vocabulary tf, global
+    (tf DESC, term ASC) row_number rank, per-term i9-rounded log sums."""
+    return f"""
+WITH zftf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT unnest({_LOWTOKS}) AS term FROM documents)
+    GROUP BY term
+),
+zfr AS (
+    SELECT tf,
+           CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS BIGINT)
+               AS rank
+    FROM zftf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT))
+            AS BIGINT) AS sx_i9,
+       CAST(sum(CAST(round(ln(CAST(tf AS DOUBLE)) * 1e9) AS BIGINT))
+            AS BIGINT) AS sy_i9,
+       CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                           * ln(CAST(tf AS DOUBLE)) * 1e9) AS BIGINT))
+            AS BIGINT) AS sxy_i9,
+       CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                           * ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT))
+            AS BIGINT) AS sxx_i9
+FROM zfr
+"""
+
+
+def txt_burstiness(min_cf: int = 2) -> str:
+    """Term-dispersion twin (ops/textstats.term_burstiness): (doc, term)
+    tf, then the four per-term integers."""
+    return f"""
+WITH bstf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({_LOWTOKS}) AS term FROM documents)
+    GROUP BY doc_id, term
+)
+SELECT term,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(max(tf) AS BIGINT) AS max_tf,
+       CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+FROM bstf GROUP BY term
+HAVING sum(tf) >= {int(min_cf)}
+"""

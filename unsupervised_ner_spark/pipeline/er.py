@@ -4789,3 +4789,162 @@ def rich_club(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
             F.expr(f"2 * e_rich * {scale} div (n_rich * (n_rich - 1))"),
         ).otherwise(F.lit(0)).cast("long").alias("phi_ppm"),
     )
+
+
+def bowtie_classes(
+    directed: DataFrame,
+    inner_rounds: int = 3,
+    outer_rounds: int = 2,
+    reach_rounds: int = 6,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., WWW 2000,
+    "Graph structure in the Web") — the macro-structure census every
+    web-crawl corpus audit starts from: CORE = the largest SCC, IN =
+    nodes that reach CORE, OUT = nodes CORE reaches, OTHER = tendrils /
+    tubes / disconnected, collapsed into one class (the 4-class variant;
+    the full 6-class split needs tendril-side reachability products this
+    table derives trivially).
+
+    Classes per node (deterministic): 'core' (member of the largest
+    resolved SCC — size DESC, scc_id ASC tie-break), 'in' (backward-
+    reachable to CORE within ``reach_rounds`` BFS rounds, not core),
+    'out' (forward-reachable from CORE, not core), 'loop' (both — only
+    possible when the SCC horizon under-resolved mutual reachability;
+    empty on a fully resolved graph, kept so the horizon artifact is
+    VISIBLE rather than silently folded), 'other' (neither).
+
+    Scale shape: scc_coloring's bounded-round plan, then a components-
+    bounded size aggregate topped by a 1-row sort (the broadcastable CORE
+    id), then two frontier BFS sweeps of ``reach_rounds`` rounds each —
+    per round ONE edge-keyed equi-join against the visited set plus one
+    distinct, visited checkpointed per round (the BFS lineage rule).
+    Nothing corpus-quadratic; the visited set is node-bounded. The DuckDB
+    twin unrolls the identical rounds, so the horizon semantics agree
+    exactly."""
+    comp = scoped_persist(
+        scc_coloring(directed, inner_rounds, outer_rounds), how="checkpoint"
+    )
+    sizes = (
+        comp.filter(F.col("status") == "scc")
+        .groupBy("scc_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = (
+        sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc())
+        .limit(1)
+        .select("scc_id")
+    )
+    core = scoped_persist(
+        comp.join(F.broadcast(top), "scc_id").select(F.col("node").alias("k")),
+        how="checkpoint",
+    )
+    edges = scoped_persist(
+        directed.select("src", "dst").distinct(), how="checkpoint"
+    )
+    fwd = core
+    for _ in range(int(reach_rounds)):
+        step = (
+            edges.join(fwd.withColumnRenamed("k", "src"), "src")
+            .select(F.col("dst").alias("k"))
+        )
+        fwd = scoped_persist(
+            fwd.unionByName(step).distinct(), how="checkpoint"
+        )
+    back = core
+    for _ in range(int(reach_rounds)):
+        step = (
+            edges.join(back.withColumnRenamed("k", "dst"), "dst")
+            .select(F.col("src").alias("k"))
+        )
+        back = scoped_persist(
+            back.unionByName(step).distinct(), how="checkpoint"
+        )
+    nodes = (
+        edges.select(F.col("src").alias("k"))
+        .unionAll(edges.select(F.col("dst").alias("k")))
+        .distinct()
+    )
+    flagged = (
+        nodes.join(core.withColumn("is_core", F.lit(1)), "k", "left")
+        .join(fwd.withColumn("in_fwd", F.lit(1)).distinct(), "k", "left")
+        .join(back.withColumn("in_back", F.lit(1)).distinct(), "k", "left")
+    )
+    cls = (
+        F.when(F.col("is_core") == 1, F.lit("core"))
+        .when((F.col("in_back") == 1) & (F.col("in_fwd") == 1), F.lit("loop"))
+        .when(F.col("in_back") == 1, F.lit("in"))
+        .when(F.col("in_fwd") == 1, F.lit("out"))
+        .otherwise(F.lit("other"))
+    )
+    return flagged.select(F.col("k").alias("node"), cls.alias("cls"))
+
+
+def rpq_two_step(triples: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Regular path query ``p / q*`` over the (subj, pred, obj) triple
+    table — the SPARQL 1.1 property-path workhorse (one mandatory
+    ``p``-step, then the Kleene closure of ``q``), with the two
+    predicates chosen FROM THE DATA as the most and second-most frequent
+    predicates (count DESC, pred ASC — both engines derive the identical
+    pair, no fixture constants).
+
+    Returns (src, dst, q_hops): q_hops = number of ``q``-steps on the
+    SHORTEST qualifying path (0 = the bare p-edge), capped at
+    ``max_hops`` (the taxonomy_closure bound — well-defined on cyclic
+    graphs, and the doubling rounds and the oracle's depth-capped
+    RECURSIVE CTE agree exactly on min-hops).
+
+    Scale shape: the predicate ranking is a predicate-bounded aggregate
+    consumed as two broadcastable 1-row filters; the q-closure is
+    iterative min-plus DOUBLING — ceil(log2(max_hops)) self-join rounds,
+    each one equi-join + min-combining aggregate over a closure-bounded
+    (never corpus-sized) distance table, checkpointed per round; the
+    final composition is ONE equi-join of p-edges with the closure on the
+    middle node plus a min aggregate."""
+    from pyspark.sql import Window
+
+    pc = triples.groupBy("pred").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pred").asc())
+    ranked = pc.select("pred", F.row_number().over(w).alias("rnk"))
+    p_pred = ranked.filter(F.col("rnk") == 1).select("pred")
+    q_pred = ranked.filter(F.col("rnk") == 2).select("pred")
+    pe = scoped_persist(
+        triples.join(F.broadcast(p_pred), "pred")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("mid"))
+        .filter(F.col("src") != F.col("mid"))
+        .distinct(),
+        how="checkpoint",
+    )
+    qe = (
+        triples.join(F.broadcast(q_pred), "pred")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    dist = scoped_persist(qe, how="checkpoint")
+    rounds = max(1, (int(max_hops) - 1).bit_length())
+    for _ in range(rounds):
+        x = dist.select("a", F.col("b").alias("m"), F.col("hops").alias("h1"))
+        y = dist.select(F.col("a").alias("m"), "b", F.col("hops").alias("h2"))
+        step = (
+            x.join(y, "m")
+            .select("a", "b", (F.col("h1") + F.col("h2")).alias("hops"))
+            .filter(F.col("hops") <= int(max_hops))
+        )
+        dist = scoped_persist(
+            dist.unionByName(step)
+            .groupBy("a", "b")
+            .agg(F.min("hops").cast("long").alias("hops")),
+            how="checkpoint",
+        )
+    dist = dist.filter(F.col("a") != F.col("b"))
+    via_q = (
+        pe.join(dist.withColumnRenamed("a", "mid"), "mid")
+        .select("src", F.col("b").alias("dst"), "hops")
+    )
+    bare = pe.select("src", F.col("mid").alias("dst"), F.lit(0).cast("long").alias("hops"))
+    return (
+        bare.unionByName(via_q)
+        .groupBy("src", "dst")
+        .agg(F.min("hops").cast("long").alias("q_hops"))
+    )
