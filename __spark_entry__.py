@@ -2372,6 +2372,35 @@ def q_rel_weekday_profile(spark, sf_dir):
     return weekday_profile(_t(spark, sf_dir, "events"))
 
 
+GAP_FILL_MOD = 101
+GAP_FILL_REM = 0
+
+
+def q_rel_gap_fill(spark, sf_dir):
+    """Calendar densification (asof.calendar_gap_fill): per event type
+    every day in the observed range, zero-filled with is_filled flagged.
+    The raw stream is day-dense at every gate scale, so the query runs on
+    the deterministic sparse substream event_id % GAP_FILL_MOD ==
+    GAP_FILL_REM — the residue splice that makes BOTH fill branches fire
+    (the rel_funnel precedent); the oracle replays the identical filter."""
+    from unsupervised_ner_spark.ops.asof import calendar_gap_fill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % GAP_FILL_MOD == GAP_FILL_REM
+    )
+    return calendar_gap_fill(ev)
+
+
+def q_rel_hopping_window(spark, sf_dir):
+    """Hopping 7-day-by-1-day window counts (asof.hopping_window_counts):
+    expression-side explode into covering window starts, two stacked
+    aggregates for exact n_events + distinct n_users — the batch twin of
+    a streaming window(ts, '7 days', '1 day')."""
+    from unsupervised_ner_spark.ops.asof import hopping_window_counts
+
+    return hopping_window_counts(_t(spark, sf_dir, "events"), width_days=7)
+
+
 def q_txt_canonical_conflicts(spark, sf_dir):
     """Canonical-group content audit (webtext.canonical_conflicts): the
     synthetic redirect graph's groups of 8 fingerprint-compared; every
@@ -4308,6 +4337,48 @@ def q_kg_rpq(spark, sf_dir):
     )
 
 
+def _simrank_splice_edges(spark, sf_dir):
+    """Deterministic doc_id-derived edge splice for the SimRank gate (the
+    _scc_splice_edges rationale — the organic triple graph has almost no
+    shared-in-neighbor structure: 1 pair at sf0.01, 0 at sf0.001): group
+    g = (doc_id DIV 9) %% 3, branch m = doc_id %% 9 emits per group the
+    three-tier gadget p1/p2/p3 -> sA/sB (the classic partial-overlap
+    bipartite core: s1(sA,sB) = 266666), r -> y1/y2 (full overlap:
+    s1 = 800000), and y1 -> q1 / y2 -> q2 — the pair with NO common
+    in-neighbor (s1_ppm = 0) whose s2_ppm = 640000 comes ONLY from
+    iteration 2 propagating s1(y1, y2): the branch witness that the
+    second iteration genuinely runs."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.expr("doc_id DIV 9") % 3).cast("string")
+    m = (F.col("doc_id") % 9 + 1).cast("int")
+
+    def pick(names):
+        return F.element_at(
+            F.array(*[F.concat(F.lit("sr"), g, F.lit("-" + n)) for n in names]),
+            m,
+        )
+
+    src = pick(["p1", "p1", "p2", "p2", "p3", "r", "r", "y1", "y2"])
+    dst = pick(["sA", "sB", "sA", "sB", "sA", "y1", "y2", "q1", "q2"])
+    return docs.select(src.alias("src"), dst.alias("dst"))
+
+
+def q_kg_simrank(spark, sf_dir):
+    """SimRank, two exact iterations (er.simrank_two_iter — Jeh & Widom
+    KDD'02) over the directed triple graph + the three-tier gadget splice:
+    structural-equivalence similarity from shared in-neighborhoods, relay
+    roles gated by the shared adaptive cube-root out-degree cap, exact
+    integer s1_ppm / t_sum / s2_ppm with the overflow-safe 4/5 factoring."""
+    from unsupervised_ner_spark.pipeline import er
+
+    pages = _docs_as_pages(spark, sf_dir)
+    trip = run_pipeline(pages, lang_filter=None)["triples"]
+    edges = trip.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).unionByName(_simrank_splice_edges(spark, sf_dir))
+    return er.simrank_two_iter(edges)
+
+
 def q_kg_entity_facts(spark, sf_dir):
     """Top-3 facts per canonical subject entity (er.entity_top_facts —
     LinkSUM-shaped): rank by (n_support DESC, object salience DESC,
@@ -4865,6 +4936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_interarrival": q_rel_interarrival,
         "txt_token_entropy": q_txt_token_entropy,
         "rel_weekday_profile": q_rel_weekday_profile,
+        "rel_gap_fill": q_rel_gap_fill,
+        "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
         "txt_burstiness": q_txt_burstiness,
@@ -5004,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_condensation": q_kg_condensation,
         "kg_bowtie": q_kg_bowtie,
         "kg_rpq": q_kg_rpq,
+        "kg_simrank": q_kg_simrank,
         "kg_entity_facts": q_kg_entity_facts,
         "kg_pra": q_kg_pra,
         "txt_rake": q_txt_rake,
@@ -5198,6 +5272,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_interarrival": O.rel_interarrival(),
         "txt_token_entropy": O.txt_token_entropy(),
         "rel_weekday_profile": O.rel_weekday_profile(),
+        "rel_gap_fill": O.rel_gap_fill(GAP_FILL_MOD, GAP_FILL_REM),
+        "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),
         "txt_burstiness": O.txt_burstiness(),
@@ -5398,6 +5474,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_condensation": O.kg_condensation(),
         "kg_bowtie": O.kg_bowtie(),
         "kg_rpq": O.kg_rpq(),
+        "kg_simrank": O.kg_simrank(),
         "kg_entity_facts": O.kg_entity_facts(),
         "kg_pra": O.kg_pra(),
         "txt_rake": O.txt_rake(),

@@ -319,6 +319,9 @@ BENCH_QUERIES = [
     "txt_collocation_llr",
     "txt_zipf_slope",
     "txt_burstiness",
+    "rel_gap_fill",
+    "rel_hopping_window",
+    "kg_simrank",
     "er_anchor_aliases",
 ]
 

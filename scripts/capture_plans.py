@@ -2505,6 +2505,41 @@ def main() -> None:
     checks.append(("burstiness: map-side partial aggregation",
                    "partial_" in p236))
 
+    # 237. calendar gap-fill: ONE event-sized aggregate; the calendar is
+    # the exploded bounded per-type range; zero-fill via a left join; no
+    # window, no cartesian
+    p237 = plan_of(entry.q_rel_gap_fill(spark, SF))
+    sections.append(("Calendar gap-fill (rel_gap_fill)", p237))
+    checks.append(("gapfill: zero-fill is a left join", "LeftOuter" in p237))
+    checks.append(("gapfill: calendar explode present", "Explode" in p237
+                   or "Generate" in p237))
+    checks.append(("gapfill: no window", "Window" not in p237))
+    checks.append(("gapfill: no cartesian product", "Cartesian" not in p237
+                   and "BroadcastNestedLoopJoin" not in p237))
+
+    # 238. hopping windows: expression-side explode into two stacked
+    # aggregates — NO join, NO window, NO distinct shuffle of raw events
+    p238 = plan_of(entry.q_rel_hopping_window(spark, SF))
+    sections.append(("Hopping window counts (rel_hopping_window)", p238))
+    checks.append(("hopping: no join at all", "Join" not in p238))
+    checks.append(("hopping: no window function", "Window" not in p238))
+    checks.append(("hopping: covering-starts explode present",
+                   "Explode" in p238 or "Generate" in p238))
+    checks.append(("hopping: map-side partial aggregation",
+                   "partial_" in p238))
+
+    # 239. SimRank-2: adjacency and s1 pair table each persisted once
+    # (InMemory scans), every join an equi-join, no corpus broadcast of
+    # a data-sized side (bounded dims only), no cartesian
+    p239 = plan_of(entry.q_kg_simrank(spark, SF))
+    sections.append(("SimRank two-iteration (kg_simrank)", p239))
+    checks.append(("simrank: persisted adjacency + s1 reused",
+                   p239.count("InMemoryTableScan") >= 3))
+    checks.append(("simrank: no cartesian product", "Cartesian" not in p239
+                   and "BroadcastNestedLoopJoin" not in p239))
+    checks.append(("simrank: map-side partial aggregation",
+                   "partial_" in p239))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -744,3 +744,77 @@ def weekday_profile(events: DataFrame) -> DataFrame:
         F.expr("n_events * 1000000 div n_total").cast("long")
         .alias("share_ppm"),
     )
+
+
+def calendar_gap_fill(events: DataFrame) -> DataFrame:
+    """Calendar densification — the zero-filling step every daily time
+    series consumer (trend_ols, cusum_changepoint, dashboard sparklines)
+    silently assumes and raw event aggregates never provide: per event
+    type, every day in [min observed day, max observed day] appears
+    exactly once, days with no events carry n_events = 0 and
+    is_filled = 1. Day = epoch-day integer (datediff vs 1970-01-01), the
+    weekday_profile convention — never an engine date-truncation builtin.
+
+    Scale shape: ONE event-sized map-side-combining (type, day) aggregate
+    is the only pass over the data; the per-type [lo, hi] range and the
+    exploded calendar are DIMENSION-sized (types x day span — a 10-year
+    daily calendar is 3,653 rows per type), so the fill join is a
+    bounded-table left join, never an event-table operation."""
+    day = F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    counts = events.select("event_type", day.alias("day")).groupBy(
+        "event_type", "day"
+    ).agg(F.count("*").cast("long").alias("n"))
+    cal = (
+        counts.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    return cal.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0)
+        .cast("long").alias("is_filled"),
+    )
+
+
+def hopping_window_counts(events: DataFrame, width_days: int = 7) -> DataFrame:
+    """Hopping (sliding) window aggregation — the batch twin of a
+    streaming ``window(ts, '7 days', '1 day')``: per event type and
+    window start day, the event count and the exact distinct-user count
+    over the ``width_days``-day window [start, start + width). Sizing
+    read for watermaring/triggers beside rel_late_events: how bursty is
+    a week-long window vs its daily hop.
+
+    Scale shape: each event expression-side-explodes into exactly
+    ``width_days`` covering window starts (never a self-join or a range
+    join — the O(|E| x days) trap); the distinct-user count is TWO
+    stacked map-side-combining aggregates ((type, start, user) then
+    (type, start)), the token-entropy device, so no count-distinct
+    shuffle of raw events and no window function anywhere."""
+    w = int(width_days)
+    day = F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    per_user = (
+        events.select("event_type", "user_id", day.alias("day"))
+        .select(
+            "event_type",
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day") - F.lit(w - 1), F.col("day"))
+            ).alias("win_start_day"),
+        )
+        .groupBy("event_type", "win_start_day", "user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return per_user.groupBy("event_type", "win_start_day").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+    ).select(
+        "event_type",
+        F.col("win_start_day").cast("long").alias("win_start_day"),
+        "n_events",
+        "n_users",
+    )

@@ -11365,3 +11365,146 @@ SELECT term,
 FROM bstf GROUP BY term
 HAVING sum(tf) >= {int(min_cf)}
 """
+
+
+def rel_gap_fill(residue_mod: int, residue_rem: int) -> str:
+    """Calendar-densification twin (ops/asof.calendar_gap_fill): per-type
+    (day) counts on the deterministic sparse substream, per-type [lo, hi]
+    range, lateral generate_series calendar, zero-filled left join. The
+    residue filter is the splice that guarantees both is_filled branches
+    fire (the raw stream is day-dense at every gate scale)."""
+    return f"""
+WITH gfe AS (
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) AS day
+    FROM events WHERE event_id % {int(residue_mod)} = {int(residue_rem)}
+),
+gfc AS (
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+    FROM gfe GROUP BY event_type, day
+),
+gfr AS (
+    SELECT event_type, min(day) AS lo, max(day) AS hi
+    FROM gfc GROUP BY event_type
+),
+gfcal AS (
+    SELECT event_type, CAST(UNNEST(generate_series(lo, hi)) AS BIGINT) AS day
+    FROM gfr
+)
+SELECT c.event_type, c.day,
+       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN g.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+FROM gfcal c
+LEFT JOIN gfc g ON g.event_type = c.event_type AND g.day = c.day
+"""
+
+
+def rel_hopping_window(width_days: int = 7) -> str:
+    """Hopping-window twin (ops/asof.hopping_window_counts): each event
+    lateral-unnests into its covering window starts, then the same two
+    stacked aggregates ((type, start, user) then (type, start))."""
+    w = int(width_days)
+    return _materialize(
+        f"""
+WITH hwe AS (
+    SELECT event_type, user_id,
+           CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) AS day
+    FROM events
+),
+hwx AS (
+    SELECT event_type, user_id,
+           CAST(UNNEST(generate_series(day - {w - 1}, day)) AS BIGINT)
+               AS win_start_day
+    FROM hwe
+),
+hwu AS (
+    SELECT event_type, win_start_day, user_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM hwx GROUP BY event_type, win_start_day, user_id
+)
+SELECT event_type, win_start_day,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM hwu GROUP BY event_type, win_start_day
+""",
+        "hwu",
+    )
+
+
+def kg_simrank(model: str = "a100") -> str:
+    """SimRank-2 twin (pipeline/er.py simrank_two_iter): directed triple
+    adjacency (self-loops dropped), the shared exact-cube-root relay
+    OUT-degree cap, s_1 wedge over capped common in-neighbors with exact
+    integer s1_ppm = 800000*w // (di*dj), diagonal s_1(v,v) = 1e6 for
+    capped in-neighbors, and the s_2 extension join with
+    s2_ppm = 4*t_sum // (5*da*db) — the identical overflow-safe 4/5
+    factoring."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c "
+        "FROM sradj))"
+    )
+    names_src = ["p1", "p1", "p2", "p2", "p3", "r", "r", "y1", "y2"]
+    names_dst = ["sA", "sB", "sA", "sB", "sA", "y1", "y2", "q1", "q2"]
+    arr = lambda ns: "[" + ", ".join(f"'-{n}'" for n in ns) + "]"  # noqa: E731
+    splice = (
+        "SELECT 'sr' || CAST((doc_id // 9) % 3 AS VARCHAR) || "
+        f"({arr(names_src)})[CAST(doc_id % 9 AS INT) + 1] AS src, "
+        "'sr' || CAST((doc_id // 9) % 3 AS VARCHAR) || "
+        f"({arr(names_dst)})[CAST(doc_id % 9 AS INT) + 1] AS dst "
+        "FROM documents"
+    )
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+sradj AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT subj AS src, obj AS dst FROM trip
+        UNION ALL
+        {splice}
+    ) WHERE src <> dst
+),
+srod AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM sradj GROUP BY src),
+srok AS (SELECT src AS relay FROM srod WHERE od <= {cap}),
+sraok AS (SELECT a.src, a.dst FROM sradj a JOIN srok k ON k.relay = a.src),
+srideg AS (SELECT dst, CAST(count(*) AS BIGINT) AS ideg
+           FROM sradj GROUP BY dst),
+srw AS (
+    SELECT x.dst AS i, y.dst AS j, CAST(count(*) AS BIGINT) AS w
+    FROM sraok x JOIN sraok y ON y.src = x.src AND x.dst < y.dst
+    GROUP BY x.dst, y.dst
+),
+srs1 AS (
+    SELECT i, j,
+           CAST(800000 * w // (di.ideg * dj.ideg) AS BIGINT) AS s1_ppm
+    FROM srw
+    JOIN srideg di ON di.dst = srw.i
+    JOIN srideg dj ON dj.dst = srw.j
+),
+srfull AS (
+    SELECT i, j, s1_ppm FROM srs1
+    UNION ALL SELECT j, i, s1_ppm FROM srs1
+    UNION ALL
+    SELECT DISTINCT a.src, a.src, CAST(1000000 AS BIGINT)
+    FROM sradj a JOIN srok k ON k.relay = a.src
+),
+srt AS (
+    SELECT ea.dst AS a, eb.dst AS b, CAST(sum(f.s1_ppm) AS BIGINT) AS t_sum
+    FROM srfull f
+    JOIN sraok ea ON ea.src = f.i
+    JOIN sraok eb ON eb.src = f.j
+    WHERE ea.dst < eb.dst
+    GROUP BY ea.dst, eb.dst
+)
+SELECT t.a AS node_a, t.b AS node_b,
+       da.ideg AS indeg_a, db.ideg AS indeg_b, t.t_sum,
+       CAST(COALESCE(s.s1_ppm, 0) AS BIGINT) AS s1_ppm,
+       CAST(4 * t.t_sum // (5 * da.ideg * db.ideg) AS BIGINT) AS s2_ppm
+FROM srt t
+JOIN srideg da ON da.dst = t.a
+JOIN srideg db ON db.dst = t.b
+LEFT JOIN srs1 s ON s.i = t.a AND s.j = t.b
+""",
+        "trip", "sradj", "sraok", "srideg", "srs1",
+    )

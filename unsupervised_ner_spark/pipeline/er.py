@@ -4948,3 +4948,104 @@ def rpq_two_step(triples: DataFrame, max_hops: int = 8) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.min("hops").cast("long").alias("q_hops"))
     )
+
+
+def simrank_two_iter(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """SimRank, two exact synchronous iterations (Jeh & Widom KDD'02) over
+    the directed triple graph — "two nodes are similar if their
+    in-neighbors are similar": the structural-equivalence complement of
+    katz_index/link_prediction (which score CONNECTION, not ROLE; SimRank
+    scores substitutability — two drugs cited by the same papers, two
+    entities with the same incoming predicates). s_0 = identity;
+    s_1(a,b) = C*|I(a) n I(b)| / (|I(a)||I(b)|);
+    s_2(a,b) = C/(|I(a)||I(b)|) * sum_{i in I(a), j in I(b)} s_1(i,j).
+
+    Exact integer contract (C = 0.8): s1_ppm = (800000*w) div (da*db);
+    the s_2 numerator t_sum = sum of s1full_ppm over in-neighbor pairs
+    (diagonal s_1(v,v) = 1e6 included) is an exact BIGINT, and
+    s2_ppm = (4*t_sum) div (5*da*db) — the 4/5 factoring keeps every
+    intermediate below 2^63 even at the 4096 degree cap (800000*t_sum
+    would not). Both engines replay the identical integer arithmetic.
+
+    Scale shape: all-pairs SimRank is the textbook quadratic blow-up, so
+    every RELAY role is gated by the shared corpus-adaptive
+    clamp(icbrt_ceil(|E|), 16, 4096) OUT-degree cap (the katz posture;
+    endpoint in-degrees stay exact and uncapped): the s_1 wedge join
+    relays through common in-neighbors z, and the s_2 extension relays
+    each s_1 pair (i, j) to (a, b) through i's and j's capped out-edges —
+    bounded by cap^2 * |s_1|, never corpus-quadratic. The out-adjacency
+    is persisted once (degree aggregate + three join roles); the s_1
+    pair table is persisted once (its own output column + the s_2 join)."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    adj = scoped_persist(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_degree is None:
+        max_degree = max(16, min(4096, icbrt_ceil(max(adj.count(), 1))))
+    outdeg = adj.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    ok = outdeg.filter(F.col("od") <= max_degree).select(
+        F.col("src").alias("relay")
+    )
+    a_ok = adj.join(ok, adj["src"] == ok["relay"]).select("src", "dst")
+    indeg = adj.groupBy("dst").agg(F.count("*").cast("long").alias("ideg"))
+    # s_1 wedge: common in-neighbors z (capped) of the unordered pair.
+    w1 = (
+        a_ok.select(F.col("src").alias("z"), F.col("dst").alias("i"))
+        .join(
+            a_ok.select(F.col("src").alias("z"), F.col("dst").alias("j")),
+            "z",
+        )
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    s1 = scoped_persist(
+        w1.join(indeg.select(F.col("dst").alias("i"),
+                             F.col("ideg").alias("di")), "i")
+        .join(indeg.select(F.col("dst").alias("j"),
+                           F.col("ideg").alias("dj")), "j")
+        .select(
+            "i", "j",
+            F.expr("800000 * w div (di * dj)").cast("long").alias("s1_ppm"),
+        )
+    )
+    diag = adj.select(F.col("src").alias("i")).distinct().join(
+        ok, F.col("i") == ok["relay"]
+    ).select("i", F.col("i").alias("j"),
+             F.lit(1_000_000).cast("long").alias("s1_ppm"))
+    s1full = (
+        s1.unionByName(s1.select(F.col("j").alias("i"), F.col("i").alias("j"),
+                                 "s1_ppm"))
+        .unionByName(diag)
+    )
+    # s_2 extension: (i -> a), s1full(i, j), (j -> b), a < b.
+    t = (
+        s1full
+        .join(a_ok.select(F.col("src").alias("i"), F.col("dst").alias("a")),
+              "i")
+        .join(a_ok.select(F.col("src").alias("j"), F.col("dst").alias("b")),
+              "j")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("s1_ppm").cast("long").alias("t_sum"))
+    )
+    own = s1.select(F.col("i").alias("a"), F.col("j").alias("b"),
+                    F.col("s1_ppm").alias("own_s1_ppm"))
+    return (
+        t.join(indeg.select(F.col("dst").alias("a"),
+                            F.col("ideg").alias("indeg_a")), "a")
+        .join(indeg.select(F.col("dst").alias("b"),
+                           F.col("ideg").alias("indeg_b")), "b")
+        .join(own, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+            "indeg_a", "indeg_b", "t_sum",
+            F.coalesce("own_s1_ppm", F.lit(0)).cast("long").alias("s1_ppm"),
+            F.expr("4 * t_sum div (5 * indeg_a * indeg_b)")
+            .cast("long").alias("s2_ppm"),
+        )
+    )
