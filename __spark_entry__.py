@@ -2374,6 +2374,8 @@ def q_rel_weekday_profile(spark, sf_dir):
 
 GAP_FILL_MOD = 101
 GAP_FILL_REM = 0
+SEQ_MOD = 7
+SEQ_REM = 0
 
 
 def q_rel_gap_fill(spark, sf_dir):
@@ -4784,6 +4786,39 @@ def q_kg_acronyms(spark, sf_dir):
     return acronym_pairs(sents)
 
 
+def q_rel_sequence_patterns(spark, sf_dir):
+    """Gap-tolerant sequential patterns (asof.sequence_patterns — GSP's
+    length-2 core): per ordered type pair, users with SOME antecedent
+    strictly before SOME consequent via (min_ts, max_ts) sufficient
+    statistics; exact ppm confidence + documented overflow-safe lift —
+    the complement of rel_transitions' adjacent-only bigram matrix.
+    The raw gate stream is so dense every user supports every pair
+    (measured: 375/0 kept/dropped at sf0.001), so the query runs on the
+    deterministic sparse substream event_id % SEQ_MOD == SEQ_REM — the
+    rel_gap_fill residue-splice precedent that makes the strict order
+    test discriminate at BOTH gate scales (205/70 kept/dropped at
+    sf0.001, 2224/674 at sf0.01); the oracle replays the identical
+    filter."""
+    from unsupervised_ner_spark.ops.asof import sequence_patterns
+
+    return sequence_patterns(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_id") % SEQ_MOD == SEQ_REM
+        )
+    )
+
+
+def q_kg_temporal_paths(spark, sf_dir):
+    """Time-respecting 2-hop reachability (er.temporal_paths — Kempe et
+    al. temporal-path semantics) over the temporal fact table with the
+    deterministic url-derived warc_ts: b->c composes after a->b only
+    when first_seen(bc) >= first_seen(ab); shared cube-root mid cap,
+    earliest-arrival + minimum-wait per reachable (src, dst)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.temporal_paths(q_kg_triples_temporal(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4937,6 +4972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_entropy": q_txt_token_entropy,
         "rel_weekday_profile": q_rel_weekday_profile,
         "rel_gap_fill": q_rel_gap_fill,
+        "rel_sequence_patterns": q_rel_sequence_patterns,
+        "kg_temporal_paths": q_kg_temporal_paths,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5273,6 +5310,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_token_entropy": O.txt_token_entropy(),
         "rel_weekday_profile": O.rel_weekday_profile(),
         "rel_gap_fill": O.rel_gap_fill(GAP_FILL_MOD, GAP_FILL_REM),
+        "rel_sequence_patterns": O.rel_sequence_patterns(SEQ_MOD, SEQ_REM),
+        "kg_temporal_paths": O.kg_temporal_paths(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2540,6 +2540,33 @@ def main() -> None:
     checks.append(("simrank: map-side partial aggregation",
                    "partial_" in p239))
 
+    # 240. sequence patterns: the raw stream shuffles ONCE into the
+    # (user, type) sufficient-statistics aggregate (map-side partial);
+    # the persisted stats table feeds both join sides (InMemory scans);
+    # per-type counts + one-row total arrive by broadcast; no window
+    p240 = plan_of(entry.q_rel_sequence_patterns(spark, SF))
+    sections.append(("Sequential patterns (rel_sequence_patterns)", p240))
+    checks.append(("seqpat: stats table persisted + reused",
+                   p240.count("InMemoryTableScan") >= 2))
+    checks.append(("seqpat: dims arrive by broadcast",
+                   "BroadcastHashJoin" in p240 or "BroadcastExchange" in p240))
+    checks.append(("seqpat: map-side partial aggregation", "partial_" in p240))
+    checks.append(("seqpat: no window function", "Window" not in p240))
+
+    # 241. temporal paths: collapsed edge table persisted once and
+    # reused (degrees + both wedge sides); the wedge is an EQUI-join on
+    # the middle id with the time predicate as a filter — never a range/
+    # nested-loop plan; no cartesian
+    p241 = plan_of(entry.q_kg_temporal_paths(spark, SF))
+    sections.append(("Time-respecting 2-hop (kg_temporal_paths)", p241))
+    checks.append(("temporal: edge table persisted + reused",
+                   p241.count("InMemoryTableScan") >= 3))
+    checks.append(("temporal: no cartesian / nested-loop range join",
+                   "Cartesian" not in p241
+                   and "BroadcastNestedLoopJoin" not in p241))
+    checks.append(("temporal: map-side partial aggregation",
+                   "partial_" in p241))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

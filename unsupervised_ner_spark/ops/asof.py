@@ -818,3 +818,82 @@ def hopping_window_counts(events: DataFrame, width_days: int = 7) -> DataFrame:
         "n_events",
         "n_users",
     )
+
+
+def sequence_patterns(events: DataFrame) -> DataFrame:
+    """Sequential-pattern support mining — the length-2 core of GSP /
+    SPADE (Srikant & Agrawal EDBT'96): for every ordered event-type pair
+    (antecedent, consequent), the number of users whose stream contains
+    SOME antecedent occurrence strictly before SOME consequent
+    occurrence. Gap-tolerant "A then B" — the complement of
+    ``event_transitions``' adjacent-bigram matrix, which cannot see
+    A..X..B. Repeat patterns (A then A) fire when a user has two
+    antecedent occurrences at distinct timestamps.
+
+    The existence test folds to sufficient statistics: a user supports
+    (a, b) iff min_ts(a) < max_ts(b) — strictly, so equal-timestamp
+    pairs never count and tie-handling is deterministic. Confidence =
+    support / users(antecedent) in exact ppm; lift vs the independence
+    baseline as ``(confidence_ppm * n_users_total) div n_users_cons`` —
+    that evaluation order is part of the contract (confidence_ppm <=
+    10^6, so the product stays under 10^15 even at 10^9 users; the
+    full-precision numerator would overflow) and the oracle replays it
+    verbatim.
+
+    Scale shape: ONE event-sized aggregate to (user, type, first, last)
+    — map-side combining, output bounded by users x alphabet — then a
+    user-keyed equi-join of two alphabet-bounded projections of that
+    persisted table, two bounded aggregates, and broadcast joins of the
+    per-type user counts plus a one-row total. The raw stream shuffles
+    exactly once."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = scoped_persist(
+        events.groupBy("user_id", "event_type").agg(
+            F.min(us).alias("first_us"), F.max(us).alias("last_us"),
+        )
+    )
+    tot = per.select(
+        F.countDistinct("user_id").cast("long").alias("n_users_total")
+    )
+    type_users = per.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users_type")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("antecedent"),
+        F.col("first_us").alias("a_first"),
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("consequent"),
+        F.col("last_us").alias("b_last"),
+    )
+    supp = (
+        a.join(b, "user_id")
+        .filter(F.col("a_first") < F.col("b_last"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    ta = type_users.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("n_users_type").alias("n_users_ant"),
+    )
+    tb = type_users.select(
+        F.col("event_type").alias("consequent"),
+        F.col("n_users_type").alias("n_users_cons"),
+    )
+    return (
+        supp.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent", "consequent", "n_users",
+            "n_users_ant", "n_users_cons", "n_users_total",
+            F.expr("n_users * 1000000 div n_users_ant")
+            .cast("long").alias("confidence_ppm"),
+            F.expr(
+                "(n_users * 1000000 div n_users_ant) * n_users_total"
+                " div n_users_cons"
+            ).cast("long").alias("lift_ppm"),
+        )
+    )

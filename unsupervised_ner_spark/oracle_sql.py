@@ -11508,3 +11508,95 @@ LEFT JOIN srs1 s ON s.i = t.a AND s.j = t.b
 """,
         "trip", "sradj", "sraok", "srideg", "srs1",
     )
+
+
+def rel_sequence_patterns(residue_mod: int = 7, residue_rem: int = 0) -> str:
+    """Sequential-pattern twin (ops/asof.py sequence_patterns over the
+    entry wrapper's residue substream — the full gate stream is so dense
+    every user supports every pair, so the rel_gap_fill residue splice
+    makes the strict order test actually discriminate): the same (user,
+    type, min/max epoch-us) sufficient statistics, the strict a.first <
+    b.last existence test, and the documented overflow-safe lift
+    evaluation order ((support*10^6 // ant) * total // cons)."""
+    return _materialize(
+        f"""
+WITH seqper AS (
+    SELECT user_id, event_type,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+    FROM events
+    WHERE event_id % {int(residue_mod)} = {int(residue_rem)}
+    GROUP BY user_id, event_type
+),
+seqtot AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total
+    FROM seqper
+),
+seqtu AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users_type
+    FROM seqper GROUP BY event_type
+),
+seqsupp AS (
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seqper a JOIN seqper b ON a.user_id = b.user_id
+    WHERE a.first_us < b.last_us
+    GROUP BY 1, 2
+)
+SELECT s.antecedent, s.consequent, s.n_users,
+       ta.n_users_type AS n_users_ant,
+       tb.n_users_type AS n_users_cons,
+       t.n_users_total,
+       CAST(s.n_users * 1000000 // ta.n_users_type AS BIGINT)
+           AS confidence_ppm,
+       CAST((s.n_users * 1000000 // ta.n_users_type) * t.n_users_total
+            // tb.n_users_type AS BIGINT) AS lift_ppm
+FROM seqsupp s
+JOIN seqtu ta ON ta.event_type = s.antecedent
+JOIN seqtu tb ON tb.event_type = s.consequent
+CROSS JOIN seqtot t
+""",
+        "seqper",
+    )
+
+
+def kg_temporal_paths(model: str = "a100") -> str:
+    """Time-respecting 2-hop twin (pipeline/er.py temporal_paths over the
+    triples_temporal chain): edges collapse to (subj, obj, min
+    first_seen), middles gated by the shared exact integer cube-root cap
+    on both degrees, equi-join wedge with the t2 >= t1 time filter."""
+    cap = (
+        "(SELECT GREATEST(16, LEAST(4096, " + _icbrt_ceil_sql() + ")) "
+        "FROM (SELECT GREATEST(count(*), 1) AS n, "
+        "CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT) AS c "
+        "FROM tpe))"
+    )
+    return _materialize(
+        f"""
+WITH tpf AS ({kg_triples_temporal(model)})
+, tpe AS (
+    SELECT subj, obj, CAST(min(first_seen) AS BIGINT) AS ts
+    FROM tpf GROUP BY subj, obj
+),
+tpoutd AS (SELECT subj AS k, CAST(count(*) AS BIGINT) AS out_deg
+           FROM tpe GROUP BY subj),
+tpind AS (SELECT obj AS k, CAST(count(*) AS BIGINT) AS in_deg
+          FROM tpe GROUP BY obj),
+tpmids AS (
+    SELECT o.k AS mid_ok FROM tpoutd o JOIN tpind i ON i.k = o.k
+    WHERE o.out_deg <= {cap} AND i.in_deg <= {cap}
+)
+SELECT e1.subj AS src, e2.obj AS dst,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT e1.obj) AS BIGINT) AS n_mids,
+       CAST(min(e2.ts) AS BIGINT) AS earliest_arrival,
+       CAST(min(e2.ts - e1.ts) AS BIGINT) AS min_wait,
+       CAST(CASE WHEN e1.subj = e2.obj THEN 1 ELSE 0 END AS BIGINT)
+           AS is_cycle
+FROM tpe e1
+JOIN tpmids m ON m.mid_ok = e1.obj
+JOIN tpe e2 ON e2.subj = e1.obj
+WHERE e2.ts >= e1.ts
+GROUP BY e1.subj, e2.obj
+""",
+        "tpe",
+    )

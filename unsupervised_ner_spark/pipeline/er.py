@@ -5049,3 +5049,74 @@ def simrank_two_iter(
             .cast("long").alias("s2_ppm"),
         )
     )
+
+
+def temporal_paths(tfacts: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
+    """Time-respecting two-hop reachability over the temporal fact table
+    (Kempe, Kleinberg & Kumar STOC'00 temporal-path semantics): a -> b
+    asserted at t1 composes with b -> c asserted at t2 ONLY when
+    t2 >= t1 — the knowledge-propagation question ("what could be
+    inferred from facts in the order the crawl learned them") that the
+    static ``paths_2hop`` cannot ask. Input is ``triples_temporal``
+    output (one row per typed predicate edge with first_seen); edges
+    first collapse to one row per (subj, obj) with the EARLIEST
+    assertion epoch, so multi-predicate parallel edges never multiply
+    the wedge count.
+
+    Output: one row per ordered (src, dst) pair reachable in exactly two
+    time-respecting hops — path count, distinct eligible middles,
+    earliest arrival (min t2 over valid paths), minimum wait
+    (min t2 - t1), and the ``paths_2hop`` cycle flag.
+
+    Scale shape: the collapsed edge table is persisted once and feeds
+    both degree aggregates and both join sides; middles are gated by the
+    shared corpus-adaptive cube-root degree cap (in- AND out-degree <=
+    clamp(icbrt_ceil(n_edges), 16, 4096)) so a hub can never quadratically
+    explode the wedge join; the join itself is an equi-join on the middle
+    id with the time predicate applied as a post-join filter (never a
+    range-join plan); one bounded aggregate finishes."""
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    edges = scoped_persist(
+        tfacts.groupBy("subj", "obj").agg(
+            F.min("first_seen").cast("long").alias("ts")
+        )
+    )
+    if max_mid_degree is None:
+        max_mid_degree = max(16, min(4096, icbrt_ceil(max(edges.count(), 1))))
+    out_deg = edges.groupBy("subj").agg(F.count("*").cast("long").alias("out_deg"))
+    in_deg = edges.groupBy("obj").agg(F.count("*").cast("long").alias("in_deg"))
+    mids = (
+        out_deg.join(in_deg, out_deg["subj"] == in_deg["obj"])
+        .filter(
+            (F.col("out_deg") <= max_mid_degree)
+            & (F.col("in_deg") <= max_mid_degree)
+        )
+        .select(F.col("subj").alias("mid_ok"))
+    )
+    e1 = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("mid"),
+        F.col("ts").alias("t1"),
+    )
+    e2 = edges.select(
+        F.col("subj").alias("mid2"), F.col("obj").alias("dst"),
+        F.col("ts").alias("t2"),
+    )
+    return (
+        e1.join(mids, e1["mid"] == mids["mid_ok"])
+        .join(e2, F.col("mid") == F.col("mid2"))
+        .filter(F.col("t2") >= F.col("t1"))
+        .groupBy("src", "dst")
+        .agg(
+            F.count("*").cast("long").alias("n_paths"),
+            F.countDistinct("mid").cast("long").alias("n_mids"),
+            F.min("t2").cast("long").alias("earliest_arrival"),
+            F.min(F.col("t2") - F.col("t1")).cast("long").alias("min_wait"),
+        )
+        .select(
+            "src", "dst", "n_paths", "n_mids", "earliest_arrival",
+            "min_wait",
+            F.when(F.col("src") == F.col("dst"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("is_cycle"),
+        )
+    )
