@@ -4819,6 +4819,30 @@ def q_kg_temporal_paths(spark, sf_dir):
     return er.temporal_paths(q_kg_triples_temporal(spark, sf_dir))
 
 
+def q_txt_shard_ring(spark, sf_dir):
+    """Consistent-hash resharding movement matrix (layout.shard_ring_moves
+    — Karger et al.): 4-shard vs 5-shard ring with 16 vnodes each, both
+    assignments expression-only successor lookups on inline ring
+    literals; off-diagonal rows prove docs only move TO the new shard.
+    The wraparound branch fires at both gate scales (2 docs hash past
+    the max ring point, measured)."""
+    from unsupervised_ner_spark.ops.layout import shard_ring_moves
+
+    return shard_ring_moves(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_k_anonymity(spark, sf_dir):
+    """k-anonymity / distinct-l-diversity audit (curation.k_anonymity):
+    QI = (event_type, day, floor(value/100)), sensitive = user_id; exact
+    per-group counts + both violation flags via the two-level aggregate
+    (no count-distinct Expand). All four branches fire at both gate
+    scales (k-viol/ok 140/101 at sf0.001, 138/278 at sf0.01; l-viol
+    101/107 resp.)."""
+    from unsupervised_ner_spark.ops.curation import k_anonymity
+
+    return k_anonymity(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4974,6 +4998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_gap_fill": q_rel_gap_fill,
         "rel_sequence_patterns": q_rel_sequence_patterns,
         "kg_temporal_paths": q_kg_temporal_paths,
+        "txt_shard_ring": q_txt_shard_ring,
+        "rel_k_anonymity": q_rel_k_anonymity,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5312,6 +5338,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_gap_fill": O.rel_gap_fill(GAP_FILL_MOD, GAP_FILL_REM),
         "rel_sequence_patterns": O.rel_sequence_patterns(SEQ_MOD, SEQ_REM),
         "kg_temporal_paths": O.kg_temporal_paths(),
+        "txt_shard_ring": O.txt_shard_ring(),
+        "rel_k_anonymity": O.rel_k_anonymity(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2567,6 +2567,29 @@ def main() -> None:
     checks.append(("temporal: map-side partial aggregation",
                    "partial_" in p241))
 
+    # 242. shard ring: both assignments are EXPRESSION-side successor
+    # lookups (no join to learn a shard — the only joins are the final
+    # bounded matrix's broadcast total); no window; map-side partials
+    p242 = plan_of(entry.q_txt_shard_ring(spark, SF))
+    sections.append(("Consistent-hash resharding (txt_shard_ring)", p242))
+    checks.append(("shardring: no sort-merge/shuffle join (assignment is "
+                   "expression-side)", "SortMergeJoin" not in p242))
+    checks.append(("shardring: one-row total arrives by broadcast",
+                   "BroadcastExchange" in p242))
+    checks.append(("shardring: map-side partial aggregation",
+                   "partial_" in p242))
+    checks.append(("shardring: no window function", "Window" not in p242))
+
+    # 243. k-anonymity: the raw stream shuffles ONCE into the level-1
+    # (QI, user) aggregate; NO count-distinct Expand; no join, no window
+    p243 = plan_of(entry.q_rel_k_anonymity(spark, SF))
+    sections.append(("k-anonymity audit (rel_k_anonymity)", p243))
+    checks.append(("kanon: no count-distinct Expand", "Expand" not in p243))
+    checks.append(("kanon: no join at all", "Join" not in p243))
+    checks.append(("kanon: map-side partial aggregation",
+                   "partial_" in p243))
+    checks.append(("kanon: no window function", "Window" not in p243))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -287,3 +287,51 @@ def max_coverage_select(doc_entities: DataFrame, k: int = 5) -> DataFrame:
     return spark.createDataFrame(
         chosen, "round long, url string, gain long"
     )
+
+
+def k_anonymity(
+    events: DataFrame, k: int = 5, l_div: int = 3
+) -> DataFrame:
+    """Privacy audit of a training-data export — k-anonymity (Sweeney
+    2002) and distinct-l-diversity (Machanavajjhala et al. 2007) over the
+    quasi-identifier (event_type, day, coarse value bucket): a release
+    keyed on those columns re-identifies a row when its QI group holds
+    fewer than ``k`` rows, and leaks the sensitive attribute (user_id)
+    when the group spans fewer than ``l_div`` distinct users. One row
+    per QI group with exact counts and both violation flags — the table
+    a suppression/generalization pass consumes directly (suppress
+    violating groups, or coarsen the bucket and re-audit).
+
+    The day and the floor(value/100) bucket are exact integer
+    generalizations (no float leaves the operator); l-diversity uses the
+    two-level aggregate device (triples_temporal precedent): level 1
+    collapses to (QI, user), so level 2 counts distinct users as plain
+    count(*) — no count-distinct Expand over the raw stream.
+
+    Scale shape: ONE event-sized shuffle into the level-1 aggregate with
+    map-side combining; everything downstream is bounded by the QI-group
+    count."""
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    bucket = F.floor(F.col("value") / F.lit(100)).cast("long")
+    per_user = events.select(
+        "event_type", day.alias("day"), bucket.alias("value_bucket"),
+        "user_id",
+    ).groupBy("event_type", "day", "value_bucket", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        per_user.groupBy("event_type", "day", "value_bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        .select(
+            "event_type", "day", "value_bucket", "n_rows", "n_users",
+            F.when(F.col("n_rows") < k, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("is_k_violation"),
+            F.when(F.col("n_users") < l_div, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("is_l_violation"),
+        )
+    )

@@ -364,3 +364,90 @@ def partition_skew(
             F.max("c").cast("long").alias("max_key_rows"),
         )
     )
+
+
+def ring_points(n_shards: int, n_vnodes: int = 16) -> list[tuple[int, int]]:
+    """Consistent-hashing ring: ``n_shards * n_vnodes`` points at
+    md5_int32('shard<S>:<V>') positions on the [0, 2^32) circle, sorted
+    by position. Computed driver-side with hashlib (bit-identical to
+    Spark's md5 and the oracle's — the srp_signs sharing precedent) and
+    inlined as a literal into both engines; duplicate positions are
+    asserted away (128 points in 2^32 space — a collision would be a
+    generator bug, not a tie to break)."""
+    import hashlib
+
+    pts = [
+        (
+            int(hashlib.md5(f"shard{s}:{v}".encode()).hexdigest()[:8], 16),
+            s,
+        )
+        for s in range(n_shards)
+        for v in range(n_vnodes)
+    ]
+    pts.sort()
+    assert len({p for p, _ in pts}) == len(pts), "ring position collision"
+    return pts
+
+
+def _ring_assign(doc_pos: F.Column, pts: list[tuple[int, int]]) -> F.Column:
+    """Successor lookup on the sorted ring, wholly expression-side: the
+    first ring point at-or-after the doc position, wrapping to the
+    globally smallest point. Zero joins — the ring is a sorted array
+    literal, so assignment is a filter + element_at inside whole-stage
+    codegen, and the scan never shuffles to learn its shard."""
+    arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("pos"), F.lit(s).alias("shard"))
+            for p, s in pts
+        ]
+    )
+    succ = F.filter(arr, lambda x: x["pos"] >= doc_pos)
+    return F.when(
+        F.size(succ) > 0, F.get(succ, 0)["shard"]
+    ).otherwise(F.lit(pts[0][1])).cast("long")
+
+
+def shard_ring_moves(
+    docs: DataFrame,
+    n_shards_before: int = 4,
+    n_shards_after: int = 5,
+    n_vnodes: int = 16,
+) -> DataFrame:
+    """Elastic-rescale movement matrix under consistent hashing (Karger
+    et al. STOC'97): assign every doc to a shard on the
+    ``n_shards_before``-shard ring AND the ``n_shards_after``-shard
+    ring, then aggregate the (shard_before, shard_after) transition
+    matrix with exact ppm shares. The consistent-hashing contract is
+    directly visible in the output: when shards are only ADDED, every
+    off-diagonal row's shard_after is one of the new shards — docs never
+    migrate between surviving shards (the property a plain ``hash % S``
+    resharding, rel_partition_skew's placement, catastrophically lacks:
+    there (S-1)/S of ALL docs move).
+
+    Scale shape: both assignments are expression-only successor lookups
+    on broadcast-free inline ring literals (the ring is O(shards *
+    vnodes), bytes); the ONLY exchange is the final bounded
+    transition-matrix aggregate with map-side combining, plus a one-row
+    broadcast total for the ppm share."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    pos = md5_int32(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    )
+    assigned = docs.select(
+        _ring_assign(pos, ring_points(n_shards_before, n_vnodes))
+        .alias("shard_before"),
+        _ring_assign(pos, ring_points(n_shards_after, n_vnodes))
+        .alias("shard_after"),
+    )
+    mat = assigned.groupBy("shard_before", "shard_after").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = mat.select(F.sum("n_docs").cast("long").alias("n_total"))
+    return mat.crossJoin(F.broadcast(tot)).select(
+        "shard_before", "shard_after", "n_docs",
+        F.when(F.col("shard_before") != F.col("shard_after"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_move"),
+        F.expr("n_docs * 1000000 div n_total").cast("long")
+        .alias("share_ppm"),
+    )

@@ -11600,3 +11600,81 @@ GROUP BY e1.subj, e2.obj
 """,
         "tpe",
     )
+
+
+def txt_shard_ring(
+    n_shards_before: int = 4, n_shards_after: int = 5, n_vnodes: int = 16
+) -> str:
+    """Consistent-hash resharding twin (ops/layout.py shard_ring_moves):
+    the ring literals come from the SAME ring_points() the engine inlines
+    (srp_signs sharing precedent); successor = arg_min over points
+    at-or-after the doc position, wrapping to the global minimum."""
+    from unsupervised_ner_spark.ops.layout import ring_points
+
+    def ring_values(name: str, n_shards: int) -> str:
+        rows = ", ".join(
+            f"({p}, {s})" for p, s in ring_points(n_shards, n_vnodes)
+        )
+        return f"{name}(pos, shard) AS (SELECT * FROM (VALUES {rows}))"
+
+    pos = _hex8_int_sql("md5('doc:' || CAST(doc_id AS VARCHAR))")
+
+    def assign(name: str) -> str:
+        return f"""(
+    SELECT d.doc_id,
+           coalesce(
+               (SELECT arg_min(shard, pos) FROM {name}
+                WHERE pos >= d.p),
+               (SELECT arg_min(shard, pos) FROM {name})
+           ) AS shard
+    FROM srdocs d)"""
+
+    return _materialize(
+        f"""
+WITH {ring_values("ringb", n_shards_before)},
+{ring_values("ringa", n_shards_after)},
+srdocs AS (
+    SELECT doc_id, {pos} AS p FROM documents
+),
+ab AS (
+    SELECT CAST(b.shard AS BIGINT) AS shard_before,
+           CAST(a.shard AS BIGINT) AS shard_after
+    FROM {assign("ringb")} b JOIN {assign("ringa")} a USING (doc_id)
+),
+srmat AS (
+    SELECT shard_before, shard_after, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ab GROUP BY shard_before, shard_after
+)
+SELECT shard_before, shard_after, n_docs,
+       CAST(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END
+            AS BIGINT) AS is_move,
+       CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM srmat)
+            AS BIGINT) AS share_ppm
+FROM srmat
+""",
+        "srdocs", "srmat",
+    )
+
+
+def rel_k_anonymity(k: int = 5, l_div: int = 3) -> str:
+    """k-anonymity / l-diversity twin (ops/curation.py k_anonymity): the
+    same (event_type, day, floor(value/100)) quasi-identifier and the
+    two-level aggregate (per-user first, so distinct users = count(*))."""
+    return f"""
+WITH kan1 AS (
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS day,
+           CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+           user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY ALL
+)
+SELECT event_type, day, value_bucket,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(CASE WHEN sum(n) < {int(k)} THEN 1 ELSE 0 END AS BIGINT)
+           AS is_k_violation,
+       CAST(CASE WHEN count(*) < {int(l_div)} THEN 1 ELSE 0 END AS BIGINT)
+           AS is_l_violation
+FROM kan1 GROUP BY event_type, day, value_bucket
+"""
