@@ -4843,6 +4843,18 @@ def q_rel_k_anonymity(spark, sf_dir):
     return k_anonymity(_t(spark, sf_dir, "events"))
 
 
+def q_ann_nndescent(spark, sf_dir):
+    """One NN-Descent refinement round (simsearch.nn_descent_round — Dong
+    et al. WWW'11): SRP-bucket init graph, undirected local-join
+    co-neighbor candidates, exact rounded-cosine re-score, per-node
+    top-k over old-union-new; is_new marks edges the round discovered
+    beyond the LSH init — the kNN-graph construction path beside the
+    query-time ANN family."""
+    from unsupervised_ner_spark.ops.simsearch import nn_descent_round
+
+    return nn_descent_round(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5000,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_paths": q_kg_temporal_paths,
         "txt_shard_ring": q_txt_shard_ring,
         "rel_k_anonymity": q_rel_k_anonymity,
+        "ann_nndescent": q_ann_nndescent,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5340,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_paths": O.kg_temporal_paths(),
         "txt_shard_ring": O.txt_shard_ring(),
         "rel_k_anonymity": O.rel_k_anonymity(),
+        "ann_nndescent": O.ann_nndescent(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

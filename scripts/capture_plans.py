@@ -2590,6 +2590,19 @@ def main() -> None:
                    "partial_" in p243))
     checks.append(("kanon: no window function", "Window" not in p243))
 
+    # 244. NN-Descent round: vector table + init graph each persisted
+    # once and reused (InMemory scans); every pairing is an equi-join
+    # (bucket / center / vec_id) — no cartesian, no corpus broadcast;
+    # windows only per-bucket / per-node
+    p244 = plan_of(entry.q_ann_nndescent(spark, SF))
+    sections.append(("NN-Descent round (ann_nndescent)", p244))
+    checks.append(("nndescent: persisted vectors + init reused",
+                   p244.count("InMemoryTableScan") >= 3))
+    checks.append(("nndescent: no cartesian product", "Cartesian" not in p244
+                   and "BroadcastNestedLoopJoin" not in p244))
+    checks.append(("nndescent: map-side partial aggregation",
+                   "partial_" in p244))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

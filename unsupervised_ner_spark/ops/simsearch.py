@@ -746,3 +746,136 @@ def hard_negatives(
             F.col("label").alias("neighbor_label"),
         )
     )
+
+
+def nn_descent_round(
+    embeddings: DataFrame,
+    k: int = 5,
+    nbits: int = SRP_NBITS,
+    dim: int = 64,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """One NN-Descent refinement round (Dong, Moses & Li WWW'11) — the
+    kNN-GRAPH builder that complements the query-time ANN family: every
+    corpus vector gets a k-nearest list, the structure a graph-based
+    index (HNSW/NSG), a kNN-classifier export, or an embedding-cosine
+    dedup pass consumes. Initialization is the MULTIPROBE SRP-LSH bucket
+    graph (top-k among the Hamming-radius-1 probe ball's members) — the
+    single-bucket init would be useless here: a bucket is an equivalence
+    class, so its lists are transitively closed and one local-join round
+    can discover NOTHING (measured: is_new was all-zero); radius-1
+    probing breaks transitivity (co-neighbors two flips apart lie
+    outside each other's probe set), which is exactly what gives the
+    round room to work. The round then applies
+    NN-Descent's local-join: undirected neighborhoods (N union reverse-N)
+    meet at their shared center, co-neighbors become candidate pairs,
+    exact rounded cosine re-scores, and each list re-selects its top-k
+    from old-union-new. ``is_new`` marks surviving edges the round
+    DISCOVERED (absent from the init graph) — the measurable recall
+    lift; further rounds would iterate the same operator.
+
+    Scale shape: bucket membership is capped by the corpus-adaptive
+    clamp(icbrt_ceil(N), 50, 5000) on the deterministic md5 order
+    (the LSH bucket-cap precedent) so a hot bucket can never go
+    quadratic, while EVERY vector still probes the capped member list
+    for its init candidates; the local-join is bounded per center by the
+    undirected degree (<= 2k), so candidates are O(N * k^2) regardless
+    of corpus size; candidate re-scoring is two hash joins on vec_id
+    against the once-persisted vector table. No broadcast of any
+    corpus-sized side, no window wider than a bucket / a node's list."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    emb = scoped_persist(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    if bucket_cap is None:
+        bucket_cap = max(50, min(5000, icbrt_ceil(max(emb.count(), 1))))
+    hashed = emb.select(
+        "vec_id", "v", srp_bucket_col(F.col("v"), nbits, dim).alias("bucket")
+    )
+    wcap = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    members = (
+        hashed.withColumn("mrank", F.row_number().over(wcap))
+        .filter(F.col("mrank") <= bucket_cap)
+        .select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"), "bucket")
+    )
+    cos0 = F.round(
+        _dot(F.col("v"), F.col("wv"))
+        / (_norm(F.col("v")) * _norm(F.col("wv"))),
+        9,
+    )
+    wk = Window.partitionBy("u_id").orderBy(F.desc("cos"), F.asc("w_id"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)],
+    )
+    init = scoped_persist(
+        hashed.select(
+            F.col("vec_id").alias("u_id"), "v",
+            F.explode(probes).alias("bucket"),
+        )
+        .join(members, "bucket")
+        .filter(F.col("u_id") != F.col("w_id"))
+        .select("u_id", "w_id", cos0.alias("cos"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("u_id", "w_id", "cos")
+    )
+    und = (
+        init.select(F.col("u_id").alias("center"), F.col("w_id").alias("nbr"))
+        .union(
+            init.select(
+                F.col("w_id").alias("center"), F.col("u_id").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    c1 = und.select("center", F.col("nbr").alias("n1"))
+    c2 = und.select("center", F.col("nbr").alias("n2"))
+    cand = (
+        c1.join(c2, "center")
+        .filter(F.col("n1") != F.col("n2"))
+        .select(F.col("n1").alias("u_id"), F.col("n2").alias("w_id"))
+        .union(und.select(F.col("center").alias("u_id"),
+                          F.col("nbr").alias("w_id")))
+        .distinct()
+    )
+    ua = emb.select(F.col("vec_id").alias("u_id"), F.col("v").alias("uv"))
+    wa = emb.select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv2"))
+    scored = (
+        cand.join(ua, "u_id")
+        .join(wa, "w_id")
+        .select(
+            "u_id", "w_id",
+            F.round(
+                _dot(F.col("uv"), F.col("wv2"))
+                / (_norm(F.col("uv")) * _norm(F.col("wv2"))),
+                9,
+            ).alias("cos"),
+        )
+    )
+    merged = (
+        init.select("u_id", "w_id", "cos", F.lit(0).alias("src"))
+        .unionByName(scored.select("u_id", "w_id", "cos", F.lit(1).alias("src")))
+        .groupBy("u_id", "w_id")
+        .agg(
+            F.max("cos").alias("cos"),
+            F.min("src").cast("long").alias("is_new"),
+        )
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("u_id").alias("node_id"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("w_id").alias("neighbor_id"),
+            F.floor(F.col("cos") * 1000).cast("long").alias("cos_mil"),
+            "is_new",
+        )
+    )

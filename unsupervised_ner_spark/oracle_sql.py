@@ -11678,3 +11678,101 @@ SELECT event_type, day, value_bucket,
            AS is_l_violation
 FROM kan1 GROUP BY event_type, day, value_bucket
 """
+
+
+def ann_nndescent(
+    k: int = 5, nbits: int = 8, dim: int = 64
+) -> str:
+    """NN-Descent-round twin (ops/simsearch.py nn_descent_round):
+    multiprobe SRP init (Hamming-radius-1 ball — single-bucket init is
+    transitively closed and discovers nothing) with the md5-ordered
+    adaptive bucket cap, undirected local-join candidates (co-neighbors
+    at a shared center union the reverse edges), rounded-cosine
+    re-score, top-k over old-union-new with min(src) as is_new."""
+    from unsupervised_ner_spark.ops.simsearch import srp_signs
+
+    signs = srp_signs(nbits, dim)
+    bit_terms = " + ".join(
+        "CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[b])
+        + f"]), 9) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(nbits)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << b})" for b in range(nbits))
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 9)"
+        )
+
+    return _materialize(
+        f"""
+WITH nde AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ndh AS (SELECT vec_id, v, CAST({bit_terms} AS BIGINT) AS bucket FROM nde),
+ndc0 AS (SELECT GREATEST(count(*), 1) AS n,
+                CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT)
+                    AS c
+         FROM nde),
+ndcap AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS cap
+          FROM ndc0),
+ndm AS (
+    SELECT vec_id AS w_id, v AS wv, bucket FROM (
+        SELECT vec_id, v, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS mrank
+        FROM ndh)
+    WHERE mrank <= (SELECT cap FROM ndcap)
+),
+ndp AS (
+    SELECT vec_id AS u_id, v, unnest([bucket, {flips}]) AS bucket
+    FROM ndh
+),
+ndinit AS (
+    SELECT u_id, w_id, cos FROM (
+        SELECT u_id, w_id, cos,
+               row_number() OVER (PARTITION BY u_id
+                                  ORDER BY cos DESC, w_id) AS rk
+        FROM (SELECT p.u_id, m.w_id, {cos("p.v", "m.wv")} AS cos
+              FROM ndp p JOIN ndm m USING (bucket)
+              WHERE p.u_id <> m.w_id))
+    WHERE rk <= {k}
+),
+ndund AS (
+    SELECT u_id AS center, w_id AS nbr FROM ndinit
+    UNION
+    SELECT w_id, u_id FROM ndinit
+),
+ndcand AS (
+    SELECT c1.nbr AS u_id, c2.nbr AS w_id
+    FROM ndund c1 JOIN ndund c2 USING (center)
+    WHERE c1.nbr <> c2.nbr
+    UNION
+    SELECT center, nbr FROM ndund
+),
+ndscored AS (
+    SELECT c.u_id, c.w_id, {cos("a.v", "b.v")} AS cos
+    FROM ndcand c
+    JOIN nde a ON a.vec_id = c.u_id
+    JOIN nde b ON b.vec_id = c.w_id
+),
+ndall AS (
+    SELECT u_id, w_id, max(cos) AS cos, CAST(min(src) AS BIGINT) AS is_new
+    FROM (SELECT u_id, w_id, cos, 0 AS src FROM ndinit
+          UNION ALL
+          SELECT u_id, w_id, cos, 1 AS src FROM ndscored)
+    GROUP BY u_id, w_id
+)
+SELECT u_id AS node_id, CAST(rk AS BIGINT) AS rank, w_id AS neighbor_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cos_mil, is_new
+FROM (SELECT u_id, w_id, cos, is_new,
+             row_number() OVER (PARTITION BY u_id
+                                ORDER BY cos DESC, w_id) AS rk
+      FROM ndall)
+WHERE rk <= {k}
+""",
+        "nde", "ndh", "ndinit", "ndund",
+    )
