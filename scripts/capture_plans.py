@@ -2603,6 +2603,22 @@ def main() -> None:
     checks.append(("nndescent: map-side partial aggregation",
                    "partial_" in p244))
 
+    # 245. audio match: fingerprints are ONE Arrow-batched mapInPandas
+    # stage (no per-row python UDF); the fingerprint stream + the capped
+    # index are each persisted once; the bucket self-join is equi on
+    # fp_hash; no cartesian
+    p245 = plan_of(entry.q_mm_audio_match(spark, SF))
+    sections.append(("Audio constellation match (mm_audio_match)", p245))
+    checks.append(("audiomatch: Arrow-batched fingerprint stage",
+                   "MapInPandas" in p245))
+    checks.append(("audiomatch: no row-at-a-time python UDF",
+                   "BatchEvalPython" not in p245))
+    checks.append(("audiomatch: fingerprints + capped index persisted",
+                   p245.count("InMemoryTableScan") >= 2))
+    checks.append(("audiomatch: no cartesian product",
+                   "Cartesian" not in p245
+                   and "BroadcastNestedLoopJoin" not in p245))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

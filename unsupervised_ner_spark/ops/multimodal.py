@@ -508,3 +508,134 @@ def voice_segments(
         (F.row_number().over(w2) - 1).cast("long").alias("seg_idx"),
         "start_chunk", "end_chunk", "n_chunks", "energy_total",
     )
+
+
+FINGERPRINT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("fp_hash", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    n_bands: int = 32,
+    max_dt: int = 3,
+) -> DataFrame:
+    """Constellation fingerprints (Wang's Shazam hashing, ISMIR'03) over
+    the opaque audio payload: per fixed-size frame a bank of ``n_bands``
+    energy bands (the stubbed filterbank sums the frame's bytes by
+    position mod ``n_bands`` — a real STFT/fbank drops into the loop
+    body unchanged, the chunk_energy precedent), one peak per frame
+    (max-energy band, ties to the smallest band — argmax-first), then
+    anchor-target pairs in the ``1..max_dt`` fan-out window packed as
+    ``(f1 * n_bands + f2) * (max_dt + 1) + dt``. Exact integer
+    arithmetic end-to-end.
+
+    Scale shape: narrow Arrow-batched flatMap, no shuffle; rows/doc =
+    at most max_dt * n_frames."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "t": [], "fp_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                idx = np.arange(len(a))
+                tcol = idx // frame_bytes
+                band = idx % n_bands
+                n_frames = int(tcol[-1]) + 1
+                e = np.zeros((n_frames, n_bands), dtype=np.int64)
+                np.add.at(e, (tcol, band), a)
+                peaks = np.argmax(e, axis=1)  # first max = smallest band
+                for t in range(n_frames):
+                    for dt in range(1, max_dt + 1):
+                        if t + dt >= n_frames:
+                            break
+                        h = (
+                            int(peaks[t]) * n_bands + int(peaks[t + dt])
+                        ) * (max_dt + 1) + dt
+                        out["doc_id"].append(doc_id)
+                        out["t"].append(t)
+                        out["fp_hash"].append(h)
+            yield pd.DataFrame(
+                out, columns=["doc_id", "t", "fp_hash"]
+            ).astype({"doc_id": "int64", "t": "int64", "fp_hash": "int64"})
+
+    return media.mapInPandas(run, FINGERPRINT)
+
+
+def audio_match_pairs(
+    fingerprints: DataFrame,
+    min_aligned: int = 8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Shazam's matching step over a fingerprint inverted index: docs
+    sharing constellation hashes at a CONSISTENT time offset are the
+    same recording (possibly shifted). Hashes shared by fewer than two
+    docs are dropped (they can't match anyone); hashes appearing in more
+    than ``df_cap`` distinct docs are stop-hashes (the df-capped shingle
+    precedent — a ubiquitous motif pairs everyone with everyone and
+    identifies no one). Within a hash bucket, occurrence pairs
+    (doc_a < doc_b) vote for their frame offset t_a - t_b; per doc pair
+    the modal offset (count DESC, offset ASC) wins, and pairs below
+    ``min_aligned`` aligned votes are noise.
+
+    Scale shape: ONE shuffle of the fingerprint stream onto fp_hash
+    feeds both the document-frequency aggregate and the bucket
+    self-join (persisted once); the self-join is equi on fp_hash with
+    both sides df-capped, so a bucket is never corpus-quadratic; the
+    offset histogram and the modal pick are bounded per doc pair.
+    df_cap=None sizes adaptively: clamp(icbrt_ceil(n_docs), 50, 5000)
+    — one O(1) driver count, the codebook-sizing precedent."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+    from pyspark.sql import Window
+
+    fp = scoped_persist(fingerprints.select("doc_id", "t", "fp_hash"))
+    if df_cap is None:
+        n_docs = fp.select("doc_id").distinct().count()
+        df_cap = max(50, min(5000, icbrt_ceil(max(n_docs, 1))))
+    eligible = (
+        fp.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= df_cap))
+        .select("fp_hash")
+    )
+    keyed = scoped_persist(fp.join(eligible, "fp_hash"))
+    a = keyed.select(
+        "fp_hash", F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a")
+    )
+    b = keyed.select(
+        "fp_hash", F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b")
+    )
+    votes = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy(
+            "doc_a", "doc_b",
+            (F.col("t_a") - F.col("t_b")).cast("long").alias("offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wm = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("n"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wm))
+        .withColumn(
+            "n_shared",
+            F.sum("n").over(Window.partitionBy("doc_a", "doc_b")).cast("long"),
+        )
+        .filter((F.col("rk") == 1) & (F.col("n") >= min_aligned))
+        .select(
+            "doc_a", "doc_b", "offset",
+            F.col("n").alias("n_aligned"), "n_shared",
+        )
+    )

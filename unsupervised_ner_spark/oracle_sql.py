@@ -11776,3 +11776,88 @@ WHERE rk <= {k}
 """,
         "nde", "ndh", "ndinit", "ndund",
     )
+
+
+def mm_audio_match(
+    frame_bytes: int = 32,
+    n_bands: int = 32,
+    max_dt: int = 3,
+    min_aligned: int = 8,
+    splice_mod: int = 13,
+) -> str:
+    """Audio constellation-match twin (ops/multimodal.py
+    audio_fingerprints + audio_match_pairs over the entry wrapper's
+    shifted-copy splice): per-frame byte filterbank via one
+    position-unnest aggregate, peak per frame (energy DESC, band ASC),
+    fan-out pair hashes, df-capped inverted index, offset votes, modal
+    offset per doc pair."""
+    fb, nb, md = int(frame_bytes), int(n_bands), int(max_dt)
+    return _materialize(
+        f"""
+WITH amd AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % {int(splice_mod)} = 0 AND n.text IS NOT NULL
+                THEN repeat('x', 64) || n.text ELSE d.text END AS audio
+    FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+),
+ambe AS (
+    SELECT doc_id,
+           CAST((p - 1) // {fb} AS BIGINT) AS t,
+           CAST((p - 1) % {nb} AS BIGINT) AS band,
+           CAST(sum(ord(substr(audio, CAST(p AS INT), 1))) AS BIGINT)
+               AS energy
+    FROM (SELECT doc_id, audio,
+                 unnest(generate_series(1, length(audio))) AS p
+          FROM amd WHERE length(audio) > 0)
+    GROUP BY 1, 2, 3
+),
+ampk AS (
+    SELECT doc_id, t, band AS f FROM (
+        SELECT doc_id, t, band,
+               row_number() OVER (PARTITION BY doc_id, t
+                                  ORDER BY energy DESC, band) AS rk
+        FROM ambe)
+    WHERE rk = 1
+),
+amfp AS (
+    SELECT a.doc_id, a.t,
+           CAST((a.f * {nb} + b.f) * {md + 1} + (b.t - a.t) AS BIGINT)
+               AS fp_hash
+    FROM ampk a JOIN ampk b
+      ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND {md}
+),
+amc0 AS (
+    SELECT GREATEST(count(DISTINCT doc_id), 1) AS n,
+           CAST(round(pow(GREATEST(count(DISTINCT doc_id), 1), 1.0/3), 0)
+                AS BIGINT) AS c
+    FROM amfp
+),
+amcap AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS cap
+          FROM amc0),
+amel AS (
+    SELECT fp_hash FROM (
+        SELECT fp_hash, count(DISTINCT doc_id) AS nd
+        FROM amfp GROUP BY fp_hash)
+    WHERE nd >= 2 AND nd <= (SELECT cap FROM amcap)
+),
+amk AS (SELECT f.doc_id, f.t, f.fp_hash
+        FROM amfp f JOIN amel e USING (fp_hash)),
+amv AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(a.t - b.t AS BIGINT) AS "offset",
+           CAST(count(*) AS BIGINT) AS n
+    FROM amk a JOIN amk b ON a.fp_hash = b.fp_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, "offset", n AS n_aligned, n_shared FROM (
+    SELECT doc_a, doc_b, "offset", n,
+           row_number() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY n DESC, "offset") AS rk,
+           CAST(sum(n) OVER (PARTITION BY doc_a, doc_b) AS BIGINT)
+               AS n_shared
+    FROM amv)
+WHERE rk = 1 AND n >= {int(min_aligned)}
+""",
+        "amfp", "amk",
+    )
