@@ -4889,6 +4889,69 @@ def q_mm_audio_match(spark, sf_dir):
     return audio_match_pairs(audio_fingerprints(media))
 
 
+def q_txt_boilerplate(spark, sf_dir):
+    """Host-level boilerplate-line audit (textstats.host_boilerplate):
+    the per-host RATIO rule beside txt_line_dedup's global-df rule, over
+    the same deterministic multi-line view (per-source header = 100% of
+    the host -> flagged; every-third-doc footer ~33% > the 30% bar ->
+    flagged; unique 8-word body lines clean). 40 flagged / 3690 clean
+    at sf0.001 (measured)."""
+    from unsupervised_ner_spark.ops.textstats import host_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    nch = F.expr("(size(split(text, ' ', -1)) + 7) div 8")
+    body = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    header = F.concat(
+        F.lit("(c) "), F.col("source"),
+        F.lit(" media network all rights reserved"),
+    )
+    footer = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0,
+        F.array(F.lit("subscribe to our newsletter for daily updates")),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    multi = F.array_join(F.concat(F.array(header), body, footer), "\n")
+    return host_boilerplate(
+        d.select("doc_id", "source", multi.alias("text"))
+    )
+
+
+def q_er_geo_pairs(spark, sf_dir):
+    """Grid-cell geo blocking + exact verify (dedup.geo_near_pairs): the
+    spatial ER candidate generator over deterministic md5-derived POI
+    coordinates (5 event-type city centers, +-0.2 degree jitter, integer
+    micro-degrees); 3x3 probe-cell EQUI-join — never a range-join plan.
+    Both branches fire: 724 near / 2031 candidates at sf0.001, 75411 /
+    208323 at sf0.01 (measured)."""
+    from unsupervised_ner_spark.ops.dedup import geo_near_pairs
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    ev = _t(spark, sf_dir, "events")
+    sid = F.col("event_id").cast("string")
+    lat = (
+        md5_int32(F.concat(F.lit("city:"), F.col("event_type"))) % 120000001
+        - 60000000
+        + md5_int32(F.concat(F.lit("lat:"), sid)) % 400001
+        - 200000
+    )
+    lon = (
+        md5_int32(F.concat(F.lit("cty2:"), F.col("event_type"))) % 360000001
+        - 180000000
+        + md5_int32(F.concat(F.lit("lon:"), sid)) % 400001
+        - 200000
+    )
+    return geo_near_pairs(
+        ev.select(
+            F.col("event_id").alias("pid"),
+            lat.cast("long").alias("lat"),
+            lon.cast("long").alias("lon"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5048,6 +5111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_k_anonymity": q_rel_k_anonymity,
         "ann_nndescent": q_ann_nndescent,
         "mm_audio_match": q_mm_audio_match,
+        "txt_boilerplate": q_txt_boilerplate,
+        "er_geo_pairs": q_er_geo_pairs,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5390,6 +5455,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_k_anonymity": O.rel_k_anonymity(),
         "ann_nndescent": O.ann_nndescent(),
         "mm_audio_match": O.mm_audio_match(),
+        "txt_boilerplate": O.txt_boilerplate(),
+        "er_geo_pairs": O.er_geo_pairs(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2619,6 +2619,33 @@ def main() -> None:
                    "Cartesian" not in p245
                    and "BroadcastNestedLoopJoin" not in p245))
 
+    # 246. host boilerplate: two-level aggregate (no count-distinct
+    # Expand); the per-host dim arrives by broadcast; map-side partials
+    p246 = plan_of(entry.q_txt_boilerplate(spark, SF))
+    sections.append(("Host boilerplate audit (txt_boilerplate)", p246))
+    checks.append(("boilerplate: no count-distinct Expand",
+                   "Expand" not in p246))
+    checks.append(("boilerplate: host dim arrives by broadcast",
+                   "BroadcastHashJoin" in p246))
+    checks.append(("boilerplate: map-side partial aggregation",
+                   "partial_" in p246))
+    checks.append(("boilerplate: no window function", "Window" not in p246))
+
+    # 247. geo near-pairs: the pairing is an EQUI-join on the probe cell
+    # (a BETWEEN-on-cells formulation would go nested-loop — the plan
+    # this operator exists to avoid); celled points persisted once and
+    # feeding both sides; no window
+    p247 = plan_of(entry.q_er_geo_pairs(spark, SF))
+    sections.append(("Grid-cell geo blocking (er_geo_pairs)", p247))
+    checks.append(("geo: no cartesian / nested-loop range join",
+                   "Cartesian" not in p247
+                   and "BroadcastNestedLoopJoin" not in p247))
+    checks.append(("geo: celled points persisted + reused",
+                   p247.count("InMemoryTableScan") >= 2))
+    checks.append(("geo: probe explode present",
+                   "Explode" in p247 or "Generate" in p247))
+    checks.append(("geo: no window function", "Window" not in p247))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -1246,3 +1246,71 @@ def apply_substring_cuts(
             ).alias("kept_md5"),
         )
     )
+
+
+def geo_near_pairs(points: DataFrame, radius: int = 20000) -> DataFrame:
+    """Grid-cell spatial blocking + exact distance verify — the
+    geo-entity near-duplicate primitive (two crawl mentions of the same
+    POI carry coordinates a few hundred meters apart; cross-document ER
+    needs the candidate pairs without an all-pairs scan). Input is
+    (pid, lat, lon) in exact integer MICRO-degrees; output is every
+    unordered pair strictly within ``radius`` micro-degrees (squared
+    euclidean in the integer grid — no float, no haversine stub), with
+    its exact squared distance.
+
+    Cell size equals the radius, so any qualifying pair differs by at
+    most one cell per axis: the a-side explodes its 3x3 probe
+    neighborhood, the b-side keeps its single home cell, and the join is
+    a pure EQUI-join on (cx, cy) — a BETWEEN-on-cells formulation would
+    plan as a range/nested-loop join and is exactly what this operator
+    exists to avoid. Each unordered pair is found exactly once (b's home
+    cell is unique, pid_a < pid_b keeps one direction).
+
+    Scale shape: the celled point table is persisted once and feeds both
+    sides; candidate volume is bounded by 9x the max cell occupancy — a
+    dense city is a hot cell handled by AQE skew splitting, never a
+    corpus-quadratic pair set. Cell ids floor-divide (Spark floor() on
+    the exact double of a <2^40 integer == DuckDB's // — both floor,
+    values far inside the 2^53 exactness envelope)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    cell = int(radius)
+    base = scoped_persist(
+        points.select(
+            "pid", "lat", "lon",
+            F.floor(F.col("lat") / F.lit(cell)).cast("long").alias("cx"),
+            F.floor(F.col("lon") / F.lit(cell)).cast("long").alias("cy"),
+        )
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("px"),
+                (F.col("cy") + F.lit(dy)).alias("py"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = base.select(
+        F.col("pid").alias("pid_a"), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"), F.explode(probes).alias("p"),
+    ).select(
+        "pid_a", "lat_a", "lon_a",
+        F.col("p.px").alias("cx"), F.col("p.py").alias("cy"),
+    )
+    b = base.select(
+        F.col("pid").alias("pid_b"), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"), "cx", "cy",
+    )
+    d2 = (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b"))
+        * (F.col("lon_a") - F.col("lon_b"))
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .select("pid_a", "pid_b", d2.cast("long").alias("d2"))
+        .filter(F.col("d2") < F.lit(cell * cell))
+    )

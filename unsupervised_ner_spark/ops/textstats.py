@@ -2135,3 +2135,49 @@ def term_burstiness(documents: DataFrame, min_cf: int = 2) -> DataFrame:
         )
         .filter(F.col("cf") >= int(min_cf))
     )
+
+
+def host_boilerplate(
+    documents: DataFrame,
+    min_ratio_ppm: int = 300000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level boilerplate-line detection — the per-host RATIO rule
+    (CCNet computes line frequency per shard; jusText/boilerpipe key on
+    per-site templates), the complement of ``line_dedup``'s global
+    absolute-df rule: a chain template line on a small host never
+    reaches a global cap, and a popular quote on a huge host can exceed
+    one without being template. A normalized line is boilerplate for
+    host h when STRICTLY more than ``min_ratio_ppm`` of h's docs contain
+    it (exact cross-multiplied integer compare via the ppm ratio both
+    engines compute with the same floor division). One row per (host,
+    normalized line) with exact counts — the audit table a strip pass
+    joins back on.
+
+    Scale shape: one narrow explode, a two-level aggregate (distinct
+    (host, line, doc) first, so doc frequency is a plain count — no
+    count-distinct Expand), then a broadcast join of the bounded
+    per-host doc-count dim. The hot key (a ubiquitous line) is one
+    aggregate row here, never a join blowup."""
+    lines = F.split(F.col(text_col), r"\n", -1)
+    ex = documents.select(
+        "source", "doc_id", F.explode(lines).alias("line")
+    ).select(
+        "source", "doc_id", F.trim(F.lower(F.col("line"))).alias("norm")
+    )
+    l1 = ex.groupBy("source", "norm", "doc_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_line = l1.groupBy("source", "norm").agg(
+        F.count("*").cast("long").alias("n_docs_line")
+    )
+    host = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_host")
+    )
+    ratio = F.expr("n_docs_line * 1000000 div n_docs_host")
+    return per_line.join(F.broadcast(host), "source").select(
+        "source", "norm", "n_docs_line", "n_docs_host",
+        ratio.cast("long").alias("ratio_ppm"),
+        F.when(ratio > min_ratio_ppm, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_boilerplate"),
+    )

@@ -11861,3 +11861,97 @@ WHERE rk = 1 AND n >= {int(min_aligned)}
 """,
         "amfp", "amk",
     )
+
+
+def txt_boilerplate(min_ratio_ppm: int = 300000) -> str:
+    """Host-boilerplate twin (ops/textstats.py host_boilerplate over the
+    txt_line_dedup multi-line construction): per-source header (100%),
+    every-third-doc footer (~33%), unique 8-word body lines; two-level
+    distinct (source, norm, doc) aggregate then the per-host ppm ratio
+    with the same floor division and strict > compare."""
+    return _materialize(
+        f"""
+WITH hbw AS (
+    SELECT doc_id, string_split(text, ' ') AS ws, source FROM documents
+),
+hbdirty AS (
+    SELECT doc_id, source,
+           '(c) ' || source || ' media network all rights reserved'
+           || chr(10)
+           || array_to_string(
+                list_transform(
+                    range((len(ws) + 7) // 8),
+                    i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')),
+                chr(10))
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'subscribe to our newsletter for daily updates'
+                   ELSE '' END AS text
+    FROM hbw
+),
+hbln AS (
+    SELECT d.source, d.doc_id,
+           trim(lower(string_split(d.text, chr(10))[u.i + 1])) AS norm
+    FROM hbdirty d,
+         UNNEST(generate_series(0, len(string_split(d.text, chr(10))) - 1))
+             AS u(i)
+),
+hb1 AS (SELECT source, norm, doc_id FROM hbln GROUP BY ALL),
+hbpl AS (
+    SELECT source, norm, CAST(count(*) AS BIGINT) AS n_docs_line
+    FROM hb1 GROUP BY source, norm
+),
+hbh AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_host
+    FROM documents GROUP BY source
+)
+SELECT p.source, p.norm, p.n_docs_line, h.n_docs_host,
+       CAST(p.n_docs_line * 1000000 // h.n_docs_host AS BIGINT)
+           AS ratio_ppm,
+       CAST(CASE WHEN p.n_docs_line * 1000000 // h.n_docs_host
+                      > {int(min_ratio_ppm)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_boilerplate
+FROM hbpl p JOIN hbh h USING (source)
+""",
+        "hb1",
+    )
+
+
+def er_geo_pairs(radius: int = 20000) -> str:
+    """Geo near-pair twin (ops/dedup.py geo_near_pairs over the entry
+    wrapper's deterministic md5-derived points): same integer
+    micro-degree coordinates, 3x3 probe-cell equi-join, pid_a < pid_b,
+    exact squared-distance verify."""
+    r = int(radius)
+    h_city = _hex8_int_sql("md5('city:' || event_type)")
+    h_lat = _hex8_int_sql("md5('lat:' || CAST(event_id AS VARCHAR))")
+    h_cty2 = _hex8_int_sql("md5('cty2:' || event_type)")
+    h_lon = _hex8_int_sql("md5('lon:' || CAST(event_id AS VARCHAR))")
+    lat = f"({h_city} % 120000001) - 60000000 + ({h_lat} % 400001) - 200000"
+    lon = f"({h_cty2} % 360000001) - 180000000 + ({h_lon} % 400001) - 200000"
+    return _materialize(
+        f"""
+WITH gpts AS (
+    SELECT event_id AS pid, CAST({lat} AS BIGINT) AS lat,
+           CAST({lon} AS BIGINT) AS lon
+    FROM events
+),
+gcell AS (
+    SELECT pid, lat, lon, lat // {r} AS cx, lon // {r} AS cy FROM gpts
+),
+gprobe AS (
+    SELECT pid AS pid_a, lat AS lat_a, lon AS lon_a,
+           cx + u1.dx AS cx, cy + u2.dy AS cy
+    FROM gcell,
+         (SELECT unnest([-1, 0, 1]) AS dx) u1,
+         (SELECT unnest([-1, 0, 1]) AS dy) u2
+)
+SELECT a.pid_a, b.pid AS pid_b,
+       CAST((a.lat_a - b.lat) * (a.lat_a - b.lat)
+            + (a.lon_a - b.lon) * (a.lon_a - b.lon) AS BIGINT) AS d2
+FROM gprobe a JOIN gcell b ON a.cx = b.cx AND a.cy = b.cy
+WHERE a.pid_a < b.pid
+  AND (a.lat_a - b.lat) * (a.lat_a - b.lat)
+      + (a.lon_a - b.lon) * (a.lon_a - b.lon) < {r * r}
+""",
+        "gcell",
+    )
