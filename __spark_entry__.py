@@ -4952,6 +4952,63 @@ def q_er_geo_pairs(spark, sf_dir):
     )
 
 
+CONJ_MOD = 5
+CONJ_REM = 2
+CONJ_VERBS = ["borders", "adjoins", "rivals"]
+
+
+def q_kg_conjunct_facts(spark, sf_dir):
+    """Coordination expansion (triples.conjunct_facts): "a, b and c
+    borders d" distributes the predicate over every conjunct. Every
+    (CONJ_MOD k + CONJ_REM)-th doc gets a deterministic conjunction
+    splice — 2-item "x and y" on even doc_ids, 3-item "x, y and z" on
+    odd (CONJ_MOD=5 keeps the residue class parity-mixed; mod 6 rem 2
+    would hit only even ids and the 3-item arity would never fire,
+    measured) — over the shared e-node naming; the oracle replays the
+    splice byte-identically."""
+    from unsupervised_ner_spark.pipeline.triples import conjunct_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(  # noqa: E731
+        F.lit("e"), F.lpad(F.pmod(c, F.lit(12)).cast("string"), 2, "0")
+    )
+    s0, s1, s2 = (node(F.col("doc_id") + d) for d in (0, 3, 6))
+    obj = node(F.col("doc_id") + 7)
+    verb = F.element_at(
+        F.array(*[F.lit(v) for v in CONJ_VERBS]),
+        (F.col("doc_id") % len(CONJ_VERBS) + 1).cast("int"),
+    )
+    lst = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(s0, F.lit(" and "), s1)
+    ).otherwise(
+        F.concat(s0, F.lit(", "), s1, F.lit(" and "), s2)
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % CONJ_MOD == CONJ_REM,
+            F.concat("text", F.lit("\n"), lst, F.lit(" "), verb,
+                     F.lit(" "), obj),
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(docs)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return conjunct_facts(sents)
+
+
+def q_rel_rate_anomaly(spark, sf_dir):
+    """Trailing-window rate anomaly (asof.rate_anomaly): per (type, day)
+    exact cross-multiplied compare of the day's count against 5/4 of the
+    trailing 7-day average, RANGE frame on the day number, cold-start
+    flag under 3 observed trailing days. All three branches fire at both
+    gate scales (anom/calm/cold 39/96/15 at sf0.001, 7/128/15 at
+    sf0.01, measured)."""
+    from unsupervised_ner_spark.ops.asof import rate_anomaly
+
+    return rate_anomaly(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5113,6 +5170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_match": q_mm_audio_match,
         "txt_boilerplate": q_txt_boilerplate,
         "er_geo_pairs": q_er_geo_pairs,
+        "kg_conjunct_facts": q_kg_conjunct_facts,
+        "rel_rate_anomaly": q_rel_rate_anomaly,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5457,6 +5516,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_match": O.mm_audio_match(),
         "txt_boilerplate": O.txt_boilerplate(),
         "er_geo_pairs": O.er_geo_pairs(),
+        "kg_conjunct_facts": O.kg_conjunct_facts(CONJ_MOD, CONJ_REM, CONJ_VERBS),
+        "rel_rate_anomaly": O.rel_rate_anomaly(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2646,6 +2646,27 @@ def main() -> None:
                    "Explode" in p247 or "Generate" in p247))
     checks.append(("geo: no window function", "Window" not in p247))
 
+    # 248. conjunct facts: pure narrow extraction — one regexp scan +
+    # bounded posexplode; no join, no aggregate, no window, no exchange
+    p248 = plan_of(entry.q_kg_conjunct_facts(spark, SF))
+    sections.append(("Coordination expansion (kg_conjunct_facts)", p248))
+    checks.append(("conjunct: no join at all", "Join" not in p248))
+    checks.append(("conjunct: no shuffle exchange",
+                   "Exchange hashpartitioning" not in p248))
+    checks.append(("conjunct: conjunct explode present",
+                   "Explode" in p248 or "Generate" in p248))
+    checks.append(("conjunct: no window function", "Window" not in p248))
+
+    # 249. rate anomaly: ONE event-sized aggregate (map-side partials);
+    # the window runs on the bounded (type, day) table; no join
+    p249 = plan_of(entry.q_rel_rate_anomaly(spark, SF))
+    sections.append(("Trailing rate anomaly (rel_rate_anomaly)", p249))
+    checks.append(("rateanom: no join at all", "Join" not in p249))
+    checks.append(("rateanom: map-side partial aggregation",
+                   "partial_" in p249))
+    checks.append(("rateanom: window present on the bounded daily table",
+                   "Window" in p249))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

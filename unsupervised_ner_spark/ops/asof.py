@@ -897,3 +897,57 @@ def sequence_patterns(events: DataFrame) -> DataFrame:
             ).cast("long").alias("lift_ppm"),
         )
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    window_days: int = 7,
+    num: int = 5,
+    den: int = 4,
+    min_prior_days: int = 3,
+) -> DataFrame:
+    """Trailing-window rate anomaly — the per-day monitor beside
+    cusum_changepoint's single global bend: a (type, day) is anomalous
+    when its count exceeds num/den of the trailing ``window_days``-day
+    average, tested by exact cross-multiplication
+    (``n * n_prior * den > num * prior_sum`` — no float ever), with a
+    cold-start flag for days carrying fewer than ``min_prior_days``
+    observed trailing days (a threshold on 1-2 noisy days is not a
+    signal). The trailing frame is RANGE-based on the day number, so
+    calendar gaps shrink the baseline instead of silently stretching it
+    across months (the ROWS-frame trap).
+
+    Scale shape: ONE event-sized aggregate with map-side combining;
+    the window runs on the bounded (type, day) table partitioned by
+    type — never over raw events."""
+    from pyspark.sql import Window
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-window_days, -1)
+    )
+    stats = daily.select(
+        "event_type", "day", "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long").alias("prior_sum"),
+        F.count("*").over(w).cast("long").alias("n_prior_days"),
+    )
+    hot = (
+        F.col("n_events") * F.col("n_prior_days") * F.lit(den)
+        > F.lit(num) * F.col("prior_sum")
+    )
+    cold = F.col("n_prior_days") < min_prior_days
+    return stats.select(
+        "event_type", "day", "n_events", "prior_sum", "n_prior_days",
+        F.when(~cold & hot, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_anomaly"),
+        F.when(cold, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_coldstart"),
+    )

@@ -11955,3 +11955,93 @@ WHERE a.pid_a < b.pid
 """,
         "gcell",
     )
+
+
+def kg_conjunct_facts(mod: int, rem: int, verb_terms: list[str]) -> str:
+    """Coordination-expansion twin (pipeline/triples.py conjunct_facts):
+    CONJ_PAT imported verbatim, the 2/3-item conjunction splice replayed
+    byte-identically over the shared e-node naming, per-conjunct unnest
+    with position and arity."""
+    from unsupervised_ner_spark.pipeline.triples import CONJ_PAT
+
+    pat = CONJ_PAT.replace("'", "''")
+    v_arr = "[" + ", ".join(f"'{t}'" for t in verb_terms) + "]"
+    node = "'e' || lpad(CAST({expr} % 12 AS VARCHAR), 2, '0')"
+    s0 = node.format(expr="doc_id")
+    s1 = node.format(expr="(doc_id + 3)")
+    s2 = node.format(expr="(doc_id + 6)")
+    ob = node.format(expr="(doc_id + 7)")
+    sents = SENTS_CTE.replace("FROM documents", "FROM cjdocs")
+    assert "cjdocs" in sents
+    return f"""
+WITH cjpick AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 2 = 0
+                THEN {s0} || ' and ' || {s1}
+                ELSE {s0} || ', ' || {s1} || ' and ' || {s2} END AS lst,
+           ({v_arr})[CAST(doc_id % {len(verb_terms)} AS INT) + 1] AS v,
+           {ob} AS ob
+    FROM documents
+),
+cjdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {int(mod)} = {int(rem)}
+                THEN text || chr(10) || lst || ' ' || v || ' ' || ob
+                ELSE text END AS text
+    FROM cjpick
+),
+{sents.strip()},
+cjcand AS (
+    SELECT url, sent_idx,
+           regexp_extract(sent, '{pat}', 1) AS subj_list,
+           regexp_extract(sent, '{pat}', 2) AS pred,
+           regexp_extract(sent, '{pat}', 3) AS obj
+    FROM sents
+),
+cjm AS (
+    SELECT url, sent_idx, pred, obj,
+           regexp_split_to_array(subj_list, ', | and ') AS conj
+    FROM cjcand WHERE length(subj_list) > 0
+)
+SELECT url, sent_idx,
+       conj[u.i + 1] AS subj, pred, obj,
+       CAST(u.i AS BIGINT) AS conj_idx,
+       CAST(len(conj) AS BIGINT) AS n_conjuncts
+FROM cjm, UNNEST(generate_series(0, len(conj) - 1)) AS u(i)
+"""
+
+
+def rel_rate_anomaly(
+    window_days: int = 7, num: int = 5, den: int = 4,
+    min_prior_days: int = 3,
+) -> str:
+    """Rate-anomaly twin (ops/asof.py rate_anomaly): the same bounded
+    (type, day) aggregate, RANGE trailing frame, exact cross-multiplied
+    num/den compare and cold-start rule."""
+    w, n_, d_, mp = (
+        int(window_days), int(num), int(den), int(min_prior_days)
+    )
+    return f"""
+WITH rad AS (
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+raw2 AS (
+    SELECT event_type, day, n_events,
+           CAST(COALESCE(sum(n_events) OVER tw, 0) AS BIGINT) AS prior_sum,
+           CAST(count(*) OVER tw AS BIGINT) AS n_prior_days
+    FROM rad
+    WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN {w} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, prior_sum, n_prior_days,
+       CAST(CASE WHEN n_prior_days >= {mp}
+                  AND n_events * n_prior_days * {d_} > {n_} * prior_sum
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly,
+       CAST(CASE WHEN n_prior_days < {mp} THEN 1 ELSE 0 END AS BIGINT)
+           AS is_coldstart
+FROM raw2
+"""

@@ -1101,3 +1101,43 @@ def mine_rules_pca(triples: DataFrame) -> DataFrame:
             .alias("pca_conf_ppm"),
         )
     )
+
+
+# Coordination pattern: a conjoined lowercase subject list followed by a
+# distribution verb and a single object. RE2-safe (no lookahead/backrefs);
+# both engines use leftmost-first alternation so captures stay identical.
+CONJ_PAT = (
+    "^([a-z][a-z0-9]*(?:, [a-z][a-z0-9]*)* and [a-z][a-z0-9]*) "
+    "(borders|adjoins|rivals) ([a-z][a-z0-9]*)(?:[ .]|$)"
+)
+
+
+def conjunct_facts(sentences: DataFrame) -> DataFrame:
+    """Coordination expansion — distribute a predicate over a conjoined
+    subject list ("a, b and c borders d" => borders(a,d), borders(b,d),
+    borders(c,d)). Span detection emits one MENTION per conjunct
+    (the reference tags conjuncts individually,
+    /root/reference/batched_main_NER.py span detection) but the clause
+    asserts the relation for EACH of them; this operator is the
+    consumer that turns the list into per-conjunct facts, keeping the
+    conjunct's position and the list arity for provenance.
+
+    Scale shape: one regexp scan + a bounded posexplode over the
+    conjunct list (list length is clause-bounded); no join, no
+    aggregate, no shuffle."""
+    cand = sentences.select(
+        "url", "sent_idx",
+        F.regexp_extract("sent", CONJ_PAT, 1).alias("subj_list"),
+        F.regexp_extract("sent", CONJ_PAT, 2).alias("pred"),
+        F.regexp_extract("sent", CONJ_PAT, 3).alias("obj"),
+    ).filter(F.length("subj_list") > 0)
+    conj = F.split(F.col("subj_list"), ", | and ")
+    return cand.select(
+        "url", "sent_idx", "pred", "obj",
+        F.size(conj).cast("long").alias("n_conjuncts"),
+        F.posexplode(conj).alias("conj_idx", "subj"),
+    ).select(
+        "url", "sent_idx", "subj", "pred", "obj",
+        F.col("conj_idx").cast("long").alias("conj_idx"),
+        "n_conjuncts",
+    )
