@@ -5009,6 +5009,38 @@ def q_rel_rate_anomaly(spark, sf_dir):
     return rate_anomaly(_t(spark, sf_dir, "events"))
 
 
+def q_rel_fd_audit(spark, sf_dir):
+    """Functional-dependency discovery (curation.fd_audit — TANE's
+    pairwise core) over (event_type, day, weekday, vbucket): one corpus
+    collapse into the distinct-combination table, then every ordered
+    pair audited from that bounded table. day -> weekday is the planted
+    true FD (weekday = day % 7); every other pair violates — both
+    verdict branches fire by construction."""
+    from unsupervised_ner_spark.ops.curation import fd_audit
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", day.alias("day"), (day % 7).alias("weekday"),
+        F.floor(F.col("value") / 100).cast("long").alias("vbucket"),
+    )
+    return fd_audit(ev, ["event_type", "day", "weekday", "vbucket"])
+
+
+def q_rel_join_estimate(spark, sf_dir):
+    """Correlated-key-sample join-cardinality estimation
+    (layout.join_estimate — Vengerov VLDB'15): orders x lineitem on
+    orderkey, md5 % 16 key sample, one audit row with exact truth,
+    scaled estimate, and signed exact-ppm error."""
+    from unsupervised_ner_spark.ops.layout import join_estimate
+
+    return join_estimate(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5172,6 +5204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_geo_pairs": q_er_geo_pairs,
         "kg_conjunct_facts": q_kg_conjunct_facts,
         "rel_rate_anomaly": q_rel_rate_anomaly,
+        "rel_fd_audit": q_rel_fd_audit,
+        "rel_join_estimate": q_rel_join_estimate,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5518,6 +5552,8 @@ def oracle_sql() -> dict[str, str]:
         "er_geo_pairs": O.er_geo_pairs(),
         "kg_conjunct_facts": O.kg_conjunct_facts(CONJ_MOD, CONJ_REM, CONJ_VERBS),
         "rel_rate_anomaly": O.rel_rate_anomaly(),
+        "rel_fd_audit": O.rel_fd_audit(),
+        "rel_join_estimate": O.rel_join_estimate(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

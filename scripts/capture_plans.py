@@ -2667,6 +2667,30 @@ def main() -> None:
     checks.append(("rateanom: window present on the bounded daily table",
                    "Window" in p249))
 
+    # 250. FD audit: the corpus collapses ONCE into the persisted combo
+    # table; every per-pair branch re-reads it from cache (InMemory
+    # scans, one per ordered pair x2 aggregates); no join, no window
+    p250 = plan_of(entry.q_rel_fd_audit(spark, SF))
+    sections.append(("FD discovery audit (rel_fd_audit)", p250))
+    checks.append(("fdaudit: combo table persisted + reused by all pairs",
+                   p250.count("InMemoryTableScan") >= 12))
+    checks.append(("fdaudit: no join at all", "Join" not in p250))
+    checks.append(("fdaudit: map-side partial aggregation",
+                   "partial_" in p250))
+    checks.append(("fdaudit: no window function", "Window" not in p250))
+
+    # 251. join estimate: two key aggregates with map-side partials into
+    # one bounded key-table equi-join; the estimate is a flag inside ONE
+    # final aggregate — no second pass, no window
+    p251 = plan_of(entry.q_rel_join_estimate(spark, SF))
+    sections.append(("Join cardinality estimate (rel_join_estimate)", p251))
+    checks.append(("joinest: map-side partial aggregation",
+                   "partial_" in p251))
+    checks.append(("joinest: no cartesian product",
+                   "Cartesian" not in p251
+                   and "BroadcastNestedLoopJoin" not in p251))
+    checks.append(("joinest: no window function", "Window" not in p251))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -335,3 +335,58 @@ def k_anonymity(
             .cast("long").alias("is_l_violation"),
         )
     )
+
+
+def fd_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency discovery over a bounded column set — the
+    data-profiling pass (Metanome/TANE's pairwise core) that tells a
+    schema designer which columns determine which: for every ordered
+    pair (lhs, rhs), does each lhs value map to exactly ONE rhs value?
+    Output is one row per candidate FD with exact counts: distinct lhs
+    values, distinct (lhs, rhs) pairs, lhs values carrying more than
+    one rhs (the violators), the is_fd verdict, and the violation share
+    in exact ppm.
+
+    Scale shape: ONE event-sized shuffle total — the raw stream
+    collapses once into the distinct value-combination table (bounded
+    by the attribute domain product, persisted once), and every
+    per-pair statistic is a bounded re-aggregation of that table.
+    The naive formulation (k^2 count-distincts over raw rows) would
+    shuffle the corpus 2*k*(k-1) times; this one never touches it
+    again. A production profiler over wider schemas samples first —
+    this operator is the exact kernel it runs on the sample."""
+    from functools import reduce
+
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    combos = scoped_persist(
+        df.groupBy(*cols).agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    outs = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            per_lhs = (
+                combos.groupBy(a, b)
+                .agg(F.count("*").alias("_nc"))
+                .groupBy(a)
+                .agg(F.count("*").cast("long").alias("n_rhs"))
+            )
+            outs.append(
+                per_lhs.agg(
+                    F.count("*").cast("long").alias("n_lhs_values"),
+                    F.sum("n_rhs").cast("long").alias("n_pairs"),
+                    F.sum((F.col("n_rhs") > 1).cast("long"))
+                    .cast("long").alias("n_violating_lhs"),
+                ).select(
+                    F.lit(a).alias("lhs"), F.lit(b).alias("rhs"),
+                    "n_lhs_values", "n_pairs", "n_violating_lhs",
+                    F.when(F.col("n_violating_lhs") == 0, F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("is_fd"),
+                    F.expr(
+                        "n_violating_lhs * 1000000 div n_lhs_values"
+                    ).cast("long").alias("violation_ppm"),
+                )
+            )
+    return reduce(lambda x, y: x.unionByName(y), outs)

@@ -451,3 +451,59 @@ def shard_ring_moves(
         F.expr("n_docs * 1000000 div n_total").cast("long")
         .alias("share_ppm"),
     )
+
+
+def join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    rate_mod: int = 16,
+) -> DataFrame:
+    """Sampling-based join-cardinality estimation — the planning
+    measurement behind broadcast/shuffle/skew decisions: before running
+    a fact-fact join at 100 TB, estimate its output size from a
+    correlated KEY sample. Sampling KEYS (keep a key when
+    md5_int32(key) % rate_mod == 0, then count ALL rows of both sides
+    under surviving keys) is the estimator that stays unbiased for
+    joins; independent row-Bernoulli on each side misses matching pairs
+    quadratically (Vengerov et al., VLDB'15 correlated sampling). One
+    output row with the exact truth, the scaled estimate, and the
+    signed exact-ppm error — the audit a planner's cost model is
+    calibrated against.
+
+    Scale shape: two key-count aggregates (map-side combining — the only
+    corpus-sized work, one shuffle each), one bounded key-table join
+    feeding BOTH the exact sum(c_l * c_r) and the sampled sum — the
+    estimate is free once the exact audit runs; in production only the
+    sampled branch's filter pushes down to the scan and the exact
+    branch is omitted."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").cast("long").alias("c_l")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").cast("long").alias("c_r")
+    )
+    keys = lc.join(rc, "k").select(
+        "k", (F.col("c_l") * F.col("c_r")).cast("long").alias("prod"),
+        (md5_int32(F.col("k").cast("string")) % rate_mod == 0)
+        .alias("sampled"),
+    )
+    return keys.agg(
+        F.count("*").cast("long").alias("n_keys_both"),
+        F.sum("prod").cast("long").alias("exact_rows"),
+        F.sum(F.col("sampled").cast("long")).cast("long")
+        .alias("n_sample_keys"),
+        (F.coalesce(
+            F.sum(F.when(F.col("sampled"), F.col("prod"))), F.lit(0)
+        ) * rate_mod).cast("long").alias("est_rows"),
+    ).select(
+        "n_keys_both", "exact_rows", "n_sample_keys", "est_rows",
+        F.when(F.col("est_rows") >= F.col("exact_rows"), F.lit(1))
+        .otherwise(F.lit(-1)).cast("long").alias("err_sign"),
+        F.expr(
+            "abs(est_rows - exact_rows) * 1000000 div exact_rows"
+        ).cast("long").alias("err_ppm"),
+    )

@@ -12045,3 +12045,64 @@ SELECT event_type, day, n_events, prior_sum, n_prior_days,
            AS is_coldstart
 FROM raw2
 """
+
+
+def rel_fd_audit(
+    cols: tuple = ("event_type", "day", "weekday", "vbucket"),
+) -> str:
+    """FD-audit twin (ops/curation.py fd_audit over the entry wrapper's
+    derived columns): one distinct-combination collapse, then per
+    ordered pair the bounded per-lhs re-aggregation and the same
+    verdict / ppm expressions."""
+    day = "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    base = f"""fdc AS (
+    SELECT event_type, {day} AS day, {day} % 7 AS weekday,
+           CAST(floor(value / 100) AS BIGINT) AS vbucket,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2, 3, 4
+)"""
+    viol = "sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)"
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(f"""
+SELECT '{a}' AS lhs, '{b}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(n_rhs) AS BIGINT) AS n_pairs,
+       CAST({viol} AS BIGINT) AS n_violating_lhs,
+       CAST(CASE WHEN {viol} = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_fd,
+       CAST({viol} * 1000000 // count(*) AS BIGINT) AS violation_ppm
+FROM (SELECT {a}, CAST(count(*) AS BIGINT) AS n_rhs
+      FROM (SELECT {a}, {b} FROM fdc GROUP BY {a}, {b}) GROUP BY {a})""")
+    return _materialize(
+        "WITH " + base + "\n" + "\nUNION ALL\n".join(parts), "fdc"
+    )
+
+
+def rel_join_estimate(rate_mod: int = 16) -> str:
+    """Join-estimate twin (ops/layout.py join_estimate): the same key
+    aggregates, md5 %-sample flag, and one audit row of exact truth vs
+    scaled estimate with signed ppm error."""
+    m = int(rate_mod)
+    h = _hex8_int_sql("md5(CAST(jel.k AS VARCHAR))")
+    est = f"COALESCE(sum(CASE WHEN sampled THEN prod END), 0) * {m}"
+    return f"""
+WITH jel AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c_l
+             FROM orders GROUP BY 1),
+jer AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c_r
+        FROM lineitem GROUP BY 1),
+jek AS (SELECT jel.k, c_l * c_r AS prod, ({h} % {m} = 0) AS sampled
+        FROM jel JOIN jer ON jel.k = jer.k)
+SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+       CAST(sum(prod) AS BIGINT) AS exact_rows,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sample_keys,
+       CAST({est} AS BIGINT) AS est_rows,
+       CAST(CASE WHEN {est} >= sum(prod) THEN 1 ELSE -1 END AS BIGINT)
+           AS err_sign,
+       CAST(abs({est} - sum(prod)) * 1000000 // sum(prod) AS BIGINT)
+           AS err_ppm
+FROM jek
+"""
