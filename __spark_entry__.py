@@ -5041,6 +5041,37 @@ def q_rel_join_estimate(spark, sf_dir):
     )
 
 
+def q_er_bcubed(spark, sf_dir):
+    """B-cubed evaluation of the production near-dup clustering
+    (er.bcubed_score over dedup.dedup_clusters): every 9th doc (residue
+    4) spawns a PLANTED near-duplicate copy (doc_id + 1,000,000, first
+    4/5 of the words) — the known truth pairs; everything else is a
+    truth singleton. Precision < 1e6 exposes LSH merging organic
+    near-dups beyond the planted truth, recall < 1e6 exposes planted
+    copies the banding missed — the honest scorecard of the dedup
+    chain's operating point, replayed exactly by the oracle."""
+    from unsupervised_ner_spark.ops.dedup import dedup_clusters
+    from unsupervised_ner_spark.pipeline import er
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ", -1)
+    keep = F.expr("(size(split(text, ' ', -1)) * 4 + 4) div 5")
+    copies = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(copies)
+    clusters = dedup_clusters(aug).select("doc_id", "cluster_id")
+    assign = aug.join(clusters, "doc_id", "left").select(
+        F.col("doc_id").alias("item"),
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("pred"),
+        F.when(
+            F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+        ).otherwise(F.col("doc_id")).alias("truth"),
+    )
+    return er.bcubed_score(assign)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5206,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rate_anomaly": q_rel_rate_anomaly,
         "rel_fd_audit": q_rel_fd_audit,
         "rel_join_estimate": q_rel_join_estimate,
+        "er_bcubed": q_er_bcubed,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5554,6 +5586,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rate_anomaly": O.rel_rate_anomaly(),
         "rel_fd_audit": O.rel_fd_audit(),
         "rel_join_estimate": O.rel_join_estimate(),
+        "er_bcubed": O.er_bcubed(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2691,6 +2691,18 @@ def main() -> None:
                    and "BroadcastNestedLoopJoin" not in p251))
     checks.append(("joinest: no window function", "Window" not in p251))
 
+    # 252. B-cubed: the contingency-cell table is persisted once and
+    # feeds sizes + both numerators; the one-row combines arrive by
+    # broadcast; no cartesian of data-sized sides; no window
+    p252 = plan_of(entry.q_er_bcubed(spark, SF))
+    sections.append(("B-cubed dedup evaluation (er_bcubed)", p252))
+    checks.append(("bcubed: cells persisted + reused",
+                   p252.count("InMemoryTableScan") >= 2))
+    checks.append(("bcubed: map-side partial aggregation",
+                   "partial_" in p252))
+    checks.append(("bcubed: one-row combines by broadcast",
+                   "BroadcastExchange" in p252))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -12106,3 +12106,57 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
            AS err_ppm
 FROM jek
 """
+
+
+def er_bcubed(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None
+) -> str:
+    """B-cubed twin (pipeline/er.py bcubed_score over the planted-copy
+    splice + the dedup_clusters chain): the clusters SQL is the existing
+    RECURSIVE twin re-pointed at the augmented corpus (every FROM
+    documents -> FROM bcdocs, occurrence-asserted), then the contingency
+    cells and the documented floor-division ppm averages."""
+    cl = dedup_clusters(num_hashes, band_size, max_bucket)
+    n = cl.count("FROM documents")
+    assert n == 3, f"dedup_clusters twin changed shape ({n} doc scans)"
+    cl = cl.replace("FROM documents", "FROM bcdocs")
+    return f"""
+WITH bcdocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(ws[1 : (len(ws) * 4 + 4) // 5], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id % 9 = 4
+),
+bccl AS (SELECT doc_id, cluster_id FROM ({cl}) _cl),
+bca AS (
+    SELECT d.doc_id AS item,
+           COALESCE(c.cluster_id, d.doc_id) AS pred,
+           CASE WHEN d.doc_id >= 1000000 THEN d.doc_id - 1000000
+                ELSE d.doc_id END AS truth
+    FROM bcdocs d LEFT JOIN bccl c ON c.doc_id = d.doc_id
+),
+bcc AS (
+    SELECT pred, truth, CAST(count(*) AS BIGINT) AS n_ct
+    FROM bca GROUP BY pred, truth
+),
+bcp AS (SELECT pred, CAST(sum(n_ct) AS BIGINT) AS n_c FROM bcc GROUP BY pred),
+bct AS (SELECT truth, CAST(sum(n_ct) AS BIGINT) AS n_t FROM bcc GROUP BY truth),
+bcn AS (SELECT CAST(sum(n_ct) AS BIGINT) AS n_items FROM bcc),
+bcpr AS (
+    SELECT CAST(sum(n_ct * (n_ct * 1000000 // n_c))
+                // (SELECT n_items FROM bcn) AS BIGINT) AS b3_precision_ppm
+    FROM bcc JOIN bcp USING (pred)
+),
+bcre AS (
+    SELECT CAST(sum(n_ct * (n_ct * 1000000 // n_t))
+                // (SELECT n_items FROM bcn) AS BIGINT) AS b3_recall_ppm
+    FROM bcc JOIN bct USING (truth)
+)
+SELECT (SELECT n_items FROM bcn) AS n_items,
+       b3_precision_ppm, b3_recall_ppm,
+       CAST(2 * b3_precision_ppm * b3_recall_ppm
+            // (b3_precision_ppm + b3_recall_ppm) AS BIGINT) AS b3_f1_ppm
+FROM bcpr, bcre
+"""

@@ -5120,3 +5120,53 @@ def temporal_paths(tfacts: DataFrame, max_mid_degree: int | None = None) -> Data
             .otherwise(F.lit(0)).cast("long").alias("is_cycle"),
         )
     )
+
+
+def bcubed_score(assignments: DataFrame) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin '98; the
+    ER-community standard per Amigo et al. '09 — pairwise F ignores
+    singletons, purity ignores over-merging; B3 punishes both): given
+    (item, pred, truth) labels, per-item precision = |C(i) n T(i)| /
+    |C(i)| and recall = |C(i) n T(i)| / |T(i)|, averaged over items.
+    Output is ONE row: n_items + precision/recall/F1 in ppm, every
+    division the documented floor ``div`` (per-item ppm floors, then the
+    floor average; F1 = 2PR div (P+R) on the ppm scale) replayed
+    identically by the oracle.
+
+    Scale shape: items collapse once into the (pred, truth) contingency
+    cells (bounded by cluster structure, persisted); sizes and both sums
+    are bounded re-aggregations; the per-item sum folds into
+    sum(n_ct * item_ppm) because items in a cell share both labels."""
+    cells = scoped_persist(
+        assignments.groupBy("pred", "truth").agg(
+            F.count("*").cast("long").alias("n_ct")
+        )
+    )
+    pc = cells.groupBy("pred").agg(F.sum("n_ct").cast("long").alias("n_c"))
+    tc = cells.groupBy("truth").agg(F.sum("n_ct").cast("long").alias("n_t"))
+    tot = cells.agg(F.sum("n_ct").cast("long").alias("n_items"))
+    pnum = cells.join(pc, "pred").agg(
+        F.sum(F.expr("n_ct * (n_ct * 1000000 div n_c)"))
+        .cast("long").alias("pnum")
+    )
+    rnum = cells.join(tc, "truth").agg(
+        F.sum(F.expr("n_ct * (n_ct * 1000000 div n_t)"))
+        .cast("long").alias("rnum")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pnum))
+        .crossJoin(F.broadcast(rnum))
+        .select(
+            "n_items",
+            F.expr("pnum div n_items").cast("long")
+            .alias("b3_precision_ppm"),
+            F.expr("rnum div n_items").cast("long").alias("b3_recall_ppm"),
+        )
+        .select(
+            "n_items", "b3_precision_ppm", "b3_recall_ppm",
+            F.expr(
+                "2 * b3_precision_ppm * b3_recall_ppm"
+                " div (b3_precision_ppm + b3_recall_ppm)"
+            ).cast("long").alias("b3_f1_ppm"),
+        )
+    )
