@@ -5072,6 +5072,16 @@ def q_er_bcubed(spark, sf_dir):
     return er.bcubed_score(assign)
 
 
+def q_txt_source_jaccard(spark, sf_dir):
+    """Cross-source vocabulary overlap (sketches.source_jaccard): KMV
+    Jaccard estimate (k=64 hash-smallest per source, merged-sketch
+    matches) beside the exact intersection/union truth per source pair —
+    the error audit that justifies dropping the exact branch at 100 TB."""
+    from unsupervised_ner_spark.ops.sketches import source_jaccard
+
+    return source_jaccard(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5238,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_fd_audit": q_rel_fd_audit,
         "rel_join_estimate": q_rel_join_estimate,
         "er_bcubed": q_er_bcubed,
+        "txt_source_jaccard": q_txt_source_jaccard,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5587,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_fd_audit": O.rel_fd_audit(),
         "rel_join_estimate": O.rel_join_estimate(),
         "er_bcubed": O.er_bcubed(),
+        "txt_source_jaccard": O.txt_source_jaccard(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -2703,6 +2703,20 @@ def main() -> None:
     checks.append(("bcubed: one-row combines by broadcast",
                    "BroadcastExchange" in p252))
 
+    # 253. source jaccard: the distinct token table + the k-sketch are
+    # each persisted once and reused (vocab stats, pairwise arms, exact
+    # join); per-source dims broadcast; windows only per source / per
+    # pair; two-level distinct (no Expand)
+    p253 = plan_of(entry.q_txt_source_jaccard(spark, SF))
+    sections.append(("KMV source overlap (txt_source_jaccard)", p253))
+    checks.append(("srcjac: token table + sketch persisted and reused",
+                   p253.count("InMemoryTableScan") >= 4))
+    checks.append(("srcjac: no count-distinct Expand", "Expand" not in p253))
+    checks.append(("srcjac: dims arrive by broadcast",
+                   "BroadcastHashJoin" in p253))
+    checks.append(("srcjac: map-side partial aggregation",
+                   "partial_" in p253))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

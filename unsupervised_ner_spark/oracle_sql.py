@@ -12160,3 +12160,86 @@ SELECT (SELECT n_items FROM bcn) AS n_items,
             // (b3_precision_ppm + b3_recall_ppm) AS BIGINT) AS b3_f1_ppm
 FROM bcpr, bcre
 """
+
+
+def txt_source_jaccard(k: int = 64) -> str:
+    """Source-overlap twin (ops/sketches.py source_jaccard): the same
+    distinct (source, token) collapse, md5_int32 KMV sketches, merged
+    k-smallest with membership flags, and the exact intersection/union
+    replay with identical ppm floors."""
+    kk = int(k)
+    h = _hex8_int_sql("md5(tok)")
+    return _materialize(
+        f"""
+WITH sjt AS (
+    SELECT source, tok, CAST({h} AS BIGINT) AS h FROM (
+        SELECT source, unnest({_LOWTOKS}) AS tok FROM documents)
+    GROUP BY source, tok, 3
+),
+sjsk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, tok)
+                   AS rk
+        FROM sjt)
+    WHERE rk <= {kk}
+),
+sjp AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM (SELECT DISTINCT source FROM sjt) a,
+         (SELECT DISTINCT source FROM sjt) b
+    WHERE a.source < b.source
+),
+sju AS (
+    SELECT source_a, source_b, h,
+           max(in_a) AS in_a, max(in_b) AS in_b
+    FROM (
+        SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM sjp p JOIN sjsk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0, 1
+        FROM sjp p JOIN sjsk s ON s.source = p.source_b)
+    GROUP BY source_a, source_b, h
+),
+sje AS (
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS kmv_k,
+           CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches
+    FROM (
+        SELECT source_a, source_b, in_a, in_b,
+               row_number() OVER (PARTITION BY source_a, source_b
+                                  ORDER BY h) AS rk
+        FROM sju)
+    WHERE rk <= {kk}
+    GROUP BY source_a, source_b
+),
+sjn AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_voc
+    FROM sjt GROUP BY source
+),
+sji AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_intersect
+    FROM sjt a JOIN sjt b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.source_a, e.source_b,
+       na.n_voc AS n_a, nb.n_voc AS n_b,
+       COALESCE(i.n_intersect, 0) AS n_intersect,
+       CAST(COALESCE(i.n_intersect, 0) * 1000000
+            // (na.n_voc + nb.n_voc - COALESCE(i.n_intersect, 0)) AS BIGINT)
+           AS exact_jaccard_ppm,
+       e.kmv_k, e.kmv_matches,
+       CAST(e.kmv_matches * 1000000 // e.kmv_k AS BIGINT)
+           AS est_jaccard_ppm,
+       CAST(abs(e.kmv_matches * 1000000 // e.kmv_k
+                - COALESCE(i.n_intersect, 0) * 1000000
+                  // (na.n_voc + nb.n_voc - COALESCE(i.n_intersect, 0))) AS BIGINT)
+           AS err_ppm
+FROM sje e
+LEFT JOIN sji i USING (source_a, source_b)
+JOIN sjn na ON na.source = e.source_a
+JOIN sjn nb ON nb.source = e.source_b
+""",
+        "sjt", "sjsk",
+    )
