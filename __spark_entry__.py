@@ -5082,6 +5082,58 @@ def q_txt_source_jaccard(spark, sf_dir):
     return source_jaccard(_t(spark, sf_dir, "documents"))
 
 
+SHACL_SHAPES = [("owns", 4), ("manages", 1), ("heads", 1)]
+
+
+def q_kg_shacl_card(spark, sf_dir):
+    """SHACL sh:maxCount validation (er.shacl_cardinality) of a fact
+    table against declared shapes. The canonical graph is measured
+    max-1-object-per-(subj, pred) — nothing to validate — so the facts
+    come from a deterministic splice whose per-subject object fan-out
+    varies with the subject index: owns (cap 4) violates only for
+    subjects with 5-6 distinct objects, manages (cap 1) only for
+    odd-index subjects, heads (cap 1) always conforms — every verdict
+    branch fires per predicate (owns 8/2, manages 5/5 conform/violate,
+    heads 10/0, measured at both gate scales). The object index is an
+    md5 draw modulo the per-subject fan-out: plain doc_id div/mod
+    arithmetic ALIASES (the doc stride within a (subj, pred) class
+    shares factors with the fan-out modulus and collapsed every count
+    to conforming — measured zero violations); md5 decorrelates. The
+    oracle replays the construction."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+    from unsupervised_ner_spark.pipeline import er
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 10
+    pred = F.element_at(
+        F.array(*[F.lit(p) for p, _ in SHACL_SHAPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    draw = md5_int32(
+        F.concat(F.lit("shacl:"), F.col("doc_id").cast("string"))
+    )
+    obj_idx = (
+        F.when(pred == "owns", draw % (1 + k % 6))
+        .when(pred == "manages", draw % (1 + k % 2))
+        .otherwise(F.lit(0))
+    )
+    facts = d.select(
+        F.concat(F.lit("s"), k.cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.concat(F.lit("o"), obj_idx.cast("string")).alias("obj"),
+    )
+    return er.shacl_cardinality(facts, SHACL_SHAPES)
+
+
+def q_rel_decay_score(spark, sf_dir):
+    """Exponential time-decay engagement score (asof.decay_score): exact
+    integer cents halved per whole 7 days of age vs the stream's global
+    max day (div 2^k — no float decay), per-user totals + recency."""
+    from unsupervised_ner_spark.ops.asof import decay_score
+
+    return decay_score(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5249,6 +5301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_estimate": q_rel_join_estimate,
         "er_bcubed": q_er_bcubed,
         "txt_source_jaccard": q_txt_source_jaccard,
+        "kg_shacl_card": q_kg_shacl_card,
+        "rel_decay_score": q_rel_decay_score,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5599,6 +5653,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_join_estimate": O.rel_join_estimate(),
         "er_bcubed": O.er_bcubed(),
         "txt_source_jaccard": O.txt_source_jaccard(),
+        "kg_shacl_card": O.kg_shacl_card(SHACL_SHAPES),
+        "rel_decay_score": O.rel_decay_score(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

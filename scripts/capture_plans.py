@@ -2717,6 +2717,29 @@ def main() -> None:
     checks.append(("srcjac: map-side partial aggregation",
                    "partial_" in p253))
 
+    # 254. SHACL cardinality: two-level distinct (no Expand), shapes
+    # literal arrives by broadcast; no window
+    p254 = plan_of(entry.q_kg_shacl_card(spark, SF))
+    sections.append(("SHACL cardinality validation (kg_shacl_card)", p254))
+    checks.append(("shacl: no count-distinct Expand", "Expand" not in p254))
+    checks.append(("shacl: shapes literal by broadcast",
+                   "BroadcastHashJoin" in p254))
+    checks.append(("shacl: map-side partial aggregation",
+                   "partial_" in p254))
+    checks.append(("shacl: no window function", "Window" not in p254))
+
+    # 255. decay score: one-row max-day broadcast, ONE event-sized
+    # aggregate with map-side partials; no window, no sort
+    p255 = plan_of(entry.q_rel_decay_score(spark, SF))
+    sections.append(("Time-decay engagement score (rel_decay_score)", p255))
+    checks.append(("decay: max-day arrives by broadcast",
+                   "BroadcastExchange" in p255))
+    checks.append(("decay: map-side partial aggregation",
+                   "partial_" in p255))
+    checks.append(("decay: no window function", "Window" not in p255))
+    checks.append(("decay: no global sort", "Sort " not in p255
+                   or "TakeOrdered" in p255))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

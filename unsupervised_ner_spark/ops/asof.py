@@ -951,3 +951,45 @@ def rate_anomaly(
         F.when(cold, F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("is_coldstart"),
     )
+
+
+def decay_score(
+    events: DataFrame, half_life_days: int = 7, max_halvings: int = 62
+) -> DataFrame:
+    """Exponential time-decay engagement score per user — the
+    feature-store staple (recency-weighted activity) computed with
+    EXACT integers: each event contributes round(value * 100) cents
+    halved once per whole ``half_life_days`` of age relative to the
+    stream's global max day (integer ``div 2^k``; fractional-power
+    float decay never crosses engines bit-identically). Halvings clamp
+    at ``max_halvings`` (the int64 shift ceiling; older events
+    contribute their floor, typically 0). Output per user: decayed
+    score, raw cents, event count, days since last activity.
+
+    Scale shape: a one-row global max-day broadcast onto the stream
+    (no window), then ONE event-sized aggregate with map-side
+    combining."""
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    mx = events.agg(F.max(day).cast("long").alias("max_day"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    contrib = (
+        events.select("user_id", day.alias("day"), cents.alias("cents"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id", "cents", "day", "max_day",
+            F.expr(
+                "cents div shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(least((max_day - day) div {int(half_life_days)}, "
+                f"{int(max_halvings)}) AS INT))"
+            ).cast("long").alias("decayed"),
+        )
+    )
+    return contrib.groupBy("user_id").agg(
+        F.sum("decayed").cast("long").alias("decayed_cents"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("max_day") - F.max("day")).cast("long")
+        .alias("days_since_last"),
+    )

@@ -12243,3 +12243,62 @@ JOIN sjn nb ON nb.source = e.source_b
 """,
         "sjt", "sjsk",
     )
+
+
+def kg_shacl_card(shapes: list[tuple[str, int]]) -> str:
+    """SHACL cardinality twin (pipeline/er.py shacl_cardinality over the
+    entry wrapper's fan-out splice): distinct triples, (subj, pred)
+    object counts, shapes VALUES join, verdict + excess."""
+    preds = [p for p, _ in shapes]
+    arr = "[" + ", ".join(f"'{p}'" for p in preds) + "]"
+    rows = ", ".join(f"('{p}', {int(c)})" for p, c in shapes)
+    draw = _hex8_int_sql("md5('shacl:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH shf AS (
+    SELECT 's' || CAST(doc_id % 10 AS VARCHAR) AS subj,
+           ({arr})[CAST(doc_id % 3 AS INT) + 1] AS pred,
+           'o' || CAST(CASE ({arr})[CAST(doc_id % 3 AS INT) + 1]
+                  WHEN 'owns' THEN {draw} % (1 + (doc_id % 10) % 6)
+                  WHEN 'manages' THEN {draw} % (1 + (doc_id % 10) % 2)
+                  ELSE 0 END AS VARCHAR) AS obj
+    FROM documents
+),
+shd AS (SELECT subj, pred, obj FROM shf GROUP BY ALL),
+shp AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs
+        FROM shd GROUP BY subj, pred),
+shs(pred, max_card) AS (SELECT * FROM (VALUES {rows}))
+SELECT p.subj, p.pred, p.n_objs, CAST(s.max_card AS BIGINT) AS max_card,
+       CAST(CASE WHEN p.n_objs > s.max_card THEN 1 ELSE 0 END AS BIGINT)
+           AS is_violation,
+       CAST(GREATEST(p.n_objs - s.max_card, 0) AS BIGINT) AS excess
+FROM shp p JOIN shs s USING (pred)
+"""
+
+
+def rel_decay_score(half_life_days: int = 7, max_halvings: int = 62) -> str:
+    """Decay-score twin (ops/asof.py decay_score): the same cents
+    rounding, whole-period halving count clamped at the shift ceiling,
+    integer 2^k division, and per-user aggregate."""
+    hl, mh = int(half_life_days), int(max_halvings)
+    day = "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    return f"""
+WITH dmax AS (SELECT max({day}) AS max_day FROM events),
+dct AS (
+    SELECT user_id, {day} AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+dcc AS (
+    SELECT user_id, cents, day, max_day,
+           cents // (CAST(1 AS BIGINT)
+                     << CAST(least((max_day - day) // {hl}, {mh}) AS INT))
+               AS decayed
+    FROM dct, dmax
+)
+SELECT user_id,
+       CAST(sum(decayed) AS BIGINT) AS decayed_cents,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(max_day) - max(day) AS BIGINT) AS days_since_last
+FROM dcc GROUP BY user_id
+"""

@@ -5170,3 +5170,38 @@ def bcubed_score(assignments: DataFrame) -> DataFrame:
             ).cast("long").alias("b3_f1_ppm"),
         )
     )
+
+
+def shacl_cardinality(
+    facts: DataFrame, shapes: list[tuple[str, int]]
+) -> DataFrame:
+    """SHACL-style cardinality validation (sh:maxCount) of a fact table
+    against DECLARED per-predicate shapes — the KG data-quality gate
+    beside predicate_functionality's measured profile: functionality
+    MEASURES what the data does, this operator VALIDATES it against
+    what the schema owner asserted, producing the violation report an
+    ingest pipeline blocks on. Input facts (subj, pred, obj) are
+    collapsed to distinct triples first (re-observations are not extra
+    values); output is one row per (subj, pred) with its distinct
+    object count, the declared cap, the verdict, and the excess.
+
+    Scale shape: one two-level distinct aggregate (triple -> (subj,
+    pred) count, no count-distinct Expand), then a broadcast join of
+    the shapes literal (bytes). Predicates without a declared shape are
+    dropped — unconstrained, nothing to validate."""
+    shape_df = facts.sparkSession.createDataFrame(
+        [(p, int(c)) for p, c in shapes], "pred string, max_card long"
+    )
+    per = (
+        facts.select("subj", "pred", "obj").distinct()
+        .groupBy("subj", "pred")
+        .agg(F.count("*").cast("long").alias("n_objs"))
+    )
+    return per.join(F.broadcast(shape_df), "pred").select(
+        "subj", "pred", "n_objs", "max_card",
+        F.when(F.col("n_objs") > F.col("max_card"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_violation"),
+        F.greatest(
+            F.col("n_objs") - F.col("max_card"), F.lit(0)
+        ).cast("long").alias("excess"),
+    )
