@@ -766,7 +766,7 @@ def q_txt_sent_dedup(spark, sf_dir):
     return sentence_dedup(_hearst_sentences(spark, sf_dir))
 
 
-def _conflict_splice_triples(spark, sf_dir):
+def _conflict_splice_triples(spark, sf_dir, with_doc_id=False):
     """Deterministic doc_id-derived triple splice for the conflict gate:
     'capital_of' is single-valued for every even subject except s0, which
     collects one object per 24-doc block (the violation); 'near' is
@@ -774,12 +774,14 @@ def _conflict_splice_triples(spark, sf_dir):
     word-salad corpus yields ZERO conflicting triples at sf0.001/0.01
     (measured), so this is the Hearst TEXT splice lifted to the triple
     level: the operator still runs over the real production triples too,
-    and the oracle replays the identical arithmetic."""
+    and the oracle replays the identical arithmetic. ``with_doc_id``
+    keeps the source doc_id (the temporal gate derives observation days
+    from it)."""
     docs = _t(spark, sf_dir, "documents")
     d1 = F.col("doc_id") % 24
     d2 = F.expr("doc_id DIV 24") % 5
     even = F.col("doc_id") % 2 == 0
-    return docs.select(
+    cols = [
         F.concat(F.lit("s"), d1.cast("string")).alias("subj"),
         F.when(even, F.lit("capital_of")).otherwise(F.lit("near")).alias("pred_norm"),
         F.when(
@@ -790,7 +792,10 @@ def _conflict_splice_triples(spark, sf_dir):
         )
         .otherwise(F.concat(F.lit("w"), d2.cast("string")))
         .alias("obj"),
-    )
+    ]
+    if with_doc_id:
+        cols.append(F.col("doc_id"))
+    return docs.select(*cols)
 
 
 def _recip_splice_triples(spark, sf_dir):
@@ -5134,6 +5139,511 @@ def q_rel_decay_score(spark, sf_dir):
     return decay_score(_t(spark, sf_dir, "events"))
 
 
+def q_rel_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution (asof.touch_attribution):
+    every purchase credits its cents to the last AND the first preceding
+    view/click touch in the (unix_micros, event_id) per-user order,
+    'direct' when none precedes. Long-form (model, channel) credit table
+    with exact cents + summed touch->purchase lag micros (gaps, not
+    epochs, are hashed). All three channels fire NATURALLY at both gate
+    scales (last-touch view/click/direct 92/99/11 at sf0.001,
+    875/1036/70 first-touch at sf0.01 — measured, no splice needed)."""
+    from unsupervised_ner_spark.ops.asof import touch_attribution
+
+    return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def q_rel_debounce(spark, sf_dir):
+    """Burst-collapse debounce (asof.debounce, 6 h threshold):
+    gaps-and-islands over (user_id, event_type); one row per burst
+    island with events collapsed, intra-island span, and the inter-
+    island lead gap (-1 opens each key) — all microsecond DIFFERENCES,
+    never epochs. The 6 h threshold makes both branches fire naturally
+    (100 / 1036 sub-threshold gaps collapse at sf0.001 / sf0.01,
+    measured; the median same-key gap is ~35 h, so boundaries
+    dominate)."""
+    from unsupervised_ner_spark.ops.asof import debounce
+
+    return debounce(_t(spark, sf_dir, "events"))
+
+
+def q_kg_louvain_move(spark, sf_dir):
+    """One synchronized Louvain move phase (er.louvain_move) over the
+    4-round LPA partition of the entity co-occurrence graph: per node
+    the exact-integer 2m^2-scaled delta-Q argmax over neighbouring
+    communities vs staying, deterministic (score DESC, community ASC)
+    — the modularity-optimizing refinement beside kg_communities'
+    plurality vote and kg_modularity's scorecard."""
+    from unsupervised_ner_spark.pipeline import er
+
+    typed = _typed_production(spark, sf_dir)
+    return er.louvain_move(er.cooccurrence_edges(typed), iterations=4)
+
+
+def q_er_blocking_quality(spark, sf_dir):
+    """Blocking-stage scorecard (er.blocking_quality over the LSH
+    candidate pairs): pairs completeness / pairs quality / reduction
+    ratio vs the SAME planted-copy truth er_bcubed grades clusters
+    against (every 9th doc residue 4 spawns a 4/5-prefix copy at
+    doc_id + 1,000,000) — the candidate-stage knob a blocking re-tune
+    moves, measured before CC ever runs."""
+    from unsupervised_ner_spark.ops.dedup import (
+        adaptive_max_bucket, lsh_bucket_pairs,
+    )
+    from unsupervised_ner_spark.pipeline import er
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ", -1)
+    keep = F.expr("(size(split(text, ' ', -1)) * 4 + 4) div 5")
+    copies = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(copies)
+    truth = d.filter(F.col("doc_id") % 9 == 4).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    n = aug.count()
+    cand = lsh_bucket_pairs(aug, max_bucket=adaptive_max_bucket(n))
+    return er.blocking_quality(cand, truth, n)
+
+
+TEMPORAL_DAY_MOD = 60
+
+
+def q_kg_temporal_conflicts(spark, sf_dir):
+    """Temporal-consistency validation (triples.interval_conflicts):
+    functional-predicate conflicts that only count when the two objects'
+    validity intervals OVERLAP — capital_of changing over time is
+    history, not a contradiction. Facts = production triples (days from
+    the url-derived warc_ts, the kg_fact_intervals device) UNION the
+    conflict splice with md5-drawn days mod 60 (measured at both gate
+    scales: 3 of s0's 10 capital_of object pairs overlap, 7 do not —
+    both branches fire; plain doc_id arithmetic would correlate with
+    the 24-doc block stride, the kg_shacl_card lesson)."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+    from unsupervised_ner_spark.pipeline.triples import interval_conflicts
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    prod = stages["triples"].select(
+        "subj", "pred_norm", "obj",
+        F.expr(
+            "(1704067200 + (CAST(url AS BIGINT) % 97) * 86400"
+            " + (CAST(url AS BIGINT) % 24) * 3600) div 86400"
+        ).cast("long").alias("day"),
+    )
+    splice = _conflict_splice_triples(spark, sf_dir, with_doc_id=True)
+    splice = splice.select(
+        "subj", "pred_norm", "obj",
+        (
+            md5_int32(F.concat(F.lit("tc:"), F.col("doc_id").cast("string")))
+            % TEMPORAL_DAY_MOD
+        ).cast("long").alias("day"),
+    )
+    return interval_conflicts(prod.unionByName(splice))
+
+
+def q_rel_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (exact integers): 20
+    buckets over the global cents range; the bucket-of-x rule is the
+    floor (x-gmin)*nb div span, and the printed edges use the CEILING
+    division lo(b) = gmin + ceil(span*b / nb) — the exact inverse, so
+    every value lands inside its own bucket's [lo, hi] (floor edges are
+    off by one near uneven bucket boundaries; unit-tested invariant).
+    Zero-filled empty buckets (the rel_gap_fill device), cumulative
+    counts and ppm over the bounded (type x bucket) table. Scale shape: ONE event-sized
+    map-side-combining aggregate; the range row broadcasts; the
+    zero-fill explode and both windows run on the <= types*20 table."""
+    from pyspark.sql import Window
+
+    nb = 20
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    rng = e.agg(
+        F.min("cents").alias("gmin"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+    )
+    counts = (
+        e.crossJoin(F.broadcast(rng))
+        .select(
+            "event_type", "gmin", "span",
+            F.expr(f"(cents - gmin) * {nb} div span").cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "gmin", "span", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    types = counts.select("event_type", "gmin", "span").distinct()
+    grid = types.select(
+        "event_type", "gmin", "span",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bucket"),
+    ).withColumn("bucket", F.col("bucket").cast("long"))
+    # edges use CEILING division so they are the exact inverse of the
+    # floor bucket rule: bucket(x)=b  <=>  lo(b) <= x <= hi(b)
+    # (floor edges fail at e.g. gmin=-250, span=568: x=-222 buckets to 0
+    # but floor-hi(0) is -223 — caught by the unit-test invariant)
+    filled = (
+        grid.join(counts, ["event_type", "gmin", "span", "bucket"], "left")
+        .select(
+            "event_type", "bucket",
+            F.expr(f"gmin + (span * bucket + {nb - 1}) div {nb}")
+            .cast("long").alias("lo_cents"),
+            F.expr(
+                f"gmin + (span * (bucket + 1) + {nb - 1}) div {nb} - 1"
+            ).cast("long").alias("hi_cents"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    return filled.select(
+        "event_type", "bucket", "lo_cents", "hi_cents", "n",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n").over(wt).cast("long").alias("_tot"),
+    ).select(
+        "event_type", "bucket", "lo_cents", "hi_cents", "n", "cum_n",
+        F.expr("n * 1000000 div _tot").cast("long").alias("ppm"),
+    )
+
+
+def q_rel_q18_bigcust(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer query: orders whose summed
+    lineitem quantity exceeds 250 (p99 of the synth distribution —
+    ~1%/~15 orders qualify at sf0.001), joined back to orders and the
+    broadcast customer dim, top-100 by (totalprice cents DESC, orderkey
+    ASC). The showcase beside rel_q3_topk: PRE-AGGREGATION BEFORE THE
+    JOIN — the orderkey aggregate runs first and only qualifying keys
+    ever reach the join (at 100 TB the filter drops ~99% of the fact
+    table before any wide row is built); the top-k is a TakeOrdered,
+    never a global sort."""
+    qty = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity", 0).cast("long").alias("qty")
+    )
+    big = (
+        qty.groupBy("l_orderkey")
+        .agg(F.sum("qty").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("totalprice_cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long").alias("order_day"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey", "c_custkey", "c_name", "order_day",
+            "totalprice_cents", "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_ann_beam_search(spark, sf_dir):
+    """Greedy graph beam search (simsearch.graph_beam_search): the
+    HNSW/NSG query-time primitive over the symmetrized multiprobe-SRP
+    kNN graph — 2 synchronized expand/rescore/prune rounds from the
+    deterministic md5-argmin entry vector, beam 5, queries = vec_id %
+    97 == 0; candidates stay graph-local (never a corpus scan)."""
+    from unsupervised_ner_spark.ops.simsearch import graph_beam_search
+
+    return graph_beam_search(_t(spark, sf_dir, "embeddings"))
+
+
+def q_txt_span_corruption(spark, sf_dir):
+    """T5 span-corruption prep (packing.span_corruption): hash-drawn
+    15% noise positions, consecutive positions merge into corrupted
+    spans, exact T5 encoder/decoder lengths per doc; zero-noise docs
+    pass through (both branches measured at both gate scales)."""
+    from unsupervised_ner_spark.ops.packing import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+def q_er_fs_patterns(spark, sf_dir):
+    """Fellegi-Sunter agreement-pattern decision table (er.fs_patterns)
+    over the er_pair_features channel: pairs collapse onto their 4-bit
+    agreement vector, exact cross-multiplied likelihood thresholds
+    assign link / nonlink / possible — the clerical-review queue of
+    probabilistic record linkage, integers only. Ratio 45:1 is the
+    measured operating point where ALL THREE regions fire at both gate
+    scales (pattern 1011 is 1:40 at sf0.001 and 0011 is 1:1 at sf0.01 —
+    any r in [41, 46] works; the region rule itself is the generic
+    cross-multiplied comparison)."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.fs_patterns(q_er_pair_features(spark, sf_dir), ratio=45)
+
+
+def q_mm_caption_groups(spark, sf_dir):
+    """Image-text pair consolidation (multimodal.caption_groups): the
+    LAION-style same-image-many-captions collapse by pHash group. The
+    pair splice re-posts every 25th doc's image with an 'alt '-prefixed
+    caption (the ahash-groups re-entry precedent lifted to pairs: the
+    IMAGE payload is byte-identical so the pHash collides, the caption
+    differs) — n_captions >= 2 fires for every spliced group; every
+    50th doc's image additionally RE-HOSTS under img_id + 1,000,000
+    with the same payload (the cross-site repost), so n_images >= 2
+    fires too (no organic pHash collisions exist in the word-salad
+    corpus — measured)."""
+    from unsupervised_ner_spark.ops import multimodal
+    from unsupervised_ner_spark.ops.textstats import tokens_ws
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cap = F.array_join(
+        F.slice(F.transform(tokens_ws(F.col("text")), F.lower), 1, 6), " "
+    )
+    rehost = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("img_id"), cap.alias("caption")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            F.col("doc_id").alias("img_id"),
+            F.concat(F.lit("alt "), cap).alias("caption"),
+        )
+    ).unionByName(
+        rehost.select(F.col("doc_id").alias("img_id"), cap.alias("caption"))
+    )
+    media = multimodal.synth_media(d.unionByName(rehost))
+    return multimodal.caption_groups(pairs, media)
+
+
+def q_rel_q4_priority(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority census: per priority the order
+    count, the count with at least one LATE lineitem (shipped > 90 days
+    after the order date — the synth schema has no commit/receipt
+    dates; 1136 of 1473 orders qualify at sf0.001, both branches fire),
+    and the exact late ppm. The EXISTS shape: the late-key set is
+    DISTINCT-aggregated before touching the priority census, and the
+    census is a bounded 5-row aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ) > 90
+        )
+        .select(F.col("l_orderkey").alias("late_key"))
+        .distinct()
+    )
+    flagged = o.join(
+        late, o.o_orderkey == F.col("late_key"), "left"
+    ).select(
+        "o_orderpriority",
+        F.when(F.col("late_key").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_late"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("is_late").cast("long").alias("n_late"),
+    ).select(
+        "o_orderpriority", "n_orders", "n_late",
+        F.expr("n_late * 1000000 div n_orders").cast("long")
+        .alias("late_ppm"),
+    )
+
+
+def q_rel_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks (asof.activity_streaks): per
+    user the active-day total, streak count, longest streak with its
+    tz-free epoch start day (ties -> earliest), and the final streak's
+    length — the engagement layer between weekly retention and sub-day
+    debounce."""
+    from unsupervised_ner_spark.ops.asof import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+def q_er_chain_audit(spark, sf_dir):
+    """Transitive over-merge audit (er.chain_audit) of the LSH+CC dedup
+    clusters: per cluster the direct-pair completeness and the
+    is_chained flag. Organic clusters are all direct-complete at both
+    gate scales (measured — CC never glued an uncompared pair), so
+    every 20th doc (residue 7) plants an A-B-C chain: a 3/5-PREFIX copy
+    at +2,000,000 and a 3/5-SUFFIX copy at +3,000,000 — each overlaps
+    the original enough to band-collide while sharing only the middle
+    fifth with each other (J ~ 0.2, below the banding operating point)
+    — 12/11 chained beside 28/27 complete clusters at sf0.001/0.01."""
+    from unsupervised_ner_spark.ops.dedup import (
+        adaptive_max_bucket, dedup_clusters, lsh_bucket_pairs,
+    )
+    from unsupervised_ner_spark.pipeline import er
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ", -1)
+    n = F.size(ws)
+    prefix = d.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, F.expr(
+            "(size(split(text, ' ', -1)) * 3 + 4) div 5"
+        )), " ").alias("text"),
+    )
+    suffix = d.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                ws,
+                F.expr("(size(split(text, ' ', -1)) * 2) div 5 + 1"),
+                n - F.expr("(size(split(text, ' ', -1)) * 2) div 5"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    aug = d.unionByName(prefix).unionByName(suffix)
+    cap = adaptive_max_bucket(aug.count())
+    clusters = dedup_clusters(aug, max_bucket=cap)
+    pairs = lsh_bucket_pairs(aug, max_bucket=cap)
+    return er.chain_audit(clusters, pairs)
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (simsearch.filtered_topk):
+    per query the top-5 among corpus vectors sharing the query's label,
+    the predicate applied BEFORE scoring via a label-keyed equi-join
+    (never post-filtering a global top-k), plus the per-query
+    selectivity stat."""
+    from unsupervised_ner_spark.ops.simsearch import filtered_topk
+
+    return filtered_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _polarity_docs(spark, sf_dir):
+    """The Hearst splice PLUS a negated-is-a splice on residue 1 mod 3
+    (disjoint doc sets): "<Hypo> is not a <hyper>" where the negated
+    class is the REGULAR hyper table when (d%7 + d%5) % 3 == 0 (those
+    pairs also occur positively on residue-0 docs -> contradicted) and
+    a hyper2 class otherwise (never asserted positively ->
+    negative_only); positive pairs outside the first rule stay
+    positive_only — all three verdicts fire by construction."""
+
+    def pick(terms, col):
+        return F.element_at(
+            F.array(*[F.lit(t) for t in terms]),
+            (col % len(terms) + 1).cast("int"),
+        )
+
+    def art(noun):
+        return F.when(
+            F.substring(noun, 1, 1).isin("a", "e", "i", "o", "u"), F.lit("an")
+        ).otherwise(F.lit("a"))
+
+    d = F.col("doc_id")
+    base = _hearst_docs(spark, sf_dir)
+    hypo = pick(HEARST_HYPO, d)
+    neg_hyper = F.when(
+        (d % 7 + d % 5) % 3 == 0, pick(HEARST_HYPER, d)
+    ).otherwise(pick(HEARST_HYPER2, F.expr("doc_id DIV 3")))
+    neg = F.concat(
+        F.lit("\n"), hypo, F.lit(" is not "), art(neg_hyper), F.lit(" "),
+        neg_hyper,
+    )
+    return base.withColumn(
+        "text",
+        F.when(d % HEARST_MOD == 1, F.concat("text", neg))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_kg_isa_polarity(spark, sf_dir):
+    """Polarity-aware is-a mining (taxonomy.isa_polarity): Hearst
+    positives full-outer-joined with "is not a" negatives; per (hypo,
+    hyper) the support of both polarities and the contradicted /
+    positive_only / negative_only verdict — textual contradictions are
+    the KG curator's hardest queue and the type classifier's best hard
+    negatives. All three verdicts fire via the _polarity_docs splice
+    (measured at both gate scales)."""
+    from unsupervised_ner_spark.pipeline.taxonomy import isa_polarity
+
+    sents = pages_to_sentences(_pages_of(_polarity_docs(spark, sf_dir))).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return isa_polarity(sents)
+
+
+def q_kg_property_coverage(spark, sf_dir):
+    """Per-type schema completeness (triples.property_coverage — the
+    Wikidata/Recoin property-suggestion primitive): for every (subject
+    type, predicate), the share of the type's entities carrying the
+    predicate, as exact ppm over two cascaded distinct aggregates."""
+    from unsupervised_ner_spark.pipeline.triples import property_coverage
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    return property_coverage(
+        stages["triples"].select("subj", "subj_type", "pred_norm")
+    )
+
+
+def q_er_meta_blocking(spark, sf_dir):
+    """Meta-blocking (dedup.meta_blocking_pairs — Papadakis et al.
+    TKDE'14): LSH co-block pairs weighted by the Common Blocks Scheme
+    count, Weighted Node Pruning by the exact cross-multiplied
+    endpoint-mean rule — the pruning layer that turns block-count
+    redundancy into match evidence before any matcher runs. The pruned
+    branch fires at sf0.001 (5 of 29 pairs); at sf0.01 the organic pair
+    weights tie, so WNP keeps all (measured) — pruning under weight
+    contrast is unit-tested (two strong pairs starve their cross
+    pairs)."""
+    from unsupervised_ner_spark.ops.dedup import meta_blocking_pairs
+
+    return meta_blocking_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_rel_wow_change(spark, sf_dir):
+    """Week-over-week change per event type (asof.wow_change): weekly
+    counts, exact delta + ppm change vs the previous active week,
+    is_first sentinel rows for each type's opening week."""
+    from unsupervised_ner_spark.ops.asof import wow_change
+
+    return wow_change(_t(spark, sf_dir, "events"))
+
+
+def q_dedup_survivorship(spark, sf_dir):
+    """Quality-aware duplicate survivorship (curation
+    .dedup_survivorship): per near-dup cluster keep the BEST copy
+    (quality stage ASC, n_tokens DESC, doc_id ASC struct-min) instead
+    of dedup_clusters' quality-blind min-id rule; organic clusters at
+    both gate scales (22 / 25 measured)."""
+    from unsupervised_ner_spark.ops.curation import dedup_survivorship
+
+    return dedup_survivorship(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_curriculum(spark, sf_dir):
+    """Quality-annealed curriculum ordering (curation.curriculum_order):
+    good -> lowlex -> boilerplate -> short stages, md5-shuffled within
+    a stage, ONE dense global rank via the two-level prefix sum (never
+    a one-partition global window)."""
+    from unsupervised_ner_spark.ops.curation import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5303,6 +5813,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_jaccard": q_txt_source_jaccard,
         "kg_shacl_card": q_kg_shacl_card,
         "rel_decay_score": q_rel_decay_score,
+        "rel_attribution": q_rel_attribution,
+        "rel_debounce": q_rel_debounce,
+        "kg_louvain_move": q_kg_louvain_move,
+        "er_blocking_quality": q_er_blocking_quality,
+        "kg_temporal_conflicts": q_kg_temporal_conflicts,
+        "rel_histogram": q_rel_histogram,
+        "rel_q18_bigcust": q_rel_q18_bigcust,
+        "ann_beam_search": q_ann_beam_search,
+        "txt_span_corruption": q_txt_span_corruption,
+        "er_fs_patterns": q_er_fs_patterns,
+        "mm_caption_groups": q_mm_caption_groups,
+        "txt_curriculum": q_txt_curriculum,
+        "rel_q4_priority": q_rel_q4_priority,
+        "rel_streaks": q_rel_streaks,
+        "er_chain_audit": q_er_chain_audit,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "er_meta_blocking": q_er_meta_blocking,
+        "rel_wow_change": q_rel_wow_change,
+        "dedup_survivorship": q_dedup_survivorship,
+        "kg_isa_polarity": q_kg_isa_polarity,
+        "kg_property_coverage": q_kg_property_coverage,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -5655,6 +6186,31 @@ def oracle_sql() -> dict[str, str]:
         "txt_source_jaccard": O.txt_source_jaccard(),
         "kg_shacl_card": O.kg_shacl_card(SHACL_SHAPES),
         "rel_decay_score": O.rel_decay_score(),
+        "rel_attribution": O.rel_attribution(),
+        "rel_debounce": O.rel_debounce(),
+        "kg_louvain_move": O.kg_louvain_move(iterations=4),
+        "er_blocking_quality": O.er_blocking_quality(),
+        "kg_temporal_conflicts": O.kg_temporal_conflicts(
+            day_mod=TEMPORAL_DAY_MOD,
+        ),
+        "rel_histogram": O.rel_histogram(n_buckets=20),
+        "rel_q18_bigcust": O.rel_q18_bigcust(min_qty=250),
+        "ann_beam_search": O.ann_beam_search(),
+        "txt_span_corruption": O.txt_span_corruption(noise_pct=15),
+        "er_fs_patterns": O.er_fs_patterns(ratio=45),
+        "mm_caption_groups": O.mm_caption_groups(splice_mod=25),
+        "txt_curriculum": O.txt_curriculum(),
+        "rel_q4_priority": O.rel_q4_priority(late_days=90),
+        "rel_streaks": O.rel_streaks(),
+        "er_chain_audit": O.er_chain_audit(),
+        "ann_filtered_topk": O.ann_filtered_topk(),
+        "er_meta_blocking": O.er_meta_blocking(),
+        "rel_wow_change": O.rel_wow_change(),
+        "dedup_survivorship": O.dedup_survivorship(),
+        "kg_isa_polarity": O.kg_isa_polarity(
+            HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
+        ),
+        "kg_property_coverage": O.kg_property_coverage(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

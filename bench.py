@@ -323,6 +323,43 @@ BENCH_QUERIES = [
     "rel_hopping_window",
     "kg_simrank",
     "er_anchor_aliases",
+    "rel_attribution",
+    "rel_debounce",
+    "kg_louvain_move",
+    "er_blocking_quality",
+    "kg_temporal_conflicts",
+    "rel_histogram",
+    "rel_q18_bigcust",
+    "ann_beam_search",
+    "rel_sequence_patterns",
+    "rel_rate_anomaly",
+    "rel_k_anonymity",
+    "rel_fd_audit",
+    "rel_join_estimate",
+    "kg_temporal_paths",
+    "kg_conjunct_facts",
+    "er_geo_pairs",
+    "er_bcubed",
+    "txt_boilerplate",
+    "txt_source_jaccard",
+    "ann_nndescent",
+    "mm_audio_match",
+    "txt_shard_ring",
+    "kg_shacl_card",
+    "rel_decay_score",
+    "txt_span_corruption",
+    "er_fs_patterns",
+    "mm_caption_groups",
+    "txt_curriculum",
+    "rel_q4_priority",
+    "rel_streaks",
+    "er_chain_audit",
+    "ann_filtered_topk",
+    "er_meta_blocking",
+    "rel_wow_change",
+    "dedup_survivorship",
+    "kg_isa_polarity",
+    "kg_property_coverage",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -2740,6 +2740,228 @@ def main() -> None:
     checks.append(("decay: no global sort", "Sort " not in p255
                    or "TakeOrdered" in p255))
 
+    # 256. attribution: ONE window pass (no join), 2-element explode,
+    # bounded aggregate with map-side partials
+    p256 = plan_of(entry.q_rel_attribution(spark, SF))
+    sections.append(("Touch attribution (rel_attribution)", p256))
+    checks.append(("attrib: no join anywhere", "Join" not in p256))
+    checks.append(("attrib: single window pass",
+                   p256.count("Window (") == 1))
+    checks.append(("attrib: explode stays narrow", "Generate" in p256))
+    checks.append(("attrib: map-side partial aggregation",
+                   "partial_" in p256))
+
+    # 257. debounce: no join; the two event-sized windows share the
+    # (user_id, event_type)-keyed exchange; map-side partials into the
+    # island aggregate
+    p257 = plan_of(entry.q_rel_debounce(spark, SF))
+    sections.append(("Burst-collapse debounce (rel_debounce)", p257))
+    checks.append(("debounce: no join anywhere", "Join" not in p257))
+    checks.append(("debounce: windows share the key exchange",
+                   p257.count("Exchange") <= 3))
+    checks.append(("debounce: map-side partial aggregation",
+                   "partial_" in p257))
+
+    # 258. louvain move: labels/degrees persisted and reused across the
+    # three consumers; the one-row m arrives by broadcast; no cartesian
+    # product; map-side partials on the edge-sized k_ic aggregate
+    p258 = plan_of(entry.q_kg_louvain_move(spark, SF))
+    sections.append(("Louvain move phase (kg_louvain_move)", p258))
+    checks.append(("louvain: labels+degrees persisted and reused",
+                   p258.count("InMemoryTableScan") >= 4))
+    checks.append(("louvain: one-row m by broadcast",
+                   "BroadcastNestedLoopJoin" in p258
+                   or "BroadcastExchange" in p258))
+    checks.append(("louvain: no cartesian product",
+                   "CartesianProduct" not in p258))
+    checks.append(("louvain: map-side partial aggregation",
+                   "partial_" in p258))
+
+    # 259. blocking quality: banded table + candidate table each
+    # persisted once and reused; truth intersection is a semi-join;
+    # one-row combines by broadcast
+    p259 = plan_of(entry.q_er_blocking_quality(spark, SF))
+    sections.append(("Blocking scorecard (er_blocking_quality)", p259))
+    checks.append(("blockq: banded+candidate tables persisted and reused",
+                   p259.count("InMemoryTableScan") >= 3))
+    checks.append(("blockq: truth intersection is a semi-join",
+                   "LeftSemi" in p259))
+    checks.append(("blockq: one-row combines by broadcast",
+                   "BroadcastNestedLoopJoin" in p259))
+
+    # 260. temporal conflicts: the interval table is persisted once and
+    # feeds both self-join sides; no cartesian product; map-side partials
+    p260 = plan_of(entry.q_kg_temporal_conflicts(spark, SF))
+    sections.append(("Temporal conflicts (kg_temporal_conflicts)", p260))
+    checks.append(("tconf: interval table persisted and reused",
+                   p260.count("InMemoryTableScan") >= 2))
+    checks.append(("tconf: no cartesian product",
+                   "CartesianProduct" not in p260))
+    checks.append(("tconf: map-side partial aggregation",
+                   "partial_" in p260))
+
+    # 261. histogram: column-pruned scan, one-row range by broadcast,
+    # event-sized aggregate map-side combines
+    p261 = plan_of(entry.q_rel_histogram(spark, SF))
+    sections.append(("Equi-width histogram (rel_histogram)", p261))
+    checks.append(("hist: column-pruned scan",
+                   "ReadSchema: struct<event_type:string,value:double>"
+                   in p261))
+    checks.append(("hist: one-row range by broadcast",
+                   "BroadcastNestedLoopJoin" in p261))
+    checks.append(("hist: map-side partial aggregation",
+                   "partial_" in p261))
+
+    # 262. Q18: pre-aggregation BEFORE the join (partial agg present),
+    # customer dim broadcast, top-100 is a TakeOrdered — never a global
+    # sort
+    p262 = plan_of(entry.q_rel_q18_bigcust(spark, SF))
+    sections.append(("TPC-H Q18 big customers (rel_q18_bigcust)", p262))
+    checks.append(("q18: map-side partial aggregation", "partial_" in p262))
+    checks.append(("q18: customer dim broadcast",
+                   "BroadcastHashJoin" in p262))
+    checks.append(("q18: top-k is TakeOrdered, no global sort",
+                   "TakeOrderedAndProject" in p262))
+
+    # 263. beam search: vectors + init graph + adjacency persisted and
+    # reused; bounded query table broadcast; no cartesian product
+    p263 = plan_of(entry.q_ann_beam_search(spark, SF))
+    sections.append(("Graph beam search (ann_beam_search)", p263))
+    checks.append(("beam: persisted tables reused",
+                   p263.count("InMemoryTableScan") >= 4))
+    checks.append(("beam: query table arrives by broadcast",
+                   "BroadcastHashJoin" in p263))
+    checks.append(("beam: no cartesian product",
+                   "CartesianProduct" not in p263))
+
+    # 264. span corruption: column-pruned scan, ONE noisy-position
+    # window, map-side partials into the per-doc aggregate
+    p264 = plan_of(entry.q_txt_span_corruption(spark, SF))
+    sections.append(("T5 span corruption (txt_span_corruption)", p264))
+    checks.append(("spancorr: column-pruned scan",
+                   "ReadSchema: struct<doc_id:bigint,text:string>" in p264))
+    checks.append(("spancorr: single window pass",
+                   p264.count("Window (") == 1))
+    checks.append(("spancorr: map-side partial aggregation",
+                   "partial_" in p264))
+
+    # 265. FS patterns: bounded pattern aggregate with partials, no
+    # count-distinct Expand
+    p265 = plan_of(entry.q_er_fs_patterns(spark, SF))
+    sections.append(("FS pattern regions (er_fs_patterns)", p265))
+    checks.append(("fspat: map-side partial aggregation",
+                   "partial_" in p265))
+    checks.append(("fspat: no count-distinct Expand", "Expand" not in p265))
+
+    # 266. caption groups: Arrow-batched pHash stage, cascaded two-level
+    # distincts (no Expand), map-side partials
+    p266 = plan_of(entry.q_mm_caption_groups(spark, SF))
+    sections.append(("Caption groups (mm_caption_groups)", p266))
+    checks.append(("capgrp: vectorized Python stage",
+                   "MapInPandas" in p266))
+    checks.append(("capgrp: no count-distinct Expand",
+                   "Expand" not in p266))
+    checks.append(("capgrp: map-side partial aggregation",
+                   "partial_" in p266))
+
+    # 267. curriculum: bounded offsets arrive by broadcast; the ONLY
+    # single-partition exchange is the bounded (stage x bucket) window
+    p267 = plan_of(entry.q_txt_curriculum(spark, SF))
+    sections.append(("Curriculum order (txt_curriculum)", p267))
+    checks.append(("curric: offsets by broadcast",
+                   "BroadcastHashJoin" in p267))
+    checks.append(("curric: one bounded single-partition window",
+                   p267.count("Exchange SinglePartition") <= 1))
+    checks.append(("curric: map-side partial aggregation",
+                   "partial_" in p267))
+
+    # 268. Q4 shape: the late-key set is DISTINCT-aggregated before the
+    # census; map-side partials; no window
+    p268 = plan_of(entry.q_rel_q4_priority(spark, SF))
+    sections.append(("TPC-H Q4 priority census (rel_q4_priority)", p268))
+    checks.append(("q4: map-side partial aggregation", "partial_" in p268))
+    checks.append(("q4: no window function", "Window" not in p268))
+    checks.append(("q4: column-pruned lineitem scan",
+                   "struct<l_orderkey:bigint,l_shipdate:timestamp" in p268))
+
+    # 269. streaks: no join; the two windows share the user-keyed
+    # exchange; map-side partials on the distinct-day aggregate
+    p269 = plan_of(entry.q_rel_streaks(spark, SF))
+    sections.append(("Activity streaks (rel_streaks)", p269))
+    checks.append(("streaks: no join anywhere", "Join" not in p269))
+    checks.append(("streaks: map-side partial aggregation",
+                   "partial_" in p269))
+
+    # 270. chain audit: membership persisted once and reused by both
+    # consumers; no cartesian product
+    p270 = plan_of(entry.q_er_chain_audit(spark, SF))
+    sections.append(("Dedup chain audit (er_chain_audit)", p270))
+    checks.append(("chain: membership persisted and reused",
+                   p270.count("InMemoryTableScan") >= 2))
+    checks.append(("chain: no cartesian product",
+                   "CartesianProduct" not in p270))
+    checks.append(("chain: map-side partial aggregation",
+                   "partial_" in p270))
+
+    # 271. filtered ANN: the predicate joins BEFORE scoring (label
+    # equi-join, broadcast query side), per-query window only
+    p271 = plan_of(entry.q_ann_filtered_topk(spark, SF))
+    sections.append(("Filtered vector search (ann_filtered_topk)", p271))
+    checks.append(("fann: query side arrives by broadcast",
+                   "BroadcastHashJoin" in p271))
+    checks.append(("fann: no cartesian product",
+                   "CartesianProduct" not in p271))
+    checks.append(("fann: map-side partial aggregation",
+                   "partial_" in p271))
+
+    # 272. meta-blocking: banded table + weighted pair table each
+    # persisted once and reused; map-side partials; no cartesian
+    p272 = plan_of(entry.q_er_meta_blocking(spark, SF))
+    sections.append(("Meta-blocking WNP (er_meta_blocking)", p272))
+    checks.append(("metab: banded+weighted tables persisted and reused",
+                   p272.count("InMemoryTableScan") >= 4))
+    checks.append(("metab: no cartesian product",
+                   "CartesianProduct" not in p272))
+    checks.append(("metab: map-side partial aggregation",
+                   "partial_" in p272))
+
+    # 273. WoW change: one event-sized aggregate, lag over the bounded
+    # weekly table, no join
+    p273 = plan_of(entry.q_rel_wow_change(spark, SF))
+    sections.append(("Week-over-week change (rel_wow_change)", p273))
+    checks.append(("wow: no join anywhere", "Join" not in p273))
+    checks.append(("wow: map-side partial aggregation",
+                   "partial_" in p273))
+    checks.append(("wow: column-pruned scan",
+                   "ReadSchema: struct<ts:timestamp" in p273))
+
+    # 274. survivorship: membership joins stats on the doc key, ONE
+    # struct-min aggregate; no window beyond the clusters chain's own
+    p274 = plan_of(entry.q_dedup_survivorship(spark, SF))
+    sections.append(("Dedup survivorship (dedup_survivorship)", p274))
+    checks.append(("surv: map-side partial aggregation",
+                   "partial_" in p274))
+    checks.append(("surv: no cartesian product",
+                   "CartesianProduct" not in p274))
+
+    # 275. isa polarity: two vocabulary-sized collapses before the full
+    # outer join (no corpus-sized join side), map-side partials
+    p275 = plan_of(entry.q_kg_isa_polarity(spark, SF))
+    sections.append(("Polarity is-a mining (kg_isa_polarity)", p275))
+    checks.append(("polarity: map-side partial aggregation",
+                   "partial_" in p275))
+    checks.append(("polarity: no cartesian product",
+                   "CartesianProduct" not in p275))
+
+    # 276. property coverage: two cascaded two-level distincts (no
+    # count-distinct Expand), bounded type join
+    p276 = plan_of(entry.q_kg_property_coverage(spark, SF))
+    sections.append(("Property coverage (kg_property_coverage)", p276))
+    checks.append(("propcov: no count-distinct Expand",
+                   "Expand" not in p276))
+    checks.append(("propcov: map-side partial aggregation",
+                   "partial_" in p276))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

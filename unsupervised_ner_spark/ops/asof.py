@@ -993,3 +993,231 @@ def decay_score(
         (F.max("max_day") - F.max("day")).cast("long")
         .alias("days_since_last"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Marketing-style conversion attribution over the event stream — the
+    growth-analytics primitive the funnel does not answer: WHICH channel
+    gets credit for each conversion. Per user (ordered by the tz-free
+    (unix_micros, event_id) total order), every ``conversion`` event is
+    attributed twice: to the LAST preceding touch (``touch_types`` row —
+    the performance-marketing model) and to the FIRST preceding touch
+    (the brand model); conversions with no preceding touch credit the
+    'direct' channel. Output is the long-format credit table, one row
+    per (model, channel): conversions, exact cents credited, and the
+    summed touch->conversion lag in microseconds (0 for direct rows —
+    gaps, not epochs, cross engines; the funnel precedent).
+
+    Scale shape: ONE pass — a per-user window (the event store's natural
+    partitioning; a hot user is one window partition, the same exposure
+    every per-user analytic has), a 2-element explode, and one bounded
+    map-side-combining aggregate (<= 2 models x channels+1 rows). No
+    join, no second event-sized shuffle."""
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_touch = F.col("event_type").isin(*touch_types)
+    st = events.select(
+        "user_id", "event_type", t.alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.when(is_touch, F.col("event_type")).alias("touch"),
+        F.when(is_touch, t).alias("touch_t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        st.select(
+            "user_id", "event_type", "t", "cents",
+            F.last("touch", ignorenulls=True).over(w).alias("last_ch"),
+            F.last("touch_t", ignorenulls=True).over(w).alias("last_t"),
+            F.first("touch", ignorenulls=True).over(w).alias("first_ch"),
+            F.first("touch_t", ignorenulls=True).over(w).alias("first_t"),
+        )
+        .filter(F.col("event_type") == conversion)
+    )
+    credit = conv.select(
+        "cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("last_ch", F.lit("direct")).alias("channel"),
+                    F.coalesce(F.col("t") - F.col("last_t"), F.lit(0))
+                    .cast("long").alias("lag_us"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("first_ch", F.lit("direct")).alias("channel"),
+                    F.coalesce(F.col("t") - F.col("first_t"), F.lit(0))
+                    .cast("long").alias("lag_us"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return credit.groupBy(
+        F.col("c.model").alias("model"), F.col("c.channel").alias("channel")
+    ).agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("c.lag_us").cast("long").alias("sum_lag_us"),
+    )
+
+
+def debounce(
+    events: DataFrame, threshold_us: int = 6 * 3600 * 1_000_000
+) -> DataFrame:
+    """Burst-collapse (debounce) of the event stream — the telemetry
+    dedup the exact-duplicate pass cannot do: repeated (user, type)
+    events separated by less than ``threshold_us`` collapse into one
+    burst island (gaps-and-islands: a new island starts where the gap
+    from the previous same-key event exceeds the threshold, or at the
+    key's first event). One row per island: 1-based island index,
+    events collapsed, intra-island span, and the lead gap from the
+    previous island's end (-1 for the key's first island) — all
+    microsecond DIFFERENCES, never absolute epochs (the asof timezone
+    rule).
+
+    Scale shape: one window pass keyed (user_id, event_type) — the
+    event store's natural partitioning — building the running island
+    index, ONE map-side-combining aggregate into the island table
+    (bounded above by the event count, typically far smaller), and one
+    window over that bounded table for the lead gap. No join."""
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    key = ["user_id", "event_type"]
+    wo = Window.partitionBy(*key).orderBy("t", "eid")
+    ev = events.select(
+        "user_id", "event_type", t.alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    flagged = ev.select(
+        *key, "t",
+        F.when(
+            (F.col("t") - F.lag("t").over(wo)) <= F.lit(int(threshold_us)),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("is_start"),
+        F.col("eid"),
+    )
+    wrun = (
+        Window.partitionBy(*key)
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.select(
+            *key, "t",
+            F.sum("is_start").over(wrun).cast("long").alias("island_idx"),
+        )
+        .groupBy(*key, "island_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+            F.min("t").alias("_start"),
+            F.max("t").alias("_end"),
+        )
+    )
+    wi = Window.partitionBy(*key).orderBy("island_idx")
+    return islands.select(
+        *key, "island_idx", "n_events", "span_us",
+        F.coalesce(
+            F.col("_start") - F.lag("_end").over(wi), F.lit(-1)
+        ).cast("long").alias("lead_gap_us"),
+    )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Consecutive-day activity streaks per user — the engagement
+    primitive between retention (weekly cohorts) and debounce
+    (sub-day bursts): distinct active days collapse into maximal runs
+    of consecutive days; per user the active-day total, streak count,
+    the LONGEST streak (ties -> earliest start), and the length of the
+    final streak (the one containing the user's last active day).
+    Days are tz-free epoch-day integers (the retention device).
+
+    Scale shape: one map-side-combining distinct-day aggregate, one
+    lag + running-sum window pair per user (partitions bounded by a
+    user's active-day count), one island aggregate, one per-user
+    aggregate. No join."""
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    days = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    marked = days.select(
+        "user_id", "day",
+        F.when(
+            (F.col("day") - F.lag("day").over(wo)) == 1, F.lit(0)
+        ).otherwise(F.lit(1)).cast("long").alias("new_streak"),
+    )
+    runs = marked.select(
+        "user_id", "day",
+        F.sum("new_streak").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("streak_idx"),
+    )
+    islands = runs.groupBy("user_id", "streak_idx").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.min(F.struct((-F.col("len")).alias("nl"), "start_day"))
+        .getField("nl").cast("long").alias("_neg_longest"),
+        F.min(F.struct((-F.col("len")).alias("nl"), "start_day"))
+        .getField("start_day").cast("long").alias("longest_start_day"),
+        F.max(F.struct("start_day", "len")).getField("len")
+        .cast("long").alias("last_streak_len"),
+    ).select(
+        "user_id", "n_active_days", "n_streaks",
+        (-F.col("_neg_longest")).cast("long").alias("longest_len"),
+        "longest_start_day", "last_streak_len",
+    )
+
+
+def wow_change(events: DataFrame) -> DataFrame:
+    """Week-over-week change per event type — the dashboard layer above
+    rel_trend (direction) and rel_changepoint (bend): weekly counts
+    (tz-free epoch-day div 7, the retention device), previous-week lag,
+    exact delta, and the exact ppm change (n-prev)*1e6 div prev. The
+    type's FIRST week has no baseline: is_first=1 with prev/delta/ppm
+    pinned to 0 (sentinels, not NULLs — the gate hashes integers).
+
+    Scale shape: ONE event-sized map-side-combining (type, week)
+    aggregate; the lag window runs over the bounded weekly table. Weeks
+    with zero events are absent by construction (their ppm against the
+    next active week is still exact); compose with calendar_gap_fill
+    when a dense weekly axis is wanted."""
+    week = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT) div 7"
+    )
+    weekly = (
+        events.select("event_type", week.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("week")
+    step = weekly.select(
+        "event_type", "week", "n", F.lag("n").over(wt).alias("prev"),
+    )
+    return step.select(
+        "event_type", "week", "n",
+        F.coalesce("prev", F.lit(0)).cast("long").alias("prev_n"),
+        F.coalesce(F.col("n") - F.col("prev"), F.lit(0)).cast("long")
+        .alias("delta"),
+        F.coalesce(
+            F.expr("(n - prev) * 1000000 div prev"), F.lit(0)
+        ).cast("long").alias("change_ppm"),
+        F.when(F.col("prev").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_first"),
+    )

@@ -390,3 +390,121 @@ def fd_audit(df: DataFrame, cols: list[str]) -> DataFrame:
                 )
             )
     return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+CURRICULUM_STAGES = ["good", "lowlex", "boilerplate", "short"]
+
+
+def curriculum_order(documents: DataFrame, bucket_hex: int = 2) -> DataFrame:
+    """Quality-annealed curriculum ordering (Bengio et al. ICML'09
+    applied as data curriculum): every document gets ONE dense global
+    training rank — clean docs first, degraded classes later — so the
+    loader streams the corpus in curriculum order without a global
+    sort. Stage = the integer index of the doc's quality_class in
+    ``CURRICULUM_STAGES`` (good -> lowlex -> boilerplate -> short);
+    within a stage the order is the deterministic (md5(doc_id), doc_id)
+    shuffle (curricula must still be locally i.i.d. — hash order is the
+    seeded shuffle both engines replay).
+
+    Scale shape: the global dense rank is the TWO-LEVEL prefix sum
+    (pack_sequences precedent): per-(stage, md5-bucket) row_number (256
+    concurrent in-bucket sorts) plus an exclusive prefix sum over the
+    bounded (stage x bucket) count table broadcast back — never a
+    one-partition global window. Since the bucket is a prefix of the
+    md5, (stage, bucket, h, doc_id) order == (stage, h, doc_id) order,
+    which is the flat rank the oracle computes at test scale."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.ops.textstats import doc_stats, quality_class
+
+    q = quality_class(doc_stats(documents))
+    md5_id = F.md5(F.col("doc_id").cast("string"))
+    base = q.select(
+        "doc_id", "quality",
+        F.expr(
+            "array_position(array("
+            + ", ".join(f"'{s}'" for s in CURRICULUM_STAGES)
+            + "), quality) - 1"
+        ).cast("long").alias("stage"),
+        F.substring(md5_id, 1, bucket_hex).alias("bucket"),
+        md5_id.alias("h"),
+    )
+    w_in = Window.partitionBy("stage", "bucket").orderBy("h", "doc_id")
+    ranked = base.select(
+        "doc_id", "quality", "stage", "bucket",
+        (F.row_number().over(w_in) - 1).cast("long").alias("r_in"),
+    )
+    totals = base.groupBy("stage", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_b = Window.orderBy("stage", "bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "stage", "bucket",
+        (F.sum("n").over(w_b) - F.col("n")).cast("long").alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["stage", "bucket"])
+        .select(
+            "doc_id", "quality", "stage",
+            (F.col("off") + F.col("r_in")).cast("long")
+            .alias("curriculum_rank"),
+        )
+    )
+
+
+def dedup_survivorship(documents: DataFrame) -> DataFrame:
+    """Quality-aware duplicate-group survivorship — WHICH copy to keep:
+    dedup_clusters keeps min-doc_id (stable but quality-blind); real
+    pipelines keep the BEST copy of each near-dup group (the cleanest
+    full-length variant), because the duplicates often include
+    truncated or boilerplate-wrapped mirrors. Per cluster the
+    representative is argmin of (quality stage ASC, n_tokens DESC,
+    doc_id ASC) — best class first, longest inside a class, id as the
+    total-order tail — via one struct-min aggregate. Output per
+    cluster: size, the representative with its class and length, and
+    the drop count.
+
+    Scale shape: the cluster membership joins the per-doc integer
+    stats on doc_id (the corpus' natural key), then ONE map-side-
+    combining struct-min aggregate per cluster. Stage order is
+    CURRICULUM_STAGES (shared with curriculum_order)."""
+    from unsupervised_ner_spark.ops.dedup import dedup_clusters
+    from unsupervised_ner_spark.ops.textstats import doc_stats, quality_class
+
+    memb = dedup_clusters(documents).select("doc_id", "cluster_id")
+    st = doc_stats(documents)
+    stats = st.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    q = quality_class(st)
+    stage = F.expr(
+        "CASE quality WHEN 'good' THEN 0 WHEN 'lowlex' THEN 1"
+        " WHEN 'boilerplate' THEN 2 ELSE 3 END"
+    ).cast("long")
+    joined = (
+        memb.join(stats, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "cluster_id", "doc_id", "n_tokens", "quality",
+            stage.alias("stage"),
+        )
+    )
+    pick = F.min(
+        F.struct(
+            F.col("stage"),
+            (-F.col("n_tokens")).alias("neg_tok"),
+            F.col("doc_id"),
+            F.col("quality"),
+        )
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        pick.getField("doc_id").cast("long").alias("rep_doc"),
+        pick.getField("quality").alias("rep_quality"),
+        (-pick.getField("neg_tok")).cast("long").alias("rep_tokens"),
+    ).select(
+        "cluster_id", "n_docs", "rep_doc", "rep_quality", "rep_tokens",
+        (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
+    )

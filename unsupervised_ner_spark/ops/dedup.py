@@ -1314,3 +1314,87 @@ def geo_near_pairs(points: DataFrame, radius: int = 20000) -> DataFrame:
         .select("pid_a", "pid_b", d2.cast("long").alias("d2"))
         .filter(F.col("d2") < F.lit(cell * cell))
     )
+
+
+def meta_blocking_pairs(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Meta-blocking (Papadakis et al. TKDE'14) over the LSH block
+    collection — the pruning layer between blocking and matching:
+    instead of handing EVERY co-blocked pair to the matcher
+    (lsh_bucket_pairs), each pair is weighted by its Common Blocks
+    Scheme count (how many (band_id, band_hash) blocks share it), and
+    Weighted Node Pruning keeps a pair only if its weight reaches the
+    MEAN weight of either endpoint's pair list (exact cross-multiplied
+    w * n >= sum — no float average). Output: every candidate pair with
+    its weight and the kept flag — redundancy-positive blocking turns
+    block co-occurrence COUNT into evidence, which one-band LSH throws
+    away.
+
+    Scale shape: identical to lsh_bucket_pairs up to the bucket join
+    (banded table persisted once, corpus-adaptive cap, never a
+    broadcast); the weight aggregate map-side combines on the pair key;
+    endpoint thresholds are two doc-keyed aggregates over the pair
+    table (persisted once) joined back by key. Nothing corpus-
+    quadratic."""
+    if max_bucket is None:
+        max_bucket = adaptive_max_bucket(documents.count())
+    exploded = scoped_persist(
+        banded_signatures(documents, num_hashes, band_size, k)
+    )
+    sizes = exploded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n")
+    )
+    ok = exploded.join(
+        sizes.filter(F.col("n") <= max_bucket).drop("n"),
+        ["band_id", "band_hash"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    weighted = scoped_persist(
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    ends = (
+        weighted.select(F.col("doc_a").alias("doc_id"), "weight")
+        .unionAll(
+            weighted.select(F.col("doc_b").alias("doc_id"), "weight")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("long").alias("w_sum"),
+            F.count("*").cast("long").alias("w_n"),
+        )
+    )
+    ta = ends.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("w_sum").alias("sum_a"), F.col("w_n").alias("n_a"),
+    )
+    tb = ends.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("w_sum").alias("sum_b"), F.col("w_n").alias("n_b"),
+    )
+    return (
+        weighted.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "weight",
+            F.when(
+                (F.col("weight") * F.col("n_a") >= F.col("sum_a"))
+                | (F.col("weight") * F.col("n_b") >= F.col("sum_b")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("kept"),
+        )
+    )

@@ -639,3 +639,46 @@ def audio_match_pairs(
             F.col("n").alias("n_aligned"), "n_shared",
         )
     )
+
+
+def caption_groups(pairs: DataFrame, media: DataFrame) -> DataFrame:
+    """Image-text pair consolidation by perceptual-hash group — the
+    LAION-style dedup step of multimodal dataset prep: the SAME image
+    recrawled from many pages arrives with many alt-texts; grouping the
+    pair table by the image's pHash collapses those into one image
+    group with its caption inventory (keep the group once, train on the
+    caption diversity). ``pairs`` is (img_id, caption); ``media`` is the
+    (doc_id=img_id, payload) table the hash runs over. Output per hash
+    group: images, pairs, distinct captions, and the deterministic
+    min-caption representative.
+
+    Scale shape: the pHash is the existing narrow Arrow-batched stage;
+    the pair table joins it on img_id (the pair store's natural key);
+    the three distinct-counts are CASCADED two-level aggregates (the
+    triples_temporal device — no count-distinct Expand over the pair
+    stream)."""
+    hashes = perceptual_hash(media).select(
+        F.col("doc_id").alias("img_id"), "phash_bits"
+    )
+    cell = (
+        pairs.join(hashes, "img_id")
+        .groupBy("phash_bits", "img_id", "caption")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_img = cell.groupBy("phash_bits", "img_id").agg(
+        F.sum("n").cast("long").alias("n"),
+    )
+    per_cap = cell.groupBy("phash_bits", "caption").agg(
+        F.sum("n").cast("long").alias("n"),
+    )
+    imgs = per_img.groupBy("phash_bits").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("n").cast("long").alias("n_pairs"),
+    )
+    caps = per_cap.groupBy("phash_bits").agg(
+        F.count("*").cast("long").alias("n_captions"),
+        F.min("caption").alias("rep_caption"),
+    )
+    return imgs.join(caps, "phash_bits").select(
+        "phash_bits", "n_images", "n_pairs", "n_captions", "rep_caption",
+    )

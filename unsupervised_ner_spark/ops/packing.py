@@ -209,3 +209,79 @@ def pack_manifest(packed: DataFrame, seq_len: int = 512) -> DataFrame:
             (hi - lo).alias("n_tok_in_pack"),
         )
     )
+
+
+def span_corruption(
+    documents: DataFrame, noise_pct: int = 15
+) -> DataFrame:
+    """T5-style span-corruption statistics (Raffel et al. JMLR'20 §3.1.4)
+    — the denoising-objective prep a seq2seq pretraining pipeline runs
+    over every document: ~``noise_pct``% of token positions are drawn as
+    noise by the deterministic hash ``md5(doc_id:pos) % 100 < pct`` (the
+    engine/oracle-shared uniform draw — a seeded RNG both sides replay),
+    CONSECUTIVE noisy positions merge into one corrupted span, each span
+    is replaced by one sentinel in the encoder input and emitted as
+    (sentinel + tokens) in the decoder target. Output per non-empty doc:
+    n_tok, n_noise, n_spans, and the exact T5 lengths
+    input_len = n_tok - n_noise + n_spans,
+    target_len = n_noise + n_spans + 1 (the closing sentinel).
+
+    Scale shape: one token-position explode (narrow, page-spread), one
+    per-doc window over the NOISY positions only (lag marks span starts
+    — partition bounded by the doc's noise count), and one
+    map-side-combining per-doc aggregate. No join."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.ops.textstats import tokens_ws
+
+    base = documents.select(
+        "doc_id",
+        F.size(tokens_ws(F.col("text"))).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    pos = base.select(
+        "doc_id", "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_tok") - 1)).alias("pos"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    noisy = pos.filter(draw % 100 < int(noise_pct))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = noisy.select(
+        "doc_id", "n_tok", "pos",
+        F.when(
+            F.lag("pos").over(wd).isNull()
+            | (F.col("pos") - F.lag("pos").over(wd) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("new_span"),
+    )
+    per_doc = spans.groupBy("doc_id", "n_tok").agg(
+        F.count("*").cast("long").alias("n_noise"),
+        F.sum("new_span").cast("long").alias("n_spans"),
+    )
+    # docs whose draw selected zero positions still emit a row (the
+    # uncorrupted passthrough branch)
+    return (
+        base.join(per_doc.drop("n_tok"), "doc_id", "left")
+        .select(
+            "doc_id", "n_tok",
+            F.coalesce("n_noise", F.lit(0)).cast("long").alias("n_noise"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .select(
+            "doc_id", "n_tok", "n_noise", "n_spans",
+            (F.col("n_tok") - F.col("n_noise") + F.col("n_spans"))
+            .cast("long").alias("input_len"),
+            (F.col("n_noise") + F.col("n_spans") + 1).cast("long")
+            .alias("target_len"),
+        )
+    )

@@ -793,39 +793,8 @@ def nn_descent_round(
     )
     if bucket_cap is None:
         bucket_cap = max(50, min(5000, icbrt_ceil(max(emb.count(), 1))))
-    hashed = emb.select(
-        "vec_id", "v", srp_bucket_col(F.col("v"), nbits, dim).alias("bucket")
-    )
-    wcap = Window.partitionBy("bucket").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    members = (
-        hashed.withColumn("mrank", F.row_number().over(wcap))
-        .filter(F.col("mrank") <= bucket_cap)
-        .select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"), "bucket")
-    )
-    cos0 = F.round(
-        _dot(F.col("v"), F.col("wv"))
-        / (_norm(F.col("v")) * _norm(F.col("wv"))),
-        9,
-    )
     wk = Window.partitionBy("u_id").orderBy(F.desc("cos"), F.asc("w_id"))
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)],
-    )
-    init = scoped_persist(
-        hashed.select(
-            F.col("vec_id").alias("u_id"), "v",
-            F.explode(probes).alias("bucket"),
-        )
-        .join(members, "bucket")
-        .filter(F.col("u_id") != F.col("w_id"))
-        .select("u_id", "w_id", cos0.alias("cos"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= k)
-        .select("u_id", "w_id", "cos")
-    )
+    init = srp_init_knn(emb, k, nbits, dim, bucket_cap)
     und = (
         init.select(F.col("u_id").alias("center"), F.col("w_id").alias("nbr"))
         .union(
@@ -877,5 +846,211 @@ def nn_descent_round(
             F.col("w_id").alias("neighbor_id"),
             F.floor(F.col("cos") * 1000).cast("long").alias("cos_mil"),
             "is_new",
+        )
+    )
+
+
+def srp_init_knn(
+    emb: DataFrame,
+    k: int = 5,
+    nbits: int = SRP_NBITS,
+    dim: int = 64,
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Multiprobe SRP-LSH initial kNN graph (u_id, w_id, cos) — the
+    shared starting structure: nn_descent_round refines it,
+    graph_beam_search navigates it. ``emb`` must be the persisted
+    (vec_id, v double-array) table; every vector probes its own bucket
+    plus the Hamming-radius-1 flip ball and keeps its top-``k`` by
+    rounded cosine (deterministic (cos DESC, w_id ASC) order). Buckets
+    are md5-order capped at ``bucket_cap`` (the LSH bucket-cap
+    precedent) so a hot bucket can never go quadratic."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    hashed = emb.select(
+        "vec_id", "v", srp_bucket_col(F.col("v"), nbits, dim).alias("bucket")
+    )
+    wcap = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    members = (
+        hashed.withColumn("mrank", F.row_number().over(wcap))
+        .filter(F.col("mrank") <= bucket_cap)
+        .select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"), "bucket")
+    )
+    cos0 = F.round(
+        _dot(F.col("v"), F.col("wv"))
+        / (_norm(F.col("v")) * _norm(F.col("wv"))),
+        9,
+    )
+    wk = Window.partitionBy("u_id").orderBy(F.desc("cos"), F.asc("w_id"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)],
+    )
+    return scoped_persist(
+        hashed.select(
+            F.col("vec_id").alias("u_id"), "v",
+            F.explode(probes).alias("bucket"),
+        )
+        .join(members, "bucket")
+        .filter(F.col("u_id") != F.col("w_id"))
+        .select("u_id", "w_id", cos0.alias("cos"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("u_id", "w_id", "cos")
+    )
+
+
+def graph_beam_search(
+    embeddings: DataFrame,
+    k: int = 5,
+    beam: int = 5,
+    rounds: int = 2,
+    nbits: int = SRP_NBITS,
+    dim: int = 64,
+    query_mod: int = 97,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Greedy beam search over the kNN graph — the QUERY-TIME primitive
+    of graph-based ANN indexes (HNSW / NSG navigate exactly this way;
+    Malkov & Yashunin 2018): every query starts at one deterministic
+    global entry vector (the md5-argmin — the fixed entry point an HNSW
+    layer-0 descent lands on), and for ``rounds`` synchronized steps
+    expands its current beam by the graph neighbours, exact-rescores
+    every candidate against the query, and keeps the top-``beam``
+    (rounded-cos DESC, vec_id ASC — bit-deterministic, no priority-queue
+    race). The graph is the symmetrized multiprobe SRP init
+    (srp_init_knn — same structure nn_descent_round refines). Queries =
+    ``vec_id % query_mod == 0`` (the ANN-family convention). Output per
+    query: the final beam with rank and milli-cosine (floats never enter
+    the hashed surface — the nn_descent precedent).
+
+    Scale shape: the adjacency and the vector table are persisted once;
+    the per-round candidate set is bounded by |Q| * beam * (2k+1) rows
+    REGARDLESS of corpus size (the whole point of graph search: touch
+    the graph locally, never scan the corpus); the bounded query table
+    arrives at the rescore by broadcast; per-query windows partition on
+    q_id over <= beam*(2k+1) rows. No corpus-sized shuffle after the
+    init graph is built."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import icbrt_ceil
+
+    emb = scoped_persist(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    if bucket_cap is None:
+        bucket_cap = max(50, min(5000, icbrt_ceil(max(emb.count(), 1))))
+    init = srp_init_knn(emb, k, nbits, dim, bucket_cap)
+    adj = scoped_persist(
+        init.select(F.col("u_id").alias("src"), F.col("w_id").alias("dst"))
+        .union(
+            init.select(F.col("w_id").alias("src"), F.col("u_id").alias("dst"))
+        )
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    entry_pt = emb.select(
+        F.min(
+            F.struct(
+                F.md5(F.col("vec_id").cast("string")).alias("h"),
+                F.col("vec_id").alias("vec_id"),
+            )
+        ).alias("e")
+    ).select(F.col("e.vec_id").alias("vec_id"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    def _score(cands):
+        return (
+            cands.join(emb, "vec_id")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id", "vec_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("v"))
+                    / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                    9,
+                ).alias("cos"),
+            )
+        )
+
+    cur = _score(q.select("q_id").crossJoin(F.broadcast(entry_pt)))
+    for _ in range(rounds):
+        expand = (
+            cur.select("q_id", "vec_id")
+            .join(adj, F.col("vec_id") == F.col("src"))
+            .select("q_id", F.col("dst").alias("vec_id"))
+        )
+        cands = cur.select("q_id", "vec_id").union(expand).distinct()
+        cur = (
+            _score(cands)
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= beam)
+            .select("q_id", "vec_id", "cos")
+        )
+    return (
+        cur.withColumn("rk", F.row_number().over(wq))
+        .select(
+            "q_id", F.col("rk").cast("long").alias("rank"), "vec_id",
+            F.floor(F.col("cos") * 1000).cast("long").alias("cos_mil"),
+        )
+    )
+
+
+def filtered_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Metadata-FILTERED vector search — the capability every vector
+    store names (search only among vectors passing a predicate; here:
+    the corpus rows sharing the query's ``label``), with the filter
+    applied BEFORE scoring (pre-filter): the corpus side never scores a
+    row the predicate excludes, and the join is a label-keyed EQUI-join
+    — at 100 TB a label-partitioned shuffle instead of the broadcast
+    cross join the unfiltered brute force pays (post-filtering a top-k
+    is also WRONG under selective predicates: the filtered answer may
+    need rank-1000 overall). Output per query: the top-``k`` same-label
+    neighbours plus ``n_eligible`` (the predicate's selectivity — the
+    stat that decides pre- vs post-filter in a real planner).
+
+    Determinism: rounded-9 cosine, (cos DESC, vec_id ASC) order,
+    milli-cos in the gated surface (the nn_descent device)."""
+    emb = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_label")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .join(counts, "label")
+        .select(
+            F.col("vec_id").alias("query_id"), "label",
+            F.col("v").alias("qv"),
+            (F.col("n_label") - 1).cast("long").alias("n_eligible"),
+        )
+    )
+    cand = emb.join(F.broadcast(q), "label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "n_eligible", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(F.col("cos") * 1000).cast("long").alias("cos_mil"),
+            "n_eligible",
         )
     )

@@ -12302,3 +12302,1070 @@ SELECT user_id,
        CAST(max(max_day) - max(day) AS BIGINT) AS days_since_last
 FROM dcc GROUP BY user_id
 """
+
+
+def rel_attribution() -> str:
+    """Attribution twin (ops/asof.py touch_attribution): the same
+    (epoch_us, event_id) per-user order, IGNORE-NULLS last/first window
+    over the strictly-preceding frame, 'direct' fallback, and the long-
+    form (model, channel) credit aggregate."""
+    return """
+WITH ats AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS eid,
+           CASE WHEN event_type IN ('view', 'click')
+                THEN event_type END AS touch,
+           CASE WHEN event_type IN ('view', 'click')
+                THEN epoch_us(ts) END AS touch_t,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+apu AS (
+    SELECT * FROM (
+        SELECT event_type, t, cents,
+               last_value(touch IGNORE NULLS) OVER w AS last_ch,
+               last_value(touch_t IGNORE NULLS) OVER w AS last_t,
+               first_value(touch IGNORE NULLS) OVER w AS first_ch,
+               first_value(touch_t IGNORE NULLS) OVER w AS first_t
+        FROM ats
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, eid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase'
+),
+acr AS (
+    SELECT 'last_touch' AS model, coalesce(last_ch, 'direct') AS channel,
+           cents, coalesce(t - last_t, 0) AS lag_us
+    FROM apu
+    UNION ALL
+    SELECT 'first_touch', coalesce(first_ch, 'direct'),
+           cents, coalesce(t - first_t, 0)
+    FROM apu
+)
+SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us
+FROM acr GROUP BY model, channel
+"""
+
+
+def rel_debounce(threshold_us: int = 6 * 3600 * 1_000_000) -> str:
+    """Debounce twin (ops/asof.py debounce): the same NULL-opens-island
+    gap rule (gap <= threshold keeps the island; NULL lag falls to the
+    ELSE-1 branch exactly like Spark's when/otherwise), running-sum
+    island index, island aggregate, and lead-gap window."""
+    thr = int(threshold_us)
+    return f"""
+WITH dbe AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS eid
+    FROM events
+),
+dbf AS (
+    SELECT user_id, event_type, t, eid,
+           CASE WHEN t - lag(t) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY t, eid) <= {thr}
+                THEN 0 ELSE 1 END AS is_start
+    FROM dbe
+),
+dbi AS (
+    SELECT user_id, event_type, t,
+           CAST(sum(is_start) OVER (
+               PARTITION BY user_id, event_type ORDER BY t, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS island_idx
+    FROM dbf
+),
+dba AS (
+    SELECT user_id, event_type, island_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           min(t) AS s, max(t) AS e
+    FROM dbi GROUP BY user_id, event_type, island_idx
+)
+SELECT user_id, event_type, island_idx, n_events, span_us,
+       CAST(coalesce(
+           s - lag(e) OVER (PARTITION BY user_id, event_type
+                            ORDER BY island_idx),
+           -1) AS BIGINT) AS lead_gap_us
+FROM dba
+"""
+
+
+def kg_louvain_move(model: str = "a100", iterations: int = 4) -> str:
+    """Louvain move-phase twin (pipeline/er.py louvain_move): the SAME
+    unrolled LPA chain, then the exact-integer 2m^2-scaled gain
+    ``2m*k_ic - k_i*(tot(c) - [c = own]*k_i)`` per (node, candidate
+    community), the injected-own-row max() fold, the (score DESC,
+    community ASC) argmax, and the strict > move rule."""
+    chain, mats, prev = _lpa_ctes(iterations)
+    return _materialize(
+        f"""
+WITH eg AS ({kg_cooccurrence(model)})
+, {chain},
+lvm AS (SELECT k, lbl FROM {prev}),
+lvmt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eg),
+lvdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+lvkic AS (
+    SELECT s.src, l.lbl, CAST(count(*) AS BIGINT) AS k_ic
+    FROM sym s JOIN lvm l ON l.k = s.dst
+    GROUP BY s.src, l.lbl
+),
+lvtot AS (
+    SELECT mb.lbl, CAST(sum(d.deg) AS BIGINT) AS tot
+    FROM lvm mb JOIN lvdeg d ON d.src = mb.k GROUP BY mb.lbl
+),
+lvown AS (SELECT k AS src, lbl AS own_lbl FROM lvm),
+lvcand AS (
+    SELECT src, lbl, CAST(max(k_ic) AS BIGINT) AS k_ic FROM (
+        SELECT src, lbl, k_ic FROM lvkic
+        UNION ALL
+        SELECT src, own_lbl AS lbl, CAST(0 AS BIGINT) AS k_ic FROM lvown
+    ) GROUP BY src, lbl
+),
+lvsc AS (
+    SELECT c.src, c.lbl, o.own_lbl,
+           CAST(2 * t.m * c.k_ic
+                - d.deg * (tt.tot - CASE WHEN c.lbl = o.own_lbl
+                                         THEN d.deg ELSE 0 END)
+                AS BIGINT) AS score
+    FROM lvcand c
+    JOIN lvown o ON o.src = c.src
+    JOIN lvdeg d ON d.src = c.src
+    JOIN lvtot tt ON tt.lbl = c.lbl
+    CROSS JOIN lvmt t
+),
+lvbest AS (
+    SELECT src, lbl AS best_lbl, score AS best_score, own_lbl FROM (
+        SELECT src, lbl, own_lbl, score,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, lbl ASC) AS rn
+        FROM lvsc
+    ) WHERE rn = 1
+),
+lvstay AS (SELECT src, score AS stay_score FROM lvsc WHERE lbl = own_lbl)
+SELECT string_split(b.src, '|')[1] AS ent,
+       string_split(b.src, '|')[2] AS etype,
+       b.own_lbl AS community,
+       CASE WHEN b.best_lbl <> b.own_lbl AND b.best_score > s.stay_score
+            THEN b.best_lbl ELSE b.own_lbl END AS proposed,
+       CAST(CASE WHEN b.best_lbl <> b.own_lbl
+                  AND b.best_score > s.stay_score
+                 THEN 1 ELSE 0 END AS BIGINT) AS moved,
+       CAST(CASE WHEN b.best_lbl <> b.own_lbl
+                  AND b.best_score > s.stay_score
+                 THEN b.best_score - s.stay_score ELSE 0 END AS BIGINT)
+           AS gain_x2m2
+FROM lvbest b JOIN lvstay s ON s.src = b.src
+""",
+        "eg", *mats, "lvm", "lvdeg", "lvsc",
+    )
+
+
+def er_blocking_quality(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None
+) -> str:
+    """Blocking-quality twin (pipeline/er.py blocking_quality over the
+    LSH candidate pairs): the existing dedup_minhash_lsh twin re-pointed
+    at the planted-copy augmented corpus (every FROM documents ->
+    FROM bqdocs, occurrence-asserted — the er_bcubed device), then the
+    PC / PQ / RR ppm floors against the planted truth pairs."""
+    lsh = dedup_minhash_lsh(num_hashes, band_size, max_bucket)
+    n = lsh.count("FROM documents")
+    assert n == 2, f"dedup_minhash_lsh twin changed shape ({n} doc scans)"
+    lsh = lsh.replace("FROM documents", "FROM bqdocs")
+    return _materialize(
+        f"""
+WITH bqdocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(ws[1 : (len(ws) * 4 + 4) // 5], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id % 9 = 4
+),
+bqc AS (SELECT doc_a, doc_b FROM ({lsh}) _c),
+bqt AS (
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+    FROM documents WHERE doc_id % 9 = 4
+),
+bqn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bqdocs),
+bqcc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM bqc),
+bqtc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bqt),
+bqh AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_hit
+    FROM bqc c JOIN bqt t USING (doc_a, doc_b)
+)
+SELECT n.n_docs, c.n_cand, t.n_truth, h.n_hit,
+       CAST(h.n_hit * 1000000 // t.n_truth AS BIGINT) AS pc_ppm,
+       CAST(CASE WHEN c.n_cand = 0 THEN 0
+                 ELSE h.n_hit * 1000000 // c.n_cand END AS BIGINT) AS pq_ppm,
+       CAST(1000000 - c.n_cand * 1000000
+            // (n.n_docs * (n.n_docs - 1) // 2) AS BIGINT) AS rr_ppm
+FROM bqn n, bqcc c, bqtc t, bqh h
+""",
+        "bqdocs", "bqc",
+    )
+
+
+def kg_temporal_conflicts(
+    model: str = "a100",
+    day_mod: int = 60,
+    gap_days: int = 7,
+    num: int = 4,
+    den: int = 5,
+) -> str:
+    """Temporal-conflict twin (pipeline/triples.py interval_conflicts
+    over production triples + the conflict splice with md5-drawn days):
+    distinct observation days, gaps-and-islands intervals, the num/den
+    functionality rule, and the per-(pred, subj) interval-overlap
+    self-join."""
+    draw = _hex8_int_sql("md5('tc:' || CAST(doc_id AS VARCHAR))")
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+tcp AS (
+    SELECT subj, pred_norm, obj,
+           CAST((1704067200 + (CAST(url AS BIGINT) % 97) * 86400
+                 + (CAST(url AS BIGINT) % 24) * 3600) // 86400 AS BIGINT)
+               AS day
+    FROM trip
+),
+tcs AS (
+    SELECT 's' || CAST(doc_id % 24 AS VARCHAR) AS subj,
+           CASE WHEN doc_id % 2 = 0 THEN 'capital_of' ELSE 'near' END
+               AS pred_norm,
+           CASE WHEN doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 24 = 0
+                          THEN 'v' || CAST((doc_id // 24) % 5 AS VARCHAR)
+                          ELSE 'o' || CAST(doc_id % 24 AS VARCHAR) END
+                ELSE 'w' || CAST((doc_id // 24) % 5 AS VARCHAR) END AS obj,
+           CAST(({draw}) % {int(day_mod)} AS BIGINT) AS day
+    FROM documents
+),
+tcd AS (
+    SELECT subj, pred_norm, obj, day FROM (
+        SELECT * FROM tcp UNION ALL SELECT * FROM tcs
+    ) GROUP BY ALL
+),
+tcm AS (
+    SELECT *,
+           CASE WHEN lag(day) OVER w IS NULL
+                  OR day - lag(day) OVER w > {int(gap_days)}
+                THEN 1 ELSE 0 END AS nr
+    FROM tcd
+    WINDOW w AS (PARTITION BY subj, pred_norm, obj ORDER BY day)
+),
+tcr AS (
+    SELECT *,
+           CAST(sum(nr) OVER (PARTITION BY subj, pred_norm, obj
+                              ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS ii
+    FROM tcm
+),
+tci AS (
+    SELECT subj, pred_norm, obj, ii,
+           CAST(min(day) AS BIGINT) AS from_day,
+           CAST(max(day) AS BIGINT) AS to_day
+    FROM tcr GROUP BY subj, pred_norm, obj, ii
+),
+tcps AS (
+    SELECT pred_norm, subj, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs
+    FROM tci GROUP BY pred_norm, subj
+),
+tcf AS (
+    SELECT pred_norm FROM (
+        SELECT pred_norm,
+               CASE WHEN sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END)
+                         * {int(den)} >= count(*) * {int(num)}
+                    THEN 1 ELSE 0 END AS isf
+        FROM tcps GROUP BY pred_norm
+    ) WHERE isf = 1
+)
+SELECT a.pred_norm, a.subj, a.obj AS obj_a, b.obj AS obj_b,
+       a.from_day AS a_from, a.to_day AS a_to,
+       b.from_day AS b_from, b.to_day AS b_to,
+       CAST(least(a.to_day, b.to_day) - greatest(a.from_day, b.from_day)
+            + 1 AS BIGINT) AS overlap_days
+FROM tci a
+JOIN tci b ON a.pred_norm = b.pred_norm AND a.subj = b.subj
+          AND a.obj < b.obj
+JOIN tcf f ON f.pred_norm = a.pred_norm
+WHERE greatest(a.from_day, b.from_day) <= least(a.to_day, b.to_day)
+""",
+        "tci",
+    )
+
+
+def rel_histogram(n_buckets: int = 20) -> str:
+    """Histogram twin (__spark_entry__.q_rel_histogram): the same exact
+    integer bucket rule (x-gmin)*nb // span, integer-division edges,
+    zero-filled grid, cumulative + ppm windows over the bounded table."""
+    nb = int(n_buckets)
+    return f"""
+WITH rhe AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+rhr AS (
+    SELECT min(cents) AS gmin, max(cents) - min(cents) + 1 AS span
+    FROM rhe
+),
+rhc AS (
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type, ((cents - gmin) * {nb}) // span AS bucket
+        FROM rhe, rhr
+    ) GROUP BY event_type, bucket
+),
+rht AS (SELECT DISTINCT event_type FROM rhe),
+rhg AS (
+    SELECT event_type, CAST(unnest(generate_series(0, {nb - 1})) AS BIGINT)
+               AS bucket
+    FROM rht
+),
+rhf AS (
+    SELECT g.event_type, g.bucket,
+           CAST(r.gmin + (r.span * g.bucket + {nb - 1}) // {nb} AS BIGINT)
+               AS lo_cents,
+           CAST(r.gmin + (r.span * (g.bucket + 1) + {nb - 1}) // {nb} - 1
+                AS BIGINT) AS hi_cents,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM rhg g
+    CROSS JOIN rhr r
+    LEFT JOIN rhc c ON c.event_type = g.event_type AND c.bucket = g.bucket
+)
+SELECT event_type, bucket, lo_cents, hi_cents, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS ppm
+FROM rhf
+"""
+
+
+def rel_q18_bigcust(min_qty: int = 250) -> str:
+    """Q18 twin (__spark_entry__.q_rel_q18_bigcust): pre-aggregated
+    per-order quantity filter, orders + customer joins, exact cents,
+    days-since-epoch order date, deterministic top-100."""
+    return f"""
+WITH qly AS (
+    SELECT l_orderkey, CAST(round(l_quantity, 0) AS BIGINT) AS qty
+    FROM lineitem
+),
+qbig AS (
+    SELECT l_orderkey, CAST(sum(qty) AS BIGINT) AS sum_qty
+    FROM qly GROUP BY l_orderkey HAVING sum(qty) > {int(min_qty)}
+),
+qo AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS order_day
+    FROM orders
+)
+SELECT o.o_orderkey, c.c_custkey, c.c_name, o.order_day,
+       o.totalprice_cents, b.sum_qty
+FROM qbig b
+JOIN qo o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.totalprice_cents DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def ann_beam_search(
+    k: int = 5,
+    beam: int = 5,
+    rounds: int = 2,
+    nbits: int = 8,
+    dim: int = 64,
+    query_mod: int = 97,
+) -> str:
+    """Beam-search twin (ops/simsearch.py graph_beam_search): the SAME
+    multiprobe-SRP init kNN graph as the nn_descent twin, symmetrized;
+    per query the md5-argmin entry, then ``rounds`` unrolled
+    expand/rescore/prune steps with the (cos DESC, vec_id ASC) beam."""
+    from unsupervised_ner_spark.ops.simsearch import srp_signs
+
+    signs = srp_signs(nbits, dim)
+    bit_terms = " + ".join(
+        "CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[b])
+        + f"]), 9) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(nbits)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << b})" for b in range(nbits))
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 9)"
+        )
+
+    steps = []
+    prev = "bsb0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""bsx{r} AS (
+    SELECT q_id, vec_id FROM (
+        SELECT b.q_id, a.dst AS vec_id
+        FROM {prev} b JOIN bsadj a ON a.src = b.vec_id
+        UNION ALL
+        SELECT q_id, vec_id FROM {prev}
+    ) GROUP BY q_id, vec_id
+),
+bss{r} AS (
+    SELECT x.q_id, x.vec_id, {cos("q.qv", "e.v")} AS cos
+    FROM bsx{r} x
+    JOIN nde e ON e.vec_id = x.vec_id
+    JOIN bsq q ON q.q_id = x.q_id
+),
+bsb{r} AS (
+    SELECT q_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rk
+        FROM bss{r}
+    ) WHERE rk <= {int(beam)}
+)"""
+        )
+        prev = f"bsb{r}"
+    chain = ",\n".join(steps)
+    return _materialize(
+        f"""
+WITH nde AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ndh AS (SELECT vec_id, v, CAST({bit_terms} AS BIGINT) AS bucket FROM nde),
+ndc0 AS (SELECT GREATEST(count(*), 1) AS n,
+                CAST(round(pow(GREATEST(count(*), 1), 1.0/3), 0) AS BIGINT)
+                    AS c
+         FROM nde),
+ndcap AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS cap
+          FROM ndc0),
+ndm AS (
+    SELECT vec_id AS w_id, v AS wv, bucket FROM (
+        SELECT vec_id, v, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS mrank
+        FROM ndh)
+    WHERE mrank <= (SELECT cap FROM ndcap)
+),
+ndp AS (
+    SELECT vec_id AS u_id, v, unnest([bucket, {flips}]) AS bucket
+    FROM ndh
+),
+ndinit AS (
+    SELECT u_id, w_id, cos FROM (
+        SELECT u_id, w_id, cos,
+               row_number() OVER (PARTITION BY u_id
+                                  ORDER BY cos DESC, w_id) AS rk
+        FROM (SELECT p.u_id, m.w_id, {cos("p.v", "m.wv")} AS cos
+              FROM ndp p JOIN ndm m USING (bucket)
+              WHERE p.u_id <> m.w_id))
+    WHERE rk <= {int(k)}
+),
+bsadj AS (
+    SELECT u_id AS src, w_id AS dst FROM ndinit
+    UNION
+    SELECT w_id AS src, u_id AS dst FROM ndinit
+),
+bsq AS (
+    SELECT vec_id AS q_id, v AS qv FROM nde
+    WHERE vec_id % {int(query_mod)} = 0
+),
+bse AS (
+    SELECT vec_id FROM ndh
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+),
+bsb0 AS (
+    SELECT q.q_id, e.vec_id, {cos("q.qv", "n.v")} AS cos
+    FROM bsq q CROSS JOIN bse e JOIN nde n ON n.vec_id = e.vec_id
+),
+{chain}
+SELECT q_id, CAST(rk AS BIGINT) AS rank, vec_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cos_mil
+FROM (
+    SELECT q_id, vec_id, cos,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id) AS rk
+    FROM {prev}
+)
+""",
+        "nde", "ndh", "ndinit", "bsadj", "bsq",
+    )
+
+
+def txt_span_corruption(noise_pct: int = 15) -> str:
+    """Span-corruption twin (ops/packing.py span_corruption): the same
+    md5(doc_id:pos) % 100 noise draw, consecutive-position span merge,
+    and exact T5 encoder/decoder length formulas; zero-noise docs pass
+    through via the left join."""
+    draw = _hex8_int_sql(
+        "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))"
+    )
+    return _materialize(
+        f"""
+WITH scb AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+    FROM documents WHERE len({_TOKS}) > 0
+),
+scp AS (
+    SELECT doc_id, n_tok, u.pos
+    FROM scb, UNNEST(generate_series(0, CAST(n_tok - 1 AS INT))) AS u(pos)
+),
+scn AS (
+    SELECT doc_id, n_tok, pos FROM scp
+    WHERE ({draw}) % 100 < {int(noise_pct)}
+),
+scm AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+                THEN 1 ELSE 0 END AS new_span
+    FROM scn
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+scd AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_noise,
+           CAST(sum(new_span) AS BIGINT) AS n_spans
+    FROM scm GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tok,
+       CAST(coalesce(d.n_noise, 0) AS BIGINT) AS n_noise,
+       CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(b.n_tok - coalesce(d.n_noise, 0) + coalesce(d.n_spans, 0)
+            AS BIGINT) AS input_len,
+       CAST(coalesce(d.n_noise, 0) + coalesce(d.n_spans, 0) + 1
+            AS BIGINT) AS target_len
+FROM scb b LEFT JOIN scd d ON d.doc_id = b.doc_id
+""",
+        "scb",
+    )
+
+
+def er_fs_patterns(model: str = "a100", ratio: int = 4) -> str:
+    """FS pattern-table twin (pipeline/er.fs_patterns): the
+    er_pair_features channel, the shared binarization, the 4-bit
+    pattern collapse, and the exact cross-multiplied three-region
+    rule."""
+    r = int(ratio)
+    return f"""
+WITH pf AS ({er_pair_features(model=model)}),
+fplab AS (
+    SELECT CASE WHEN lev <= 1 THEN 1 ELSE 0 END AS m,
+           CASE WHEN tok_overlap >= 1 THEN 1 ELSE 0 END AS f_tok,
+           CASE WHEN sh_jaccard_ppm >= 500000 THEN 1 ELSE 0 END AS f_jac,
+           CASE WHEN abs(len_a - len_b) <= 1 THEN 1 ELSE 0 END AS f_len,
+           CASE WHEN substr(surf_a, 1, 2) = substr(surf_b, 1, 2)
+                THEN 1 ELSE 0 END AS f_pre2
+    FROM pf
+),
+fpagg AS (
+    SELECT CAST(f_tok AS VARCHAR) || CAST(f_jac AS VARCHAR)
+           || CAST(f_len AS VARCHAR) || CAST(f_pre2 AS VARCHAR) AS pattern,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(m) AS BIGINT) AS n_match,
+           CAST(sum(1 - m) AS BIGINT) AS n_nonmatch
+    FROM fplab GROUP BY 1
+)
+SELECT pattern, n_pairs, n_match, n_nonmatch,
+       CASE WHEN n_match >= {r} * n_nonmatch THEN 'link'
+            WHEN n_nonmatch >= {r} * n_match THEN 'nonlink'
+            ELSE 'possible' END AS region
+FROM fpagg
+"""
+
+
+def mm_caption_groups(splice_mod: int = 25, rehost_mod: int = 50) -> str:
+    """Caption-group twin (ops/multimodal.py caption_groups over the
+    entry wrapper's alt-caption + rehost pair splice): the existing
+    pHash chain re-pointed at the augmented media, the pair table with
+    'alt '-prefixed re-posts and +1,000,000 rehosts, and the cascaded
+    two-level distinct aggregates."""
+    cap = (
+        "array_to_string(list_transform("
+        f"{_TOKS}, t -> lower(t))[1:6], ' ')"
+    )
+    return _materialize(
+        f"""
+WITH cgdocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % {int(rehost_mod)} = 0
+),
+cgh AS (
+    SELECT doc_id AS img_id, phash_bits
+    FROM ({mm_phash(source="cgdocs")}) _p
+),
+cgp AS (
+    SELECT doc_id AS img_id, {cap} AS caption FROM documents
+    UNION ALL
+    SELECT doc_id AS img_id, 'alt ' || {cap} AS caption
+    FROM documents WHERE doc_id % {int(splice_mod)} = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS img_id, {cap} AS caption
+    FROM documents WHERE doc_id % {int(rehost_mod)} = 0
+),
+cgc AS (
+    SELECT h.phash_bits, p.img_id, p.caption,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cgp p JOIN cgh h USING (img_id)
+    GROUP BY h.phash_bits, p.img_id, p.caption
+),
+cgi AS (
+    SELECT phash_bits, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(n) AS BIGINT) AS n_pairs
+    FROM (SELECT phash_bits, img_id, CAST(sum(n) AS BIGINT) AS n
+          FROM cgc GROUP BY phash_bits, img_id)
+    GROUP BY phash_bits
+),
+cgk AS (
+    SELECT phash_bits, CAST(count(*) AS BIGINT) AS n_captions,
+           min(caption) AS rep_caption
+    FROM (SELECT phash_bits, caption FROM cgc
+          GROUP BY phash_bits, caption)
+    GROUP BY phash_bits
+)
+SELECT i.phash_bits, i.n_images, i.n_pairs, k.n_captions, k.rep_caption
+FROM cgi i JOIN cgk k USING (phash_bits)
+""",
+        "cgc",
+    )
+
+
+def txt_curriculum() -> str:
+    """Curriculum twin (ops/curation.py curriculum_order): quality
+    classes from the shared integer stats, stage = the fixed
+    good/lowlex/boilerplate/short index, and the FLAT (stage, md5,
+    doc_id) dense rank — equal to the engine's two-level prefix sum
+    because the bucket is a prefix of the md5."""
+    return f"""
+WITH cqs AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_LOWTOKS})) AS n_distinct_tokens,
+           len(list_filter({_LOWTOKS}, t -> list_contains({_EN_SW}, t)))
+               AS n_stopword_tokens
+    FROM documents
+),
+cqq AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens < 5 THEN 'short'
+                WHEN n_stopword_tokens * 100 < n_tokens * 3
+                    THEN 'boilerplate'
+                WHEN n_distinct_tokens * 100 < n_tokens * 40 THEN 'lowlex'
+                ELSE 'good' END AS quality
+    FROM cqs
+),
+cqr AS (
+    SELECT doc_id, quality,
+           CAST(CASE quality WHEN 'good' THEN 0 WHEN 'lowlex' THEN 1
+                WHEN 'boilerplate' THEN 2 ELSE 3 END AS BIGINT) AS stage,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM cqq
+)
+SELECT doc_id, quality, stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT)
+           AS curriculum_rank
+FROM cqr
+"""
+
+
+def rel_q4_priority(late_days: int = 90) -> str:
+    """Q4-shape twin (__spark_entry__.q_rel_q4_priority): distinct late
+    order keys from the lineitem x orders date test, left-join flag,
+    bounded priority census with exact ppm."""
+    return f"""
+WITH q4o AS (
+    SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+),
+q4late AS (
+    SELECT DISTINCT l.l_orderkey AS late_key
+    FROM lineitem l
+    JOIN q4o o ON o.o_orderkey = l.l_orderkey
+    WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) > {int(late_days)}
+),
+q4f AS (
+    SELECT o.o_orderpriority,
+           CASE WHEN t.late_key IS NOT NULL THEN 1 ELSE 0 END AS is_late
+    FROM q4o o LEFT JOIN q4late t ON t.late_key = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(is_late) AS BIGINT) AS n_late,
+       CAST(sum(is_late) * 1000000 // count(*) AS BIGINT) AS late_ppm
+FROM q4f GROUP BY o_orderpriority
+"""
+
+
+def rel_streaks() -> str:
+    """Streak twin (ops/asof.py activity_streaks): distinct epoch days,
+    NULL-or-gap>1 opens a streak, running-sum numbering, island
+    aggregate, per-user rollup with the (len DESC, start ASC) longest
+    pick and the max-start last streak."""
+    day = "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    return f"""
+WITH ska AS (
+    SELECT user_id, {day} AS day FROM events GROUP BY user_id, 2
+),
+skm AS (
+    SELECT user_id, day,
+           CASE WHEN day - lag(day) OVER (PARTITION BY user_id
+                                          ORDER BY day) = 1
+                THEN 0 ELSE 1 END AS new_streak
+    FROM ska
+),
+skr AS (
+    SELECT user_id, day,
+           CAST(sum(new_streak) OVER (PARTITION BY user_id ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS streak_idx
+    FROM skm
+),
+ski AS (
+    SELECT user_id, streak_idx, CAST(count(*) AS BIGINT) AS len,
+           CAST(min(day) AS BIGINT) AS start_day
+    FROM skr GROUP BY user_id, streak_idx
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(-((min(struct_pack(nl := -len, sd := start_day))).nl)
+            AS BIGINT) AS longest_len,
+       CAST((min(struct_pack(nl := -len, sd := start_day))).sd
+            AS BIGINT) AS longest_start_day,
+       CAST((max(struct_pack(sd := start_day, l := len))).l
+            AS BIGINT) AS last_streak_len
+FROM ski GROUP BY user_id
+"""
+
+
+def er_chain_audit(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None
+) -> str:
+    """Chain-audit twin (pipeline/er.py chain_audit over the planted
+    A-B-C chain splice): the existing clusters + LSH-pairs twins
+    re-pointed at the augmented corpus (the er_bcubed device), then the
+    per-cluster direct-pair completeness and is_chained flag."""
+    cl = dedup_clusters(num_hashes, band_size, max_bucket)
+    n = cl.count("FROM documents")
+    assert n == 3, f"dedup_clusters twin changed shape ({n} doc scans)"
+    cl = cl.replace("FROM documents", "FROM cadocs")
+    pr = dedup_minhash_lsh(num_hashes, band_size, max_bucket)
+    np_ = pr.count("FROM documents")
+    assert np_ == 2, f"dedup_minhash_lsh twin changed shape ({np_} doc scans)"
+    pr = pr.replace("FROM documents", "FROM cadocs")
+    return _materialize(
+        f"""
+WITH cadocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(ws[1 : (len(ws) * 3 + 4) // 5], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id % 20 = 7
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           array_to_string(ws[(len(ws) * 2) // 5 + 1 : len(ws)], ' ')
+               AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id % 20 = 7
+),
+cacl AS (SELECT doc_id, cluster_id FROM ({cl}) _c),
+capr AS (SELECT doc_a, doc_b FROM ({pr}) _p),
+caper AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cacl GROUP BY cluster_id HAVING count(*) >= 2
+),
+cadir AS (
+    SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_direct
+    FROM capr p JOIN cacl c ON c.doc_id = p.doc_a
+    GROUP BY c.cluster_id
+)
+SELECT e.cluster_id, e.n_docs,
+       CAST(coalesce(d.n_direct, 0) AS BIGINT) AS n_direct,
+       CAST(2 * coalesce(d.n_direct, 0) * 1000000
+            // (e.n_docs * (e.n_docs - 1)) AS BIGINT) AS completeness_ppm,
+       CAST(CASE WHEN 2 * coalesce(d.n_direct, 0) * 1000000
+                      // (e.n_docs * (e.n_docs - 1)) < 1000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_chained
+FROM caper e LEFT JOIN cadir d ON d.cluster_id = e.cluster_id
+""",
+        "cadocs", "cacl",
+    )
+
+
+def ann_filtered_topk(n_queries: int = 5, k: int = 5) -> str:
+    """Filtered-search twin (ops/simsearch.py filtered_topk): label
+    equi-join prefilter, rounded-9 cosine, (cos DESC, vec_id ASC)
+    top-k, per-query selectivity."""
+    return f"""
+WITH fte AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+ftc AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_label
+    FROM fte GROUP BY label
+),
+ftq AS (
+    SELECT e.vec_id AS query_id, e.label, e.v AS qv,
+           CAST(c.n_label - 1 AS BIGINT) AS n_eligible
+    FROM fte e JOIN ftc c USING (label)
+    WHERE e.vec_id < {int(n_queries)}
+),
+fts AS (
+    SELECT q.query_id, q.n_eligible, e.vec_id,
+           round(list_dot_product(q.qv, e.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.v, e.v))), 9) AS cos
+    FROM fte e JOIN ftq q USING (label)
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cos_mil, n_eligible
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS rank
+    FROM fts
+) WHERE rank <= {int(k)}
+"""
+
+
+def er_meta_blocking(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None
+) -> str:
+    """Meta-blocking twin (ops/dedup.py meta_blocking_pairs): the LSH
+    band chain (shared text with dedup_minhash_lsh), pair weights by
+    shared-block count, endpoint sums/counts, and the exact
+    cross-multiplied WNP keep rule."""
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(
+            f"mh_{b * band_size + j}" for j in range(band_size)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    cap_cte, cap_bound = _lsh_bucket_cap(max_bucket)
+    cap_cte = f"{cap_cte}," if cap_cte else ""
+    return _materialize(
+        f"""
+WITH {_SHINGLES_CTE.strip()},
+{cap_cte}
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+sizes_ok AS (
+    SELECT band_id, band_hash FROM bands
+    GROUP BY band_id, band_hash HAVING count(*) <= {cap_bound}
+),
+ok AS (
+    SELECT b.* FROM bands b JOIN sizes_ok s USING (band_id, band_hash)
+),
+mbw AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM ok a JOIN ok b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+mbe AS (
+    SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+           CAST(count(*) AS BIGINT) AS w_n
+    FROM (
+        SELECT doc_a AS doc_id, weight FROM mbw
+        UNION ALL
+        SELECT doc_b AS doc_id, weight FROM mbw
+    ) GROUP BY doc_id
+)
+SELECT w.doc_a, w.doc_b, w.weight,
+       CAST(CASE WHEN w.weight * ea.w_n >= ea.w_sum
+                   OR w.weight * eb.w_n >= eb.w_sum
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM mbw w
+JOIN mbe ea ON ea.doc_id = w.doc_a
+JOIN mbe eb ON eb.doc_id = w.doc_b
+""",
+        "mbw",
+    )
+
+
+def rel_wow_change() -> str:
+    """WoW twin (ops/asof.py wow_change): weekly counts on epoch-day
+    div 7, lag window over the bounded weekly table, exact delta / ppm
+    with the is_first sentinel."""
+    week = (
+        "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT) // 7"
+    )
+    return f"""
+WITH wwk AS (
+    SELECT event_type, {week} AS week, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, 2
+),
+wws AS (
+    SELECT event_type, week, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+    FROM wwk
+)
+SELECT event_type, week, n,
+       CAST(coalesce(prev, 0) AS BIGINT) AS prev_n,
+       CAST(coalesce(n - prev, 0) AS BIGINT) AS delta,
+       CAST(coalesce((n - prev) * 1000000 // prev, 0) AS BIGINT)
+           AS change_ppm,
+       CAST(CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_first
+FROM wws
+"""
+
+
+def dedup_survivorship(
+    num_hashes: int = 8, band_size: int = 2, max_bucket: int | None = None
+) -> str:
+    """Survivorship twin (ops/curation.py dedup_survivorship): the
+    existing clusters twin, the shared doc-stats quality CASE, and the
+    (stage, -n_tokens, doc_id) struct-min representative."""
+    cl = dedup_clusters(num_hashes, band_size, max_bucket)
+    return _materialize(
+        f"""
+WITH svc AS (SELECT doc_id, cluster_id FROM ({cl}) _c),
+svs AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CASE WHEN len({_TOKS}) < 5 THEN 'short'
+                WHEN len(list_filter({_LOWTOKS},
+                         t -> list_contains({_EN_SW}, t))) * 100
+                     < len({_TOKS}) * 3 THEN 'boilerplate'
+                WHEN len(list_distinct({_LOWTOKS})) * 100
+                     < len({_TOKS}) * 40 THEN 'lowlex'
+                ELSE 'good' END AS quality
+    FROM documents
+),
+svj AS (
+    SELECT c.cluster_id, s.doc_id, s.n_tokens, s.quality,
+           CAST(CASE s.quality WHEN 'good' THEN 0 WHEN 'lowlex' THEN 1
+                WHEN 'boilerplate' THEN 2 ELSE 3 END AS BIGINT) AS stage
+    FROM svc c JOIN svs s USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((min(struct_pack(st := stage, nt := -n_tokens, d := doc_id,
+                             q := quality))).d AS BIGINT) AS rep_doc,
+       (min(struct_pack(st := stage, nt := -n_tokens, d := doc_id,
+                        q := quality))).q AS rep_quality,
+       CAST(-((min(struct_pack(st := stage, nt := -n_tokens, d := doc_id,
+                               q := quality))).nt) AS BIGINT) AS rep_tokens,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM svj GROUP BY cluster_id
+""",
+        "svc",
+    )
+
+
+def kg_isa_polarity(
+    mod: int,
+    hypo_terms: list[str],
+    hyper_terms: list[str],
+    hyper2_terms: list[str],
+) -> str:
+    """Polarity twin (pipeline/taxonomy.isa_polarity over the
+    _polarity_docs splice): the shared Hearst splice EXTENDED with the
+    residue-1 negated sentence, both regex extractions (patterns
+    imported so the twins cannot drift), vocabulary-sized collapses,
+    full outer join, verdict CASE."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        ISA_PAT, NEG_ISA_PAT, SUCHAS_PAT,
+    )
+
+    hyper2_arr = "[" + ", ".join(f"'{t}'" for t in hyper2_terms) + "]"
+    art = (
+        "(CASE WHEN substr({n}, 1, 1) IN ('a','e','i','o','u') "
+        "THEN 'an' ELSE 'a' END)"
+    )
+    sents = SENTS_CTE.replace("FROM documents", "FROM docs3")
+    assert "docs3" in sents
+    return f"""
+WITH {_hearst_docs2(mod, hypo_terms, hyper_terms, hyper2_terms)},
+docs3 AS (
+    SELECT p.doc_id,
+           CASE WHEN p.doc_id % {mod} = 1
+                THEN d.text || chr(10) || p.hypo || ' is not '
+                     || {art.format(n="negh")} || ' ' || negh
+                ELSE d.text END AS text
+    FROM docs2 d
+    JOIN (
+        SELECT doc_id, hypo, hyper,
+               CASE WHEN (doc_id % 7 + doc_id % 5) % 3 = 0 THEN hyper
+                    ELSE ({hyper2_arr})[
+                        CAST((doc_id // 3) % {len(hyper2_terms)} AS INT) + 1]
+               END AS negh
+        FROM picked
+    ) p ON p.doc_id = d.doc_id
+),
+{sents.strip()},
+plp AS (
+    SELECT hypo, hyper, CAST(sum(n_sents) AS BIGINT) AS n_pos FROM (
+        SELECT hypo, hyper, pattern, CAST(count(*) AS BIGINT) AS n_sents
+        FROM (
+            SELECT url, lower(regexp_extract(sent, '{ISA_PAT}', 1)) AS hypo,
+                   regexp_extract(sent, '{ISA_PAT}', 2) AS hyper,
+                   'isa' AS pattern
+            FROM sents
+            UNION ALL
+            SELECT url, lower(regexp_extract(sent, '{SUCHAS_PAT}', 2)),
+                   regexp_extract(sent, '{SUCHAS_PAT}', 1), 'such_as'
+            FROM sents
+        ) WHERE length(hypo) > 0 AND length(hyper) > 0
+        GROUP BY hypo, hyper, pattern
+    ) GROUP BY hypo, hyper
+),
+pln AS (
+    SELECT hypo, hyper, CAST(count(*) AS BIGINT) AS n_neg FROM (
+        SELECT lower(regexp_extract(sent, '{NEG_ISA_PAT}', 1)) AS hypo,
+               regexp_extract(sent, '{NEG_ISA_PAT}', 2) AS hyper
+        FROM sents
+    ) WHERE length(hypo) > 0 AND length(hyper) > 0
+    GROUP BY hypo, hyper
+)
+SELECT coalesce(p.hypo, n.hypo) AS hypo,
+       coalesce(p.hyper, n.hyper) AS hyper,
+       CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(n.n_neg, 0) AS BIGINT) AS n_neg,
+       CASE WHEN coalesce(p.n_pos, 0) > 0 AND coalesce(n.n_neg, 0) > 0
+            THEN 'contradicted'
+            WHEN coalesce(p.n_pos, 0) > 0 THEN 'positive_only'
+            ELSE 'negative_only' END AS verdict
+FROM plp p
+FULL OUTER JOIN pln n ON n.hypo = p.hypo AND n.hyper = p.hyper
+"""
+
+
+def kg_property_coverage(model: str = "a100") -> str:
+    """Coverage twin (pipeline/triples.property_coverage): two cascaded
+    distinct aggregates over the production triples, bounded type join,
+    exact ppm floor."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+pce AS (SELECT subj_type, subj FROM trip GROUP BY subj_type, subj),
+pct AS (
+    SELECT subj_type, CAST(count(*) AS BIGINT) AS n_type_entities
+    FROM pce GROUP BY subj_type
+),
+pch AS (
+    SELECT subj_type, pred_norm, CAST(count(*) AS BIGINT) AS n_with FROM (
+        SELECT subj_type, pred_norm, subj FROM trip
+        GROUP BY subj_type, pred_norm, subj
+    ) GROUP BY subj_type, pred_norm
+)
+SELECT h.subj_type, h.pred_norm, h.n_with, t.n_type_entities,
+       CAST(h.n_with * 1000000 // t.n_type_entities AS BIGINT)
+           AS coverage_ppm
+FROM pch h JOIN pct t USING (subj_type)
+""",
+        "trip",
+    )

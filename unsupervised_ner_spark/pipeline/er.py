@@ -3844,6 +3844,59 @@ def butterflies(doc_edges: DataFrame) -> DataFrame:
     )
 
 
+def _fs_agreement(features: DataFrame) -> DataFrame:
+    """Shared Fellegi-Sunter binarization (fs_weights + fs_patterns):
+    the rule-seeded match label and the four 0/1 agreement features
+    derived from pair_features' exact integers."""
+    return features.select(
+        F.when(F.col("lev") <= 1, 1).otherwise(0).cast("long").alias("m"),
+        F.when(F.col("tok_overlap") >= 1, 1)
+        .otherwise(0).cast("long").alias("f_tok"),
+        F.when(F.col("sh_jaccard_ppm") >= 500_000, 1)
+        .otherwise(0).cast("long").alias("f_jac"),
+        F.when(
+            F.abs(F.col("len_a") - F.col("len_b")) <= 1, 1
+        ).otherwise(0).cast("long").alias("f_len"),
+        F.when(
+            F.substring("surf_a", 1, 2) == F.substring("surf_b", 1, 2), 1
+        ).otherwise(0).cast("long").alias("f_pre2"),
+    )
+
+
+def fs_patterns(features: DataFrame, ratio: int = 4) -> DataFrame:
+    """Fellegi-Sunter agreement-PATTERN decision table (Fellegi & Sunter
+    JASA 1969 §3 — the three-region rule fs_weights' per-feature m/u
+    statistics feed): candidate pairs collapse onto their full 4-bit
+    agreement vector gamma; per pattern the empirical match/nonmatch
+    counts give the likelihood-ratio ordering, and the EXACT cross-
+    multiplied threshold ``n_match >= ratio * n_nonmatch`` (resp. the
+    reverse) assigns 'link' / 'nonlink' / 'possible' — the possible
+    region IS the clerical-review queue an active-learning labeler
+    drains first, emitted with exact integers only (no float
+    likelihood ever enters the gate).
+
+    Scale shape: one narrow map over the already-blocked pair table,
+    one map-side-combining aggregate onto the <= 2^4-row pattern
+    vocabulary. No join, no window."""
+    lab = _fs_agreement(features)
+    pat = F.concat(
+        F.col("f_tok").cast("string"), F.col("f_jac").cast("string"),
+        F.col("f_len").cast("string"), F.col("f_pre2").cast("string"),
+    )
+    agg = lab.groupBy(pat.alias("pattern")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum(1 - F.col("m")).cast("long").alias("n_nonmatch"),
+    )
+    r = int(ratio)
+    return agg.select(
+        "pattern", "n_pairs", "n_match", "n_nonmatch",
+        F.when(F.col("n_match") >= r * F.col("n_nonmatch"), F.lit("link"))
+        .when(F.col("n_nonmatch") >= r * F.col("n_match"), F.lit("nonlink"))
+        .otherwise(F.lit("possible")).alias("region"),
+    )
+
+
 def fs_weights(features: DataFrame) -> DataFrame:
     """Fellegi-Sunter match/unmatch weight SUFFICIENT STATISTICS over
     the ER pair-feature channel (Fellegi & Sunter JASA 1969) — the
@@ -3868,19 +3921,7 @@ def fs_weights(features: DataFrame) -> DataFrame:
     (bounded by bucket caps, never corpus-quadratic), a 4-way stack
     (constant fan-out), and one map-side-combining aggregate over the
     4-row feature vocabulary."""
-    lab = features.select(
-        F.when(F.col("lev") <= 1, 1).otherwise(0).cast("long").alias("m"),
-        F.when(F.col("tok_overlap") >= 1, 1)
-        .otherwise(0).cast("long").alias("f_tok"),
-        F.when(F.col("sh_jaccard_ppm") >= 500_000, 1)
-        .otherwise(0).cast("long").alias("f_jac"),
-        F.when(
-            F.abs(F.col("len_a") - F.col("len_b")) <= 1, 1
-        ).otherwise(0).cast("long").alias("f_len"),
-        F.when(
-            F.substring("surf_a", 1, 2) == F.substring("surf_b", 1, 2), 1
-        ).otherwise(0).cast("long").alias("f_pre2"),
-    )
+    lab = _fs_agreement(features)
     stacked = lab.select(
         "m",
         F.expr(
@@ -5204,4 +5245,202 @@ def shacl_cardinality(
         F.greatest(
             F.col("n_objs") - F.col("max_card"), F.lit(0)
         ).cast("long").alias("excess"),
+    )
+
+
+def louvain_move(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """One synchronized Louvain move phase (Blondel et al. 2008) over the
+    LPA partition — the modularity-OPTIMIZING refinement beside
+    label_propagation's plurality vote: every node evaluates moving into
+    each neighbouring community against staying, using the EXACT-integer
+    comparison form of the Louvain gain. For fixed node i with degree
+    k_i, candidate community c scores ``2m*k_ic - k_i*tot'(c)`` (m =
+    undirected edge count, k_ic = i's edges into c, tot'(c) = summed
+    degree of c minus k_i when c is i's own community — the standard
+    "remove i first" correction); scaled by 2m^2 this IS the Louvain
+    delta-Q ordering, so argmax((score DESC, community ASC)) with a
+    strict > against the stay score is the deterministic move decision —
+    bit-replayable in DuckDB (classic Louvain's node-order dependence is
+    exactly what the synchronous evaluation removes). int64 headroom:
+    2m*k_ic <= 2m*k_i; safe while m*max_degree < 4.6e18 (a 1e12-edge
+    corpus with 1e6-degree hubs; beyond that, scale counts down before
+    scoring).
+
+    Output per node: ent, etype, old community, proposed community,
+    moved flag, and the gain (score_best - score_stay, the 2m^2-scaled
+    delta-Q numerator; 0 when staying).
+
+    Scale shape: the LPA rounds (see label_propagation), then ONE
+    adjacency x label equi-join into a (node, neighbour-community)
+    aggregate — bounded by the edge count, map-side-combining — one
+    community-keyed degree aggregate (community-sized), a broadcast of
+    the one-row m, and a per-node argmax window whose partition is the
+    node's neighbouring-community histogram (degree-bounded, the LPA
+    vote's own skew exposure). Labels and degrees are persisted once and
+    reused across the three consumers."""
+    from pyspark.sql import Window
+
+    sym, labels = _lpa_labels(edges, iterations)
+    memb = scoped_persist(labels)
+    deg = scoped_persist(
+        sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    # i's edges into each neighbouring community
+    k_ic = (
+        sym.join(memb.select(F.col("k").alias("dst"), "lbl"), "dst")
+        .groupBy("src", "lbl")
+        .agg(F.count("*").cast("long").alias("k_ic"))
+    )
+    # community total degree
+    tot = (
+        memb.join(deg.select(F.col("src").alias("k"), "deg"), "k")
+        .groupBy("lbl")
+        .agg(F.sum("deg").cast("long").alias("tot"))
+    )
+    own = memb.select(F.col("k").alias("src"), F.col("lbl").alias("own_lbl"))
+    # candidate set = neighbouring communities U {own}; the own row is
+    # injected with k_ic=0 and folded by max() (dominated when real)
+    cand = (
+        k_ic.unionByName(
+            own.select("src", F.col("own_lbl").alias("lbl"),
+                       F.lit(0).cast("long").alias("k_ic"))
+        )
+        .groupBy("src", "lbl")
+        .agg(F.max("k_ic").cast("long").alias("k_ic"))
+    )
+    scored = (
+        cand.join(own, "src")
+        .join(deg, "src")
+        .join(tot, "lbl")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "src", "lbl", "own_lbl", "k_ic",
+            (
+                2 * F.col("m") * F.col("k_ic")
+                - F.col("deg")
+                * (F.col("tot")
+                   - F.when(F.col("lbl") == F.col("own_lbl"), F.col("deg"))
+                   .otherwise(F.lit(0)))
+            ).cast("long").alias("score"),
+        )
+    )
+    wn = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("lbl"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("lbl").alias("best_lbl"),
+                F.col("score").alias("best_score"), "own_lbl")
+    )
+    stay = scored.filter(F.col("lbl") == F.col("own_lbl")).select(
+        "src", F.col("score").alias("stay_score")
+    )
+    out = best.join(stay, "src").select(
+        "src", "own_lbl", "best_lbl", "best_score", "stay_score",
+        F.when(
+            (F.col("best_lbl") != F.col("own_lbl"))
+            & (F.col("best_score") > F.col("stay_score")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("moved"),
+    )
+
+    def part(j):
+        return F.split(F.col("src"), r"\|")[j]
+
+    return out.select(
+        part(0).alias("ent"), part(1).alias("etype"),
+        F.col("own_lbl").alias("community"),
+        F.when(F.col("moved") == 1, F.col("best_lbl"))
+        .otherwise(F.col("own_lbl")).alias("proposed"),
+        "moved",
+        F.when(F.col("moved") == 1,
+               F.col("best_score") - F.col("stay_score"))
+        .otherwise(F.lit(0)).cast("long").alias("gain_x2m2"),
+    )
+
+
+def blocking_quality(
+    cand: DataFrame, truth: DataFrame, n_items: int
+) -> DataFrame:
+    """Blocking-stage scorecard (pairs completeness / pairs quality /
+    reduction ratio — Christen 2012, the ER-blocking standard): B-cubed
+    grades the final CLUSTERS; this grades the CANDIDATE-PAIR stage the
+    clusters are built from, the knob a blocking re-tune actually moves.
+    Given candidate pairs and truth pairs (both (doc_a < doc_b)) over
+    ``n_items`` records: PC = hit/truth (blocking recall), PQ = hit/cand
+    (blocking precision), RR = 1 - cand/(n*(n-1)/2) — all exact ppm
+    floors. int64 headroom: cand*1e6 overflows past ~9.2e12 candidate
+    pairs; a corpus that large scores per-shard first.
+
+    Scale shape: the candidate table is persisted once (it feeds the
+    count AND the semi-join); the truth intersection is one equi-join on
+    the pair key; every output is an O(1) single-row combine by
+    broadcast."""
+    c = scoped_persist(cand.select("doc_a", "doc_b"))
+    n_cand = c.agg(F.count("*").cast("long").alias("n_cand"))
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_hit = (
+        c.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    total = int(n_items) * (int(n_items) - 1) // 2
+    return (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.lit(int(n_items)).cast("long").alias("n_docs"),
+            "n_cand", "n_truth", "n_hit",
+            F.expr("n_hit * 1000000 div n_truth").cast("long")
+            .alias("pc_ppm"),
+            F.expr("CASE WHEN n_cand = 0 THEN 0 "
+                   "ELSE n_hit * 1000000 div n_cand END").cast("long")
+            .alias("pq_ppm"),
+            F.expr(f"1000000 - n_cand * 1000000 div {total}")
+            .cast("long").alias("rr_ppm"),
+        )
+    )
+
+
+def chain_audit(clusters: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Transitive over-merge audit of the dedup clusters (the hash-
+    chaining hazard Lee et al. 2022 §4 flag: connected components glue
+    A-B and B-C into {A,B,C} even when A and C share nothing): per
+    cluster of >= 2 docs, the DIRECT LSH pair count, the exact pair-
+    completeness ppm 2*direct / (n*(n-1)), and the is_chained flag
+    (completeness < 1) marking clusters held together only by
+    transitivity — the review queue before deleting "duplicates" that
+    were never compared.
+
+    Scale shape: the membership is persisted once (both the size
+    aggregate and the pair re-key read it); pairs re-key through ONE
+    doc-keyed equi-join (pair endpoints are same-cluster by CC
+    construction, so keying doc_a suffices); everything downstream is
+    bounded by the cluster count."""
+    memb = scoped_persist(clusters.select("doc_id", "cluster_id"))
+    per = (
+        memb.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    direct = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .join(memb, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_direct"))
+    )
+    return (
+        per.join(direct, "cluster_id", "left")
+        .select(
+            "cluster_id", "n_docs",
+            F.coalesce("n_direct", F.lit(0)).cast("long").alias("n_direct"),
+            F.expr(
+                "2 * coalesce(n_direct, 0) * 1000000"
+                " div (n_docs * (n_docs - 1))"
+            ).cast("long").alias("completeness_ppm"),
+        )
+        .select(
+            "cluster_id", "n_docs", "n_direct", "completeness_ppm",
+            F.when(F.col("completeness_ppm") < 1_000_000, F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("is_chained"),
+        )
     )

@@ -436,3 +436,60 @@ def taxonomy_lca(closure: DataFrame, max_desc: int | None = None) -> DataFrame:
                       F.col("anc").alias("lca"), "hops_a", "hops_b"),
         ["node_a", "node_b", "lca"],
     ).select("node_a", "node_b", "lca", "hops_a", "hops_b")
+
+
+NEG_ISA_PAT = (
+    "([A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*)"
+    " is not (?:a|an) ([a-z][a-z0-9]*)"
+)
+
+
+def isa_polarity(sentences: DataFrame) -> DataFrame:
+    """Polarity-aware is-a mining — the contradiction layer over the
+    Hearst extractor: negated assertions ("X is not a Y") are first-
+    class KG signal (hard negatives for type classifiers, and direct
+    contradictions of asserted hypernym edges — the curator queue).
+    Per (hypo, hyper): positive support (both Hearst patterns summed),
+    negative support, and the verdict 'contradicted' (both polarities
+    observed) / 'positive_only' / 'negative_only'.
+
+    The NEG pattern cannot fire on positives (the is-a regex requires
+    " is a/an" immediately after the copula — "is not a" breaks it) and
+    vice versa, so the two extractions are disjoint by construction.
+
+    Scale shape: two independent narrow regex scans (same plan family
+    as hearst_hypernyms), each collapsing to the vocabulary-sized edge
+    table before the FULL OUTER join — the join never sees a corpus-
+    sized side."""
+    pos = (
+        hearst_hypernyms(sentences)
+        .groupBy("hypo", "hyper")
+        .agg(F.sum("n_sents").cast("long").alias("n_pos"))
+    )
+    neg = (
+        sentences.select(
+            "url",
+            F.lower(F.regexp_extract("sent", NEG_ISA_PAT, 1)).alias("hypo"),
+            F.regexp_extract("sent", NEG_ISA_PAT, 2).alias("hyper"),
+        )
+        .filter((F.length("hypo") > 0) & (F.length("hyper") > 0))
+        .groupBy("hypo", "hyper")
+        .agg(F.count("*").cast("long").alias("n_neg"))
+    )
+    return (
+        pos.join(neg, ["hypo", "hyper"], "full_outer")
+        .select(
+            "hypo", "hyper",
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+        )
+        .select(
+            "hypo", "hyper", "n_pos", "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.lit("contradicted"),
+            )
+            .when(F.col("n_pos") > 0, F.lit("positive_only"))
+            .otherwise(F.lit("negative_only")).alias("verdict"),
+        )
+    )

@@ -1141,3 +1141,130 @@ def conjunct_facts(sentences: DataFrame) -> DataFrame:
         F.col("conj_idx").cast("long").alias("conj_idx"),
         "n_conjuncts",
     )
+
+
+def interval_conflicts(
+    facts_with_day: DataFrame,
+    gap_days: int = 7,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Temporal-consistency validation — the interval-aware refinement of
+    ``functional_conflicts``: two different objects under a functional
+    predicate are only CONTRADICTORY if their validity intervals OVERLAP
+    (capital_of changing over time is history, not a conflict — the
+    Wikidata qualifier-consistency rule). Input is (subj, pred_norm,
+    obj, day) observation rows; per fact the distinct observation days
+    collapse into maximal runs at most ``gap_days`` apart (the
+    fact_intervals gaps-and-islands, keyed without types here), the
+    ``num/den`` single-valued rule computed over the SAME fact table
+    decides functionality (the functional_conflicts device), and the
+    per-(pred, subj) interval self-join emits one row per overlapping
+    object pair with the exact overlap window.
+
+    Output: (pred_norm, subj, obj_a, obj_b, a_from, a_to, b_from, b_to,
+    overlap_days) — obj_a < obj_b, overlap_days >= 1.
+
+    Scale shape: one distinct-day aggregate + two windows per fact
+    (partitions bounded by the crawl-day span), one bounded per-subject
+    aggregate for the functionality stats, and a self-join keyed
+    (pred_norm, subj) whose per-key size is that subject's interval
+    count (objects x islands — never corpus-wide). The interval table is
+    persisted once and feeds both join sides."""
+    from pyspark.sql import Window
+
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    key = ["subj", "pred_norm", "obj"]
+    days = (
+        facts_with_day.select(*key, F.col("day").cast("long").alias("day"))
+        .groupBy(*key, "day")
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+    )
+    wo = Window.partitionBy(*key).orderBy("day")
+    marked = days.withColumn(
+        "new_run",
+        F.when(
+            F.lag("day").over(wo).isNull()
+            | ((F.col("day") - F.lag("day").over(wo)) > gap_days),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    run = marked.withColumn(
+        "interval_idx",
+        F.sum("new_run").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    iv = scoped_persist(
+        run.groupBy(*key, "interval_idx").agg(
+            F.min("day").cast("long").alias("from_day"),
+            F.max("day").cast("long").alias("to_day"),
+        )
+    )
+    per_subj = iv.select("pred_norm", "subj", "obj").distinct().groupBy(
+        "pred_norm", "subj"
+    ).agg(F.countDistinct("obj").cast("long").alias("n_objs"))
+    one = (F.col("n_objs") == 1).cast("long")
+    functional = (
+        per_subj.groupBy("pred_norm")
+        .agg(
+            ((F.sum(one) * F.lit(den)) >= (F.count("*") * F.lit(num)))
+            .cast("long").alias("is_functional")
+        )
+        .filter(F.col("is_functional") == 1)
+        .select("pred_norm")
+    )
+    a = iv.select(
+        "pred_norm", "subj", F.col("obj").alias("obj_a"),
+        F.col("from_day").alias("a_from"), F.col("to_day").alias("a_to"),
+    )
+    b = iv.select(
+        "pred_norm", "subj", F.col("obj").alias("obj_b"),
+        F.col("from_day").alias("b_from"), F.col("to_day").alias("b_to"),
+    )
+    return (
+        a.join(b, ["pred_norm", "subj"])
+        .filter(F.col("obj_a") < F.col("obj_b"))
+        .join(functional, "pred_norm")
+        .filter(
+            F.greatest("a_from", "b_from") <= F.least("a_to", "b_to")
+        )
+        .select(
+            "pred_norm", "subj", "obj_a", "obj_b",
+            "a_from", "a_to", "b_from", "b_to",
+            (
+                F.least("a_to", "b_to") - F.greatest("a_from", "b_from")
+                + F.lit(1)
+            ).cast("long").alias("overlap_days"),
+        )
+    )
+
+
+def property_coverage(triples: DataFrame) -> DataFrame:
+    """Per-type schema completeness — the Wikidata property-suggestion
+    primitive (Recoin): for every (subject type, predicate), how many
+    of the type's entities carry the predicate at all. The low-coverage
+    rows are simultaneously the curation queue (missing facts to
+    harvest) and the property-suggestion model's training signal.
+    Output: (subj_type, pred_norm, n_with, n_type_entities,
+    coverage_ppm).
+
+    Scale shape: two cascaded distinct aggregates (entities per type;
+    entities per (type, pred)) — both two-level collapses, no
+    count-distinct Expand — joined on the bounded type vocabulary."""
+    ents = triples.select("subj_type", "subj").distinct()
+    totals = ents.groupBy("subj_type").agg(
+        F.count("*").cast("long").alias("n_type_entities")
+    )
+    have = (
+        triples.select("subj_type", "pred_norm", "subj").distinct()
+        .groupBy("subj_type", "pred_norm")
+        .agg(F.count("*").cast("long").alias("n_with"))
+    )
+    return have.join(totals, "subj_type").select(
+        "subj_type", "pred_norm", "n_with", "n_type_entities",
+        F.expr("n_with * 1000000 div n_type_entities").cast("long")
+        .alias("coverage_ppm"),
+    )
