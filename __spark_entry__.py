@@ -5599,6 +5599,80 @@ def q_kg_property_coverage(spark, sf_dir):
     )
 
 
+def q_rel_salted_join(spark, sf_dir):
+    """Skew-mitigated salted join (layout.salted_join, n_salt=8):
+    orders x customer keyed on (custkey, md5-drawn per-row salt) with
+    the dim replicated once per salt value — the manual hot-key
+    counter. The oracle is the PLAIN equi-join: salting must change the
+    partition histogram and nothing else (that identity IS the gate);
+    the plan check pins the mechanism (dim-side x8 explode, composite
+    sort-merge key)."""
+    from unsupervised_ner_spark.ops.layout import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("totalprice_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, "o_custkey", "c_custkey", "o_orderkey").select(
+        "o_orderkey", "totalprice_cents", "c_custkey", "c_name",
+        "c_mktsegment",
+    )
+
+
+def _ifp_splice_triples(spark, sf_dir):
+    """Deterministic doc_id-derived splice for the IFP gate:
+    'email_of' gives every person p<doc_id> a unique e<doc_id> address
+    EXCEPT residue 3 mod 17, which collides on shared<doc_id % 4> —
+    objects are overwhelmingly single-subject (IFP holds at 4/5) while
+    the 4 shared addresses carry many subjects each (the merge
+    suggestions). 'likes' routes everyone onto 5 objects — every
+    object multi-subject, the predicate fails the IFP rule and its
+    shared objects are EXCLUDED (the near/capital_of contrast of the
+    conflict splice, reversed to the object side)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email_obj = F.when(
+        d % 17 == 3, F.concat(F.lit("shared"), (d % 4).cast("string"))
+    ).otherwise(F.concat(F.lit("e"), d.cast("string")))
+    email = docs.select(
+        F.concat(F.lit("p"), d.cast("string")).alias("subj"),
+        F.lit("email_of").alias("pred_norm"),
+        email_obj.alias("obj"),
+    )
+    likes = docs.select(
+        F.concat(F.lit("p"), d.cast("string")).alias("subj"),
+        F.lit("likes").alias("pred_norm"),
+        F.concat(F.lit("w"), (d % 5).cast("string")).alias("obj"),
+    )
+    return email.unionByName(likes)
+
+
+def q_kg_ifp_merge(spark, sf_dir):
+    """Inverse-functional-property identity resolution
+    (triples.inverse_functional_merge): the obj-side mirror of the
+    functionality rule — predicates whose objects are >= 4/5
+    single-subject are IFP keys (email/ISBN/DOI semantics), and their
+    multi-subject objects emit merge suggestions (two subjects sharing
+    an IFP value are the same entity, no string similarity needed).
+    Production triples UNION the _ifp_splice (the word-salad corpus has
+    no obj-side-functional multi-subject predicate — measured: zero
+    suggestion rows without the splice)."""
+    from unsupervised_ner_spark.pipeline.triples import (
+        inverse_functional_merge,
+    )
+
+    pages = _docs_as_pages(spark, sf_dir)
+    stages = run_pipeline(pages, lang_filter=None)
+    trip = stages["triples"].select("subj", "pred_norm", "obj")
+    return inverse_functional_merge(
+        trip.unionByName(_ifp_splice_triples(spark, sf_dir))
+    )
+
+
 def q_er_meta_blocking(spark, sf_dir):
     """Meta-blocking (dedup.meta_blocking_pairs — Papadakis et al.
     TKDE'14): LSH co-block pairs weighted by the Common Blocks Scheme
@@ -5834,6 +5908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivorship": q_dedup_survivorship,
         "kg_isa_polarity": q_kg_isa_polarity,
         "kg_property_coverage": q_kg_property_coverage,
+        "rel_salted_join": q_rel_salted_join,
+        "kg_ifp_merge": q_kg_ifp_merge,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -6211,6 +6287,8 @@ def oracle_sql() -> dict[str, str]:
             HEARST_MOD, HEARST_HYPO, HEARST_HYPER, HEARST_HYPER2
         ),
         "kg_property_coverage": O.kg_property_coverage(),
+        "rel_salted_join": O.rel_salted_join(),
+        "kg_ifp_merge": O.kg_ifp_merge(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "dedup_survivorship",
     "kg_isa_polarity",
     "kg_property_coverage",
+    "rel_salted_join",
+    "kg_ifp_merge",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

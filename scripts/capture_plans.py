@@ -2962,6 +2962,28 @@ def main() -> None:
     checks.append(("propcov: map-side partial aggregation",
                    "partial_" in p276))
 
+    # 277. salted join: the dim side explodes x n_salt, the join is the
+    # hinted sort-merge on the composite (key, salt)
+    p277 = plan_of(entry.q_rel_salted_join(spark, SF))
+    sections.append(("Salted skew join (rel_salted_join)", p277))
+    checks.append(("salted: dim side explodes per salt",
+                   "Generate" in p277 and "explode(" in p277))
+    checks.append(("salted: composite-key sort-merge join",
+                   "SortMergeJoin" in p277))
+    checks.append(("salted: no cartesian product",
+                   "CartesianProduct" not in p277))
+
+    # 278. IFP merge: the (pred, obj) aggregate persisted once and
+    # reused by profile + suggestions; map-side partials
+    p278 = plan_of(entry.q_kg_ifp_merge(spark, SF))
+    sections.append(("IFP identity merge (kg_ifp_merge)", p278))
+    checks.append(("ifp: per-object aggregate persisted and reused",
+                   p278.count("InMemoryTableScan") >= 2))
+    checks.append(("ifp: map-side partial aggregation",
+                   "partial_" in p278))
+    checks.append(("ifp: no cartesian product",
+                   "CartesianProduct" not in p278))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -507,3 +507,48 @@ def join_estimate(
             "abs(est_rows - exact_rows) * 1000000 div exact_rows"
         ).cast("long").alias("err_ppm"),
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    uniq_col: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join by KEY SALTING — the standard hot-key
+    counter (the manual form of AQE's skew-join split, usable where AQE
+    cannot see the skew, e.g. under a bucketed layout or a streaming
+    join): every fact row draws a deterministic salt in [0, n_salt)
+    from md5(key:uniq) (uniform per ROW, so one hot key's rows spread
+    over n_salt reducers), the dim side replicates once per salt value,
+    and the join keys on (key, salt). The OUTPUT is provably identical
+    to the plain equi-join — salting changes the partition histogram,
+    never the result — which is exactly what the oracle checks (the
+    plain join), while the plan check pins the mechanism (dim-side
+    explode by n_salt, composite join key).
+
+    The dim side is hinted merge so the salted exchange is visible even
+    when the dim is broadcastable at test scale (at 100 TB a wide dim
+    is sort-merge and the hot fact key IS the straggler)."""
+    from unsupervised_ner_spark.ops.kgtrain import md5_int32
+
+    salt = F.pmod(
+        md5_int32(
+            F.concat(
+                F.col(fact_key).cast("string"), F.lit(":"),
+                F.col(uniq_col).cast("string"),
+            )
+        ),
+        F.lit(int(n_salt)),
+    ).cast("int")
+    fs = facts.withColumn("_salt", salt)
+    ds = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salt) - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = fs.hint("merge").join(
+        ds,
+        (F.col(fact_key) == F.col(dim_key)) & (fs["_salt"] == ds["_salt"]),
+    )
+    return joined.drop(fs["_salt"]).drop(ds["_salt"])

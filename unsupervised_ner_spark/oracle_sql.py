@@ -13369,3 +13369,61 @@ FROM pch h JOIN pct t USING (subj_type)
 """,
         "trip",
     )
+
+
+def rel_salted_join() -> str:
+    """Salted-join twin (ops/layout.py salted_join over orders x
+    customer): the PLAIN equi-join — salting must be semantically
+    invisible, so the oracle deliberately contains no salt at all."""
+    return """
+SELECT o.o_orderkey,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+       c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def kg_ifp_merge(model: str = "a100", num: int = 4, den: int = 5) -> str:
+    """IFP-merge twin (pipeline/triples.inverse_functional_merge over
+    production triples + the _ifp_splice): the (pred, obj) distinct-
+    subject aggregate, the obj-side num/den rule, and the multi-subject
+    suggestion rows under IFP predicates."""
+    return _materialize(
+        f"""
+WITH trip AS ({kg_triples(model)}),
+ifsp AS (
+    SELECT 'p' || CAST(doc_id AS VARCHAR) AS subj,
+           'email_of' AS pred_norm,
+           CASE WHEN doc_id % 17 = 3
+                THEN 'shared' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE 'e' || CAST(doc_id AS VARCHAR) END AS obj
+    FROM documents
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS VARCHAR), 'likes',
+           'w' || CAST(doc_id % 5 AS VARCHAR)
+    FROM documents
+),
+ifu AS (
+    SELECT subj, pred_norm, obj FROM trip
+    UNION ALL SELECT subj, pred_norm, obj FROM ifsp
+),
+ifo AS (
+    SELECT pred_norm, obj,
+           CAST(count(DISTINCT subj) AS BIGINT) AS n_subjs,
+           string_agg(DISTINCT subj, '|' ORDER BY subj) AS subjs
+    FROM ifu GROUP BY pred_norm, obj
+),
+ifs AS (
+    SELECT pred_norm,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(CASE WHEN sum(CASE WHEN n_subjs = 1 THEN 1 ELSE 0 END)
+                          * {int(den)} >= count(*) * {int(num)}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_ifp
+    FROM ifo GROUP BY pred_norm
+)
+SELECT o.pred_norm, o.obj, o.n_subjs, o.subjs, s.n_objects
+FROM ifo o JOIN ifs s ON s.pred_norm = o.pred_norm
+WHERE o.n_subjs >= 2 AND s.is_ifp = 1
+""",
+        "ifo",
+    )

@@ -1268,3 +1268,42 @@ def property_coverage(triples: DataFrame) -> DataFrame:
         F.expr("n_with * 1000000 div n_type_entities").cast("long")
         .alias("coverage_ppm"),
     )
+
+
+def inverse_functional_merge(
+    triples: DataFrame, num: int = 4, den: int = 5
+) -> DataFrame:
+    """Inverse-functional-property identity resolution (the owl:
+    InverseFunctionalProperty device: an email/ISBN/DOI value belongs
+    to ONE entity, so two subjects sharing it are the same entity) —
+    the obj-side mirror of predicate_functionality's subj-side rule: a
+    predicate is IFP when >= ``num/den`` of its OBJECTS have exactly
+    one subject; for IFP predicates, every multi-subject object emits a
+    merge suggestion (pred, obj, the sorted subject list) — the ER
+    candidate channel that needs no string similarity at all.
+
+    Scale shape: the (pred, obj) aggregate is computed ONCE and
+    persisted (it feeds the IFP profile AND the suggestion rows — the
+    functional_conflicts device, reversed); the final join is
+    suggestions x predicate vocabulary (bounded)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    per_obj = scoped_persist(
+        triples.groupBy("pred_norm", "obj").agg(
+            F.countDistinct("subj").cast("long").alias("n_subjs"),
+            F.array_join(F.array_sort(F.collect_set("subj")), "|")
+            .alias("subjs"),
+        )
+    )
+    one = (F.col("n_subjs") == 1).cast("long")
+    stats = per_obj.groupBy("pred_norm").agg(
+        F.count("*").cast("long").alias("n_objects"),
+        (
+            (F.sum(one) * F.lit(den)) >= (F.count("*") * F.lit(num))
+        ).cast("long").alias("is_ifp"),
+    )
+    return (
+        per_obj.filter(F.col("n_subjs") >= 2)
+        .join(stats.filter(F.col("is_ifp") == 1), "pred_norm")
+        .select("pred_norm", "obj", "n_subjs", "subjs", "n_objects")
+    )
