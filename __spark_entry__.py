@@ -5673,6 +5673,27 @@ def q_kg_ifp_merge(spark, sf_dir):
     )
 
 
+def q_rel_benford(spark, sf_dir):
+    """Benford first-digit audit (asof.benford_audit): per (event_type,
+    leading digit of the cents amount) the observed vs Benford ppm
+    (fixed public log10(1+1/d) constants — no log evaluated in either
+    engine) with per-digit and per-type L1 deviations — the
+    data-quality / fraud screen over the value column."""
+    from unsupervised_ner_spark.ops.asof import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "events"))
+
+
+def q_ann_mmr_rerank(spark, sf_dir):
+    """MMR diversification re-rank (simsearch.mmr_rerank — Carbonell &
+    Goldstein '98): per query 3 greedy picks from the brute-force
+    top-10 maximizing (7*rel - 3*max-sim-to-picked) div 10 in exact
+    milli-cosine integers; synchronized argmax rounds, bit-replayable."""
+    from unsupervised_ner_spark.ops.simsearch import mmr_rerank
+
+    return mmr_rerank(_t(spark, sf_dir, "embeddings"))
+
+
 def q_er_meta_blocking(spark, sf_dir):
     """Meta-blocking (dedup.meta_blocking_pairs — Papadakis et al.
     TKDE'14): LSH co-block pairs weighted by the Common Blocks Scheme
@@ -5910,6 +5931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_coverage": q_kg_property_coverage,
         "rel_salted_join": q_rel_salted_join,
         "kg_ifp_merge": q_kg_ifp_merge,
+        "rel_benford": q_rel_benford,
+        "ann_mmr_rerank": q_ann_mmr_rerank,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -6289,6 +6312,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_coverage": O.kg_property_coverage(),
         "rel_salted_join": O.rel_salted_join(),
         "kg_ifp_merge": O.kg_ifp_merge(),
+        "rel_benford": O.rel_benford(),
+        "ann_mmr_rerank": O.ann_mmr_rerank(),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

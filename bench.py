@@ -362,6 +362,8 @@ BENCH_QUERIES = [
     "kg_property_coverage",
     "rel_salted_join",
     "kg_ifp_merge",
+    "rel_benford",
+    "ann_mmr_rerank",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -2984,6 +2984,29 @@ def main() -> None:
     checks.append(("ifp: no cartesian product",
                    "CartesianProduct" not in p278))
 
+    # 279. Benford: one event-sized aggregate, bounded windows, no join,
+    # no log anywhere (pure integer ladder)
+    p279 = plan_of(entry.q_rel_benford(spark, SF))
+    sections.append(("Benford audit (rel_benford)", p279))
+    checks.append(("benford: no join anywhere", "Join" not in p279))
+    checks.append(("benford: map-side partial aggregation",
+                   "partial_" in p279))
+    checks.append(("benford: no log evaluated",
+                   "LOG(" not in p279.upper()))
+
+    # 280. MMR: candidate + similarity tables persisted once and reused
+    # across the greedy rounds; query side broadcast; no cartesian
+    # beyond the broadcast query cross join
+    p280 = plan_of(entry.q_ann_mmr_rerank(spark, SF))
+    sections.append(("MMR re-rank (ann_mmr_rerank)", p280))
+    checks.append(("mmr: candidates+sims persisted and reused",
+                   p280.count("InMemoryTableScan") >= 4))
+    checks.append(("mmr: query side by broadcast",
+                   "BroadcastNestedLoopJoin" in p280
+                   or "BroadcastHashJoin" in p280))
+    checks.append(("mmr: map-side partial aggregation",
+                   "partial_" in p280))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

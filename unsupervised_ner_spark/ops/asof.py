@@ -1221,3 +1221,71 @@ def wow_change(events: DataFrame) -> DataFrame:
         F.when(F.col("prev").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("is_first"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), floored to ppm —
+# public constants, identical literals on both engines
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit per event type — the
+    data-quality / fraud screen (Nigrini 2012): naturally-occurring
+    multi-magnitude amounts follow P(d) = log10(1 + 1/d); fabricated or
+    truncated feeds do not. Per (event_type, first digit of the cents
+    amount): observed count, exact observed ppm, the Benford ppm (the
+    fixed public constants above — no log evaluated in either engine),
+    and the absolute deviation; plus the per-type L1 deviation total on
+    every row (the ranking signal — flat-distribution types score
+    ~340k ppm). Zero-cent rows have no leading digit and are excluded.
+
+    Scale shape: first digit = an integer magnitude ladder (no string
+    round-trip, no log): cents div 10^(#digits-1) via the bounded
+    power-of-ten CASE; ONE event-sized map-side-combining aggregate
+    onto the <= types x 9 table, then bounded windows."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    # magnitude ladder: largest power of ten <= cents (cents <= ~1e17)
+    pow_expr = "CASE " + " ".join(
+        f"WHEN cents >= {10 ** k} THEN CAST({10 ** k} AS BIGINT)"
+        for k in range(17, 0, -1)
+    ) + " ELSE 1 END"
+    digits = (
+        events.select("event_type", cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.expr(f"cents div ({pow_expr})").cast("long").alias("digit"),
+        )
+    )
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bppm = F.element_at(
+        F.array(*[F.lit(BENFORD_PPM[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    wt = Window.partitionBy("event_type")
+    scored = counts.select(
+        "event_type", "digit", "n",
+        F.expr("n * 1000000").alias("_num"),
+        F.sum("n").over(wt).cast("long").alias("_tot"),
+        bppm.alias("benford_ppm"),
+    ).select(
+        "event_type", "digit", "n", "benford_ppm",
+        F.expr("_num div _tot").cast("long").alias("obs_ppm"),
+        F.col("_tot").alias("_tot"),
+    ).select(
+        "event_type", "digit", "n", "obs_ppm", "benford_ppm",
+        F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        .alias("abs_dev_ppm"),
+    )
+    return scored.select(
+        "event_type", "digit", "n", "obs_ppm", "benford_ppm",
+        "abs_dev_ppm",
+        F.sum("abs_dev_ppm").over(wt).cast("long").alias("l1_dev_ppm"),
+    )

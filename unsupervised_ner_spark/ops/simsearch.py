@@ -1054,3 +1054,115 @@ def filtered_topk(
             "n_eligible",
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    m: int = 10,
+    k: int = 3,
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — the diversification pass between retrieval and serving:
+    from each query's brute-force top-``m`` candidates, greedily pick
+    ``k`` results maximizing ``lam*rel - (1-lam)*max-sim-to-picked`` so
+    near-duplicate hits don't crowd the result list. All scores are
+    EXACT milli-cosine integers with lambda in tenths
+    (``(7*rel - 3*maxsim) div 10``); the first pick is pure relevance
+    (empty picked set -> maxsim 0); ties break (score DESC, vec_id
+    ASC). ``k`` synchronized greedy rounds are bit-replayable — the
+    priority-queue MMR is order-dependent, the synchronized argmax is
+    not.
+
+    Scale shape: the candidate table (queries x m) and its pairwise
+    similarity table (queries x m^2) are persisted once — both bounded
+    by the QUERY set, never the corpus; each round is one anti-join +
+    one picked-keyed max aggregate + one per-query argmax window over
+    <= m rows. The corpus is touched only by the initial brute-force
+    scan (swap in ivf/beam candidates at scale, same re-rank)."""
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    lam = int(lam_tenths)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos_q = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))),
+        9,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_mil"), F.asc("vec_id")
+    )
+    cands = scoped_persist(
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "v",
+            F.floor(cos_q * 1000).cast("long").alias("rel_mil"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= m)
+        .select("query_id", "vec_id", "v", "rel_mil")
+    )
+    a = cands.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = cands.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    cos_ab = F.round(
+        _dot(F.col("av"), F.col("bv"))
+        / (_norm(F.col("av")) * _norm(F.col("bv"))),
+        9,
+    )
+    sims = scoped_persist(
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.floor(cos_ab * 1000).cast("long").alias("sim_mil"),
+        )
+    )
+    slim = cands.select("query_id", "vec_id", "rel_mil")
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("score_mil"), F.asc("vec_id")
+    )
+    picked = (
+        slim.withColumn("score_mil", F.col("rel_mil"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "rel_mil", "score_mil",
+                F.lit(1).cast("long").alias("mmr_rank"))
+    )
+    for r in range(2, int(k) + 1):
+        rest = slim.join(picked, ["query_id", "vec_id"], "left_anti")
+        maxsim = (
+            sims.join(
+                picked.select(
+                    "query_id", F.col("vec_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("sim_mil").cast("long").alias("maxsim_mil"))
+        )
+        scored = rest.join(maxsim, ["query_id", "vec_id"]).select(
+            "query_id", "vec_id", "rel_mil",
+            F.expr(
+                f"({lam} * rel_mil - {10 - lam} * maxsim_mil) div 10"
+            ).cast("long").alias("score_mil"),
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", "rel_mil", "score_mil",
+                    F.lit(r).cast("long").alias("mmr_rank"))
+        )
+        picked = picked.unionByName(nxt)
+    return picked.select(
+        "query_id", "mmr_rank", "vec_id", "rel_mil", "score_mil"
+    )

@@ -13427,3 +13427,145 @@ WHERE o.n_subjs >= 2 AND s.is_ifp = 1
 """,
         "ifo",
     )
+
+
+def rel_benford() -> str:
+    """Benford twin (ops/asof.py benford_audit): the same integer
+    magnitude ladder, the shared ppm constants (imported — no log in
+    either engine), observed ppm floors, per-digit and per-type L1
+    deviations."""
+    from unsupervised_ner_spark.ops.asof import BENFORD_PPM
+
+    ladder = "CASE " + " ".join(
+        f"WHEN cents >= {10 ** k} THEN CAST({10 ** k} AS BIGINT)"
+        for k in range(17, 0, -1)
+    ) + " ELSE 1 END"
+    bcase = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    ) + " END"
+    return f"""
+WITH bfe AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+bfd AS (
+    SELECT event_type, CAST(cents // ({ladder}) AS BIGINT) AS digit
+    FROM bfe WHERE cents > 0
+),
+bfc AS (
+    SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+    FROM bfd GROUP BY event_type, digit
+),
+bfs AS (
+    SELECT event_type, digit, n,
+           CAST((n * 1000000)
+                // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS obs_ppm,
+           CAST({bcase} AS BIGINT) AS benford_ppm
+    FROM bfc
+),
+bfa AS (
+    SELECT event_type, digit, n, obs_ppm, benford_ppm,
+           CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS abs_dev_ppm
+    FROM bfs
+)
+SELECT event_type, digit, n, obs_ppm, benford_ppm, abs_dev_ppm,
+       CAST(sum(abs_dev_ppm) OVER (PARTITION BY event_type) AS BIGINT)
+           AS l1_dev_ppm
+FROM bfa
+"""
+
+
+def ann_mmr_rerank(
+    n_queries: int = 5, m: int = 10, k: int = 3, lam_tenths: int = 7
+) -> str:
+    """MMR twin (ops/simsearch.py mmr_rerank): brute-force top-m per
+    query ranked on the FLOORED milli-cosine, the pairwise candidate
+    similarity table, and ``k`` unrolled synchronized greedy rounds
+    with the identical integer score and tie order."""
+    lam = int(lam_tenths)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 9)"
+        )
+
+    rounds = []
+    prev = "mp1"
+    for r in range(2, int(k) + 1):
+        rounds.append(
+            f"""mx{r} AS (
+    SELECT s.query_id, s.a_id AS vec_id,
+           CAST(max(s.sim_mil) AS BIGINT) AS maxsim_mil
+    FROM msim s JOIN {prev} p
+      ON p.query_id = s.query_id AND p.vec_id = s.b_id
+    GROUP BY s.query_id, s.a_id
+),
+ms{r} AS (
+    SELECT c.query_id, c.vec_id, c.rel_mil,
+           CAST(({lam} * c.rel_mil - {10 - lam} * x.maxsim_mil) // 10
+                AS BIGINT) AS score_mil
+    FROM mslim c
+    JOIN mx{r} x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                      WHERE p.query_id = c.query_id
+                        AND p.vec_id = c.vec_id)
+),
+mp{r} AS (
+    SELECT query_id, vec_id, rel_mil, score_mil,
+           CAST({r} AS BIGINT) AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_mil DESC, vec_id) AS rn
+        FROM ms{r}
+    ) WHERE rn = 1
+    UNION ALL SELECT * FROM {prev}
+)"""
+        )
+        prev = f"mp{r}"
+    chain = (",\n" + ",\n".join(rounds)) if rounds else ""
+    return _materialize(
+        f"""
+WITH mme AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+mmq AS (
+    SELECT vec_id AS query_id, v AS qv FROM mme
+    WHERE vec_id < {int(n_queries)}
+),
+mcand AS (
+    SELECT query_id, vec_id, v, rel_mil FROM (
+        SELECT q.query_id, e.vec_id, e.v,
+               CAST(floor({cos("e.v", "q.qv")} * 1000) AS BIGINT)
+                   AS rel_mil,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY CAST(floor({cos("e.v", "q.qv")} * 1000)
+                                 AS BIGINT) DESC, e.vec_id
+               ) AS rk
+        FROM mme e JOIN mmq q ON e.vec_id <> q.query_id
+    ) WHERE rk <= {int(m)}
+),
+mslim AS (SELECT query_id, vec_id, rel_mil FROM mcand),
+msim AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(floor({cos("a.v", "b.v")} * 1000) AS BIGINT) AS sim_mil
+    FROM mcand a JOIN mcand b
+      ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+mp1 AS (
+    SELECT query_id, vec_id, rel_mil,
+           CAST(rel_mil AS BIGINT) AS score_mil,
+           CAST(1 AS BIGINT) AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel_mil DESC, vec_id) AS rn
+        FROM mslim
+    ) WHERE rn = 1
+){chain}
+SELECT query_id, mmr_rank, vec_id, rel_mil, score_mil FROM {prev}
+""",
+        "mcand", "mslim", "msim",
+    )
