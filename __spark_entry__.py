@@ -5673,6 +5673,43 @@ def q_kg_ifp_merge(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_curve(spark, sf_dir):
+    """LSH banding operating curve (dedup.lsh_operating_curve): for
+    (bands, rows) = (8,1) / (4,2) / (2,4) over the SAME planted-copy
+    truth er_blocking_quality uses, the measured candidate count /
+    recall / precision / reduction ratio per config — the S-curve table
+    that picks the banding instead of guessing it. One shingle+signature
+    pass persisted; each config only re-bands the cached signatures."""
+    from unsupervised_ner_spark.ops.dedup import lsh_operating_curve
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ", -1)
+    keep = F.expr("(size(split(text, ' ', -1)) * 4 + 4) div 5")
+    copies = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(copies)
+    truth = d.filter(F.col("doc_id") % 9 == 4).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    return lsh_operating_curve(aug, truth, aug.count())
+
+
+def q_er_fs_em_round(spark, sf_dir):
+    """One FS EM re-estimation round (er.fs_em_round, ratio 45 — the
+    same measured three-region operating point as er_fs_patterns):
+    pairs relabelled by their pattern's decision region ('possible'
+    abstains and leaves the M-step), per-feature m/u statistics
+    recomputed under the new labels plus the labeled-pair count —
+    read against er_em_weights to see how far the evidence moves each
+    feature from the seed rule."""
+    from unsupervised_ner_spark.pipeline import er
+
+    return er.fs_em_round(q_er_pair_features(spark, sf_dir), ratio=45)
+
+
 def q_rel_benford(spark, sf_dir):
     """Benford first-digit audit (asof.benford_audit): per (event_type,
     leading digit of the cents amount) the observed vs Benford ppm
@@ -5933,6 +5970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ifp_merge": q_kg_ifp_merge,
         "rel_benford": q_rel_benford,
         "ann_mmr_rerank": q_ann_mmr_rerank,
+        "dedup_lsh_curve": q_dedup_lsh_curve,
+        "er_fs_em_round": q_er_fs_em_round,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -6314,6 +6353,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ifp_merge": O.kg_ifp_merge(),
         "rel_benford": O.rel_benford(),
         "ann_mmr_rerank": O.ann_mmr_rerank(),
+        "dedup_lsh_curve": O.dedup_lsh_curve(),
+        "er_fs_em_round": O.er_fs_em_round(ratio=45),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -364,6 +364,8 @@ BENCH_QUERIES = [
     "kg_ifp_merge",
     "rel_benford",
     "ann_mmr_rerank",
+    "dedup_lsh_curve",
+    "er_fs_em_round",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

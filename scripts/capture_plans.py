@@ -3007,6 +3007,28 @@ def main() -> None:
     checks.append(("mmr: map-side partial aggregation",
                    "partial_" in p280))
 
+    # 281. LSH curve: ONE signature table persisted and re-banded per
+    # config (shingling never re-runs); scorecard combines by broadcast
+    p281 = plan_of(entry.q_dedup_lsh_curve(spark, SF))
+    sections.append(("LSH operating curve (dedup_lsh_curve)", p281))
+    checks.append(("lshcurve: signatures persisted and reused",
+                   p281.count("InMemoryTableScan") >= 6))
+    checks.append(("lshcurve: one-row combines by broadcast",
+                   "BroadcastNestedLoopJoin" in p281))
+    checks.append(("lshcurve: map-side partial aggregation",
+                   "partial_" in p281))
+
+    # 282. FS EM round: binarized pairs persisted once (pattern E-step +
+    # M-step), 16-row region table broadcast back
+    p282 = plan_of(entry.q_er_fs_em_round(spark, SF))
+    sections.append(("FS EM re-estimation (er_fs_em_round)", p282))
+    checks.append(("emround: binarized pairs persisted and reused",
+                   p282.count("InMemoryTableScan") >= 2))
+    checks.append(("emround: region table broadcast back",
+                   "BroadcastHashJoin" in p282))
+    checks.append(("emround: map-side partial aggregation",
+                   "partial_" in p282))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

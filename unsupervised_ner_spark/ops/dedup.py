@@ -1398,3 +1398,77 @@ def meta_blocking_pairs(
             ).otherwise(F.lit(0)).cast("long").alias("kept"),
         )
     )
+
+
+def lsh_operating_curve(
+    documents: DataFrame,
+    truth: DataFrame,
+    n_items: int,
+    configs: tuple[tuple[int, int], ...] = ((8, 1), (8, 2), (8, 4)),
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The LSH banding OPERATING CURVE — the table that answers the one
+    question every MinHash deployment asks first: WHICH (bands, rows)
+    config? For each config over the SAME corpus and truth pairs:
+    candidate count, truth hits, pairs completeness (recall), pairs
+    quality (precision), and reduction ratio — the S-curve trade
+    (r rows/band moves the threshold right: fewer candidates, lower
+    recall) measured instead of guessed. One row per config.
+
+    Scale shape: the signature table is computed ONCE from one shingle
+    pass (num_hashes = max over configs) and persisted; each config
+    re-bands the CACHED signatures (banding is a projection — the
+    expensive shingling/hashing never re-runs); per-config candidates
+    follow the capped-bucket join of lsh_bucket_pairs; the per-config
+    scorecard is O(1) rows. Configs are a literal handful — the union
+    is bounded fan-out, not corpus fan-out."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline.er import blocking_quality
+
+    num_hashes = max(nh for nh, _ in configs)
+    if max_bucket is None:
+        max_bucket = adaptive_max_bucket(n_items)
+    sig = scoped_persist(minhash_signatures(documents, num_hashes, k))
+    out = None
+    for nh, band_size in configs:
+        bands = []
+        for b in range(nh // band_size):
+            cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+            bands.append(
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                )
+            )
+        exploded = sig.select(
+            "doc_id", F.explode(F.array(*bands)).alias("band")
+        ).select("doc_id", "band.band_id", "band.band_hash")
+        sizes = exploded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("n")
+        )
+        ok = exploded.join(
+            sizes.filter(F.col("n") <= max_bucket).drop("n"),
+            ["band_id", "band_hash"],
+        )
+        a, b2 = ok.alias("a"), ok.alias("b")
+        cand = (
+            a.join(
+                b2,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        row = blocking_quality(cand, truth, n_items).select(
+            F.lit(nh // band_size).cast("long").alias("n_bands"),
+            F.lit(band_size).cast("long").alias("band_size"),
+            "n_cand", "n_truth", "n_hit", "pc_ppm", "pq_ppm", "rr_ppm",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -13569,3 +13569,151 @@ SELECT query_id, mmr_rank, vec_id, rel_mil, score_mil FROM {prev}
 """,
         "mcand", "mslim", "msim",
     )
+
+
+def dedup_lsh_curve(
+    configs: tuple[tuple[int, int], ...] = ((8, 1), (8, 2), (8, 4)),
+) -> str:
+    """Operating-curve twin (ops/dedup.py lsh_operating_curve over the
+    planted-copy corpus): ONE shingle/signature chain over the
+    augmented docs, per-config re-banding + capped bucket join +
+    scorecard, UNION ALL of the config rows."""
+    num_hashes = max(nh for nh, _ in configs)
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    sh = _SHINGLES_CTE.replace("FROM documents", "FROM bqdocs")
+    parts = []
+    ctes = []
+    for ci, (nh, band_size) in enumerate(configs):
+        band_rows = []
+        for b in range(nh // band_size):
+            cols = " || '|' || ".join(
+                f"mh_{b * band_size + j}" for j in range(band_size)
+            )
+            band_rows.append(
+                f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash"
+                " FROM lcsig"
+            )
+        ctes.append(
+            f"""lcb{ci} AS ({' UNION ALL '.join(band_rows)}),
+lcs{ci} AS (
+    SELECT band_id, band_hash FROM lcb{ci}
+    GROUP BY band_id, band_hash HAVING count(*) <= (SELECT mb FROM lcmb)
+),
+lco{ci} AS (
+    SELECT b.* FROM lcb{ci} b JOIN lcs{ci} s USING (band_id, band_hash)
+),
+lcc{ci} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM lco{ci} a JOIN lco{ci} b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)"""
+        )
+        parts.append(
+            f"""SELECT CAST({nh // band_size} AS BIGINT) AS n_bands,
+       CAST({band_size} AS BIGINT) AS band_size,
+       (SELECT CAST(count(*) AS BIGINT) FROM lcc{ci}) AS n_cand,
+       (SELECT CAST(count(*) AS BIGINT) FROM bqt) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM lcc{ci} c JOIN bqt t USING (doc_a, doc_b)) AS n_hit,
+       CAST((SELECT count(*) FROM lcc{ci} c JOIN bqt t
+             USING (doc_a, doc_b)) * 1000000
+            // (SELECT count(*) FROM bqt) AS BIGINT) AS pc_ppm,
+       CAST(CASE WHEN (SELECT count(*) FROM lcc{ci}) = 0 THEN 0
+                 ELSE (SELECT count(*) FROM lcc{ci} c JOIN bqt t
+                       USING (doc_a, doc_b)) * 1000000
+                      // (SELECT count(*) FROM lcc{ci}) END AS BIGINT)
+           AS pq_ppm,
+       CAST(1000000 - (SELECT count(*) FROM lcc{ci}) * 1000000
+            // ((SELECT n_docs FROM bqn)
+                * ((SELECT n_docs FROM bqn) - 1) // 2) AS BIGINT) AS rr_ppm"""
+        )
+    all_ctes = ",\n".join(ctes)
+    body = "\nUNION ALL\n".join(parts)
+    mats = ["bqdocs", "lcsig"] + [f"lcc{ci}" for ci in range(len(configs))]
+    return _materialize(
+        f"""
+WITH bqdocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(ws[1 : (len(ws) * 4 + 4) // 5], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id % 9 = 4
+),
+bqt AS (
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+    FROM documents WHERE doc_id % 9 = 4
+),
+bqn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bqdocs),
+{sh.strip()},
+lcmb0 AS (SELECT count(*) AS n,
+                 CAST(round(pow(count(*), 1.0/3), 0) AS BIGINT) AS c
+          FROM bqdocs),
+lcmb AS (SELECT GREATEST(50, LEAST(5000, {_icbrt_ceil_sql()})) AS mb
+         FROM lcmb0),
+lcsig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+{all_ctes}
+{body}
+""",
+        *mats,
+    )
+
+
+def er_fs_em_round(model: str = "a100", ratio: int = 4) -> str:
+    """EM-round twin (pipeline/er.fs_em_round): the pair-features chain,
+    the shared binarization, the pattern-region relabel (possible
+    abstains), and the re-estimated per-feature statistics."""
+    r = int(ratio)
+    return _materialize(
+        f"""
+WITH pf AS ({er_pair_features(model=model)}),
+emlab AS (
+    SELECT CASE WHEN lev <= 1 THEN 1 ELSE 0 END AS m,
+           CASE WHEN tok_overlap >= 1 THEN 1 ELSE 0 END AS f_tok,
+           CASE WHEN sh_jaccard_ppm >= 500000 THEN 1 ELSE 0 END AS f_jac,
+           CASE WHEN abs(len_a - len_b) <= 1 THEN 1 ELSE 0 END AS f_len,
+           CASE WHEN substr(surf_a, 1, 2) = substr(surf_b, 1, 2)
+                THEN 1 ELSE 0 END AS f_pre2
+    FROM pf
+),
+emreg AS (
+    SELECT pattern,
+           CASE WHEN n_match >= {r} * n_nonmatch THEN 1
+                WHEN n_nonmatch >= {r} * n_match THEN 0
+                ELSE -1 END AS em_label
+    FROM (
+        SELECT CAST(f_tok AS VARCHAR) || CAST(f_jac AS VARCHAR)
+               || CAST(f_len AS VARCHAR) || CAST(f_pre2 AS VARCHAR)
+                   AS pattern,
+               CAST(sum(m) AS BIGINT) AS n_match,
+               CAST(sum(1 - m) AS BIGINT) AS n_nonmatch
+        FROM emlab GROUP BY 1
+    )
+),
+emrel AS (
+    SELECT g.em_label AS m, l.f_tok, l.f_jac, l.f_len, l.f_pre2
+    FROM emlab l
+    JOIN emreg g
+      ON g.pattern = CAST(l.f_tok AS VARCHAR) || CAST(l.f_jac AS VARCHAR)
+                     || CAST(l.f_len AS VARCHAR) || CAST(l.f_pre2 AS VARCHAR)
+    WHERE g.em_label >= 0
+),
+emst AS (
+    SELECT m, 'tok_overlap' AS feature, f_tok AS agree FROM emrel
+    UNION ALL SELECT m, 'shingle_jaccard', f_jac FROM emrel
+    UNION ALL SELECT m, 'len_diff_le1', f_len FROM emrel
+    UNION ALL SELECT m, 'prefix2_eq', f_pre2 FROM emrel
+)
+SELECT feature,
+       CAST(sum(m) AS BIGINT) AS n_match,
+       CAST(sum(m * agree) AS BIGINT) AS n_match_agree,
+       CAST(sum(1 - m) AS BIGINT) AS n_nonmatch,
+       CAST(sum((1 - m) * agree) AS BIGINT) AS n_nonmatch_agree,
+       CAST(count(*) AS BIGINT) AS n_labeled
+FROM emst GROUP BY feature
+""",
+        "emlab",
+    )

@@ -5444,3 +5444,66 @@ def chain_audit(clusters: DataFrame, pairs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0)).cast("long").alias("is_chained"),
         )
     )
+
+
+def fs_em_round(features: DataFrame, ratio: int = 4) -> DataFrame:
+    """One EM-style re-estimation of the Fellegi-Sunter weights — the
+    step that completes the FS story (seed rule -> pattern regions ->
+    re-estimated per-feature statistics): pairs are RELABELLED by their
+    agreement pattern's decision region (link = match, nonlink =
+    non-match, the 'possible' region abstains and is excluded from the
+    M-step, the standard EM treatment of unlabeled mass), and the
+    per-feature m/u sufficient statistics are recomputed under the new
+    labels. Comparing this table against fs_weights (the rule-seeded
+    statistics) shows exactly how much the pattern-level evidence moves
+    each feature's m/u away from the seed — convergence monitoring for
+    the full EM loop.
+
+    Scale shape: the binarized pair table is persisted once (it feeds
+    the pattern aggregate AND the M-step); the pattern table is <= 2^4
+    rows and broadcasts back onto the pairs; the M-step is the same
+    bounded 4-row aggregate fs_weights runs."""
+    lab = scoped_persist(_fs_agreement(features))
+    pat = F.concat(
+        F.col("f_tok").cast("string"), F.col("f_jac").cast("string"),
+        F.col("f_len").cast("string"), F.col("f_pre2").cast("string"),
+    )
+    r = int(ratio)
+    regions = (
+        lab.groupBy(pat.alias("pattern"))
+        .agg(
+            F.sum("m").cast("long").alias("n_match"),
+            F.sum(1 - F.col("m")).cast("long").alias("n_nonmatch"),
+        )
+        .select(
+            "pattern",
+            F.when(
+                F.col("n_match") >= r * F.col("n_nonmatch"), F.lit(1)
+            )
+            .when(
+                F.col("n_nonmatch") >= r * F.col("n_match"), F.lit(0)
+            )
+            .otherwise(F.lit(-1)).cast("long").alias("em_label"),
+        )
+    )
+    relab = (
+        lab.withColumn("pattern", pat)
+        .join(F.broadcast(regions), "pattern")
+        .filter(F.col("em_label") >= 0)
+    )
+    stacked = relab.select(
+        F.col("em_label").alias("m"),
+        F.expr(
+            "stack(4, 'tok_overlap', f_tok, 'shingle_jaccard', f_jac,"
+            " 'len_diff_le1', f_len, 'prefix2_eq', f_pre2)"
+            " AS (feature, agree)"
+        ),
+    )
+    return stacked.groupBy("feature").agg(
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum(F.col("m") * F.col("agree")).cast("long").alias("n_match_agree"),
+        F.sum(1 - F.col("m")).cast("long").alias("n_nonmatch"),
+        F.sum((1 - F.col("m")) * F.col("agree")).cast("long")
+        .alias("n_nonmatch_agree"),
+        F.count("*").cast("long").alias("n_labeled"),
+    )
