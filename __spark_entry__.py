@@ -5673,6 +5673,92 @@ def q_kg_ifp_merge(spark, sf_dir):
     )
 
 
+SENTIMENT_NAMES = ["Acme", "Globex", "Initech", "Umbrella", "Hooli"]
+
+
+def q_txt_instruction_density(spark, sf_dir):
+    """Instruction-like content detection (textstats.instruction_density)
+    over a CTA splice: every 11th doc gains two imperative + second-
+    person lines ("Click here to subscribe now" / "Please enter your
+    email to continue" — flagged at 2/3 density), every 22nd doc
+    residue 13 gains ONE imperative among five neutral lines (present
+    but under the 1/5 bar — unflagged), everything else is clean; all
+    three branches measured at both gate scales."""
+    from unsupervised_ner_spark.ops.textstats import instruction_density
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    cta = (
+        "\nClick here to subscribe now"
+        "\nPlease enter your email to continue"
+    )
+    weak = (
+        "\nFollow the main road north"
+        "\nthe road data follows here"
+        "\nthe second figure follows below"
+        "\nthe appendix follows at the end"
+        "\nthe index follows last"
+    )
+    spliced = d.withColumn(
+        "text",
+        F.when(did % 11 == 0, F.concat("text", F.lit(cta)))
+        .when(did % 22 == 13, F.concat("text", F.lit(weak)))
+        .otherwise(F.col("text")),
+    )
+    return instruction_density(spliced)
+
+
+def q_kg_entity_sentiment(spark, sf_dir):
+    """Lexicon-vote entity sentiment (taxonomy.entity_sentiment) over a
+    deterministic opinion splice: every 7th doc appends "<Name> is
+    <adj>" — names 0-1 of the 5-name roster always draw positive
+    adjectives, names 2-3 always negative, name 4 alternates (the mixed
+    verdict); every 13th doc appends a lexicon-free "Neutralia stands
+    here" (the neutral verdict). All four verdicts fire at both gate
+    scales; adjectives rotate through the full shared lexicons."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        NEG_WORDS, POS_WORDS, entity_sentiment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nm = F.expr("(doc_id DIV 7) % 5")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in SENTIMENT_NAMES]), (nm + 1).cast("int")
+    )
+    pos_adj = F.element_at(
+        F.array(*[F.lit(w) for w in POS_WORDS]), (did % 5 + 1).cast("int")
+    )
+    neg_adj = F.element_at(
+        F.array(*[F.lit(w) for w in NEG_WORDS]), (did % 5 + 1).cast("int")
+    )
+    adj = (
+        F.when(nm <= 1, pos_adj)
+        .when(nm <= 3, neg_adj)
+        .otherwise(
+            F.when(F.expr("(doc_id DIV 35) % 2") == 0, pos_adj)
+            .otherwise(neg_adj)
+        )
+    )
+    spliced = d.withColumn(
+        "text",
+        F.when(
+            did % 7 == 0,
+            F.concat("text", F.lit("\n"), name, F.lit(" is "), adj),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            did % 13 == 0,
+            F.concat("text", F.lit("\nNeutralia stands here")),
+        ).otherwise(F.col("text")),
+    )
+    sents = pages_to_sentences(_pages_of(spliced)).select(
+        "url", F.col("sent_idx").cast("long").alias("sent_idx"), "sent"
+    )
+    return entity_sentiment(sents)
+
+
 def q_dedup_lsh_curve(spark, sf_dir):
     """LSH banding operating curve (dedup.lsh_operating_curve): for
     (bands, rows) = (8,1) / (4,2) / (2,4) over the SAME planted-copy
@@ -5972,6 +6058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": q_ann_mmr_rerank,
         "dedup_lsh_curve": q_dedup_lsh_curve,
         "er_fs_em_round": q_er_fs_em_round,
+        "txt_instruction_density": q_txt_instruction_density,
+        "kg_entity_sentiment": q_kg_entity_sentiment,
         "rel_hopping_window": q_rel_hopping_window,
         "txt_collocation_llr": q_txt_collocation_llr,
         "txt_zipf_slope": q_txt_zipf_slope,
@@ -6355,6 +6443,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_mmr_rerank": O.ann_mmr_rerank(),
         "dedup_lsh_curve": O.dedup_lsh_curve(),
         "er_fs_em_round": O.er_fs_em_round(ratio=45),
+        "txt_instruction_density": O.txt_instruction_density(),
+        "kg_entity_sentiment": O.kg_entity_sentiment(SENTIMENT_NAMES),
         "rel_hopping_window": O.rel_hopping_window(width_days=7),
         "txt_collocation_llr": O.txt_collocation_llr(),
         "txt_zipf_slope": O.txt_zipf_slope(),

@@ -366,6 +366,8 @@ BENCH_QUERIES = [
     "ann_mmr_rerank",
     "dedup_lsh_curve",
     "er_fs_em_round",
+    "txt_instruction_density",
+    "kg_entity_sentiment",
 ]
 
 SYNTH_PAGES = int(os.environ.get("BENCH_SYNTH_PAGES", "20000"))

@@ -3029,6 +3029,22 @@ def main() -> None:
     checks.append(("emround: map-side partial aggregation",
                    "partial_" in p282))
 
+    # 283. instruction density: pure narrow scan — no shuffle at all
+    p283 = plan_of(entry.q_txt_instruction_density(spark, SF))
+    sections.append(("Instruction density (txt_instruction_density)", p283))
+    checks.append(("instr: zero exchange (narrow scan)",
+                   "Exchange" not in p283))
+    checks.append(("instr: column-pruned scan",
+                   "ReadSchema: struct<doc_id:bigint,text:string>" in p283))
+
+    # 284. entity sentiment: one explode + ONE vocabulary aggregate with
+    # map-side partials; no join
+    p284 = plan_of(entry.q_kg_entity_sentiment(spark, SF))
+    sections.append(("Entity sentiment (kg_entity_sentiment)", p284))
+    checks.append(("esent: no join anywhere", "Join" not in p284))
+    checks.append(("esent: map-side partial aggregation",
+                   "partial_" in p284))
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

@@ -2181,3 +2181,54 @@ def host_boilerplate(
         F.when(ratio > min_ratio_ppm, F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("is_boilerplate"),
     )
+
+
+IMPERATIVE_VERBS = [
+    "click", "subscribe", "ignore", "please", "follow",
+    "enter", "select", "download", "visit", "sign",
+]
+SECOND_PERSON = ["you", "your", "yours"]
+
+
+def instruction_density(documents: DataFrame) -> DataFrame:
+    """Instruction-like content detection — the LLM-pretraining hygiene
+    screen the quality bundles miss: web text full of imperatives
+    ("Click here...", "Please enter your email") is UI chrome / CTA
+    boilerplate, and at instruction-tuning time it contaminates the
+    pretraining mix with instruction-formatted text nobody audited.
+    Per doc: sentence count (newline lines, the pipeline's split), how
+    many START with an imperative-list verb, second-person pronoun
+    tokens, the imperative density ppm, and the flag (>= 1/5 of
+    sentences imperative AND >= 1 second-person token — both signals,
+    the C4-filters conjunction style).
+
+    Scale shape: pure column expressions over the line/token arrays —
+    narrow scan, no explode, no shuffle, no join."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), F.trim),
+        lambda s: F.length(s) > 1,
+    )
+    first_tok = lambda s: F.lower(F.element_at(F.split(s, r"\s+"), 1))
+    n_sents = F.size(lines)
+    n_imp = F.size(
+        F.filter(lines, lambda s: first_tok(s).isin(*IMPERATIVE_VERBS))
+    )
+    low = F.transform(tokens_ws(F.col("text")), F.lower)
+    n_2p = F.size(F.filter(low, lambda t: t.isin(*SECOND_PERSON)))
+    return documents.select(
+        "doc_id",
+        n_sents.cast("long").alias("n_sents"),
+        n_imp.cast("long").alias("n_imperative"),
+        n_2p.cast("long").alias("n_second_person"),
+    ).select(
+        "doc_id", "n_sents", "n_imperative", "n_second_person",
+        F.expr(
+            "CASE WHEN n_sents = 0 THEN 0"
+            " ELSE n_imperative * 1000000 div n_sents END"
+        ).cast("long").alias("imperative_ppm"),
+        F.when(
+            (F.col("n_imperative") * 5 >= F.col("n_sents"))
+            & (F.col("n_second_person") >= 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("is_instruction_like"),
+    )

@@ -13717,3 +13717,131 @@ FROM emst GROUP BY feature
 """,
         "emlab",
     )
+
+
+def txt_instruction_density() -> str:
+    """Instruction-density twin (ops/textstats.instruction_density over
+    the CTA splice): the same line split / trim / len>1 filter,
+    imperative first-token test against the shared verb list, second-
+    person token count, ppm and conjunction flag."""
+    from unsupervised_ner_spark.ops.textstats import (
+        IMPERATIVE_VERBS, SECOND_PERSON,
+    )
+
+    verbs = "[" + ", ".join(f"'{v}'" for v in IMPERATIVE_VERBS) + "]"
+    second = "[" + ", ".join(f"'{w}'" for w in SECOND_PERSON) + "]"
+    cta = (
+        "\nClick here to subscribe now"
+        "\nPlease enter your email to continue"
+    ).replace("\n", "' || chr(10) || '")
+    weak = (
+        "\nFollow the main road north"
+        "\nthe road data follows here"
+        "\nthe second figure follows below"
+        "\nthe appendix follows at the end"
+        "\nthe index follows last"
+    ).replace("\n", "' || chr(10) || '")
+    return f"""
+WITH idd AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN text || '{cta}'
+                WHEN doc_id % 22 = 13 THEN text || '{weak}'
+                ELSE text END AS text
+    FROM documents
+),
+idl AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      s -> trim(s)),
+                       s -> length(s) > 1) AS lines,
+           list_transform({_TOKS}, t -> lower(t)) AS low
+    FROM idd
+),
+ids AS (
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_sents,
+           CAST(len(list_filter(lines,
+                s -> list_contains({verbs},
+                     lower(regexp_split_to_array(s, '\\s+')[1]))))
+                AS BIGINT) AS n_imperative,
+           CAST(len(list_filter(low, t -> list_contains({second}, t)))
+                AS BIGINT) AS n_second_person
+    FROM idl
+)
+SELECT doc_id, n_sents, n_imperative, n_second_person,
+       CAST(CASE WHEN n_sents = 0 THEN 0
+                 ELSE n_imperative * 1000000 // n_sents END AS BIGINT)
+           AS imperative_ppm,
+       CAST(CASE WHEN n_imperative * 5 >= n_sents
+                  AND n_second_person >= 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_instruction_like
+FROM ids
+"""
+
+
+def kg_entity_sentiment(names: list[str]) -> str:
+    """Entity-sentiment twin (pipeline/taxonomy.entity_sentiment over
+    the opinion splice): the shared sentence CTE over the spliced docs,
+    the shared lexicons (imported), distinct capitalized surfaces per
+    sentence, one vocabulary aggregate, the verdict CASE."""
+    from unsupervised_ner_spark.pipeline.taxonomy import (
+        ENTITY_TOKEN_PAT, NEG_WORDS, POS_WORDS,
+    )
+
+    name_arr = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    pos_arr = "[" + ", ".join(f"'{w}'" for w in POS_WORDS) + "]"
+    neg_arr = "[" + ", ".join(f"'{w}'" for w in NEG_WORDS) + "]"
+    sents = SENTS_CTE.replace("FROM documents", "FROM esd")
+    assert "esd" in sents
+    return f"""
+WITH esd AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN t1 || chr(10) || 'Neutralia stands here'
+                ELSE t1 END AS text
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || chr(10)
+                         || ({name_arr})[CAST((doc_id // 7) % 5 AS INT) + 1]
+                         || ' is '
+                         || CASE WHEN (doc_id // 7) % 5 <= 1
+                                 THEN ({pos_arr})[CAST(doc_id % 5 AS INT) + 1]
+                                 WHEN (doc_id // 7) % 5 <= 3
+                                 THEN ({neg_arr})[CAST(doc_id % 5 AS INT) + 1]
+                                 WHEN (doc_id // 35) % 2 = 0
+                                 THEN ({pos_arr})[CAST(doc_id % 5 AS INT) + 1]
+                                 ELSE ({neg_arr})[CAST(doc_id % 5 AS INT) + 1]
+                            END
+                    ELSE text END AS t1
+        FROM documents
+    )
+),
+{sents.strip()},
+ess AS (
+    SELECT CAST(len(list_filter(
+               list_transform(regexp_split_to_array(sent, '\\s+'),
+                              t -> lower(t)),
+               t -> list_contains({pos_arr}, t))) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(
+               list_transform(regexp_split_to_array(sent, '\\s+'),
+                              t -> lower(t)),
+               t -> list_contains({neg_arr}, t))) AS BIGINT) AS n_neg,
+           unnest(list_distinct(
+               regexp_extract_all(sent, '{ENTITY_TOKEN_PAT}', 0)))
+               AS surface
+    FROM sents
+),
+esa AS (
+    SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(sum(n_pos) AS BIGINT) AS n_pos_hits,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg_hits
+    FROM ess GROUP BY surface
+)
+SELECT surface, n_mentions, n_pos_hits, n_neg_hits,
+       CASE WHEN n_pos_hits > 0 AND n_neg_hits > 0 THEN 'mixed'
+            WHEN n_pos_hits > 0 THEN 'positive'
+            WHEN n_neg_hits > 0 THEN 'negative'
+            ELSE 'neutral' END AS verdict
+FROM esa
+"""

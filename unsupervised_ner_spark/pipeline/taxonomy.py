@@ -493,3 +493,52 @@ def isa_polarity(sentences: DataFrame) -> DataFrame:
             .otherwise(F.lit("negative_only")).alias("verdict"),
         )
     )
+
+
+POS_WORDS = ["great", "excellent", "wonderful", "amazing", "good"]
+NEG_WORDS = ["terrible", "awful", "poor", "bad", "horrible"]
+ENTITY_TOKEN_PAT = "[A-Z][A-Za-z0-9]*"
+
+
+def entity_sentiment(sentences: DataFrame) -> DataFrame:
+    """Lexicon-vote entity sentiment association — the KG enrichment
+    that attaches an opinion profile to every surfaced entity (aspect
+    sentiment's corpus-level aggregate): per capitalized surface, the
+    summed positive / negative lexicon hits of the sentences it appears
+    in, the mention count, and the verdict positive / negative / mixed
+    / neutral. The lexicons are small fixed public word lists (the
+    Benford-constants device: no model, both engines share the
+    literals); a sentence's DISTINCT surfaces each receive its hits
+    once (array_distinct before the explode — no double credit for a
+    repeated name).
+
+    Scale shape: one narrow regex/token map per sentence, one surface
+    explode (bounded by capitalized tokens per sentence), ONE map-side-
+    combining aggregate onto the surface vocabulary. No join."""
+    toks_low = F.transform(
+        F.split(F.col("sent"), r"\s+"), F.lower
+    )
+    n_pos = F.size(F.filter(toks_low, lambda t: t.isin(*POS_WORDS)))
+    n_neg = F.size(F.filter(toks_low, lambda t: t.isin(*NEG_WORDS)))
+    surfaces = F.array_distinct(
+        F.expr(f"regexp_extract_all(sent, '{ENTITY_TOKEN_PAT}', 0)")
+    )
+    exploded = sentences.select(
+        n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+        F.explode(surfaces).alias("surface"),
+    )
+    agg = exploded.groupBy("surface").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.sum("n_pos").cast("long").alias("n_pos_hits"),
+        F.sum("n_neg").cast("long").alias("n_neg_hits"),
+    )
+    return agg.select(
+        "surface", "n_mentions", "n_pos_hits", "n_neg_hits",
+        F.when(
+            (F.col("n_pos_hits") > 0) & (F.col("n_neg_hits") > 0),
+            F.lit("mixed"),
+        )
+        .when(F.col("n_pos_hits") > 0, F.lit("positive"))
+        .when(F.col("n_neg_hits") > 0, F.lit("negative"))
+        .otherwise(F.lit("neutral")).alias("verdict"),
+    )
