@@ -114,10 +114,18 @@ def tagged_tokens(sentences: DataFrame) -> DataFrame:
     token_idx, word, tag) with marker dispatch (common.py:66-79)."""
     toks = tokens_col(F.col("sent"))
     marker_mode = F.exists(toks, is_marked)
-    df = sentences.select(
+    # struct-carried pre-projection: keeps exists(filter(split(sent)))
+    # evaluated once per SENTENCE, not re-run per exploded token row (the
+    # sentences_to_tokens fix — ExtractGenerator hoists inline aliases
+    # above the Generate otherwise)
+    pre = sentences.select(
         "url", "sent_idx",
-        marker_mode.alias("marker_mode"),
-        F.posexplode(toks).alias("token_idx", "raw_word"),
+        F.struct(marker_mode.alias("mm"), toks.alias("tk")).alias("p"),
+    )
+    df = pre.select(
+        "url", "sent_idx",
+        F.col("p.mm").alias("marker_mode"),
+        F.posexplode("p.tk").alias("token_idx", "raw_word"),
     )
     raw = F.col("raw_word")
     word = strip_marker(raw)
