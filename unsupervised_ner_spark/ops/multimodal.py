@@ -388,12 +388,30 @@ def phash_pairs(
 
     Scale shape: 8 blocking rows per asset, one bucket-size aggregate
     (persisted once with the blocking table), bucket self-join, distinct
-    to pair granularity, expression-side Hamming verify (no Python)."""
+    to pair granularity, packed-long ``bit_count(xor)`` Hamming verify
+    (no Python).
+
+    The signature travels as ONE packed long, not the 64-char bit string
+    (VERDICT r05 item 2): the top bit folds in as -2^63 and the low 63
+    bits via ``conv(_, 2, 10)`` (< 2^63, so the long cast is ANSI-safe
+    for ANY bit string — the _assemble_signed64 SimHash precedent);
+    ``bit_count(sig_a ^ sig_b)`` counts exactly the differing bit
+    positions — bit-identical to the former 64-step per-character walk
+    (the video_scenes/SimHash idiom, guide §2.3: narrower shuffle bytes,
+    no interpreted 64-iteration aggregate per candidate pair)."""
     from unsupervised_ner_spark.caching import scoped_persist
 
+    top = F.when(
+        F.substring("phash_bits", 1, 1) == "1", F.lit(-(2 ** 63))
+    ).otherwise(F.lit(0))
+    packed = signatures.select(
+        "doc_id", "phash_bits",
+        (top + F.conv(F.substring("phash_bits", 2, 63), 2, 10).cast("long"))
+        .alias("sig"),
+    )
     blocks = scoped_persist(
-        signatures.select(
-            "doc_id", "phash_bits",
+        packed.select(
+            "doc_id", "sig",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -403,7 +421,7 @@ def phash_pairs(
                     for i in range(8)
                 ])
             ).alias("b"),
-        ).select("doc_id", "phash_bits", F.col("b.blk").alias("blk"),
+        ).select("doc_id", "sig", F.col("b.blk").alias("blk"),
                  F.col("b.bits").alias("bits"))
     )
     ok = blocks.groupBy("blk", "bits").agg(F.count("*").alias("n")).filter(
@@ -411,19 +429,16 @@ def phash_pairs(
     ).select("blk", "bits")
     small = blocks.join(ok, ["blk", "bits"])
     a = small.select("blk", "bits", F.col("doc_id").alias("doc_a"),
-                     F.col("phash_bits").alias("sig_a"))
+                     F.col("sig").alias("sig_a"))
     b = small.select("blk", "bits", F.col("doc_id").alias("doc_b"),
-                     F.col("phash_bits").alias("sig_b"))
+                     F.col("sig").alias("sig_b"))
     cand = (
         a.join(b, ["blk", "bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
     )
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, j) -> acc + "
-        "IF(substring(sig_a, j, 1) <> substring(sig_b, j, 1), 1, 0))"
-    ).cast("long")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
