@@ -38,18 +38,52 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """doc_id -> distinct k-token shingle md5s (narrow flatMap)."""
-    toks = F.transform(tokens_ws(F.col("text")), F.lower)
-    n = F.size(toks)
-    sh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
-        ),
-    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    """doc_id -> distinct k-token shingle md5s (narrow Arrow-batched map).
+
+    Semantics are IDENTICAL to the former Column-expression form (and to
+    the DuckDB oracle twin): whitespace tokens per Java-regex ``\\s+``
+    (= ``[ \\t\\n\\x0b\\f\\r]+``, empty tokens dropped), lowercased,
+    k-token windows joined with a single space, md5-hexed, first-
+    occurrence-deduped; docs shorter than ``k`` tokens emit the single
+    md5 of the whole joined token list.
+
+    Why mapInPandas and not ``transform``/``slice``/``array_join``
+    Column algebra: higher-order functions evaluate INTERPRETED (no
+    whole-stage codegen), and the per-position slice+join+md5 chain cost
+    ~5 s at sf0.1 vs ~0.6 s for this kernel (measured, 3 reps, noop
+    sink; guide §4.2 — hand whole batches to native code). The stage
+    stays narrow (no shuffle) and ships only (doc_id, text)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    ids.append(doc_id)
+                    shs.append(None)
+                    continue
+                toks = [t.lower() for t in ws.split(text) if t]
+                if len(toks) >= k:
+                    seen = dict.fromkeys(
+                        " ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                else:
+                    seen = {" ".join(toks): None}
+                for s in seen:
+                    ids.append(doc_id)
+                    shs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, shingle string"
     )
 
 
