@@ -331,88 +331,71 @@ SIMHASH_WORDS = 4  # 16-bit blocking words; pigeonhole: any pair within
 
 
 def _simhash_votes(documents: DataFrame) -> DataFrame:
-    """doc_id -> per-bit vote sums b0..b63 (one token explode + aggregate).
+    """doc_id -> per-bit vote sums b0..b63 (narrow Arrow-batched kernel).
 
-    Bit j of a token's hash is taken from md5-hex NIBBLE arithmetic
-    (nibble = conv(hex_char, 16, 10); bit = floor(nibble / 2^p) % 2) — all
-    small-integer ops both engines evaluate identically. Per-doc bit votes
-    (+1/-1) are summed; positive votes set the bit.
+    Semantics are IDENTICAL to the former Column-expression form (and to
+    the DuckDB oracle twin): bit j of a token's md5 is the j-th bit,
+    MSB-first, of the first 8 digest bytes (= the first 16 hex nibbles,
+    ``floor(nibble / 2^(3 - j%4)) % 2``); per-doc vote sums are
+    ``votes_j = 2*ones_j - n_tokens`` (ties => bit 0); zero-token docs
+    emit no row (the explode-drop behavior).
 
-    Execution shape (3 staged projections + 1 aggregate; 64 aggregates
-    each re-deriving the md5 chain was measured 15× slower, and 64
-    separate ±1 sums still cost ~8.5 s at sf0.1): per token the md5 runs
-    once into 16 nibble columns, the 64 ones-bits are PACKED into 16 longs
-    of four 16-bit lanes (lane value = the bit, 0/1), and the per-doc
-    aggregate is 16 lane-parallel sums + one count. Lanes cannot carry
-    into each other (and the signed top lane cannot overflow) while a doc
-    has < 32 768 tokens — far beyond any page-sized document this pipeline
-    processes (reference corpora are sentence/paragraph scale; a
-    pathological longer doc should be chunked upstream, as Common-Crawl
-    page extracts are — and an explicit ``raise_error`` guard on n_tok >=
-    32768 makes any breach a loud per-doc error; ANSI alone only catches
-    the signed top lane, not a silent lower-lane carry). The unpack
-    restores the
-    EXACT vote sums: votes_j = 2·ones_j − n_tokens (ties ⇒ bit 0, same as
-    the ±1 formulation), so the DuckDB oracle's per-bit replay is
-    unchanged."""
-    toks = F.transform(tokens_ws(F.col("text")), F.lower)
-    tok = documents.select("doc_id", F.explode(toks).alias("tok"))
-    nibs = tok.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(F.md5(F.col("tok")), 1 + q, 1), 16, 10)
-            .cast("long")
-            .alias(f"n{q}")
-            for q in range(SIMHASH_BITS // 4)
-        ],
-    )
+    Why mapInPandas: the former shape exploded every token and ran
+    md5 -> 16 conv(substring) nibbles -> 64 lane-packs per token through
+    Catalyst expressions plus a 17-aggregate shuffle — measured ~5.8 s at
+    sf0.1. This kernel runs hashlib md5 + one numpy unpackbits/sum per
+    doc (~0.7 s), ships only (doc_id, text), and removes the
+    explode+groupBy shuffle outright (guide §2.4/§4.2). The 32 768-token
+    lane guard stays loud: a doc at or past it raises per-doc (the
+    former raise_error guard; signatures for such docs would need
+    upstream chunking, not silent truncation)."""
+    import hashlib
+    import re
 
-    def bit(j):
-        return F.pmod(
-            F.floor(F.col(f"n{j // 4}") / F.lit(2 ** (3 - j % 4))), F.lit(2)
-        )
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    schema = "doc_id long, " + ", ".join(f"b{j} long" for j in range(SIMHASH_BITS))
 
-    def pack(k):  # bits 4k..4k+3 -> four 16-bit lanes of one long
-        lanes = [bit(4 * k + i) * F.lit(2 ** (16 * i)) for i in range(4)]
-        return sum(lanes[1:], lanes[0]).alias(f"p{k}")
+    def run(batches):
+        import numpy as np
+        import pandas as pd
 
-    packed = nibs.select("doc_id", *[pack(k) for k in range(SIMHASH_BITS // 4)])
-    agg = packed.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[F.sum(f"p{k}").alias(f"s{k}") for k in range(SIMHASH_BITS // 4)],
-    )
-    # Explicit lane-capacity guard (ADVICE r04): ANSI overflow only trips
-    # when the SIGNED TOP lane's ones-count reaches 32768 — a doc with
-    # >= 65536 tokens whose top-lane count stays lower would silently
-    # carry a lower lane into its neighbor. Fail loudly on any doc at or
-    # past the 32768-token lane capacity instead of relying on ANSI.
-    agg = agg.withColumn(
-        "n_tok",
-        F.when(F.col("n_tok") < F.lit(32768), F.col("n_tok")).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "simhash lane overflow: doc %s has %s tokens (>= 32768"
-                    " lane capacity); chunk the document upstream",
-                    F.col("doc_id").cast("string"),
-                    F.col("n_tok").cast("string"),
-                )
-            ).cast("long")
-        ),
-    )
-    # lane extraction MUST be integer shift+mask: `/` on longs is DOUBLE
-    # division in Spark, and packed sums exceed 2^53, silently losing the
-    # low lanes to float rounding
-    votes = [
-        (
-            2
-            * F.shiftrightunsigned(
-                F.col(f"s{j // 4}"), 16 * (j % 4)
-            ).bitwiseAND(F.lit(65535))
-            - F.col("n_tok")
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    return agg.select("doc_id", *votes)
+        for pdf in batches:
+            ids: list = []
+            votes: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = [t.lower() for t in ws.split(text) if t]
+                n = len(toks)
+                if n == 0:
+                    continue
+                if n >= 32768:
+                    raise ValueError(
+                        f"simhash lane overflow: doc {doc_id} has {n} tokens"
+                        " (>= 32768 lane capacity); chunk the document"
+                        " upstream"
+                    )
+                dig = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8]
+                        for t in toks
+                    ),
+                    dtype=np.uint8,
+                ).reshape(n, 8)
+                ones = np.unpackbits(dig, axis=1).sum(axis=0, dtype=np.int64)
+                ids.append(doc_id)
+                votes.append(2 * ones - n)
+            arr = (
+                np.stack(votes)
+                if votes
+                else np.empty((0, SIMHASH_BITS), dtype=np.int64)
+            )
+            out = {"doc_id": ids}
+            for j in range(SIMHASH_BITS):
+                out[f"b{j}"] = arr[:, j]
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(run, schema)
 
 
 def _word_expr(k: int):
