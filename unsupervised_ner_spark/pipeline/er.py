@@ -90,31 +90,75 @@ def fuzzy_edges(
     test scale, cube-root growth past 10^6 nodes instead of a demo-scale
     constant. The count is one action on the (caller-persisted) node
     table, the IVF-codebook precedent; the DuckDB oracle replays the cap
-    from ``count(*)`` over its nodes CTE."""
+    from ``count(*)`` over its nodes CTE.
+
+    Execution shape (round-6): char shingles, the ``num_hashes`` salted
+    md5 minima AND the band hashes are computed per node in ONE
+    Arrow-batched kernel (semantically identical to the former
+    explode + groupBy-min Column algebra — interpreted HOFs plus a
+    shingle-sized shuffle measured several times the kernel cost, guide
+    §4.2/§2.4). The per-node signature row also carries the distinct
+    shingle array, so the Jaccard verify reuses the SAME persisted table
+    instead of re-deriving shingles from the node table."""
     if max_bucket is None:
         from unsupervised_ner_spark.ops.dedup import adaptive_max_bucket
 
         max_bucket = adaptive_max_bucket(nodes.count(), lo=100)
-    sh = nodes.select(
-        "node_id", "etype", F.explode(_char_shingles(F.col("norm_surface"))).alias("sh")
+    import hashlib
+
+    n_bands = num_hashes // band_size
+    schema = (
+        "node_id string, etype string, shs array<string>, "
+        + ", ".join(f"band_{b} string" for b in range(n_bands))
     )
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("node_id", "etype").agg(*mins)
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(F.struct(F.lit(b).alias("band_id"),
-                              F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
-    # persist the banded table: it feeds the bucket-size aggregate AND both
-    # self-join sides — without it the shingle+minhash work runs 4× (the
-    # round-1 LSH-plan recompute bug, VERDICT "What's wrong" 2)
-    ex = scoped_persist(
-        sig.select("node_id", "etype", F.explode(F.array(*bands)).alias("b")).select(
-            "node_id", "etype", "b.band_id", "b.band_hash"
-        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {"node_id": [], "etype": [], "shs": []}
+            for b in range(n_bands):
+                out[f"band_{b}"] = []
+            for node_id, etype, surf in zip(
+                pdf["node_id"], pdf["etype"], pdf["norm_surface"]
+            ):
+                if surf is None:
+                    continue
+                p = "^" + surf + "$"
+                if len(p) >= 3:
+                    shs = list(dict.fromkeys(
+                        p[i:i + 3] for i in range(len(p) - 2)
+                    ))
+                else:
+                    shs = [p]
+                mh = [
+                    min(
+                        hashlib.md5((f"{i}:" + s).encode("utf-8")).hexdigest()
+                        for s in shs
+                    )
+                    for i in range(num_hashes)
+                ]
+                out["node_id"].append(node_id)
+                out["etype"].append(etype)
+                out["shs"].append(shs)
+                for b in range(n_bands):
+                    key = "|".join(mh[b * band_size:(b + 1) * band_size])
+                    out[f"band_{b}"].append(
+                        hashlib.md5(key.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    # persist the signature table: it feeds the bucket-size aggregate, both
+    # self-join sides AND the verify's shingle arrays — without it the
+    # kernel runs 4× (the round-1 LSH-plan recompute bug)
+    sig = scoped_persist(
+        nodes.select("node_id", "etype", "norm_surface").mapInPandas(run, schema)
+    )
+    ex = sig.select(
+        "node_id", "etype",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
+        ).alias("band_id", "band_hash"),
     )
     sizes = ex.groupBy("etype", "band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = ex.join(
@@ -133,8 +177,9 @@ def fuzzy_edges(
         .select(F.col("a.node_id").alias("node_a"), F.col("b.node_id").alias("node_b"))
         .distinct()
     )
-    # exact Jaccard verify on the candidate pairs
-    shs = nodes.select("node_id", _char_shingles(F.col("norm_surface")).alias("shs"))
+    # exact Jaccard verify on the candidate pairs, shingle arrays from the
+    # same persisted signature table
+    shs = sig.select("node_id", F.col("shs").alias("shs"))
     v = (
         cand.join(shs.withColumnRenamed("node_id", "node_a").withColumnRenamed("shs", "sa"), "node_a")
         .join(shs.withColumnRenamed("node_id", "node_b").withColumnRenamed("shs", "sb"), "node_b")
