@@ -39,8 +39,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, ...) -> pages-shaped input for the KG
-    chain (url:string, html:binary NULL, text, lang)."""
-    d = _t(spark, sf_dir, "documents")
+    chain (url:string, html:binary NULL, text, lang). The scan goes
+    through the adaptive ingest spread (layout.spread_small_scan): the
+    driver's single-row-group parquet otherwise pins the whole narrow
+    tagging chain to one core; at production file counts the spread is a
+    structural no-op."""
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    d = spread_small_scan(_t(spark, sf_dir, "documents"))
     return _pages_of(d)
 
 

@@ -82,7 +82,9 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
                     shs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "shingle": shs})
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    return spread_small_scan(documents.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, shingle string"
     )
 
@@ -395,7 +397,11 @@ def _simhash_votes(documents: DataFrame) -> DataFrame:
                 out[f"b{j}"] = arr[:, j]
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(run, schema)
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    return spread_small_scan(documents.select("doc_id", "text")).mapInPandas(
+        run, schema
+    )
 
 
 def _word_expr(k: int):

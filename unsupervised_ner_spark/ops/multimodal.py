@@ -34,10 +34,16 @@ MEDIA_META = T.StructType(
 
 
 def synth_media(documents: DataFrame) -> DataFrame:
-    """documents -> (doc_id, payload binary): deterministic fake media."""
-    return documents.select(
+    """documents -> (doc_id, payload binary): deterministic fake media.
+    Goes through the adaptive ingest spread: the per-payload Python
+    kernels downstream (aHash/pHash DCT) otherwise run on the single
+    partition a one-row-group parquet scan yields; no-op at production
+    file counts (layout.spread_small_scan)."""
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    return spread_small_scan(documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    ))
 
 
 class MediaDecodeStub:
