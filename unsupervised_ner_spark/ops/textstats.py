@@ -1052,10 +1052,10 @@ def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 4000)
     coverage_ppm) — one row per candidate k.
 
     Scale shape: ONE vocabulary aggregate (map-side combining, bounded by
-    distinct types), then ranking + running sum over the ALREADY
-    AGGREGATED vocab in a single-partition window (the skew_report
-    rationale: vocab tables are millions of rows, not corpus-sized; for
-    web-scale vocabularies pre-prune to tf >= 2 first), then one bounded
+    distinct types), then ranking + running sum via the two-level
+    tf-class prefix sum (``_ranked_tf_table`` — the ops/packing.py
+    posture: the only globally ordered window touches the bounded
+    distinct-tf histogram, never the vocabulary), then one bounded
     per-k lookup row each."""
     from pyspark.sql import Window
 
@@ -1065,16 +1065,11 @@ def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 4000)
     vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
     from unsupervised_ner_spark.caching import scoped_persist
 
-    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
-    # ranked feeds the totals aggregate AND one lookup per k — persist once
+    # ranked feeds the totals aggregate AND one lookup per k — persist
+    # once; rank + running sum come from the two-level tf-class prefix sum
+    # (_ranked_tf_table), never a vocab-sized single-partition window
     ranked = scoped_persist(
-        vocab.select(
-            "tf",
-            F.row_number().over(w).cast("long").alias("rnk"),
-            F.sum("tf").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).cast("long").alias("cum_tf"),
-        )
+        _ranked_tf_table(vocab, "tok").select("tf", "rnk", "cum_tf")
     )
     totals = ranked.agg(
         F.max("rnk").cast("long").alias("n_types_total"),
@@ -1312,15 +1307,16 @@ def textrank_keywords(
         )
     from pyspark.sql import Window
 
+    # top-k via TakeOrdered; rank window over the <= topk survivors only
     w0 = Window.orderBy(F.desc("rank"), F.asc("k"))
     return (
-        r.select(
+        r.orderBy(F.desc("rank"), F.asc("k")).limit(int(topk))
+        .select(
             F.col("k").alias("word"),
             F.col("s").alias("strength"),
             F.col("rank").alias("rank_scaled"),
             F.row_number().over(w0).cast("long").alias("rnk"),
         )
-        .filter(F.col("rnk") <= int(topk))
     )
 
 
@@ -1405,10 +1401,13 @@ def bm25_topk(
     )
     from pyspark.sql import Window
 
+    # top-k via distributed TakeOrdered (orderBy + limit) — never a
+    # corpus-sized single-partition window (VERDICT r05 item 3); the rank
+    # window below runs over the <= k surviving rows only
     w = Window.orderBy(F.desc("bm25_i9"), F.asc("doc_id"))
     return (
-        per_doc.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= int(k))
+        per_doc.orderBy(F.desc("bm25_i9"), F.asc("doc_id")).limit(int(k))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
 
 
@@ -1508,10 +1507,11 @@ def rake_keyphrases(
         .agg(F.count("*").cast("long").alias("n_occurrences"))
         .join(pscore, "phrase")
     )
+    # top-k via TakeOrdered; rank window over the <= topk survivors only
     wtop = Window.orderBy(F.desc("one_score"), F.asc("phrase"))
     return (
-        agg.withColumn("rnk", F.row_number().over(wtop).cast("long"))
-        .filter(F.col("rnk") <= int(topk))
+        agg.orderBy(F.desc("one_score"), F.asc("phrase")).limit(int(topk))
+        .withColumn("rnk", F.row_number().over(wtop).cast("long"))
         .select(
             "phrase", "n_words", "n_occurrences",
             F.col("one_score").alias("score_i9"), "rnk",
@@ -1839,8 +1839,8 @@ def rrf_fusion(
 
     wt = Window.orderBy(F.desc("ti_i9"), F.asc("doc_id"))
     tr = (
-        ti.withColumn("tfidf_rank", F.row_number().over(wt).cast("long"))
-        .filter(F.col("tfidf_rank") <= int(k_each))
+        ti.orderBy(F.desc("ti_i9"), F.asc("doc_id")).limit(int(k_each))
+        .withColumn("tfidf_rank", F.row_number().over(wt).cast("long"))
         .select("doc_id", "tfidf_rank")
     )
     fused = (
@@ -1866,8 +1866,8 @@ def rrf_fusion(
     )
     wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
     return (
-        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
-        .filter(F.col("fused_rank") <= int(k))
+        fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(int(k))
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
     )
 
 
@@ -2056,6 +2056,68 @@ def collocation_llr(documents: DataFrame, min_pair: int = 2) -> DataFrame:
     )
 
 
+
+def _ranked_tf_table(vocab, key_col: str):
+    """Exact (key, tf, rnk, cum_tf) under the order (tf DESC, key ASC)
+    WITHOUT a vocabulary-sized single-partition window (VERDICT r05 item
+    3, the ops/packing.py two-level-prefix-sum posture):
+
+    - tf-CLASS histogram (bounded by distinct tf values) carries the
+      exclusive cross-class offsets: ``class_off`` = # keys in strictly
+      greater tf classes, ``cum_before`` = their summed tf. The only
+      globally ordered window runs over THIS bounded table.
+    - within a class every key shares the same tf, so
+      ``cum_tf = cum_before + pos_in_class * tf`` exactly; the in-class
+      position by key ASC is itself two-level: a leading-2-character
+      key bucket (lexicographic prefix order = key order) gives
+      per-(tf, bucket) windows plus a per-tf bucket-offset window — both
+      PARTITIONED, never the whole vocabulary through one task.
+
+    All arithmetic is integer-exact, so rnk/cum_tf match the former
+    global row_number/running-sum bit for bit."""
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    v = vocab.select(key.alias("k"), F.col("tf").cast("long").alias("tf"))
+    hist = v.groupBy("tf").agg(F.count("*").cast("long").alias("n_c"))
+    w_cls = Window.orderBy(F.desc("tf")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cls = hist.select(
+        "tf",
+        F.coalesce(F.sum("n_c").over(w_cls), F.lit(0)).cast("long")
+        .alias("class_off"),
+        F.coalesce(F.sum(F.col("n_c") * F.col("tf")).over(w_cls), F.lit(0))
+        .cast("long").alias("cum_before"),
+    )
+    b = v.withColumn("pfx", F.substring("k", 1, 2))
+    pc = b.groupBy("tf", "pfx").agg(F.count("*").cast("long").alias("n_p"))
+    w_pfx = Window.partitionBy("tf").orderBy("pfx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    poff = pc.select(
+        "tf", "pfx",
+        F.coalesce(F.sum("n_p").over(w_pfx), F.lit(0)).cast("long")
+        .alias("pfx_off"),
+    )
+    w_in = Window.partitionBy("tf", "pfx").orderBy("k")
+    pos = (
+        b.withColumn("rn_in", F.row_number().over(w_in).cast("long"))
+        .join(poff, ["tf", "pfx"])
+        .join(cls, "tf")
+        .select(
+            F.col("k").alias(key_col),
+            "tf",
+            (F.col("class_off") + F.col("pfx_off") + F.col("rn_in"))
+            .cast("long").alias("rnk"),
+            (F.col("cum_before")
+             + (F.col("pfx_off") + F.col("rn_in")) * F.col("tf"))
+            .cast("long").alias("cum_tf"),
+        )
+    )
+    return pos
+
+
 def zipf_slope(documents: DataFrame) -> DataFrame:
     """Zipf rank-frequency fit — the one-row corpus-health gauge (natural
     text slopes near -1 in log-log space; template farms and token salads
@@ -2070,10 +2132,10 @@ def zipf_slope(documents: DataFrame) -> DataFrame:
     enters the hashed surface.
 
     Scale shape: one explode into a vocabulary-bounded tf aggregate; the
-    rank is a single global window over the VOCABULARY table (never the
-    corpus — at web scale this is the one acceptable single-partition
-    sort, ~10^7 rows; a range-partitioned rank would replace it above
-    that), then one 1-row aggregate."""
+    rank comes from the two-level tf-class prefix sum
+    (``_ranked_tf_table`` — the only globally ordered window touches the
+    bounded distinct-tf histogram, never the vocabulary), then one 1-row
+    aggregate."""
     from pyspark.sql import Window
 
     tf = (
@@ -2085,9 +2147,8 @@ def zipf_slope(documents: DataFrame) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
-    ranked = tf.select(
-        "tf", F.row_number().over(w).cast("long").alias("rank")
+    ranked = _ranked_tf_table(tf, "term").select(
+        "tf", F.col("rnk").alias("rank")
     )
     lr = F.log(F.col("rank").cast("double"))
     lf = F.log(F.col("tf").cast("double"))

@@ -2143,10 +2143,9 @@ def bfs_distances(
     from pyspark.sql import Window
 
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    w = Window.orderBy(F.desc("deg"), F.asc("src"))
-    seeds = deg.select("src", F.row_number().over(w).alias("rnk")).filter(
-        F.col("rnk") <= n_seeds
-    )
+    # top-n_seeds via distributed TakeOrdered, never a node-sized
+    # single-partition window (VERDICT r05 item 3)
+    seeds = deg.orderBy(F.desc("deg"), F.asc("src")).limit(int(n_seeds)).select("src")
     dist = scoped_persist(
         seeds.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist")),
         how="checkpoint",
@@ -2665,10 +2664,12 @@ def landmark_centrality(
         how="checkpoint",
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # top-n_seeds via TakeOrdered; the rank window runs over the <= n_seeds
+    # survivors only (VERDICT r05 item 3)
     w = Window.orderBy(F.desc("deg"), F.asc("src"))
-    seeds = deg.select(
+    seeds = deg.orderBy(F.desc("deg"), F.asc("src")).limit(int(n_seeds)).select(
         "src", F.row_number().over(w).cast("long").alias("seed_rank")
-    ).filter(F.col("seed_rank") <= int(n_seeds))
+    )
     dist = scoped_persist(
         seeds.select(
             F.col("src").alias("seed"),
@@ -2867,11 +2868,13 @@ def _landmark_forward(
         how="checkpoint",
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # top-n_seeds via TakeOrdered (VERDICT r05 item 3); rank window over
+    # the <= n_seeds survivors only
     w = Window.orderBy(F.desc("deg"), F.asc("src"))
     seeds = scoped_persist(
-        deg.select(
+        deg.orderBy(F.desc("deg"), F.asc("src")).limit(int(n_seeds)).select(
             "src", F.row_number().over(w).cast("long").alias("seed_rank")
-        ).filter(F.col("seed_rank") <= int(n_seeds)),
+        ),
         how="checkpoint",
     )
     state = scoped_persist(
@@ -2986,10 +2989,11 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
 
     edges = scoped_persist(edges, how="checkpoint")
     pr = pagerank(edges)
-    w = Window.orderBy(F.desc("rank_scaled"), F.asc("ent"), F.asc("etype"))
+    # root argmax via TakeOrdered-1 (VERDICT r05 item 3), never a
+    # node-sized single-partition window
     root = (
-        pr.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        pr.orderBy(F.desc("rank_scaled"), F.asc("ent"), F.asc("etype"))
+        .limit(1)
         .select(
             F.concat_ws("|", "ent", "etype").alias("k"),
             F.col("ent").alias("root_ent"),
@@ -3837,10 +3841,8 @@ def sssp_weighted(edges: DataFrame, rounds: int = 4) -> DataFrame:
     from pyspark.sql import Window
 
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    w0 = Window.orderBy(F.desc("deg"), F.asc("src"))
-    seed = deg.select("src", F.row_number().over(w0).alias("rnk")).filter(
-        F.col("rnk") <= 1
-    )
+    # argmax via TakeOrdered-1, never a node-sized single-partition window
+    seed = deg.orderBy(F.desc("deg"), F.asc("src")).limit(1)
     dist = scoped_persist(
         seed.select(F.col("src").alias("k"), F.lit(0).cast("long").alias("dist")),
         how="checkpoint",
@@ -4778,26 +4780,38 @@ def graph_stats(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
     counts each edge twice, cancelling the 2 in n(n-1)/2).
 
     Scale shape: symmetrize (narrow union) -> ONE node-keyed degree
-    aggregate (bounded by distinct entities) -> one rank window + one
-    global aggregate over that BOUNDED degree table (the bounded-
-    histogram window precedent — never over corpus rows) -> a single
-    output row. Zero-node/one-node guards keep ANSI division alive."""
+    aggregate (bounded by distinct entities) -> a DEGREE-CLASS histogram
+    (bounded by distinct degree values). Because equal degrees commute in
+    sum(i*d_i), the rank dot-product has the closed class form
+    ``sum_d d*(n_d*o_d + n_d*(n_d+1)/2)`` (o_d = nodes with smaller
+    degree), so the only ordered window is an exclusive prefix sum over
+    the bounded histogram — the former per-NODE global rank window
+    (node-sized, single partition) is gone (VERDICT r05 item 3). Zero-
+    node/one-node guards keep ANSI division alive."""
     from pyspark.sql import Window
 
     sym = edges.select(
         F.concat_ws("|", "ent_a", "type_a").alias("src")
     ).unionAll(edges.select(F.concat_ws("|", "ent_b", "type_b").alias("src")))
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    ranked = deg.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.asc("deg"), F.asc("src")))
-        .cast("long"),
+    hist = deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_d"))
+    w_excl = Window.orderBy("deg").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    agg = ranked.agg(
-        F.count("*").cast("long").alias("n_nodes"),
-        F.sum("deg").cast("long").alias("sum_deg"),
+    off = hist.withColumn(
+        "o_d", F.coalesce(F.sum("n_d").over(w_excl), F.lit(0)).cast("long")
+    )
+    # sum of ranks within one degree class: n_d*o_d + n_d*(n_d+1)/2
+    class_dot = (
+        F.col("deg")
+        * (F.col("n_d") * F.col("o_d")
+           + F.expr("(n_d * (n_d + 1)) div 2"))
+    ).cast("long")
+    agg = off.agg(
+        F.sum("n_d").cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * F.col("n_d")).cast("long").alias("sum_deg"),
         F.max("deg").cast("long").alias("max_deg"),
-        F.sum(F.col("i") * F.col("deg")).cast("long").alias("rank_dot"),
+        F.sum(class_dot).cast("long").alias("rank_dot"),
     )
     return agg.select(
         "n_nodes",
