@@ -5496,7 +5496,7 @@ def q_er_chain_audit(spark, sf_dir):
     fifth with each other (J ~ 0.2, below the banding operating point)
     — 12/11 chained beside 28/27 complete clusters at sf0.001/0.01."""
     from unsupervised_ner_spark.ops.dedup import (
-        adaptive_max_bucket, dedup_clusters, lsh_bucket_pairs,
+        adaptive_max_bucket, lsh_bucket_pairs,
     )
     from unsupervised_ner_spark.pipeline import er
 
@@ -5522,8 +5522,28 @@ def q_er_chain_audit(spark, sf_dir):
     )
     aug = d.unionByName(prefix).unionByName(suffix)
     cap = adaptive_max_bucket(aug.count())
-    clusters = dedup_clusters(aug, max_bucket=cap)
-    pairs = lsh_bucket_pairs(aug, max_bucket=cap)
+    # ONE LSH candidate pass feeds both consumers (round-6: the former
+    # dedup_clusters(aug) + lsh_bucket_pairs(aug) pair banded/shingled the
+    # same corpus twice); the CC + size filter below is exactly
+    # dedup_clusters' derivation over the shared persisted pair table.
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.pipeline.er import connected_components_star
+
+    pairs = scoped_persist(lsh_bucket_pairs(aug, max_bucket=cap))
+    edges = pairs.select(
+        F.col("doc_a").alias("node_a"), F.col("doc_b").alias("node_b")
+    )
+    nodes = aug.select(F.col("doc_id").alias("node_id"))
+    labels, _iters = connected_components_star(nodes, edges)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n_docs"))
+    clusters = (
+        labels.join(sizes.filter(F.col("n_docs") >= 2), "component")
+        .select(
+            F.col("node_id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
     return er.chain_audit(clusters, pairs)
 
 

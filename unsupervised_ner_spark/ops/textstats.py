@@ -169,18 +169,6 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingles5(low_toks: Column) -> Column:
-    """Distinct md5 5-token shingles; docs shorter than 5 tokens collapse
-    to one whole-doc shingle (the jaccard 3-gram fallback precedent)."""
-    n = F.size(low_toks)
-    win = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(low_toks, i, F.lit(5)), " ")),
-    )
-    whole = F.array(F.md5(F.array_join(low_toks, " ")))
-    return F.array_distinct(F.when(n >= 5, win).otherwise(whole))
-
-
 def contamination_screen(
     documents: DataFrame, eval_keep_buckets: int = 256
 ) -> DataFrame:
@@ -196,15 +184,23 @@ def contamination_screen(
     KBs–MBs against a 100 TB corpus), so its distinct (eval_doc, shingle)
     table is BROADCAST — the train-side scan never shuffles on shingle;
     the only exchange is the final per-doc aggregate. At 10^12 docs this
-    is one narrow scan + one doc-keyed agg."""
+    is one narrow scan + one doc-keyed agg.
+
+    The shingle table comes from the shared Arrow kernel
+    (``dedup.shingles`` with k=5 — bit-identical to the former
+    ``_shingles5`` Column algebra, measured several times faster; guide
+    §4.2) and is persisted once: it feeds BOTH the eval and train sides,
+    and the eval flag is a pure function of doc_id recomputed on the
+    shingle row instead of being dragged through the generate."""
+    from unsupervised_ner_spark.caching import scoped_persist
+    from unsupervised_ner_spark.ops.dedup import shingles
     from unsupervised_ner_spark.ops.sampling import _bucket_col
 
     thr = F.lit(f"{eval_keep_buckets:03x}")
-    low = F.transform(tokens_ws(F.col("text")), F.lower)
-    with_sh = documents.select(
-        "doc_id",
-        (_bucket_col(F.col("doc_id")) < thr).alias("is_eval"),
-        F.explode(_shingles5(low)).alias("shingle"),
+    with_sh = scoped_persist(
+        shingles(documents, k=5).withColumn(
+            "is_eval", _bucket_col(F.col("doc_id")) < thr
+        )
     )
     eval_sh = (
         with_sh.filter("is_eval")
