@@ -3045,6 +3045,57 @@ def main() -> None:
     checks.append(("esent: map-side partial aggregation",
                    "partial_" in p284))
 
+    # 285. BLANKET (VERDICT r05 item 3): no gated query may plan a Window
+    # fed by an Exchange SinglePartition UNLESS its input is a provably
+    # bounded table (whitelist below, each entry carrying the bound). The
+    # detection walks every queries() plan: Window -> Sort/AQE nodes ->
+    # Exchange, and checks the exchange's Arguments for SinglePartition
+    # (scripts/scan_global_windows.py, runnable standalone).
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scan_global_windows import global_window_hits  # noqa: E402
+
+    from unsupervised_ner_spark.caching import cache_scope  # noqa: E402
+
+    # query -> why its single-partition window input is bounded (NOT
+    # data-sized): every entry names the bounded table and its envelope.
+    GLOBAL_WINDOW_WHITELIST = {
+        "txt_budget_select": "score-band totals, <= scale/band = 100 rows",
+        "er_sorted_neighborhood": "first-character band totals, <= alphabet",
+        "kg_triple_dataset": "md5-prefix vocab-bucket totals, 256 rows",
+        "kg_negative_samples": "md5-prefix vocab-bucket totals, 256 rows",
+        "rel_skyline": "per-x min-y candidates, <= distinct order days",
+        "txt_filter_funnel": "|rules|+1-row funnel table",
+        "kg_graph_stats": "degree-class histogram, O(sqrt E) rows",
+        "kg_richclub": "degree-threshold curve, O(sqrt E) rows",
+        "rel_value_deciles": "range-partition totals, <= shuffle partitions",
+        "txt_curriculum": "(stage x md5-bucket) totals, 4*256 rows",
+        "txt_zipf_slope": "distinct-tf class histogram, O(sqrt tokens)",
+        "txt_vocab_coverage": "distinct-tf class histogram, O(sqrt tokens)",
+        "kg_tagger_agreement": "|tagset|^2 confusion matrix",
+        "rel_snapshot_expiry": "catalog snapshot metadata, table-bounded",
+        "txt_pack_sequences": "token-bucket totals, bounded bucket count",
+        "txt_pack_manifest": "token-bucket totals, bounded bucket count",
+        "txt_pack_stats": "token-bucket totals, bounded bucket count",
+    }
+    blanket_offenders = []
+    for qname, qfn in entry.queries().items():
+        try:
+            with cache_scope():
+                qp = plan_of(qfn(spark, SF))
+        except Exception as e:  # noqa: BLE001 - diagnostic surface
+            blanket_offenders.append(f"{qname} (PLAN ERROR {e})")
+            continue
+        if global_window_hits(qp) and qname not in GLOBAL_WINDOW_WHITELIST:
+            blanket_offenders.append(qname)
+    checks.append((
+        "BLANKET: no un-whitelisted single-partition Window in any of "
+        f"{len(entry.queries())} gated queries "
+        f"(whitelist={len(GLOBAL_WINDOW_WHITELIST)}, all bounded-table)",
+        not blanket_offenders,
+    ))
+    if blanket_offenders:
+        print("blanket offenders:", blanket_offenders)
+
     failed = [name for name, ok in checks if not ok]
     lines = ["# PLANS — physical-plan evidence for the scale posture", ""]
     lines.append("Checked properties (scripts/capture_plans.py):")

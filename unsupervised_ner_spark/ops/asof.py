@@ -612,28 +612,61 @@ def value_deciles(events: DataFrame) -> DataFrame:
     share — the lift/gain table a spend-concentration dashboard reads
     ("the top decile carries X% of value").
 
-    Scale shape: one user-keyed aggregate (the event store's native
-    sharding), one histogram aggregate bounded by DISTINCT cent totals,
-    the two windows above (bounded / value-partitioned), a value-keyed
-    equi-join back, one 10-row aggregate."""
+    Scale shape (round-6): one user-keyed aggregate (the event store's
+    native sharding), one histogram aggregate over DISTINCT cent totals.
+    Distinct user totals approach the user count at scale (cent sums are
+    nearly unique), so the histogram prefix sum is NOT run as a global
+    single-partition window: the histogram is range-partitioned by
+    (v DESC) — Spark's sampled range exchange, the same machinery a
+    global sort uses, equal keys never split — the running count is a
+    per-range-partition window, and the cross-partition offset is an
+    exclusive prefix over the <= shuffle-partitions-row partition-total
+    table (the packing.py two-level pattern; AQE may coalesce adjacent
+    ranges, which keeps pid monotone in v so the offsets stay exact).
+    cum_before is boundary-placement-independent, hence deterministic.
+    Then the value-partitioned row_number, a value-keyed equi-join back,
+    one 10-row aggregate."""
     from pyspark.sql import Window
+
+    from unsupervised_ner_spark.caching import scoped_persist
 
     cents = F.round(F.col("value") * 100).cast("long")
     users = events.groupBy("user_id").agg(
         F.sum(cents).cast("long").alias("v")
     )
-    hist = users.groupBy("v").agg(F.count("*").cast("long").alias("n_at"))
-    wh = Window.orderBy(F.desc("v")).rowsBetween(
+    nparts = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    hist = scoped_persist(
+        users.groupBy("v").agg(F.count("*").cast("long").alias("n_at"))
+        .repartitionByRange(nparts, F.desc("v"))
+        .withColumn("pid", F.spark_partition_id().cast("long"))
+    )
+    wp = Window.partitionBy("pid").orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # partition totals: bounded by the shuffle partition count, the
+    # documented single-partition window over a BOUNDED table
+    wo = Window.orderBy(F.asc("pid")).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wall = Window.orderBy(F.desc("v")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    offs = (
+        hist.groupBy("pid").agg(F.sum("n_at").cast("long").alias("p_n"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("p_n").over(wo), F.lit(0))
+            .cast("long").alias("p_off"),
+        )
     )
-    cums = hist.select(
-        "v",
-        F.coalesce(F.sum("n_at").over(wh), F.lit(0))
-        .cast("long").alias("cum_before"),
-        F.sum("n_at").over(wall).cast("long").alias("n_total"),
+    tot_users = hist.agg(F.sum("n_at").cast("long").alias("n_total"))
+    cums = (
+        hist.withColumn("in_part_cum", F.sum("n_at").over(wp))
+        .join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot_users))
+        .select(
+            "v",
+            (F.col("p_off") + F.col("in_part_cum") - F.col("n_at"))
+            .cast("long").alias("cum_before"),
+            "n_total",
+        )
     )
     wv = Window.partitionBy("v").orderBy("user_id")
     ranked = users.join(cums, "v").select(

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from unsupervised_ner_spark import dims
 from unsupervised_ner_spark.caching import scoped_persist
 from unsupervised_ner_spark.pipeline import ensemble_rules as R
-from unsupervised_ner_spark.pipeline.typing_sql import typed_mentions_relational
+from unsupervised_ner_spark.pipeline.typing_sql import (
+    mention_scaffold,
+    typed_mentions_relational,
+)
 
 
 def ensemble_mentions_relational(
@@ -25,14 +28,23 @@ def ensemble_mentions_relational(
     model_a: str = "a100",
     model_b: str = "bbc",
 ) -> DataFrame:
-    # both model chains consume the same mention/sentence scaffold —
-    # materialize (lazy localCheckpoint: raw blocks, no columnar encode —
-    # measured in caching.scoped_persist) so the window-heavy mention
-    # detection runs once, not once per model
-    mentions = scoped_persist(mentions, how="checkpoint", tunable=True)
-    sentences = scoped_persist(sentences, how="checkpoint", tunable=True)
-    ta = typed_mentions_relational(mentions, sentences, spark, model_a, include_dist=True)
-    tb = typed_mentions_relational(mentions, sentences, spark, model_b, include_dist=True)
+    # both model chains consume the same mention/sentence scaffold — build
+    # the model-independent scaffold ONCE and materialize it (lazy
+    # localCheckpoint: raw blocks, no columnar encode — measured in
+    # caching.scoped_persist) so the window-heavy mention detection runs
+    # once, not once per model. Round-6: the scaffold is checkpointed
+    # directly (it subsumes the former separate mentions/sentences
+    # checkpoints — nothing else consumes those inputs), which removes two
+    # checkpoint plannings/materializations and one scaffold join per run.
+    scaffold = scoped_persist(
+        mention_scaffold(mentions, sentences), how="checkpoint", tunable=True
+    )
+    ta = typed_mentions_relational(
+        mentions, sentences, spark, model_a, include_dist=True, scaffold=scaffold
+    )
+    tb = typed_mentions_relational(
+        mentions, sentences, spark, model_b, include_dist=True, scaffold=scaffold
+    )
     a = ta.select(
         "url", "sent_idx", "mention_idx", "surface",
         F.col("prediction").alias("pred_a"),

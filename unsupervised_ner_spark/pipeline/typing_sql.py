@@ -58,25 +58,32 @@ def _oov_lit():
     )
 
 
+_FIXTURE_READS: dict = {}
+
+
 def load_fixture_tables(spark: SparkSession, model: str = "a100"):
-    fix = spark.read.parquet(str(FIXTURES / f"descriptor_fixture_{model}.parquet"))
-    sig = spark.read.parquet(str(FIXTURES / f"entity_signatures_{model}.parquet"))
-    emap = spark.read.parquet(str(FIXTURES / "entity_map.parquet"))
-    return fix, sig, emap
+    """Plan handles for the three fixture dimension tables. Cached per
+    (session, model): each ``spark.read.parquet`` costs a driver-side
+    footer/schema read (~60 ms), and the typing/ensemble queries load the
+    same bundle on every call — the handles are lazy scans of package
+    resources (dimension data shipped with the code), so reusing them
+    caches no query results."""
+    key = (spark, model)
+    if key not in _FIXTURE_READS:
+        fix = spark.read.parquet(str(FIXTURES / f"descriptor_fixture_{model}.parquet"))
+        sig = spark.read.parquet(str(FIXTURES / f"entity_signatures_{model}.parquet"))
+        emap = spark.read.parquet(str(FIXTURES / "entity_map.parquet"))
+        _FIXTURE_READS[key] = (fix, sig, emap)
+    return _FIXTURE_READS[key]
 
 
-def typed_mentions_relational(
-    mentions: DataFrame,
-    sentences: DataFrame,
-    spark: SparkSession,
-    model: str = "a100",
-    include_dist: bool = False,
-) -> DataFrame:
-    """mentions(url, sent_idx, mention_idx, begin_tok, end_tok, surface) +
-    sentences(url, sent_idx, sent) -> (url, sent_idx, mention_idx, begin_tok,
-    end_tok, surface, pred_group, prediction [, conf, cs_dist, ci_dist])."""
-    fix, sig, emap = load_fixture_tables(spark, model)
-
+def mention_scaffold(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
+    """The model-INDEPENDENT mention scaffold: mentions joined to their
+    sentence, decorated with the typing head key, blank/numeric flags and
+    the mention key. Factored out (round-6) so the two-model ensemble can
+    build and checkpoint it ONCE instead of once per model chain — the
+    scaffold contains nothing model-specific (the first model-dependent
+    step is the descriptor-fixture join)."""
     surf_toks = F.split(F.col("surface"), " ")
     surf_head = F.lower(F.element_at(surf_toks, -1))
     is_num = F.forall(surf_toks, lambda t: t.rlike("^[0-9]+$"))
@@ -99,24 +106,10 @@ def typed_mentions_relational(
     has_surface = F.length("surface") > 0
     head_cs = F.when(has_surface, surf_head).otherwise(F.coalesce(prev_word, F.lit("")))
 
-    # Materialization policy (measured, VERDICT r02 items 2-3): the mention
-    # scaffold ``m`` and the wide->narrow aggregate ``g1`` each feed 2-4
-    # consumers, but for the single-output path (include_dist=False)
-    # recomputing the narrow column algebra is 2× CHEAPER than a columnar
-    # persist (29.1 s vs 66.6 s at sf0.1) — so no persistence there. The
-    # ensemble path (include_dist=True) consumes g1/m across two model
-    # chains and many more aggregates; without materialization it explodes
-    # (283 s vs 23.4 s) — so it takes a lazy localCheckpoint (raw block
-    # write, no columnar encode; see caching.scoped_persist).
-    # ``sent`` is dropped BEFORE materializing: it exists only to derive
-    # head/blank (computed here) and duplicating every sentence string per
-    # mention made the round-2 cached copy several times the useful data.
-    _mat = (
-        (lambda df: scoped_persist(df, how="checkpoint", tunable=True))
-        if include_dist
-        else (lambda df: df)
-    )
-    m = _mat(
+    # ``sent`` is dropped at the end: it exists only to derive head/blank
+    # (computed here) and duplicating every sentence string per mention made
+    # the round-2 cached copy several times the useful data.
+    return (
         mentions.join(sentences.select("url", "sent_idx", "sent"), ["url", "sent_idx"])
         .withColumn("head", head_cs)
         .withColumn("has_surface", has_surface)
@@ -128,6 +121,42 @@ def typed_mentions_relational(
         )
         .drop("sent")
     )
+
+
+def typed_mentions_relational(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    spark: SparkSession,
+    model: str = "a100",
+    include_dist: bool = False,
+    scaffold: DataFrame | None = None,
+) -> DataFrame:
+    """mentions(url, sent_idx, mention_idx, begin_tok, end_tok, surface) +
+    sentences(url, sent_idx, sent) -> (url, sent_idx, mention_idx, begin_tok,
+    end_tok, surface, pred_group, prediction [, conf, cs_dist, ci_dist]).
+
+    ``scaffold``: a caller-materialized :func:`mention_scaffold` — the
+    two-model ensemble passes the SAME checkpointed scaffold into both
+    model chains (round-6: one scaffold build/planning/materialization
+    instead of two, and the per-model mentions/sentences checkpoints
+    become unnecessary)."""
+    fix, sig, emap = load_fixture_tables(spark, model)
+
+    # Materialization policy (measured, VERDICT r02 items 2-3): the mention
+    # scaffold ``m`` and the wide->narrow aggregate ``g1`` each feed 2-4
+    # consumers, but for the single-output path (include_dist=False)
+    # recomputing the narrow column algebra is 2× CHEAPER than a columnar
+    # persist (29.1 s vs 66.6 s at sf0.1) — so no persistence there. The
+    # ensemble path (include_dist=True) consumes g1/m across two model
+    # chains and many more aggregates; without materialization it explodes
+    # (283 s vs 23.4 s) — so it takes a lazy localCheckpoint (raw block
+    # write, no columnar encode; see caching.scoped_persist).
+    _mat = (
+        (lambda df: scoped_persist(df, how="checkpoint", tunable=True))
+        if include_dist
+        else (lambda df: df)
+    )
+    m = scaffold if scaffold is not None else _mat(mention_scaffold(mentions, sentences))
 
     numeric = m.filter("is_num").select(
         "url", "sent_idx", "mention_idx", "begin_tok", "end_tok", "surface",
@@ -203,10 +232,21 @@ def typed_mentions_relational(
     # g1 is the wide->narrow pinch point: everything upstream (descriptor
     # explode + softmax algebra) is expensive, everything downstream tiny.
     # Materialized only on the multi-consumer ensemble path (see _mat note).
+    #
+    # Round-6 (guide §2.4 "share one exchange"): g1 is re-keyed to
+    # hashpartitioning(mkey) right after the aggregate. Every downstream
+    # operator clusters on a key set CONTAINING mkey — groupBy (mkey, side,
+    # grp[, label]), Window.partitionBy(mkey[, side|grp]), the mkey equi-
+    # joins — and hashpartitioning(mkey) satisfies all those clustered
+    # distributions, so the whole tail plans ZERO further exchanges
+    # (measured: 9 -> 2 Exchange on the include_dist=False plan). The extra
+    # exchange moves only the aggregated per-mention rows, and the
+    # localCheckpoint on the ensemble path stores the mkey partitioning in
+    # its LogicalRDD, so both model chains inherit it for free.
     g1 = _mat(
-        lab.groupBy("mkey", "blank", "side", "grp", "label").agg(
-            F.sum("contrib").alias("sc"), F.sum("cnt").alias("c")
-        )
+        lab.groupBy("mkey", "blank", "side", "grp", "label")
+        .agg(F.sum("contrib").alias("sc"), F.sum("cnt").alias("c"))
+        .repartition("mkey")
     )
 
     # A1: sum per (mention, side, group); normalize per side
@@ -214,8 +254,17 @@ def typed_mentions_relational(
     wside = Window.partitionBy("mkey", "side")
     side_grp = side_grp.withColumn("conf", F.col("s") / F.sum("s").over(wside))
 
-    # side fallback: a side with no surviving labels contributes OTHER conf 1
-    all_sides = sides.select("mkey", "blank", "side").distinct()
+    # side fallback: a side with no surviving labels contributes OTHER conf 1.
+    # Every mention has exactly the two sides {ci, cs} (the fix join is 1:1
+    # — ``term`` is unique in the descriptor fixture — and ``sides`` emits
+    # one row per side unconditionally), so the side universe is derived
+    # from the mention scaffold directly instead of re-running the whole
+    # descriptor chain through a distinct (round-6: removes one full
+    # upstream recompute + a mention-sized dedup shuffle, guide §2.4).
+    all_sides = mm.select(
+        "mkey", "blank",
+        F.explode(F.array(F.lit("ci"), F.lit("cs"))).alias("side"),
+    )
     missing = all_sides.join(
         side_grp.select("mkey", "side").distinct(), ["mkey", "side"], "left_anti"
     )
@@ -223,7 +272,10 @@ def typed_mentions_relational(
         "mkey", "blank", "side",
         F.lit("OTHER").alias("grp"), F.lit(1.0).alias("s"), F.lit(1.0).alias("conf"),
     )
-    side_grp = side_grp.unionByName(fallback)
+    # the union's children carry different partitionings, which would void
+    # the mkey clustering for every consumer below; one re-key of the small
+    # per-(mention, side, group) table restores it (see the g1 note)
+    side_grp = side_grp.unionByName(fallback).repartition("mkey")
 
     # A4 pooling: sum side-normalized confidences per group, SKIPPING the CI
     # side of blank-probe sentences (batched_main_NER.py:172-173)
