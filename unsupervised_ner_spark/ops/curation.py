@@ -89,6 +89,14 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     free. countDistinct plans as partial aggregates (no naive global
     distinct); for approximate-tolerant dashboards swap in
     approx_count_distinct, documented knob."""
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    # The 4-way countDistinct plans an Expand (rows x (n_distincts + 1))
+    # FEEDING the partial aggregate, which otherwise runs entirely inside
+    # an under-split scan's single task (guide §2.5); the adaptive spread
+    # parallelizes the expand+partial segment and is a structural no-op at
+    # production file counts.
+    df = spread_small_scan(df.select(*cols))
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         aggs += [

@@ -59,6 +59,21 @@ def _norm(a):
     )
 
 
+def _vecs(embeddings, *extra):
+    """(vec_id, v double-array[, extra]) over the adaptive ingest spread
+    (layout.spread_small_scan, guide §2.5): an under-split embeddings scan
+    otherwise runs the whole narrow SRP-hash/cosine segment on ONE core —
+    measured 3.2 s for the 2,000-vector sf0.1 init. Structural no-op at
+    production file counts."""
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+
+    return spread_small_scan(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), *extra
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5
 ) -> DataFrame:
@@ -66,9 +81,7 @@ def cosine_topk_bruteforce(
 
     Returns (query_id, rank, neighbor_id). Ordering: cosine desc, id asc
     (deterministic tie-break)."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -121,9 +134,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int | None = None) -> DataFra
 
     Returns (vec_id, centroid_id) — the IVF cell table. At scale this is
     the bucketing/partition key for ANN probes."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     cents = sampled_centroids(emb, n_centroids)
     joined = emb.crossJoin(F.broadcast(cents))
     d2 = _d2(F.col("v"), F.col("cv"))
@@ -151,9 +162,7 @@ def ivf_topk_probe(
     nprobe rows — still tiny, still broadcast; candidates are ~nprobe/√N
     of the corpus per query. Cells are disjoint, so no candidate dedup is
     needed. ``nprobe=1`` reproduces ``ivf_topk`` exactly."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     cents = sampled_centroids(emb, n_centroids)
     d2 = _d2(F.col("v"), F.col("cv"))
     dists = emb.crossJoin(F.broadcast(cents)).select(
@@ -195,9 +204,7 @@ def ivf_topk(
     centroid_id; the query side is broadcast; the per-cell top-k is a
     window over cells, never a full scan."""
     assign = ivf_assign(embeddings, n_centroids)
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(assign, "vec_id")
+    emb = _vecs(embeddings).join(assign, "vec_id")
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -267,9 +274,7 @@ def pq_codes(
     Scale shape: one broadcast of the m × ksub codebook against the
     exploded corpus (m rows per vector), one per-(vec, sub) argmin —
     narrow except the window, which keys on vec_id (uniform)."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     sub = _subspaces(emb, m)
     cb = pq_subcodebook(emb, m, ksub)
     d2 = _d2(F.col("subv"), F.col("scv"))
@@ -305,9 +310,7 @@ def ivfpq_topk(
     Scale shape: the code table shuffles once on the cell id; the
     distance table is n_queries × m × ksub rows — broadcast; the ADC is
     one map-side-combining integer aggregate keyed on (query, candidate)."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     codes = pq_codes(embeddings, m, ksub)
     assign = ivf_assign(embeddings, n_centroids)
     qv = emb.filter(F.col("vec_id") < n_queries)
@@ -367,9 +370,7 @@ def range_search(
     distance passes a triangle-inequality bound) is the 100 TB path once
     tau is tight; at moderate tau range search is inherently scan-shaped.
     """
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -596,9 +597,7 @@ def kmeans_update(
     step (each task emits at most k x d partials). The assignment is
     computed inline (not via ivf_assign + self-join) so the corpus is
     shuffled once, not twice."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     cents = sampled_centroids(emb, n_centroids)
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     assigned = (
@@ -644,9 +643,7 @@ def cluster_quality(
     cell-keyed between two bounded tables."""
     from unsupervised_ner_spark.caching import scoped_persist
 
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     cents = scoped_persist(sampled_centroids(emb, n_centroids))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     d2q = F.floor(F.col("d2") * scale).cast("long")
@@ -717,11 +714,7 @@ def hard_negatives(
     is a bounded window. The production path at 10^9 vectors swaps the
     corpus scan for the IVF cell probe (ivf_topk_probe) — same contract,
     cell-bounded candidates."""
-    emb = embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.col("label").cast("long").alias("label"),
-    )
+    emb = _vecs(embeddings, F.col("label").cast("long").alias("label"))
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -787,9 +780,7 @@ def nn_descent_round(
     from unsupervised_ner_spark.ops.dedup import icbrt_ceil
 
     emb = scoped_persist(
-        embeddings.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
+        _vecs(embeddings)
     )
     if bucket_cap is None:
         bucket_cap = max(50, min(5000, icbrt_ceil(max(emb.count(), 1))))
@@ -937,9 +928,7 @@ def graph_beam_search(
     from unsupervised_ner_spark.ops.dedup import icbrt_ceil
 
     emb = scoped_persist(
-        embeddings.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
+        _vecs(embeddings)
     )
     if bucket_cap is None:
         bucket_cap = max(50, min(5000, icbrt_ceil(max(emb.count(), 1))))
@@ -1022,6 +1011,8 @@ def filtered_topk(
         "vec_id", F.col("label").cast("long").alias("label"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    from unsupervised_ner_spark.ops.layout import spread_small_scan
+    emb = spread_small_scan(emb)
     counts = emb.groupBy("label").agg(
         F.count("*").cast("long").alias("n_label")
     )
@@ -1084,9 +1075,7 @@ def mmr_rerank(
     from unsupervised_ner_spark.caching import scoped_persist
 
     lam = int(lam_tenths)
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _vecs(embeddings)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

@@ -322,7 +322,16 @@ def connected_components_star(
         large = g.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("a"), m.alias("b")
         )
-        E1 = canon(large)
+        # round-6 (guide §2.4): large's emissions feed small-star WITHOUT the
+        # former intermediate canon() distinct — one less exchange+dedup per
+        # round. Safe: every emission already satisfies a > b (v > u >= m),
+        # duplicate (v, m) rows cannot change a per-u MIN, and the round's
+        # final canon() dedups the emission multiset; labels are
+        # bit-identical (er_components hash gate + star/minlabel equivalence
+        # property re-run after the change). Emission multiset is bounded by
+        # |both_dirs(E)| = 2|E|, so the small-star window shuffles at most 2x
+        # the deduped edge rows — the trade for skipping a full-edge shuffle.
+        E1 = large
         # small-star over the ≤-oriented edges of E1; the (u, mv) self-edge
         # rows are emitted once per g2 row and deduped by canon()'s distinct
         g2 = both_dirs(E1).filter(F.col("v") < F.col("u")).withColumn(
@@ -4151,9 +4160,16 @@ def entity_top_facts(support: DataFrame, k: int = 3) -> DataFrame:
     Scale shape: salience is one symmetrizing union + map-side
     aggregate over the BOUNDED support table (distinct graph edges);
     the rank window partitions on subj_id (per-entity sort, never
-    global); output k rows per subject."""
+    global); output k rows per subject. The support table feeds THREE
+    plan references (both salience union legs + the ranked join), so it
+    is persisted here — without it the whole upstream canonical chain
+    replans/replays per reference (round-6: the q_kg_pra precedent,
+    measured 9.0 -> ~7 s on kg_entity_facts at sf0.1)."""
     from pyspark.sql import Window
 
+    from unsupervised_ner_spark.caching import scoped_persist
+
+    support = scoped_persist(support)
     sal = (
         support.select(F.col("subj_id").alias("ent"), "n_support")
         .unionAll(support.select(F.col("obj_id").alias("ent"), "n_support"))
