@@ -98,8 +98,10 @@ def fuzzy_edges(
     explode + groupBy-min Column algebra — interpreted HOFs plus a
     shingle-sized shuffle measured several times the kernel cost, guide
     §4.2/§2.4). The per-node signature row also carries the distinct
-    shingle array, so the Jaccard verify reuses the SAME persisted table
-    instead of re-deriving shingles from the node table."""
+    shingle array, which rides the band explode into both self-join
+    sides so the exact Jaccard verify runs inline on the joined row (no
+    re-attach joins; the pair dedup runs below the verify on the far
+    smaller verified edge set)."""
     if max_bucket is None:
         from unsupervised_ner_spark.ops.dedup import adaptive_max_bucket
 
@@ -154,8 +156,16 @@ def fuzzy_edges(
     sig = scoped_persist(
         nodes.select("node_id", "etype", "norm_surface").mapInPandas(run, schema)
     )
+    # round-6 (guide §2.4): the shingle array rides the band explode into
+    # BOTH self-join sides, so the exact Jaccard verify runs INLINE on the
+    # joined row — the former shape re-attached shingles to the distinct
+    # candidate pairs via two more shuffle joins against the signature
+    # table. The pair dedup moves BELOW the verify (a pair colliding in
+    # several bands is re-verified per collision — bounded by n_bands —
+    # and the distinct now runs on the far smaller VERIFIED edge set
+    # instead of the candidate set). Same verified pairs, 2 fewer joins.
     ex = sig.select(
-        "node_id", "etype",
+        "node_id", "etype", "shs",
         F.posexplode(
             F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
         ).alias("band_id", "band_hash"),
@@ -166,7 +176,9 @@ def fuzzy_edges(
         ["etype", "band_id", "band_hash"],
     )
     a, b = ok.alias("a"), ok.alias("b")
-    cand = (
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    union = F.size(F.array_union(F.col("a.shs"), F.col("b.shs")))
+    return (
         a.join(
             b,
             (F.col("a.etype") == F.col("b.etype"))
@@ -174,19 +186,32 @@ def fuzzy_edges(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.node_id") < F.col("b.node_id")),
         )
+        .filter(inter >= union * F.lit(jaccard_threshold))
         .select(F.col("a.node_id").alias("node_a"), F.col("b.node_id").alias("node_b"))
         .distinct()
     )
-    # exact Jaccard verify on the candidate pairs, shingle arrays from the
-    # same persisted signature table
-    shs = sig.select("node_id", F.col("shs").alias("shs"))
-    v = (
-        cand.join(shs.withColumnRenamed("node_id", "node_a").withColumnRenamed("shs", "sa"), "node_a")
-        .join(shs.withColumnRenamed("node_id", "node_b").withColumnRenamed("shs", "sb"), "node_b")
+
+
+def _sym_persist(edges: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst) co-occurrence adjacency, persisted once —
+    the shared prefix of every bounded-round graph loop (LPA votes,
+    PageRank/Katz power steps, BFS relaxations, WL refinement, ANF
+    merges...). Deliberately NOT pre-partitioned: the per-round node-table
+    joins plan as broadcasts wherever the node table fits (which a hash
+    partitioning cannot improve), and a measured pre-partitioning attempt
+    added one edge-sized exchange without eliding any (round-6 A/B,
+    plan-verified)."""
+    return scoped_persist(
+        edges.select(
+            F.concat_ws("|", "ent_a", "type_a").alias("src"),
+            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
+        ).unionAll(
+            edges.select(
+                F.concat_ws("|", "ent_b", "type_b").alias("src"),
+                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
+            )
+        )
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    return v.filter(inter >= union * F.lit(jaccard_threshold)).select("node_a", "node_b")
 
 
 def connected_components(
@@ -917,17 +942,7 @@ def pagerank(
     coalesce(0) is belt-and-braces only.
     """
     tele = 15 * scale // 100
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     deg = scoped_persist(
         sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
         .select(F.col("src").alias("k"), "deg")
@@ -1534,17 +1549,7 @@ def _lpa_labels(edges: DataFrame, iterations: int) -> tuple[DataFrame, DataFrame
     after ``iterations`` synchronous deterministic-vote rounds."""
     from pyspark.sql import Window
 
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     labels = sym.select(F.col("src").alias("k")).distinct().select(
         "k", F.col("k").alias("lbl")
     )
@@ -1620,17 +1625,7 @@ def deterministic_walks(
     neighbour)) argmin per walk. A hub's candidate fan-out is its degree
     — the same bounded skew the vote aggregate has. ``steps`` rounds
     total; no window, no collect."""
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     nodes = sym.select(F.col("src").alias("origin")).distinct()
     wids = [F.lit(i).cast("long").alias("walk_id") for i in range(walks_per_node)]
     frontier = nodes.select(
@@ -1904,17 +1899,7 @@ def personalized_pagerank(
     equi-join plus one dst-keyed map-side-combining sum. The seed flag is
     a column on the node table, never a separate join."""
     tele = 15 * scale // 100
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     is_seed = (
         F.split(F.col("k"), r"\|")[1] == F.lit(seed_type)
     ).cast("long")
@@ -1976,17 +1961,7 @@ def deterministic_walks2(
     the persisted aggregated edge list; never a neighborhood broadcast).
     Frontier stays n_nodes*walks rows; argmin is the same min-struct
     aggregate."""
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     # canonical undirected pair table for prev-adjacency probes
     epair = scoped_persist(
         sym.filter(F.col("src") < F.col("dst")).select(
@@ -2601,19 +2576,27 @@ def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFra
     a = None
 
     def _step(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
-        """One half-round: sum vec over edges into key_out, renormalize."""
+        """One half-round: sum vec over edges into key_out, renormalize.
+
+        Round-6 (guide §2.4): the former per-half-step ``nodes`` LEFT
+        JOIN that zero-filled missing keys is gone — a zero-valued node
+        contributes nothing to any neighbour sum and HITS has no
+        additive/teleport term (unlike pagerank/katz, where the base
+        term forces the zero-fill to stay), so propagating only the
+        non-zero support is value-identical; max(raw) over the support
+        equals max over the zero-filled table (raw sums are
+        non-negative). Missing keys are zero-filled ONCE at the output
+        join instead. Removes ``2*rounds`` node-keyed joins from the
+        loop."""
         raw = (
             edges.join(vec.withColumnRenamed("k", key_in), key_in)
             .groupBy(key_out)
             .agg(F.sum("v").cast("long").alias("raw"))
+            .withColumnRenamed(key_out, "k")
         )
-        full = (
-            nodes.join(raw.withColumnRenamed(key_out, "k"), "k", "left")
-            .select("k", F.coalesce("raw", F.lit(0)).cast("long").alias("raw"))
-        )
-        mx = full.agg(F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx"))
+        mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx"))
         return scoped_persist(
-            full.crossJoin(F.broadcast(mx)).select(
+            raw.crossJoin(F.broadcast(mx)).select(
                 "k",
                 F.expr(f"CAST((raw * CAST({int(scale)} AS BIGINT)) div mx AS BIGINT)")
                 .alias("v"),
@@ -2625,13 +2608,13 @@ def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFra
         a = _step(h, "src", "dst")   # authority <- sum of hub over in-edges
         h = _step(a, "dst", "src")   # hub <- sum of authority over out-edges
     out = (
-        nodes.join(h.withColumnRenamed("v", "hub_scaled"), "k")
-        .join(a.withColumnRenamed("v", "auth_scaled"), "k")
+        nodes.join(h.withColumnRenamed("v", "hub_scaled"), "k", "left")
+        .join(a.withColumnRenamed("v", "auth_scaled"), "k", "left")
     )
     return out.select(
         F.col("k").alias("node_id"),
-        F.col("hub_scaled").cast("long").alias("hub_scaled"),
-        F.col("auth_scaled").cast("long").alias("auth_scaled"),
+        F.coalesce("hub_scaled", F.lit(0)).cast("long").alias("hub_scaled"),
+        F.coalesce("auth_scaled", F.lit(0)).cast("long").alias("auth_scaled"),
     )
 
 
@@ -3010,17 +2993,7 @@ def ego_subgraph(edges: DataFrame, hops: int = 2) -> DataFrame:
         )
     )
     root = scoped_persist(root, how="checkpoint")
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     dist = scoped_persist(
         root.select("k", F.lit(0).cast("long").alias("dist")),
         how="checkpoint",
@@ -4384,17 +4357,7 @@ def katz_index(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     aggregate map-side combines onto the bounded pair space."""
     from unsupervised_ner_spark.ops.dedup import icbrt_ceil
 
-    sym = scoped_persist(
-        edges.select(
-            F.concat_ws("|", "ent_a", "type_a").alias("src"),
-            F.concat_ws("|", "ent_b", "type_b").alias("dst"),
-        ).unionAll(
-            edges.select(
-                F.concat_ws("|", "ent_b", "type_b").alias("src"),
-                F.concat_ws("|", "ent_a", "type_a").alias("dst"),
-            )
-        )
-    )
+    sym = _sym_persist(edges)
     if max_degree is None:
         max_degree = max(16, min(4096, icbrt_ceil(max(sym.count(), 1))))
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
@@ -5370,7 +5333,11 @@ def louvain_move(edges: DataFrame, iterations: int = 4) -> DataFrame:
     deg = scoped_persist(
         sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     )
-    m = edges.agg(F.count("*").cast("long").alias("m"))
+    # m from the PERSISTED symmetrized adjacency (|sym| = 2|edges| exactly —
+    # the unionAll doubles every row), not from the raw ``edges`` input: the
+    # latter replayed the whole upstream typed-mention/co-occurrence chain
+    # just to count it (round-6, guide §2.4/§5 recompute audit)
+    m = sym.agg(F.expr("CAST(count(*) div 2 AS BIGINT)").alias("m"))
     # i's edges into each neighbouring community
     k_ic = (
         sym.join(memb.select(F.col("k").alias("dst"), "lbl"), "dst")
