@@ -27,6 +27,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+        # when its build-side size conditions hold — skips both sort passes;
+        # measured equal-or-faster on every probed query (round-6 A/B, six
+        # heavy queries, 0-7%). Scale-safe: the planner still requires the
+        # per-partition build side to fit (canBuildLocalHashMap), and AQE
+        # skew-join stays on as the backstop.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
