@@ -1553,7 +1553,11 @@ def _lpa_labels(edges: DataFrame, iterations: int) -> tuple[DataFrame, DataFrame
     labels = sym.select(F.col("src").alias("k")).distinct().select(
         "k", F.col("k").alias("lbl")
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lbl"))
+    # round-6 (guide §2.3): the per-round argmax is a min-STRUCT aggregate,
+    # not a row_number window — ``min(struct(-cnt, lbl)).lbl`` realizes the
+    # identical deterministic (cnt DESC, lbl ASC) vote (cnt >= 1 so -cnt is
+    # overflow-free), gets map-side partial aggregation before its exchange,
+    # and replaces the window's partition sort with a hash aggregate.
     for _ in range(iterations):
         votes = (
             sym.join(labels.select(F.col("k").alias("src"), "lbl"), "src")
@@ -1561,9 +1565,13 @@ def _lpa_labels(edges: DataFrame, iterations: int) -> tuple[DataFrame, DataFrame
             .agg(F.count("*").cast("long").alias("cnt"))
         )
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("k"), "lbl")
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))
+                ).alias("top")
+            )
+            .select(F.col("dst").alias("k"), F.col("top.lbl").alias("lbl"))
         )
     return sym, labels
 
@@ -2587,8 +2595,14 @@ def hits(support: DataFrame, rounds: int = 2, scale: int = 1_000_000) -> DataFra
         equals max over the zero-filled table (raw sums are
         non-negative). Missing keys are zero-filled ONCE at the output
         join instead. Removes ``2*rounds`` node-keyed joins from the
-        loop."""
-        raw = (
+        loop.
+
+        ``raw`` feeds TWO consumers — the 1-row max aggregate and the
+        renormalization map — so it is persisted (node-sized integer
+        table; the webtext host-HITS precedent): unpersisted, the
+        join+groupBy subtree executes twice per half-step, once inside
+        the broadcast build and once for the output pass."""
+        raw = scoped_persist(
             edges.join(vec.withColumnRenamed("k", key_in), key_in)
             .groupBy(key_out)
             .agg(F.sum("v").cast("long").alias("raw"))
@@ -5377,17 +5391,26 @@ def louvain_move(edges: DataFrame, iterations: int = 4) -> DataFrame:
             ).cast("long").alias("score"),
         )
     )
+    # round-6 (guide §2.4/§5): best AND stay come out of ONE windowed pass —
+    # both windows share partitionBy(src), so the stay score (the own-
+    # community row's score, unique per src) rides the same exchange+sort as
+    # the argmax instead of a second full evaluation of the unpersisted
+    # ``scored`` subtree (k_ic aggregate + 3 joins) plus a join to re-attach
+    # it. Same rows, same values; one Window exchange, zero re-compute.
     wn = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("lbl"))
-    best = (
+    wsrc = Window.partitionBy("src")
+    out = (
         scored.withColumn("rn", F.row_number().over(wn))
+        .withColumn(
+            "stay_score",
+            F.max(
+                F.when(F.col("lbl") == F.col("own_lbl"), F.col("score"))
+            ).over(wsrc),
+        )
         .filter(F.col("rn") == 1)
-        .select("src", F.col("lbl").alias("best_lbl"),
-                F.col("score").alias("best_score"), "own_lbl")
-    )
-    stay = scored.filter(F.col("lbl") == F.col("own_lbl")).select(
-        "src", F.col("score").alias("stay_score")
-    )
-    out = best.join(stay, "src").select(
+        .select("src", "own_lbl", F.col("lbl").alias("best_lbl"),
+                F.col("score").alias("best_score"), "stay_score")
+    ).select(
         "src", "own_lbl", "best_lbl", "best_score", "stay_score",
         F.when(
             (F.col("best_lbl") != F.col("own_lbl"))
