@@ -1037,20 +1037,29 @@ def ppjoin_pairs(
     ((tau_ppm*n + 999999) div 1e6) on both engines."""
     sh = scoped_persist(shingles(documents, k))
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    shd = scoped_persist(sh.join(dfreq, "shingle"))
     from pyspark.sql import Window
 
+    # round-6 (guide §2.3/§2.4): the doc's shingle-set size rides the SAME
+    # doc-keyed window exchange as the prefix rank (count over the
+    # partition), replacing the former sizes aggregate + join back; and the
+    # verify runs INLINE on per-doc shingle ARRAYS attached to the (small,
+    # distinct) candidate pairs — size(array_intersect) IS n_common because
+    # shingles() emits first-occurrence-deduped rows — replacing the former
+    # candidate-pair re-expansion into shingle rows (two joins + a count
+    # aggregate) and the two size-attach joins (n_a/n_b = size of the
+    # attached arrays). Same (doc_a, doc_b, n_common, n_a, n_b) rows;
+    # three fewer exchanges and no row-expanding join.
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-    sizes = shd.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    ranked = (
-        shd.withColumn("rn", F.row_number().over(wdoc).cast("long"))
-        .join(sizes, "doc_id")
-        .withColumn(
-            "plen",
-            F.col("n_sh")
-            - F.expr(f"({int(tau_ppm)} * n_sh + 999999) div 1000000")
-            + 1,
-        )
+    wall = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(wdoc).cast("long").alias("rn"),
+        F.count("*").over(wall).cast("long").alias("n_sh"),
+    ).withColumn(
+        "plen",
+        F.col("n_sh")
+        - F.expr(f"({int(tau_ppm)} * n_sh + 999999) div 1000000")
+        + 1,
     )
     prefix = ranked.filter(F.col("rn") <= F.col("plen")).select(
         "doc_id", "shingle"
@@ -1068,29 +1077,23 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    common = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
+    arrs = scoped_persist(
+        sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     )
     out = (
-        common.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-            ),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-            ),
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
             "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
         )
         .filter(
             F.col("n_common") * 1_000_000
