@@ -34,6 +34,17 @@ def get_spark(
         # per-partition build side to fit (canBuildLocalHashMap), and AQE
         # skew-join stays on as the backstop.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Long many-query sessions (the bench/correctness harnesses run all
+        # 339 queries in ONE session): the default 100-entry codegen cache
+        # evicts constantly across hundreds of distinct wide plans, so every
+        # pass re-pays Janino compilation (measured 5-25 s spikes on the
+        # widest plans); and dead RDD/broadcast blocks linger until a full
+        # GC lets the ContextCleaner run, inflating block-manager pressure
+        # mid-session. Both knobs are session-shape-dependent, not
+        # data-scale-dependent — a production cluster submitting one job per
+        # query can drop them.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
