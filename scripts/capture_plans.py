@@ -44,7 +44,13 @@ def main() -> None:
     stages = run_pipeline(pages, lang_filter="en")
     p1 = plan_of(stages["tags"])
     sections.append(("KG production chain (pages -> BIO tags)", p1))
-    checks.append(("narrow tagging chain: no Exchange", "Exchange" not in p1))
+    # the adaptive ingest spread (layout.spread_small_scan) adds ONE
+    # round-robin exchange at the head when the scan is under-split; the
+    # chain itself stays shuffle-free — no key (hash/range) exchange.
+    checks.append(("tagging chain: no key exchange (ingest-spread "
+                   "round-robin only)",
+                   "hashpartitioning" not in p1
+                   and "rangepartitioning" not in p1))
     checks.append(("vectorized Python stage present", "MapInPandas" in p1))
     checks.append((
         "lang filter pushed to parquet scan",
@@ -139,8 +145,12 @@ def main() -> None:
         # InMemoryTableScan reference, so count DISTINCT MapInPandas node
         # ids — exactly one means exactly one tagging stage in the query
         mip_ids = set(re.findall(r"MapInPandas(?: |\s*\()(\d+)\)?", p7))
-        checks.append(("single tagging pass: branches read the cached tagged table",
-                       "InMemoryTableScan" in p7 and len(mip_ids) <= 1))
+        # two distinct kernels since the round-6 fuzzy-edge signature
+        # fusion: the tagging kernel and the ER signature kernel — each
+        # runs ONCE; branches read the cached tagged table
+        checks.append(("tagging + ER signature kernels each planned once: "
+                       "branches read the cached tagged table",
+                       "InMemoryTableScan" in p7 and len(mip_ids) <= 2))
         checks.append(("salted subj/obj membership joins",
                        "ssalt" in p7 and "osalt" in p7))
         checks.append(("CC labels materialized (lineage cut): ExistingRDD scan",
@@ -878,8 +888,9 @@ def main() -> None:
     sections.append(("Label-propagation communities (kg_communities)", p77))
     checks.append(("communities: adjacency persisted once",
                    "InMemoryTableScan" in p77))
-    checks.append(("communities: vote window partitioned by node",
-                   "windowspecdefinition(dst" in p77))
+    checks.append(("communities: vote argmax is a map-side-combining "
+                   "min-struct aggregate (no window)",
+                   "Window" not in p77 and "partial_min" in p77))
 
     # 78. deterministic walks: adjacency persisted once; each hop is an
     # aggregate argmin (min(struct)) — NO window anywhere in the plan
@@ -990,8 +1001,10 @@ def main() -> None:
     # 90. aHash: ONE Arrow-batched Python stage, narrow map-only
     p90 = plan_of(entry.q_mm_ahash(spark, SF))
     sections.append(("Perceptual average-hash (mm_ahash)", p90))
-    checks.append(("ahash: vectorized Python stage, no exchange",
-                   "MapInPandas" in p90 and "Exchange" not in p90))
+    checks.append(("ahash: vectorized Python stage, no key exchange "
+                   "(ingest-spread round-robin only)",
+                   "MapInPandas" in p90 and "hashpartitioning" not in p90
+                   and "rangepartitioning" not in p90))
 
     # 91. PPR: adjacency persisted once across the unrolled power steps
     p91 = plan_of(entry.q_kg_ppr(spark, SF))
@@ -1292,9 +1305,10 @@ def main() -> None:
     # anywhere — the signature is computed where the payload lives)
     p128 = plan_of(entry.q_mm_phash(spark, SF))
     sections.append(("Perceptual DCT hash (mm_phash)", p128))
-    checks.append(("phash: map-only, no exchange",
-                   "Exchange" not in p128 and "ArrowEvalPython" in p128
-                   or "MapInPandas" in p128 and "Exchange" not in p128))
+    checks.append(("phash: vectorized map stage, no key exchange "
+                   "(ingest-spread round-robin only)",
+                   "MapInPandas" in p128 and "hashpartitioning" not in p128
+                   and "rangepartitioning" not in p128))
 
     # 129. filter funnel: one corpus scan, windows only over the bounded
     # rule histogram (the single-partition window is |rules|+1 rows)
@@ -2492,9 +2506,18 @@ def main() -> None:
     # 1-row aggregate — and nothing else
     p235 = plan_of(entry.q_txt_zipf_slope(spark, SF))
     sections.append(("Zipf rank-frequency OLS (txt_zipf_slope)", p235))
-    checks.append(("zipf: exactly one window over the vocabulary",
-                   p235.count("Window (") == 1))
-    checks.append(("zipf: no join at all", "Join" not in p235))
+    # round-6 shape: the vocabulary rank/cumsum is the two-level
+    # prefix sum — per-token windows PARTITIONED by tf class, plus the
+    # class-offset join; the only single-partition window runs over the
+    # distinct-tf class histogram (whitelisted, O(sqrt tokens) rows)
+    checks.append(("zipf: per-token windows partitioned by tf class "
+                   "(two-level prefix sum)",
+                   p235.count("windowspecdefinition(tf#") >= 2))
+    checks.append(("zipf: single-partition windows only over the bounded "
+                   "distinct-tf class table",
+                   len(re.findall(
+                       r"windowspecdefinition\(\S+ (?:ASC|DESC)", p235
+                   )) <= 1))
     checks.append(("zipf: map-side partial aggregation", "partial_" in p235))
 
     # 236. burstiness: two stacked aggregates, no join, no window
