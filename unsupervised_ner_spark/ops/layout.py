@@ -569,12 +569,19 @@ def salted_join(
         ),
         F.lit(int(n_salt)),
     ).cast("int")
-    fs = facts.withColumn("_salt", salt)
+    # collision-proof working column (ADVICE r05): a bare "_salt" on either
+    # input would be silently overwritten and dropped, changing the output
+    # relative to the plain equi-join this claims to be identical to
+    sc = "__salted_join_salt"
+    for side, name in ((facts, "facts"), (dim, "dim")):
+        if sc in side.columns:
+            raise ValueError(f"salted_join: {name} already has a {sc} column")
+    fs = facts.withColumn(sc, salt)
     ds = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salt) - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("int"))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(int(n_salt) - 1)))
+    ).withColumn(sc, F.col(sc).cast("int"))
     joined = fs.hint("merge").join(
         ds,
-        (F.col(fact_key) == F.col(dim_key)) & (fs["_salt"] == ds["_salt"]),
+        (F.col(fact_key) == F.col(dim_key)) & (fs[sc] == ds[sc]),
     )
-    return joined.drop(fs["_salt"]).drop(ds["_salt"])
+    return joined.drop(fs[sc]).drop(ds[sc])

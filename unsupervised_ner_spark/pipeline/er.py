@@ -5232,8 +5232,10 @@ def bcubed_score(assignments: DataFrame) -> DataFrame:
     (item, pred, truth) labels, per-item precision = |C(i) n T(i)| /
     |C(i)| and recall = |C(i) n T(i)| / |T(i)|, averaged over items.
     Output is ONE row: n_items + precision/recall/F1 in ppm, every
-    division the documented floor ``div`` (per-item ppm floors, then the
-    floor average; F1 = 2PR div (P+R) on the ppm scale) replayed
+    division the documented TRUNCATING integer ``div`` (toward zero —
+    Spark ``div`` and DuckDB ``//`` agree; all operands here are
+    non-negative, where truncation equals floor; per-item ppm cuts, then
+    the averaged cut; F1 = 2PR div (P+R) on the ppm scale) replayed
     identically by the oracle.
 
     Scale shape: items collapse once into the (pred, truth) contingency

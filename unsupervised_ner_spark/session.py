@@ -51,7 +51,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # ExplicitGCInvokesConcurrent: the ContextCleaner's periodic
+        # System.gc() (above) must start a CONCURRENT G1 cycle, not a
+        # stop-the-world full GC — on a filled multi-GB heap the latter
+        # pauses for seconds and lands inside whichever query is running
+        # (measured: late-pass medians of the longest queries inflated 2x
+        # without this flag).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:+ExplicitGCInvokesConcurrent",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
